@@ -1,0 +1,76 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis Column helpers for the LLM-data-pipeline surface
+  * (north-star mandate — SURVEY §2.11): token counting, quality scoring,
+  * language-ID heuristics, fingerprinting. All native expressions
+  * (codegen-friendly, no UDFs), all embarrassingly parallel per-row.
+  */
+object Text {
+
+  /** Whitespace tokens (empty string → empty array, not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words + digits + punctuation runs counted
+    * separately — a cheap deterministic proxy for tokenizer counts. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation-character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double") /
+        length(text)).otherwise(lit(0.0))
+
+  /** English stopword hit ratio over tokens — quality / language signal. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation
+    * noise, presence of stopwords (natural prose marker). Deterministic,
+    * expressible in ANSI SQL for the oracle. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 5, lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 4, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3, 4)
+  }
+
+  /** Language-ID heuristic: argmax over per-language stopword hit counts.
+    * N-gram/stopword profiles for the fixture languages; ties and
+    * zero-evidence rows → "und". Pure expressions → whole-stage codegen. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+  )
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangProfiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit rolling-style content hash, cheap exact
+    * dedup key (content-defined; whitespace-normalized). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(array_join(tokens(lower(text)), " "))
+}

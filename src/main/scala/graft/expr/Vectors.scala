@@ -1,0 +1,53 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector Column helpers (north-star similarity surface —
+  * SURVEY §2.11). Embeddings are first-class `array<float>` columns;
+  * all math uses higher-order functions (zip_with/aggregate) so it stays
+  * native-codegen and distributes trivially. Accumulation is in double,
+  * strictly in index order — deterministic and oracle-reproducible.
+  */
+object Vectors {
+
+  /** Dot product of two float/double array columns (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a); val nb = l2Norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+  }
+
+  /** Squared euclidean distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign bit of the projection onto a deterministic pseudo-random
+    * hyperplane (seeded per plane from the element index) — the building
+    * block for LSH bucketing of embeddings. plane(i) uses a fixed integer
+    * mix so the "random" planes are reproducible with no RNG. */
+  def hyperplaneSign(v: Column, planeSeed: Int): Column = {
+    // pseudo-random ±1 weights per element index via xxhash64(seed, idx)
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+        x.cast("double") *
+          when(pmod(xxhash64(lit(planeSeed), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1)).otherwise(lit(0))
+  }
+
+  /** nBits-bit LSH bucket id for an embedding — used to pre-bucket ANN
+    * candidate search so the pairwise join is per-bucket, not global. */
+  def lshBucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map(b => hyperplaneSign(v, b) * lit(1 << b))
+      .reduce((x, y) => x + y)
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * Reference surface: first-seen-per-key Python sets (A3 —
+  * SqlDbEtl.py:192-229, Stellar.py:83/175) and top-1-per-key
+  * `ORDER BY created_at DESC LIMIT 1` (W1/J3 — Stellar.py:68-78).
+  *
+  * Beyond-reference (north-star) surface: exact content dedup, MinHash,
+  * SimHash and n-gram-Jaccard near-dup over the `documents` table — all
+  * set-oriented, one shuffle each, no driver-side state, so they scale to
+  * 100 TB by partitioning on the dedup key.
+  */
+object Dedup {
+
+  /** First row per key under an EXPLICIT deterministic order. The
+    * reference's "first seen" is MySQL result order — nondeterministic in
+    * principle (SURVEY §7.7 #4); we pin arrival order to `order` columns. */
+  def firstSeen(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-1 per key by descending order — the latest-price lookup (J3/W1). */
+  def top1PerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    firstSeen(df, keys, order.map(_.desc))
+
+  /** Exact content dedup: group by a stable content hash, keep the row with
+    * the smallest tiebreak. sha2-256 collisions are negligible; the hash
+    * (32 bytes) shuffles instead of the full text — at 100 TB that is the
+    * difference between shuffling hashes and shuffling documents. */
+  def exactByHash(df: DataFrame, contentCol: String, tiebreak: Column): DataFrame =
+    firstSeen(df.withColumn("__h", sha2(col(contentCol), 256)),
+      Seq("__h"), Seq(tiebreak)).drop("__h")
+
+  // ---- MinHash-LSH near-dup ----
+
+  /** Whitespace word shingles of size n as an array column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** One MinHash value: min over shingles of md5(seed || shingle).
+    * md5 hex strings compare lexicographically identically everywhere
+    * (oracle-parity with DuckDB's md5), and a per-seed prefix gives k
+    * independent permutation approximations. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** MinHash signature of k hashes. */
+  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column =
+    array((0 until k).map(i => minhash(shingles(text, shingleSize), i)): _*)
+
+  /** LSH banding: split a k-signature into bands of `rows` hashes; docs
+    * sharing any full band are candidate near-dups. Returns (band_id,
+    * band_key) pairs to explode + self-join on — the join key is a short
+    * hash, so the candidate join shuffles keys, not documents. */
+  def lshBands(signature: Column, bandRows: Int, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|", slice(signature, b * bandRows + 1, bandRows))).as("band_key"))
+    }: _*)
+
+  /** Near-duplicate candidate pairs via MinHash-LSH over a text column.
+    * Output: (id_a, id_b) with id_a < id_b, distinct. At scale the
+    * band-bucket self-join shuffles only (band_key, id); actual similarity
+    * confirmation (ngramJaccard) runs on the candidate pairs only. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2): DataFrame = {
+    val nBands = k / bandRows
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, k).as("sig"))
+    val banded = sig.select(col("id"),
+        explode(lshBands(col("sig"), bandRows, nBands)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate id pairs.
+    * pairs: (id_a, id_b); docs: (id, text). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  // ---- SimHash near-dup ----
+
+  /** 64-bit SimHash over word tokens: sum ±1 per bit of each token's
+    * 64-bit hash (xxhash64), sign → bit. Near-dups differ in few bits;
+    * grouping on rotated prefixes gives an LSH-style bucketing. */
+  def simhash64(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      // per-bit vote: count of tokens with bit i set vs total
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)))
+      when(votes * 2 > size(toks), lit(1L)).otherwise(lit(0L)) * lit(1L << i)
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Dev-only harness (mirrors the driver's t2 gate): run each oracle SQL in
+DuckDB over the fixture parquet tables and compare with the Verify.scala
+parquet dumps — columns sorted by name, rows sorted, exact value compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+(Run `sbt "runMain graft.Verify <sfDir> <out>"` first.)
+
+NOT part of the shipped library — the Scala engine has no Python deps.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if pd.isna(a) or pd.isna(b):
+            return False
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(values_equal(x, y) for x, y in zip(la, lb))
+    if str(type(a)) != str(type(b)) and not isinstance(a, type(b)) and not isinstance(b, type(a)):
+        # allow numeric cross-type (int64 vs int32, Decimal vs Decimal)
+        try:
+            return float(a) == float(b)
+        except (TypeError, ValueError):
+            pass
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = norm(con.sql(sql).df())
+            got = norm(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: load/exec error: {e}")
+            n_fail += 1
+            continue
+        if list(expected.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(expected.columns)}")
+            n_fail += 1
+            continue
+        if len(expected) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(expected)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i in range(len(expected)):
+            for c in expected.columns:
+                if not values_equal(expected.iloc[i][c], got.iloc[i][c]):
+                    bad = (i, c, expected.iloc[i][c], got.iloc[i][c])
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, e, g = bad
+            print(f"FAIL {name}: row {i} col {c}: oracle={e!r} ({type(e).__name__}) "
+                  f"got={g!r} ({type(g).__name__})")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(expected)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
