@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.expr.{Financial, Text, Vectors}
+import graft.expr.Financial
 import graft.ops.{Dedup, Merge}
+import graft.queries.{EventQueries, FinancialQueries, SimilarityQueries, TextQueries}
 import graft.schema.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
@@ -64,8 +65,14 @@ object SparkEntry {
         "latest_order", "n_name", "r_name")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (reference
+    * surface below; beyond-reference LLM-pipeline surface contributed by
+    * the graft.queries.* modules). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ TextQueries.queries ++ SimilarityQueries.queries ++
+      EventQueries.queries ++ FinancialQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.1/2.2 scans, projections, predicates ----
 
@@ -224,8 +231,14 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same tables, same column
-    * names/aliases — the driver sorts columns by name before hashing). */
-  def oracleSql: Map[String, String] = Map(
+    * names/aliases — the driver sorts columns by name before hashing).
+    * Queries absent here (probabilistic/hash-specific ops) get the
+    * driver's rows-only check and are unit-tested instead. */
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      EventQueries.oracleSql ++ FinancialQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
 
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

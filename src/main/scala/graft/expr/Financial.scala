@@ -73,9 +73,13 @@ object Financial {
   }
 
   /** Double-precision variant of the Q96 ratio — for oracle-parity queries
-    * and non-monetary derived metrics (tvl heuristics). */
-  def q96RatioDouble(sqrtPrice: Column): Column =
-    pow(sqrtPrice.cast(DoubleType) / lit(Q96Double), 2)
+    * and non-monetary derived metrics (tvl heuristics). r·r instead of
+    * pow(r, 2): multiplication is exactly-rounded IEEE in every engine,
+    * pow is libm-dependent. */
+  def q96RatioDouble(sqrtPrice: Column): Column = {
+    val r = sqrtPrice.cast(DoubleType) / lit(Q96Double)
+    r * r
+  }
 
   /** Price of token0 in token1 units, decimal-adjusted — utils.py:144-148.
     * `ratio · 10^(d0−d1)`; pass q96RatioDecimal(sqrt) or q96RatioDouble(sqrt). */

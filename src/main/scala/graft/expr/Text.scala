@@ -42,12 +42,14 @@ object Text {
 
   /** Composite quality score in [0,1]: length sweet-spot, low punctuation
     * noise, presence of stopwords (natural prose marker). Deterministic,
-    * expressible in ANSI SQL for the oracle. */
+    * expressible in ANSI SQL for the oracle. Unrounded — display rounding
+    * is the caller's policy (engine-specific round() on doubles is not
+    * bit-portable). */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
     val punctScore = greatest(lit(1.0) - punctRatio(text) * 5, lit(0.0))
     val stopScore = least(stopwordRatio(text) * 4, lit(1.0))
-    round((lenScore + punctScore + stopScore) / 3, 4)
+    (lenScore + punctScore + stopScore) / 3
   }
 
   /** Language-ID heuristic: argmax over per-language stopword hit counts.

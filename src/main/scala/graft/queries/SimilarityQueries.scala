@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Vectors
+import graft.schema.Tables
+
+/** Similarity-search surface over the `embeddings` fixture (64-dim
+  * `array<float>` vectors) — SURVEY §2.11 north-star mandate.
+  *
+  * Scale posture: brute-force top-k is the correctness baseline (the
+  * query side is broadcast, the candidate side streams — no shuffle of
+  * the vector table); LSH bucketing is the 100 TB path (candidates
+  * shuffle on a small int bucket id, then per-bucket brute force).
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Vector norms + self-dot — verifies the higher-order-function dot
+    // product (sequential double accumulation, oracle-exact).
+    "q_vector_norms" -> ((s, dir) => {
+      emb(s, dir).select(
+        col("vec_id"),
+        Vectors.dot(col("embedding"), col("embedding")).as("self_dot"),
+        Vectors.l2Norm(col("embedding")).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Brute-force cosine top-k: 8 query vectors (broadcast) × all
+    // candidates, rank by similarity. At 100 TB the candidate scan is
+    // embarrassingly parallel; only (qid × k) rows survive the window.
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      broadcast(q).join(cand, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Vectors.cosine(col("qv"), col("nv")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("nid"), col("sim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): 8-bit hyperplane buckets, then
+    // per-bucket brute force — xxhash64-based planes have no DuckDB
+    // equivalent, so the driver records rows-only; recall vs brute force
+    // is asserted in VectorsSpec.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("bucket", Vectors.lshBucket(col("embedding"), 8))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket"))
+      val cand = e.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      broadcast(q).join(cand,
+          q("bucket") === cand("bucket") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Vectors.cosine(col("qv"), col("nv")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Centroid distance per cluster label: grouped vector aggregation —
+    // euclidean distance of each vector to its label's first member
+    // (deterministic representative), exercising l2Sq at scale shape.
+    "q_l2_to_rep" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val rep = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+      val repv = rep.join(e, rep("rep_id") === e("vec_id"))
+        .select(rep("label"), col("embedding").as("rep_v"))
+      e.join(broadcast(repv), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          Vectors.l2Sq(col("embedding"), col("rep_v")).as("l2_sq"))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
+  /** DuckDB sequential dot product over list elements (matches Spark's
+    * aggregate() left-to-right double accumulation bit-for-bit). */
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_vector_norms" ->
+      s"""SELECT vec_id,
+         |  ${dot("embedding", "embedding")} AS self_dot,
+         |  sqrt(${dot("embedding", "embedding")}) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN sqrt(${dot("qv", "qv")}) > 0 AND sqrt(${dot("nv", "nv")}) > 0
+         |      THEN ${dot("qv", "nv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("nv", "nv")}))
+         |    END AS sim
+         |  FROM q JOIN c ON qid <> nid),
+         |ranked AS (
+         |  SELECT qid, nid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, nid, sim FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // q_ann_lsh: no oracle (xxhash64 hyperplanes) — rows-only.
+
+    "q_l2_to_rep" ->
+      s"""WITH rep AS (
+         |  SELECT label, min(vec_id) AS rep_id FROM embeddings GROUP BY label),
+         |repv AS (
+         |  SELECT r.label, e.embedding AS rep_v
+         |  FROM rep r JOIN embeddings e ON e.vec_id = r.rep_id)
+         |SELECT e.vec_id, e.label,
+         |  list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(r.rep_v[i] AS DOUBLE))
+         |       * (CAST(e.embedding[i] AS DOUBLE) - CAST(r.rep_v[i] AS DOUBLE)))) AS l2_sq
+         |FROM embeddings e JOIN repv r ON e.label = r.label
+         |ORDER BY e.vec_id""".stripMargin,
+  )
+}

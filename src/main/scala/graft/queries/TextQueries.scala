@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Text
+import graft.ops.Dedup
+import graft.schema.Tables
+
+/** Text-analysis + deduplication query surface over the `documents`
+  * fixture — the LLM-data-pipeline operators mandated beyond the
+  * reference (SURVEY §2.11): token/quality stats, language-ID,
+  * exact + MinHash-LSH + n-gram-Jaccard + SimHash dedup.
+  *
+  * Scale posture: every query is a per-row map or a shuffle on a short
+  * hash key (band_key / content hash), never on document text — at
+  * 100 TB the shuffle payload is ids + 16–32-byte digests.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting + quality signals (Text.* are native expressions —
+    // whole-stage codegen, embarrassingly parallel).
+    "q_text_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.subwordCount(col("text")).as("n_subwords"),
+        length(col("text")).as("len_chars"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic (argmax of per-language stopword hits; ties →
+    // lexicographically greatest lang; zero evidence → 'und').
+    "q_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite quality score (unrounded double — deterministic across
+    // engines; rounding policy belongs to callers).
+    "q_quality_score" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup on whitespace-normalized content: group on sha2 of the
+    // normalized text (shuffles 32-byte hashes, not documents), keep the
+    // smallest doc_id.
+    "q_exact_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("__norm",
+        array_join(Text.tokens(lower(col("text"))), " "))
+      Dedup.exactByHash(d, "__norm", col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash signature head (k=4 of the 12-hash signature): oracle-exact
+    // because both engines agree on md5 hex and lexicographic min.
+    "q_minhash_sig" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(col("text"), 3, 4)
+      docs(s, dir).select(
+        col("doc_id"),
+        element_at(sig, 1).as("mh0"),
+        element_at(sig, 2).as("mh1"),
+        element_at(sig, 3).as("mh2"),
+        element_at(sig, 4).as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH near-dup candidate pairs (k=12, 6 bands × 2 rows): the
+    // banding self-join shuffles (band_key, id) only.
+    "q_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, k = 12, bandRows = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact 3-gram Jaccard on a deterministic pair set (consecutive ids) —
+    // verifies the similarity-confirm stage that runs on LSH candidates.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      // the max id's (id, id+1) pair drops in ngramJaccard's inner join
+      Dedup.ngramJaccard(d, "doc_id", "text", pairs, 3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // SimHash fingerprints (xxhash64-based — no DuckDB equivalent, driver
+    // records rows-only; Hamming-distance behavior is unit-tested).
+    "q_simhash" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  private val norm =
+    raw"array_to_string(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0), ' ')"
+
+  /** DuckDB shingle-list expression (3-gram, distinct), matching
+    * Dedup.shingles(text, 3). */
+  private val shingles3 =
+    raw"""list_distinct(CASE WHEN len(__t) >= 3
+         |  THEN list_transform(range(1, len(__t) - 1), i -> array_to_string(__t[i:i+2], ' '))
+         |  ELSE [array_to_string(__t, ' ')] END)""".stripMargin
+
+  private val toksCte =
+    raw"WITH __tok AS (SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS __t FROM documents)"
+
+  /** 12-hash MinHash signature list for DuckDB, matching minhashSignature. */
+  private val sig12 =
+    raw"""list_transform(range(0, 12), seed ->
+         |  list_min(list_transform(__sh, s -> md5(CAST(seed AS VARCHAR) || ':' || s))))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      raw"""SELECT doc_id,
+           |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0)) AS n_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
+           |  len(text) AS len_chars,
+           |  CASE WHEN len(text) > 0
+           |    THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+           |    ELSE 0.0 END AS punct_ratio,
+           |  CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+           |    THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |           t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+           |                      'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+           |         / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+           |    ELSE 0.0 END AS stop_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS t
+           |  FROM documents),
+           |hits AS (
+           |  SELECT doc_id, lang,
+           |    len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','was','for'))) AS h_en,
+           |    len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS h_de,
+           |    len(list_filter(t, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour'))) AS h_fr,
+           |    len(list_filter(t, x -> x IN ('el','la','los','y','es','una','en','que','por','con'))) AS h_es
+           |  FROM toks)
+           |SELECT doc_id, lang,
+           |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+           |       WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+           |       WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+           |       WHEN h_en >= h_de THEN 'en'
+           |       ELSE 'de' END AS lang_guess
+           |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      raw"""WITH c AS (
+           |  SELECT doc_id,
+           |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+           |    CASE WHEN len(text) > 0
+           |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+           |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+           |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+           |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+           |      ELSE 0.0 END AS stop_ratio
+           |  FROM documents)
+           |SELECT doc_id,
+           |  (len_score + greatest(1.0 - punct_ratio * 5, 0.0) + least(stop_ratio * 4, 1.0)) / 3 AS quality
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_exact_dedup" ->
+      raw"""SELECT doc_id, lang, source FROM documents
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY $norm ORDER BY doc_id) = 1
+           |ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_sig" ->
+      raw"""$toksCte
+           |SELECT doc_id,
+           |  list_min(list_transform($shingles3, s -> md5('0:' || s))) AS mh0,
+           |  list_min(list_transform($shingles3, s -> md5('1:' || s))) AS mh1,
+           |  list_min(list_transform($shingles3, s -> md5('2:' || s))) AS mh2,
+           |  list_min(list_transform($shingles3, s -> md5('3:' || s))) AS mh3
+           |FROM __tok ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_pairs" ->
+      raw"""$toksCte,
+           |sig AS (
+           |  SELECT doc_id, $sig12 AS sig
+           |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b))
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM banded a JOIN banded b
+           |  ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      raw"""$toksCte,
+           |sh AS (SELECT doc_id, $shingles3 AS sh FROM __tok)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+           |ORDER BY id_a""".stripMargin,
+    // q_simhash: no oracle (xxhash64 has no DuckDB equivalent) — driver
+    // records rows-only; semantics covered by DedupSpec.
+  )
+}
