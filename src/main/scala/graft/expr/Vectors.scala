@@ -2,19 +2,26 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+import graft.expr.catalyst.{DotProduct, L2SquaredDistance}
 
 /** Embedding-vector Column helpers (north-star similarity surface —
-  * SURVEY §2.11). Embeddings are first-class `array<float>` columns;
-  * all math uses higher-order functions (zip_with/aggregate) so it stays
-  * native-codegen and distributes trivially. Accumulation is in double,
-  * strictly in index order — deterministic and oracle-reproducible.
+  * SURVEY §2.11). Embeddings are first-class `array<float>` columns.
+  *
+  * The hot kernels (dot / l2) are fused native Catalyst expressions with
+  * whole-stage codegen (graft.expr.catalyst.VectorExpressions) — the
+  * higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * interpreted and allocates per evaluation, which dominates top-k
+  * similarity cost. Both accumulate in double, strictly in index order —
+  * deterministic and oracle-reproducible.
   */
 object Vectors {
 
-  /** Dot product of two float/double array columns (double accumulation). */
+  /** Dot product of two float/double array columns (double accumulation,
+    * fused codegen kernel). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    column(DotProduct(expression(a), expression(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -25,11 +32,9 @@ object Vectors {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance (fused codegen kernel). */
   def l2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    column(L2SquaredDistance(expression(a), expression(b)))
 
   /** Sign bit of the projection onto a deterministic pseudo-random
     * hyperplane (seeded per plane from the element index) — the building

@@ -52,13 +52,20 @@ object Dedup {
   /** One MinHash value: min over shingles of md5(seed || shingle).
     * md5 hex strings compare lexicographically identically everywhere
     * (oracle-parity with DuckDB's md5), and a per-seed prefix gives k
-    * independent permutation approximations. */
+    * independent permutation approximations. Declarative reference
+    * formulation — the production path is the fused kernel below. */
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
 
-  /** MinHash signature of k hashes. */
-  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column =
-    array((0 until k).map(i => minhash(shingles(text, shingleSize), i)): _*)
+  /** MinHash signature of k hashes — fused native kernel
+    * (graft.expr.catalyst.MinHashSignature): one tight loop per row
+    * instead of k× interpreted shingle+md5 HOF chains. Semantics are
+    * property-tested equal to `array((0 until k).map(i =>
+    * minhash(shingles(text, n), i)))`. */
+  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.MinHashSignature(expression(text), shingleSize, k))
+  }
 
   /** LSH banding: split a k-signature into bands of `rows` hashes; docs
     * sharing any full band are candidate near-dups. Returns (band_id,
@@ -71,9 +78,16 @@ object Dedup {
     }: _*)
 
   /** Near-duplicate candidate pairs via MinHash-LSH over a text column.
-    * Output: (id_a, id_b) with id_a < id_b, distinct. At scale the
-    * band-bucket self-join shuffles only (band_key, id); actual similarity
-    * confirmation (ngramJaccard) runs on the candidate pairs only. */
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Shape: ONE pass computes signatures, ONE shuffle groups ids per
+    * (band_id, band_key) bucket, and pairs are generated inside each
+    * bucket with array combinatorics — no self-join, so the (expensive,
+    * interpreted) minhash expressions are evaluated exactly once per
+    * document. At 100 TB the shuffle payload is (16-byte band key, id);
+    * bucket skew is the quadratic risk, so callers cap pathological
+    * buckets upstream (a bucket of near-identical boilerplate is itself
+    * the answer — flag, don't pair). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2): DataFrame = {
     val nBands = k / bandRows
@@ -82,10 +96,16 @@ object Dedup {
     val banded = sig.select(col("id"),
         explode(lshBands(col("sig"), bandRows, nBands)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val buckets = banded
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // ordered pairs within each bucket: ids[i] × ids[i+1..]
+    buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs.

@@ -33,18 +33,23 @@ object SimilarityQueries {
     }),
 
     // Brute-force cosine top-k: 8 query vectors (broadcast) × all
-    // candidates, rank by similarity. At 100 TB the candidate scan is
+    // candidates, rank by similarity. Norms are projected BEFORE the join
+    // (computed once per vector, not once per pair); the per-pair work is
+    // one fused codegen dot product. At 100 TB the candidate scan is
     // embarrassingly parallel; only (qid × k) rows survive the window.
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          Vectors.l2Norm(col("embedding")).as("qn"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        Vectors.l2Norm(col("embedding")).as("nn"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid"))
       broadcast(q).join(cand, col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          Vectors.cosine(col("qv"), col("nv")).as("sim"))
+          when(col("qn") > 0 && col("nn") > 0,
+            Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("qid"), col("rank"), col("nid"), col("sim"))
@@ -60,15 +65,16 @@ object SimilarityQueries {
         .withColumn("bucket", Vectors.lshBucket(col("embedding"), 8))
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("bucket"))
-      val cand = e.select(col("vec_id").as("nid"),
-        col("embedding").as("nv"), col("bucket"))
+          Vectors.l2Norm(col("embedding")).as("qn"), col("bucket"))
+      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        Vectors.l2Norm(col("embedding")).as("nn"), col("bucket"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid"))
       broadcast(q).join(cand,
           q("bucket") === cand("bucket") && col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          Vectors.cosine(col("qv"), col("nv")).as("sim"))
+          when(col("qn") > 0 && col("nn") > 0,
+            Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("nid"))
