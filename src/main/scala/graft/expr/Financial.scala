@@ -57,19 +57,16 @@ object Financial {
     * utils.py:130-148: ratio = (sqrt_price / 2^96)^2 · 10^(d0 − d1).
     *
     * Decimal fidelity (SURVEY §7.7 #1): sqrtPriceX96 can reach 2^160,
-    * which exceeds Decimal(38). We therefore divide by 2^48 FIRST at
-    * decimal scale 18 (a 2^160 input / 2^48 = 2^112 ≈ 5.2e33, fits in
-    * 38-digit precision alongside 18-dp scale after the second step),
-    * then finish the division and square. All steps stay on Spark
-    * Decimal with checked overflow; out-of-range inputs yield null via
-    * try-semantics rather than poisoning the batch (the reference maps
-    * InvalidOperation to 0 — utils.py:160-169; callers coalesce).
-    */
+    * which exceeds Decimal(38), and staging the division through
+    * Decimal(38,·) intermediates loses relative precision to the
+    * 38-digit cap on large ticks. Native kernel expression
+    * (graft.expr.catalyst.Q96Ratio) computes at the reference's
+    * 50-digit context and HALF_UP-quantizes to 18 dp; out-of-range → 0
+    * (utils.py:160-169 InvalidOperation policy). */
   def q96RatioDecimal(sqrtPrice: Column): Column = {
-    val twoPow48 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(48)))
-    val half = (sqrtPrice.cast(DecimalType(38, 0)) / twoPow48).cast(DecimalType(38, 12))
-    val full = (half / twoPow48).cast(DecimalType(38, 24))
-    (full * full).cast(DecimalType(38, 18))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.Q96Ratio(
+      expression(sqrtPrice.cast(DecimalType(38, 0)))))
   }
 
   /** Double-precision variant of the Q96 ratio — for oracle-parity queries
@@ -87,14 +84,13 @@ object Financial {
     ratio * pow(lit(10.0), d0.cast(DoubleType) - d1.cast(DoubleType))
 
   /** ROUND_DOWN (truncate) to 18 dp — utils.py:160-169 quantizes with
-    * ROUND_DOWN and maps decimal overflow to 0. floor on a positive
-    * Decimal(38,18)·10^18 is exact; prices are non-negative here. */
-  def roundDown18(c: Column): Column = {
-    val scaled = c.cast(DecimalType(38, 18))
-    // floor() on DecimalType returns Decimal; rescale back.
-    (floor(scaled * lit(java.math.BigDecimal.TEN.pow(18))).cast(DecimalType(38, 0)) /
-      lit(java.math.BigDecimal.TEN.pow(18))).cast(DecimalType(38, 18))
-  }
+    * ROUND_DOWN and maps decimal overflow to 0. `floor(x, 18)` truncates
+    * at 18 dp directly on the input's full scale (no pre-rounding cast —
+    * a Decimal(38,18) cast first would HALF_UP round digit 19 and could
+    * round UP, violating ROUND_DOWN); prices are non-negative here so
+    * floor == truncate. */
+  def roundDown18(c: Column): Column =
+    floor(c, lit(18)).cast(DecimalType(38, 18))
 
   /** Percent change (cur − prev)/prev · 100 rounded to 2 dp; null when any
     * input is null or prev == 0 — utils.py:101-110 (yoy), :112-121 (qoq). */

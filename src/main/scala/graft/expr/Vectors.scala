@@ -51,8 +51,18 @@ object Vectors {
   }
 
   /** nBits-bit LSH bucket id for an embedding — used to pre-bucket ANN
-    * candidate search so the pairwise join is per-bucket, not global. */
+    * candidate search so the pairwise join is per-bucket, not global.
+    * Declarative reference formulation (single table). */
   def lshBucket(v: Column, nBits: Int): Column =
     (0 until nBits).map(b => hyperplaneSign(v, b) * lit(1 << b))
       .reduce((x, y) => x + y)
+
+  /** Multi-table LSH bucket ids (fused kernel): array<int> of
+    * (table << nBits | bucket). Probing all tables bounds the ANN miss
+    * probability at (1 − p^nBits)^nTables — single-probe recall
+    * collapses when neighbor similarity is modest, multi-table is the
+    * production shape. Element t's planes use seeds t·nBits+b, so table
+    * 0 with nTables=1 equals lshBucket (parity-tested). */
+  def lshBuckets(v: Column, nBits: Int, nTables: Int): Column =
+    column(catalyst.LshBuckets(expression(v), nBits, nTables))
 }

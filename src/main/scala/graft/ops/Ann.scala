@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.Vectors
+
+/** Approximate-nearest-neighbor search operators (SURVEY §2.11 north
+  * star). Two scale paths over brute force:
+  *
+  *  - multi-table hyperplane LSH (`lshTopK`): candidates = union over T
+  *    tables of same-bucket vectors; shuffle payload is (int bucket, id).
+  *  - IVF-Flat (`ivfTopK`): coarse-quantize every vector to its nearest
+  *    of K centroid vectors, probe the nprobe nearest lists per query.
+  *    Centroids broadcast; the corpus shuffles once on list id at build
+  *    time and never again (at 100 TB the lists are the storage
+  *    partitioning, so a probe reads nprobe/K of the data).
+  *
+  * Both return (qid, rank, nid, sim) for top-k by cosine, ranked
+  * deterministically (sim desc, nid asc).
+  */
+object Ann {
+
+  /** Brute-force cosine top-k — the correctness baseline. `queries` and
+    * `corpus` are (id, vec) frames; queries must be small (broadcast). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"),
+      Vectors.l2Norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+      Vectors.l2Norm(col("vec")).as("nn"))
+    rank(broadcast(q).join(c, col("qid") =!= col("nid")), k)
+  }
+
+  /** Multi-table LSH top-k. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 4, nTables: Int = 12): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"),
+        Vectors.l2Norm(col("vec")).as("qn"),
+        Vectors.lshBuckets(col("vec"), nBits, nTables).as("qb"))
+      .select(col("qid"), col("qv"), col("qn"), explode(col("qb")).as("bucket"))
+    val c = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+        Vectors.l2Norm(col("vec")).as("nn"),
+        Vectors.lshBuckets(col("vec"), nBits, nTables).as("cb"))
+      .select(col("nid"), col("nv"), col("nn"), explode(col("cb")).as("bucket"))
+    val cand = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
+      .dropDuplicates("qid", "nid")
+    rank(cand, k)
+  }
+
+  /** IVF-Flat top-k with deterministic centroid seeding: the first K
+    * corpus vectors by id act as coarse centroids (callers with real
+    * k-means can pass their own via `centroidsOverride`). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val cents = centroidsOverride.getOrElse(
+      corpus.orderBy(col("id")).limit(nLists))
+      .select(col("id").as("cid"), col("vec").as("cv"),
+        Vectors.l2Norm(col("vec")).as("cn"))
+
+    def nearestLists(df: DataFrame, idc: String, vc: String, n: Int): DataFrame = {
+      val withSim = df.join(broadcast(cents))
+        .withColumn("csim",
+          when(col("cn") > 0,
+            Vectors.dot(col(vc), col("cv")) / (Vectors.l2Norm(col(vc)) * col("cn"))))
+      val w = Window.partitionBy(col(idc)).orderBy(col("csim").desc, col("cid"))
+      withSim.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+        .select(col(idc), col(vc), col("cid"))
+    }
+
+    val assigned = nearestLists(
+      corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)
+    val probes = nearestLists(
+      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
+
+    val cand = broadcast(
+        probes.select(col("qid"), col("qv"),
+          Vectors.l2Norm(col("qv")).as("qn"), col("cid")))
+      .join(assigned.select(col("nid"), col("nv"),
+        Vectors.l2Norm(col("nv")).as("nn"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
+      .dropDuplicates("qid", "nid")
+    rank(cand, k)
+  }
+
+  /** Rank candidate pairs by cosine, keep top k per query. Input needs
+    * (qid, qv, qn, nid, nv, nn). */
+  private def rank(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand
+      .select(col("qid"), col("nid"),
+        when(col("qn") > 0 && col("nn") > 0,
+          Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Vectors
+import graft.ops.Ann
 import graft.schema.Tables
 
 /** Similarity-search surface over the `embeddings` fixture (64-dim
@@ -56,27 +57,22 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (the scale path): 8-bit hyperplane buckets, then
-    // per-bucket brute force — xxhash64-based planes have no DuckDB
-    // equivalent, so the driver records rows-only; recall vs brute force
-    // is asserted in VectorsSpec.
+    // Multi-table LSH ANN (the shuffle-light scale path): 12 tables ×
+    // 4-bit hyperplane buckets, union of same-bucket candidates, cosine
+    // top-5 — xxhash64-based planes have no DuckDB equivalent, so the
+    // driver records rows-only; recall vs brute force is spec-asserted.
     "q_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("bucket", Vectors.lshBucket(col("embedding"), 8))
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          Vectors.l2Norm(col("embedding")).as("qn"), col("bucket"))
-      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        Vectors.l2Norm(col("embedding")).as("nn"), col("bucket"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      broadcast(q).join(cand,
-          q("bucket") === cand("bucket") && col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          when(col("qn") > 0 && col("nn") > 0,
-            Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.lshTopK(e.filter(col("id") < 8), e, k = 5)
+        .select(col("qid"), col("rank"), col("nid"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF-Flat ANN (the storage-partitioned scale path): 16 coarse
+    // lists, 4-probe queries — rows-only; recall spec-asserted.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5)
         .select(col("qid"), col("rank"), col("nid"))
         .orderBy(col("qid"), col("rank"))
     }),

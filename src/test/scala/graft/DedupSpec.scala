@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Dedup operator semantics + near-dup detection quality (planted
+  * duplicates must be found; unrelated docs must not pair up). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("firstSeen keeps exactly the first row per key under the given order") {
+    val df = Seq(
+      (1L, 3, "c"), (1L, 1, "a"), (1L, 2, "b"),
+      (2L, 5, "e")).toDF("k", "seq", "v")
+    val out = Dedup.firstSeen(df, Seq("k"), Seq(col("seq"))).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "e")))
+  }
+
+  test("top1PerKey keeps the latest row per key") {
+    val df = Seq(
+      ("btc", 1, 100.0), ("btc", 3, 300.0), ("btc", 2, 200.0),
+      ("eth", 7, 7.0)).toDF("sym", "t", "price")
+    val out = Dedup.top1PerKey(df, Seq("sym"), Seq(col("t"))).orderBy("sym")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(out.toSeq === Seq(("btc", 300.0), ("eth", 7.0)))
+  }
+
+  test("exactByHash collapses identical content, keeps smallest tiebreak") {
+    val df = Seq(
+      (10L, "same text here"), (3L, "same text here"), (7L, "other text")
+    ).toDF("id", "text")
+    val out = Dedup.exactByHash(df, "text", col("id"))
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(3L, 7L))
+  }
+
+  private def corpus(): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted near-dups: copy docs 0..9 with one word changed
+    val nearDups = (0 until 10).map { i =>
+      val words = base(i)._2.split(" ")
+      words(25) = "CHANGED"
+      ((100 + i).toLong, words.mkString(" "))
+    }
+    base ++ nearDups
+  }
+
+  test("minhashLshPairs finds planted near-dups with high recall, few false pairs") {
+    val df = corpus().toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"recall $recall, pairs found: $pairs")
+    // false-pair rate: random 50-word docs over 200-word vocab share few
+    // 3-gram shingles; allow a handful of band collisions
+    assert((pairs -- planted).size <= 5, s"too many false pairs: ${pairs -- planted}")
+  }
+
+  test("ngramJaccard: near-dups score high, unrelated docs score low") {
+    val df = corpus().toDF("doc_id", "text")
+    val pairs = ((0 until 10).map(i => (i.toLong, (100 + i).toLong)) ++
+      Seq((0L, 30L), (1L, 31L))).toDF("id_a", "id_b")
+    val scored = Dedup.ngramJaccard(df, "doc_id", "text", pairs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (0 until 10).foreach { i =>
+      assert(scored((i.toLong, (100 + i).toLong)) > 0.8)
+    }
+    assert(scored((0L, 30L)) < 0.2 && scored((1L, 31L)) < 0.2)
+  }
+
+  test("simhash64: near-dups within small hamming distance, unrelated far") {
+    val df = corpus().toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    (0 until 10).foreach { i =>
+      assert(hamming(h(i.toLong), h((100 + i).toLong)) <= 12,
+        s"doc $i hamming ${hamming(h(i.toLong), h((100 + i).toLong))}")
+    }
+    val unrelated = hamming(h(0L), h(30L))
+    assert(unrelated > 12, s"unrelated hamming $unrelated")
+  }
+}

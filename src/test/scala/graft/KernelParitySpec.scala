@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.expr.Vectors
+import graft.ops.Dedup
+
+/** The fused native kernels (graft.expr.catalyst) must be bit-identical
+  * to the declarative formulations they replace — that equivalence is
+  * what carries oracle-parity from the (verified) HOF expressions over
+  * to the fast path. */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("DotProduct kernel == aggregate(zip_with) on random float vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        Vectors.dot($"a", $"b").as("fast"), hofDot($"a", $"b").as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(bad === 0)
+  }
+
+  test("DotProduct kernel null semantics: length mismatch and null element -> null") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq(1.0, 2.0), Seq(1.0)),             // length mismatch
+      Row(Seq(1.0, null), Seq(1.0, 2.0)),       // null element
+      Row(null, Seq(1.0)),                      // null array
+      Row(Seq(1.0, 2.0), Seq(3.0, 4.0)))        // clean
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = df.select(Vectors.dot($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got.toSeq === Seq(null, null, null, 11.0))
+  }
+
+  test("L2SquaredDistance kernel == HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat()), Array.fill(32)(rnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val bad = df.select(Vectors.l2Sq($"a", $"b").as("fast"), hof.as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(bad === 0)
+  }
+
+  test("MinHashSignature kernel == declarative minhash over shingles") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("the", "spark", "engine", "data", "row", "fast", "slow",
+      "table", "join", "agg", "Mixed", "CASE", "punct,", "x")
+    val texts = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")) }
+    // plus whitespace / short-doc / empty-ish edge cases
+    val edge = Seq((1000L, "one two"), (1001L, "one"), (1002L, "  padded   text  "),
+      (1003L, "a b c"), (1004L, "A  B\tC d"))
+    val df = (texts ++ edge).toDF("id", "text")
+    val k = 6
+    val slow = array((0 until k).map(i =>
+      Dedup.minhash(Dedup.shingles($"text", 3), i)): _*)
+    val bad = df.select(
+        Dedup.minhashSignature($"text", 3, k).as("fast"), slow.as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Merge
+
+/** Upsert/merge semantics (SURVEY §2.6) — the reference's signature
+  * operator. Idempotence is the core invariant: every reference write
+  * is `INSERT … ON DUPLICATE KEY UPDATE`, so replaying a batch must be
+  * a no-op (§2.10 T5). */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def existing = Seq(
+    (1L, "a", 10.0, 100L),
+    (2L, "b", 20.0, 200L),
+    (3L, "c", 30.0, 300L)).toDF("id", "sym", "price", "vol")
+
+  private def incoming = Seq(
+    (2L, "B2", 21.0, 999L),   // matched: only update-cols change
+    (4L, "d", 40.0, 400L))    // new: whole row inserts
+    .toDF("id", "sym", "price", "vol")
+
+  test("partial-column upsert: matched row updates only updateCols") {
+    val out = Merge.upsert(existing, incoming, Seq("id"), Seq("price"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val r2 = out(1)
+    assert(r2.getString(1) === "b")     // non-update col keeps existing
+    assert(r2.getDouble(2) === 21.0)    // update col takes incoming
+    assert(r2.getLong(3) === 200L)      // non-update col keeps existing
+    val r4 = out(3)
+    assert(r4.getString(1) === "d" && r4.getDouble(2) === 40.0 && r4.getLong(3) === 400L)
+  }
+
+  test("upsert keeps existing-only rows unchanged") {
+    val out = Merge.upsert(existing, incoming, Seq("id"), Seq("price"))
+    val r1 = out.filter($"id" === 1L).collect()(0)
+    assert(r1.getString(1) === "a" && r1.getDouble(2) === 10.0 && r1.getLong(3) === 100L)
+  }
+
+  test("upsert is idempotent: applying the same batch twice == once") {
+    val once = Merge.upsert(existing, incoming, Seq("id"), Seq("price", "vol"))
+    val twice = Merge.upsert(once, incoming, Seq("id"), Seq("price", "vol"))
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("replace overwrites the whole row on key match") {
+    val out = Merge.replace(existing, incoming, Seq("id"))
+    val r2 = out.filter($"id" === 2L).collect()(0)
+    assert(r2.getString(1) === "B2" && r2.getDouble(2) === 21.0 && r2.getLong(3) === 999L)
+  }
+
+  test("lastWriterWins keeps the greatest-order row per key") {
+    val df = Seq(
+      (1L, "old", 1), (1L, "new", 2),
+      (2L, "only", 1)).toDF("id", "v", "batch")
+    val out = Merge.lastWriterWins(df, Seq("id"), Seq(col("batch")))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("upsert on compound key") {
+    val ex = Seq((1L, "2024-01-01", 5.0), (1L, "2024-01-02", 6.0))
+      .toDF("token", "date", "apy")
+    val in = Seq((1L, "2024-01-02", 9.0), (2L, "2024-01-01", 1.0))
+      .toDF("token", "date", "apy")
+    val out = Merge.upsert(ex, in, Seq("token", "date"), Seq("apy"))
+      .orderBy("token", "date").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "2024-01-01", 5.0), (1L, "2024-01-02", 9.0), (2L, "2024-01-01", 1.0)))
+  }
+}
