@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.schema.Schemas
+
+/** The reference's local-MySQL star schema as a value: dims + facts
+  * (SURVEY §1.1 family B). Pipelines are pure Warehouse => Warehouse
+  * functions — no I/O inside; callers persist however they like
+  * (parquet rewrite per date partition, Delta MERGE, …).
+  */
+case class Warehouse(dimChains: DataFrame, dimTokens: DataFrame,
+                     factTokenDailyStats: DataFrame, factYieldStats: DataFrame)
+
+object Warehouse {
+
+  def empty(spark: SparkSession): Warehouse = {
+    def e(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    Warehouse(e(Schemas.dimChains), e(Schemas.dimTokens),
+      e(Schemas.factTokenDailyStats), e(Schemas.factYieldStats))
+  }
+
+  /** Seed chains like the reference's dim_chains refresh (SqlDbEtl.py:159-167). */
+  def withChains(spark: SparkSession, chains: Seq[(Int, String)]): Warehouse = {
+    import spark.implicits._
+    val w = empty(spark)
+    val df = chains.map { case (id, n) => (id, n, java.sql.Timestamp.valueOf("2025-05-01 00:00:00")) }
+      .toDF("chain_id", "name", "updated_at")
+    w.copy(dimChains = df)
+  }
+
+  /** SCD-1 dim_tokens upsert with surrogate-id assignment — the
+    * set-oriented equivalent of the reference's per-row
+    * `INSERT … ON DUPLICATE KEY UPDATE` + id readback (U1+J2;
+    * Bifrost.py:116-130). `incoming` columns: chain_id, address, symbol,
+    * name, decimals, asset_type_id — unique per (chain_id, address)
+    * (callers dedupe first with the task's arrival-order policy).
+    *
+    * Existing natural keys keep their surrogate id and update the
+    * attribute columns; new keys get ids maxId+1.. in (chain_id,
+    * address) order — deterministic, unlike AUTO_INCREMENT under
+    * concurrency. Dims are small (SURVEY §7.6): the global row_number
+    * window over NEW keys only is a deliberate single-partition step on
+    * a frame that is ~0 rows per batch at steady state.
+    */
+  def upsertDimTokens(dim: DataFrame, incoming: DataFrame, batchTs: Column): DataFrame = {
+    val keys = Seq("chain_id", "address")
+    val in = incoming.select(
+      col("chain_id"), col("address"), col("symbol"), col("name"),
+      col("decimals"), col("asset_type_id"))
+
+    val matched = in.join(dim.select(col("chain_id"), col("address"), col("id")),
+      keys, "inner")
+    val fresh = in.join(dim.select(col("chain_id"), col("address")), keys, "left_anti")
+
+    val maxId = dim.agg(coalesce(max(col("id")), lit(0L)).as("__max"))
+    val freshWithIds = fresh.crossJoin(broadcast(maxId))
+      .withColumn("id", col("__max") + row_number().over(
+        Window.orderBy(col("chain_id"), col("address"))))
+      .drop("__max")
+
+    val updatedOrNew = matched.unionByName(freshWithIds)
+      .withColumn("updated_at", batchTs)
+      .select(dim.columns.map(col): _*)
+
+    // (USING-column joins reorder key columns first; restore dim order)
+    val untouched = dim.join(in.select(keys.map(col): _*), keys, "left_anti")
+      .select(dim.columns.map(col): _*)
+    untouched.unionByName(updatedOrNew)
+  }
+}
