@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.expr.Financial
 import graft.ops.{Dedup, Merge}
-import graft.queries.{EventQueries, FinancialQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.queries.{EventQueries, FinancialQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.schema.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
@@ -70,7 +70,8 @@ object SparkEntry {
     * the graft.queries.* modules). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ TextQueries.queries ++ SimilarityQueries.queries ++
-      EventQueries.queries ++ FinancialQueries.queries ++ PipelineQueries.queries
+      EventQueries.queries ++ FinancialQueries.queries ++
+      PipelineQueries.queries ++ MultimodalQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -236,7 +237,8 @@ object SparkEntry {
     * driver's rows-only check and are unit-tested instead. */
   def oracleSql: Map[String, String] =
     coreOracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      EventQueries.oracleSql ++ FinancialQueries.oracleSql ++ PipelineQueries.oracleSql
+      EventQueries.oracleSql ++ FinancialQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ MultimodalQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
 

@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators (north-star mandate): image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / frame-sample plumbing a training-data
+  * pipeline needs.
+  *
+  * The actual codec work is STUBBED (no image/audio libraries in this
+  * environment): `DeterministicCodec` derives metadata and "features"
+  * from the payload bytes alone, so every Spark-side contract — schema,
+  * partition-local codec initialization, batch shape, null policy — is
+  * real and tested, and a production codec (JNI/FFmpeg/JPEG) drops in
+  * by replacing one object.
+  *
+  * Scale posture: payloads never shuffle — decode/feature steps are
+  * per-row maps; frame sampling explodes AFTER projecting the payload
+  * away wherever possible; group-level stats aggregate the extracted
+  * metadata, not the bytes.
+  */
+object Multimodal {
+
+  /** media table schema: the engine's canonical multimodal layout. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),      // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))), nullable = true)))
+
+  /** =========== STUBBED CODEC BOUNDARY ===========
+    * Deterministic fake decode: metadata derived from payload length.
+    * A real implementation replaces these bodies with an actual decoder
+    * (partition-local init in `decodePartitions` below); signatures and
+    * null policy are the contract. */
+  object DeterministicCodec {
+    def width(payloadLen: Column): Column = (payloadLen % 640 + 16).cast(IntegerType)
+    def height(payloadLen: Column): Column = ((payloadLen * 7) % 480 + 16).cast(IntegerType)
+    def nFrames(payloadLen: Column): Column = (payloadLen % 24 + 1).cast(IntegerType)
+    def sampleRate(payloadLen: Column): Column =
+      (lit(8000) + (payloadLen % 5) * 8000).cast(IntegerType)
+  }
+
+  /** Decode step as a declarative projection (codegen; payload stays in
+    * place). Null payload → null meta. */
+  def withDecodedMeta(media: DataFrame): DataFrame = {
+    val len = length(col("payload"))
+    media.withColumn("meta",
+      when(col("payload").isNotNull, struct(
+        DeterministicCodec.width(len).as("width"),
+        DeterministicCodec.height(len).as("height"),
+        DeterministicCodec.nFrames(len).as("n_frames"),
+        DeterministicCodec.sampleRate(len).as("sample_rate"))))
+  }
+
+  /** Decode via mapPartitions — the shape a heavyweight codec needs:
+    * one codec instance per partition (NOT per row; real decoders are
+    * expensive to init), iterator-to-iterator (no partition
+    * materialization, spill-safe). The stub mirrors withDecodedMeta. */
+  def decodePartitions(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "meta") :+
+      mediaSchema("meta"))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val metaIdx = media.schema.fields.indexWhere(_.name == "meta")
+    media.mapPartitions { rows =>
+      // partition-local "codec" init happens here (stub: none needed)
+      rows.map { r =>
+        val payload = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val meta = if (payload == null) null else {
+          val n = payload.length
+          org.apache.spark.sql.Row(
+            (n % 640 + 16), ((n.toLong * 7) % 480 + 16).toInt,
+            (n % 24 + 1), (8000 + (n % 5) * 8000))
+        }
+        val base = (0 until r.length).filter(_ != metaIdx).map(r.get)
+        org.apache.spark.sql.Row.fromSeq(base :+ meta)
+      }
+    }(rowEnc)
+  }
+
+  /** Frame sampling: one output row per sampled frame index (every
+    * `step`-th of meta.n_frames). The payload column is NOT carried
+    * through the explode — at scale the frame extractor re-reads bytes
+    * from storage by (asset_id, frame_idx), it does not multiply them
+    * through a shuffle. */
+  def sampleFrames(decoded: DataFrame, step: Int): DataFrame =
+    decoded
+      .filter(col("meta").isNotNull)
+      .select(col("asset_id"), col("kind"), col("meta.n_frames").as("n_frames"))
+      .select(col("asset_id"), col("kind"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(step))).as("frame_idx"))
+
+  /** Per-frame feature stub: a 64-bit content hash of (payload bytes,
+    * frame index) — the contract for an embedding extractor's output
+    * key. Real extractors emit array<float> here. */
+  def frameFeature(payload: Column, frameIdx: Column): Column =
+    xxhash64(payload, frameIdx)
+
+  /** "Resize" as a metadata transform (real impl writes new payloads;
+    * the metadata algebra — aspect-preserving clamp — is the tested part). */
+  def resizeMeta(meta: Column, maxDim: Int): Column = {
+    val w = meta.getField("width"); val h = meta.getField("height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    struct(
+      floor(w * scale).cast(IntegerType).as("width"),
+      floor(h * scale).cast(IntegerType).as("height"),
+      meta.getField("n_frames").as("n_frames"),
+      meta.getField("sample_rate").as("sample_rate"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.schema.Tables
+
+/** Multimodal-column queries: payloads synthesized as binary from
+  * documents.text (UTF-8 bytes) so the decode/frame-sample plumbing is
+  * oracle-checkable; the codec itself is the documented deterministic
+  * stub (graft.multimodal.Multimodal).
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // decode step: typed metadata projected from binary payloads +
+    // content digest — payloads never shuffle.
+    "q_media_meta" -> ((s, dir) => {
+      Multimodal.withDecodedMeta(media(s, dir)).select(
+        col("asset_id"), col("kind"),
+        length(col("payload")).as("n_bytes"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"),
+        col("meta.sample_rate").as("sample_rate"),
+        sha2(col("payload"), 256).as("digest"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // frame sampling: every 4th frame index, exploded AFTER the payload
+    // is projected away.
+    "q_media_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.withDecodedMeta(media(s, dir)), step = 4)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_media_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  (['image','audio','video'])[doc_id % 3 + 1] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 640 + 16 AS width,
+        |  (octet_length(encode(text)) * 7) % 480 + 16 AS height,
+        |  octet_length(encode(text)) % 24 + 1 AS n_frames,
+        |  8000 + (octet_length(encode(text)) % 5) * 8000 AS sample_rate,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS asset_id,
+        |    (['image','audio','video'])[doc_id % 3 + 1] AS kind,
+        |    octet_length(encode(text)) % 24 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT asset_id, kind, u.frame_idx
+        |FROM m, unnest(generate_series(0, n_frames - 1, 4)) AS u(frame_idx)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+  )
+}

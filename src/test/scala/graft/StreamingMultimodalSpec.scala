@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+/** Structured Streaming semantics (windowed aggs, watermark lateness,
+  * streaming dedup) and multimodal decode/frame plumbing. */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming hourly window agg matches batch on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.hourlyTypeStatsStreaming(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(ts("2025-05-01 10:05:00"), "click", 1.0),
+        Ev(ts("2025-05-01 10:45:00"), "click", 2.0),
+        Ev(ts("2025-05-01 10:30:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 window
+      mem.addData(Ev(ts("2025-05-01 12:00:00"), "late", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .filter(col("hour_start") === ts("2025-05-01 10:00:00"))
+        .orderBy("event_type").collect()
+      assert(rows.map(r => (r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSeq ===
+        Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+
+      val batch = EventStream.hourlyTypeStats(
+        Seq(Ev(ts("2025-05-01 10:05:00"), "click", 1.0),
+          Ev(ts("2025-05-01 10:45:00"), "click", 2.0),
+          Ev(ts("2025-05-01 10:30:00"), "view", 5.0)).toDF())
+        .filter(col("hour_start") === ts("2025-05-01 10:00:00"))
+        .orderBy("event_type").collect()
+      assert(batch.map(r => (r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSeq ===
+        rows.map(r => (r.getString(1), r.getLong(2), r.getDecimal(3).doubleValue)).toSeq)
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.hourlyTypeStatsStreaming(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts("2025-05-01 10:05:00"), "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2025-05-01 13:00:00"), "b", 1.0)) // watermark -> 12:50
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2025-05-01 10:07:00"), "a", 100.0)) // too late: dropped
+      mem.addData(Ev(ts("2025-05-01 15:00:00"), "c", 1.0))
+      q.processAllAvailable()
+      val a = spark.table("late_test")
+        .filter(col("event_type") === "a").collect()
+      assert(a.length === 1)
+      assert(a(0).getLong(2) === 1L)  // the late row did not count
+    } finally q.stop()
+  }
+
+  test("dedupStream: duplicate ids within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("id", "ts")
+    val q = EventStream.dedupStream(df, "1 hour", "id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2025-05-01 10:00:00")), (1L, ts("2025-05-01 10:05:00")),
+        (2L, ts("2025-05-01 10:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  private def mediaDf = Seq(
+    (1L, "image", "hello world payload".getBytes("UTF-8")),
+    (2L, "video", ("x" * 100).getBytes("UTF-8")),
+    (3L, "audio", null.asInstanceOf[Array[Byte]])
+  ).toDF("asset_id", "kind", "payload")
+
+  test("multimodal: declarative decode == mapPartitions codec decode") {
+    val a = Multimodal.withDecodedMeta(mediaDf)
+      .select("asset_id", "meta.*").orderBy("asset_id").collect()
+    val b = Multimodal.decodePartitions(mediaDf)
+      .select("asset_id", "meta.*").orderBy("asset_id").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // null payload -> null meta
+    val nullMeta = Multimodal.withDecodedMeta(mediaDf)
+      .filter(col("asset_id") === 3L).select("meta").first()
+    assert(nullMeta.isNullAt(0))
+  }
+
+  test("multimodal: frame sampling respects n_frames and step") {
+    val decoded = Multimodal.withDecodedMeta(mediaDf)
+    val frames = Multimodal.sampleFrames(decoded, step = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // asset 1: 19 bytes -> n_frames = 19%24+1 = 20 -> idx 0,4,8,12,16
+    assert(frames.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(0, 4, 8, 12, 16))
+    // asset 2: 100 bytes -> n_frames = 100%24+1 = 5 -> idx 0,4
+    assert(frames.filter(_._1 == 2L).map(_._2).sorted.toSeq === Seq(0, 4))
+    // null payload: no frames
+    assert(!frames.exists(_._1 == 3L))
+  }
+
+  test("multimodal: resize clamps the long side, preserves aspect floor") {
+    val df = Seq((1L, 640, 480), (2L, 100, 50)).toDF("id", "w", "h")
+      .select(col("id"), struct(col("w").as("width"), col("h").as("height"),
+        lit(1).as("n_frames"), lit(8000).as("sample_rate")).as("meta"))
+    val out = df.select(col("id"),
+        Multimodal.resizeMeta(col("meta"), 320).as("m"))
+      .select(col("id"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 320 && out(0).getInt(2) === 240)
+    assert(out(1).getInt(1) === 100 && out(1).getInt(2) === 50)  // no upscale
+  }
+}
