@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev scratchpad — not part of the driver contract. */
+/** Dev t1 smoke (mirrors the driver's check): entry(spark) must return
+  * rows > 0 on sf0.001, and every declared query must at least execute
+  * there. Not part of the driver contract. */
 object DevSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -14,34 +15,21 @@ object DevSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = "/root/testdata/sf0.1"
-    val docs = schema.Tables.load(spark, dir, "documents")
+    println(s"ENTRY_ROWS=${SparkEntry.entry(spark).count()}")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    val dir = "/root/testdata/sf0.001"
+    var failed = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, dir).count()
+        println(f"$name%-24s rows=$n")
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"$name FAILED: ${e.getMessage}")
+      }
     }
-
-    import ops.Dedup._
-    time("shingles only") {
-      docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .select(sum(size(col("sh")))).first(); 1L
-    }
-    time("sig k=12") {
-      docs.select(col("doc_id"),
-        minhashSignature(col("text"), 3, 12).as("sig"))
-        .select(sum(size(col("sig")))).first(); 1L
-    }
-    val sig = docs.select(col("doc_id").as("id"),
-      minhashSignature(col("text"), 3, 12).as("sig"))
-    time("banded explode") {
-      sig.select(col("id"), explode(lshBands(col("sig"), 2, 6)).as("band"))
-        .count()
-    }
-    time("full pairs") {
-      minhashLshPairs(docs, "doc_id", "text").count()
-    }
+    println(s"FAILED_QUERIES=$failed")
     spark.stop()
   }
 }
