@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics (SURVEY §7.6): skew-salted joins and the
+  * storage-layout writers that make 100 TB partition pruning and
+  * co-located reads possible. AQE's skew-join split handles most skew
+  * automatically; explicit salting remains the tool for the pathological
+  * single-hot-key case (e.g. one token address carrying half the facts)
+  * and for deterministic layout control.
+  */
+object Scale {
+
+  /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a
+    * deterministic salt derived from `saltSource` (any stable column —
+    * an id, a hash of the row key); the small-but-not-broadcastable
+    * side is replicated once per salt. One shuffle each on
+    * (keys, salt) — hot keys spread over `nSalts` reducers.
+    *
+    * Semantics identical to `skewed.join(other, keys, "inner")`
+    * (property-tested). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 nSalts: Int, saltSource: Column): DataFrame = {
+    require(nSalts > 0)
+    val salted = skewed.withColumn("__salt", pmod(hash(saltSource), lit(nSalts)))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Date-partitioned (and optionally bucketed-by-key, via
+    * `repartition` on the key inside each date) parquet layout — the
+    * fact-table storage posture from SURVEY §7.6: partition pruning
+    * serves the incremental P2 slice from metadata, and co-partitioned
+    * keys keep the daily merges shuffle-local. */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String,
+                           keyCol: Option[String] = None,
+                           filesPerPartition: Int = 1): Unit = {
+    val arranged = keyCol match {
+      case Some(k) =>
+        df.repartition(filesPerPartition, col(dateCol), col(k))
+          .sortWithinPartitions(col(dateCol), col(k))
+      case None => df.repartition(filesPerPartition, col(dateCol))
+    }
+    arranged.write.mode("overwrite").partitionBy(dateCol).parquet(path)
+  }
+}

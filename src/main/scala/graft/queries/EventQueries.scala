@@ -74,6 +74,39 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // As-of join: for each event, the latest prior 'click' value of the
+    // same user (right.ts <= left.ts) — one shuffle+sort per key, no
+    // range explosion (ops.AsofJoin). Oracle: DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val left = e.select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"), col("event_id").as("click_id"))
+      graft.ops.AsofJoin.asof(left, right, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts",
+          rightCols = Seq("click_value"), tiebreak = col("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Hierarchical rollup totals (SURVEY §2.4 beyond-reference surface).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Cube over two event dimensions.
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("user_bucket"))
+    }),
+
     // Generator/unpivot (stack) — the Stellar token0/token1 unpivot
     // exemplar (SURVEY §3.3): wide metric columns → (metric, value) rows.
     "q_unpivot" -> ((s, dir) => {
@@ -118,6 +151,28 @@ object EventQueries {
         |ORDER BY o_custkey, rn""".stripMargin,
 
     // q_approx_distinct: no oracle (sketches are engine-specific).
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.click_value
+        |FROM (SELECT event_id, user_id, ts FROM events) l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS click_ts, value AS click_value
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL) r
+        |  ON l.user_id = r.user_id AND r.click_ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
 
     "q_unpivot" ->
       """WITH u AS (

@@ -77,6 +77,24 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
+    // all pairs above a cosine threshold, id_a < id_b. Brute-force here
+    // (correctness surface); the LSH/IVF candidate pruning above is the
+    // 100 TB path for the same predicate.
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        Vectors.l2Norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        Vectors.l2Norm(col("embedding")).as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(col("na") > 0 && col("nb") > 0,
+            Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        .filter(col("sim") > 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Centroid distance per cluster label: grouped vector aggregation —
     // euclidean distance of each vector to its label's first member
     // (deterministic representative), exercising l2Sq at scale shape.
@@ -121,7 +139,19 @@ object SimilarityQueries {
          |SELECT qid, rank, nid, sim FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 
-    // q_ann_lsh: no oracle (xxhash64 hyperplanes) — rows-only.
+    // q_ann_lsh / q_ann_ivf: no oracle (xxhash64 hyperplanes /
+    // engine-internal list assignment) — rows-only, recall spec-tested.
+
+    "q_embed_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_l2_to_rep" ->
       s"""WITH rep AS (

