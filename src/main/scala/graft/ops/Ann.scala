@@ -87,16 +87,23 @@ object Ann {
     rank(cand, k)
   }
 
-  /** Rank candidate pairs by cosine, keep top k per query. Input needs
-    * (qid, qv, qn, nid, nv, nn). */
+  /** Rank candidate pairs by cosine, keep top k per query — via the
+    * bounded argmax-k aggregate (expr.catalyst.TopKByScore): map-side
+    * partial top-k, k rows per partition through the shuffle, no
+    * per-group full sort (the window/row_number formulation sorts every
+    * candidate; identical output ordering: sim desc, nid asc). Input
+    * needs (qid, qv, qn, nid, nv, nn). */
   private def rank(cand: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val topK = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("sim"), col("nid"))), k).toAggregateExpression())
     cand
       .select(col("qid"), col("nid"),
         when(col("qn") > 0 && col("nn") > 0,
           Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+      .groupBy(col("qid")).agg(topK.as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("nid"), col("entry.score").as("sim"))
   }
 }

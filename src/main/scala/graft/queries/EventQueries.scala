@@ -64,6 +64,15 @@ object EventQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Gap-based sessionization (batch path of streaming.Sessionize; the
+    // flatMapGroupsWithState streaming twin is spec-tested equal).
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.sessionizeBatch(
+          t(s, dir, "events").select(col("user_id"), col("ts")),
+          gapSeconds = 6 * 3600)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // HLL approx-distinct sketch (no exact oracle — approx values are
     // engine-specific; rows-only check + tolerance asserted in spec).
     "q_approx_distinct" -> ((s, dir) => {
@@ -149,6 +158,25 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       d AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE))
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS INT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // q_approx_distinct: no oracle (sketches are engine-specific).
 

@@ -34,26 +34,15 @@ object SimilarityQueries {
     }),
 
     // Brute-force cosine top-k: 8 query vectors (broadcast) × all
-    // candidates, rank by similarity. Norms are projected BEFORE the join
-    // (computed once per vector, not once per pair); the per-pair work is
-    // one fused codegen dot product. At 100 TB the candidate scan is
-    // embarrassingly parallel; only (qid × k) rows survive the window.
+    // candidates. Norms are projected BEFORE the join (computed once per
+    // vector, not once per pair); the per-pair work is one fused codegen
+    // dot product; ranking is the bounded argmax-k aggregate (map-side
+    // partial top-k — no per-query full sort, k rows per partition cross
+    // the shuffle). At 100 TB the candidate scan is embarrassingly
+    // parallel.
     "q_cosine_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          Vectors.l2Norm(col("embedding")).as("qn"))
-      val cand = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        Vectors.l2Norm(col("embedding")).as("nn"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      broadcast(q).join(cand, col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          when(col("qn") > 0 && col("nn") > 0,
-            Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("qid"), col("rank"), col("nid"), col("sim"))
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.bruteTopK(e.filter(col("id") < 8), e, k = 10)
         .orderBy(col("qid"), col("rank"))
     }),
 

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Sessionize
+
+/** TypedImperativeAggregate top-k vs the window formulation, and
+  * sessionization stream/batch equivalence. */
+class TopKSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKByScore aggregate == row_number window top-k (ties included)") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 5000).map { i =>
+      (i.toLong % 7, rnd.nextInt(50).toDouble, i.toLong) // many score ties
+    }
+    val df = rows.toDF("g", "score", "id")
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val topK = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("score"), col("id"))), 10).toAggregateExpression())
+    val agg = df.groupBy(col("g")).agg(topK.as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("e.id").as("id"), col("e.score").as("score"))
+
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val win = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("g"), col("rank").cast("long"), col("id"), col("score"))
+
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
+  test("TopKByScore: groups smaller than k return all rows, best first") {
+    val df = Seq((1L, 5.0, 10L), (1L, 7.0, 11L)).toDF("g", "score", "id")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val topK = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("score"), col("id"))), 10).toAggregateExpression())
+    val got = df.groupBy("g").agg(topK.as("t")).select(explode(col("t")))
+      .collect().map(r => r.getStruct(0)).map(s => (s.getDouble(0), s.getLong(1)))
+    assert(got.toSeq === Seq((7.0, 11L), (5.0, 10L)))
+  }
+
+  test("sessionizeBatch groups events by gap") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2025-05-01 10:00:00")), (1L, ts("2025-05-01 10:10:00")),
+      (1L, ts("2025-05-01 15:00:00")),                 // > 30 min gap: new session
+      (2L, ts("2025-05-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize.sessionizeBatch(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, "2025-05-01 10:00:00.0", 2),
+      (1L, "2025-05-01 15:00:00.0", 1),
+      (2L, "2025-05-01 09:00:00.0", 1)))
+  }
+
+  test("streaming sessionization emits the same closed sessions as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val data = Seq(
+      Sessionize.Event(1L, ts("2025-05-01 10:00:00")),
+      Sessionize.Event(1L, ts("2025-05-01 10:10:00")),
+      Sessionize.Event(1L, ts("2025-05-01 15:00:00")),
+      Sessionize.Event(2L, ts("2025-05-01 09:00:00")))
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(mem.toDS(), gapSeconds = 1800,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // advance watermark far enough to time out every open session
+      mem.addData(Sessionize.Event(99L, ts("2025-05-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-03 12:00:00")))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions")
+        .filter(col("user_id") < 99)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq)
+      val batch = Sessionize.sessionizeBatch(
+          data.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"), 1800)
+        .orderBy("user_id", "session_start").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+}
