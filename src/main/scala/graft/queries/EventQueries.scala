@@ -99,6 +99,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Equi + range join (SURVEY §2.3 absent-in-reference row): lineitems
+    // shipped within 30 days of their order's date. The equi key keeps
+    // the join hash-partitioned; the range predicate filters post-match
+    // (no interval explosion).
+    "q_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Hierarchical rollup totals (SURVEY §2.4 beyond-reference surface).
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -188,6 +203,14 @@ object EventQueries {
         |  FROM events WHERE event_type = 'click' AND value IS NOT NULL) r
         |  ON l.user_id = r.user_id AND r.click_ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped_30d
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
