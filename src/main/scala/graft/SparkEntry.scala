@@ -26,12 +26,15 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 2))
 
-  /** Flagship query (driver smoke-checks rows>0 on sf0.001): the Stellar
-    * task re-expressed over fixtures (SURVEY §3.3 / §7.2) — incremental
-    * range scan, broadcast dim join, top-1-per-key join, derived metrics,
-    * YoY self-join — one declarative DAG instead of the reference's
-    * per-row loops. */
-  def entry(spark: SparkSession): DataFrame = {
+  /** Flagship (driver smoke-checks rows>0 on sf0.001): the full Stellar
+    * pipeline DAG — the reference's richest task (SURVEY §3.3) as one
+    * declarative job — plus the original composite query below it. */
+  def entry(spark: SparkSession): DataFrame =
+    PipelineQueries.queries("q_stellar_daily")(spark, "/root/testdata/sf0.001")
+
+  /** The original round-1 composite flagship (kept as a secondary
+    * exemplar: range scan, broadcast dims, top-1-per-key, YoY join). */
+  def entryComposite(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Incremental, Scale}
+import graft.pipeline.{Tasks, Warehouse}
+
+/** End-to-end composition: watermark-driven incremental batches (T1–T5)
+  * driving a pipeline task, with the warehouse persisted through the
+  * date-partitioned layout between batches — the full reference
+  * lifecycle (SURVEY §3.1/§3.2) in one test. */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("two hourly incremental batches: watermark advances, merges idempotent, layout prunes") {
+    val ctlDir = Files.createTempDirectory("graft-int-ctl").toString
+    val whDir = Files.createTempDirectory("graft-int-wh").toString
+    val ctl = new Incremental.ControlTable(ctlDir)
+
+    // source spans two hours; batch 1 covers hour 1, batch 2 hour 2
+    val source = Seq(
+      ("vDOT", 10.0, 1000.0, ts("2025-05-01 00:30:00")),
+      ("vKSM", 20.0, 500.0, ts("2025-05-01 00:45:00")),
+      ("vDOT", 11.0, 1100.0, ts("2025-05-01 01:30:00"))
+    ).map { case (a, apy, tvl, t) =>
+      (1L, a, 0.0, tvl, 0.0, 0L, apy, 0.0, 0.0, 0L, t)
+    }.toDF("batch_id", "Asset", "Value", "tvl", "tvm", "holders", "apy",
+      "apyBase", "apyReward", "totalIssuance", "created_at")
+
+    var wh = Warehouse.withChains(spark, Seq((4, "Bifrost")))
+
+    def runBatch(end: Timestamp): Unit =
+      Incremental.run(ctl, "site", source, col("created_at"), end) { slice =>
+        if (slice.isEmpty) None
+        else {
+          wh = Tasks.bifrostSite(slice, wh)
+          // persist facts date-partitioned and reload (storage round-trip)
+          Scale.writeDatePartitioned(
+            wh.factYieldStats.withColumn("date", col("date")),
+            s"$whDir/yield", "date")
+          wh = wh.copy(factYieldStats =
+            spark.read.parquet(s"$whDir/yield")
+              .select(wh.factYieldStats.columns.map(col): _*))
+          Some(slice.agg(max(col("created_at"))).first().getTimestamp(0))
+        }
+      }
+
+    runBatch(ts("2025-05-01 01:00:00"))
+    assert(ctl.lastRun("site").get === ts("2025-05-01 00:45:00"))
+    val afterB1 = wh.factYieldStats.orderBy("token_id").collect()
+    assert(afterB1.length === 2)
+    assert(afterB1.map(_.getDecimal(4).doubleValue).toSeq === Seq(10.0, 20.0))
+
+    runBatch(ts("2025-05-01 02:00:00"))
+    assert(ctl.lastRun("site").get === ts("2025-05-01 01:30:00"))
+    val afterB2 = wh.factYieldStats.orderBy("token_id", "date").collect()
+    // vDOT got a second date row (01:30 is the same date -> update, not insert)
+    assert(afterB2.length === 2)
+    val vdot = afterB2.filter(_.getLong(0) === 1L)
+    assert(vdot.map(_.getDecimal(4).doubleValue).toSeq === Seq(11.0)) // updated apy
+
+    // replaying batch 2's window is a no-op (idempotent merge + forward-only watermark)
+    runBatch(ts("2025-05-01 02:00:00"))
+    assert(wh.factYieldStats.count() === 2)
+    assert(ctl.lastRun("site").get === ts("2025-05-01 01:30:00"))
+  }
+}

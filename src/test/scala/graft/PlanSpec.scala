@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regressions: the properties that make the queries scale
+  * (SURVEY §4, §7.6) asserted against the optimized physical plans —
+  * pushdown reaching the scan, dims broadcasting, aggregates running
+  * map-side partials, custom kernels staying inside codegen. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_project: range filter and projection reach the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"),
+      "projection must prune to the selected columns + filter column\n" + p)
+  }
+
+  test("q_dim_join: dimension joins broadcast, aggregation has map-side partials") {
+    val p = plan("q_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), "dim joins must not sort-merge\n" + p)
+  }
+
+  test("q_group_agg: hash aggregate with partial (map-side) combine") {
+    val p = plan("q_group_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_cosine_topk: query side broadcasts; fused kernel + bounded top-k in plan") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("graft_dot"), "fused dot kernel must be in the plan\n" + p)
+    assert(p.contains("graft_top_k"),
+      "bounded argmax-k aggregate (not a window sort) must rank\n" + p)
+  }
+
+  test("q_merge_upsert: merge is a single shuffled join on the key (no cartesian)") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_lsh_pairs: bucket aggregation, not a self-join of signatures") {
+    val p = plan("q_lsh_pairs")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    // one scan of documents only (no join re-reading the table)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
