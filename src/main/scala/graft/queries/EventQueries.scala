@@ -64,6 +64,20 @@ object EventQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Exact interpolated percentiles per group (sort-based; the
+    // approx_percentile sketch is the at-scale variant, rows-only like
+    // q_approx_distinct). Rounded to 4 dp: Spark and DuckDB use
+    // differently-ordered interpolation arithmetic.
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap-based sessionization (batch path of streaming.Sessionize; the
     // flatMapGroupsWithState streaming twin is spec-tested equal).
     "q_sessionize" -> ((s, dir) => {
@@ -173,6 +187,14 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       d AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE))
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -98,6 +98,33 @@ object TextQueries {
         .orderBy(col("id_a"))
     }),
 
+    // TF-IDF top terms per document: explode tokens → document
+    // frequency → idf join → top-3 terms per doc by tf·idf. The df table
+    // is tiny relative to the corpus (vocabulary-sized) and broadcasts;
+    // the per-doc ranking is a bounded window over ≤ |doc| terms.
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val terms = d.select(col("doc_id"),
+          explode(Text.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      terms.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        // tfidf itself stays internal: Math.log vs libm ln differ in the
+        // last ulp, so the oracle compares the (stable) discrete outputs
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // SimHash fingerprints (xxhash64-based — no DuckDB equivalent, driver
     // records rows-only; Hamming-distance behavior is unit-tested).
     "q_simhash" -> ((s, dir) => {
@@ -216,6 +243,23 @@ object TextQueries {
            |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
            |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
            |ORDER BY id_a""".stripMargin,
+    "q_tfidf_top_terms" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |           t -> len(t) > 0)) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+           |SELECT doc_id, rank, term, tf, df FROM (
+           |  SELECT t.doc_id, t.term, t.tf, d.df,
+           |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+           |      ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.term) AS rank
+           |  FROM tf t JOIN dfq d USING (term) CROSS JOIN n)
+           |WHERE rank <= 3
+           |ORDER BY doc_id, rank""".stripMargin,
+
     // q_simhash: no oracle (xxhash64 has no DuckDB equivalent) — driver
     // records rows-only; semantics covered by DedupSpec.
   )
