@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expr.catalyst._
+
+/** SparkSessionExtensions registering the engine's native expressions
+  * as SQL functions, so the full surface is reachable from
+  * `spark.sql(...)` (not just the Scala Column API):
+  *
+  *   graft_dot(a, b)               Σ aᵢ·bᵢ (fused kernel)
+  *   graft_l2sq(a, b)              Σ (aᵢ−bᵢ)²
+  *   graft_minhash_sig(text, n, k) MinHash signature array
+  *   graft_lsh_buckets(v, b, t)    multi-table LSH bucket ids
+  *   graft_q96_ratio(sp)           (sp/2^96)² at 50-digit context
+  *   graft_top_k(struct(s, id), k) bounded argmax-k aggregate
+  *
+  * Enable with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument, got $other")
+  }
+
+  /** (name, usage, builder) for every registered function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "graft_dot(a, b) - dot product of float/double arrays",
+      args => DotProduct(args(0), args(1))),
+    ("graft_l2sq", "graft_l2sq(a, b) - squared euclidean distance",
+      args => L2SquaredDistance(args(0), args(1))),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(text, shingleSize, k) - MinHash signature",
+      args => MinHashSignature(args(0),
+        intArg(args(1), "graft_minhash_sig"), intArg(args(2), "graft_minhash_sig"))),
+    ("graft_lsh_buckets",
+      "graft_lsh_buckets(v, nBits, nTables) - multi-table LSH bucket ids",
+      args => LshBuckets(args(0),
+        intArg(args(1), "graft_lsh_buckets"), intArg(args(2), "graft_lsh_buckets"))),
+    ("graft_q96_ratio", "graft_q96_ratio(sqrtPriceX96) - Q64.96 price ratio",
+      args => Q96Ratio(args(0))),
+    ("graft_top_k", "graft_top_k(struct(score, id), k) - bounded top-k by score",
+      args => TopKByScore(args(0), intArg(args(1), "graft_top_k"))
+        .toAggregateExpression()))
+
+  /** Register into an EXISTING session (extensions only apply at
+    * construction time). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftbridge.FunctionBridge
+        .registerTemp(spark, name, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}
+
+/** Library session entrypoint with the engine's defaults: UTC, AQE with
+  * skew handling, sized shuffle parallelism, graft SQL functions. */
+object GraftSession {
+  def builder(appName: String = "graft",
+              master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .withExtensions(new GraftExtensions)
+}

@@ -210,6 +210,28 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // SQL API surface: the same engine driven entirely through
+    // spark.sql over registered views (TPC-H Q3 shape: filters on three
+    // tables, two joins, grouped aggregate, ordered).
+    "q_sql_api" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+          |    AS DECIMAL(38,4)) AS revenue,
+          |  CAST(o_orderdate AS TIMESTAMP) AS orderdate, o_orderpriority
+          |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1995-03-15'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 20""".stripMargin)
+    }),
+
     // ---- §2.9 set operations ----
 
     "q_union" -> ((s, dir) => {
@@ -334,6 +356,20 @@ object SparkEntry {
         |  CASE WHEN ex.o_custkey IS NOT NULL THEN ex.n_orders ELSE inc.n_orders END AS n_orders
         |FROM ex FULL OUTER JOIN inc ON ex.o_custkey = inc.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+        |    AS DECIMAL(38,4)) AS revenue,
+        |  CAST(o_orderdate AS TIMESTAMP) AS orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin,
 
     "q_union" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.expr.Vectors
+import graft.ops.Dedup
+
+/** The SQL function surface registered by GraftExtensions must agree
+  * with the Column API (same expressions underneath). */
+class ExtensionsSpec extends SparkSpec {
+
+  // the shared test session already exists, so exercise the
+  // existing-session registration path (the extensions path is what
+  // Verify/Bench use at construction)
+  private lazy val gspark: SparkSession = { GraftFunctions.register(spark); spark }
+
+  test("graft_dot / graft_l2sq SQL functions == Column API") {
+    val e = schema.Tables.load(gspark, sfDir, "embeddings").limit(50)
+    e.createOrReplaceTempView("emb")
+    val sql = gspark.sql(
+      """SELECT vec_id, graft_dot(embedding, embedding) AS d,
+        |  graft_l2sq(embedding, embedding) AS z FROM emb""".stripMargin)
+    val api = e.select(col("vec_id"),
+      Vectors.dot(col("embedding"), col("embedding")).as("d"),
+      Vectors.l2Sq(col("embedding"), col("embedding")).as("z"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("graft_minhash_sig SQL == Dedup.minhashSignature") {
+    val d = schema.Tables.load(gspark, sfDir, "documents").limit(50)
+    d.createOrReplaceTempView("docs")
+    val sql = gspark.sql(
+      "SELECT doc_id, graft_minhash_sig(text, 3, 4) AS sig FROM docs")
+    val api = d.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 4).as("sig"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("graft_q96_ratio SQL: 2^96 -> exactly 1") {
+    val got = gspark.sql(
+      "SELECT graft_q96_ratio(CAST('79228162514264337593543950336' AS DECIMAL(38,0))) AS r")
+      .first().getDecimal(0)
+    assert(got.compareTo(new java.math.BigDecimal("1")) === 0)
+  }
+
+  test("graft_top_k SQL aggregate returns best-first bounded list") {
+    gspark.range(100).selectExpr("id % 3 AS g", "CAST(id AS DOUBLE) AS score", "id")
+      .createOrReplaceTempView("scores")
+    val got = gspark.sql(
+      """SELECT g, graft_top_k(struct(score, id), 2) AS top FROM scores GROUP BY g
+        |ORDER BY g""".stripMargin).collect()
+    val g0 = got(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g0.map(_.getLong(1)).toSeq === Seq(99L, 96L))
+  }
+
+  test("graft_lsh_buckets SQL == Vectors.lshBuckets") {
+    val e = schema.Tables.load(gspark, sfDir, "embeddings").limit(30)
+    e.createOrReplaceTempView("emb2")
+    val sql = gspark.sql(
+      "SELECT vec_id, graft_lsh_buckets(embedding, 4, 3) AS b FROM emb2")
+    val api = e.select(col("vec_id"),
+      Vectors.lshBuckets(col("embedding"), 4, 3).as("b"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+}
