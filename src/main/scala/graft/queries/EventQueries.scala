@@ -64,6 +64,17 @@ object EventQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Pivot (wide form — the inverse of q_unpivot's stack): per-user
+    // bucket, one decimal value-sum column per event type. Explicit
+    // pivot value list keeps the schema static (no extra distinct scan).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(sum(col("value").cast(DecimalType(38, 2))).cast(DecimalType(38, 2)))
+        .orderBy(col("user_bucket"))
+    }),
+
     // Exact interpolated percentiles per group (sort-based; the
     // approx_percentile sketch is the at-scale variant, rows-only like
     // q_approx_distinct). Rounded to 4 dp: Spark and DuckDB use
@@ -187,6 +198,13 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       d AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE))
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,2)) END) AS DECIMAL(38,2)) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,2)) END) AS DECIMAL(38,2)) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,2)) END) AS DECIMAL(38,2)) AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,
