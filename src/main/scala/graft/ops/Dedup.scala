@@ -123,6 +123,41 @@ object Dedup {
 
   // ---- SimHash near-dup ----
 
+  /** SimHash near-dup candidate pairs: split the 64-bit simhash into
+    * `nBands` chunks; by pigeonhole, two hashes within Hamming distance
+    * `nBands − 1` share at least one exact chunk, so bucketing on
+    * (band_id, chunk) finds all such pairs with one shuffle of
+    * (16-bit chunk, id) — then the exact Hamming check confirms.
+    * Same bucket-groupBy shape as minhashLshPairs (no self-join). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("h"))
+    val banded = hashed.select(col("id"), col("h"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask)).as("chunk"))): _*))
+        .as("band"))
+      .select(col("id"), col("h"), col("band.band_id"), col("band.chunk"))
+    val buckets = banded
+      .groupBy(col("band_id"), col("chunk"))
+      .agg(sort_array(collect_set(struct(col("id"), col("h")))).as("members"))
+      .filter(size(col("members")) > 1)
+    val pairs = buckets
+      .select(explode(flatten(transform(col("members"), (a, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("h").as("h_a"), b.getField("h").as("h_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.h_a"), col("p.h_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** 64-bit SimHash over word tokens: sum ±1 per bit of each token's
     * 64-bit hash (xxhash64), sign → bit. Near-dups differ in few bits;
     * grouping on rotated prefixes gives an LSH-style bucketing. */

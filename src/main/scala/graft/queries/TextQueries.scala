@@ -131,6 +131,13 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
+
+    // SimHash banded near-dup pairs (pigeonhole buckets + exact Hamming
+    // confirm) — rows-only; planted-dup recall is spec-asserted.
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   private val norm =

@@ -75,6 +75,19 @@ class DedupSpec extends SparkSpec {
     assert(scored((0L, 30L)) < 0.2 && scored((1L, 31L)) < 0.2)
   }
 
+  test("simhashPairs finds planted near-dups via banded buckets") {
+    val df = corpus().toDF("doc_id", "text")
+    // one-word-changed copies land within hamming<=12 typically; use a
+    // generous band count so the pigeonhole bound covers them
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text",
+        nBands = 8, maxHamming = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val found = planted.count(pairs.contains)
+    assert(found >= 7, s"simhash recall $found/10; pairs=$pairs")
+    assert((pairs -- planted).size <= 5, s"false pairs: ${pairs -- planted}")
+  }
+
   test("simhash64: near-dups within small hamming distance, unrelated far") {
     val df = corpus().toDF("doc_id", "text")
     val h = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
