@@ -210,6 +210,20 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // The reference's N+1 per-row lookup (SURVEY §3.1 step 5) written as
+    // the correlated scalar subquery it semantically is — Catalyst's
+    // RewriteCorrelatedScalarSubquery decorrelates it into one aggregate
+    // + join (PlanSpec asserts no per-row execution shape survives).
+    "q_correlated_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_cust_corr")
+      t(s, dir, "orders").createOrReplaceTempView("v_ord_corr")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT CAST(MAX(o_totalprice) AS DECIMAL(38,2)) FROM v_ord_corr
+          |   WHERE o_custkey = c_custkey) AS max_order
+          |FROM v_cust_corr ORDER BY c_custkey""".stripMargin)
+    }),
+
     // SQL API surface: the same engine driven entirely through
     // spark.sql over registered views (TPC-H Q3 shape: filters on three
     // tables, two joins, grouped aggregate, ordered).
@@ -356,6 +370,12 @@ object SparkEntry {
         |  CASE WHEN ex.o_custkey IS NOT NULL THEN ex.n_orders ELSE inc.n_orders END AS n_orders
         |FROM ex FULL OUTER JOIN inc ON ex.o_custkey = inc.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT CAST(MAX(o_totalprice) AS DECIMAL(38,2)) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_sql_api" ->
       """SELECT l_orderkey,

@@ -39,6 +39,15 @@ class PlanSpec extends SparkSpec {
       "bounded argmax-k aggregate (not a window sort) must rank\n" + p)
   }
 
+  test("q_correlated_subquery: decorrelated into aggregate + join (the N+1 fix)") {
+    val p = plan("q_correlated_subquery")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.toLowerCase.contains("subquery") || !p.contains("InSubquery"),
+      "scalar subquery must be rewritten, not executed per row\n" + p)
+  }
+
   test("q_merge_upsert: merge is a single shuffled join on the key (no cartesian)") {
     val p = plan("q_merge_upsert")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
