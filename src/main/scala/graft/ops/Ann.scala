@@ -62,10 +62,13 @@ object Ann {
         Vectors.l2Norm(col("vec")).as("cn"))
 
     def nearestLists(df: DataFrame, idc: String, vc: String, n: Int): DataFrame = {
-      val withSim = df.join(broadcast(cents))
+      // project the vector norm BEFORE the centroid cross join: computed
+      // once per vector, not once per (vector × centroid) pair
+      val withNorm = df.withColumn("__vn", Vectors.l2Norm(col(vc)))
+      val withSim = withNorm.join(broadcast(cents))
         .withColumn("csim",
           when(col("cn") > 0,
-            Vectors.dot(col(vc), col("cv")) / (Vectors.l2Norm(col(vc)) * col("cn"))))
+            Vectors.dot(col(vc), col("cv")) / (col("__vn") * col("cn"))))
       val w = Window.partitionBy(col(idc)).orderBy(col("csim").desc, col("cid"))
       withSim.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
         .select(col(idc), col(vc), col("cid"))

@@ -39,8 +39,17 @@ object Dedup {
 
   // ---- MinHash-LSH near-dup ----
 
-  /** Whitespace word shingles of size n as an array column (distinct). */
+  /** Whitespace word shingles of size n as an array column (distinct,
+    * first-occurrence order) — fused kernel
+    * (graft.expr.catalyst.ShingleArray). */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.ShingleArray(expression(text), n))
+  }
+
+  /** Declarative reference formulation of shingles (kept for the kernel
+    * parity property test). */
+  def shinglesDeclarative(text: Column, n: Int): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     array_distinct(
       when(size(toks) >= n,
@@ -158,10 +167,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** 64-bit SimHash over word tokens: sum ±1 per bit of each token's
-    * 64-bit hash (xxhash64), sign → bit. Near-dups differ in few bits;
-    * grouping on rotated prefixes gives an LSH-style bucketing. */
+  /** 64-bit SimHash over word tokens: per-bit majority vote of each
+    * token's xxhash64 bits. Fused kernel (graft.expr.catalyst.SimHash64)
+    * — the declarative formulation below runs 64 interpreted aggregate
+    * passes per row. */
   def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.SimHash64(expression(text)))
+  }
+
+  /** Declarative reference formulation (kernel parity test only). */
+  def simhash64Declarative(text: Column): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     val hashes = transform(toks, t => xxhash64(t))
     val bits = (0 until 64).map { i =>

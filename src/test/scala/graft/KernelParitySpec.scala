@@ -60,6 +60,42 @@ class KernelParitySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  private val unicodeEdge = Seq(
+    (2000L, "Größe STRAßE über"),          // German sharp-s / umlauts
+    (2001L, "数据 引擎 批处理 数据"),          // CJK tokens
+    (2002L, "café CAFÉ café"),       // composed vs combining accents
+    (2003L, "emoji 🚀 rocket 🚀 emoji"),
+    (2004L, " nbsp separated"),  // non-breaking space is NOT \s… it is in Java regex? kept as edge
+    (2005L, "tab\tand\nnewline  runs"))
+
+  test("ShingleArray kernel == declarative shingles (incl. unicode)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("alpha", "Beta", "GAMMA", "δέλτα", "x1", "y,z")
+    val texts = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")) }
+    val df = (texts ++ unicodeEdge).toDF("id", "text")
+    val bad = df.select(
+        Dedup.shingles($"text", 3).as("fast"),
+        Dedup.shinglesDeclarative($"text", 3).as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(bad === 0)
+  }
+
+  test("SimHash64 kernel == declarative simhash (incl. unicode)") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Seq("the", "data", "Engine", "rocket", "号", "straße")
+    val texts = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20) + 1)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")) }
+    val df = (texts ++ unicodeEdge).toDF("id", "text")
+    val bad = df.select(
+        Dedup.simhash64($"text").as("fast"),
+        Dedup.simhash64Declarative($"text").as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(bad === 0)
+  }
+
   test("MinHashSignature kernel == declarative minhash over shingles") {
     val rnd = new scala.util.Random(13)
     val vocab = Seq("the", "spark", "engine", "data", "row", "fast", "slow",
@@ -73,7 +109,7 @@ class KernelParitySpec extends SparkSpec {
     val df = (texts ++ edge).toDF("id", "text")
     val k = 6
     val slow = array((0 until k).map(i =>
-      Dedup.minhash(Dedup.shingles($"text", 3), i)): _*)
+      Dedup.minhash(Dedup.shinglesDeclarative($"text", 3), i)): _*)
     val bad = df.select(
         Dedup.minhashSignature($"text", 3, k).as("fast"), slow.as("slow"))
       .filter(not($"fast" <=> $"slow")).count()
