@@ -29,6 +29,9 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right payload columns $rightCols collide with left schema")
+    val reserved = Seq("__ts", "__side", "__tb")
+    require(reserved.forall(r => !leftCols.contains(r) && !rightCols.contains(r)),
+      s"column names $reserved are reserved by asof")
 
     val l = left
       .withColumn("__ts", col(leftTs))

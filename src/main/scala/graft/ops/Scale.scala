@@ -23,6 +23,8 @@ object Scale {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  nSalts: Int, saltSource: Column): DataFrame = {
     require(nSalts > 0)
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "column name __salt is reserved by saltedJoin")
     val salted = skewed.withColumn("__salt", pmod(hash(saltSource), lit(nSalts)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
