@@ -156,6 +156,29 @@ object EventQueries {
         .orderBy(col("event_type"), col("user_bucket"))
     }),
 
+    // Explicit grouping sets (the general form behind rollup/cube).
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_ord_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+          |FROM v_ord_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
+    // Weighted average with exact decimal arithmetic (order-independent
+    // across partitions — the expression twin of the typed WeightedMean
+    // Aggregator).
+    "q_weighted_avg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg((sum((col("l_extendedprice") * col("l_quantity")).cast(DecimalType(38, 4)))
+            / sum(col("l_quantity").cast(DecimalType(38, 4))))
+          .cast(DecimalType(38, 6)).as("weighted_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Generator/unpivot (stack) — the Stellar token0/token1 unpivot
     // exemplar (SURVEY §3.3): wide metric columns → (metric, value) rows.
     "q_unpivot" -> ((s, dir) => {
@@ -198,6 +221,19 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       d AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE))
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
+        |       / SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS weighted_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
