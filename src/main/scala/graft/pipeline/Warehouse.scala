@@ -23,6 +23,19 @@ object Warehouse {
       e(Schemas.factTokenDailyStats), e(Schemas.factYieldStats))
   }
 
+  /** Truncate lineage after a task/batch: chaining many task DAGs over
+    * one warehouse value grows the logical plan multiplicatively and
+    * Catalyst re-optimizes the whole history on every action. In
+    * production each batch ends with a write to storage (which cuts
+    * lineage naturally — see ops.Scale.writeDatePartitioned); for
+    * in-memory chaining, localCheckpoint gives the same cut. */
+  def materialize(wh: Warehouse): Warehouse =
+    Warehouse(
+      wh.dimChains.localCheckpoint(),
+      wh.dimTokens.localCheckpoint(),
+      wh.factTokenDailyStats.localCheckpoint(),
+      wh.factYieldStats.localCheckpoint())
+
   /** Seed chains like the reference's dim_chains refresh (SqlDbEtl.py:159-167). */
   def withChains(spark: SparkSession, chains: Seq[(Int, String)]): Warehouse = {
     import spark.implicits._
