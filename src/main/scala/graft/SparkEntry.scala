@@ -26,6 +26,13 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 2))
 
+  /** Output canonicalization (VERDICT r1 item 1): aggregate exactly in
+    * DECIMAL (order-independent across partitions), then surface the
+    * FINAL column as DOUBLE so Spark-parquet-via-pandas and DuckDB
+    * `fetchdf()` agree on representation (`Decimal('253942.00')` vs
+    * float64). Every oracle applies the same outer CAST(.. AS DOUBLE). */
+  private def decd(c: Column): Column = c.cast("double")
+
   /** Flagship (driver smoke-checks rows>0 on sf0.001): the full Stellar
     * pipeline DAG — the reference's richest task (SURVEY §3.3) as one
     * declarative job — plus the original composite query below it. */
@@ -121,8 +128,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          decd(sum(dec(col("l_quantity")))).as("sum_qty"),
+          decd(sum(dec(col("l_extendedprice")))).as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -146,7 +153,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), dec(sum(dec(col("c_acctbal")))).as("acctbal"))
+        .agg(count(lit(1)).as("n_customers"), decd(sum(dec(col("c_acctbal")))).as("acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -187,7 +194,7 @@ object SparkEntry {
         // date → timestamp on output: engines agree on temporal encodings
         // for timestamps, while DATE round-trips ambiguously via pandas.
         .select(col("o_orderpriority"), col("date").cast("timestamp").as("date"),
-          col("volume"),
+          decd(col("volume")).as("volume"),
           Financial.yoy(col("volume").cast("double"),
             col("prev_volume").cast("double")).as("volume_yoy"))
         .orderBy(col("o_orderpriority"), col("date"))
@@ -207,6 +214,7 @@ object SparkEntry {
       val existing = agg(orders.filter(col("o_orderdate") < cut))
       val incoming = agg(orders.filter(col("o_orderdate") >= cut))
       Merge.upsert(existing, incoming, Seq("o_custkey"), Seq("total_price"))
+        .withColumn("total_price", decd(col("total_price")))
         .orderBy(col("o_custkey"))
     }),
 
@@ -219,7 +227,7 @@ object SparkEntry {
       t(s, dir, "orders").createOrReplaceTempView("v_ord_corr")
       s.sql(
         """SELECT c_custkey,
-          |  (SELECT CAST(MAX(o_totalprice) AS DECIMAL(38,2)) FROM v_ord_corr
+          |  (SELECT MAX(o_totalprice) FROM v_ord_corr
           |   WHERE o_custkey = c_custkey) AS max_order
           |FROM v_cust_corr ORDER BY c_custkey""".stripMargin)
     }),
@@ -234,7 +242,7 @@ object SparkEntry {
       s.sql(
         """SELECT l_orderkey,
           |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
-          |    AS DECIMAL(38,4)) AS revenue,
+          |    AS DOUBLE) AS revenue,
           |  CAST(o_orderdate AS TIMESTAMP) AS orderdate, o_orderpriority
           |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
           |JOIN v_lineitem ON l_orderkey = o_orderkey
@@ -302,8 +310,8 @@ object SparkEntry {
 
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -316,7 +324,7 @@ object SparkEntry {
 
     "q_dim_join" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS acctbal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -344,10 +352,11 @@ object SparkEntry {
         |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS date,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS volume
         |  FROM orders GROUP BY 1, 2)
-        |SELECT c.o_orderpriority, CAST(c.date AS TIMESTAMP) AS date, c.volume,
+        |SELECT c.o_orderpriority, CAST(c.date AS TIMESTAMP) AS date,
+        |  CAST(c.volume AS DOUBLE) AS volume,
         |  CASE WHEN p.volume IS NOT NULL AND p.volume <> 0 THEN
         |    ROUND((CAST(c.volume AS DOUBLE) - CAST(p.volume AS DOUBLE))
-        |          / CAST(p.volume AS DOUBLE) * 100, 2)
+        |          / CAST(p.volume AS DOUBLE) * 100, 2) + 0.0
         |  END AS volume_yoy
         |FROM daily c
         |LEFT JOIN daily p
@@ -366,21 +375,22 @@ object SparkEntry {
         |    COUNT(*) AS n_orders
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1)
         |SELECT COALESCE(ex.o_custkey, inc.o_custkey) AS o_custkey,
-        |  CASE WHEN inc.o_custkey IS NOT NULL THEN inc.total_price ELSE ex.total_price END AS total_price,
+        |  CAST(CASE WHEN inc.o_custkey IS NOT NULL THEN inc.total_price
+        |            ELSE ex.total_price END AS DOUBLE) AS total_price,
         |  CASE WHEN ex.o_custkey IS NOT NULL THEN ex.n_orders ELSE inc.n_orders END AS n_orders
         |FROM ex FULL OUTER JOIN inc ON ex.o_custkey = inc.o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT c_custkey,
-        |  (SELECT CAST(MAX(o_totalprice) AS DECIMAL(38,2)) FROM orders
+        |  (SELECT MAX(o_totalprice) FROM orders
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_sql_api" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
-        |    AS DECIMAL(38,4)) AS revenue,
+        |    AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS TIMESTAMP) AS orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

@@ -20,6 +20,12 @@ object EventQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 2))
 
+  /** Final-output canonicalization (VERDICT r1 item 1): exact DECIMAL
+    * aggregation inside, DOUBLE on the surfaced column, matching an
+    * outer CAST(.. AS DOUBLE) in every oracle — so the driver's
+    * pandas-vs-fetchdf() hash compares identical float64s. */
+  private def decd(c: Column): Column = c.cast("double")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // JSON scalar extraction (get_json_object on events.props) + rollup.
@@ -40,7 +46,7 @@ object EventQueries {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          dec(sum(dec(col("value")))).as("value_sum"))
+          decd(sum(dec(col("value")))).as("value_sum"))
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("n_events"), col("value_sum"))
         .orderBy(col("hour_start"), col("event_type"))
@@ -53,13 +59,15 @@ object EventQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val byDay = Window.partitionBy(col("o_custkey"))
         .orderBy(to_date(col("o_orderdate")))
+      // ranks cast to BIGINT (DuckDB emits BIGINT; Spark INTEGER) and
+      // window sums surfaced as DOUBLE — VERDICT r1 width/repr fixes.
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        row_number().over(byOrder).as("rn"),
-        rank().over(byDay).as("rnk"),
-        dense_rank().over(byDay).as("drnk"),
-        lag(dec(col("o_totalprice")), 1).over(byOrder).as("prev_price"),
-        dec(sum(dec(col("o_totalprice")))
+        row_number().over(byOrder).cast("long").as("rn"),
+        rank().over(byDay).cast("long").as("rnk"),
+        dense_rank().over(byDay).cast("long").as("drnk"),
+        lag(col("o_totalprice"), 1).over(byOrder).as("prev_price"),
+        decd(sum(dec(col("o_totalprice")))
           .over(byOrder.rowsBetween(-2, 0))).as("mov3_sum"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
@@ -71,7 +79,7 @@ object EventQueries {
       t(s, dir, "events")
         .groupBy((col("user_id") % 10).as("user_bucket"))
         .pivot("event_type", Seq("click", "view", "purchase"))
-        .agg(sum(col("value").cast(DecimalType(38, 2))).cast(DecimalType(38, 2)))
+        .agg(sum(col("value").cast(DecimalType(38, 2))).cast("double"))
         .orderBy(col("user_bucket"))
     }),
 
@@ -144,7 +152,7 @@ object EventQueries {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+          decd(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -161,7 +169,7 @@ object EventQueries {
       t(s, dir, "orders").createOrReplaceTempView("v_ord_gs")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
           |FROM v_ord_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
@@ -175,7 +183,7 @@ object EventQueries {
         .groupBy(col("l_returnflag"))
         .agg((sum((col("l_extendedprice") * col("l_quantity")).cast(DecimalType(38, 4)))
             / sum(col("l_quantity").cast(DecimalType(38, 4))))
-          .cast(DecimalType(38, 6)).as("weighted_price"))
+          .cast(DecimalType(38, 6)).cast("double").as("weighted_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -188,7 +196,7 @@ object EventQueries {
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(38, 4)))
-            .cast(DecimalType(38, 4)).as("value_sum"))
+            .cast("double").as("value_sum"))
         .select(col("metric"), col("n"), col("value_sum"))
         .orderBy(col("metric"))
     }),
@@ -198,7 +206,7 @@ object EventQueries {
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
         |  MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
         |  MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -206,7 +214,7 @@ object EventQueries {
     "q_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS value_sum
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_funcs" ->
@@ -214,9 +222,9 @@ object EventQueries {
         |  ROW_NUMBER() OVER w AS rn,
         |  RANK() OVER d AS rnk,
         |  DENSE_RANK() OVER d AS drnk,
-        |  LAG(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS prev_price,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
-        |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mov3_sum
+        |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_sum
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       d AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE))
@@ -224,22 +232,22 @@ object EventQueries {
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_weighted_avg" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
-        |       / SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS weighted_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
+        |       / SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS DOUBLE) AS weighted_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
-        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,2)) END) AS DECIMAL(38,2)) AS click,
-        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,2)) END) AS DECIMAL(38,2)) AS view,
-        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,2)) END) AS DECIMAL(38,2)) AS purchase
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE) AS purchase
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_percentile" ->
@@ -290,7 +298,7 @@ object EventQueries {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -307,7 +315,7 @@ object EventQueries {
         |  UNION ALL
         |  SELECT l_orderkey, 'tax', l_tax FROM lineitem)
         |SELECT metric, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS value_sum
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS value_sum
         |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
   )
 }

@@ -25,13 +25,15 @@ object MultimodalQueries {
     // decode step: typed metadata projected from binary payloads +
     // content digest — payloads never shuffle.
     "q_media_meta" -> ((s, dir) => {
+      // metadata ints surfaced as BIGINT (DuckDB arithmetic width) —
+      // the library meta struct stays INT; this is output canonicalization.
       Multimodal.withDecodedMeta(media(s, dir)).select(
         col("asset_id"), col("kind"),
-        length(col("payload")).as("n_bytes"),
-        col("meta.width").as("width"),
-        col("meta.height").as("height"),
-        col("meta.n_frames").as("n_frames"),
-        col("meta.sample_rate").as("sample_rate"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.n_frames").cast("long").as("n_frames"),
+        col("meta.sample_rate").cast("long").as("sample_rate"),
         sha2(col("payload"), 256).as("digest"))
         .orderBy(col("asset_id"))
     }),
@@ -41,6 +43,7 @@ object MultimodalQueries {
     "q_media_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.withDecodedMeta(media(s, dir)), step = 4)
+        .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
   )

@@ -121,7 +121,8 @@ object TextQueries {
         .filter(col("rank") <= 3)
         // tfidf itself stays internal: Math.log vs libm ln differ in the
         // last ulp, so the oracle compares the (stable) discrete outputs
-        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"))
         .orderBy(col("doc_id"), col("rank"))
     }),
 

@@ -91,6 +91,30 @@ def main():
             print(f"FAIL {name}: row {i} col {c}: oracle={e!r} ({type(e).__name__}) "
                   f"got={g!r} ({type(g).__name__})")
             n_fail += 1
+            continue
+        # strict hash-style check (mirrors the driver's hash_match): cell
+        # repr AND python type must agree — Decimal('1.00') vs 1.0 fails
+        # here even though values_equal accepts it.
+        strict_bad = None
+        for i in range(len(expected)):
+            for c in expected.columns:
+                e, g = expected.iloc[i][c], got.iloc[i][c]
+                try:
+                    both_na = pd.isna(e) and pd.isna(g)
+                except (TypeError, ValueError):
+                    both_na = False
+                if both_na:
+                    continue
+                if type(e) is not type(g) or repr(e) != repr(g):
+                    strict_bad = (i, c, e, g)
+                    break
+            if strict_bad:
+                break
+        if strict_bad:
+            i, c, e, g = strict_bad
+            print(f"HASHFAIL {name}: row {i} col {c}: oracle={e!r} ({type(e).__name__}) "
+                  f"got={g!r} ({type(g).__name__})")
+            n_fail += 1
         else:
             print(f"PASS {name} ({len(expected)} rows)")
             n_pass += 1
