@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.pipeline.{Stellar, Warehouse}
+import graft.pipeline.{Stellar, Tasks, Warehouse}
 import graft.schema.Tables
 
 /** End-to-end pipeline queries: the full Stellar task DAG (SURVEY §3.3,
@@ -71,7 +71,134 @@ object PipelineQueries {
         factYieldStats = wh.factYieldStats.persist())
     })
 
+  // ---- synthesized reference-shaped inputs for the four non-Stellar
+  // tasks (VERDICT r1 item 2). Each plants the edge cases its task's
+  // filters/dedups exist for: blocklisted + empty assets, null metrics,
+  // duplicate source ids, and (data task, batch 2) brand-new tokens. ----
+
+  /** bifrost_site batch — Bifrost.py:58-185 shape, from `supplier`. */
+  private def synthSite(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "supplier").select(
+      when(col("s_suppkey") % 17 === 0, lit("tvl"))          // blocklisted
+        .when(col("s_suppkey") % 17 === 1, lit(""))           // empty
+        .otherwise(concat(lit("AS_"), col("s_suppkey") % 23)).as("Asset"),
+      when(col("s_suppkey") % 11 === 0, lit(null).cast("double"))
+        .otherwise((col("s_suppkey") % 9).cast("double")).as("apy"),
+      when(col("s_suppkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("s_acctbal").cast("double")).as("tvl"),
+      (lit("2025-06-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, s_suppkey, 0, 0)")).as("created_at"))
+
+  /** bifrost_staking batch — Bifrost.py:188-295 shape, from `supplier`.
+    * price kept >= 1 so the DECIMAL(38,18) staging of price_usd
+    * round-trips bit-exactly to DOUBLE (tiny doubles would not). */
+  private def synthStaking(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "supplier").select(
+      when(col("s_suppkey") % 29 === 0, lit(""))
+        .otherwise(concat(lit("ST_"), col("s_suppkey") % 19)).as("symbol"),
+      when(col("s_suppkey") % 7 === 0, lit(null).cast("double"))
+        .when(col("s_suppkey") % 7 === 1, lit(0.0))
+        .otherwise((col("s_suppkey") % 40).cast("double") / 10.0).as("apr"),
+      (lit(1.0) + abs(col("s_acctbal").cast("double")) / 1000.0).as("price"),
+      (lit(1.0) + (col("s_suppkey") % 5).cast("double") / 10.0).as("exchangeRatio"),
+      when(col("s_suppkey") % 23 === 0, lit(null).cast("long"))
+        .otherwise(col("s_suppkey") * 1000).as("supply"),
+      (lit("2025-06-10 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, 0, s_suppkey, 0)")).as("created_at"))
+
+  /** hydration_price batch — Hydration.py:18-109 shape, from `part`;
+    * p_partkey % 31 == 0 rows collide onto id p_partkey−1 so the
+    * first-seen source-id dedup is exercised. */
+  private def synthHydraPrice(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part").select(
+      when(col("p_partkey") % 31 === 0, col("p_partkey") - 1)
+        .otherwise(col("p_partkey")).as("id"),
+      lit(0L).as("batch_id"),
+      concat(lit("a"), col("p_partkey")).as("asset_id"),
+      col("p_brand").as("symbol"),
+      (col("p_size") % 7 + 1).cast(DecimalType(38, 18)).as("price_usdt"),
+      (lit("2025-04-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, 0, 0, p_partkey)")).as("created_at"))
+
+  /** hydration_data batch b — Hydration.py:111-323 shape, from `part`.
+    * Batch 2 lands exactly 14 days after batch 1 (the YoY/QoQ offset,
+    * quirk Q3) with volumes scaled per-row, and introduces NEW_ tokens
+    * to exercise the surrogate-id append path across batches. */
+  private def synthHydraData(s: SparkSession, dir: String, batch: Int): DataFrame = {
+    val base = if (batch == 2) "2025-05-15 00:00:00" else "2025-05-01 00:00:00"
+    Tables.load(s, dir, "part").select(
+      (when(col("p_partkey") % 31 === 0, col("p_partkey") - 1)
+        .otherwise(col("p_partkey")) + lit(batch * 100000L)).as("id"),
+      lit(batch.toLong).as("batch_id"),
+      concat(lit("a"), col("p_partkey") % 41).as("asset_id"),
+      (if (batch == 2)
+        when(col("p_partkey") % 37 === 0, concat(lit("NEW_"), col("p_brand")))
+          .otherwise(col("p_brand"))
+      else col("p_brand")).as("symbol"),
+      lit(null).cast("double").as("farm_apr"),
+      lit(null).cast("double").as("pool_apr"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("double"))
+        .when(col("p_partkey") % 7 === 1, lit(0.0))
+        .otherwise((col("p_size") % 50).cast("double") / 10.0).as("total_apr"),
+      when(col("p_partkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("p_retailprice").cast("double")).as("tvl_usd"),
+      (col("p_retailprice").cast("double") *
+        (if (batch == 2) lit(1.0) + (col("p_partkey") % 5).cast("double") / 10.0
+         else lit(1.0))).as("volume_usd"),
+      (lit(base).cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, 0, 0, p_partkey)")).as("created_at"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_bifrost_site" -> ((s, dir) => {
+      val wh = Tasks.bifrostSite(synthSite(s, dir),
+        Warehouse.withChains(s, Seq((5, "Bifrost"))))
+      wh.factYieldStats.select(
+        col("token_id"), col("return_type_id"), col("pool_address"),
+        col("date").cast("timestamp").as("date"),
+        col("apy").cast("double").as("apy"),
+        col("tvl"), col("tvl_usd"), col("created_at"))
+        .orderBy(col("token_id"), col("date"))
+    }),
+
+    "q_bifrost_staking" -> ((s, dir) => {
+      val wh = Tasks.bifrostStaking(synthStaking(s, dir),
+        Warehouse.withChains(s, Seq((5, "Bifrost"))))
+      val daily = wh.factTokenDailyStats.select(col("token_id"), col("date"),
+        col("price_usd").cast("double").as("price_usd"))
+      wh.factYieldStats.join(daily, Seq("token_id", "date"))
+        .select(col("token_id"), col("date").cast("timestamp").as("date"),
+          col("price_usd"), col("apy").cast("double").as("apy"),
+          col("tvl"), col("tvl_usd"), col("created_at"))
+        .orderBy(col("token_id"), col("date"))
+    }),
+
+    "q_hydration_price" -> ((s, dir) => {
+      val wh = Tasks.hydrationPrice(synthHydraPrice(s, dir),
+        Warehouse.withChains(s, Seq((9, "Hydration"))))
+      wh.factTokenDailyStats.select(
+        col("token_id"), col("date").cast("timestamp").as("date"),
+        col("volume"), col("volume_usd"), col("txns_count"),
+        col("price_usd").cast("double").as("price_usd"), col("created_at"))
+        .orderBy(col("token_id"), col("date"))
+    }),
+
+    // Two-batch replay (VERDICT r1 item 3): batch 2 is +14 days, so the
+    // J4/J5 point-in-time self-join against the WARM warehouse produces
+    // non-null, hash-checked volume_yoy/volume_qoq (quirk Q3/Q4 path).
+    "q_hydration_data" -> ((s, dir) => {
+      val wh0 = Warehouse.withChains(s, Seq((9, "Hydration")))
+      val wh1 = Warehouse.materialize(
+        Tasks.hydrationData(synthHydraData(s, dir, 1), wh0))
+      val wh2 = Tasks.hydrationData(synthHydraData(s, dir, 2), wh1)
+      wh2.factTokenDailyStats.select(
+        col("token_id"), col("date").cast("timestamp").as("date"),
+        col("volume"), col("volume_usd"), col("volume_yoy"), col("volume_qoq"),
+        col("txns_count"),
+        col("price_usd").cast("double").as("price_usd"), col("created_at"))
+        .orderBy(col("token_id"), col("date"))
+    }),
 
     "q_stellar_daily" -> ((s, dir) => {
       runStellar(s, dir).factTokenDailyStats.select(
@@ -147,6 +274,161 @@ object PipelineQueries {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_bifrost_site" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN s_suppkey % 17 = 0 THEN 'tvl'
+        |              WHEN s_suppkey % 17 = 1 THEN ''
+        |              ELSE 'AS_' || (s_suppkey % 23) END AS asset,
+        |    CASE WHEN s_suppkey % 11 = 0 THEN NULL
+        |         ELSE CAST(s_suppkey % 9 AS DOUBLE) END AS apy,
+        |    CASE WHEN s_suppkey % 13 = 0 THEN NULL
+        |         ELSE CAST(s_acctbal AS DOUBLE) END AS tvl,
+        |    TIMESTAMP '2025-06-01 00:00:00' + INTERVAL 1 HOUR * s_suppkey AS created_at
+        |  FROM supplier),
+        |f AS (
+        |  SELECT * FROM src
+        |  WHERE asset IS NOT NULL AND asset <> ''
+        |    AND lower(asset) NOT IN ('tvl','addresses','revenue')),
+        |dim AS (
+        |  SELECT asset, ROW_NUMBER() OVER (ORDER BY asset) AS token_id
+        |  FROM (SELECT DISTINCT asset FROM f)),
+        |win AS (
+        |  SELECT d.token_id, CAST(f.created_at AS DATE) AS date,
+        |    f.apy, f.tvl, f.created_at
+        |  FROM f JOIN dim d ON d.asset = f.asset
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.token_id, CAST(f.created_at AS DATE)
+        |    ORDER BY f.created_at DESC) = 1)
+        |SELECT token_id, 1 AS return_type_id, '' AS pool_address,
+        |  CAST(date AS TIMESTAMP) AS date,
+        |  CAST(CAST(COALESCE(apy, 0.0) AS DECIMAL(10,2)) AS DOUBLE) AS apy,
+        |  COALESCE(tvl, 0.0) AS tvl, COALESCE(tvl, 0.0) AS tvl_usd, created_at
+        |FROM win ORDER BY token_id, date""".stripMargin,
+
+    "q_bifrost_staking" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN s_suppkey % 29 = 0 THEN ''
+        |              ELSE 'ST_' || (s_suppkey % 19) END AS symbol,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN NULL
+        |         WHEN s_suppkey % 7 = 1 THEN 0.0
+        |         ELSE CAST(s_suppkey % 40 AS DOUBLE) / 10.0 END AS apr,
+        |    1.0 + abs(CAST(s_acctbal AS DOUBLE)) / 1000.0 AS price,
+        |    1.0 + CAST(s_suppkey % 5 AS DOUBLE) / 10.0 AS exchangeRatio,
+        |    CASE WHEN s_suppkey % 23 = 0 THEN NULL ELSE s_suppkey * 1000 END AS supply,
+        |    TIMESTAMP '2025-06-10 00:00:00' + INTERVAL 1 MINUTE * s_suppkey AS created_at
+        |  FROM supplier),
+        |f AS (SELECT * FROM src WHERE symbol IS NOT NULL AND symbol <> ''),
+        |dim AS (
+        |  SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS token_id
+        |  FROM (SELECT DISTINCT symbol FROM f)),
+        |win AS (
+        |  SELECT d.token_id, CAST(f.created_at AS DATE) AS date,
+        |    f.apr, f.price, f.exchangeRatio, f.supply, f.created_at
+        |  FROM f JOIN dim d ON d.symbol = f.symbol
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.token_id, CAST(f.created_at AS DATE)
+        |    ORDER BY f.created_at DESC) = 1)
+        |SELECT token_id, CAST(date AS TIMESTAMP) AS date,
+        |  price * exchangeRatio AS price_usd,
+        |  CAST(CAST(CASE WHEN apr IS NULL OR apr = 0 THEN 0.0
+        |    ELSE ROUND(LEAST((POW(1.0 + apr / 100 / 365.0, 365.0) - 1.0) * 100,
+        |                     99999999.99), 2) END AS DECIMAL(10,2)) AS DOUBLE) AS apy,
+        |  CASE WHEN supply IS NULL THEN 0.0 ELSE supply * price END AS tvl,
+        |  CASE WHEN supply IS NULL THEN 0.0 ELSE supply * price END AS tvl_usd,
+        |  created_at
+        |FROM win ORDER BY token_id, date""".stripMargin,
+
+    "q_hydration_price" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN p_partkey % 31 = 0 THEN p_partkey - 1
+        |              ELSE p_partkey END AS id,
+        |    p_brand AS symbol,
+        |    CAST(p_size % 7 + 1 AS DOUBLE) AS price_usdt,
+        |    TIMESTAMP '2025-04-01 00:00:00' + INTERVAL 1 SECOND * p_partkey AS created_at
+        |  FROM part),
+        |dd AS (
+        |  SELECT * FROM src
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY created_at, id) = 1),
+        |dim AS (
+        |  SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS token_id
+        |  FROM (SELECT DISTINCT symbol FROM dd)),
+        |win AS (
+        |  SELECT d.token_id, CAST(x.created_at AS DATE) AS date,
+        |    x.price_usdt, x.created_at
+        |  FROM dd x JOIN dim d ON d.symbol = x.symbol
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.token_id, CAST(x.created_at AS DATE)
+        |    ORDER BY x.created_at DESC, x.id DESC) = 1)
+        |SELECT token_id, CAST(date AS TIMESTAMP) AS date,
+        |  0.0 AS volume, 0.0 AS volume_usd, CAST(0 AS BIGINT) AS txns_count,
+        |  price_usdt AS price_usd, created_at
+        |FROM win ORDER BY token_id, date""".stripMargin,
+
+    "q_hydration_data" ->
+      """WITH src1 AS (
+        |  SELECT CASE WHEN p_partkey % 31 = 0 THEN p_partkey - 1
+        |              ELSE p_partkey END + 100000 AS id,
+        |    p_brand AS symbol,
+        |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |         ELSE CAST(p_retailprice AS DOUBLE) END AS tvl_usd,
+        |    CAST(p_retailprice AS DOUBLE) AS volume_usd,
+        |    TIMESTAMP '2025-05-01 00:00:00' + INTERVAL 1 SECOND * p_partkey AS created_at
+        |  FROM part),
+        |src2 AS (
+        |  SELECT CASE WHEN p_partkey % 31 = 0 THEN p_partkey - 1
+        |              ELSE p_partkey END + 200000 AS id,
+        |    CASE WHEN p_partkey % 37 = 0 THEN 'NEW_' || p_brand
+        |         ELSE p_brand END AS symbol,
+        |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |         ELSE CAST(p_retailprice AS DOUBLE) END AS tvl_usd,
+        |    CAST(p_retailprice AS DOUBLE)
+        |      * (1.0 + CAST(p_partkey % 5 AS DOUBLE) / 10.0) AS volume_usd,
+        |    TIMESTAMP '2025-05-15 00:00:00' + INTERVAL 1 SECOND * p_partkey AS created_at
+        |  FROM part),
+        |dd1 AS (SELECT * FROM src1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY created_at, id) = 1),
+        |dd2 AS (SELECT * FROM src2
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY created_at, id) = 1),
+        |dim1 AS (
+        |  SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS token_id
+        |  FROM (SELECT DISTINCT symbol FROM dd1)),
+        |newsym AS (
+        |  SELECT DISTINCT symbol FROM dd2
+        |  WHERE symbol NOT IN (SELECT symbol FROM dim1)),
+        |dim2 AS (
+        |  SELECT symbol, (SELECT MAX(token_id) FROM dim1)
+        |    + ROW_NUMBER() OVER (ORDER BY symbol) AS token_id
+        |  FROM newsym),
+        |dim AS (SELECT * FROM dim1 UNION ALL SELECT * FROM dim2),
+        |win1 AS (
+        |  SELECT d.token_id, CAST(x.created_at AS DATE) AS date,
+        |    x.volume_usd, x.created_at
+        |  FROM dd1 x JOIN dim1 d ON d.symbol = x.symbol
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.token_id, CAST(x.created_at AS DATE)
+        |    ORDER BY x.created_at DESC, x.id DESC) = 1),
+        |win2 AS (
+        |  SELECT d.token_id, CAST(x.created_at AS DATE) AS date,
+        |    x.volume_usd, x.created_at
+        |  FROM dd2 x JOIN dim d ON d.symbol = x.symbol
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.token_id, CAST(x.created_at AS DATE)
+        |    ORDER BY x.created_at DESC, x.id DESC) = 1),
+        |out1 AS (
+        |  SELECT token_id, date, volume_usd AS volume, volume_usd,
+        |    CAST(NULL AS DOUBLE) AS volume_yoy, CAST(NULL AS DOUBLE) AS volume_qoq,
+        |    created_at
+        |  FROM win1),
+        |out2 AS (
+        |  SELECT w.token_id, w.date, w.volume_usd AS volume, w.volume_usd,
+        |    CASE WHEN p.volume IS NOT NULL AND p.volume <> 0 THEN
+        |      ROUND((w.volume_usd - p.volume) / p.volume * 100, 2) + 0.0 END AS volume_yoy,
+        |    CASE WHEN p.volume IS NOT NULL AND p.volume <> 0 THEN
+        |      ROUND((w.volume_usd - p.volume) / p.volume * 100, 2) + 0.0 END AS volume_qoq,
+        |    w.created_at
+        |  FROM win2 w LEFT JOIN out1 p
+        |    ON p.token_id = w.token_id AND p.date = w.date - 14)
+        |SELECT token_id, CAST(date AS TIMESTAMP) AS date, volume, volume_usd,
+        |  volume_yoy, volume_qoq, CAST(0 AS BIGINT) AS txns_count,
+        |  0.0 AS price_usd, created_at
+        |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
+        |ORDER BY token_id, date""".stripMargin,
 
     "q_stellar_daily" -> (stellarCtes +
       """SELECT token_id, CAST(date AS TIMESTAMP) AS date,
