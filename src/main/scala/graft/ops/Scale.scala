@@ -31,6 +31,32 @@ object Scale {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Dense 0-based global index in total `order` — the scale-safe
+    * replacement for `row_number() OVER (ORDER BY …)` (which funnels
+    * every row through ONE partition). Two-phase numbering: range-
+    * partition + sort by `order` (parallel), then RDD `zipWithIndex`
+    * (a per-partition count job + offset cumsum on the driver — the
+    * cumsum is over #partitions scalars, not rows). Deterministic for
+    * a total `order`: the index depends only on the global sort order,
+    * not on where the range bounds fall.
+    *
+    * Cost: one extra count job over the sorted frame; worth it the
+    * moment the frame can be large (e.g. a dim backfill at 100 TB
+    * scale). For frames guaranteed tiny, a global window is fine. */
+  def zipWithOrderedIndex(df: DataFrame, order: Seq[Column],
+                          indexName: String): DataFrame = {
+    require(!df.columns.contains(indexName), s"column $indexName already exists")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        indexName, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Date-partitioned (and optionally bucketed-by-key, via
     * `repartition` on the key inside each date) parquet layout — the
     * fact-table storage posture from SURVEY §7.6: partition pruning

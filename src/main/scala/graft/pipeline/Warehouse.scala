@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.Schemas
@@ -55,9 +54,12 @@ object Warehouse {
     * Existing natural keys keep their surrogate id and update the
     * attribute columns; new keys get ids maxId+1.. in (chain_id,
     * address) order — deterministic, unlike AUTO_INCREMENT under
-    * concurrency. Dims are small (SURVEY §7.6): the global row_number
-    * window over NEW keys only is a deliberate single-partition step on
-    * a frame that is ~0 rows per batch at steady state.
+    * concurrency. Id numbering is two-phase (ops.Scale.zipWithOrderedIndex:
+    * range-partitioned sort + per-partition counts + offset cumsum), so a
+    * dim BACKFILL with millions of new keys numbers in parallel instead
+    * of funnelling through a single-partition global window (VERDICT r1
+    * item 4); at steady state the frame is ~0 rows and the extra count
+    * job is noise.
     */
   def upsertDimTokens(dim: DataFrame, incoming: DataFrame, batchTs: Column): DataFrame = {
     val keys = Seq("chain_id", "address")
@@ -70,10 +72,11 @@ object Warehouse {
     val fresh = in.join(dim.select(col("chain_id"), col("address")), keys, "left_anti")
 
     val maxId = dim.agg(coalesce(max(col("id")), lit(0L)).as("__max"))
-    val freshWithIds = fresh.crossJoin(broadcast(maxId))
-      .withColumn("id", col("__max") + row_number().over(
-        Window.orderBy(col("chain_id"), col("address"))))
-      .drop("__max")
+    val freshWithIds = graft.ops.Scale
+      .zipWithOrderedIndex(fresh, Seq(col("chain_id"), col("address")), "__idx")
+      .crossJoin(broadcast(maxId))
+      .withColumn("id", col("__max") + col("__idx") + 1)
+      .drop("__max", "__idx")
 
     val updatedOrNew = matched.unionByName(freshWithIds)
       .withColumn("updated_at", batchTs)

@@ -42,6 +42,32 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || back.count() > 0)
   }
 
+  test("zipWithOrderedIndex: dense 0-based index in total order, no global window") {
+    val df = schema.Tables.load(spark, sfDir, "customer")
+      .select(col("c_nationkey").as("chain_id"), col("c_name").as("address"))
+      .distinct()
+    val n = df.count()
+    val indexed = Scale.zipWithOrderedIndex(df,
+      Seq(col("chain_id"), col("address")), "__idx")
+    // dense 0..n-1
+    assert(indexed.count() === n)
+    assert(indexed.agg(min("__idx"), max("__idx"), countDistinct("__idx"))
+      .first().toSeq === Seq(0L, n - 1, n))
+    // index == rank in (chain_id, address) order
+    val mismatches = indexed
+      .withColumn("__rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("chain_id"), col("address"))) - 1)
+      .filter(col("__idx") =!= col("__rank")).count()
+    assert(mismatches === 0)
+    // deterministic across recomputation
+    val again = Scale.zipWithOrderedIndex(df,
+      Seq(col("chain_id"), col("address")), "__idx")
+    assert(indexed.exceptAll(again).isEmpty && again.exceptAll(indexed).isEmpty)
+    // physical plan numbers in parallel: no partition-less WindowExec
+    assert(!indexed.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("asof join: inclusive <=, latest state, null before first update") {
     val left = Seq(
       (1L, 10L, "2025-05-01 10:00:00"),
