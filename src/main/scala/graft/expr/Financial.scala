@@ -118,4 +118,14 @@ object Financial {
   /** Null-to-zero coalescing (`apy or 0`) — Bifrost.py:179, :275-284.
     * Python `or` also zeroes 0.0, which coalesce preserves trivially. */
   def orZero(c: Column): Column = coalesce(c, lit(0.0))
+
+  /** F9 'v'-prefix symbol normalization — Hydration.py:13-16: prepend
+    * 'v' unless the symbol already starts with it (case-insensitive).
+    * DEAD CODE in the reference (its only call site, Hydration.py:73,
+    * is commented out) — implemented to close the §2 inventory row.
+    * Null symbol → null (the reference would raise on None; set-
+    * oriented null policy as elsewhere). */
+  def normalizeSymbol(symbol: Column): Column =
+    when(lower(symbol).startsWith("v"), symbol)
+      .otherwise(concat(lit("v"), symbol))
 }

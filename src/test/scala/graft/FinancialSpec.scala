@@ -113,4 +113,12 @@ class FinancialSpec extends SparkSpec {
     val got = df.select(Financial.orZero($"x")).collect().map(_.getDouble(0))
     assert(got.toSeq === Seq(2.5, 0.0))
   }
+
+  test("normalizeSymbol (F9, dead code in reference): 'v'-prefix idempotent") {
+    val df = Seq(Some("DOT"), Some("vDOT"), Some("VGLMR"), Some("v"),
+        Some(""), None).map(Tuple1(_)).toDF("s")
+    val got = df.select(Financial.normalizeSymbol($"s")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq === Seq("vDOT", "vDOT", "VGLMR", "v", "v", null))
+  }
 }
