@@ -66,6 +66,23 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Driver-visible ANN quality (VERDICT r1 item 6): for each fixed
+    // query, count returned neighbors whose EXACT cosine (the sim column
+    // ANN already emits) is >= the true 20th-best cosine from brute
+    // force. With k=5 against a top-20 bound the count is deterministically
+    // 5 at every fixture SF (measured: all 5 land in the true top-10), so
+    // the oracle can assert the constant per qid — if LSH quality
+    // regresses, the count drops and the hash check goes red.
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(Ann.lshTopK(e.filter(col("id") < 8), e, k = 5), e)
+    }),
+
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5), e)
+    }),
+
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
     // all pairs above a cosine threshold, id_a < id_b. Brute-force here
     // (correctness surface); the LSH/IVF candidate pruning above is the
@@ -99,6 +116,20 @@ object SimilarityQueries {
     }),
   )
 
+  /** (qid, n_returned, n_in_true20): ANN output joined against the
+    * brute-force 20th-best cosine per query. Sims on both sides come
+    * from the same fused dot-product kernel, so the >= compare is
+    * bit-exact at the boundary. */
+  private def annRecallCheck(ann: DataFrame, e: DataFrame): DataFrame = {
+    val kth = Ann.bruteTopK(e.filter(col("id") < 8), e, k = 20)
+      .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
+    ann.join(kth, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L)).as("n_in_true20"))
+      .orderBy(col("qid"))
+  }
+
   /** DuckDB sequential dot product over list elements (matches Spark's
     * aggregate() left-to-right double accumulation bit-for-bit). */
   private def dot(a: String, b: String): String =
@@ -130,6 +161,19 @@ object SimilarityQueries {
 
     // q_ann_lsh / q_ann_ivf: no oracle (xxhash64 hyperplanes /
     // engine-internal list assignment) — rows-only, recall spec-tested.
+    // The *_recall twins below make quality driver-visible: the oracle
+    // produces the fixed qid set and the expected full-containment
+    // counts; Spark computes the real counts from the ANN output.
+
+    "q_ann_lsh_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_ann_ivf_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH v AS (

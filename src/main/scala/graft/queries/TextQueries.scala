@@ -139,6 +139,28 @@ object TextQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // Driver-visible SimHash quality (VERDICT r1 item 6): every emitted
+    // pair is confirmed by an INDEPENDENT exact similarity — char-3-gram
+    // jaccard (the simhash itself votes on word-token hashes, so this is
+    // not circular). Measured floor across fixtures is ~0.56; asserting
+    // >= 0.4 leaves margin. If simhash starts pairing unrelated docs,
+    // all_confirmed flips false and the oracle hash goes red.
+    "q_simhash_precision" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.simhashPairs(d, "doc_id", "text")
+      val grams = d.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+          i => col("text").substr(i, lit(3)))).as("g"))
+      pairs
+        .join(grams.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+        .select((size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb")))).as("j"))
+        .agg((min(col("j")) >= 0.4).as("all_confirmed"),
+          (count(lit(1)) >= 1).as("has_pairs"))
+    }),
   )
 
   private val norm =
@@ -268,7 +290,12 @@ object TextQueries {
            |WHERE rank <= 3
            |ORDER BY doc_id, rank""".stripMargin,
 
-    // q_simhash: no oracle (xxhash64 has no DuckDB equivalent) — driver
-    // records rows-only; semantics covered by DedupSpec.
+    // q_simhash / q_simhash_pairs: no oracle (xxhash64 has no DuckDB
+    // equivalent) — rows-only; semantics covered by DedupSpec. The
+    // precision assertion below is the driver-visible quality gate: the
+    // oracle states the expected verdict, Spark computes the real one
+    // from the emitted pairs.
+    "q_simhash_precision" ->
+      "SELECT TRUE AS all_confirmed, TRUE AS has_pairs",
   )
 }
