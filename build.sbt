@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must reach stdout UNPREFIXED: the default
+// LoggedOutput strategy stamps every line with "[info] ", which breaks
+// the driver's json parse of Bench's metric line (BENCH_r01 "parsed":
+// null). StdoutOutput lets the forked JVM inherit this process's
+// stdout/stderr directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark main: ONE JSON metric line on stdout.
+  *
+  * Headline numbers come from SPARK_GRAFT_SF_DIR (driver: sf0.1); a
+  * second per-query timing map at sf0.01 rides along under
+  * "queries_sf0.01" so round-over-round regression tracking has a
+  * stable small-SF axis too (VERDICT r1 item 8). The JSON line is the
+  * only thing this main writes to stdout (Spark logs go to stderr;
+  * build.sbt forces unprefixed forked output under sbt).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,18 +26,29 @@ object Bench {
       SparkEntry.queries("q_top1_per_key")(spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("q_cosine_topk")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes EVERY output column — count() would let
-      // the optimizer prune the expensive projections out of the plan
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    def timeAll(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink materializes EVERY output column — count() would let
+        // the optimizer prune the expensive projections out of the plan
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // small-SF pass first (doubles as further warmup), headline pass last
+    val small = timeAll("/root/testdata/sf0.01")
+    val results = timeAll(sfDir)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val smallTotal = small.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${toJson(results)},"sf":"$sfDir",""" +
+      s""""total_sf0.01":$smallTotal,"queries_sf0.01":${toJson(small)}}""")
+    System.out.flush()
     spark.stop()
   }
 }
