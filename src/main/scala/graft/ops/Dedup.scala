@@ -86,6 +86,15 @@ object Dedup {
         md5(concat_ws("|", slice(signature, b * bandRows + 1, bandRows))).as("band_key"))
     }: _*)
 
+  /** Pairs + skew side-output of the LSH candidate generation:
+    * `pairs` is the (id_a, id_b) candidate set; `flaggedBuckets` lists
+    * buckets larger than the cap as (band_id, band_key, n_ids,
+    * sample_ids) — a bucket of near-identical boilerplate IS the
+    * answer (one giant duplicate cluster); pairing it is O(n²) for no
+    * information. Callers route flagged buckets to cluster-level
+    * handling (keep one representative, drop the rest). */
+  case class LshCandidates(pairs: DataFrame, flaggedBuckets: DataFrame)
+
   /** Near-duplicate candidate pairs via MinHash-LSH over a text column.
     * Output: (id_a, id_b) with id_a < id_b, distinct.
     *
@@ -94,11 +103,12 @@ object Dedup {
     * bucket with array combinatorics — no self-join, so the (expensive,
     * interpreted) minhash expressions are evaluated exactly once per
     * document. At 100 TB the shuffle payload is (16-byte band key, id);
-    * bucket skew is the quadratic risk, so callers cap pathological
-    * buckets upstream (a bucket of near-identical boilerplate is itself
-    * the answer — flag, don't pair). */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2): DataFrame = {
+    * bucket skew is the quadratic risk, so `maxBucket` caps it:
+    * oversized buckets produce NO pairs and surface in
+    * `flaggedBuckets` instead (VERDICT r1 item 9). */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2,
+                           maxBucket: Int = Int.MaxValue): LshCandidates = {
     val nBands = k / bandRows
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleSize, k).as("sig"))
@@ -109,13 +119,27 @@ object Dedup {
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    // ordered pairs within each bucket: ids[i] × ids[i+1..]
-    buckets
+    // ordered pairs within each capped bucket: ids[i] × ids[i+1..]
+    val pairs = buckets
+      .filter(size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+    // bounded sample only: a pathological bucket can hold millions of
+    // ids — never materialize the full membership in the side output
+    val flagged = buckets
+      .filter(size(col("ids")) > maxBucket)
+      .select(col("band_id"), col("band_key"),
+        size(col("ids")).as("n_ids"), slice(col("ids"), 1, 20).as("sample_ids"))
+    LshCandidates(pairs, flagged)
   }
+
+  /** Pairs-only convenience (uncapped) — see minhashLshCandidates. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashLshCandidates(df, idCol, textCol, shingleSize, k, bandRows, maxBucket).pairs
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs.
     * pairs: (id_a, id_b); docs: (id, text). */

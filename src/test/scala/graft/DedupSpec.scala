@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpec {
     assert((pairs -- planted).size <= 5, s"too many false pairs: ${pairs -- planted}")
   }
 
+  test("minhashLshCandidates: boilerplate cluster is flagged, not paired") {
+    // 30 identical boilerplate docs + the normal corpus with planted dups
+    val boiler = (500 until 530).map(i =>
+      (i.toLong, "standard legal disclaimer text repeated verbatim in every doc " * 3))
+    val df = (corpus() ++ boiler).toDF("doc_id", "text")
+    val res = Dedup.minhashLshCandidates(df, "doc_id", "text", maxBucket = 10)
+    val pairs = res.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no O(n²) explosion: zero pairs among the boilerplate cluster
+    assert(!pairs.exists { case (a, b) => a >= 500 && b >= 500 },
+      s"boilerplate pairs leaked: ${pairs.filter(p => p._1 >= 500)}")
+    // the cluster surfaces in the side output with a bounded sample
+    val flagged = res.flaggedBuckets.collect()
+    assert(flagged.nonEmpty, "expected flagged oversized buckets")
+    assert(flagged.forall(r => r.getAs[Int]("n_ids") === 30))
+    assert(flagged.forall(r => r.getAs[Seq[Long]]("sample_ids").size <= 20))
+    // normal near-dups still found
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    assert(planted.count(pairs.contains) >= 8)
+    // uncapped convenience is unchanged semantics
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a >= 500 && b >= 500 } === 30 * 29 / 2)
+  }
+
   test("ngramJaccard: near-dups score high, unrelated docs score low") {
     val df = corpus().toDF("doc_id", "text")
     val pairs = ((0 until 10).map(i => (i.toLong, (100 + i).toLong)) ++
