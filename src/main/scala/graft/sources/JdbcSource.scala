@@ -41,4 +41,67 @@ object JdbcSource {
   def dimension(spark: SparkSession, url: String, table: String,
                 props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  // ---- write side (S2 symmetry — SqlDbEtl.py:49-70 replacement) ----
+
+  /** Plain append: Spark's batched multi-row INSERT per partition.
+    * For insert-only facts (new date partitions) this is the whole
+    * story — `numPartitions` concurrent connections, `batchsize` rows
+    * per round trip. */
+  def append(df: DataFrame, url: String, table: String,
+             props: java.util.Properties, batchSize: Int = 1000): Unit =
+    df.write.mode("append")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** Keyed upsert write — the set-oriented replacement for the
+    * reference's per-row `INSERT … ON DUPLICATE KEY UPDATE` round trips
+    * (SqlDbEtl.py:58-70 via Bifrost.py:116-130 etc.): each PARTITION
+    * opens one connection and streams the same statement as a batched
+    * prepared statement, committing every `batchSize` rows. N rows cost
+    * N/batchSize round trips across `df.rdd.getNumPartitions` parallel
+    * connections, not N round trips on one connection.
+    *
+    * `updateCols` empty ⇒ update all non-key columns (full-row upsert).
+    * Row-level upserts are idempotent, so task retries are safe; a
+    * mid-partition failure leaves earlier committed batches applied
+    * (same at-least-once posture as the reference's per-row commits).
+    * `ON DUPLICATE KEY UPDATE` is MySQL dialect — the reference's
+    * warehouse; port the suffix for other engines.
+    *
+    * UNTESTABLE OFFLINE (zero-egress, no database in the sandbox):
+    * compiled surface only; the equivalent merge semantics are
+    * oracle-tested via ops.Merge.upsert, which is this statement
+    * expressed over DataFrames. */
+  def upsertWrite(df: DataFrame, url: String, table: String,
+                  keys: Seq[String], updateCols: Seq[String],
+                  props: java.util.Properties, batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains), s"bad keys $keys for $cols")
+    val upd = if (updateCols.isEmpty) cols.filterNot(keys.contains) else updateCols
+    require(upd.forall(cols.contains), s"bad updateCols $upd for $cols")
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${upd.map(c => s"$c = VALUES($c)").mkString(", ")}"
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          try {
+            var n = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < cols.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+              st.addBatch()
+              n += 1
+              if (n % batchSize == 0) { st.executeBatch(); conn.commit() }
+            }
+            st.executeBatch(); conn.commit()
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
 }
