@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.expr.Financial
 import graft.ops.{Dedup, Merge}
-import graft.queries.{EventQueries, FinancialQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, EventQueries, FinancialQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.schema.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
@@ -81,7 +81,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ TextQueries.queries ++ SimilarityQueries.queries ++
       EventQueries.queries ++ FinancialQueries.queries ++
-      PipelineQueries.queries ++ MultimodalQueries.queries
+      PipelineQueries.queries ++ MultimodalQueries.queries ++
+      CurationQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -285,7 +286,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     coreOracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       EventQueries.oracleSql ++ FinancialQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ MultimodalQueries.oracleSql
+      PipelineQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      CurationQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
 

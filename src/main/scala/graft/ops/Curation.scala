@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY §2.11 north-star surface,
+  * round 2): the steps between "deduped corpus" and "training shards"
+  * that a 100 TB pipeline runs after the Dedup/Ann/Text passes.
+  *
+  * All deterministic and engine-portable (md5 / exact string n-grams /
+  * integer arithmetic), so every operator is DuckDB-oracle-checkable.
+  * Scale shapes: hash split and repetition are per-row (embarrassingly
+  * parallel); packing is a windowed cumsum per shard (parallel across
+  * shards); contamination broadcasts the benchmark gram set — the only
+  * shuffle anywhere is the optional gram explode when the benchmark
+  * outgrows a broadcast.
+  */
+object Curation {
+
+  /** Deterministic content-hash bucket in [0, nBuckets): first 8 hex
+    * digits of md5, mod n. Content-based (not id-based) so exact
+    * duplicates always land in the SAME split — the property that
+    * prevents train/test leakage through dup pairs. */
+  def hashBucket(key: Column, nBuckets: Int): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** train/val/test label from a percentage bucket. */
+  def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+
+  /** Budgeted sequence packing: assign docs (in a fixed order per
+    * shard) to pack ids so each pack holds ~`budget` tokens. This is
+    * the parallel floor-of-running-sum approximation of greedy packing
+    * — pack boundaries can overshoot by at most one document, but the
+    * assignment is a single windowed cumsum per shard instead of a
+    * sequential scan (exact greedy packing is inherently serial).
+    * Oversized single docs get their own pack(s) downstream. */
+  def packBins(df: DataFrame, shard: Column, order: Seq[Column],
+               tokenCount: Column, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shard).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokenCount).over(w))
+      .withColumn("pack_id", floor((col("__cum") - tokenCount) / budget))
+      .drop("__cum")
+  }
+
+  /** Distinct word n-grams of a text column (lowercased, whitespace
+    * tokens). Exact strings — at 100 TB hash each gram to 8 bytes
+    * before shuffling (xxhash64(gram)); exact strings here keep the
+    * operator oracle-checkable. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    array_distinct(when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark-contamination check: for each corpus doc, the number of
+    * distinct word `n`-grams it shares with ANY benchmark doc. The
+    * benchmark gram set is deduped and broadcast (benchmarks are small
+    * by nature); corpus grams explode and semi-join it — corpus text
+    * never shuffles. Returns (idCol, n_shared) for contaminated docs
+    * only. */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+    corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Intra-document repetition (Gopher-style quality signal): the
+    * fraction of word n-gram occurrences that are duplicates of an
+    * earlier occurrence. 0 for texts shorter than n tokens. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Text
+import graft.ops.Curation
+import graft.schema.Tables
+
+/** Training-data curation queries over the `documents` fixture — the
+  * shard-preparation surface a training pipeline runs after dedup
+  * (SURVEY §2.11 round-2 extension): content-hash splits, budgeted
+  * sequence packing, benchmark contamination, repetition quality
+  * signals, PII redaction. Every operator is deterministic and
+  * engine-portable, so each query is value-exact against DuckDB.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Content-hash train/val/test split (md5-based, so exact duplicates
+    // land in the same split — no leakage through dup pairs). Per-row,
+    // no shuffle at any scale.
+    "q_hash_split" -> ((s, dir) => {
+      val b = Curation.hashBucket(col("text"), 100)
+      docs(s, dir).select(col("doc_id"), b.as("bucket"),
+        Curation.splitLabel(b, trainPct = 90, valPct = 5).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Budgeted sequence packing: 256-token packs per source shard in
+    // doc_id order — a windowed cumsum per shard (parallel across
+    // shards), the floor-of-running-sum approximation of greedy packing.
+    "q_seq_packing" -> ((s, dir) => {
+      val withTok = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packBins(withTok, col("source"), Seq(col("doc_id")),
+          col("n_tokens"), budget = 256)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark contamination: corpus docs sharing any word-8-gram with
+    // the (synthetic) benchmark set doc_id % 50 == 0. Benchmark grams
+    // dedupe + broadcast; corpus text never shuffles.
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contamination(
+          d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 50 === 0), "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-doc repetition (Gopher-style quality signal): duplicate
+    // word-5-gram ratio; repetition planted on doc_id % 9 == 0 so the
+    // non-zero path is exercised.
+    "q_repetition" -> ((s, dir) => {
+      val t = when(col("doc_id") % 9 === 0,
+        concat(col("text"), repeat(lit(" badger mushroom snake"), 8)))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        Curation.dupNgramRatio(t, 5).as("dup5_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: e-mail addresses (planted on doc_id % 7 == 0)
+    // counted and replaced; output carries the redacted-text digest so
+    // the oracle verifies the full replacement byte-for-byte.
+    "q_pii_redact" -> ((s, dir) => {
+      val pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val t = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com for details")))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(t, lit(pat), lit(0))).cast("long").as("n_emails"),
+        md5(regexp_replace(t, pat, "<EMAIL>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  private val toks =
+    raw"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"
+  private val toksLower =
+    raw"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"
+
+  /** Word n-gram list (distinct) from a token-list expression. */
+  private def grams(tokExpr: String, n: Int): String =
+    s"""list_distinct(CASE WHEN len($tokExpr) >= $n
+       |  THEN list_transform(range(1, len($tokExpr) - ${n - 2}),
+       |         i -> array_to_string(($tokExpr)[i:i+${n - 1}], ' '))
+       |  ELSE [] END)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_seq_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(${grams(toksLower, 8)}) AS gram
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |corpus AS (
+         |  SELECT doc_id, unnest(${grams(toksLower, 8)}) AS gram
+         |  FROM documents WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_shared
+         |FROM corpus c JOIN bench b ON b.gram = c.gram
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      raw"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN text || repeat(' badger mushroom snake', 8) ELSE text END AS text
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(${toksLower}) >= 5
+         |      THEN list_transform(range(1, len(${toksLower}) - 3),
+         |             i -> array_to_string((${toksLower})[i:i+4], ' '))
+         |      ELSE [] END AS gs
+         |  FROM src)
+         |SELECT doc_id,
+         |  CASE WHEN len(gs) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+         |    ELSE 0.0 END AS dup5_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      raw"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact: user' || doc_id || '@example.com for details'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  md5(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5
+         |FROM src ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** Curation-operator semantics: split determinism + dup co-location,
+  * packing budget arithmetic, contamination planting, repetition
+  * closed form. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashBucket: deterministic, content-based — exact dups share a split") {
+    val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), Curation.hashBucket(col("text"), 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L), "identical content must share a bucket")
+    assert((0L until 100L).contains(got(3L)))
+    // stable across evaluations
+    val again = df.select(Curation.hashBucket(col("text"), 100))
+      .collect().map(_.getLong(0))
+    assert(again.toSeq === Seq(got(1L), got(2L), got(3L)))
+  }
+
+  test("packBins: budget boundaries, one cumsum per shard") {
+    // tokens 100,100,100,100 with budget 250: cum-before = 0,100,200,300
+    // -> packs 0,0,0,1
+    val df = (1 to 4).map(i => (i.toLong, "s", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Curation.packBins(df, col("source"), Seq(col("doc_id")),
+        col("n_tokens"), budget = 250)
+      .orderBy("doc_id").select("pack_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("contamination: planted overlap found, clean docs absent") {
+    val bench = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx one two three four five six seven eight yy"), // shares 8-gram
+      (2L, "totally unrelated words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, "doc_id", "text", bench, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && got(1L) >= 1)
+    assert(!got.contains(2L))
+  }
+
+  test("dupNgramRatio: closed form on constructed repetition") {
+    // 6 tokens "a b a b a b": 5-grams = "a b a b a", "b a b a b" -> 2
+    // distinct of 2 -> ratio 0; "a a a a a a": grams both "a a a a a"
+    // -> 1 distinct of 2 -> ratio 0.5; short text -> 0
+    val df = Seq((1L, "a b a b a b"), (2L, "a a a a a a"), (3L, "tiny"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), Curation.dupNgramRatio(col("text"), 5).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 0.5)
+    assert(got(3L) === 0.0)
+  }
+}
