@@ -27,8 +27,13 @@ object Bench {
       SparkEntry.queries("q_cosine_topk")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
 
+    // optional args: bench only the named queries (dev loop)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+
     def timeAll(dir: String): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — count() would let
         // the optimizer prune the expensive projections out of the plan

@@ -67,7 +67,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 /** Library session entrypoint with the engine's defaults: UTC, AQE with
-  * skew handling, sized shuffle parallelism, graft SQL functions. */
+  * skew handling + runtime coalescing, sized scan splits, graft SQL
+  * functions.
+  *
+  * Scan/shuffle sizing posture for the 100 TB target:
+  *  - `files.maxPartitionBytes` 256 MB: fewer, fuller scan tasks —
+  *    columnar parquet decodes ~256 MB comfortably inside a few-GB
+  *    executor; the default 128 MB doubles task-scheduling overhead on
+  *    a 100 TB scan (800k→400k tasks) for no memory benefit.
+  *  - `shufflePartitions` is the static ceiling; AQE coalesces small
+  *    post-shuffle partitions to `advisoryPartitionSizeInBytes` (64 MB)
+  *    at runtime, so oversizing the ceiling on a big cluster is safe
+  *    and undersizing it is corrected per-stage.
+  */
 object GraftSession {
   def builder(appName: String = "graft",
               master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
@@ -79,5 +91,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.files.maxPartitionBytes", "256m")
       .withExtensions(new GraftExtensions)
 }

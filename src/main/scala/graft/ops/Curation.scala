@@ -47,17 +47,21 @@ object Curation {
       .drop("__cum")
   }
 
-  /** Distinct word n-grams of a text column (lowercased, whitespace
-    * tokens). Exact strings — at 100 TB hash each gram to 8 bytes
-    * before shuffling (xxhash64(gram)); exact strings here keep the
-    * operator oracle-checkable. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
-    array_distinct(when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>")))
-  }
+  /** Lowercased whitespace tokens (empty strings dropped). */
+  def tokensOf(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-grams via the fused native ShingleArray kernel
+    * (graft.expr.catalyst) — one tight loop per row, codegen-friendly.
+    * The declarative HOF formulation is a trap here: interpreted
+    * lambdas re-evaluate captured subexpression trees PER ELEMENT, so
+    * gram-building over an inline tokenize costs grams × tokenize
+    * (quadratic per document — measured 20 s vs 1.3 s for 5 k docs).
+    * Kernel semantics (Dedup.shingles): texts shorter than n tokens
+    * fall back to one whole-text shingle. Exact strings — at 100 TB
+    * hash each gram to 8 bytes (xxhash64) before shuffling; exact
+    * strings keep the operator oracle-checkable. */
+  def wordNgrams(text: Column, n: Int): Column = Dedup.shingles(text, n)
 
   /** Benchmark-contamination check: for each corpus doc, the number of
     * distinct word `n`-grams it shares with ANY benchmark doc. The
@@ -77,17 +81,20 @@ object Curation {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
-  /** Intra-document repetition (Gopher-style quality signal): the
-    * fraction of word n-gram occurrences that are duplicates of an
-    * earlier occurrence. 0 for texts shorter than n tokens. */
-  def dupNgramRatio(text: Column, n: Int): Column = {
-    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
-      .otherwise(lit(0.0))
-  }
+  /** df + `outCol` holding the intra-document repetition ratio
+    * (Gopher-style quality signal): the fraction of word n-gram
+    * occurrences that duplicate an earlier occurrence; 0 for texts
+    * shorter than n tokens. Distinct-gram count comes from the native
+    * kernel; the TOTAL occurrence count needs no gram materialization
+    * at all — it is token_count − n + 1 by construction. */
+  def withDupNgramRatio(df: DataFrame, text: Column, n: Int,
+                        outCol: String): DataFrame =
+    df.withColumn("__n_toks", size(tokensOf(text)))
+      .withColumn("__n_distinct", size(wordNgrams(text, n)))
+      .withColumn(outCol,
+        when(col("__n_toks") >= n,
+          lit(1.0) - col("__n_distinct").cast("double")
+            / (col("__n_toks") - (n - 1)))
+        .otherwise(lit(0.0)))
+      .drop("__n_toks", "__n_distinct")
 }

@@ -62,8 +62,8 @@ object CurationQueries {
       val t = when(col("doc_id") % 9 === 0,
         concat(col("text"), repeat(lit(" badger mushroom snake"), 8)))
         .otherwise(col("text"))
-      docs(s, dir).select(col("doc_id"),
-        Curation.dupNgramRatio(t, 5).as("dup5_ratio"))
+      Curation.withDupNgramRatio(docs(s, dir), t, 5, "dup5_ratio")
+        .select(col("doc_id"), col("dup5_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -88,12 +88,14 @@ object CurationQueries {
   private val toksLower =
     raw"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"
 
-  /** Word n-gram list (distinct) from a token-list expression. */
+  /** Word n-gram list (distinct) from a token-list expression —
+    * matches the ShingleArray kernel semantics: short texts fall back
+    * to one whole-text shingle. */
   private def grams(tokExpr: String, n: Int): String =
     s"""list_distinct(CASE WHEN len($tokExpr) >= $n
        |  THEN list_transform(range(1, len($tokExpr) - ${n - 2}),
        |         i -> array_to_string(($tokExpr)[i:i+${n - 1}], ' '))
-       |  ELSE [] END)""".stripMargin
+       |  ELSE [array_to_string($tokExpr, ' ')] END)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 

@@ -53,7 +53,8 @@ class CurationSpec extends SparkSpec {
     // -> 1 distinct of 2 -> ratio 0.5; short text -> 0
     val df = Seq((1L, "a b a b a b"), (2L, "a a a a a a"), (3L, "tiny"))
       .toDF("id", "text")
-    val got = df.select(col("id"), Curation.dupNgramRatio(col("text"), 5).as("r"))
+    val got = Curation.withDupNgramRatio(df, col("text"), 5, "r")
+      .select(col("id"), col("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(1L) === 0.0)
     assert(got(2L) === 0.5)

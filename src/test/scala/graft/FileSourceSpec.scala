@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.FileSource
+
+/** CSV / JSON-lines sources: schema-enforced round trip equals the
+  * parquet fixture content; FAILFAST rejects corrupt rows. */
+class FileSourceSpec extends SparkSpec {
+
+  private lazy val nation = schema.Tables.load(spark, sfDir, "nation")
+
+  test("csv round trip: schema-enforced read equals source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    nation.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val back = FileSource.readCsv(spark, dir, nation.schema)
+    assert(back.schema === nation.schema)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+
+  test("json-lines round trip: schema-enforced read equals source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    nation.coalesce(1).write.mode("overwrite").json(dir)
+    val back = FileSource.readJsonLines(spark, dir, nation.schema)
+    assert(back.schema === nation.schema)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+
+  test("FAILFAST surfaces corrupt rows instead of nulling them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "bad.json"), "{\"n_nationkey\": \"notanumber\"}\n")
+    val ex = intercept[Exception] {
+      FileSource.readJsonLines(spark, dir, nation.schema).collect()
+    }
+    assert(ex.toString.toLowerCase.contains("malformed")
+      || ex.getCause != null)
+  }
+}
