@@ -61,4 +61,32 @@ class PlanSpec extends SparkSpec {
     // one scan of documents only (no join re-reading the table)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_hash_split: pure per-row projection — no shuffle except the output sort") {
+    val p = plan("q_hash_split")
+    assert(!p.contains("hashpartitioning"),
+      "hash split must not shuffle\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_contamination: benchmark grams broadcast; corpus text never shuffles") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // grams come from the fused kernel, not interpreted HOF chains
+    assert(p.contains("graft_shingles"), "expected ShingleArray kernel\n" + p)
+  }
+
+  test("q_repetition: kernel grams, no join, no gram materialization for totals") {
+    val p = plan("q_repetition")
+    assert(p.contains("graft_shingles"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_seq_packing: window partitioned by shard (never a global window)") {
+    val p = plan("q_seq_packing")
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(source"),
+      "cumsum window must partition by the shard column\n" + p)
+  }
 }
