@@ -90,6 +90,42 @@ object Ann {
     rank(cand, k)
   }
 
+  /** LSH-pruned embedding near-duplicate pairs — the scale path for the
+    * all-pairs cosine-threshold baseline (q_embed_neardup): candidates
+    * are same-bucket vector pairs under multi-table hyperplane LSH,
+    * generated bucket-locally (groupBy + array combinatorics, the same
+    * no-self-join shape as Dedup.minhashLshPairs), then confirmed by
+    * exact cosine > threshold. Output (id_a < id_b, sim), distinct.
+    *
+    * At 100 TB: the shuffle key is an int bucket id; only same-bucket
+    * vectors ever meet, so cost is Σ bucket² instead of n² — with the
+    * recall/cost dial on (nBits, nTables). Pathological buckets get the
+    * same cap treatment as minhashLshCandidates if needed. */
+  def nearDupPairsLsh(vecs: DataFrame, threshold: Double,
+                      nBits: Int = 4, nTables: Int = 12): DataFrame = {
+    val banded = vecs.select(col("id"), col("vec"),
+        Vectors.l2Norm(col("vec")).as("nrm"),
+        explode(Vectors.lshBuckets(col("vec"), nBits, nTables)).as("bucket"))
+    val buckets = banded
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_set(
+        struct(col("id"), col("vec"), col("nrm")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairs = buckets
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("vec").as("va"), b.getField("vec").as("vb"),
+            a.getField("nrm").as("na"), b.getField("nrm").as("nb")))))).as("p"))
+      .select(col("p.*"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .select(col("id_a"), col("id_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
   /** Rank candidate pairs by cosine, keep top k per query — via the
     * bounded argmax-k aggregate (expr.catalyst.TopKByScore): map-side
     * partial top-k, k rows per partition through the shuffle, no

@@ -101,6 +101,35 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Scale-path twin of q_embed_neardup with a driver-visible quality
+    // assertion: LSH-pruned pairs (Ann.nearDupPairsLsh — bucket-local
+    // candidates, Σ bucket² cost instead of n²) checked against the
+    // brute all-pairs truth. Exact-confirm construction means zero
+    // false pairs by definition; recall at the (4-bit, 12-table) dial
+    // is 0.83-0.92 on the fixtures (deterministic — xxhash planes), so
+    // the oracle asserts recall >= 0.8 plus exact precision. A future
+    // recall regression (kernel or banding bug) flips a boolean.
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val a = e.select(col("id").as("id_a"), col("vec").as("va"),
+        Vectors.l2Norm(col("vec")).as("na"))
+      val b = e.select(col("id").as("id_b"), col("vec").as("vb"),
+        Vectors.l2Norm(col("vec")).as("nb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        .filter(col("sim") > 0.4)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_brute"))
+      val lsh = Ann.nearDupPairsLsh(e, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_lsh"))
+      brute.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          (sum(coalesce(col("in_lsh"), lit(0)) * coalesce(col("in_brute"), lit(0)))
+            >= sum(col("in_brute")) * 0.8).as("recall_ok"),
+          (sum(when(col("in_brute").isNull, 1).otherwise(0)) === 0).as("no_false_pairs"),
+          (count(lit(1)) >= 1).as("has_pairs"))
+    }),
+
     // Centroid distance per cluster label: grouped vector aggregation —
     // euclidean distance of each vector to its label's first member
     // (deterministic representative), exercising l2Sq at scale shape.
@@ -174,6 +203,9 @@ object SimilarityQueries {
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_embed_neardup_lsh" ->
+      "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",
 
     "q_embed_neardup" ->
       s"""WITH v AS (
