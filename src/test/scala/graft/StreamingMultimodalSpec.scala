@@ -118,6 +118,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 3L))
   }
 
+  test("streaming curation equals batch curation on the same documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsData = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps on running today"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "x"),
+      (4L, "a reasonable english sentence with enough variety to pass the filters"))
+    val mem = MemoryStream[(Long, String)]
+    val q = streaming.CurationStream
+      .curate(mem.toDF().toDF("doc_id", "text"), col("text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData(docsData: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated")
+        .select("doc_id", "quality", "dup5_ratio", "split")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = streaming.CurationStream
+        .curate(docsData.toDF("doc_id", "text"), col("text"))
+        .select("doc_id", "quality", "dup5_ratio", "split")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+      // the repetitive doc is filtered by dup ratio in both modes
+      assert(!streamed.exists(_.head == 2L))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("multimodal: resize clamps the long side, preserves aspect floor") {
     val df = Seq((1L, 640, 480), (2L, 100, 50)).toDF("id", "w", "h")
       .select(col("id"), struct(col("w").as("width"), col("h").as("height"),
