@@ -47,6 +47,40 @@ class CurationSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("packBins property: every pack holds <= budget + one overshoot doc") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map(i =>
+        (i.toLong, s"s${i % 5}", (rnd.nextInt(200) + 1).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val budget = 500
+    val packs = Curation.packBins(df, col("source"), Seq(col("doc_id")),
+        col("n_tokens"), budget)
+      .groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("biggest"))
+      .collect()
+    packs.foreach { r =>
+      assert(r.getAs[Long]("tok") <= budget + r.getAs[Long]("biggest"),
+        s"pack over budget+overshoot: $r")
+    }
+    // packs are dense 0..max per source
+    val perSource = Curation.packBins(df, col("source"), Seq(col("doc_id")),
+        col("n_tokens"), budget)
+      .groupBy("source").agg(countDistinct("pack_id").as("n"),
+        max("pack_id").as("mx")).collect()
+    perSource.foreach(r =>
+      assert(r.getAs[Long]("n") === r.getAs[Long]("mx") + 1, s"gap in packs: $r"))
+  }
+
+  test("hashBucket property: buckets in range and roughly uniform") {
+    val df = (1 to 2000).map(i => Tuple1(s"document number $i with content"))
+      .toDF("text")
+    val counts = df.select(Curation.hashBucket(col("text"), 10).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.forall(b => b >= 0 && b < 10))
+    // 2000 docs over 10 buckets: each bucket within a loose 3x band
+    counts.values.foreach(c => assert(c > 60 && c < 600, counts.toString))
+  }
+
   test("dupNgramRatio: closed form on constructed repetition") {
     // 6 tokens "a b a b a b": 5-grams = "a b a b a", "b a b a b" -> 2
     // distinct of 2 -> ratio 0; "a a a a a a": grams both "a a a a a"
