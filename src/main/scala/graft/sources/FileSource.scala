@@ -31,4 +31,31 @@ object FileSource {
       .schema(schema)
       .option("mode", "FAILFAST")
       .json(path)
+
+  /** Quarantine read: PERMISSIVE parse with the corrupt raw line
+    * captured, split into (good, quarantined) frames — the production
+    * posture when one bad row must not kill a 100 TB ingest but must
+    * not silently vanish either (the reference's per-row try/except
+    * without the silent-drop). `good` carries the declared schema;
+    * `quarantined` carries the raw offending line for replay/triage. */
+  def readJsonLinesQuarantine(spark: SparkSession, path: String,
+                              schema: StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      // Spark requires caching/materializing before filtering on the
+      // corrupt column (the parser populates it lazily per-row)
+      .cache()
+    val good = raw.filter(raw(corruptCol).isNull)
+      .drop(corruptCol)
+    val bad = raw.filter(raw(corruptCol).isNotNull)
+      .select(raw(corruptCol).as("raw_line"))
+    (good, bad)
+  }
 }

@@ -27,6 +27,20 @@ class FileSourceSpec extends SparkSpec {
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
 
+  test("quarantine read: good rows keep schema, corrupt lines side-output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    nation.coalesce(1).write.mode("overwrite").json(dir)
+    // plant a corrupt line alongside the good part-files
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-corrupt.json"),
+      "this is not json\n{\"n_nationkey\": \"NaNkey\"}\n")
+    val (good, bad) = FileSource.readJsonLinesQuarantine(spark, dir, nation.schema)
+    assert(good.schema === nation.schema)
+    assert(good.count() === nation.count())
+    assert(bad.count() === 2)
+    assert(bad.collect().map(_.getString(0)).exists(_.contains("not json")))
+  }
+
   test("FAILFAST surfaces corrupt rows instead of nulling them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bad").toString
     java.nio.file.Files.writeString(
