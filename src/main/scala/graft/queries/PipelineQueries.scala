@@ -189,8 +189,13 @@ object PipelineQueries {
     // non-null, hash-checked volume_yoy/volume_qoq (quirk Q3/Q4 path).
     "q_hydration_data" -> ((s, dir) => {
       val wh0 = Warehouse.withChains(s, Seq((9, "Hydration")))
-      val wh1 = Warehouse.materialize(
-        Tasks.hydrationData(synthHydraData(s, dir, 1), wh0))
+      val whRaw = Tasks.hydrationData(synthHydraData(s, dir, 1), wh0)
+      // checkpoint ONLY the frames batch 2's daily-stats lineage reads
+      // (dim ids + prev-day facts); batch 1's yield facts stay lazy —
+      // this output never evaluates them, so they cost nothing
+      val wh1 = whRaw.copy(
+        dimTokens = whRaw.dimTokens.localCheckpoint(),
+        factTokenDailyStats = whRaw.factTokenDailyStats.localCheckpoint())
       val wh2 = Tasks.hydrationData(synthHydraData(s, dir, 2), wh1)
       wh2.factTokenDailyStats.select(
         col("token_id"), col("date").cast("timestamp").as("date"),
