@@ -44,6 +44,26 @@ object Warehouse {
     w.copy(dimChains = df)
   }
 
+  /** dim_chains incremental refresh — SqlDbEtl.py:131-169: every
+    * DISTINCT chain name seen in the watermark slice touches its
+    * existing dim row (`updated_at = NOW()` via `ON DUPLICATE KEY
+    * UPDATE`); names with no dim row are NOT inserted — the reference
+    * logs a warning and skips, so here they land in a side output
+    * instead of vanishing into a log file. Returns (refreshed dim,
+    * unknown names). */
+  def refreshChains(sliceNames: DataFrame, dimChains: DataFrame,
+                    batchTs: Column): (DataFrame, DataFrame) = {
+    val names = sliceNames.select(col("name")).distinct()
+    val unknown = names.join(dimChains, Seq("name"), "left_anti")
+    val refreshed = dimChains
+      .join(names.withColumn("__touched", lit(1)), Seq("name"), "left")
+      .withColumn("updated_at",
+        when(col("__touched").isNotNull, batchTs).otherwise(col("updated_at")))
+      .drop("__touched")
+      .select(dimChains.columns.map(col): _*)
+    (refreshed, unknown)
+  }
+
   /** SCD-1 dim_tokens upsert with surrogate-id assignment — the
     * set-oriented equivalent of the reference's per-row
     * `INSERT … ON DUPLICATE KEY UPDATE` + id readback (U1+J2;

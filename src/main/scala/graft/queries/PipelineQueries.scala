@@ -205,6 +205,28 @@ object PipelineQueries {
         .orderBy(col("token_id"), col("date"))
     }),
 
+    // dim_chains incremental refresh (SqlDbEtl.py:131-169): distinct
+    // names in the slice touch their dim row; unknown names surface in
+    // the side output (the reference only logs them). region names are
+    // the seeded chains; nation names play the unknown set.
+    "q_chains_refresh" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region")
+      val batchTs = lit("2025-07-01 00:00:00").cast("timestamp")
+      val chains = region.select(col("r_name").as("name"),
+        (col("r_regionkey") + 1).cast("int").as("chain_id"),
+        lit("2025-05-01 00:00:00").cast("timestamp").as("updated_at"))
+      val slice = region.filter(col("r_regionkey") < 3)
+        .select(col("r_name").as("name"))
+        .union(Tables.load(s, dir, "nation").select(col("n_name").as("name")))
+      val (refreshed, unknown) = Warehouse.refreshChains(slice, chains, batchTs)
+      refreshed.select(col("name"), col("chain_id").cast("long").as("chain_id"),
+          (col("updated_at") === batchTs).as("touched"))
+        .unionByName(unknown.select(col("name"),
+          lit(null).cast("long").as("chain_id"),
+          lit(null).cast("boolean").as("touched")))
+        .orderBy(col("name"))
+    }),
+
     "q_stellar_daily" -> ((s, dir) => {
       runStellar(s, dir).factTokenDailyStats.select(
         col("token_id"), col("date").cast("timestamp").as("date"),
@@ -434,6 +456,23 @@ object PipelineQueries {
         |  0.0 AS price_usd, created_at
         |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
         |ORDER BY token_id, date""".stripMargin,
+
+    "q_chains_refresh" ->
+      """WITH chains AS (
+        |  SELECT r_name AS name, r_regionkey + 1 AS chain_id FROM region),
+        |slice AS (
+        |  SELECT DISTINCT name FROM (
+        |    SELECT r_name AS name FROM region WHERE r_regionkey < 3
+        |    UNION ALL
+        |    SELECT n_name FROM nation))
+        |SELECT c.name, CAST(c.chain_id AS BIGINT) AS chain_id,
+        |  s.name IS NOT NULL AS touched
+        |FROM chains c LEFT JOIN slice s ON s.name = c.name
+        |UNION ALL
+        |SELECT s.name, CAST(NULL AS BIGINT) AS chain_id,
+        |  CAST(NULL AS BOOLEAN) AS touched
+        |FROM slice s ANTI JOIN chains c ON c.name = s.name
+        |ORDER BY name""".stripMargin,
 
     "q_stellar_daily" -> (stellarCtes +
       """SELECT token_id, CAST(date AS TIMESTAMP) AS date,
