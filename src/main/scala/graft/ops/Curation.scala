@@ -24,6 +24,22 @@ object Curation {
   def hashBucket(key: Column, nBuckets: Int): Column =
     conv(substring(md5(key), 1, 8), 16, 10).cast("long") % nBuckets
 
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * rows, selected by content-hash bucket (NOT rand()) so the sample
+    * is reproducible across runs/retries and consistent for duplicate
+    * content — the properties a training-data pipeline needs from a
+    * sampler. `rates` maps stratum value → keep fraction (in hundredths
+    * via the bucket compare); absent strata use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val bucket = hashBucket(key, 100)
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(strata === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rateCol * 100)
+  }
+
   /** train/val/test label from a percentage bucket. */
   def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
     when(bucket < trainPct, lit("train"))

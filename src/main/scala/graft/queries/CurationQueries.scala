@@ -44,6 +44,15 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sampling: per-source keep fractions via
+    // content-hash buckets — reproducible across runs, no rand().
+    "q_stratified_sample" -> ((s, dir) => {
+      Curation.stratifiedSample(docs(s, dir), col("source"), col("text"),
+          rates = Map("src0" -> 0.8, "src1" -> 0.1), defaultRate = 0.3)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark contamination: corpus docs sharing any word-8-gram with
     // the (synthetic) benchmark set doc_id % 50 == 0. Benchmark grams
     // dedupe + broadcast; corpus text never shuffles.
@@ -121,6 +130,17 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 0.8
+        |                            WHEN 'src1' THEN 0.1
+        |                            ELSE 0.3 END) * 100
+        |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH bench AS (
