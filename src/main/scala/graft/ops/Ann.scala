@@ -99,10 +99,15 @@ object Ann {
     *
     * At 100 TB: the shuffle key is an int bucket id; only same-bucket
     * vectors ever meet, so cost is Σ bucket² instead of n² — with the
-    * recall/cost dial on (nBits, nTables). Pathological buckets get the
-    * same cap treatment as minhashLshCandidates if needed. */
+    * recall/cost dial on (nBits, nTables). `maxBucket` is the skew
+    * backstop (same posture as Dedup.minhashLshCandidates): a bucket
+    * bigger than the cap — e.g. a mass of zero/padding vectors that
+    * hash identically in every table — contributes NO pairs instead of
+    * an O(bucket²) explosion; route such inputs to cluster-level
+    * handling upstream. */
   def nearDupPairsLsh(vecs: DataFrame, threshold: Double,
-                      nBits: Int = 4, nTables: Int = 12): DataFrame = {
+                      nBits: Int = 4, nTables: Int = 12,
+                      maxBucket: Int = 10000): DataFrame = {
     val banded = vecs.select(col("id"), col("vec"),
         Vectors.l2Norm(col("vec")).as("nrm"),
         explode(Vectors.lshBuckets(col("vec"), nBits, nTables)).as("bucket"))
@@ -110,7 +115,7 @@ object Ann {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_set(
         struct(col("id"), col("vec"), col("nrm")))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     val pairs = buckets
       .select(explode(flatten(transform(col("ms"), (a, i) =>
         transform(slice(col("ms"), i + 2, size(col("ms"))),

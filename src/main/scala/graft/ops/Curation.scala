@@ -28,16 +28,20 @@ object Curation {
     * rows, selected by content-hash bucket (NOT rand()) so the sample
     * is reproducible across runs/retries and consistent for duplicate
     * content — the properties a training-data pipeline needs from a
-    * sampler. `rates` maps stratum value → keep fraction (in hundredths
-    * via the bucket compare); absent strata use `defaultRate`. */
+    * sampler. Rates are INTEGER percents (stratum → percent kept,
+    * absent strata use `defaultPct`): an integer bucket compare has no
+    * float-rounding edge (0.29 * 100 == 28.999…96 in doubles would
+    * silently keep one bucket too few). */
   def stratifiedSample(df: DataFrame, strata: Column, key: Column,
-                       rates: Map[String, Double],
-                       defaultRate: Double): DataFrame = {
+                       ratesPct: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percents must be in [0, 100]")
     val bucket = hashBucket(key, 100)
-    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+    val pctCol = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
       when(strata === k, lit(v)).otherwise(acc)
     }
-    df.filter(bucket < rateCol * 100)
+    df.filter(bucket < pctCol)
   }
 
   /** train/val/test label from a percentage bucket. */
@@ -63,9 +67,9 @@ object Curation {
       .drop("__cum")
   }
 
-  /** Lowercased whitespace tokens (empty strings dropped). */
-  def tokensOf(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens (empty strings dropped) — the same
+    * token definition as graft.expr.Text, not a parallel one. */
+  def tokensOf(text: Column): Column = graft.expr.Text.tokens(lower(text))
 
   /** Distinct word n-grams via the fused native ShingleArray kernel
     * (graft.expr.catalyst) — one tight loop per row, codegen-friendly.
@@ -102,10 +106,17 @@ object Curation {
     * occurrences that duplicate an earlier occurrence; 0 for texts
     * shorter than n tokens. Distinct-gram count comes from the native
     * kernel; the TOTAL occurrence count needs no gram materialization
-    * at all — it is token_count − n + 1 by construction. */
+    * at all — it is token_count − n + 1 by construction.
+    *
+    * The token COUNT must use the kernel's own tokenizer (unfiltered
+    * `split(trim(lower(text)), "\\s+", -1)` — UTF8String.trim strips
+    * spaces only, so a leading tab yields an empty first token the
+    * kernel keeps). Counting with the empty-filtered tokenizer instead
+    * makes the denominator smaller than the numerator's basis and the
+    * ratio can go negative on such inputs. */
   def withDupNgramRatio(df: DataFrame, text: Column, n: Int,
                         outCol: String): DataFrame =
-    df.withColumn("__n_toks", size(tokensOf(text)))
+    df.withColumn("__n_toks", size(split(trim(lower(text)), "\\s+", -1)))
       .withColumn("__n_distinct", size(wordNgrams(text, n)))
       .withColumn(outCol,
         when(col("__n_toks") >= n,

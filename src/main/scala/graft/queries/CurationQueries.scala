@@ -48,7 +48,7 @@ object CurationQueries {
     // content-hash buckets — reproducible across runs, no rand().
     "q_stratified_sample" -> ((s, dir) => {
       Curation.stratifiedSample(docs(s, dir), col("source"), col("text"),
-          rates = Map("src0" -> 0.8, "src1" -> 0.1), defaultRate = 0.3)
+          ratesPct = Map("src0" -> 80, "src1" -> 10), defaultPct = 30)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -94,8 +94,11 @@ object CurationQueries {
 
   private val toks =
     raw"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"
+  // the ShingleArray kernel tokenizes WITHOUT the empty filter
+  // (split(trim(lower(text)), '\s+', -1)) — oracle restatements of
+  // kernel-backed grams must match it, same as q_ngram_jaccard's.
   private val toksLower =
-    raw"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0)"
+    raw"regexp_split_to_array(trim(lower(text)), '\s+')"
 
   /** Word n-gram list (distinct) from a token-list expression —
     * matches the ShingleArray kernel semantics: short texts fall back
@@ -137,9 +140,9 @@ object CurationQueries {
         |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |SELECT doc_id, source FROM b
-        |WHERE bucket < (CASE source WHEN 'src0' THEN 0.8
-        |                            WHEN 'src1' THEN 0.1
-        |                            ELSE 0.3 END) * 100
+        |WHERE bucket < CASE source WHEN 'src0' THEN 80
+        |                           WHEN 'src1' THEN 10
+        |                           ELSE 30 END
         |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->

@@ -32,6 +32,16 @@ object FileSource {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** Result of a quarantine read; call `unpersist()` once both frames
+    * are consumed — the underlying parse is cached so good/quarantined
+    * don't scan the input twice, and the cache must not outlive the
+    * batch (a per-batch caller that never unpersists pins every ingest
+    * in executor storage for the application lifetime). */
+  case class QuarantineRead(good: DataFrame, quarantined: DataFrame,
+                            private val raw: DataFrame) {
+    def unpersist(): Unit = { raw.unpersist(); () }
+  }
+
   /** Quarantine read: PERMISSIVE parse with the corrupt raw line
     * captured, split into (good, quarantined) frames — the production
     * posture when one bad row must not kill a 100 TB ingest but must
@@ -39,7 +49,7 @@ object FileSource {
     * without the silent-drop). `good` carries the declared schema;
     * `quarantined` carries the raw offending line for replay/triage. */
   def readJsonLinesQuarantine(spark: SparkSession, path: String,
-                              schema: StructType): (DataFrame, DataFrame) = {
+                              schema: StructType): QuarantineRead = {
     val corruptCol = "_corrupt_record"
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(corruptCol,
@@ -56,6 +66,6 @@ object FileSource {
       .drop(corruptCol)
     val bad = raw.filter(raw(corruptCol).isNotNull)
       .select(raw(corruptCol).as("raw_line"))
-    (good, bad)
+    QuarantineRead(good, bad, raw)
   }
 }

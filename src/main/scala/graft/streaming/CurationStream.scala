@@ -17,16 +17,19 @@ import graft.ops.Curation
 object CurationStream {
 
   /** doc frame (batch OR stream) → curated frame: quality + language +
-    * repetition + split columns, filtered to the keepable band. */
+    * repetition + split columns, filtered to the keepable band. Buckets
+    * are fixed at 100 (percent grain) because the split thresholds are
+    * percents — a configurable bucket count silently skews the
+    * 90/5/5 split. */
   def curate(docs: DataFrame, textCol: Column,
              minQuality: Double = 0.2, maxDupRatio: Double = 0.5,
-             nBuckets: Int = 100): DataFrame = {
+             trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     val scored = Curation
       .withDupNgramRatio(docs, textCol, 5, "dup5_ratio")
       .withColumn("quality", Text.qualityScore(textCol))
       .withColumn("lang_pred", Text.langId(textCol))
-      .withColumn("bucket", Curation.hashBucket(textCol, nBuckets))
-      .withColumn("split", Curation.splitLabel(col("bucket"), 90, 5))
+      .withColumn("bucket", Curation.hashBucket(textCol, 100))
+      .withColumn("split", Curation.splitLabel(col("bucket"), trainPct, valPct))
     scored.filter(col("quality") >= minQuality
       && col("dup5_ratio") <= maxDupRatio)
   }

@@ -85,7 +85,8 @@ class CurationSpec extends SparkSpec {
     // 6 tokens "a b a b a b": 5-grams = "a b a b a", "b a b a b" -> 2
     // distinct of 2 -> ratio 0; "a a a a a a": grams both "a a a a a"
     // -> 1 distinct of 2 -> ratio 0.5; short text -> 0
-    val df = Seq((1L, "a b a b a b"), (2L, "a a a a a a"), (3L, "tiny"))
+    val df = Seq((1L, "a b a b a b"), (2L, "a a a a a a"), (3L, "tiny"),
+        (4L, "\ta b c d e"))  // leading tab: kernel keeps the empty token
       .toDF("id", "text")
     val got = Curation.withDupNgramRatio(df, col("text"), 5, "r")
       .select(col("id"), col("r"))
@@ -93,5 +94,22 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) === 0.0)
     assert(got(2L) === 0.5)
     assert(got(3L) === 0.0)
+    // regression: denominator uses the kernel's tokenizer, so the ratio
+    // stays in [0, 1] even when leading whitespace yields empty tokens
+    assert(got(4L) >= 0.0 && got(4L) <= 1.0)
+  }
+
+  test("stratifiedSample: integer-percent cut, deterministic, per-stratum") {
+    val df = (1 to 1000).map(i => (i.toLong, s"s${i % 2}", s"content $i"))
+      .toDF("id", "stratum", "text")
+    val kept = Curation.stratifiedSample(df, col("stratum"), col("text"),
+      ratesPct = Map("s0" -> 100, "s1" -> 0), defaultPct = 50)
+    val bySt = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySt("s0") === 500)        // 100% of stratum s0
+    assert(!bySt.contains("s1"))      // 0% of stratum s1
+    // deterministic across evaluations
+    assert(kept.count() === Curation.stratifiedSample(df, col("stratum"),
+      col("text"), Map("s0" -> 100, "s1" -> 0), 50).count())
   }
 }

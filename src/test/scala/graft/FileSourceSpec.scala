@@ -34,11 +34,13 @@ class FileSourceSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "part-corrupt.json"),
       "this is not json\n{\"n_nationkey\": \"NaNkey\"}\n")
-    val (good, bad) = FileSource.readJsonLinesQuarantine(spark, dir, nation.schema)
-    assert(good.schema === nation.schema)
-    assert(good.count() === nation.count())
-    assert(bad.count() === 2)
-    assert(bad.collect().map(_.getString(0)).exists(_.contains("not json")))
+    val q = FileSource.readJsonLinesQuarantine(spark, dir, nation.schema)
+    try {
+      assert(q.good.schema === nation.schema)
+      assert(q.good.count() === nation.count())
+      assert(q.quarantined.count() === 2)
+      assert(q.quarantined.collect().map(_.getString(0)).exists(_.contains("not json")))
+    } finally q.unpersist()
   }
 
   test("FAILFAST surfaces corrupt rows instead of nulling them") {
