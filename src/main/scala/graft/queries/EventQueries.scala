@@ -66,6 +66,9 @@ object EventQueries {
         row_number().over(byOrder).cast("long").as("rn"),
         rank().over(byDay).cast("long").as("rnk"),
         dense_rank().over(byDay).cast("long").as("drnk"),
+        ntile(4).over(byOrder).cast("long").as("quartile"),
+        percent_rank().over(byDay).as("pct_rnk"),
+        cume_dist().over(byDay).as("cume"),
         lag(col("o_totalprice"), 1).over(byOrder).as("prev_price"),
         decd(sum(dec(col("o_totalprice")))
           .over(byOrder.rowsBetween(-2, 0))).as("mov3_sum"))
@@ -222,6 +225,9 @@ object EventQueries {
         |  ROW_NUMBER() OVER w AS rn,
         |  RANK() OVER d AS rnk,
         |  DENSE_RANK() OVER d AS drnk,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER d AS pct_rnk,
+        |  CUME_DIST() OVER d AS cume,
         |  LAG(o_totalprice, 1) OVER w AS prev_price,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
         |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3_sum
