@@ -15,6 +15,8 @@ import graft.expr.catalyst._
   *   graft_minhash_sig(text, n, k) MinHash signature array
   *   graft_lsh_buckets(v, b, t)    multi-table LSH bucket ids
   *   graft_q96_ratio(sp)           (sp/2^96)² at 50-digit context
+  *   graft_shingles(text, n)       distinct word n-gram shingles
+  *   graft_simhash64(text)         64-bit SimHash fingerprint
   *   graft_top_k(struct(s, id), k) bounded argmax-k aggregate
   *
   * Enable with `.withExtensions(new GraftExtensions)` or
@@ -44,6 +46,11 @@ object GraftFunctions {
         intArg(args(1), "graft_lsh_buckets"), intArg(args(2), "graft_lsh_buckets"))),
     ("graft_q96_ratio", "graft_q96_ratio(sqrtPriceX96) - Q64.96 price ratio",
       args => Q96Ratio(args(0))),
+    ("graft_shingles",
+      "graft_shingles(text, n) - distinct word n-gram shingles",
+      args => ShingleArray(args(0), intArg(args(1), "graft_shingles"))),
+    ("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash fingerprint",
+      args => SimHash64(args(0))),
     ("graft_top_k", "graft_top_k(struct(score, id), k) - bounded top-k by score",
       args => TopKByScore(args(0), intArg(args(1), "graft_top_k"))
         .toAggregateExpression()))

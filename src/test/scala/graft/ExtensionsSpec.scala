@@ -37,6 +37,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
   }
 
+  test("graft_shingles / graft_simhash64 SQL == Column API") {
+    val d = schema.Tables.load(gspark, sfDir, "documents").limit(50)
+    d.createOrReplaceTempView("docs_sh")
+    val sql = gspark.sql(
+      "SELECT doc_id, graft_shingles(text, 3) AS sh, graft_simhash64(text) AS h FROM docs_sh")
+    val api = d.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"),
+      Dedup.simhash64(col("text")).as("h"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
   test("graft_q96_ratio SQL: 2^96 -> exactly 1") {
     val got = gspark.sql(
       "SELECT graft_q96_ratio(CAST('79228162514264337593543950336' AS DECIMAL(38,0))) AS r")
