@@ -219,6 +219,34 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // T1/T2/T5 lifecycle made driver-visible: the whole range processed
+    // as THREE half-open watermark slices, each merged into the keyed
+    // state with Merge.upsert, the middle slice applied TWICE (an
+    // at-least-once replay). Because slices partition the (custkey,
+    // date) grain and upserts are idempotent, the final state must
+    // equal the one-shot whole-range aggregate — which is exactly what
+    // the oracle computes.
+    "q_incremental_replay" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val orders = t(s, dir, "orders")
+      def daily(df: DataFrame): DataFrame = df
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("date"))
+        .agg(decd(sum(dec(col("o_totalprice")))).as("volume"),
+          count(lit(1)).as("n_orders"))
+      val cuts = Seq("1970-01-01 00:00:00", "1996-01-01 00:00:00",
+        "1999-01-01 00:00:00", "2999-01-01 00:00:00").map(Timestamp.valueOf)
+      val slices = cuts.sliding(2).map { case Seq(lo, hi) =>
+        daily(graft.ops.Incremental.slice(orders, col("o_orderdate"), lo, hi))
+      }.toSeq
+      val replayed = Seq(slices(0), slices(1), slices(1), slices(2))
+      val empty = daily(orders.limit(0))
+      replayed.foldLeft(empty)(
+          Merge.upsert(_, _, Seq("o_custkey", "date"), Seq("volume", "n_orders")))
+        .select(col("o_custkey"), col("date").cast("timestamp").as("date"),
+          col("volume"), col("n_orders"))
+        .orderBy(col("o_custkey"), col("date"))
+    }),
+
     // The reference's N+1 per-row lookup (SURVEY §3.1 step 5) written as
     // the correlated scalar subquery it semantically is — Catalyst's
     // RewriteCorrelatedScalarSubquery decorrelates it into one aggregate
@@ -382,6 +410,13 @@ object SparkEntry {
         |  CASE WHEN ex.o_custkey IS NOT NULL THEN ex.n_orders ELSE inc.n_orders END AS n_orders
         |FROM ex FULL OUTER JOIN inc ON ex.o_custkey = inc.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_incremental_replay" ->
+      """SELECT o_custkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_custkey, date""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT c_custkey,
