@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.{DriverManager, Timestamp}
+import java.util.Properties
+
+import graft.sources.JdbcSource
+
+/** Offline end-to-end test of the JDBC incremental read against an
+  * embedded in-memory Derby database (ships with the Spark
+  * distribution), closing VERDICT r2 item 2: the previous shape set
+  * `option("dbtable", subquery)` and then called `.jdbc(url, table, …)`,
+  * which overwrote the subquery with the bare table name — the "slice"
+  * silently read the ENTIRE table. This spec would have caught that:
+  * it asserts the returned rows are exactly the half-open (lo, hi]
+  * watermark window, not the full table.
+  *
+  * Derby notes: unquoted DDL identifiers are stored upper-case, and
+  * Spark's Derby dialect double-quotes the partition column in its
+  * generated stride predicates, so the test passes the column name
+  * upper-case.
+  */
+class JdbcSourceSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftjdbc;create=true"
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val seeded: Unit = {
+    // keep derby.log out of the repo root
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby").toString)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE events (id INT, created_at TIMESTAMP)")
+      val ins = conn.prepareStatement("INSERT INTO events VALUES (?, ?)")
+      (1 to 10).foreach { i =>
+        ins.setInt(1, i)
+        ins.setTimestamp(2, ts(f"2025-05-01 ${i - 1}%02d:00:00"))
+        ins.addBatch()
+      }
+      ins.executeBatch()
+      st.close()
+    } finally conn.close()
+  }
+
+  test("incrementalSlice reads exactly the (lo, hi] window, partitioned") {
+    seeded
+    val df = JdbcSource.incrementalSlice(spark, url, "events", "CREATED_AT",
+      lo = ts("2025-05-01 02:00:00"), hi = ts("2025-05-01 06:00:00"),
+      numPartitions = 3, props = new Properties())
+    // rows at hours 3..6 → ids 4..7: strict > lo (id 3 at 02:00 excluded),
+    // inclusive <= hi (id 7 at 06:00 included). The pre-fix bug returned
+    // all 10 rows here.
+    val ids = df.select("ID").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids === Seq(4, 5, 6, 7))
+    assert(df.rdd.getNumPartitions === 3)
+  }
+
+  test("incrementalSlice empty window returns zero rows, not full table") {
+    seeded
+    val df = JdbcSource.incrementalSlice(spark, url, "events", "CREATED_AT",
+      lo = ts("2025-06-01 00:00:00"), hi = ts("2025-06-02 00:00:00"),
+      numPartitions = 2, props = new Properties())
+    assert(df.count() === 0L)
+  }
+
+  test("dimension reads the whole table") {
+    seeded
+    val df = JdbcSource.dimension(spark, url, "events", new Properties())
+    assert(df.count() === 10L)
+  }
+
+  // upsertWrite's ON DUPLICATE KEY UPDATE is MySQL dialect (documented);
+  // Derby can still exercise the append path end-to-end.
+  test("append round-trips through a real connection") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE dims (id INT PRIMARY KEY, name VARCHAR(32))")
+      st.close()
+    } finally conn.close()
+    import spark.implicits._
+    val df = Seq((1, "alpha"), (2, "beta")).toDF("ID", "NAME")
+    JdbcSource.append(df, url, "dims", new Properties())
+    val back = JdbcSource.dimension(spark, url, "dims", new Properties())
+    assert(back.count() === 2L)
+  }
+}
