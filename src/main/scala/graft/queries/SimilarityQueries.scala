@@ -58,10 +58,12 @@ object SimilarityQueries {
     }),
 
     // IVF-Flat ANN (the storage-partitioned scale path): 16 coarse
-    // lists, 4-probe queries — rows-only; recall spec-asserted.
+    // lists trained with 2 Lloyd iterations (DataFrame-native k-means,
+    // VERDICT r2 item 4), 4-probe queries — rows-only; recall
+    // spec-asserted and driver-visible via the _recall twin.
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5)
+      Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, trainIters = 2)
         .select(col("qid"), col("rank"), col("nid"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -80,7 +82,7 @@ object SimilarityQueries {
 
     "q_ann_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      annRecallCheck(Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5), e)
+      annRecallCheck(Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, trainIters = 2), e)
     }),
 
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):

@@ -107,4 +107,78 @@ class TextVectorSpec extends SparkSpec {
     val mean = recall.sum / recall.size
     assert(mean >= 0.4, s"mean IVF recall@5 = $mean")
   }
+
+  /** Planted-cluster fixture ADVERSARIAL for first-K seeding: 3
+    * orthogonal clusters (one-hot centers e0/e1/e2), id→cluster chosen
+    * so the first-3-by-id seed covers only clusters {0, 0, 1} — cluster
+    * 2 gets no seed. Cluster-2 members carry a ±0.35 bias toward e0
+    * (even ids) or e1 (odd ids), so under the degenerate seed the
+    * cluster SPLITS across lists (evens land with cluster 0, odds with
+    * cluster 1) and single-probe recall cannot reach 1; Lloyd
+    * iterations must discover an e2-dominant centroid to reunite it. */
+  private def plantedClusters(): org.apache.spark.sql.DataFrame = {
+    val dim = 8
+    val rows = (0L until 90L).map { id =>
+      val cluster = if (id < 2) 0 else if (id == 2) 1 else (id % 3).toInt
+      val biasDim = if (id % 2 == 0) 0 else 1
+      val vec = Array.tabulate(dim) { d =>
+        val base = if (d == cluster) 1.0f else 0.0f
+        val bias = if (cluster == 2 && d == biasDim) 0.35f else 0.0f
+        base + bias + ((id * 31 + d * 7) % 11 - 5).toFloat / 100.0f
+      }
+      (id, vec)
+    }
+    spark.createDataFrame(rows).toDF("id", "vec")
+  }
+
+  /** coverage(c) = best cosine between any centroid and cluster c's
+    * true center — how well a centroid set represents the clusters. */
+  private def minCoverage(cents: org.apache.spark.sql.DataFrame): Double = {
+    val vecs = cents.collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    (0 until 3).map { c =>
+      vecs.map { v =>
+        v(c) / math.sqrt(v.map(x => x * x).sum)
+      }.max
+    }.min
+  }
+
+  test("trainCentroids: Lloyd iterations beat first-K seeding on planted clusters") {
+    val e = plantedClusters()
+    val queries = e.filter($"id" >= 80)  // last 10 ids, all 3 clusters
+    def recallOf(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val brute = graft.ops.Ann.bruteTopK(queries, e, 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val got = ivf.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val r = brute.map { case (q, nn) =>
+        got.getOrElse(q, Set.empty).count(nn.contains).toDouble / nn.size }
+      r.sum / r.size
+    }
+    // the centroid set itself: training must lift the worst-covered
+    // cluster (the seed leaves cluster 2 at bias level ~0.35)
+    val covSeed = minCoverage(graft.ops.Ann.seedCentroids(e, 3))
+    val covTrained = minCoverage(graft.ops.Ann.trainCentroids(e, 3, iters = 3))
+    assert(covTrained > covSeed + 0.2,
+      s"trained min-coverage $covTrained vs seeded $covSeed")
+    // end-to-end: single-probe recall with trained centroids beats the
+    // degenerate seed that splits cluster 2 across lists
+    val seeded = recallOf(graft.ops.Ann.ivfTopK(queries, e, 5,
+      nLists = 3, nProbe = 1))
+    val trained = recallOf(graft.ops.Ann.ivfTopK(queries, e, 5,
+      nLists = 3, nProbe = 1, trainIters = 3))
+    assert(trained >= seeded,
+      s"trained recall $trained < seeded recall $seeded")
+    assert(trained >= 0.85, s"trained recall@5 = $trained")
+  }
+
+  test("trainCentroids: output schema matches seed (float vectors), empty lists survive") {
+    val e = plantedClusters()
+    val trained = graft.ops.Ann.trainCentroids(e, nLists = 3, iters = 2)
+    assert(trained.columns.toSeq === Seq("cid", "cv"))
+    assert(trained.schema("cv").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.FloatType)
+    assert(trained.count() === 3)
+  }
 }
