@@ -116,8 +116,27 @@ object Bench {
     } catch { case _: Throwable => () }
     println(detail)
 
+    // per-query regression gate (VERDICT r2 item 7): compare the
+    // headline pass against the committed clean-run reference; a query
+    // >1.5x its reference AND >0.5 s absolute (so sub-second noise
+    // can't trip it) is flagged in the headline. Best-of-2 already
+    // re-ran it once, so a flag is a real regression, not contention.
+    val refFile = new java.io.File("BENCH_REF.txt")
+    val ref: Map[String, Double] =
+      if (refFile.isFile) {
+        val src = scala.io.Source.fromFile(refFile)
+        try src.getLines().map(_.trim.split("\\s+"))
+          .collect { case Array(n, v) => n -> v.toDouble }.toMap
+        finally src.close()
+      } else Map.empty
+    val regressions = results.collect {
+      case (n, t) if t >= 0 && ref.get(n).exists(r => t > r * 1.5 && t - r > 0.5) =>
+        f"$n:${t / ref(n)}%.1fx"
+    }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errJson,"regressions":$regJson}""")
     System.out.flush()
     spark.stop()
   }

@@ -73,4 +73,40 @@ object Scale {
     }
     arranged.write.mode("overwrite").partitionBy(dateCol).parquet(path)
   }
+
+  /** Incremental variant of `writeDatePartitioned` (VERDICT r2 item 5):
+    * rewrites ONLY the date partitions present in `df`, leaving every
+    * other date directory untouched on disk — the property that makes
+    * daily fact merges O(day), not O(table), at 100 TB. Implemented via
+    * Spark's dynamic partition overwrite (`partitionOverwriteMode=
+    * dynamic`), scoped to this one write and restored afterwards so the
+    * session-level setting (default `static`, where mode("overwrite")
+    * truncates the whole path) is never silently changed.
+    *
+    * Typical daily cycle: read back ONLY the touched dates
+    * (partition-pruned scan), `Merge.upsert` the new slice into them,
+    * then write the merged result here — untouched history is never
+    * read or written. */
+  def overwriteTouchedDates(df: DataFrame, path: String, dateCol: String,
+                            keyCol: Option[String] = None,
+                            filesPerPartition: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val arranged = keyCol match {
+        case Some(k) =>
+          df.repartition(filesPerPartition, col(dateCol), col(k))
+            .sortWithinPartitions(col(dateCol), col(k))
+        case None => df.repartition(filesPerPartition, col(dateCol))
+      }
+      arranged.write.mode("overwrite").partitionBy(dateCol).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -33,4 +33,24 @@ object CurationStream {
     scored.filter(col("quality") >= minQuality
       && col("dup5_ratio") <= maxDupRatio)
   }
+
+  /** Stateful exact-dedup for a DOCUMENT stream — the streaming twin of
+    * `Dedup.exactByHash` (VERDICT r2 item 8): key the state on the
+    * 32-byte sha2 of the content (never the text itself — same shuffle
+    * posture as batch), keep the first arrival per hash, and bound the
+    * state store with an event-time watermark on `tsCol`: a duplicate
+    * arriving within `lateness` of the original is dropped; state older
+    * than the watermark is evicted, so re-crawls separated by more than
+    * the lateness window re-admit one copy (the documented semantics of
+    * `dropDuplicatesWithinWatermark` — unbounded-history dedup belongs
+    * in the nightly batch pass over the accumulated corpus).
+    *
+    * Equivalence to batch (spec-asserted): for in-window duplicates,
+    * stream output == `Dedup.exactByHash` with arrival-order tiebreak. */
+  def dedupByContent(docs: DataFrame, textCol: Column, tsCol: String,
+                     lateness: String): DataFrame =
+    docs.withColumn("__h", sha2(textCol, 256))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
 }

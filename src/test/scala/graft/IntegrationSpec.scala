@@ -69,4 +69,51 @@ class IntegrationSpec extends SparkSpec {
     assert(wh.factYieldStats.count() === 2)
     assert(ctl.lastRun("site").get === ts("2025-05-01 01:30:00"))
   }
+
+  test("overwriteTouchedDates: single-date incremental merge leaves other date dirs byte-identical") {
+    val dir = Files.createTempDirectory("graft-dyn-ow").toString
+    val full = Seq(
+      ("2025-05-01", 1L, 10.0), ("2025-05-01", 2L, 20.0),
+      ("2025-05-02", 1L, 11.0), ("2025-05-03", 1L, 12.0)
+    ).toDF("date", "token_id", "v")
+    Scale.writeDatePartitioned(full, dir, "date", keyCol = Some("token_id"))
+
+    // fingerprint every file under the dirs that must NOT be rewritten
+    def fingerprints(date: String): Map[String, (Long, String)] = {
+      val d = new java.io.File(s"$dir/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = Files.readAllBytes(f.toPath)
+        val md = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        f.getName -> (f.lastModified() -> md.map("%02x".format(_)).mkString)
+      }.toMap
+    }
+    val before01 = fingerprints("2025-05-01")
+    val before03 = fingerprints("2025-05-03")
+    assert(before01.nonEmpty && before03.nonEmpty)
+
+    // daily cycle for 2025-05-02 only: prune-read the touched date,
+    // merge the new slice in, write back just that partition
+    val touched = spark.read.parquet(dir).filter($"date" === "2025-05-02")
+      .select("date", "token_id", "v")
+    val slice = Seq(("2025-05-02", 1L, 99.0), ("2025-05-02", 7L, 70.0))
+      .toDF("date", "token_id", "v")
+    val merged = ops.Merge.upsert(touched, slice,
+      keys = Seq("date", "token_id"), updateCols = Seq("v"))
+    Scale.overwriteTouchedDates(merged, dir, "date", keyCol = Some("token_id"))
+
+    // untouched date dirs: same files, same bytes, same mtimes
+    assert(fingerprints("2025-05-01") === before01)
+    assert(fingerprints("2025-05-03") === before03)
+    // touched date carries the merged content; table-wide read agrees
+    val after = spark.read.parquet(dir)
+      .select($"date".cast("string"), $"token_id", $"v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(after === Set(
+      ("2025-05-01", 1L, 10.0), ("2025-05-01", 2L, 20.0),
+      ("2025-05-02", 1L, 99.0), ("2025-05-02", 7L, 70.0),
+      ("2025-05-03", 1L, 12.0)))
+    // the scoped dynamic mode did not leak into the session
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      .equalsIgnoreCase("static"))
+  }
 }

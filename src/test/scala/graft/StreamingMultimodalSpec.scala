@@ -147,6 +147,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful content dedup stream equals batch exactByHash on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    // two distinct texts, each duplicated (different doc ids), plus a
+    // unique doc; arrival order == doc_id order so the batch tiebreak
+    // (min doc_id) and the stream's keep-first-arrival rule coincide
+    val docsData = Seq(
+      (1L, "the quick brown fox", ts("2025-05-01 10:00:00")),
+      (2L, "an entirely different document", ts("2025-05-01 10:01:00")),
+      (3L, "the quick brown fox", ts("2025-05-01 10:02:00")),
+      (4L, "an entirely different document", ts("2025-05-01 10:03:00")),
+      (5L, "a third unique text", ts("2025-05-01 10:04:00")))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = streaming.CurationStream
+      .dedupByContent(mem.toDF().toDF("doc_id", "text", "ts"),
+        col("text"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(docsData.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docsData.drop(2): _*)   // dups arrive in a LATER micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("content_dedup")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val batch = graft.ops.Dedup.exactByHash(
+          docsData.toDF("doc_id", "text", "ts"), "text", col("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed === Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("multimodal: resize clamps the long side, preserves aspect floor") {
     val df = Seq((1L, 640, 480), (2L, 100, 50)).toDF("id", "w", "h")
       .select(col("id"), struct(col("w").as("width"), col("h").as("height"),

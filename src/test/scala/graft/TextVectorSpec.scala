@@ -172,6 +172,28 @@ class TextVectorSpec extends SparkSpec {
     assert(trained >= 0.85, s"trained recall@5 = $trained")
   }
 
+  test("nearDupPairsLsh: planted oversized bucket emits no pairs, bucket rows carry only ids") {
+    // 40 identical all-ones vectors: same bucket in every LSH table ->
+    // one giant bucket that must be dropped by the maxBucket backstop;
+    // ids 1/2 are a genuine near-dup pair in a distinct direction
+    val dim = 8
+    val rows =
+      Seq((1L, Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.01f)),
+          (2L, Array.tabulate(dim)(d => if (d == 0) 0.98f else 0.012f))) ++
+      (100L until 140L).map(id => (id, Array.fill(dim)(1.0f)))
+    val vecs = spark.createDataFrame(rows).toDF("id", "vec")
+    val pairs = graft.ops.Ann.nearDupPairsLsh(vecs, threshold = 0.9, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)) || pairs.contains((1L, 2L)),
+      s"true near-dup pair missing from $pairs")
+    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L },
+      s"oversized bucket leaked pairs: $pairs")
+    // raising the cap re-admits the planted bucket's pairs
+    val uncapped = graft.ops.Ann.nearDupPairsLsh(vecs, threshold = 0.9, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 40 * 39 / 2)
+  }
+
   test("trainCentroids: output schema matches seed (float vectors), empty lists survive") {
     val e = plantedClusters()
     val trained = graft.ops.Ann.trainCentroids(e, nLists = 3, iters = 2)
