@@ -90,6 +90,19 @@ object Ann {
     cents
   }
 
+  /** k-means cluster assignment: train (or take) centroids, assign
+    * every vector to its nearest list by cosine → (id, cid). The
+    * clustering counterpart of ivfTopK's build step, surfaced for
+    * corpus organization (topic bucketing, per-cluster sampling,
+    * cluster-stratified dedup). Broadcast centroids, no corpus
+    * shuffle — embarrassingly parallel at any scale. */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int = 3,
+                   centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val cents = centroidsOverride.getOrElse(trainCentroids(vecs, k, iters))
+    nearestLists(cents, vecs.select(col("id"), col("vec")), "id", "vec", 1)
+      .select(col("id"), col("cid"))
+  }
+
   /** Nearest-`n` centroids per vector by cosine — the IVF assign/probe
     * primitive. `cents` is (cid, cv); centroid norms are computed here
     * so seeded and trained centroid frames share one contract. */

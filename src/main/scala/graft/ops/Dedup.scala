@@ -191,6 +191,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ---- near-dup cluster resolution ----
+
+  /** Connected components over a near-dup pair graph — the canonical-
+    * representative step every dedup pipeline needs after pair
+    * generation (keep one doc per component, drop the rest). Input is
+    * any (id_a, id_b) pair frame (minhashLshPairs, simhashPairs,
+    * Ann.nearDupPairsLsh); output is (id, rep, cluster_size) where
+    * `rep` is the component's minimum id — the deterministic canonical
+    * pick — and only ids that appear in some pair are returned
+    * (singleton docs are their own representative by definition).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — each
+    * round every node takes the min of its own label and its
+    * neighbors'; converges in O(graph diameter) rounds. Near-dup
+    * graphs are dense local clumps with tiny diameters (a transitive
+    * chain of near-identical docs), so rounds stay in single digits at
+    * any corpus size; each round is one shuffle of (id, label) pairs —
+    * the text never moves. Labels are localCheckpointed per round: the
+    * convergence check needs an action anyway, and an uncheckpointed
+    * loop would re-execute every prior round's joins each iteration
+    * (lineage grows quadratically). For graphs with genuinely large
+    * diameters, the large-star/small-star variant (Kiveris et al.)
+    * halves round count; near-dup graphs do not need it. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    // min-labels only ever decrease, so sum(rep) strictly decreases
+    // until fixpoint — one scalar agg per round as the convergence test
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("rep")).as("nbr_rep"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("rep")).select(col("id"), col("rep"), col("cluster_size"))
+  }
+
   /** 64-bit SimHash over word tokens: per-bit majority vote of each
     * token's xxhash64 bits. Fused kernel (graft.expr.catalyst.SimHash64)
     * — the declarative formulation below runs 64 interpreted aggregate

@@ -132,6 +132,37 @@ object SimilarityQueries {
           (count(lit(1)) >= 1).as("has_pairs"))
     }),
 
+    // k-means corpus clustering with a driver-visible quality gate
+    // (assertion-oracle pattern, same as the ANN recall twins): train
+    // 10 centroids with 3 Lloyd iterations (DataFrame-native k-means),
+    // assign every embedding, and score the clustering OBJECTIVE —
+    // mean cosine of each vector to its assigned centroid — for both
+    // the trained and the naive first-K-seeded centroid sets. Lloyd
+    // updates monotonically improve this objective (fixture vectors
+    // are unit-norm, so the mean update == the spherical k-means
+    // step), so `objective_improved` is deterministic. Fixture labels
+    // are NOT the gate: measured separability is weak (true-label
+    // centroids only reach 0.41 purity), so a label-purity assertion
+    // would test the fixture, not the operator.
+    "q_kmeans_quality" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      def meanObjective(cents: DataFrame): DataFrame =
+        Ann.kmeansAssign(e, k = 10, centroidsOverride = Some(cents))
+          .join(e, Seq("id"))
+          .join(cents.select(col("cid"), col("cv")), Seq("cid"))
+          .agg(avg(Vectors.cosine(col("vec"), col("cv"))).as("obj"),
+            countDistinct(col("cid")).as("k_used"),
+            count(lit(1)).as("n"))
+      val seeded = meanObjective(Ann.seedCentroids(e, 10))
+        .select(col("obj").as("obj_seed"), col("n").as("n_seed"))
+      val trained = meanObjective(Ann.trainCentroids(e, 10, iters = 3))
+      trained.join(broadcast(seeded))
+        .select(
+          col("n").cast("long").as("n_vectors"),
+          (col("k_used") >= 5).as("clusters_nondegenerate"),
+          (col("obj") >= col("obj_seed")).as("objective_improved"))
+    }),
+
     // Centroid distance per cluster label: grouped vector aggregation —
     // euclidean distance of each vector to its label's first member
     // (deterministic representative), exercising l2Sq at scale shape.
@@ -208,6 +239,10 @@ object SimilarityQueries {
 
     "q_embed_neardup_lsh" ->
       "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",
+
+    "q_kmeans_quality" ->
+      """SELECT count(*) AS n_vectors, TRUE AS clusters_nondegenerate,
+        |  TRUE AS objective_improved FROM embeddings""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH v AS (

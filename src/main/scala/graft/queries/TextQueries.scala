@@ -86,6 +86,17 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup CLUSTER resolution (the step after pair generation):
+    // connected components over the MinHash-LSH pair graph, min-id
+    // canonical representative per component — deduplication keeps one
+    // doc per cluster. Min-label propagation, O(diameter) rounds, one
+    // (id, label) shuffle per round; text never moves.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, k = 12, bandRows = 2)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
+
     // Exact 3-gram Jaccard on a deterministic pair set (consecutive ids) —
     // verifies the similarity-confirm stage that runs on LSH candidates.
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -270,6 +281,34 @@ object TextQueries {
            |FROM banded a JOIN banded b
            |  ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
            |ORDER BY id_a, id_b""".stripMargin,
+
+    // same pair derivation as q_lsh_pairs, then components via a
+    // recursive CTE: reach(id, r) = all labels reachable from id;
+    // min(r) per id == the min-label fixpoint Spark computes.
+    "q_dedup_clusters" ->
+      raw"""${toksCte.replaceFirst("WITH", "WITH RECURSIVE")},
+           |sig AS (
+           |  SELECT doc_id, $sig12 AS sig
+           |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep)
+           |SELECT lab.id, lab.rep, sz.cluster_size
+           |FROM lab JOIN sz USING (rep) ORDER BY id""".stripMargin,
 
     "q_ngram_jaccard" ->
       raw"""$toksCte,

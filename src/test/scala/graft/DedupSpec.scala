@@ -112,6 +112,29 @@ class DedupSpec extends SparkSpec {
     assert((pairs -- planted).size <= 5, s"false pairs: ${pairs -- planted}")
   }
 
+  test("connectedComponents: chains collapse to min-id reps, components stay separate") {
+    // component A: a 4-chain given as scrambled, redundant pairs;
+    // component B: one pair; id 99 appears nowhere (singleton -> absent)
+    val pairs = Seq(
+      (3L, 4L), (2L, 3L), (1L, 2L), (4L, 1L), // chain + a redundant closing edge
+      (11L, 10L)
+    ).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("connectedComponents: long path needs multiple propagation rounds") {
+    // a 17-node path 0-1-...-16: min label must travel the full diameter
+    val pairs = (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 17)
+    assert(out.forall { case (_, rep, size) => rep === 0L && size === 17L })
+  }
+
   test("simhash64: near-dups within small hamming distance, unrelated far") {
     val df = corpus().toDF("doc_id", "text")
     val h = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
