@@ -215,9 +215,13 @@ object Dedup {
     * diameters, the large-star/small-star variant (Kiveris et al.)
     * halves round count; near-dup graphs do not need it. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // edges are re-joined every round: checkpoint ONCE so the (possibly
+    // expensive) pair-generation lineage upstream runs once, not
+    // once-per-round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
       .localCheckpoint()
