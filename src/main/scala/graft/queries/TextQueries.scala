@@ -36,6 +36,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Global vocabulary head: corpus-wide token frequencies, top-20 by
+    // count (token asc tiebreak) — the vocabulary-building primitive
+    // (BPE corpus prep, stopword audits). Map-side partial counts mean
+    // only (token, partial_count) pairs shuffle — vocabulary-sized,
+    // not corpus-sized; the head is a bounded TakeOrdered, no global
+    // sort materialization.
+    "q_vocab_topk" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(Text.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+
     // Language-ID heuristic (argmax of per-language stopword hits; ties →
     // lexicographically greatest lang; zero evidence → 'und').
     "q_lang_id" -> ((s, dir) => {
@@ -215,6 +229,14 @@ object TextQueries {
            |         / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
            |    ELSE 0.0 END AS stop_ratio
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      raw"""WITH toks AS (
+           |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |                t -> len(t) > 0)) AS token
+           |  FROM documents)
+           |SELECT token, COUNT(*) AS cnt FROM toks
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "q_lang_id" ->
       raw"""WITH toks AS (

@@ -89,4 +89,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(source"),
       "cumsum window must partition by the shard column\n" + p)
   }
+
+  test("q_vocab_topk: map-side partial counts, bounded TakeOrdered head") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 head must be a bounded TakeOrdered, not a global sort\n" + p)
+  }
+
+  test("q_kmeans_quality: centroids broadcast, fused dot kernel in the plan") {
+    val p = plan("q_kmeans_quality")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("graft_dot"), "fused dot kernel expected\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "centroid cross joins must broadcast\n" + p)
+  }
 }
