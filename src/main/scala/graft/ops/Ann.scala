@@ -123,7 +123,9 @@ object Ann {
 
   /** IVF-Flat top-k. Centroids come from, in precedence order:
     * `centroidsOverride`, k-means training (`trainIters` > 0), or the
-    * deterministic first-K-by-id seed. */
+    * deterministic first-K-by-id seed. An override must be a
+    * (cid, cv) frame — the shape `seedCentroids`/`trainCentroids`
+    * produce (NOT the corpus (id, vec) shape of earlier versions). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
               trainIters: Int = 0,
@@ -181,9 +183,7 @@ object Ann {
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     val idPairs = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
       .select(col("p.*"))
       .dropDuplicates("id_a", "id_b")
     val v = vecs.select(col("id"), col("vec"), Vectors.l2Norm(col("vec")).as("nrm"))

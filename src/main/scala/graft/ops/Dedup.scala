@@ -122,9 +122,7 @@ object Dedup {
     // ordered pairs within each capped bucket: ids[i] × ids[i+1..]
     val pairs = buckets
       .filter(size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
     // bounded sample only: a pathological bucket can hold millions of
     // ids — never materialize the full membership in the side output
@@ -134,6 +132,16 @@ object Dedup {
         size(col("ids")).as("n_ids"), slice(col("ids"), 1, 20).as("sample_ids"))
     LshCandidates(pairs, flagged)
   }
+
+  /** Bucket-local no-self-join pair kernel, shared by every LSH-style
+    * candidate generator (minhash text buckets, hyperplane vector
+    * buckets): a SORTED id array → array of (id_a < id_b) structs via
+    * ids[i] × ids[i+1..] combinatorics. One definition so a bounds fix
+    * can never silently miss a copy. */
+  def pairsFromSortedIds(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
 
   /** Pairs-only convenience (uncapped) — see minhashLshCandidates. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
@@ -214,37 +222,63 @@ object Dedup {
     * (lineage grows quadratically). For graphs with genuinely large
     * diameters, the large-star/small-star variant (Kiveris et al.)
     * halves round count; near-dup graphs do not need it. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // eager localCheckpoints materialize each round; track the RDD ids
+    // each checkpoint creates so superseded rounds can be freed
+    // immediately (the leak class that degraded BENCH_r03/r04) instead
+    // of waiting for context-cleaner GC
+    def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     // edges are re-joined every round: checkpoint ONCE so the (possibly
     // expensive) pair-generation lineage upstream runs once, not
     // once-per-round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+    val (edges, edgeIds) = trackedCheckpoint(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var (labels, labelIds) = trackedCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("rep")))
     // min-labels only ever decrease, so sum(rep) strictly decreases
     // until fixpoint — one scalar agg per round as the convergence test
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0)
+    // (ZERO for the empty graph: zero pairs in → zero rows out, no loop)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("rep")).as("nbr_rep"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .localCheckpoint()
+      val (next, nextIds) = trackedCheckpoint(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep")))
+      free(labelIds)
+      labels = next; labelIds = nextIds
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
+    free(edgeIds)
+    // an unconverged result is silently-wrong dedup (one component
+    // reported as several, wrong reps/sizes) — fail loudly instead;
+    // callers with genuinely deep graphs raise maxIter
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          s"graph diameter exceeds maxIter; raise maxIter")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("rep")).select(col("id"), col("rep"), col("cluster_size"))
   }

@@ -64,7 +64,14 @@ object Scale {
     * keys keep the daily merges shuffle-local. */
   def writeDatePartitioned(df: DataFrame, path: String, dateCol: String,
                            keyCol: Option[String] = None,
-                           filesPerPartition: Int = 1): Unit = {
+                           filesPerPartition: Int = 1): Unit =
+    arrangedWrite(df, path, dateCol, keyCol, filesPerPartition)
+
+  /** Shared arrange+write for the static and dynamic overwrite paths —
+    * one definition so the two layouts can never desynchronize. */
+  private def arrangedWrite(df: DataFrame, path: String, dateCol: String,
+                            keyCol: Option[String],
+                            filesPerPartition: Int): Unit = {
     val arranged = keyCol match {
       case Some(k) =>
         df.repartition(filesPerPartition, col(dateCol), col(k))
@@ -94,15 +101,8 @@ object Scale {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try {
-      val arranged = keyCol match {
-        case Some(k) =>
-          df.repartition(filesPerPartition, col(dateCol), col(k))
-            .sortWithinPartitions(col(dateCol), col(k))
-        case None => df.repartition(filesPerPartition, col(dateCol))
-      }
-      arranged.write.mode("overwrite").partitionBy(dateCol).parquet(path)
-    } finally {
+    try arrangedWrite(df, path, dateCol, keyCol, filesPerPartition)
+    finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)

@@ -126,6 +126,11 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("connectedComponents: empty pair frame returns empty result (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
   test("connectedComponents: long path needs multiple propagation rounds") {
     // a 17-node path 0-1-...-16: min label must travel the full diameter
     val pairs = (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
