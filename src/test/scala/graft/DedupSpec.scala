@@ -140,6 +140,38 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (_, rep, size) => rep === 0L && size === 17L })
   }
 
+  test("property: connectedComponents == driver union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // constructive (no Gen filter — a failed filter aborts the sample)
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 40L); d <- Gen.chooseNum(1L, 40L)
+    } yield { val b = (a + d) % 41; if (a < b) (a, b) else (b, a) }
+    val graphGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, edgeGen))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (0 until 8).foreach { s =>
+      val edges = sample(graphGen, s + 1L).distinct
+      // driver-side union-find truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val sizes = truth.groupBy(_._2).map { case (r, m) => r -> m.size.toLong }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got === truth.map { case (id, r) => id -> (r, sizes(r)) },
+        s"seed $s, edges $edges")
+    }
+  }
+
   test("simhash64: near-dups within small hamming distance, unrelated far") {
     val df = corpus().toDF("doc_id", "text")
     val h = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
