@@ -111,6 +111,25 @@ object TextQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
 
+    // The dedup END PRODUCT: pairs → clusters → keep the single
+    // highest-quality doc per near-dup cluster (quality desc, id asc
+    // tiebreak) — the keep-list a training pipeline actually consumes.
+    // Chains three operators; each stage's shuffle payload stays
+    // (id, small-fixed-width) — text is only read for scoring.
+    "q_dedup_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleSize = 3, k = 12, bandRows = 2)
+      val clusters = Dedup.connectedComponents(pairs)
+      val scored = clusters.join(
+        d.select(col("doc_id").as("id"),
+          Text.qualityScore(col("text")).as("quality")), Seq("id"))
+      Dedup.firstSeen(scored, Seq("rep"), Seq(col("quality").desc, col("id")))
+        .select(col("rep"), col("id").as("keep_id"), col("cluster_size"),
+          col("quality").as("keep_quality"))
+        .orderBy(col("rep"))
+    }),
+
     // Exact 3-gram Jaccard on a deterministic pair set (consecutive ids) —
     // verifies the similarity-confirm stage that runs on LSH candidates.
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -331,6 +350,54 @@ object TextQueries {
            |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep)
            |SELECT lab.id, lab.rep, sz.cluster_size
            |FROM lab JOIN sz USING (rep) ORDER BY id""".stripMargin,
+
+    // q_dedup_clusters components + per-doc quality, best doc per rep
+    "q_dedup_keep" ->
+      raw"""${toksCte.replaceFirst("WITH", "WITH RECURSIVE")},
+           |sig AS (
+           |  SELECT doc_id, $sig12 AS sig
+           |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep),
+           |qc AS (
+           |  SELECT doc_id,
+           |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+           |    CASE WHEN len(text) > 0
+           |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+           |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+           |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+           |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+           |      ELSE 0.0 END AS stop_ratio
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    (len_score + greatest(1.0 - punct_ratio * 5, 0.0) + least(stop_ratio * 4, 1.0)) / 3 AS quality
+           |  FROM qc)
+           |SELECT rep, keep_id, cluster_size, keep_quality FROM (
+           |  SELECT lab.rep, lab.id AS keep_id, sz.cluster_size,
+           |    q.quality AS keep_quality,
+           |    ROW_NUMBER() OVER (PARTITION BY lab.rep
+           |      ORDER BY q.quality DESC, lab.id) AS rn
+           |  FROM lab JOIN sz USING (rep) JOIN q ON q.doc_id = lab.id)
+           |WHERE rn = 1 ORDER BY rep""".stripMargin,
 
     "q_ngram_jaccard" ->
       raw"""$toksCte,
