@@ -143,6 +143,57 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)),
         b => struct(a.as("id_a"), b.as("id_b")))))
 
+  // ---- incremental near-dup (append-only corpus) ----
+
+  /** MinHash-LSH band-index rows for a document frame:
+    * (id, band_id, band_key). The append-only-corpus primitive: at
+    * 100 TB, re-signing the whole corpus per arriving batch is the
+    * anti-pattern — sign each batch ONCE when it arrives, persist these
+    * rows bucketed by band_key, and dedup future batches by probing the
+    * stored index (`incrementalCandidates`) instead of re-pairing the
+    * corpus. Parameters must match across batches for the index to be
+    * coherent (band keys are md5 over signature slices). */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2): DataFrame = {
+    val nBands = k / bandRows
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleSize, k).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bandRows, nBands)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Near-dup candidates for a NEW batch against an EXISTING corpus
+    * band index, plus within-batch candidates: (id_new, id_match, src)
+    * with src = 'corpus' (matched a stored id) or 'batch' (matched
+    * another new doc, id_match < id_new). Corpus-vs-corpus pairs are
+    * deliberately absent — they were resolved when those docs arrived;
+    * that is the whole point of the incremental shape.
+    *
+    * Scale: the batch's band rows are small relative to the corpus —
+    * broadcast them, so the corpus index is probed on the batch's band
+    * keys without shuffling (and with the index stored bucketed by
+    * band_key, the probe is an index lookup, not a scan). Within-batch
+    * pairs use the same bucket-local no-self-join combinatorics as
+    * `minhashLshCandidates`, capped by `maxBucket` with the oversized
+    * buckets dropped (route boilerplate floods to cluster handling). */
+  def incrementalCandidates(batchBands: DataFrame, corpusBands: DataFrame,
+                            maxBucket: Int = 10000): DataFrame = {
+    val vsCorpus = broadcast(
+        batchBands.select(col("id").as("id_new"), col("band_id"), col("band_key")))
+      .join(corpusBands.select(col("id").as("id_match"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select(col("id_new"), col("id_match")).distinct()
+      .withColumn("src", lit("corpus"))
+    val vsBatch = batchBands
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
+      .select(col("p.id_b").as("id_new"), col("p.id_a").as("id_match")).distinct()
+      .withColumn("src", lit("batch"))
+    vsCorpus.unionByName(vsBatch)
+  }
+
   /** Pairs-only convenience (uncapped) — see minhashLshCandidates. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2,

@@ -130,6 +130,29 @@ object TextQueries {
         .orderBy(col("rep"))
     }),
 
+    // INCREMENTAL near-dup — the append-only-corpus production shape:
+    // a new batch (doc_id % 5 == 0) is deduped against the already-
+    // indexed corpus (doc_id % 5 != 0) by probing the corpus's stored
+    // band index with the batch's bands, plus within-batch pairs; the
+    // corpus is never re-signed or re-paired. Candidates then confirm
+    // via exact 3-gram Jaccard (candidate-sized joins only).
+    "q_incr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val cand = Dedup.incrementalCandidates(
+        Dedup.bandIndex(batch, "doc_id", "text", shingleSize = 3, k = 12, bandRows = 2),
+        Dedup.bandIndex(corpus, "doc_id", "text", shingleSize = 3, k = 12, bandRows = 2))
+      val pairs = cand.select(col("id_new").as("id_a"),
+        col("id_match").as("id_b"), col("src"))
+      val j = Dedup.ngramJaccard(d, "doc_id", "text",
+        pairs.select(col("id_a"), col("id_b")), 3)
+      pairs.join(j, Seq("id_a", "id_b"))
+        .select(col("id_a").as("id_new"), col("id_b").as("id_match"),
+          col("src"), col("jaccard"))
+        .orderBy(col("id_new"), col("id_match"))
+    }),
+
     // Exact 3-gram Jaccard on a deterministic pair set (consecutive ids) —
     // verifies the similarity-confirm stage that runs on LSH candidates.
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -398,6 +421,38 @@ object TextQueries {
            |      ORDER BY q.quality DESC, lab.id) AS rn
            |  FROM lab JOIN sz USING (rep) JOIN q ON q.doc_id = lab.id)
            |WHERE rn = 1 ORDER BY rep""".stripMargin,
+
+    // batch = doc_id % 5 = 0 probes the corpus half's band index, plus
+    // within-batch pairs; jaccard confirm on candidates only
+    "q_incr_dedup" ->
+      raw"""$toksCte,
+           |sig AS (
+           |  SELECT doc_id, $sig12 AS sig
+           |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match,
+           |    'corpus' AS src
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key
+           |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           |  UNION ALL
+           |  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_match,
+           |    'batch' AS src
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0),
+           |sh AS (SELECT doc_id, $shingles3 AS sh FROM __tok)
+           |SELECT c.id_new, c.id_match, c.src,
+           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+           |FROM cand c
+           |JOIN sh x ON x.doc_id = c.id_new
+           |JOIN sh y ON y.doc_id = c.id_match
+           |ORDER BY id_new, id_match""".stripMargin,
 
     "q_ngram_jaccard" ->
       raw"""$toksCte,

@@ -172,6 +172,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalCandidates: batch probes corpus index; no corpus-corpus pairs") {
+    val all = corpus().toDF("doc_id", "text")
+    // batch = the planted near-dups (ids 100..109) + one unrelated base
+    // doc; corpus = the rest. Every planted dup must match its original
+    // via the CORPUS index (src=corpus), and ids present only in the
+    // corpus must never appear as id_new.
+    val batchIds = ((100 until 110).map(_.toLong) :+ 30L).toSet
+    val batch = all.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val corp = all.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val cand = Dedup.incrementalCandidates(
+        Dedup.bandIndex(batch, "doc_id", "text"),
+        Dedup.bandIndex(corp, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    cand.foreach { case (idNew, _, _) =>
+      assert(batchIds.contains(idNew), s"corpus id $idNew appeared as id_new") }
+    val corpusMatches = cand.collect { case (n, m, "corpus") => (n, m) }.toSet
+    val planted = (0 until 10).map(i => ((100 + i).toLong, i.toLong))
+    val recall = planted.count(corpusMatches.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"incremental recall $recall, matches: $corpusMatches")
+    // batch-internal pairs carry id_match < id_new and src=batch
+    cand.collect { case (n, m, "batch") => (n, m) }.foreach { case (n, m) =>
+      assert(m < n && batchIds.contains(m), s"bad batch pair ($n, $m)") }
+  }
+
+  test("incrementalCandidates == full-corpus pairs restricted to new ids") {
+    // the incremental result over (corpus, batch) must equal what a full
+    // re-pairing of corpus+batch would say about the batch's ids —
+    // incrementality changes the COST, never the answer
+    val all = corpus().toDF("doc_id", "text")
+    val batchIds = (0 until 70 by 7).map(_.toLong).toSet ++ Set(103L, 106L)
+    val batch = all.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val corp = all.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val incr = Dedup.incrementalCandidates(
+        Dedup.bandIndex(batch, "doc_id", "text"),
+        Dedup.bandIndex(corp, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      // full pairs are (a < b); incremental emits (id_new, id_match)
+      case (a, b) if batchIds.contains(a) && batchIds.contains(b) => (b, a)
+      case (a, b) if batchIds.contains(a) => (a, b)
+      case (a, b) if batchIds.contains(b) => (b, a)
+    }
+    assert(incr === expected)
+  }
+
   test("simhash64: near-dups within small hamming distance, unrelated far") {
     val df = corpus().toDF("doc_id", "text")
     val h = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
