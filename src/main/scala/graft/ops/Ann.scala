@@ -150,6 +150,61 @@ object Ann {
     rank(cand, k)
   }
 
+  /** Persist an IVF-Flat index as a parquet layout: inverted lists
+    * under `path/lists` PARTITIONED BY list id (one directory per
+    * coarse cell) and the centroid table under `path/centroids`. This
+    * is the claim "at 100 TB the lists are the storage partitioning"
+    * made real: a probe that touches nProbe of nLists cells reads
+    * nProbe directories from disk — partition pruning, not a scan —
+    * and the corpus shuffles exactly once, at build time.
+    *
+    * The expensive step (assigning every corpus vector to its nearest
+    * centroid) runs here, once; `probeIvfIndex` then serves any number
+    * of query batches against the layout without touching the corpus
+    * assignment again — the vector-search twin of the band-index
+    * posture in [[Dedup.bandIndex]]. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+                    trainIters: Int = 0,
+                    centroidsOverride: Option[DataFrame] = None): Unit = {
+    val cents = centroidsOverride.getOrElse(
+      if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
+      else seedCentroids(corpus, nLists))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    nearestLists(cents,
+        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)
+      .select(col("nid"), col("nv"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Top-k probe against a persisted [[writeIvfIndex]] layout. The
+    * probed list ids are collected to the driver (≤ |queries|·nProbe
+    * ints — the same bounded-scalar posture as the watermark reads in
+    * ops.Incremental) and pushed as a LITERAL partition filter, so the
+    * lists scan prunes to the probed directories at planning time —
+    * verified by plan assertion in TextVectorSpec. Results are
+    * identical to the in-memory `ivfTopK` with the same centroids. */
+  def probeIvfIndex(queries: DataFrame, path: String, k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probes = nearestLists(cents,
+      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
+    val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").cast("long").isin(cids: _*))
+    val cand = broadcast(
+        probes.select(col("qid"), col("qv"),
+          Vectors.l2Norm(col("qv")).as("qn"), col("cid")))
+      .join(lists.select(col("nid"), col("nv"),
+          Vectors.l2Norm(col("nv")).as("nn"), col("cid").cast("long").as("cid")),
+        Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
+      .dropDuplicates("qid", "nid")
+    rank(cand, k)
+  }
+
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the
     * all-pairs cosine-threshold baseline (q_embed_neardup): candidates
     * are same-bucket vector pairs under multi-table hyperplane LSH,

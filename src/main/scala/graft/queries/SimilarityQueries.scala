@@ -85,6 +85,30 @@ object SimilarityQueries {
       annRecallCheck(Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, trainIters = 2), e)
     }),
 
+    // Persisted-IVF-index round trip with a driver-visible assertion:
+    // build the index as a parquet layout partitioned by list id
+    // (Ann.writeIvfIndex — the corpus's one-time shuffle), then serve
+    // the probe from disk with a LITERAL partition filter (partition
+    // pruning, plan-asserted in TextVectorSpec) and require the answers
+    // to be IDENTICAL to the in-memory ivfTopK with the same centroids.
+    // 8 queries × k=5 → n_results is the deterministic 40 only when
+    // every (qid, rank, nid) triple matches on both paths.
+    "q_ann_ivf_index" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+      Ann.writeIvfIndex(e, path, nLists = 16, trainIters = 2)
+      val probed = Ann.probeIvfIndex(e.filter(col("id") < 8), path, k = 5, nProbe = 4)
+      val cents = s.read.parquet(s"$path/centroids")
+      val mem = Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, nProbe = 4,
+        centroidsOverride = Some(cents))
+      probed.select(col("qid"), col("rank"), col("nid"), lit(1).as("in_idx"))
+        .join(mem.select(col("qid"), col("rank"), col("nid"), lit(1).as("in_mem")),
+          Seq("qid", "rank", "nid"), "full_outer")
+        .agg(count(lit(1)).cast("long").as("n_results"),
+          (sum(when(col("in_idx").isNull || col("in_mem").isNull, 1).otherwise(0)) === 0)
+            .as("index_matches_memory"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
     // all pairs above a cosine threshold, id_a < id_b. Brute-force here
     // (correctness surface); the LSH/IVF candidate pruning above is the
@@ -236,6 +260,9 @@ object SimilarityQueries {
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_ann_ivf_index" ->
+      "SELECT CAST(40 AS BIGINT) AS n_results, TRUE AS index_matches_memory",
 
     "q_embed_neardup_lsh" ->
       "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",

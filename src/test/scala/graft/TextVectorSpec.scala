@@ -108,6 +108,47 @@ class TextVectorSpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall@5 = $mean")
   }
 
+  test("persisted IVF index: partition-pruned probe == in-memory ivfTopK") {
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = e.filter($"id" < 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    graft.ops.Ann.writeIvfIndex(e, path, nLists = 16)
+
+    // one directory per list on disk
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(listDirs.length == 16, s"expected 16 list dirs, got ${listDirs.length}")
+
+    val probed = graft.ops.Ann.probeIvfIndex(queries, path, k = 5, nProbe = 4)
+    // the lists scan must prune to the probed lists at PLANNING time —
+    // a partition filter on cid, not a post-scan filter
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose children aren't visible to collect() before execution
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(scans.nonEmpty, "no file scan over the lists layout found")
+    // keep only the statically-evaluable conjuncts: the join also earns
+    // a DynamicPruningSubquery here, which listFiles cannot evaluate
+    val staticFilters = scans.head.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(staticFilters.nonEmpty,
+      s"lists scan has no static partition filters:\n${scans.head}")
+    val prunedParts = scans.map(_.relation.location
+      .listFiles(staticFilters, Nil).length).max
+    assert(prunedParts < 16, s"probe read $prunedParts of 16 partitions — no pruning")
+
+    // identical answers to the in-memory path with the same centroids
+    val cents = spark.read.parquet(s"$path/centroids")
+    val mem = graft.ops.Ann.ivfTopK(queries, e, k = 5, nProbe = 4,
+        centroidsOverride = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = probed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === mem)
+  }
+
   /** Planted-cluster fixture ADVERSARIAL for first-K seeding: 3
     * orthogonal clusters (one-hot centers e0/e1/e2), id→cluster chosen
     * so the first-3-by-id seed covers only clusters {0, 0, 1} — cluster
