@@ -3,7 +3,7 @@ package graft.expr.catalyst
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §2.11).
   *
@@ -29,6 +29,7 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   protected def getD(dt: DataType, a: ArrayData, i: Int): Double = dt match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
+    case ByteType => a.getByte(i).toDouble
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
@@ -36,17 +37,18 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   protected def getDCode(dt: DataType, arr: String, i: String): String = dt match {
     case FloatType => s"(double) $arr.getFloat($i)"
     case DoubleType => s"$arr.getDouble($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float|double> inputs, " +
+      s"$prettyName requires array<float|double|tinyint> inputs, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 

@@ -150,6 +150,41 @@ object Ann {
     rank(cand, k)
   }
 
+  /** Two-stage int8-quantized top-k: scan the corpus in its QUANTIZED
+    * form (4× less I/O and memory bandwidth than float32 — the scan is
+    * the dominant cost of brute-force similarity at 100 TB), keep the
+    * top k·rerankFactor candidates per query by quantized cosine, then
+    * rerank only those candidates with exact float cosine. Per-vector
+    * scales cancel inside a cosine, so the approximate stage needs no
+    * dequantization; the exact stage's joins are candidate-sized.
+    * Output contract matches bruteTopK: (qid, rank, nid, sim) with
+    * EXACT sims — quantization affects which candidates are considered,
+    * never the reported similarity. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    rerankFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def q8(v: Column): Column = Vectors.quantizeInt8(v).getField("q")
+    val qq = queries.select(col("id").as("qid"), q8(col("vec")).as("qv8"))
+      .withColumn("qn8", sqrt(Vectors.dot(col("qv8"), col("qv8"))))
+    val cq = corpus.select(col("id").as("nid"), q8(col("vec")).as("nv8"))
+      .withColumn("nn8", sqrt(Vectors.dot(col("nv8"), col("nv8"))))
+    val approxTop = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("sim8"), col("nid"))), k * rerankFactor)
+      .toAggregateExpression())
+    val cand = broadcast(qq).join(cq, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        when(col("qn8") > 0 && col("nn8") > 0,
+          Vectors.dot(col("qv8"), col("nv8")) / (col("qn8") * col("nn8"))).as("sim8"))
+      .groupBy(col("qid")).agg(approxTop.as("top"))
+      .select(col("qid"), explode(col("top")).as("entry"))
+      .select(col("qid"), col("entry.id").as("nid"))
+    val qv = queries.select(col("id").as("qid"), col("vec").as("qv"),
+      Vectors.l2Norm(col("vec")).as("qn"))
+    val cv = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+      Vectors.l2Norm(col("vec")).as("nn"))
+    rank(cand.join(broadcast(qv), Seq("qid")).join(cv, Seq("nid")), k)
+  }
+
   /** Persist an IVF-Flat index as a parquet layout: inverted lists
     * under `path/lists` PARTITIONED BY list id (one directory per
     * coarse cell) and the centroid table under `path/centroids`. This

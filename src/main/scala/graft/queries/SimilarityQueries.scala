@@ -85,6 +85,14 @@ object SimilarityQueries {
       annRecallCheck(Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, trainIters = 2), e)
     }),
 
+    // int8-quantized two-stage scan (approximate candidate stage over
+    // 4×-smaller vectors, exact float rerank) — same driver-visible
+    // recall gate as the LSH/IVF twins.
+    "q_ann_int8_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(Ann.quantizedTopK(e.filter(col("id") < 8), e, k = 5), e)
+    }),
+
     // Persisted-IVF-index round trip with a driver-visible assertion:
     // build the index as a parquet layout partitioned by list id
     // (Ann.writeIvfIndex — the corpus's one-time shuffle), then serve
@@ -257,6 +265,11 @@ object SimilarityQueries {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_ann_ivf_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_ann_int8_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,

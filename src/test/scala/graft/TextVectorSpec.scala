@@ -108,6 +108,47 @@ class TextVectorSpec extends SparkSpec {
     assert(mean >= 0.4, s"mean IVF recall@5 = $mean")
   }
 
+  test("quantizeInt8: reconstruction error bounded by half a quantization step") {
+    val e = schema.Tables.load(spark, sfDir, "embeddings").limit(50)
+    val bad = e.select($"embedding".as("v"), Vectors.quantizeInt8($"embedding").as("qz"))
+      .select(explode(arrays_zip($"v", $"qz.q")).as("z"), $"qz.scale")
+      .select(($"z.v".cast("double") - $"scale" * $"z.q".cast("double")).as("err"), $"scale")
+      // round-to-nearest: |v - scale·q| ≤ scale/2 (+ float eps slack)
+      .filter(abs($"err") > $"scale" * 0.5 + 1e-6)
+      .count()
+    assert(bad === 0)
+    // zero vector: scale 0, all-zero q
+    val z = Seq(Tuple1(Array(0f, 0f, 0f))).toDF("v")
+      .select(Vectors.quantizeInt8($"v").as("qz"))
+      .select($"qz.scale", $"qz.q").collect().head
+    assert(z.getFloat(0) === 0f && z.getSeq[Byte](1) === Seq[Byte](0, 0, 0))
+  }
+
+  test("quantizedTopK with exhaustive rerank == bruteTopK exactly") {
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val n = e.count().toInt
+    val brute = graft.ops.Ann.bruteTopK(e.filter($"id" < 8), e, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // rerankFactor covering the whole corpus: the approximate stage
+    // cannot drop anyone, so exact rerank must reproduce brute force
+    val quant = graft.ops.Ann.quantizedTopK(e.filter($"id" < 8), e, 5,
+        rerankFactor = n / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(quant === brute)
+  }
+
+  test("quantizedTopK at rerankFactor=4: high recall vs brute force") {
+    val (e, brute) = annGround(5)
+    val got = graft.ops.Ann.quantizedTopK(e.filter($"id" < 20), e, 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recall = brute.map { case (q, nn) =>
+      got.getOrElse(q, Set.empty).count(nn.contains).toDouble / nn.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.9, s"mean int8 recall@5 = $mean")
+  }
+
   test("persisted IVF index: partition-pruned probe == in-memory ivfTopK") {
     val e = schema.Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
