@@ -44,6 +44,45 @@ object Curation {
     df.filter(bucket < pctCol)
   }
 
+  /** Deterministic source-mixing sampler — the "data mixing" step of a
+    * training pipeline: choose per-source keep rates so the sampled
+    * corpus approaches target proportions `targetPct` (source → integer
+    * percent, must sum to 100), taking the largest total the SCARCEST
+    * source allows (no source can be oversampled past 100%):
+    *
+    *   N = min over s of floor(count_s · 100 / pct_s)   (feasible total)
+    *   keep_s = floor(N · pct_s / 100), rate_s = keep_s/count_s as ppm
+    *
+    * Rows keep by content-hash bucket < rate_ppm — reproducible across
+    * runs and consistent for duplicate content, like
+    * [[stratifiedSample]]; all arithmetic is integer, so the selection
+    * is engine-portable and oracle-checkable (achieved proportions
+    * track targets within hash uniformity, spec-asserted). Sources not
+    * in `targetPct` are dropped. Scale: one count aggregate over the
+    * corpus (source-cardinality rows), rates broadcast back — the
+    * corpus itself is filtered in place, never shuffled. */
+  def sourceMix(df: DataFrame, source: Column, key: Column,
+                targetPct: Map[String, Int]): DataFrame = {
+    require(targetPct.values.sum == 100 && targetPct.values.forall(_ > 0),
+      "target percents must be positive and sum to 100")
+    val pctCol = targetPct.foldLeft(lit(null).cast("int")) { case (acc, (k, v)) =>
+      when(lit(k) === col("__src"), lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__c"))
+      .withColumn("__t", pctCol).filter(col("__t").isNotNull)
+    val feasible = counts.agg(min(floor(col("__c") * 100 / col("__t"))).as("__N"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .select(col("__src"),
+        // explicit floor, not a long cast: `/` is double division in
+        // both engines, and DuckDB's CAST(double AS BIGINT) rounds
+        // where Spark's truncates — floor() agrees everywhere
+        floor(floor(col("__N") * col("__t") / 100) * lit(1000000L) / col("__c"))
+          .as("__ppm"))
+    df.join(broadcast(rates), source === col("__src"))
+      .filter(hashBucket(key, 1000000) < col("__ppm"))
+      .drop("__src", "__ppm")
+  }
+
   /** train/val/test label from a percentage bucket. */
   def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
     when(bucket < trainPct, lit("train"))

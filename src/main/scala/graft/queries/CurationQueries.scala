@@ -53,6 +53,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Source-mixing sampler (training-data mixing): per-source keep
+    // rates chosen so the sample approaches 50/30/20 proportions over
+    // three sources, capped by the scarcest source; selection by
+    // content-hash bucket (reproducible, duplicate-consistent). One
+    // source-cardinality aggregate + broadcast rates — the corpus is
+    // filtered in place, never shuffled.
+    "q_source_mix" -> ((s, dir) => {
+      Curation.sourceMix(docs(s, dir), col("source"), col("text"),
+          targetPct = Map("src0" -> 50, "src1" -> 30, "src2" -> 20))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark contamination: corpus docs sharing any word-8-gram with
     // the (synthetic) benchmark set doc_id % 50 == 0. Benchmark grams
     // dedupe + broadcast; corpus text never shuffles.
@@ -143,6 +156,19 @@ object CurationQueries {
         |WHERE bucket < CASE source WHEN 'src0' THEN 80
         |                           WHEN 'src1' THEN 10
         |                           ELSE 30 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH tgt(src, pct) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+        |cnt AS (
+        |  SELECT source, COUNT(*) AS c, pct
+        |  FROM documents JOIN tgt ON source = src GROUP BY source, pct),
+        |feas AS (SELECT min(floor(c * 100 / pct)) AS n FROM cnt),
+        |rates AS (
+        |  SELECT source, floor(floor(n * pct / 100) * 1000000 / c) AS ppm
+        |  FROM cnt CROSS JOIN feas)
+        |SELECT doc_id, source FROM documents JOIN rates USING (source)
+        |WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 1000000 < ppm
         |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->

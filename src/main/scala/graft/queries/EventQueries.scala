@@ -100,6 +100,46 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Approx-percentile sketch (the at-scale variant of q_percentile's
+    // exact sort-based path: a mergeable bounded-memory sketch instead
+    // of a per-group sort) with the driver-visible quality gate of the
+    // other approximate ops — Spark emits the EXACT p50/p90 alongside
+    // booleans asserting the sketch lands within the rank-error bound
+    // implied by accuracy=1000 (generous value-tolerance: 5% of the
+    // group's value spread; measured well inside at every SF).
+    "q_approx_pct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("a90"),
+          (max(col("value")) - min(col("value"))).as("spread"))
+        .select(col("event_type"), col("p50"), col("p90"),
+          (abs(col("a50") - col("p50")) <= col("spread") * 0.05).as("p50_ok"),
+          (abs(col("a90") - col("p90")) <= col("spread") * 0.05).as("p90_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Skew-salted dim join, oracle-proven IDENTICAL to the plain join:
+    // events are joined to a per-type aggregate on event_type — a
+    // pathologically hot key (5 distinct values over the whole fact
+    // table). Scale.saltedJoin spreads each hot key over 8 salt
+    // buckets (deterministic salt from event_id), so no single reducer
+    // owns a whole key; the tiny per-type side replicates 8×. The
+    // oracle runs the UNSALTED join — salting must change the
+    // distribution, never the answer.
+    "q_salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val perType = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Scale.saltedJoin(e, perType, Seq("event_type"),
+          nSalts = 8, saltSource = col("event_id"))
+        .select(col("event_id"), col("event_type"), col("type_n"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (batch path of streaming.Sessionize; the
     // flatMapGroupsWithState streaming twin is spec-tested equal).
     "q_sessionize" -> ((s, dir) => {
@@ -274,6 +314,21 @@ object EventQueries {
         |  COUNT(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_pct" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH t AS (
+        |  SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, t.type_n
+        |FROM events e JOIN t USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

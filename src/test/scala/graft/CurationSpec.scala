@@ -112,4 +112,30 @@ class CurationSpec extends SparkSpec {
     assert(kept.count() === Curation.stratifiedSample(df, col("stratum"),
       col("text"), Map("s0" -> 100, "s1" -> 0), 50).count())
   }
+
+  test("sourceMix: proportions track targets, scarcest source caps the total") {
+    // abundant a (4000), abundant b (3000), scarce c (300): targets
+    // 50/30/20 make c the bottleneck — feasible N = 300·100/20 = 1500,
+    // so c keeps ~all 300 while a and b are sampled DOWN to ~750/~450
+    val df = ((1 to 4000).map(i => (i.toLong, "a", s"alpha doc $i")) ++
+      (1 to 3000).map(i => ((10000 + i).toLong, "b", s"beta doc $i")) ++
+      (1 to 300).map(i => ((20000 + i).toLong, "c", s"gamma doc $i")))
+      .toDF("id", "source", "text")
+    val kept = Curation.sourceMix(df, col("source"), col("text"),
+      targetPct = Map("a" -> 50, "b" -> 30, "c" -> 20))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySrc.values.sum.toDouble
+    // hash-uniformity tolerance: ±5 percentage points on each share
+    assert(math.abs(bySrc("a") / total - 0.5) < 0.05, s"shares $bySrc")
+    assert(math.abs(bySrc("b") / total - 0.3) < 0.05, s"shares $bySrc")
+    assert(math.abs(bySrc("c") / total - 0.2) < 0.05, s"shares $bySrc")
+    // the scarce source is taken essentially whole, never oversampled
+    assert(bySrc("c") <= 300 && bySrc("c") >= 290, s"shares $bySrc")
+    // unknown sources drop
+    val withJunk = df.union(Seq((99999L, "z", "junk")).toDF("id", "source", "text"))
+    assert(Curation.sourceMix(withJunk, col("source"), col("text"),
+      Map("a" -> 50, "b" -> 30, "c" -> 20))
+      .filter(col("source") === "z").count() === 0)
+  }
 }
