@@ -72,7 +72,14 @@ object Ann {
     * 100 TB, train on a sample — the IVF build then assigns the full
     * corpus once with the trained centroids, which is the expensive
     * step either way. Output column types match the corpus vec type
-    * (float), so trained and seeded centroids are interchangeable. */
+    * (float), so trained and seeded centroids are interchangeable.
+    *
+    * The returned frame is eagerly materialized (localCheckpoint of
+    * nLists rows): every consumer uses centroids at least twice
+    * (assign + probe, or assign + objective join), and a lazy return
+    * would re-run the whole Lloyd chain once PER USE — measured 2×+ on
+    * the IVF/k-means queries. Same posture as
+    * [[Dedup.connectedComponents]]'s per-round labels. */
   def trainCentroids(corpus: DataFrame, nLists: Int, iters: Int = 3): DataFrame = {
     var cents = seedCentroids(corpus, nLists)
     for (_ <- 1 to iters) {
@@ -87,7 +94,7 @@ object Ann {
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
-    cents
+    cents.localCheckpoint()
   }
 
   /** k-means cluster assignment: train (or take) centroids, assign
