@@ -140,6 +140,25 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Batch twin of streaming.EventStream.intervalJoin (the same code
+    // path the watermarked stream-stream join runs): each purchase
+    // pairs with the same user's clicks in the prior 30 minutes. The
+    // time-range predicate is what bounds stream state; in batch it is
+    // a plain range join.
+    "q_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.streaming.EventStream.intervalJoin(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts"), col("value").as("amount")),
+          "pts",
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("cts")),
+          "cts",
+          keys = Seq("user_id"), window = "30 minutes")
+        .select(col("user_id"), col("pts"), col("cts"), col("amount"))
+        .orderBy(col("user_id"), col("pts"), col("cts"))
+    }),
+
     // Gap-based sessionization (batch path of streaming.Sessionize; the
     // flatMapGroupsWithState streaming twin is spec-tested equal).
     "q_sessionize" -> ((s, dir) => {
@@ -329,6 +348,14 @@ object EventQueries {
         |SELECT e.event_id, e.event_type, t.type_n
         |FROM events e JOIN t USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT p.user_id, p.ts AS pts, c.ts AS cts, p.value AS amount
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p.user_id, pts, cts""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -43,6 +43,34 @@ object EventStream {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: each left row pairs with
+    * right rows sharing `keys` whose `rightTs` lies within
+    * [leftTs − window, leftTs]. Both sides carry the same lateness
+    * watermark, and the time-range predicate gives Spark the join
+    * horizon it needs to EVICT state — without it a stream-stream join
+    * buffers both streams forever (Spark refuses it in append mode for
+    * that reason). State is bounded by rate × (lateness + window)
+    * regardless of total stream volume — the property that lets this
+    * run against an unbounded 100 TB/day feed.
+    *
+    * Batch twin: the identical join predicate on static frames (the
+    * same code path — spec-asserted equal). Right-side non-key columns
+    * must not clash with left's (rename upstream). */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[String], window: String,
+                   lateness: Option[String] = None): DataFrame = {
+    val (l, r) = lateness match {
+      case Some(late) =>
+        (left.withWatermark(leftTs, late), right.withWatermark(rightTs, late))
+      case None => (left, right)
+    }
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $window") &&
+      r(rightTs) <= l(leftTs)
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   /** Incremental warehouse maintenance as a stream: every micro-batch
     * is merged into the keyed sink with the same Merge.upsert used in
     * batch (idempotent, so at-least-once replays are safe — the exact

@@ -51,6 +51,50 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks join purchases of the same user within the prior 30 min
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().toDF("user_id", "cts"), "cts",
+      buys.toDF().toDF("user_id", "bts", "amount"), "bts",
+      keys = Seq("user_id"), window = "30 minutes",
+      lateness = Some("10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      val clickData = Seq(
+        (1L, ts("2025-05-01 10:00:00")),
+        (1L, ts("2025-05-01 11:00:00")),
+        (2L, ts("2025-05-01 10:10:00")))
+      val buyData = Seq(
+        (1L, ts("2025-05-01 09:45:00"), 5.0),  // within 30m of 10:00 click
+        (1L, ts("2025-05-01 10:50:00"), 7.0),  // within 30m of 11:00 click
+        (2L, ts("2025-05-01 09:00:00"), 9.0))  // 70m before — outside
+      clicks.addData(clickData: _*)
+      buys.addData(buyData: _*)
+      q.processAllAvailable()
+      // push watermarks past every join window so results emit
+      clicks.addData((99L, ts("2025-05-01 13:00:00")))
+      buys.addData((99L, ts("2025-05-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .filter(col("user_id") < 99)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getDouble(3))).toSet
+      // identical code path on static frames
+      val batch = EventStream.intervalJoin(
+          clickData.toDF("user_id", "cts"), "cts",
+          buyData.toDF("user_id", "bts", "amount"), "bts",
+          keys = Seq("user_id"), window = "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getDouble(3))).toSet
+      assert(got === batch)
+      assert(got.size === 2 && !got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
