@@ -97,6 +97,37 @@ class PlanSpec extends SparkSpec {
       "top-20 head must be a bounded TakeOrdered, not a global sort\n" + p)
   }
 
+  test("q_source_mix: rates broadcast back; the corpus is filtered, never shuffled") {
+    val p = plan("q_source_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus-side shuffle join in a filter-in-place sampler\n" + p)
+  }
+
+  test("q_incr_dedup: batch bands broadcast against the corpus index") {
+    val p = plan("q_incr_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // within-batch pairs are bucket-local aggregation, not a self-join
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    // signatures come from the fused kernel
+    assert(p.contains("graft_minhash"), "expected MinHashSignature kernel\n" + p)
+  }
+
+  test("q_ann_int8_recall: quantized candidate stage keeps the fused kernel and bounded top-k") {
+    val p = plan("q_ann_int8_recall")
+    assert(p.contains("graft_dot"), "fused dot kernel expected on int8 arrays\n" + p)
+    assert(p.contains("graft_top_k"), "bounded argmax-k expected\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "query side must broadcast, not cartesian\n" + p)
+  }
+
+  test("q_salted_join: no broadcast of the salted fact side; join keys include the salt") {
+    val p = plan("q_salted_join")
+    // the replicated per-type side joins on (event_type, __salt)
+    assert(p.contains("__salt"), "salt column must be a join key\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_kmeans_quality: centroids broadcast, fused dot kernel in the plan") {
     val p = plan("q_kmeans_quality")
     assert(p.contains("BroadcastExchange"), p)
