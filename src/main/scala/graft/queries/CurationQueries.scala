@@ -89,6 +89,48 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END curation chain — the full shard-prep pipeline a
+    // training run consumes, composed from the individually-oracled
+    // operators: (1) near-dup keep-list (MinHash-LSH pairs → connected
+    // components → highest-quality doc per cluster), (2) quality
+    // threshold, (3) benchmark-contamination drop (benchmark = doc_id %
+    // 50 == 0, excluded from the corpus outright), (4) content-hash
+    // train/val/test split, (5) budgeted sequence packing per split.
+    // Every stage's shuffle payload is (id, fixed-width); text is read
+    // for scoring/grams but never shuffled. Hash-checked END-TO-END
+    // against a single DuckDB statement that restates the whole chain.
+    "q_curation_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = graft.ops.Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleSize = 3, k = 12, bandRows = 2)
+      val clusters = graft.ops.Dedup.connectedComponents(pairs)
+      val scored = clusters.join(
+        d.select(col("doc_id").as("id"),
+          Text.qualityScore(col("text")).as("q")), Seq("id"))
+      val keepers = graft.ops.Dedup.firstSeen(scored, Seq("rep"),
+        Seq(col("q").desc, col("id"))).select(col("id"))
+      val losers = clusters.select(col("id"))
+        .join(keepers, Seq("id"), "left_anti")
+        .withColumnRenamed("id", "doc_id")
+      val deduped = d.join(losers, Seq("doc_id"), "left_anti")
+      val corpus = deduped
+        .filter(Text.qualityScore(col("text")) >= 0.65)
+        .filter(col("doc_id") % 50 =!= 0)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val contaminated = Curation.contamination(corpus, "doc_id", "text",
+        bench, "text", n = 8).select(col("doc_id"))
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val b = Curation.hashBucket(col("text"), 100)
+      val withSplit = clean.select(col("doc_id"), col("source"),
+        Curation.splitLabel(b, trainPct = 90, valPct = 5).as("split"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packBins(withSplit, col("split"), Seq(col("doc_id")),
+          col("n_tokens"), budget = 256)
+        .select(col("doc_id"), col("source"), col("split"),
+          col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: e-mail addresses (planted on doc_id % 7 == 0)
     // counted and replaced; output carries the redacted-text digest so
     // the oracle verifies the full replacement byte-for-byte.
@@ -146,6 +188,85 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the whole chain restated: components (recursive CTE) → keep-list
+    // → quality cut → contamination drop → split → pack
+    "q_curation_e2e" ->
+      raw"""${TextQueries.toksCte.replaceFirst("WITH", "WITH RECURSIVE")},
+           |sig AS (
+           |  SELECT doc_id, ${TextQueries.sig12} AS sig
+           |  FROM (SELECT doc_id, ${TextQueries.shingles3} AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |qc AS (
+           |  SELECT doc_id,
+           |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+           |    CASE WHEN len(text) > 0
+           |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+           |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+           |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+           |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+           |      ELSE 0.0 END AS stop_ratio
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    (len_score + greatest(1.0 - punct_ratio * 5, 0.0) + least(stop_ratio * 4, 1.0)) / 3 AS quality
+           |  FROM qc),
+           |keep AS (
+           |  SELECT id FROM (
+           |    SELECT lab.id, ROW_NUMBER() OVER (PARTITION BY lab.rep
+           |      ORDER BY q.quality DESC, lab.id) AS rn
+           |    FROM lab JOIN q ON q.doc_id = lab.id)
+           |  WHERE rn = 1),
+           |losers AS (SELECT id FROM lab WHERE id NOT IN (SELECT id FROM keep)),
+           |corpus AS (
+           |  SELECT d.doc_id, d.source, d.text
+           |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+           |  WHERE d.doc_id NOT IN (SELECT id FROM losers)
+           |    AND q.quality >= 0.65 AND d.doc_id % 50 <> 0),
+           |bench AS (
+           |  SELECT DISTINCT unnest(${grams(toksLower, 8)}) AS gram
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |contam AS (
+           |  SELECT DISTINCT cg.doc_id
+           |  FROM (SELECT doc_id, unnest(${grams(toksLower, 8)}) AS gram FROM corpus) cg
+           |  JOIN bench USING (gram)),
+           |clean AS (
+           |  SELECT doc_id, source, text FROM corpus
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |spl AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN bucket < 90 THEN 'train'
+           |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM (SELECT *,
+           |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+           |    FROM clean)),
+           |c AS (
+           |  SELECT doc_id, source, split, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM spl)
+           |SELECT doc_id, source, split, n_tokens,
+           |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
+           |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH b AS (

@@ -236,21 +236,21 @@ object TextQueries {
     }),
   )
 
-  private val norm =
+  private[queries] val norm =
     raw"array_to_string(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0), ' ')"
 
   /** DuckDB shingle-list expression (3-gram, distinct), matching
     * Dedup.shingles(text, 3). */
-  private val shingles3 =
+  private[queries] val shingles3 =
     raw"""list_distinct(CASE WHEN len(__t) >= 3
          |  THEN list_transform(range(1, len(__t) - 1), i -> array_to_string(__t[i:i+2], ' '))
          |  ELSE [array_to_string(__t, ' ')] END)""".stripMargin
 
-  private val toksCte =
+  private[queries] val toksCte =
     raw"WITH __tok AS (SELECT *, regexp_split_to_array(trim(lower(text)), '\s+') AS __t FROM documents)"
 
   /** 12-hash MinHash signature list for DuckDB, matching minhashSignature. */
-  private val sig12 =
+  private[queries] val sig12 =
     raw"""list_transform(range(0, 12), seed ->
          |  list_min(list_transform(__sh, s -> md5(CAST(seed AS VARCHAR) || ':' || s))))""".stripMargin
 
