@@ -162,12 +162,37 @@ object Dedup {
       .select(col("id"), col("band.band_id"), col("band.band_key"))
   }
 
+  /** Split a band index into probe-safe rows and oversized buckets —
+    * run at INDEX BUILD time, not per probe: a band key shared by more
+    * than `maxBucket` docs (boilerplate headers, empty documents) would
+    * turn every future probe that hits it into an O(bucket) candidate
+    * flood. `pruned` is the index to persist; `flagged` lists the
+    * oversized buckets as (band_id, band_key, n_ids, sample_ids) for
+    * cluster-level handling — the same posture as
+    * [[minhashLshCandidates]]'s skew side-output. One aggregation over
+    * the index, shuffle payload (16-byte key, count). */
+  case class PrunedBands(pruned: DataFrame, flagged: DataFrame)
+  def pruneOversizedBuckets(bands: DataFrame, maxBucket: Int): PrunedBands = {
+    val sized = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("n_ids"), slice(sort_array(collect_set(col("id"))), 1, 20).as("sample_ids"))
+    val flagged = sized.filter(col("n_ids") > maxBucket)
+    val pruned = bands.join(flagged.select(col("band_id"), col("band_key")),
+      Seq("band_id", "band_key"), "left_anti")
+    PrunedBands(pruned, flagged)
+  }
+
   /** Near-dup candidates for a NEW batch against an EXISTING corpus
     * band index, plus within-batch candidates: (id_new, id_match, src)
     * with src = 'corpus' (matched a stored id) or 'batch' (matched
     * another new doc, id_match < id_new). Corpus-vs-corpus pairs are
     * deliberately absent — they were resolved when those docs arrived;
     * that is the whole point of the incremental shape.
+    *
+    * Probe-side skew: `maxBucket` caps WITHIN-BATCH buckets here; the
+    * CORPUS side must be capped when the index is built
+    * ([[pruneOversizedBuckets]]) — an unpruned index bucket holding a
+    * boilerplate flood would otherwise multiply every matching batch
+    * band by its full membership.
     *
     * Scale: the batch's band rows are small relative to the corpus —
     * broadcast them, so the corpus index is probed on the batch's band

@@ -196,6 +196,33 @@ class DedupSpec extends SparkSpec {
       assert(m < n && batchIds.contains(m), s"bad batch pair ($n, $m)") }
   }
 
+  test("pruneOversizedBuckets: boilerplate flood flagged out of the index, rest intact") {
+    // 40 identical docs (every band collides) + the normal corpus
+    val flood = (1000 until 1040).map(i =>
+      (i.toLong, "identical boilerplate header row for every page"))
+    val df = (corpus() ++ flood).toDF("doc_id", "text")
+    val bands = Dedup.bandIndex(df, "doc_id", "text")
+    val PrunedBands = Dedup.pruneOversizedBuckets(bands, maxBucket = 20)
+    // every flood bucket flagged with a bounded sample
+    val flagged = PrunedBands.flagged.collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("n_ids") === 40)
+      assert(r.getAs[Seq[Long]]("sample_ids").size === 20)
+    }
+    // flood ids carry no rows in the pruned index; normal docs unaffected
+    val prunedIds = PrunedBands.pruned.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flood.forall { case (id, _) => !prunedIds.contains(id) })
+    assert(corpus().forall { case (id, _) => prunedIds.contains(id) })
+    // probing the pruned index can never meet the flood
+    val probe = Dedup.incrementalCandidates(
+      Dedup.bandIndex(Seq((5000L, "identical boilerplate header row for every page"))
+        .toDF("doc_id", "text"), "doc_id", "text"),
+      PrunedBands.pruned)
+    assert(probe.count() === 0)
+  }
+
   test("incrementalCandidates == full-corpus pairs restricted to new ids") {
     // the incremental result over (corpus, batch) must equal what a full
     // re-pairing of corpus+batch would say about the batch's ids —
