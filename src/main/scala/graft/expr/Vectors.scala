@@ -44,8 +44,15 @@ object Vectors {
     * cosine over q equals cosine over the dequantized vector exactly
     * (the per-vector scale cancels in the ratio), so a quantized
     * similarity scan needs no dequantization at all. Zero vectors
-    * quantize to all-zero q with scale 0. */
-  def quantizeInt8(v: Column): Column = {
+    * quantize to all-zero q with scale 0. Fused O(dim) kernel
+    * (graft.expr.catalyst.QuantizeInt8) — the declarative HOF
+    * formulation below re-evaluates the captured max-abs subtree per
+    * element (O(dim²) interpreted; kernel-parity-tested). */
+  def quantizeInt8(v: Column): Column =
+    column(catalyst.QuantizeInt8(expression(v)))
+
+  /** Declarative reference formulation (kernel parity test only). */
+  def quantizeInt8Declarative(v: Column): Column = {
     val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
     struct(
       (maxabs / lit(127.0)).cast("float").as("scale"),

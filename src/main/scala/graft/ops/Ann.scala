@@ -172,9 +172,9 @@ object Ann {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     def q8(v: Column): Column = Vectors.quantizeInt8(v).getField("q")
     val qq = queries.select(col("id").as("qid"), q8(col("vec")).as("qv8"))
-      .withColumn("qn8", sqrt(Vectors.dot(col("qv8"), col("qv8"))))
+      .withColumn("qn8", Vectors.l2Norm(col("qv8")))
     val cq = corpus.select(col("id").as("nid"), q8(col("vec")).as("nv8"))
-      .withColumn("nn8", sqrt(Vectors.dot(col("nv8"), col("nv8"))))
+      .withColumn("nn8", Vectors.l2Norm(col("nv8")))
     val approxTop = column(graft.expr.catalyst.TopKByScore(
       expression(struct(col("sim8"), col("nid"))), k * rerankFactor)
       .toAggregateExpression())
@@ -189,7 +189,9 @@ object Ann {
       Vectors.l2Norm(col("vec")).as("qn"))
     val cv = corpus.select(col("id").as("nid"), col("vec").as("nv"),
       Vectors.l2Norm(col("vec")).as("nn"))
-    rank(cand.join(broadcast(qv), Seq("qid")).join(cv, Seq("nid")), k)
+    // the candidate set is |queries|·k·rerankFactor rows — broadcast it
+    // so the exact-rerank lookup never shuffles the corpus by nid
+    rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
   /** Persist an IVF-Flat index as a parquet layout: inverted lists
@@ -230,8 +232,13 @@ object Ann {
                     nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
+    // two consumers (the cid collect + the candidate join) — without
+    // materialization the probe assignment (parquet scan, broadcast
+    // join, window) would execute twice, the same double-use pattern
+    // trainCentroids eliminates
     val probes = nearestLists(cents,
       queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
+      .localCheckpoint()
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("cid").cast("long").isin(cids: _*))

@@ -58,18 +58,27 @@ object Curation {
     * [[stratifiedSample]]; all arithmetic is integer, so the selection
     * is engine-portable and oracle-checkable (achieved proportions
     * track targets within hash uniformity, spec-asserted). Sources not
-    * in `targetPct` are dropped. Scale: one count aggregate over the
-    * corpus (source-cardinality rows), rates broadcast back — the
-    * corpus itself is filtered in place, never shuffled. */
+    * in `targetPct` are dropped; a TARGET source with zero rows drives
+    * the feasible total to 0 (empty result) rather than silently
+    * skewing the mix. Scale: one count aggregate over the corpus
+    * (source-cardinality rows), rates broadcast back — the corpus
+    * itself is filtered in place, never shuffled. */
   def sourceMix(df: DataFrame, source: Column, key: Column,
                 targetPct: Map[String, Int]): DataFrame = {
     require(targetPct.values.sum == 100 && targetPct.values.forall(_ > 0),
       "target percents must be positive and sum to 100")
-    val pctCol = targetPct.foldLeft(lit(null).cast("int")) { case (acc, (k, v)) =>
-      when(lit(k) === col("__src"), lit(v)).otherwise(acc)
-    }
-    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__c"))
-      .withColumn("__t", pctCol).filter(col("__t").isNotNull)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // seed counts from the TARGET list, not the observed sources: a
+    // target source with zero rows must drive the feasible total to 0
+    // (its count caps N) instead of silently vanishing from the min —
+    // returning a wrongly-proportioned corpus would be worse than
+    // returning an empty one
+    val tgt = targetPct.toSeq.toDF("__src", "__t")
+    val counts = tgt
+      .join(df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n")),
+        Seq("__src"), "left")
+      .select(col("__src"), coalesce(col("__n"), lit(0L)).as("__c"), col("__t"))
     val feasible = counts.agg(min(floor(col("__c") * 100 / col("__t"))).as("__N"))
     val rates = counts.crossJoin(broadcast(feasible))
       .select(col("__src"),

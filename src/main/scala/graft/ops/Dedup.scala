@@ -173,9 +173,20 @@ object Dedup {
     * the index, shuffle payload (16-byte key, count). */
   case class PrunedBands(pruned: DataFrame, flagged: DataFrame)
   def pruneOversizedBuckets(bands: DataFrame, maxBucket: Int): PrunedBands = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // bounded sample via the argmax-k aggregate (score = −id keeps the
+    // 20 SMALLEST ids, ascending — the deterministic pick): only a
+    // count and ≤20 ids per bucket cross the shuffle, never the full
+    // membership, so a 50M-doc boilerplate bucket costs the same as a
+    // 21-doc one. Requires long ids (the aggregate's contract).
+    val sample20 = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(-col("id").cast("double"), col("id").cast("long"))), 20)
+      .toAggregateExpression())
     val sized = bands.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("n_ids"), slice(sort_array(collect_set(col("id"))), 1, 20).as("sample_ids"))
+      .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
     val flagged = sized.filter(col("n_ids") > maxBucket)
+      .select(col("band_id"), col("band_key"), col("n_ids"),
+        transform(col("__top"), e => e.getField("id")).as("sample_ids"))
     val pruned = bands.join(flagged.select(col("band_id"), col("band_key")),
       Seq("band_id", "band_key"), "left_anti")
     PrunedBands(pruned, flagged)
@@ -203,13 +214,18 @@ object Dedup {
     * buckets dropped (route boilerplate floods to cluster handling). */
   def incrementalCandidates(batchBands: DataFrame, corpusBands: DataFrame,
                             maxBucket: Int = 10000): DataFrame = {
+    // two consumers below (corpus probe + within-batch buckets) — an
+    // unmaterialized frame would run the MinHash signing twice per
+    // batch, defeating the sign-once contract; the batch is small by
+    // definition, so eager materialization is cheap
+    val bb = batchBands.localCheckpoint()
     val vsCorpus = broadcast(
-        batchBands.select(col("id").as("id_new"), col("band_id"), col("band_key")))
+        bb.select(col("id").as("id_new"), col("band_id"), col("band_key")))
       .join(corpusBands.select(col("id").as("id_match"), col("band_id"), col("band_key")),
         Seq("band_id", "band_key"))
       .select(col("id_new"), col("id_match")).distinct()
       .withColumn("src", lit("corpus"))
-    val vsBatch = batchBands
+    val vsBatch = bb
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)

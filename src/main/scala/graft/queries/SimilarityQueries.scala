@@ -103,7 +103,11 @@ object SimilarityQueries {
     // every (qid, rank, nid) triple matches on both paths.
     "q_ann_ivf_index" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val path = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+      // fixed per-fixture path, rewritten in place (mode=overwrite
+      // inside writeIvfIndex) — a fresh createTempDirectory per call
+      // would leak a full index copy every bench/verify invocation
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivf-q-${java.lang.Integer.toHexString(dir.hashCode)}").getAbsolutePath
       Ann.writeIvfIndex(e, path, nLists = 16, trainIters = 2)
       val probed = Ann.probeIvfIndex(e.filter(col("id") < 8), path, k = 5, nProbe = 4)
       val cents = s.read.parquet(s"$path/centroids")

@@ -96,6 +96,22 @@ class KernelParitySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("QuantizeInt8 kernel == declarative formulation (incl. edge vectors)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i => Tuple1(Array.fill(64)(rnd.nextFloat() * 2 - 1))) ++
+      Seq(Tuple1(Array(0f, 0f, 0f)),                 // zero vector
+        Tuple1(Array.empty[Float]),                  // empty
+        Tuple1(Array(-1.5f, 0.5f, 1.5f, -0.5f)),     // negative halves (HALF_UP)
+        Tuple1(Array(1e-30f, -1e-30f)))              // denormal-ish
+    val df = rows.toDF("v")
+    val bad = df.select(
+        Vectors.quantizeInt8($"v").as("fast"),
+        Vectors.quantizeInt8Declarative($"v").as("slow"))
+      .filter(not($"fast.scale" <=> $"slow.scale") || not($"fast.q" <=> $"slow.q"))
+      .count()
+    assert(bad === 0)
+  }
+
   test("MinHashSignature kernel == declarative minhash over shingles") {
     val rnd = new scala.util.Random(13)
     val vocab = Seq("the", "spark", "engine", "data", "row", "fast", "slow",

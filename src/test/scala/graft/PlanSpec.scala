@@ -121,9 +121,10 @@ class PlanSpec extends SparkSpec {
       "query side must broadcast, not cartesian\n" + p)
   }
 
-  test("q_salted_join: no broadcast of the salted fact side; join keys include the salt") {
+  test("q_salted_join: join keys include the salt; no cartesian") {
     val p = plan("q_salted_join")
-    // the replicated per-type side joins on (event_type, __salt)
+    // the replicated per-type side joins on (event_type, __salt);
+    // which side broadcasts is the planner's call at fixture scale
     assert(p.contains("__salt"), "salt column must be a join key\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
