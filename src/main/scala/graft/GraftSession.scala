@@ -15,6 +15,7 @@ import graft.expr.catalyst._
   *   graft_minhash_sig(text, n, k) MinHash signature array
   *   graft_lsh_buckets(v, b, t)    multi-table LSH bucket ids
   *   graft_q96_ratio(sp)           (sp/2^96)² at 50-digit context
+  *   graft_quantize_int8(v)        int8 scalar quantization struct
   *   graft_shingles(text, n)       distinct word n-gram shingles
   *   graft_simhash64(text)         64-bit SimHash fingerprint
   *   graft_top_k(struct(s, id), k) bounded argmax-k aggregate
@@ -51,6 +52,9 @@ object GraftFunctions {
       args => ShingleArray(args(0), intArg(args(1), "graft_shingles"))),
     ("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash fingerprint",
       args => SimHash64(args(0))),
+    ("graft_quantize_int8",
+      "graft_quantize_int8(v) - struct(scale float, q array<tinyint>) int8 quantization",
+      args => QuantizeInt8(args(0))),
     ("graft_top_k", "graft_top_k(struct(score, id), k) - bounded top-k by score",
       args => TopKByScore(args(0), intArg(args(1), "graft_top_k"))
         .toAggregateExpression()))

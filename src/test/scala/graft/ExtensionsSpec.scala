@@ -65,6 +65,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(g0.map(_.getLong(1)).toSeq === Seq(99L, 96L))
   }
 
+  test("graft_quantize_int8 SQL == Vectors.quantizeInt8") {
+    val e = schema.Tables.load(gspark, sfDir, "embeddings").limit(30)
+    e.createOrReplaceTempView("emb3")
+    val sql = gspark.sql(
+      "SELECT vec_id, graft_quantize_int8(embedding) AS qz FROM emb3")
+    val api = e.select(col("vec_id"),
+      Vectors.quantizeInt8(col("embedding")).as("qz"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
   test("graft_lsh_buckets SQL == Vectors.lshBuckets") {
     val e = schema.Tables.load(gspark, sfDir, "embeddings").limit(30)
     e.createOrReplaceTempView("emb2")
