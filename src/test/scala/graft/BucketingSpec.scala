@@ -36,4 +36,31 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() ===
       orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count())
   }
+
+  test("persisted band index round trip: stored bucketed, probe answers unchanged") {
+    // the Dedup.bandIndex docstring's storage posture made real: the
+    // corpus's band rows persist ONCE, bucketed on the probe key, and
+    // a later batch dedups against the stored rows — answers identical
+    // to probing the freshly-computed index
+    import graft.ops.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("graft-band-wh").toString
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+
+    spark.sql("DROP TABLE IF EXISTS band_idx")
+    Dedup.bandIndex(corpus, "doc_id", "text")
+      .write.bucketBy(4, "band_key").sortBy("band_key")
+      .option("path", s"$wh/band_idx").saveAsTable("band_idx")
+
+    val fresh = Dedup.incrementalCandidates(
+        Dedup.bandIndex(batch, "doc_id", "text"),
+        Dedup.bandIndex(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val stored = Dedup.incrementalCandidates(
+        Dedup.bandIndex(batch, "doc_id", "text"),
+        spark.table("band_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(stored === fresh && fresh.nonEmpty)
+  }
 }
