@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** As-of join — for each left row, the most recent right row with
   * `right.ts <= left.ts` per key (SURVEY §2.3: absent in the reference,
   * a first-class operator here; the canonical "state at event time"
-  * lookup for prices/rates).
+  * lookup for prices/rates). `direction = "forward"` flips the
+  * predicate to the EARLIEST right row with `right.ts >= left.ts` —
+  * the "next quote/fill after the order" lookup.
   *
   * Spark-first formulation (no custom physical operator needed): tag
   * and union both sides, then one window per key ordered by
@@ -22,10 +24,16 @@ object AsofJoin {
 
   /** @param rightCols right payload columns to carry (renamed as given)
     * @param tiebreak  extra right-side order column for determinism when
-    *                  a key has several right rows at one timestamp */
+    *                  a key has several right rows at one timestamp
+    * @param direction "backward" (latest right.ts <= left.ts, default)
+    *                  or "forward" (earliest right.ts >= left.ts) */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightCols: Seq[String], tiebreak: Column = lit(0)): DataFrame = {
+           rightCols: Seq[String], tiebreak: Column = lit(0),
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right payload columns $rightCols collide with left schema")
@@ -33,16 +41,19 @@ object AsofJoin {
     require(reserved.forall(r => !leftCols.contains(r) && !rightCols.contains(r)),
       s"column names $reserved are reserved by asof")
 
+    // at equal ts the right row must sort on the INCLUSIVE side of the
+    // left row: before it for backward (last() sees it), after it for
+    // forward (first() sees it)
     val l = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(if (backward) 1 else 0))
       .withColumn("__tb", lit(null).cast("long"))
     val lAll = rightCols.foldLeft(l)((df, c) =>
       df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
 
     val r0 = right
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(if (backward) 0 else 1))
       .withColumn("__tb", tiebreak.cast("long"))
     val rAll = leftCols.filterNot(keys.contains).foldLeft(r0)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -54,14 +65,20 @@ object AsofJoin {
         leftCols.filterNot(keys.contains) ++ rightCols).map(col): _*)
       .unionByName(rAll)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (backward) {
+        val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rightCols.foldLeft(unioned)((df, c) =>
+          df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      } else {
+        val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        rightCols.foldLeft(unioned)((df, c) =>
+          df.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+      }
 
-    val carried = rightCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-
-    carried.filter(col("__side") === 1)
+    carried.filter(col("__side") === lit(if (backward) 1 else 0))
       .select((leftCols ++ rightCols).map(col): _*)
   }
 }

@@ -140,6 +140,23 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: for each event, the EARLIEST 'click' of the same
+    // user at-or-after it — the "next fill after the order" direction
+    // of q_asof_join, same one-shuffle union+window shape.
+    "q_asof_fwd" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val left = e.select(col("event_id"), col("user_id"), col("ts"))
+      val right = e.filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"), col("event_id").as("click_id"))
+      graft.ops.AsofJoin.asof(left, right, Seq("user_id"),
+          leftTs = "ts", rightTs = "click_ts",
+          rightCols = Seq("click_value"), tiebreak = -col("click_id"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Batch twin of streaming.EventStream.intervalJoin (the same code
     // path the watermarked stream-stream join runs): each purchase
     // pairs with the same user's clicks in the prior 30 minutes. The
@@ -348,6 +365,15 @@ object EventQueries {
         |SELECT e.event_id, e.event_type, t.type_n
         |FROM events e JOIN t USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_asof_fwd" ->
+      """SELECT l.event_id, l.user_id, r.click_value
+        |FROM (SELECT event_id, user_id, ts FROM events) l
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts AS click_ts, value AS click_value
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL) r
+        |  ON l.user_id = r.user_id AND r.click_ts >= l.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT p.user_id, p.ts AS pts, c.ts AS cts, p.value AS amount

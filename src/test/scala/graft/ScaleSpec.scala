@@ -99,6 +99,38 @@ class ScaleSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("forward asof property: equals the declarative join+window reference") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 400).map(i =>
+        (i.toLong, (rnd.nextInt(20) + 1).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val right = (1 to 200).map(i =>
+        ((rnd.nextInt(25) + 1).toLong,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+          rnd.nextDouble(), i.toLong))
+      .toDF("user_id", "click_ts", "click_value", "click_id")
+
+    val got = AsofJoin.asof(left, right, Seq("user_id"),
+      "ts", "click_ts", Seq("click_value"), tiebreak = col("click_id"),
+      direction = "forward")
+
+    // declarative reference: EARLIEST right at-or-after, smallest id tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("click_ts").asc, col("click_id").asc)
+    val ref = left.join(right,
+        left("user_id") === right("user_id") && col("click_ts") >= col("ts"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(left("event_id"), col("click_value"))
+
+    val a = got.select("event_id", "click_value").orderBy("event_id")
+    val b = ref.orderBy("event_id")
+    assert(a.count() === left.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("asof join: inclusive <=, latest state, null before first update") {
     val left = Seq(
       (1L, 10L, "2025-05-01 10:00:00"),
