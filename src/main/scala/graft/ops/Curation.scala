@@ -119,6 +119,35 @@ object Curation {
     * token definition as graft.expr.Text, not a parallel one. */
   def tokensOf(text: Column): Column = graft.expr.Text.tokens(lower(text))
 
+  /** Split each document into fixed-size token chunks with `overlap`
+    * tokens of carried context — the long-document splitter that runs
+    * before packing/training (packBins' "oversized docs get their own
+    * packs downstream" made concrete). Chunk i covers tokens
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens −
+    * overlap; the last chunk may be short; every document yields at
+    * least one chunk (empty text → one empty chunk). Output adds
+    * (chunk_id, chunk_tokens, chunk_text). Per-row explode, no
+    * shuffle — embarrassingly parallel at any scale; expected row
+    * growth is n_tokens/stride. */
+  def chunkTokens(df: DataFrame, textCol: Column, maxTokens: Int,
+                  overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = tokensOf(textCol)
+    df.withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          ceil(greatest(col("__n") - overlap, lit(1)).cast("double") / stride)
+            .cast("int") - 1)))
+      .withColumn("chunk_tokens",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)))
+      .withColumn("chunk_text", array_join(col("chunk_tokens"), " "))
+      .withColumn("chunk_tokens", size(col("chunk_tokens")))
+      .drop("__toks", "__n")
+  }
+
   /** Distinct word n-grams via the fused native ShingleArray kernel
     * (graft.expr.catalyst) — one tight loop per row, codegen-friendly.
     * The declarative HOF formulation is a trap here: interpreted

@@ -44,6 +44,18 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Long-document chunking: 64-token windows with 8 tokens of carried
+    // overlap (stride 56) — per-row explode, no shuffle; the splitter
+    // that feeds packing when a document exceeds the sequence budget.
+    "q_chunk_overlap" -> ((s, dir) => {
+      Curation.chunkTokens(docs(s, dir), col("text"),
+          maxTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Deterministic stratified sampling: per-source keep fractions via
     // content-hash buckets — reproducible across runs, no rand().
     "q_stratified_sample" -> ((s, dir) => {
@@ -267,6 +279,25 @@ object CurationQueries {
            |SELECT doc_id, source, split, n_tokens,
            |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
            |FROM c ORDER BY doc_id""".stripMargin,
+
+    // stride 56 = 64 − 8; chunk i covers tokens [i*56+1 .. i*56+64]
+    "q_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |                x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks, len(toks) AS n_toks,
+         |    CAST(ceil(CAST(greatest(len(toks) - 8, 1) AS DOUBLE) / 56) AS INT) AS n_chunks
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, toks, CAST(u.i AS BIGINT) AS chunk_id
+         |  FROM n, unnest(range(0, n_chunks)) AS u(i))
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(toks[chunk_id*56+1:chunk_id*56+64]) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(toks[chunk_id*56+1:chunk_id*56+64], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH b AS (

@@ -113,6 +113,34 @@ class CurationSpec extends SparkSpec {
       col("text"), Map("s0" -> 100, "s1" -> 0), 50).count())
   }
 
+  test("chunkTokens: full coverage, exact overlap, reassembly == original") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(300))("t" + rnd.nextInt(1000)).mkString(" "))
+    }.toDF("id", "text")
+    val out = Curation.chunkTokens(df, col("text"), maxTokens = 64, overlap = 8)
+      .select(col("id"), col("chunk_id"), col("chunk_text"))
+      .collect().groupBy(_.getLong(0))
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      val orig = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val chunks = out(id).sortBy(_.getInt(1))
+        .map(_.getString(2).split(" ").filter(_.nonEmpty).toSeq)
+      // every doc yields >= 1 chunk; all but the last are exactly 64
+      assert(chunks.nonEmpty)
+      chunks.dropRight(1).foreach(c => assert(c.size === 64))
+      // dropping the 8-token carried overlap from every later chunk
+      // reassembles the original token stream exactly
+      val reassembled = chunks.head ++ chunks.tail.flatMap(_.drop(8))
+      assert(reassembled === orig, s"doc $id")
+      // consecutive chunks agree on the carried context
+      chunks.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b.take(8) === a.takeRight(8), s"doc $id overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("sourceMix: proportions track targets, scarcest source caps the total") {
     // abundant a (4000), abundant b (3000), scarce c (300): targets
     // 50/30/20 make c the bottleneck — feasible N = 300·100/20 = 1500,
