@@ -193,6 +193,56 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // BM25 retrieval: top-10 docs for a fixed 3-term query (k1=1.2,
+    // b=0.75) — the ranked-retrieval twin of q_tfidf_top_terms. Shape:
+    // only rows for the 3 query terms survive the tf aggregation's
+    // filter; doc-length and corpus stats are one aggregate each and
+    // broadcast; the head is a bounded TakeOrdered. Rank ties break by
+    // doc_id; the oracle recomputes the identical formula.
+    "q_bm25" -> ((s, dir) => {
+      val qTerms = Seq("hash", "join", "stream")
+      val d = docs(s, dir)
+      val terms = d.select(col("doc_id"),
+        explode(Text.tokens(lower(col("text")))).as("term"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = terms.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val k1 = 1.2; val b = 0.75
+      val scored = tf
+        .join(broadcast(dfreq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("part",
+          col("idf") * col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        // one part per (doc, term) — summing them via per-term slots
+        // added in FIXED order keeps the double arithmetic
+        // associativity-deterministic across engines and partitionings
+        .agg(
+          sum(when(col("term") === "hash", col("part"))).as("p1"),
+          sum(when(col("term") === "join", col("part"))).as("p2"),
+          sum(when(col("term") === "stream", col("part"))).as("p3"),
+          count(lit(1)).as("matched_terms"), sum(col("tf")).as("matched_tf"))
+        .withColumn("score",
+          coalesce(col("p1"), lit(0.0)) + coalesce(col("p2"), lit(0.0)) +
+            coalesce(col("p3"), lit(0.0)))
+      scored
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        // score itself stays internal (ln last-ulp differences across
+        // libm builds); the discrete outputs are the stable contract
+        .select(col("rank"), col("doc_id"), col("matched_terms"),
+          col("matched_tf"))
+    }),
+
     // SimHash fingerprints (xxhash64-based — no DuckDB equivalent, driver
     // records rows-only; Hamming-distance behavior is unit-tested).
     "q_simhash" -> ((s, dir) => {
@@ -478,6 +528,36 @@ object TextQueries {
            |  FROM tf t JOIN dfq d USING (term) CROSS JOIN n)
            |WHERE rank <= 3
            |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_bm25" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |           t -> len(t) > 0)) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+           |tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+           |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |parts AS (
+           |  SELECT t.doc_id, t.term, t.tf,
+           |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
+           |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+           |  CROSS JOIN stats s),
+           |scored AS (
+           |  SELECT doc_id,
+           |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
+           |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
+           |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score,
+           |    COUNT(*) AS matched_terms,
+           |    CAST(SUM(tf) AS BIGINT) AS matched_tf
+           |  FROM parts GROUP BY doc_id)
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, matched_terms, matched_tf
+           |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // q_simhash / q_simhash_pairs: no oracle (xxhash64 has no DuckDB
     // equivalent) — rows-only; semantics covered by DedupSpec. The
