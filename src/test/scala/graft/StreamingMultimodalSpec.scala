@@ -51,6 +51,50 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalWriter: checkpoint restart is exactly-once, replays are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Merge
+    val sink = java.nio.file.Files.createTempDirectory("graft-fbsink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fbckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, rows)
+
+    def mergeInto(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val b = batch.select(col("_1").as("k"), col("_2").as("v"))
+      seen += ((batchId, b.count()))
+      val existing =
+        if (new java.io.File(sink).exists) spark.read.parquet(sink)
+        else b.limit(0)
+      // Merge.upsert is the same idempotent keyed merge the batch path
+      // uses — an at-least-once redelivery re-merges to the same state
+      Merge.upsert(existing, b, Seq("k"), Seq("v"))
+        .localCheckpoint().coalesce(1).write.mode("overwrite").parquet(sink)
+    }
+
+    val mem = MemoryStream[(Long, Long)]
+    def runOnce(): Unit = {
+      val q = EventStream.incrementalWriter(mem.toDF(), ckpt)(mergeInto).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    mem.addData((1L, 10L), (2L, 20L))
+    runOnce()
+    // restart the SAME checkpoint with new data: only the new rows flow
+    mem.addData((2L, 21L), (3L, 30L))
+    runOnce()
+    val afterTwo = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterTwo === Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+    val rowsPerRun = seen.map(_._2)
+    assert(rowsPerRun.sum === 4, s"rows delivered across runs: $seen — " +
+      "a restart must resume from the recorded offset, not reprocess")
+    // replay with nothing new: no data batch, sink unchanged
+    val before = afterTwo
+    runOnce()
+    val after = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before)
+  }
+
   test("stream-stream interval join matches the batch twin, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     // clicks join purchases of the same user within the prior 30 min
