@@ -254,6 +254,58 @@ object Ann {
     rank(cand, k)
   }
 
+  /** IVF-SQ8: the [[writeIvfIndex]] layout with int8-quantized list
+    * vectors — the production ANN shape for a 100 TB embedding corpus:
+    * partition-pruned probes AND 4× smaller lists (the probe's I/O is
+    * nProbe/nLists of a quarter-sized corpus). Stores (nid, nq) per
+    * list; float vectors are NOT kept in the index — probes return
+    * QUANTIZED cosines (per-vector scales cancel, so no dequantization
+    * and no scale column is needed), with recall driver-gated via the
+    * exact-sim recompute in q_ann_ivf_sq8_recall. */
+  def writeIvfIndexSq8(corpus: DataFrame, path: String, nLists: Int = 16,
+                       trainIters: Int = 0,
+                       centroidsOverride: Option[DataFrame] = None): Unit = {
+    val cents = centroidsOverride.getOrElse(
+      if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
+      else seedCentroids(corpus, nLists))
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    nearestLists(cents,
+        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)
+      .select(col("nid"),
+        Vectors.quantizeInt8(col("nv")).getField("q").as("nq"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Top-k probe of a [[writeIvfIndexSq8]] layout: the probed lists
+    * read 4×-smaller int8 vectors with the same literal-partition-filter
+    * pruning as [[probeIvfIndex]]; similarities are quantized cosines
+    * (query side quantized symmetrically). */
+  def probeIvfIndexSq8(queries: DataFrame, path: String, k: Int,
+                       nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probes = nearestLists(cents,
+      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
+      .localCheckpoint()
+    val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").cast("long").isin(cids: _*))
+    val q8 = probes.select(col("qid"),
+        Vectors.quantizeInt8(col("qv")).getField("q").as("qv8"), col("cid"))
+      .withColumn("qn", Vectors.l2Norm(col("qv8")))
+    val cand = broadcast(q8)
+      .join(lists.select(col("nid"), col("nq").as("nv8"),
+          col("cid").cast("long").as("cid"))
+          .withColumn("nn", Vectors.l2Norm(col("nv8"))),
+        Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv8").as("qv"), col("qn"),
+        col("nid"), col("nv8").as("nv"), col("nn"))
+      .dropDuplicates("qid", "nid")
+    rank(cand, k)
+  }
+
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the
     * all-pairs cosine-threshold baseline (q_embed_neardup): candidates
     * are same-bucket vector pairs under multi-table hyperplane LSH,

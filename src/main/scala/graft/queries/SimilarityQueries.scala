@@ -93,6 +93,26 @@ object SimilarityQueries {
       annRecallCheck(Ann.quantizedTopK(e.filter(col("id") < 8), e, k = 5), e)
     }),
 
+    // IVF-SQ8 (persisted, partition-pruned, int8-quantized lists — the
+    // production ANN layout) with the same recall gate as the other
+    // ANN twins: the probe returns quantized cosines, so the gate
+    // recomputes EXACT sims for the returned (qid, nid) pairs before
+    // comparing against the true 20th-best bound.
+    "q_ann_ivf_sq8_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivf-sq8-${java.lang.Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      Ann.writeIvfIndexSq8(e, path, nLists = 16, trainIters = 2)
+      val probed = Ann.probeIvfIndexSq8(e.filter(col("id") < 8), path, k = 5, nProbe = 4)
+      val v = e.select(col("id"), col("vec"), Vectors.l2Norm(col("vec")).as("nrm"))
+      val exact = probed.select(col("qid"), col("rank"), col("nid"))
+        .join(v.select(col("id").as("qid"), col("vec").as("qv"), col("nrm").as("qn")), Seq("qid"))
+        .join(v.select(col("id").as("nid"), col("vec").as("nv"), col("nrm").as("nn")), Seq("nid"))
+        .select(col("qid"), col("rank"), col("nid"),
+          (Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      annRecallCheck(exact, e)
+    }),
+
     // Persisted-IVF-index round trip with a driver-visible assertion:
     // build the index as a parquet layout partitioned by list id
     // (Ann.writeIvfIndex — the corpus's one-time shuffle), then serve
@@ -274,6 +294,11 @@ object SimilarityQueries {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_ann_int8_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_ann_ivf_sq8_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,

@@ -190,6 +190,38 @@ class TextVectorSpec extends SparkSpec {
     assert(got === mem)
   }
 
+  test("IVF-SQ8 index: tinyint lists, smaller than float layout, recall holds") {
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dirF = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("graft-ivf-q8").toString
+    graft.ops.Ann.writeIvfIndex(e, dirF, nLists = 16)
+    graft.ops.Ann.writeIvfIndexSq8(e, dirQ, nLists = 16)
+
+    // the stored list vectors are int8
+    val listSchema = spark.read.parquet(s"$dirQ/lists").schema
+    assert(listSchema("nq").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    val (fb, qb) = (bytesUnder(s"$dirF/lists"), bytesUnder(s"$dirQ/lists"))
+    assert(qb < fb * 0.6, s"sq8 lists $qb bytes vs float $fb — expected a real shrink")
+
+    // quantized-probe recall vs brute force on the fixture
+    val brute = graft.ops.Ann.bruteTopK(e.filter($"id" < 20), e, 5)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = graft.ops.Ann.probeIvfIndexSq8(e.filter($"id" < 20), dirQ, k = 5)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recall = brute.map { case (q, nn) =>
+      got.getOrElse(q, Set.empty).count(nn.contains).toDouble / nn.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.4, s"mean IVF-SQ8 recall@5 = $mean")
+  }
+
   /** Planted-cluster fixture ADVERSARIAL for first-K seeding: 3
     * orthogonal clusters (one-hot centers e0/e1/e2), id→cluster chosen
     * so the first-3-by-id seed covers only clusters {0, 0, 1} — cluster
