@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
   * max-abs, then quantize — and the corpus-scan stage of
   * Ann.quantizedTopK runs it once per vector.
   *
-  * Semantics are bit-compatible with the declarative formulation
-  * (parity-tested in KernelParitySpec): per-element
+  * Semantics are bit-compatible with the declarative formulation for
+  * FINITE and null inputs (parity-tested in KernelParitySpec, incl.
+  * null elements and all-null/empty/zero vectors): per-element
   * round-HALF_UP(x·127 / max|v|) narrowed to tinyint, scale =
-  * max|v|/127 as float; null elements stay null and are skipped in the
-  * max; zero or absent max (zero/empty/all-null vector) quantizes
-  * elements to 0, with scale 0 (or null when max|v| is null).
+  * max|v|/127 as float; when max|v| > 0 null elements stay null,
+  * otherwise (zero/empty/all-null max) every element — nulls included
+  * — quantizes to 0 (the `otherwise(0.0)` branch). NON-finite inputs
+  * are where the kernel deliberately diverges: the ANSI declarative
+  * form THROWS on cast(NaN as tinyint) when a NaN/±Inf element reaches
+  * the ratio, so one corrupt embedding would kill a corpus-wide scan —
+  * the kernel quantizes such vectors to zeros and carries the
+  * non-finite magnitude through the scale (kernel-only spec).
   */
 object QuantizeKernel {
   def quantize(vec: ArrayData, elemIsFloat: Boolean): InternalRow = {
@@ -35,21 +41,32 @@ object QuantizeKernel {
       if (!vec.isNullAt(i)) {
         val x = math.abs(
           if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i))
-        if (!seen || x > maxabs) { maxabs = x; seen = true }
+        // array_max ordering: NaN sorts greatest and sticks
+        if (!seen || x.isNaN || (!maxabs.isNaN && x > maxabs)) { maxabs = x }
+        seen = true
       }
       i += 1
     }
+    val active = seen && maxabs > 0 // false for NaN/zero max
     val q = new Array[Any](n)
     i = 0
     while (i < n) {
-      if (vec.isNullAt(i)) q(i) = null
-      else if (seen && maxabs > 0) {
+      if (!active) q(i) = 0.toByte // declarative otherwise(0.0), nulls included
+      else if (vec.isNullAt(i)) q(i) = null
+      else {
         val x = if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val scaled = x * 127.0 / maxabs
         // Spark round(double) = BigDecimal HALF_UP (away from zero at
-        // .5) — Math.round would differ on negative halves
-        q(i) = java.math.BigDecimal.valueOf(x * 127.0 / maxabs)
-          .setScale(0, java.math.RoundingMode.HALF_UP).byteValue()
-      } else q(i) = 0.toByte
+        // .5) — Math.round would differ on negative halves. Non-finite
+        // ratios only arise from ±Inf inputs (|x| ≤ max|v| otherwise);
+        // Spark's round passes NaN through and the tinyint cast makes
+        // it 0.
+        q(i) =
+          if (java.lang.Double.isFinite(scaled))
+            java.math.BigDecimal.valueOf(scaled)
+              .setScale(0, java.math.RoundingMode.HALF_UP).byteValue()
+          else 0.toByte
+      }
       i += 1
     }
     val scale: Any = if (seen) (maxabs / 127.0).toFloat else null

@@ -209,16 +209,43 @@ object Ann {
     * posture in [[Dedup.bandIndex]]. */
   def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
                     trainIters: Int = 0,
-                    centroidsOverride: Option[DataFrame] = None): Unit = {
+                    centroidsOverride: Option[DataFrame] = None): Unit =
+    writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride)(
+      _.select(col("nid"), col("nv"), col("cid")))
+
+  /** Shared layout builder for the float and SQ8 index variants —
+    * centroid resolution, list assignment, and the partitioned write
+    * exist ONCE; `project` picks the per-list payload. */
+  private def writeIvfLayout(corpus: DataFrame, path: String, nLists: Int,
+                             trainIters: Int,
+                             centroidsOverride: Option[DataFrame])(
+      project: DataFrame => DataFrame): Unit = {
     val cents = centroidsOverride.getOrElse(
       if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
       else seedCentroids(corpus, nLists))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    nearestLists(cents,
-        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)
-      .select(col("nid"), col("nv"), col("cid"))
+    project(nearestLists(cents,
+        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Shared probe front half: assign queries to their nProbe nearest
+    * stored centroids (materialized once — the cid collect and the
+    * candidate join would otherwise run the assignment twice), push the
+    * probed list ids as a LITERAL partition filter, and return
+    * (probes, pruned lists). */
+  private def prunedProbe(queries: DataFrame, path: String,
+                          nProbe: Int): (DataFrame, DataFrame) = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probes = nearestLists(cents,
+      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
+      .localCheckpoint()
+    val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").cast("long").isin(cids: _*))
+    (probes, lists)
   }
 
   /** Top-k probe against a persisted [[writeIvfIndex]] layout. The
@@ -230,18 +257,7 @@ object Ann {
     * identical to the in-memory `ivfTopK` with the same centroids. */
   def probeIvfIndex(queries: DataFrame, path: String, k: Int,
                     nProbe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-    // two consumers (the cid collect + the candidate join) — without
-    // materialization the probe assignment (parquet scan, broadcast
-    // join, window) would execute twice, the same double-use pattern
-    // trainCentroids eliminates
-    val probes = nearestLists(cents,
-      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
-      .localCheckpoint()
-    val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("cid").cast("long").isin(cids: _*))
+    val (probes, lists) = prunedProbe(queries, path, nProbe)
     val cand = broadcast(
         probes.select(col("qid"), col("qv"),
           Vectors.l2Norm(col("qv")).as("qn"), col("cid")))
@@ -264,18 +280,10 @@ object Ann {
     * exact-sim recompute in q_ann_ivf_sq8_recall. */
   def writeIvfIndexSq8(corpus: DataFrame, path: String, nLists: Int = 16,
                        trainIters: Int = 0,
-                       centroidsOverride: Option[DataFrame] = None): Unit = {
-    val cents = centroidsOverride.getOrElse(
-      if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
-      else seedCentroids(corpus, nLists))
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    nearestLists(cents,
-        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)
-      .select(col("nid"),
-        Vectors.quantizeInt8(col("nv")).getField("q").as("nq"), col("cid"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
-  }
+                       centroidsOverride: Option[DataFrame] = None): Unit =
+    writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride)(
+      _.select(col("nid"),
+        Vectors.quantizeInt8(col("nv")).getField("q").as("nq"), col("cid")))
 
   /** Top-k probe of a [[writeIvfIndexSq8]] layout: the probed lists
     * read 4×-smaller int8 vectors with the same literal-partition-filter
@@ -283,18 +291,14 @@ object Ann {
     * (query side quantized symmetrically). */
   def probeIvfIndexSq8(queries: DataFrame, path: String, k: Int,
                        nProbe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-    val probes = nearestLists(cents,
-      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
-      .localCheckpoint()
-    val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("cid").cast("long").isin(cids: _*))
-    val q8 = probes.select(col("qid"),
-        Vectors.quantizeInt8(col("qv")).getField("q").as("qv8"), col("cid"))
+    val (probes, lists) = prunedProbe(queries, path, nProbe)
+    // quantize each query ONCE (probes carries nProbe rows per qid);
+    // the per-cid probe rows join the quantized form back by qid
+    val q8 = probes.select(col("qid"), col("qv")).dropDuplicates("qid")
+      .select(col("qid"),
+        Vectors.quantizeInt8(col("qv")).getField("q").as("qv8"))
       .withColumn("qn", Vectors.l2Norm(col("qv8")))
-    val cand = broadcast(q8)
+    val cand = broadcast(probes.select(col("qid"), col("cid")).join(q8, Seq("qid")))
       .join(lists.select(col("nid"), col("nq").as("nv8"),
           col("cid").cast("long").as("cid"))
           .withColumn("nn", Vectors.l2Norm(col("nv8"))),

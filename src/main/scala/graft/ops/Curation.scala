@@ -133,6 +133,9 @@ object Curation {
                   overlap: Int): DataFrame = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
+    val reserved = Seq("chunk_id", "chunk_tokens", "chunk_text", "__toks", "__n")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"column names $reserved are reserved by chunkTokens")
     val stride = maxTokens - overlap
     val toks = tokensOf(textCol)
     df.withColumn("__toks", toks)

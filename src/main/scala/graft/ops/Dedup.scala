@@ -170,7 +170,10 @@ object Dedup {
     * oversized buckets as (band_id, band_key, n_ids, sample_ids) for
     * cluster-level handling — the same posture as
     * [[minhashLshCandidates]]'s skew side-output. One aggregation over
-    * the index, shuffle payload (16-byte key, count). */
+    * the index, shuffle payload (16-byte key, count). Input must be
+    * duplicate-free band rows (what [[bandIndex]] emits): the bounded
+    * sample has no set semantics, so duplicated (id, band) rows would
+    * both inflate n_ids and repeat ids in sample_ids. */
   case class PrunedBands(pruned: DataFrame, flagged: DataFrame)
   def pruneOversizedBuckets(bands: DataFrame, maxBucket: Int): PrunedBands = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}

@@ -151,7 +151,7 @@ object EventQueries {
           col("value").as("click_value"), col("event_id").as("click_id"))
       graft.ops.AsofJoin.asof(left, right, Seq("user_id"),
           leftTs = "ts", rightTs = "click_ts",
-          rightCols = Seq("click_value"), tiebreak = -col("click_id"),
+          rightCols = Seq("click_value"), tiebreak = col("click_id"),
           direction = "forward")
         .select(col("event_id"), col("user_id"), col("click_value"))
         .orderBy(col("event_id"))

@@ -21,6 +21,17 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Per-JVM unique scratch dir for index-building queries: constant
+    * within a process (mode=overwrite reuses it — no per-call leak),
+    * unique across processes (concurrent Verify/Bench JVMs cannot
+    * overwrite each other's index mid-probe, which a fixed path
+    * keyed only on the fixture dir would allow). */
+  private lazy val tmpToken = java.util.UUID.randomUUID().toString.take(8)
+  private def scratchDir(prefix: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix-$tmpToken-${java.lang.Integer.toHexString(dir.hashCode)}")
+      .getAbsolutePath
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Vector norms + self-dot — verifies the higher-order-function dot
@@ -100,8 +111,7 @@ object SimilarityQueries {
     // comparing against the true 20th-best bound.
     "q_ann_ivf_sq8_recall" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivf-sq8-${java.lang.Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = scratchDir("graft-ivf-sq8", dir)
       Ann.writeIvfIndexSq8(e, path, nLists = 16, trainIters = 2)
       val probed = Ann.probeIvfIndexSq8(e.filter(col("id") < 8), path, k = 5, nProbe = 4)
       val v = e.select(col("id"), col("vec"), Vectors.l2Norm(col("vec")).as("nrm"))
@@ -123,11 +133,7 @@ object SimilarityQueries {
     // every (qid, rank, nid) triple matches on both paths.
     "q_ann_ivf_index" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      // fixed per-fixture path, rewritten in place (mode=overwrite
-      // inside writeIvfIndex) — a fresh createTempDirectory per call
-      // would leak a full index copy every bench/verify invocation
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivf-q-${java.lang.Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = scratchDir("graft-ivf-q", dir)
       Ann.writeIvfIndex(e, path, nLists = 16, trainIters = 2)
       val probed = Ann.probeIvfIndex(e.filter(col("id") < 8), path, k = 5, nProbe = 4)
       val cents = s.read.parquet(s"$path/centroids")

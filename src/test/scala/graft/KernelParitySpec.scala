@@ -98,11 +98,16 @@ class KernelParitySpec extends SparkSpec {
 
   test("QuantizeInt8 kernel == declarative formulation (incl. edge vectors)") {
     val rnd = new scala.util.Random(11)
-    val rows = (0 until 200).map(i => Tuple1(Array.fill(64)(rnd.nextFloat() * 2 - 1))) ++
-      Seq(Tuple1(Array(0f, 0f, 0f)),                 // zero vector
-        Tuple1(Array.empty[Float]),                  // empty
-        Tuple1(Array(-1.5f, 0.5f, 1.5f, -0.5f)),     // negative halves (HALF_UP)
-        Tuple1(Array(1e-30f, -1e-30f)))              // denormal-ish
+    val rows: Seq[Tuple1[Seq[Option[Float]]]] =
+      (0 until 200).map(i =>
+        Tuple1(Seq.fill(64)(Option(rnd.nextFloat() * 2 - 1)))) ++
+      Seq(Tuple1(Seq(Some(0f), Some(0f), Some(0f))),          // zero vector
+        Tuple1(Seq.empty[Option[Float]]),                     // empty
+        Tuple1(Seq(Some(-1.5f), Some(0.5f), Some(1.5f), Some(-0.5f))), // negative halves
+        Tuple1(Seq(Some(1e-30f), Some(-1e-30f))),             // denormal-ish
+        Tuple1(Seq(Some(1.0f), None)),                        // null element, max > 0
+        Tuple1(Seq(Some(0f), None)),                          // null element, max = 0
+        Tuple1(Seq[Option[Float]](None, None)))               // all-null
     val df = rows.toDF("v")
     val bad = df.select(
         Vectors.quantizeInt8($"v").as("fast"),
@@ -110,6 +115,29 @@ class KernelParitySpec extends SparkSpec {
       .filter(not($"fast.scale" <=> $"slow.scale") || not($"fast.q" <=> $"slow.q"))
       .count()
     assert(bad === 0)
+  }
+
+  test("QuantizeInt8 kernel degrades NaN/Inf vectors to zeros instead of crashing") {
+    // the ANSI declarative form THROWS (cast(NaN as tinyint) overflow)
+    // whenever a non-finite element reaches the ratio — NaN even enters
+    // the active branch because Spark's `>` ranks NaN above every
+    // number. A single corrupt embedding would kill a corpus-wide
+    // scan; the kernel quantizes such vectors to zeros and carries the
+    // non-finite magnitude through the scale
+    val df = Seq(
+      Tuple1(Seq(Some(Float.PositiveInfinity), Some(1.0f))),
+      Tuple1(Seq(Some(Float.NegativeInfinity), Some(-2.0f)))).toDF("v")
+    val got = df.select(Vectors.quantizeInt8($"v").as("qz"))
+      .select($"qz.scale", $"qz.q").collect()
+    got.foreach { r =>
+      assert(r.getFloat(0).isPosInfinity)
+      assert(r.getSeq[Byte](1) === Seq[Byte](0, 0))
+    }
+    val nan = Seq(Tuple1(Seq(Some(1.0f), Some(Float.NaN)))).toDF("v")
+      .select(Vectors.quantizeInt8($"v").as("qz"))
+      .select($"qz.scale", $"qz.q").collect().head
+    assert(nan.getFloat(0).isNaN)
+    assert(nan.getSeq[Byte](1) === Seq[Byte](0, 0))
   }
 
   test("MinHashSignature kernel == declarative minhash over shingles") {
