@@ -99,6 +99,28 @@ class ScaleSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("intervalJoin batch property: equals the explicit range-predicate join") {
+    val rnd = new scala.util.Random(23)
+    def ts(off: Int) = new java.sql.Timestamp(1700000000000L + off * 1000L)
+    val left = (1 to 300).map(i =>
+      ((rnd.nextInt(15) + 1).toLong, ts(rnd.nextInt(7200)))).toDF("k", "lts")
+    val right = (1 to 300).map(i =>
+      ((rnd.nextInt(15) + 1).toLong, ts(rnd.nextInt(7200)), i.toLong))
+      .toDF("k", "rts", "payload")
+    val got = graft.streaming.EventStream.intervalJoin(
+        left, "lts", right, "rts", keys = Seq("k"), window = "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3)))
+    val ref = left.join(right,
+        left("k") === right("k") &&
+          right("rts") >= left("lts") - expr("INTERVAL 30 minutes") &&
+          right("rts") <= left("lts"))
+      .select(left("k"), col("lts"), col("rts"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3)))
+    assert(got.sorted.toSeq === ref.sorted.toSeq && got.nonEmpty)
+  }
+
   test("forward asof property: equals the declarative join+window reference") {
     val rnd = new scala.util.Random(13)
     val left = (1 to 400).map(i =>
