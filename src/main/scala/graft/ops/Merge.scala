@@ -15,6 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Schema-evolving wrapper over [[upsert]]: aligns both sides to the
+    * UNION of their schemas before merging, so a pipeline that starts
+    * emitting a new column (or replays history missing a since-added
+    * one) keeps merging instead of failing the strict schema check —
+    * the additive half of real warehouse schema evolution. Columns
+    * absent on a side fill with typed nulls; a column present on both
+    * sides with DIFFERENT types is a genuine contract break and still
+    * fails. New columns land in existing-side column order first, then
+    * incoming-only columns in incoming order; incoming-only columns are
+    * implicitly update columns (existing rows hold null there). */
+  def upsertEvolving(existing: DataFrame, incoming: DataFrame,
+                     keys: Seq[String], updateCols: Seq[String]): DataFrame = {
+    val exTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+    val inTypes = incoming.schema.map(f => f.name -> f.dataType).toMap
+    val clash = exTypes.keySet.intersect(inTypes.keySet)
+      .filter(c => exTypes(c) != inTypes(c))
+    require(clash.isEmpty,
+      s"columns ${clash.toSeq.sorted} change type between existing and incoming")
+    require(keys.forall(k => exTypes.contains(k) && inTypes.contains(k)),
+      "merge keys must exist on both sides")
+    val ordered = existing.columns.toSeq ++
+      incoming.columns.filterNot(exTypes.contains)
+    def align(df: DataFrame, types: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(ordered.map(c =>
+        if (types.contains(c)) col(c)
+        else lit(null).cast(exTypes.getOrElse(c, inTypes(c))).as(c)): _*)
+    upsert(align(existing, exTypes), align(incoming, inTypes),
+      keys, (updateCols ++ incoming.columns.filterNot(exTypes.contains)).distinct)
+  }
+
   /** SCD-1 partial-column upsert of `incoming` into `existing` on `keys`.
     *
     * Semantics (matches `ON DUPLICATE KEY UPDATE c = VALUES(c)`):

@@ -71,4 +71,32 @@ class MergeSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
       Seq((1L, "2024-01-01", 5.0), (1L, "2024-01-02", 9.0), (2L, "2024-01-01", 1.0)))
   }
+
+  test("upsertEvolving: incoming gains a column — merge evolves instead of failing") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val incoming = Seq((2L, "B", 9.5), (3L, "c", 1.0)).toDF("id", "name", "score")
+    // the strict merge refuses the widened schema…
+    intercept[IllegalArgumentException] {
+      graft.ops.Merge.upsert(existing, incoming, Seq("id"), Seq("name"))
+    }
+    // …the evolving merge aligns to the union schema
+    val out = graft.ops.Merge.upsertEvolving(existing, incoming,
+        Seq("id"), Seq("name"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ===
+      Seq((1L, "a", null), (2L, "B", 9.5), (3L, "c", 1.0)))
+    // existing-side-only column survives a narrow replay too
+    val replay = Seq((4L, "d")).toDF("id", "name")
+    val out2 = graft.ops.Merge.upsertEvolving(
+        graft.ops.Merge.upsertEvolving(existing, incoming, Seq("id"), Seq("name")),
+        replay, Seq("id"), Seq("name"))
+      .orderBy("id").collect()
+    assert(out2.length === 4 && out2.last.isNullAt(2))
+    // a genuine type change still fails loudly
+    val clash = Seq((1L, 42)).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      graft.ops.Merge.upsertEvolving(existing, clash, Seq("id"), Seq("name"))
+    }
+  }
 }

@@ -99,6 +99,46 @@ class ScaleSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("compact: many small files collapse, content identical, swap is atomic-ish") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+    df.repartition(16).write.parquet(dir)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(dir).length === 16)
+    val n = graft.ops.Scale.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1 && files(dir).length === 1)
+    assert(!new java.io.File(dir + ".compact.tmp").exists)
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === (1 to 5000).map(i => (i.toLong, s"row $i")).toSet)
+  }
+
+  test("deleteKeys: only touched date partitions rewrite; emptied partitions vanish") {
+    val path = java.nio.file.Files.createTempDirectory("graft-delkeys").toString + "/t"
+    val rows = Seq(
+      (10L, "2024-01-01", 1.0), (11L, "2024-01-01", 2.0),
+      (10L, "2024-01-02", 3.0), (12L, "2024-01-02", 4.0),
+      (13L, "2024-01-03", 5.0),            // untouched date
+      (14L, "2024-01-04", 6.0))            // date emptied by the delete
+    rows.toDF("user_id", "dt", "v").write.partitionBy("dt").parquet(path)
+    def snapshot(date: String): Map[String, Long] = {
+      val d = new java.io.File(path, s"dt=$date")
+      if (!d.exists) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = snapshot("2024-01-03")
+    graft.ops.Scale.deleteKeys(spark, path, "dt", "user_id", Seq(10L, 14L))
+    // untouched partition: same files, same mtimes — never rewritten
+    assert(snapshot("2024-01-03") === untouchedBefore)
+    // emptied partition directory is gone
+    assert(snapshot("2024-01-04").isEmpty)
+    val left = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(left === Set((11L, 2.0), (12L, 4.0), (13L, 5.0)))
+  }
+
   test("intervalJoin batch property: equals the explicit range-predicate join") {
     val rnd = new scala.util.Random(23)
     def ts(off: Int) = new java.sql.Timestamp(1700000000000L + off * 1000L)
