@@ -24,6 +24,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-JVM-unique scratch token for disk-mutating queries (same
+    * posture as SimilarityQueries: no per-call leak, no cross-process
+    * clash). */
+  private lazy val scratchToken = java.util.UUID.randomUUID().toString.take(8)
+
   private def dec(c: Column): Column = c.cast(DecimalType(38, 2))
 
   /** Output canonicalization (VERDICT r1 item 1): aggregate exactly in
@@ -247,6 +252,42 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("date"))
     }),
 
+    // Warehouse MAINTENANCE end-to-end, driver-visible: a scripted
+    // lifecycle over a real date-partitioned parquet layout — initial
+    // write, schema-evolving merge (a new `score` column arrives),
+    // targeted key deletion (one key spans two dates; another empties
+    // its whole date partition), small-file compaction — then the
+    // final table is read back and compared row-for-row against the
+    // oracle's literal expectation. Every step is the disk-mutating op
+    // (Scale.writeDatePartitioned / Merge.upsertEvolving /
+    // Scale.deleteKeys / Scale.compact), not an in-memory simulation.
+    "q_warehouse_maint" -> ((s, dir) => {
+      import s.implicits._
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-maint-$scratchToken-${java.lang.Integer.toHexString(dir.hashCode)}")
+        .getAbsolutePath
+      val init = Seq(
+        (10L, "2024-01-01", 1.0), (11L, "2024-01-01", 2.0),
+        (10L, "2024-01-02", 3.0), (12L, "2024-01-02", 4.0),
+        (13L, "2024-01-03", 5.0), (14L, "2024-01-04", 6.0))
+        .toDF("user_id", "dt", "v")
+      graft.ops.Scale.writeDatePartitioned(init, base, "dt")
+      val incoming = Seq((12L, "2024-01-02", 4.5, 0.9),
+        (15L, "2024-01-05", 7.0, 0.5)).toDF("user_id", "dt", "v", "score")
+      // partition-column inference types dt as DATE on read-back; the
+      // lifecycle keeps it a plain string key
+      val merged = Merge.upsertEvolving(s.read.parquet(base)
+          .select(col("user_id"), col("dt").cast("string").as("dt"), col("v")),
+        incoming, Seq("user_id", "dt"), Seq("v")).localCheckpoint()
+      graft.ops.Scale.writeDatePartitioned(merged, base, "dt")
+      graft.ops.Scale.deleteKeys(s, base, "dt", "user_id", Seq(10L, 14L))
+      graft.ops.Scale.compact(s, base)
+      s.read.parquet(base)
+        .select(col("user_id"), col("dt").cast("string").as("dt"),
+          col("v"), col("score"))
+        .orderBy(col("user_id"))
+    }),
+
     // The reference's N+1 per-row lookup (SURVEY §3.1 step 5) written as
     // the correlated scalar subquery it semantically is — Catalyst's
     // RewriteCorrelatedScalarSubquery decorrelates it into one aggregate
@@ -417,6 +458,18 @@ object SparkEntry {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_custkey, date""".stripMargin,
+
+    // the oracle states the post-lifecycle table literally: merge with
+    // schema evolution, delete keys 10 and 14, compact — Spark must
+    // read exactly these rows back from the maintained parquet layout
+    "q_warehouse_maint" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(11 AS BIGINT), '2024-01-01', CAST(2.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |  (CAST(12 AS BIGINT), '2024-01-02', CAST(4.5 AS DOUBLE), CAST(0.9 AS DOUBLE)),
+        |  (CAST(13 AS BIGINT), '2024-01-03', CAST(5.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |  (CAST(15 AS BIGINT), '2024-01-05', CAST(7.0 AS DOUBLE), CAST(0.5 AS DOUBLE))
+        |) AS t(user_id, dt, v, score)
+        |ORDER BY user_id""".stripMargin,
 
     "q_correlated_subquery" ->
       """SELECT c_custkey,
