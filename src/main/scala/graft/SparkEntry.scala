@@ -24,10 +24,6 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Per-JVM-unique scratch token for disk-mutating queries (same
-    * posture as SimilarityQueries: no per-call leak, no cross-process
-    * clash). */
-  private lazy val scratchToken = java.util.UUID.randomUUID().toString.take(8)
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 2))
 
@@ -263,9 +259,7 @@ object SparkEntry {
     // Scale.deleteKeys / Scale.compact), not an in-memory simulation.
     "q_warehouse_maint" -> ((s, dir) => {
       import s.implicits._
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-maint-$scratchToken-${java.lang.Integer.toHexString(dir.hashCode)}")
-        .getAbsolutePath
+      val base = graft.Scratch.dir("graft-maint", dir)
       val init = Seq(
         (10L, "2024-01-01", 1.0), (11L, "2024-01-01", 2.0),
         (10L, "2024-01-02", 3.0), (12L, "2024-01-02", 4.0),

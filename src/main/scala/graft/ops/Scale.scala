@@ -81,32 +81,41 @@ object Scale {
     arranged.write.mode("overwrite").partitionBy(dateCol).parquet(path)
   }
 
-  /** Small-file compaction for a parquet path — the maintenance job
-    * that keeps years of incremental micro-batch appends readable: many
-    * tiny files inflate scan task counts and NameNode/listing pressure,
-    * so periodically rewrite a partition's files into
+  /** Small-file compaction for a parquet LEAF directory — the
+    * maintenance job that keeps years of incremental micro-batch
+    * appends readable: many tiny files inflate scan task counts and
+    * listing pressure, so periodically rewrite a partition's files into
     * ceil(bytes / targetBytes) right-sized ones. Returns the output
-    * file count. The rewrite stages into `path + ".compact.tmp"` and
-    * swaps via rename, so a reader never observes a half-written path;
-    * content is unchanged (spec-verified). At 100 TB run this per date
-    * partition (compose with [[overwriteTouchedDates]]' layout), not on
-    * the whole table at once. */
+    * file count. Refuses a partitioned ROOT (subdirs named `col=…`):
+    * compacting one would flatten the layout and retype the partition
+    * column — run per partition directory instead, which also bounds
+    * each rewrite at 100 TB.
+    *
+    * Swap protocol: stage into `path + ".compact.tmp"`, rename the live
+    * dir aside to `.compact.old`, rename tmp in, delete old. A crash
+    * mid-swap leaves the previous copy intact (at the live path or at
+    * `.compact.old`) — never a half-written or vanished table. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 256L * 1024 * 1024): Int = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-    val bytes = walk(new java.io.File(path))
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = path + ".compact.tmp"
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
     val dir = new java.io.File(path)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    delete(dir)
-    require(new java.io.File(tmp).renameTo(dir), s"rename $tmp -> $path failed")
+    val partitionDirs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"$path is a partitioned root (${partitionDirs.head.getName}, …) — " +
+        "compact operates on leaf directories; run it per partition")
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    val nFiles = math.max(1, math.ceil(walk(dir).toDouble / targetBytes).toInt)
+    val tmp = new java.io.File(path + ".compact.tmp")
+    val old = new java.io.File(path + ".compact.old")
+    graft.Scratch.deleteRecursively(tmp)
+    graft.Scratch.deleteRecursively(old)
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    require(dir.renameTo(old), s"rename $path aside failed")
+    require(tmp.renameTo(dir), s"rename $tmp -> $path failed; previous copy at $old")
+    graft.Scratch.deleteRecursively(old)
     nFiles
   }
 
@@ -115,7 +124,10 @@ object Scale {
     * date partitions that actually contain the doomed keys — discovered
     * with one partition-pruned-friendly aggregation — via dynamic
     * partition overwrite; untouched history is never read or written.
-    * Pass the full key column for exact deletes (e.g. a user id). */
+    * Rows whose key is NULL are explicitly KEPT (three-valued logic
+    * would otherwise silently drop them from rewritten partitions);
+    * doomed rows in a null-dated partition are refused loudly rather
+    * than left behind. */
   def deleteKeys(spark: org.apache.spark.sql.SparkSession, path: String,
                  dateCol: String, keyCol: String, keys: Seq[Any]): Unit = {
     require(keys.nonEmpty, "no keys to delete")
@@ -123,40 +135,42 @@ object Scale {
     val touched = table
       .filter(col(keyCol).isin(keys: _*))
       .select(col(dateCol)).distinct().collect().map(_.get(0))
+    require(!touched.contains(null),
+      s"doomed keys present in a null-$dateCol partition — not supported")
     if (touched.nonEmpty) {
       val kept = table
         .filter(col(dateCol).isin(touched: _*))
-        .filter(!col(keyCol).isin(keys: _*))
+        .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
         // materialize BEFORE the overwrite deletes the files it reads
         .localCheckpoint()
-      overwriteTouchedDatesOf(kept, path, dateCol, touched)
+      withDynamicOverwrite(spark) {
+        kept.filter(col(dateCol).isin(touched: _*))
+          .write.mode("overwrite").partitionBy(dateCol).parquet(path)
+      }
       // dynamic overwrite only rewrites partitions PRESENT in the
       // output — a partition emptied entirely by the delete would
-      // otherwise keep its old files; remove those directories
+      // otherwise keep its old files; remove those directories (names
+      // use Spark's partition-path escaping)
       val keptDates = kept.select(col(dateCol)).distinct()
         .collect().map(_.get(0).toString).toSet
       touched.map(_.toString).filterNot(keptDates).foreach { v =>
-        def delete(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(delete)
-          f.delete()
-        }
-        delete(new java.io.File(path, s"$dateCol=$v"))
+        val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)
+        graft.Scratch.deleteRecursively(
+          new java.io.File(path, s"$dateCol=$escaped"))
       }
     }
   }
 
-  /** Dynamic-partition-overwrite write of `df` into `path`, restricted
-    * to the given date values — shared by deleteKeys and callers that
-    * already know their touched dates. */
-  private def overwriteTouchedDatesOf(df: DataFrame, path: String,
-                                      dateCol: String,
-                                      dates: Seq[Any]): Unit = {
-    val spark = df.sparkSession
+  /** Run `body` with partitionOverwriteMode=dynamic, restoring the
+    * previous session value afterwards — shared by every
+    * partition-selective writer so the conf swap exists once. */
+  private def withDynamicOverwrite(
+      spark: org.apache.spark.sql.SparkSession)(body: => Unit): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try df.filter(col(dateCol).isin(dates: _*))
-      .write.mode("overwrite").partitionBy(dateCol).parquet(path)
+    try body
     finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -180,17 +194,8 @@ object Scale {
     * read or written. */
   def overwriteTouchedDates(df: DataFrame, path: String, dateCol: String,
                             keyCol: Option[String] = None,
-                            filesPerPartition: Int = 1): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try arrangedWrite(df, path, dateCol, keyCol, filesPerPartition)
-    finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+                            filesPerPartition: Int = 1): Unit =
+    withDynamicOverwrite(df.sparkSession) {
+      arrangedWrite(df, path, dateCol, keyCol, filesPerPartition)
     }
-  }
 }

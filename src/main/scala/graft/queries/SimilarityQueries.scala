@@ -21,16 +21,8 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Per-JVM unique scratch dir for index-building queries: constant
-    * within a process (mode=overwrite reuses it — no per-call leak),
-    * unique across processes (concurrent Verify/Bench JVMs cannot
-    * overwrite each other's index mid-probe, which a fixed path
-    * keyed only on the fixture dir would allow). */
-  private lazy val tmpToken = java.util.UUID.randomUUID().toString.take(8)
   private def scratchDir(prefix: String, dir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"$prefix-$tmpToken-${java.lang.Integer.toHexString(dir.hashCode)}")
-      .getAbsolutePath
+    graft.Scratch.dir(prefix, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

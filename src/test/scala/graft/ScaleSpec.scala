@@ -109,18 +109,29 @@ class ScaleSpec extends SparkSpec {
     val n = graft.ops.Scale.compact(spark, dir, targetBytes = 1L << 30)
     assert(n === 1 && files(dir).length === 1)
     assert(!new java.io.File(dir + ".compact.tmp").exists)
+    assert(!new java.io.File(dir + ".compact.old").exists)
     val got = spark.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === (1 to 5000).map(i => (i.toLong, s"row $i")).toSet)
+    // a partitioned ROOT is refused — compacting it would flatten the
+    // layout and retype the partition column
+    val proot = java.nio.file.Files.createTempDirectory("graft-compact-p").toString + "/t"
+    df.withColumn("p", $"id" % 2).write.partitionBy("p").parquet(proot)
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.compact(spark, proot)
+    }
+    // …but its leaf partition dirs compact fine
+    assert(graft.ops.Scale.compact(spark, s"$proot/p=0", 1L << 30) === 1)
   }
 
   test("deleteKeys: only touched date partitions rewrite; emptied partitions vanish") {
     val path = java.nio.file.Files.createTempDirectory("graft-delkeys").toString + "/t"
     val rows = Seq(
-      (10L, "2024-01-01", 1.0), (11L, "2024-01-01", 2.0),
-      (10L, "2024-01-02", 3.0), (12L, "2024-01-02", 4.0),
-      (13L, "2024-01-03", 5.0),            // untouched date
-      (14L, "2024-01-04", 6.0))            // date emptied by the delete
+      (Some(10L), "2024-01-01", 1.0), (Some(11L), "2024-01-01", 2.0),
+      (Some(10L), "2024-01-02", 3.0), (Some(12L), "2024-01-02", 4.0),
+      (None, "2024-01-02", 7.0),           // NULL key in a touched date
+      (Some(13L), "2024-01-03", 5.0),      // untouched date
+      (Some(14L), "2024-01-04", 6.0))      // date emptied by the delete
     rows.toDF("user_id", "dt", "v").write.partitionBy("dt").parquet(path)
     def snapshot(date: String): Map[String, Long] = {
       val d = new java.io.File(path, s"dt=$date")
@@ -134,9 +145,12 @@ class ScaleSpec extends SparkSpec {
     assert(snapshot("2024-01-03") === untouchedBefore)
     // emptied partition directory is gone
     assert(snapshot("2024-01-04").isEmpty)
+    // NULL-keyed rows survive a rewrite of their partition (three-
+    // valued logic would have silently dropped them)
     val left = spark.read.parquet(path).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
-    assert(left === Set((11L, 2.0), (12L, 4.0), (13L, 5.0)))
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getDouble(1))).toSet
+    assert(left === Set((Some(11L), 2.0), (Some(12L), 4.0),
+      (None, 7.0), (Some(13L), 5.0)))
   }
 
   test("intervalJoin batch property: equals the explicit range-predicate join") {
