@@ -275,7 +275,11 @@ object SparkEntry {
         incoming, Seq("user_id", "dt"), Seq("v")).localCheckpoint()
       graft.ops.Scale.writeDatePartitioned(merged, base, "dt")
       graft.ops.Scale.deleteKeys(s, base, "dt", "user_id", Seq(10L, 14L))
-      graft.ops.Scale.compact(s, base)
+      // compaction is per LEAF partition by contract (compact refuses a
+      // partitioned root — flattening it would retype dt); data files
+      // don't carry the partition column, so the root read after a leaf
+      // rewrite still infers dt from the directory name
+      graft.ops.Scale.compact(s, s"$base/dt=2024-01-02")
       s.read.parquet(base)
         .select(col("user_id"), col("dt").cast("string").as("dt"),
           col("v"), col("score"))
