@@ -22,6 +22,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any previous/partial dump: a failed query must read as
+        // MISSING to the checker, not silently pass on stale output
+        // from an earlier run into the same outDir
+        Scratch.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
       finally {
         // same steady-state hygiene as Bench: drop blocks a query
