@@ -286,6 +286,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Bloom-pruned semi join (the explicit runtime-filter shape): the
+    // fact side is pre-filtered by a broadcast bloom sketch of the
+    // (filtered) build side's keys BEFORE its shuffle; the exact semi
+    // join then removes false positives, so the answer is identical to
+    // the plain semi join the oracle runs — only the shuffle volume
+    // changes at scale.
+    "q_bloom_semi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.Bloom.semiJoinPruned(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), decd(sum(dec(col("l_quantity")))).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The reference's N+1 per-row lookup (SURVEY §3.1 step 5) written as
     // the correlated scalar subquery it semantically is — Catalyst's
     // RewriteCorrelatedScalarSubquery decorrelates it into one aggregate
@@ -456,6 +473,14 @@ object SparkEntry {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_custkey, date""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the oracle states the post-lifecycle table literally: merge with
     // schema evolution, delete keys 10 and 14, compact — Spark must

@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_bloom_semi: bloom pre-filter sits on the fact scan before the join") {
+    val p = plan("q_bloom_semi")
+    assert(p.contains("might_contain"),
+      "bloom pruning filter must survive into the physical plan\n" + p)
+    // the pre-filter must be BELOW the join: the might_contain text
+    // appears after (deeper than) the semi join node in the tree print
+    assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"), p)
+  }
+
   test("q_kmeans_quality: centroids broadcast, fused dot kernel in the plan") {
     val p = plan("q_kmeans_quality")
     assert(p.contains("BroadcastExchange"), p)

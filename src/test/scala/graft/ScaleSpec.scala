@@ -99,6 +99,23 @@ class ScaleSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("bloom-pruned semi join == plain semi join on random data") {
+    val rnd = new scala.util.Random(29)
+    val probe = (1 to 2000).map(i =>
+      (rnd.nextInt(500).toLong, s"payload $i")).toDF("k", "p")
+    val build = (1 to 120).map(_ => rnd.nextInt(700).toLong)
+      .map(Tuple1(_)).toDF("bk")
+    val got = graft.ops.Bloom.semiJoinPruned(probe, build, "k", "bk",
+        expectedItems = 200, numBits = 4096)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val ref = probe.join(build, probe("k") === build("bk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === ref && got.nonEmpty)
+    // (the plan-shape gate lives in PlanSpec against the parquet-backed
+    // q_bloom_semi: ConvertToLocalRelation pre-evaluates filters over
+    // this in-memory test data, so no Filter survives here)
+  }
+
   test("compact: many small files collapse, content identical, swap is atomic-ish") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     val df = (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
