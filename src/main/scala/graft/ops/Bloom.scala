@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * there — the bloom only discards rows that cannot match;
   * oracle-checked by q_bloom_semi). At 100 TB the win is that only the
   * ~selectivity fraction of the probe side reaches the shuffle: the
-  * sketch is a few MB broadcast against a scan, the same trade Spark's
-  * automatic runtime filters make, but available deterministically at
+  * sketch is a few MB delivered to the scan via a scalar subquery
+  * (computed distributed, never rendered into plan strings the way a
+  * byte-array Literal would be), the same trade Spark's automatic
+  * runtime filters make, but available deterministically at
   * plan-authoring time (the auto-injection bails on many shapes — e.g.
   * when the build side is itself an aggregate).
   *
@@ -24,22 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** Bloom sketch of `key` over `build`, materialized to the driver as
-    * the serialized filter (numBits/8 bytes — the bounded-scalar
-    * posture of the watermark reads; might_contain REQUIRES its filter
-    * side to be a constant or scalar subquery, and this byte array is
-    * exactly that scalar). The aggregation itself runs distributed
-    * with map-side partial sketches; only the final binary lands on
-    * the driver. */
-  def sketch(build: DataFrame, key: Column,
-             expectedItems: Long, numBits: Long): Array[Byte] = {
+  /** One-row frame holding the bloom sketch of `key` over `build` —
+    * a distributed aggregation with map-side partial sketches. */
+  def sketchFrame(build: DataFrame, key: Column,
+                  expectedItems: Long, numBits: Long): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.Literal
     val agg = column(new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(expression(xxhash64(key)),
         Literal(expectedItems), Literal(numBits))
       .toAggregateExpression())
-    build.agg(agg.as("__bloom")).first().getAs[Array[Byte]](0)
+    build.agg(agg.as("__bloom"))
+  }
+
+  /** The sketch as a SCALAR SUBQUERY column — the form might_contain
+    * accepts that keeps the (potentially MBs-large) filter out of the
+    * driver and out of plan strings (a byte-array Literal hex-prints
+    * in full into every explain/UI description). */
+  def sketchScalar(build: DataFrame, key: Column,
+                   expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.column
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      sketchFrame(build, key, expectedItems, numBits).queryExecution.logical))
   }
 
   /** might_contain predicate of `key` against the sketch column. */
@@ -58,9 +66,11 @@ object Bloom {
                      probeKey: String, buildKey: String,
                      expectedItems: Long = 1000000L,
                      numBits: Long = 8388608L): DataFrame = {
-    val bf = sketch(build, col(buildKey), expectedItems, numBits)
-    val pruned = probe.filter(mightContain(lit(bf), col(probeKey)))
-    pruned.join(build.select(col(buildKey)).distinct(),
-      pruned(probeKey) === col(buildKey), "left_semi")
+    val bf = sketchScalar(build, col(buildKey), expectedItems, numBits)
+    val pruned = probe.filter(mightContain(bf, col(probeKey)))
+    // no distinct: left_semi is invariant to build-side duplicates;
+    // dataset-qualified refs keep same-named keys unambiguous
+    val b = build.select(col(buildKey))
+    pruned.join(b, pruned(probeKey) === b(buildKey), "left_semi")
   }
 }

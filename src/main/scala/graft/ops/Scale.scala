@@ -91,10 +91,13 @@ object Scale {
     * column — run per partition directory instead, which also bounds
     * each rewrite at 100 TB.
     *
-    * Swap protocol: stage into `path + ".compact.tmp"`, rename the live
-    * dir aside to `.compact.old`, rename tmp in, delete old. A crash
-    * mid-swap leaves the previous copy intact (at the live path or at
-    * `.compact.old`) — never a half-written or vanished table. */
+    * Swap protocol: stage into DOT-PREFIXED sibling directories
+    * (`.name.compact.tmp` / `.name.compact.old` — hidden from Spark's
+    * file listing, so a crash mid-swap can never surface them as bogus
+    * partitions when the leaf sits inside a partitioned root), rename
+    * the live dir aside, rename tmp in, delete old. A crash mid-swap
+    * leaves the previous copy intact — never a half-written or
+    * vanished table. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 256L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
@@ -107,14 +110,16 @@ object Scale {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
       else f.length()
     val nFiles = math.max(1, math.ceil(walk(dir).toDouble / targetBytes).toInt)
-    val tmp = new java.io.File(path + ".compact.tmp")
-    val old = new java.io.File(path + ".compact.old")
+    val parent = dir.getAbsoluteFile.getParentFile
+    val tmp = new java.io.File(parent, "." + dir.getName + ".compact.tmp")
+    val old = new java.io.File(parent, "." + dir.getName + ".compact.old")
     graft.Scratch.deleteRecursively(tmp)
     graft.Scratch.deleteRecursively(old)
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.getPath)
     require(dir.renameTo(old), s"rename $path aside failed")
     require(tmp.renameTo(dir), s"rename $tmp -> $path failed; previous copy at $old")
+
     graft.Scratch.deleteRecursively(old)
     nFiles
   }

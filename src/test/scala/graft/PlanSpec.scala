@@ -135,6 +135,8 @@ class PlanSpec extends SparkSpec {
       "bloom pruning filter must survive into the physical plan\n" + p)
     // the pre-filter must be BELOW the join: the might_contain text
     // appears after (deeper than) the semi join node in the tree print
+    // (LeftSemi asserted present first — indexOf=-1 would pass vacuously)
+    assert(p.contains("LeftSemi"), p)
     assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"), p)
   }
 

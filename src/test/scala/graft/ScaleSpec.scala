@@ -125,8 +125,10 @@ class ScaleSpec extends SparkSpec {
     assert(files(dir).length === 16)
     val n = graft.ops.Scale.compact(spark, dir, targetBytes = 1L << 30)
     assert(n === 1 && files(dir).length === 1)
-    assert(!new java.io.File(dir + ".compact.tmp").exists)
-    assert(!new java.io.File(dir + ".compact.old").exists)
+    val parent = new java.io.File(dir).getAbsoluteFile.getParentFile
+    val leaf = new java.io.File(dir).getName
+    assert(!new java.io.File(parent, s".$leaf.compact.tmp").exists)
+    assert(!new java.io.File(parent, s".$leaf.compact.old").exists)
     val got = spark.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === (1 to 5000).map(i => (i.toLong, s"row $i")).toSet)
