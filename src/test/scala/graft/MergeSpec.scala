@@ -99,4 +99,24 @@ class MergeSpec extends SparkSpec {
       graft.ops.Merge.upsertEvolving(existing, clash, Seq("id"), Seq("name"))
     }
   }
+
+  test("upsertEvolving idempotence property on random widened batches") {
+    // the replay-safety contract of the strict upsert must survive
+    // schema evolution: applying the same widened batch twice == once
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { trial =>
+      val existing = (1 to 50).map(i =>
+        ((rnd.nextInt(30) + 1).toLong, s"v$i")).distinctBy(_._1)
+        .toDF("id", "name")
+      val incoming = (1 to 30).map(i =>
+        ((rnd.nextInt(40) + 1).toLong, s"w$i", rnd.nextDouble()))
+        .distinctBy(_._1).toDF("id", "name", "score")
+      val once = graft.ops.Merge.upsertEvolving(existing, incoming,
+        Seq("id"), Seq("name"))
+      val twice = graft.ops.Merge.upsertEvolving(once, incoming,
+        Seq("id"), Seq("name"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+        s"trial $trial not idempotent")
+    }
+  }
 }
