@@ -272,7 +272,7 @@ object SparkEntry {
       // lifecycle keeps it a plain string key
       val merged = Merge.upsertEvolving(s.read.parquet(base)
           .select(col("user_id"), col("dt").cast("string").as("dt"), col("v")),
-        incoming, Seq("user_id", "dt"), Seq("v")).localCheckpoint()
+        incoming, Seq("user_id", "dt"), Seq("v")).transform(graft.ops.Reliable.checkpoint)
       graft.ops.Scale.writeDatePartitioned(merged, base, "dt")
       graft.ops.Scale.deleteKeys(s, base, "dt", "user_id", Seq(10L, 14L))
       // compaction is per LEAF partition by contract (compact refuses a

@@ -74,8 +74,8 @@ object Ann {
     * step either way. Output column types match the corpus vec type
     * (float), so trained and seeded centroids are interchangeable.
     *
-    * The returned frame is eagerly materialized (localCheckpoint of
-    * nLists rows): every consumer uses centroids at least twice
+    * The returned frame is eagerly materialized ([[Reliable.checkpoint]]
+    * of nLists rows): every consumer uses centroids at least twice
     * (assign + probe, or assign + objective join), and a lazy return
     * would re-run the whole Lloyd chain once PER USE — measured 2×+ on
     * the IVF/k-means queries. Same posture as
@@ -94,7 +94,7 @@ object Ann {
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
-    cents.localCheckpoint()
+    Reliable.checkpoint(cents)
   }
 
   /** k-means cluster assignment: train (or take) centroids, assign
@@ -239,9 +239,8 @@ object Ann {
                           nProbe: Int): (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
-    val probes = nearestLists(cents,
-      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe)
-      .localCheckpoint()
+    val probes = Reliable.checkpoint(nearestLists(cents,
+      queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe))
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val lists = spark.read.parquet(s"$path/lists")
       .filter(col("cid").cast("long").isin(cids: _*))

@@ -221,7 +221,7 @@ object Dedup {
     // unmaterialized frame would run the MinHash signing twice per
     // batch, defeating the sign-once contract; the batch is small by
     // definition, so eager materialization is cheap
-    val bb = batchBands.localCheckpoint()
+    val bb = Reliable.checkpoint(batchBands)
     val vsCorpus = broadcast(
         bb.select(col("id").as("id_new"), col("band_id"), col("band_key")))
       .join(corpusBands.select(col("id").as("id_match"), col("band_id"), col("band_key")),
@@ -316,16 +316,25 @@ object Dedup {
     * loop would re-execute every prior round's joins each iteration
     * (lineage grows quadratically). For graphs with genuinely large
     * diameters, the large-star/small-star variant (Kiveris et al.)
-    * halves round count; near-dup graphs do not need it. */
+    * halves round count; near-dup graphs do not need it.
+    *
+    * Fault tolerance: per-round materialization routes through
+    * [[Reliable.checkpoint]] — set the SparkContext checkpoint dir on a
+    * real cluster and each round is a replicated reliable checkpoint
+    * (an executor loss mid-propagation recovers); unset, it stays the
+    * fast executor-local variant. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    // eager localCheckpoints materialize each round; track the RDD ids
-    // each checkpoint creates so superseded rounds can be freed
+    // eager checkpoints materialize each round; track the RDD ids each
+    // LOCAL checkpoint persists so superseded rounds can be freed
     // immediately (the leak class that degraded BENCH_r03/r04) instead
-    // of waiting for context-cleaner GC
+    // of waiting for context-cleaner GC. Reliable checkpoints (dir
+    // configured) persist nothing — their files GC via
+    // spark.cleaner.referenceTracking.cleanCheckpoints or dir cleanup,
+    // so the delta set is empty and free() is a no-op.
     def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
+      val out = Reliable.checkpoint(df)
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def free(ids: Set[Int]): Unit =

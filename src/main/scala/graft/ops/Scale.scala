@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -91,36 +92,66 @@ object Scale {
     * column — run per partition directory instead, which also bounds
     * each rewrite at 100 TB.
     *
+    * All file operations go through the Hadoop FileSystem resolved from
+    * the path itself, so the same code runs against `file://`, `hdfs://`
+    * or any mounted Hadoop filesystem — and every rename/delete is
+    * require()d, never silently ignored.
+    *
     * Swap protocol: stage into DOT-PREFIXED sibling directories
     * (`.name.compact.tmp` / `.name.compact.old` — hidden from Spark's
     * file listing, so a crash mid-swap can never surface them as bogus
     * partitions when the leaf sits inside a partitioned root), rename
     * the live dir aside, rename tmp in, delete old. A crash mid-swap
-    * leaves the previous copy intact — never a half-written or
-    * vanished table. */
+    * leaves at least one complete copy on disk, and re-running compact
+    * RESTORES it: at entry, if the live dir is missing, the survivor
+    * (`.old` preferred — the pre-compact state; else the fully-written
+    * `.tmp`) is renamed back in before anything is deleted. Staging
+    * dirs are only ever deleted while the live dir is present.
+    *
+    * Object-store caveat: the swap relies on directory rename being
+    * atomic-and-cheap, which holds on POSIX filesystems and HDFS but
+    * NOT on S3-style object stores (rename = copy+delete, non-atomic).
+    * There, compact a copy and flip a table-format pointer instead
+    * (Delta/Iceberg metadata commit — see ops.Merge's sink notes). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 256L * 1024 * 1024): Int = {
-    val dir = new java.io.File(path)
-    val partitionDirs = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
+    val (fs, dir) = resolve(spark, path)
+    val parent = dir.getParent
+    val tmp = new HPath(parent, "." + dir.getName + ".compact.tmp")
+    val old = new HPath(parent, "." + dir.getName + ".compact.old")
+    if (!fs.exists(dir)) {
+      // crash recovery: a prior run died between the two swap renames —
+      // restore the surviving copy; never delete while the live dir is
+      // missing (a blind tmp/old cleanup here would destroy the only
+      // remaining data)
+      if (fs.exists(old)) {
+        require(fs.rename(old, dir), s"recovery rename $old -> $dir failed")
+        if (fs.exists(tmp)) require(fs.delete(tmp, true), s"delete $tmp failed")
+      } else if (fs.exists(tmp)) {
+        // old gone but tmp present: tmp was fully written before any
+        // rename, so promoting it completes the interrupted swap
+        require(fs.rename(tmp, dir), s"recovery rename $tmp -> $dir failed")
+      } else {
+        throw new IllegalArgumentException(s"$path does not exist")
+      }
+    } else {
+      // live dir present: tmp/old are stale staging from an earlier
+      // crash after (or before) the swap — safe to clear
+      if (fs.exists(tmp)) require(fs.delete(tmp, true), s"delete $tmp failed")
+      if (fs.exists(old)) require(fs.delete(old, true), s"delete $old failed")
+    }
+    val partitionDirs = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
     require(partitionDirs.isEmpty,
-      s"$path is a partitioned root (${partitionDirs.head.getName}, …) — " +
+      s"$path is a partitioned root (${partitionDirs.head.getPath.getName}, …) — " +
         "compact operates on leaf directories; run it per partition")
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-      else f.length()
-    val nFiles = math.max(1, math.ceil(walk(dir).toDouble / targetBytes).toInt)
-    val parent = dir.getAbsoluteFile.getParentFile
-    val tmp = new java.io.File(parent, "." + dir.getName + ".compact.tmp")
-    val old = new java.io.File(parent, "." + dir.getName + ".compact.old")
-    graft.Scratch.deleteRecursively(tmp)
-    graft.Scratch.deleteRecursively(old)
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.getPath)
-    require(dir.renameTo(old), s"rename $path aside failed")
-    require(tmp.renameTo(dir), s"rename $tmp -> $path failed; previous copy at $old")
-
-    graft.Scratch.deleteRecursively(old)
+    val bytes = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(dir.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"rename $dir aside failed")
+    require(fs.rename(tmp, dir), s"rename $tmp -> $dir failed; previous copy at $old")
+    require(fs.delete(old, true), s"delete $old failed (table swap succeeded)")
     nFiles
   }
 
@@ -132,7 +163,14 @@ object Scale {
     * Rows whose key is NULL are explicitly KEPT (three-valued logic
     * would otherwise silently drop them from rewritten partitions);
     * doomed rows in a null-dated partition are refused loudly rather
-    * than left behind. */
+    * than left behind.
+    *
+    * This is a retention / right-to-erasure op, so silent failure is a
+    * contract breach: emptied partition directories are removed via the
+    * Hadoop FileSystem resolved from the path (works on file://, hdfs://,
+    * object stores), and the delete is require()d — if the files the
+    * doomed rows lived in cannot be removed, the op throws rather than
+    * leaving them readable. */
   def deleteKeys(spark: org.apache.spark.sql.SparkSession, path: String,
                  dateCol: String, keyCol: String, keys: Seq[Any]): Unit = {
     require(keys.nonEmpty, "no keys to delete")
@@ -147,7 +185,7 @@ object Scale {
         .filter(col(dateCol).isin(touched: _*))
         .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
         // materialize BEFORE the overwrite deletes the files it reads
-        .localCheckpoint()
+        .transform(Reliable.checkpoint)
       withDynamicOverwrite(spark) {
         kept.filter(col(dateCol).isin(touched: _*))
           .write.mode("overwrite").partitionBy(dateCol).parquet(path)
@@ -158,13 +196,29 @@ object Scale {
       // use Spark's partition-path escaping)
       val keptDates = kept.select(col(dateCol)).distinct()
         .collect().map(_.get(0).toString).toSet
+      val (fs, root) = resolve(spark, path)
       touched.map(_.toString).filterNot(keptDates).foreach { v =>
         val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(v)
-        graft.Scratch.deleteRecursively(
-          new java.io.File(path, s"$dateCol=$escaped"))
+        val pdir = new HPath(root, s"$dateCol=$escaped")
+        // delete must succeed AND the directory must actually have been
+        // there (delete(missing) returns false on most FS impls — but a
+        // vanished dir with doomed rows is itself suspicious, so check)
+        require(fs.exists(pdir), s"emptied partition $pdir vanished mid-delete")
+        require(fs.delete(pdir, true),
+          s"failed to delete emptied partition $pdir — doomed rows would remain readable")
       }
     }
+  }
+
+  /** Resolve a path string to (FileSystem, fully-qualified Path) via the
+    * session's Hadoop conf — the one seam every disk-mutating maintenance
+    * op goes through, so none of them can regress to java.io.File. */
+  private def resolve(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (org.apache.hadoop.fs.FileSystem, HPath) = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
   }
 
   /** Run `body` with partitionOverwriteMode=dynamic, restoring the

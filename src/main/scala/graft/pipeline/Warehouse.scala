@@ -27,13 +27,15 @@ object Warehouse {
     * Catalyst re-optimizes the whole history on every action. In
     * production each batch ends with a write to storage (which cuts
     * lineage naturally — see ops.Scale.writeDatePartitioned); for
-    * in-memory chaining, localCheckpoint gives the same cut. */
+    * in-memory chaining, [[graft.ops.Reliable.checkpoint]] gives the
+    * same cut (reliable when a checkpoint dir is configured, local
+    * otherwise). */
   def materialize(wh: Warehouse): Warehouse =
     Warehouse(
-      wh.dimChains.localCheckpoint(),
-      wh.dimTokens.localCheckpoint(),
-      wh.factTokenDailyStats.localCheckpoint(),
-      wh.factYieldStats.localCheckpoint())
+      graft.ops.Reliable.checkpoint(wh.dimChains),
+      graft.ops.Reliable.checkpoint(wh.dimTokens),
+      graft.ops.Reliable.checkpoint(wh.factTokenDailyStats),
+      graft.ops.Reliable.checkpoint(wh.factYieldStats))
 
   /** Seed chains like the reference's dim_chains refresh (SqlDbEtl.py:159-167). */
   def withChains(spark: SparkSession, chains: Seq[(Int, String)]): Warehouse = {

@@ -194,8 +194,8 @@ object PipelineQueries {
       // (dim ids + prev-day facts); batch 1's yield facts stay lazy —
       // this output never evaluates them, so they cost nothing
       val wh1 = whRaw.copy(
-        dimTokens = whRaw.dimTokens.localCheckpoint(),
-        factTokenDailyStats = whRaw.factTokenDailyStats.localCheckpoint())
+        dimTokens = graft.ops.Reliable.checkpoint(whRaw.dimTokens),
+        factTokenDailyStats = graft.ops.Reliable.checkpoint(whRaw.factTokenDailyStats))
       val wh2 = Tasks.hydrationData(synthHydraData(s, dir, 2), wh1)
       wh2.factTokenDailyStats.select(
         col("token_id"), col("date").cast("timestamp").as("date"),

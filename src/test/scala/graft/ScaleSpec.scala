@@ -172,6 +172,64 @@ class ScaleSpec extends SparkSpec {
       (None, 7.0), (Some(13L), 5.0)))
   }
 
+  test("maintenance lifecycle through the Hadoop FS API (file:// scheme, no java.io)") {
+    // the same compact + deleteKeys lifecycle as above, but addressed
+    // with an explicit file:// URI so every file op provably routes
+    // through org.apache.hadoop.fs.FileSystem (a java.io.File path
+    // would not resolve a scheme'd URI at all)
+    val raw = java.nio.file.Files.createTempDirectory("graft-fsapi").toString
+    val uri = s"file://$raw/t"
+    Seq(
+      (10L, "2024-01-01", 1.0), (11L, "2024-01-01", 2.0),
+      (10L, "2024-01-02", 3.0), (12L, "2024-01-02", 4.0),
+      (14L, "2024-01-04", 6.0))
+      .toDF("user_id", "dt", "v")
+      .repartition(6).write.partitionBy("dt").parquet(uri)
+    // leaf compaction through the scheme'd path
+    assert(graft.ops.Scale.compact(spark, s"$uri/dt=2024-01-01", 1L << 30) === 1)
+    // keyed deletion through the scheme'd path: 14 empties its date
+    graft.ops.Scale.deleteKeys(spark, uri, "dt", "user_id", Seq(10L, 14L))
+    assert(!new java.io.File(s"$raw/t/dt=2024-01-04").exists)
+    val left = spark.read.parquet(uri).select("user_id", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(left === Set((11L, 2.0), (12L, 4.0)))
+  }
+
+  test("compact crash recovery: a missing live dir restores the survivor, never deletes it") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val base = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val fs = new HPath(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = (1 to 300).map(i => (i.toLong, s"row $i"))
+    val expect = rows.toSet
+
+    // scenario A: crashed between the two swap renames — live dir moved
+    // aside to .old, replacement fully written in .tmp. The old r5 code
+    // deleted BOTH staging dirs before re-reading the (gone) live path:
+    // permanent data loss. Now: restore .old, drop .tmp, recompact.
+    val dirA = s"$base/a"
+    rows.toDF("id", "v").repartition(8).write.parquet(dirA)
+    rows.toDF("id", "v").repartition(1).write.parquet(s"$base/.a.compact.tmp")
+    assert(fs.rename(new HPath(dirA), new HPath(s"$base/.a.compact.old")))
+    assert(!fs.exists(new HPath(dirA)))
+    assert(graft.ops.Scale.compact(spark, dirA, 1L << 30) === 1)
+    assert(spark.read.parquet(dirA).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === expect)
+    assert(!fs.exists(new HPath(s"$base/.a.compact.tmp")))
+    assert(!fs.exists(new HPath(s"$base/.a.compact.old")))
+
+    // scenario B: only the fully-written .tmp survives — promote it
+    val dirB = s"$base/b"
+    rows.toDF("id", "v").repartition(1).write.parquet(s"$base/.b.compact.tmp")
+    assert(graft.ops.Scale.compact(spark, dirB, 1L << 30) === 1)
+    assert(spark.read.parquet(dirB).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === expect)
+
+    // nothing at all -> loud failure, not an empty write
+    intercept[IllegalArgumentException] {
+      graft.ops.Scale.compact(spark, s"$base/missing")
+    }
+  }
+
   test("intervalJoin batch property: equals the explicit range-predicate join") {
     val rnd = new scala.util.Random(23)
     def ts(off: Int) = new java.sql.Timestamp(1700000000000L + off * 1000L)
