@@ -61,7 +61,16 @@ object Bloom {
     * `buildKey`, with the probe side bloom-pruned before its shuffle.
     * Output: probe rows whose key exists in build — identical to
     * `probe.join(build, probe(probeKey) === build(buildKey),
-    * "left_semi")`. */
+    * "left_semi")`.
+    *
+    * `build` MUST be deterministic: it evaluates twice (once into the
+    * bloom sketch, once in the exact semi join), and a nondeterministic
+    * build side — rand()/sample/unordered limit — could sketch one key
+    * set and join another, silently dropping probe rows the exact join
+    * would match. Same caveat as Spark's own runtime filters. Callers
+    * that cannot guarantee it should pass
+    * `Reliable.checkpoint(build)` so both consumers read one
+    * materialized copy. */
   def semiJoinPruned(probe: DataFrame, build: DataFrame,
                      probeKey: String, buildKey: String,
                      expectedItems: Long = 1000000L,

@@ -182,6 +182,11 @@ object Dedup {
     // count and ≤20 ids per bucket cross the shuffle, never the full
     // membership, so a 50M-doc boilerplate bucket costs the same as a
     // 21-doc one. Requires long ids (the aggregate's contract).
+    // Precision bound: the score ranks via double, exact only for
+    // |id| ≤ 2^53 — above that, ids collapsing to one double may make
+    // sample_ids not strictly the smallest 20 (the (score, id) tie-break
+    // keeps the sample deterministic either way). Fine for sequence ids;
+    // hash-derived 64-bit ids get A deterministic sample, not the MIN-20.
     val sample20 = column(graft.expr.catalyst.TopKByScore(
       expression(struct(-col("id").cast("double"), col("id").cast("long"))), 20)
       .toAggregateExpression())

@@ -1,7 +1,8 @@
 package graft
 
-import java.sql.Timestamp
+import java.sql.{DriverManager, Timestamp}
 import java.nio.file.Files
+import java.util.Properties
 
 import org.apache.spark.sql.functions._
 
@@ -68,6 +69,64 @@ class IntegrationSpec extends SparkSpec {
     runBatch(ts("2025-05-01 02:00:00"))
     assert(wh.factYieldStats.count() === 2)
     assert(ctl.lastRun("site").get === ts("2025-05-01 01:30:00"))
+  }
+
+  test("MergeSink seam: the same daily cycle lands identically through parquet and JDBC sinks") {
+    import graft.sources.JdbcSource
+    val keys = Seq("dt", "token_id")
+    val upd = Seq("v")
+    def df(rows: (String, Long, Double)*) = rows.toDF("dt", "token_id", "v")
+    val b1 = df(("2025-05-01", 1L, 10.0), ("2025-05-01", 2L, 20.0),
+      ("2025-05-02", 1L, 11.0))
+    val b2 = df(("2025-05-02", 1L, 99.0), ("2025-05-02", 7L, 70.0))
+    val want = Set(("2025-05-01", 1L, 10.0), ("2025-05-01", 2L, 20.0),
+      ("2025-05-02", 1L, 99.0), ("2025-05-02", 7L, 70.0))
+
+    // parquet sink: batch 1 creates the layout; batch 2 touches ONLY its
+    // date partition; replaying batch 2 is a no-op
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val sinkP = new ops.ParquetMergeSink(spark, dir, "dt", keyCol = Some("token_id"))
+    sinkP.merge(b1, keys, upd)
+    def fp(date: String): Map[String, (Long, String)] = {
+      val d = new java.io.File(s"$dir/dt=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(Files.readAllBytes(f.toPath))
+        f.getName -> (f.lastModified() -> md.map("%02x".format(_)).mkString)
+      }.toMap
+    }
+    val untouchedBefore = fp("2025-05-01")
+    assert(untouchedBefore.nonEmpty)
+    sinkP.merge(b2, keys, upd)
+    assert(fp("2025-05-01") === untouchedBefore,
+      "untouched date partition was rewritten")
+    def stateP = sinkP.read()
+      .select($"dt".cast("string"), $"token_id", $"v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(stateP === want)
+    sinkP.merge(b2, keys, upd)   // idempotent replay
+    assert(stateP === want)
+
+    // JDBC sink through embedded Derby's MERGE dialect: same batches,
+    // same final state — no read-modify-write, the DB key does the match
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft-derby-sink").toString)
+    val jurl = "jdbc:derby:memory:graftsink;create=true"
+    val conn = DriverManager.getConnection(jurl)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE daily (dt VARCHAR(10), token_id BIGINT, v DOUBLE, " +
+          "PRIMARY KEY (dt, token_id))")
+    } finally conn.close()
+    val sinkJ = new ops.JdbcMergeSink(spark, jurl, "daily", new Properties(),
+      dialect = JdbcSource.DerbyMergeDialect)
+    sinkJ.merge(b1, keys, upd)
+    sinkJ.merge(b2, keys, upd)
+    sinkJ.merge(b2, keys, upd)   // idempotent replay
+    val stateJ = sinkJ.read()
+      .select($"DT", $"TOKEN_ID", $"V")
+      .as[(String, Long, Double)].collect().toSet
+    assert(stateJ === want)
   }
 
   test("overwriteTouchedDates: single-date incremental merge leaves other date dirs byte-identical") {

@@ -3,7 +3,7 @@
 # Usage: tools/run.sh graft.Verify /root/testdata/sf0.001 /tmp/v001
 set -e
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+CP="target/scala-2.13/classes:/opt/spark/jars/*${EXTRA_CP:+:$EXTRA_CP}"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
