@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample plumbing a training-data
   * pipeline needs.
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment): `DeterministicCodec` derives metadata and "features"
-  * from the payload bytes alone, so every Spark-side contract — schema,
-  * partition-local codec initialization, batch shape, null policy — is
-  * real and tested, and a production codec (JNI/FFmpeg/JPEG) drops in
-  * by replacing one object.
+  * IMAGE decode is REAL (javax.imageio — JDK built-in; [[Multimodal.ImageCodec]]
+  * parses PNG/JPEG bytes into dimensions + pixel statistics, exercised
+  * end-to-end by q_media_decode). Audio/video codec work remains
+  * STUBBED (no such libraries in this environment): `DeterministicCodec`
+  * derives metadata from payload bytes alone, so every Spark-side
+  * contract — schema, partition-local codec initialization, batch
+  * shape, null policy — is real and tested, and a production codec
+  * (FFmpeg via JNI) drops in by replacing one object.
   *
   * Scale posture: payloads never shuffle — decode/feature steps are
   * per-row maps; frame sampling explodes AFTER projecting the payload
@@ -85,6 +87,107 @@ object Multimodal {
         org.apache.spark.sql.Row.fromSeq(base :+ meta)
       }
     }(rowEnc)
+  }
+
+  /** =========== REAL IMAGE CODEC (javax.imageio, JDK built-in) =====
+    * PNG/JPEG decode with zero new dependencies — the stubbed
+    * DeterministicCodec above remains for formats the JDK cannot parse
+    * (audio/video); for images the pipeline below is the real thing:
+    * bytes in, parsed dimensions and pixel statistics out. */
+  object ImageCodec {
+
+    /** Encode a solid-fill RGB image as PNG bytes (the fixture-side
+      * generator: dimensions and fill are the caller's known-answer
+      * contract, so a later decode is verifiable arithmetic). */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decoded image facts: parsed dimensions, per-channel sums, and a
+      * CRC32 digest over the row-major (r,g,b) byte stream. */
+    final case class Decoded(width: Int, height: Int, sumR: Long, sumG: Long,
+                             sumB: Long, pixelDigest: Long)
+
+    /** Decode PNG/JPEG/GIF/BMP bytes. None for null, corrupt, or
+      * unsupported payloads — a bad asset degrades to null facts
+      * instead of killing a 100 TB scan. */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val crc = new java.util.zip.CRC32()
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+                sr += r; sg += g; sb += b
+                crc.update(r); crc.update(g); crc.update(b)
+                x += 1
+              }
+              y += 1
+            }
+            Decoded(w, h, sr, sg, sb, crc.getValue)
+          }
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
+  private val decodedStruct = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType), StructField("pixel_digest", LongType)))
+
+  /** Real PNG encode at the mapPartitions codec boundary:
+    * (widthCol, heightCol, rgbCol) ints → `payload` PNG bytes appended.
+    * Iterator-to-iterator; one ImageIO pipeline per partition. */
+  def encodePng(df: DataFrame, widthCol: String, heightCol: String,
+                rgbCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val (wi, hi, ci) = (df.schema.fieldIndex(widthCol),
+      df.schema.fieldIndex(heightCol), df.schema.fieldIndex(rgbCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = ImageCodec.encodePng(r.getInt(wi), r.getInt(hi), r.getInt(ci))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Real image decode at the mapPartitions codec boundary: parses each
+    * `payload` with javax.imageio and appends a `decoded` struct
+    * (width, height, sum_r, sum_g, sum_b, pixel_digest); null for
+    * null/corrupt/non-image payloads. Payloads are consumed where they
+    * sit — never shuffled — and the decoder is iterator-to-iterator. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", decodedStruct, nullable = true))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val dec = ImageCodec.decode(bytes).map(d =>
+          org.apache.spark.sql.Row(d.width, d.height, d.sumR, d.sumG, d.sumB,
+            d.pixelDigest)).orNull
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dec)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame sampling: one output row per sampled frame index (every

@@ -46,6 +46,37 @@ object MultimodalQueries {
         .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
+
+    // REAL codec round trip (javax.imageio): encode a solid-fill PNG
+    // per document with dimensions/color that are pure arithmetic on
+    // doc_id, decode the bytes back at the mapPartitions boundary, and
+    // emit parsed dimensions + channel sums. The oracle reproduces the
+    // same numbers arithmetically — matching is only possible if the
+    // PNG was genuinely written and parsed. One planted non-image
+    // payload proves corrupt bytes degrade to null facts, not a crash.
+    "q_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val spec = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        (lit(16) + col("doc_id") % 32).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 7) % 32).cast("int").as("h"),
+        (shiftleft(col("doc_id") % 256, 16)
+          .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
+          .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
+      val encoded = Multimodal.encodePng(spec, "w", "h", "rgb")
+        .select(col("asset_id"), col("payload"))
+      val corrupt = Seq((-1L, "not an image")).toDF("asset_id", "txt")
+        .select(col("asset_id"), col("txt").cast("binary").as("payload"))
+      Multimodal.decodeImages(encoded.unionByName(corrupt))
+        .select(col("asset_id"),
+          col("decoded.width").cast("long").as("width"),
+          col("decoded.height").cast("long").as("height"),
+          col("decoded.sum_r").as("sum_r"),
+          col("decoded.sum_g").as("sum_g"),
+          col("decoded.sum_b").as("sum_b"),
+          col("decoded").isNotNull.as("ok"))
+        .orderBy(col("asset_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -70,5 +101,24 @@ object MultimodalQueries {
         |SELECT asset_id, kind, u.frame_idx
         |FROM m, unnest(generate_series(0, n_frames - 1, 4)) AS u(frame_idx)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // the decoded facts of a W×H solid-fill (r,g,b) PNG are pure
+    // arithmetic: parsed dims == encoded dims, channel sum == W·H·c.
+    // The planted corrupt payload (asset_id -1) must decode to NULLs.
+    "q_media_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS BIGINT) AS height,
+        |  CAST((16 + doc_id % 32) * (16 + (doc_id * 7) % 32)
+        |       * (doc_id % 256) AS BIGINT) AS sum_r,
+        |  CAST((16 + doc_id % 32) * (16 + (doc_id * 7) % 32)
+        |       * ((doc_id * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST((16 + doc_id % 32) * (16 + (doc_id * 7) % 32)
+        |       * ((doc_id * 5) % 256) AS BIGINT) AS sum_b,
+        |  TRUE AS ok
+        |FROM documents
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL, FALSE
+        |ORDER BY asset_id""".stripMargin,
   )
 }

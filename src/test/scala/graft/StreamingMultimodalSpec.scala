@@ -206,6 +206,40 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 3L))
   }
 
+  test("multimodal: real imageio codec — PNG round trip, digest determinism, corrupt degrade") {
+    import spark.implicits._
+    // encode real PNGs with known facts, decode through the DataFrame op
+    val spec = Seq((1L, 20, 10, 0xFF8040), (2L, 3, 3, 0x000000))
+      .toDF("asset_id", "w", "h", "rgb")
+    val decoded = Multimodal.decodeImages(
+        Multimodal.encodePng(spec, "w", "h", "rgb")
+          .select(col("asset_id"), col("payload")))
+      .select("asset_id", "decoded.*").orderBy("asset_id").collect()
+    val r1 = decoded(0)
+    assert((r1.getInt(1), r1.getInt(2)) === (20, 10))
+    assert((r1.getLong(3), r1.getLong(4), r1.getLong(5)) ===
+      (200L * 0xFF, 200L * 0x80, 200L * 0x40))
+    // digest: deterministic across independent decodes of the same bytes
+    val d1 = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.encodePng(20, 10, 0xFF8040)).get
+    assert(d1.pixelDigest === r1.getLong(6))
+    // …and sensitive to one pixel changing
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.ImageCodec.encodePng(20, 10, 0xFF8040)))
+    img.setRGB(5, 5, 0xFF8041)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.ImageCodec.decode(bos.toByteArray).get.pixelDigest
+      !== d1.pixelDigest)
+    // corrupt and null payloads degrade to null facts, not exceptions
+    val junk = Seq((9L, "definitely not a png")).toDF("asset_id", "txt")
+      .select(col("asset_id"), col("txt").cast("binary").as("payload"))
+      .unionByName(Seq(10L).toDF("asset_id")
+        .select(col("asset_id"), lit(null).cast("binary").as("payload")))
+    val bad = Multimodal.decodeImages(junk).select("decoded").collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("streaming curation equals batch curation on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = Seq(
