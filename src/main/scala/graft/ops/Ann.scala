@@ -23,19 +23,24 @@ import graft.expr.Vectors
 object Ann {
 
   /** Brute-force cosine top-k — the correctness baseline. `queries` and
-    * `corpus` are (id, vec) frames; queries must be small (broadcast). */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("qid"), col("vec").as("qv"),
+    * `corpus` are (id, vec) frames; queries must be small (the plan
+    * broadcasts them — guarded loudly, `maxBroadcastRows`). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    val qg = Guard.broadcastSmall(queries, "bruteTopK query batch", maxBroadcastRows)
+    val q = qg.select(col("id").as("qid"), col("vec").as("qv"),
       Vectors.l2Norm(col("vec")).as("qn"))
     val c = corpus.select(col("id").as("nid"), col("vec").as("nv"),
       Vectors.l2Norm(col("vec")).as("nn"))
     rank(broadcast(q).join(c, col("qid") =!= col("nid")), k)
   }
 
-  /** Multi-table LSH top-k. */
+  /** Multi-table LSH top-k. Queries broadcast (guarded). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nBits: Int = 4, nTables: Int = 12): DataFrame = {
-    val q = queries.select(col("id").as("qid"), col("vec").as("qv"),
+              nBits: Int = 4, nTables: Int = 12,
+              maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    val qg = Guard.broadcastSmall(queries, "lshTopK query batch", maxBroadcastRows)
+    val q = qg.select(col("id").as("qid"), col("vec").as("qv"),
         Vectors.l2Norm(col("vec")).as("qn"),
         Vectors.lshBuckets(col("vec"), nBits, nTables).as("qb"))
       .select(col("qid"), col("qv"), col("qn"), explode(col("qb")).as("bucket"))
@@ -168,10 +173,12 @@ object Ann {
     * EXACT sims — quantization affects which candidates are considered,
     * never the reported similarity. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                    rerankFactor: Int = 4): DataFrame = {
+                    rerankFactor: Int = 4,
+                    maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     def q8(v: Column): Column = Vectors.quantizeInt8(v).getField("q")
-    val qq = queries.select(col("id").as("qid"), q8(col("vec")).as("qv8"))
+    val qg = Guard.broadcastSmall(queries, "quantizedTopK query batch", maxBroadcastRows)
+    val qq = qg.select(col("id").as("qid"), q8(col("vec")).as("qv8"))
       .withColumn("qn8", Vectors.l2Norm(col("qv8")))
     val cq = corpus.select(col("id").as("nid"), q8(col("vec")).as("nv8"))
       .withColumn("nn8", Vectors.l2Norm(col("nv8")))

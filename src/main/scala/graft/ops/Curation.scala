@@ -171,9 +171,12 @@ object Curation {
     * only. */
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
-                    n: Int = 8): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+                    n: Int = 8,
+                    maxBenchGrams: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    val benchGrams = Guard.broadcastSmall(
+      benchmark
+        .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct(),
+      "contamination benchmark gram set", maxBenchGrams)
     corpus
       .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))

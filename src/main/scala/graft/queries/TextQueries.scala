@@ -175,8 +175,14 @@ object TextQueries {
       val terms = d.select(col("doc_id"),
           explode(Text.tokens(lower(col("text")))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = terms.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // vocabulary is materialized once (its lineage is a full corpus
+      // aggregation), then size-guarded before the broadcast join — a
+      // corpus whose vocab outgrows a broadcast fails loudly here
+      // instead of OOMing mid-job
+      val dfreq = graft.ops.Guard.broadcastSmall(
+        graft.ops.Reliable.checkpoint(terms.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))),
+        "TF-IDF document-frequency vocabulary")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
