@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index for BM25 ranked retrieval — the
+  * lexical twin of the persisted ANN layouts ([[Ann.writeIvfIndex]])
+  * and the MinHash band index ([[Dedup.bandIndex]]): tokenize and
+  * aggregate the corpus ONCE at build time, then serve any number of
+  * query batches from the stored layout without touching the raw text
+  * again. At 100 TB the corpus tokenization dominates everything; this
+  * amortizes it to once per corpus version.
+  *
+  * Layout under `path`:
+  *  - `postings/` — (term, doc_id, tf), PARTITIONED BY `tb` =
+  *    pmod(hash(term), nBuckets): a probe for a handful of query terms
+  *    reads only their buckets (literal partition filter, pruned at
+  *    planning time — the same pruned-probe shape as
+  *    [[Ann.probeIvfIndex]]), with the `term IN (…)` predicate pushed
+  *    into the parquet scan within each bucket;
+  *  - `terms/` — (term, df) document frequencies, same tb partitioning;
+  *  - `doclen/` — (doc_id, dl) document lengths;
+  *  - `stats/` — one row (n_docs, avgdl, n_buckets): the corpus scalars
+  *    plus the bucketing fan-out the probe must reuse.
+  *
+  * Scoring matches the ad-hoc q_bm25 formula exactly (k1=1.2, b=0.75,
+  * Lucene-style idf = ln((N − df + 0.5)/(df + 0.5) + 1)); per-doc score
+  * parts are summed in SORTED TERM ORDER via a fold over the collected
+  * (term, part) structs, so double addition is associativity-
+  * deterministic across partitionings and engines (BENCH lesson: ranks
+  * are oracle-compared, so near-tie sums must add in a fixed order).
+  */
+object TextIndex {
+
+  /** Tokenizer shared by build and the ad-hoc queries: whitespace
+    * tokens of the lowercased text (graft.expr.Text.tokens). */
+  private def termRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.expr.Text.tokens(lower(col(textCol)))).as("term"))
+
+  /** Build and persist the index. One tokenization pass; the df table
+    * derives from the WRITTEN postings (read back from disk), so the
+    * corpus text is scanned exactly once. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    val spark = docs.sparkSession
+    val t = termRows(docs, idCol, textCol)
+    // one shuffle on (doc_id, term); doc lengths ride the same pass
+    val postings = t.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+    postings.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+
+    val written = spark.read.parquet(s"$path/postings")
+    written.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+    val dl = written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25-score `qTerms` against the stored index: returns
+    * (doc_id, matched_terms, matched_tf, score) for every doc matching
+    * at least one term — identical numbers to the ad-hoc computation on
+    * the same corpus (spec + oracle-asserted). The probed term buckets
+    * are collected to the driver (≤ |qTerms| ints — bounded-scalar
+    * posture) and pushed as a literal partition filter. */
+  def probeBm25Index(spark: SparkSession, path: String, qTerms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(qTerms.nonEmpty, "empty query")
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats")
+    val nBuckets = stats.select(col("n_buckets")).first().getInt(0)
+    // same hash function the build used — evaluated through Spark, not
+    // reimplemented on the driver
+    val tbs = qTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(sub: String) = spark.read.parquet(s"$path/$sub")
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(qTerms: _*))
+    val postings = pruned("postings").select(col("doc_id"), col("term"), col("tf"))
+    val termDf = pruned("terms").select(col("term"), col("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val scored = postings
+      .join(broadcast(termDf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("part"))).as("parts"),
+        count(lit(1)).as("matched_terms"), sum(col("tf")).as("matched_tf"))
+      // fixed-order fold: sort parts by term, then left-fold the sum —
+      // bit-identical to summing per-term slots in alphabetical order
+      .withColumn("score",
+        aggregate(array_sort(col("parts")), lit(0.0),
+          (acc, x) => acc + x.getField("part")))
+    scored.select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+      col("score"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.Text
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextIndex}
 import graft.schema.Tables
 
 /** Text-analysis + deduplication query surface over the `documents`
@@ -237,16 +237,43 @@ object TextQueries {
         .withColumn("score",
           coalesce(col("p1"), lit(0.0)) + coalesce(col("p2"), lit(0.0)) +
             coalesce(col("p3"), lit(0.0)))
+      // rank on the score ROUNDED to 1e-9 (both engines): fixed-order
+      // summation already removed partition nondeterminism; the
+      // rounding additionally absorbs ln() last-ulp differences across
+      // libm builds so a near-tie at the cut line cannot flip ranks,
+      // and surfacing score_r9 makes any residual mismatch diagnosable
+      // instead of a silent rank swap
       scored
-        .orderBy(col("score").desc, col("doc_id"))
+        .withColumn("score_r9", round(col("score"), 9))
+        .orderBy(col("score_r9").desc, col("doc_id"))
         .limit(10)
         .withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        // score itself stays internal (ln last-ulp differences across
-        // libm builds); the discrete outputs are the stable contract
+            .orderBy(col("score_r9").desc, col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("matched_terms"),
-          col("matched_tf"))
+          col("matched_tf"), col("score_r9"))
+    }),
+
+    // BM25 against the PERSISTED inverted index (ops.TextIndex): build
+    // the bucketed postings/df/doclen/stats layout on disk, then probe
+    // it partition-pruned for the same fixed 3-term query — the ranked
+    // head must equal the ad-hoc q_bm25 computation exactly (same
+    // oracle SQL modulo column list). Index-once-probe-many is the
+    // 100 TB posture: the corpus tokenization happens at build time,
+    // never per query.
+    "q_bm25_index" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft-bm25", dir)
+      TextIndex.writeBm25Index(docs(s, dir), "doc_id", "text", base,
+        nBuckets = 16)
+      TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream"))
+        .withColumn("score_r9", round(col("score"), 9))
+        .orderBy(col("score_r9").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_r9").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("matched_terms"),
+          col("matched_tf"), col("score_r9"))
     }),
 
     // SimHash fingerprints (xxhash64-based — no DuckDB equivalent, driver
@@ -561,9 +588,42 @@ object TextQueries {
            |    COUNT(*) AS matched_terms,
            |    CAST(SUM(tf) AS BIGINT) AS matched_tf
            |  FROM parts GROUP BY doc_id)
-           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-           |  doc_id, matched_terms, matched_tf
-           |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
+           |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin,
+
+    // identical computation to q_bm25 — the INDEXED path must reproduce
+    // the ad-hoc numbers bit-for-bit (rounded to 1e-9 at the contract
+    // boundary like q_bm25)
+    "q_bm25_index" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |           t -> len(t) > 0)) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+           |tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+           |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |parts AS (
+           |  SELECT t.doc_id, t.term, t.tf,
+           |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
+           |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+           |  CROSS JOIN stats s),
+           |scored AS (
+           |  SELECT doc_id,
+           |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
+           |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
+           |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score,
+           |    COUNT(*) AS matched_terms,
+           |    CAST(SUM(tf) AS BIGINT) AS matched_tf
+           |  FROM parts GROUP BY doc_id)
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
+           |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin,
 
     // q_simhash / q_simhash_pairs: no oracle (xxhash64 has no DuckDB
     // equivalent) — rows-only; semantics covered by DedupSpec. The

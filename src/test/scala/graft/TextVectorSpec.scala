@@ -190,6 +190,42 @@ class TextVectorSpec extends SparkSpec {
     assert(got === mem)
   }
 
+  test("persisted BM25 index: partition-pruned probe == ad-hoc scoring bit-for-bit") {
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", path, nBuckets = 16)
+    val tbDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+    assert(tbDirs.nonEmpty && tbDirs.length <= 16)
+
+    val probed = graft.ops.TextIndex.probeBm25Index(spark, path,
+      Seq("hash", "join", "stream"))
+    // the postings scan must prune to the query terms' buckets at
+    // PLANNING time (same pruned-probe contract as the IVF index)
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(scans.nonEmpty, "no file scan over the postings layout found")
+    val staticFilters = scans.head.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(staticFilters.nonEmpty,
+      s"postings scan has no static partition filters:\n${scans.head}")
+    val prunedParts = scans.map(_.relation.location
+      .listFiles(staticFilters, Nil).length).max
+    assert(prunedParts <= 3,
+      s"3-term probe read $prunedParts term buckets — no pruning")
+
+    // the indexed query must reproduce the ad-hoc q_bm25 head exactly
+    // (incl. score_r9 — same formula, same fixed-order summation)
+    val adhoc = SparkEntry.queries("q_bm25")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val indexed = SparkEntry.queries("q_bm25_index")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed === adhoc)
+    assert(adhoc.nonEmpty)
+  }
+
   test("IVF-SQ8 index: tinyint lists, smaller than float layout, recall holds") {
     val e = schema.Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
