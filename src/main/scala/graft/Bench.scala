@@ -113,8 +113,20 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallTotal = small.map(_._2).filter(_ >= 0).sum
 
+    // preserve the ScaleSmoke section (always the LAST key in the file)
+    // across bench rewrites — it is produced by a separate, much longer
+    // run and must not vanish every bench cycle
+    val prevSf1: String = try {
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (f.isFile) {
+        val src = scala.io.Source.fromFile(f)
+        val s = try src.mkString finally src.close()
+        val i = s.indexOf("\"sf1_smoke\":")
+        if (i >= 0) "," + s.substring(i, s.lastIndexOf('}')) else ""
+      } else ""
+    } catch { case _: Throwable => "" }
     val detail = s"""{"queries":${toJson(results)},"sf":"$sfDir",""" +
-      s""""total_sf0.01":$smallTotal,"queries_sf0.01":${toJson(small)}}"""
+      s""""total_sf0.01":$smallTotal,"queries_sf0.01":${toJson(small)}$prevSf1}"""
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke (VERDICT r5 item 6): the 600k-row bench cannot see a
+  * super-linear cliff, so this main amplifies the sf0.1 fixtures ×10
+  * (~6M lineitem rows) into a scratch layout, times the heaviest
+  * queries at both scales in one JVM, and records the per-query
+  * sf1/sf0.1 ratios into `BENCH_DETAIL.json` under `"sf1_smoke"`
+  * (Bench preserves the section across its own rewrites). A query whose
+  * time ratio far exceeds the ×10 data ratio is flagged as an outlier.
+  *
+  * Amplification preserves per-key densities instead of naively
+  * duplicating rows (naive copies would plant pathological structure,
+  * not scale):
+  *  - relational tables replicate with DISJOINT key spaces (each
+  *    replica's keys offset by the table's max), so per-customer /
+  *    per-order fan-ins stay constant while row counts grow ×10;
+  *  - `documents.text` gets a per-replica Caesar rotation
+  *    (`translate`), so each replica's near-dup structure is isomorphic
+  *    to the original but shares no shingles across replicas — near-dup
+  *    DENSITY stays constant and pair counts scale linearly, exactly
+  *    like a larger real corpus (10 identical copies would instead
+  *    multiply every LSH bucket ×10 and pair counts ×100 by
+  *    construction);
+  *  - `embeddings` replicate with offset ids AND a per-replica cyclic
+  *    rotation of the vector components: rotation preserves norms and
+  *    intra-replica geometry exactly (each replica's neighborhood
+  *    structure is isomorphic to the original) while decorrelating
+  *    replicas — identical copies would instead give every vector 9
+  *    exact duplicates and grow the TRUE near-dup answer
+  *    quadratically (measured: q_embed_neardup_lsh ×121 at ×10 data
+  *    with identical copies, ×~2 with rotation — the first smoke run
+  *    was flagging its own fixture, not the plan);
+  *  - `region`/`nation` stay single-copy (fixed key spaces — a larger
+  *    SF would not grow them either).
+  *
+  * EXCLUDED by design: q_embed_neardup (the declared all-pairs
+  * baseline) and q_embed_neardup_lsh — the latter's OUTPUT is a recall
+  * verdict computed against an all-pairs brute baseline embedded in
+  * the query itself, so its cost is quadratic at any scale by
+  * construction (measured ×131 at ×10 data; the LSH path it verifies
+  * scales via `Ann.nearDupPairsLsh(targetOccupancy=…)` bucket-space
+  * sizing). Their ×100-at-×10 shape is the declared property of
+  * verification queries, not a plan cliff.
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 tools/run.sh graft.ScaleSmoke`
+  * (optional SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_MULT).
+  */
+object ScaleSmoke {
+
+  /** Heaviest queries by BENCH_DETAIL, minus the declared all-pairs
+    * baseline. */
+  val heavy: Seq[String] = Seq(
+    "q_curation_e2e", "q_hydration_data", "q_dedup_keep", "q_dedup_clusters",
+    "q_simhash_precision", "q_ann_ivf_sq8_recall", "q_ann_ivf_index",
+    "q_ann_ivf", "q_kmeans_quality", "q_incr_dedup")
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
+
+  /** Write ×`mult` amplified copies of every fixture table to `outDir`. */
+  def amplify(spark: SparkSession, srcDir: String, outDir: String,
+              mult: Int): Unit = {
+    def src(name: String) = schema.Tables.load(spark, srcDir, name)
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1
+    def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(i => shift(df, i)).reduce(_ unionByName _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // single-copy dims with fixed key spaces
+    write(src("region"), "region")
+    write(src("nation"), "nation")
+
+    val (cust, ord, part, supp, ev, docs, emb) = (src("customer"), src("orders"),
+      src("part"), src("supplier"), src("events"), src("documents"),
+      src("embeddings"))
+    val (mc, mo, mp, ms) = (maxOf(cust, "c_custkey"), maxOf(ord, "o_orderkey"),
+      maxOf(part, "p_partkey"), maxOf(supp, "s_suppkey"))
+
+    write(replicate(cust)((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + i * mc)), "customer")
+    write(replicate(supp)((d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + i * ms)), "supplier")
+    write(replicate(part)((d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + i * mp)), "part")
+    write(replicate(ord)((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + i * mo)
+      .withColumn("o_custkey", col("o_custkey") + i * mc)), "orders")
+    write(replicate(src("lineitem"))((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + i * mo)
+      .withColumn("l_partkey", col("l_partkey") + i * mp)
+      .withColumn("l_suppkey", col("l_suppkey") + i * ms)), "lineitem")
+
+    val (me, mu) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
+    write(replicate(ev)((d, i) => d
+      .withColumn("event_id", col("event_id") + i * me)
+      .withColumn("user_id", col("user_id") + i * mu)), "events")
+
+    val md = maxOf(docs, "doc_id")
+    write(replicate(docs)((d, i) => d
+      .withColumn("doc_id", col("doc_id") + i * md)
+      .withColumn("text",
+        if (i == 0) col("text")
+        else translate(col("text"), alpha, rotated(i)))), "documents")
+
+    val mv = maxOf(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    write(replicate(emb)((d, i) => {
+      val r = i % dim
+      d.withColumn("vec_id", col("vec_id") + i * mv)
+        .withColumn("embedding",
+          if (r == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)))
+    }), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = GraftSession.builder(appName = "graft-scale-smoke",
+        master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = if (args.isEmpty) heavy else heavy.filter(args.contains)
+    val ampDir = Scratch.dir("graft-sf1", srcDir)
+    amplify(spark, srcDir, ampDir, mult)
+
+    // same measurement hygiene as Bench: noop sink (materialize every
+    // column), per-query block/plan cleanup, warmup pass, best-of-2
+    def runOne(name: String, dir: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) names.foreach(runOne(_, warmDir))
+    def bestOf2(dir: String): Map[String, Double] =
+      names.map { n =>
+        val (a, b) = (runOne(n, dir), runOne(n, dir))
+        val ok = Seq(a, b).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }.toMap
+
+    val base = bestOf2(srcDir)
+    val big = bestOf2(ampDir)
+    val ratios = names.map { n =>
+      n -> (if (base(n) > 0 && big(n) > 0) big(n) / base(n) else -1.0)
+    }.toMap
+    // flag: time ratio beyond 2× the data ratio on a non-trivial base
+    val outliers = names.filter(n =>
+      ratios(n) > mult * 2.0 && base(n) > 0.2)
+
+    def jmap(m: Map[String, Double]): String = names
+      .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+    val section = s""""sf1_smoke":{"mult":$mult,"sf_base":"$srcDir",""" +
+      s""""base":${jmap(base)},"sf1":${jmap(big)},"ratio":${jmap(ratios)},""" +
+      s""""outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+
+    // splice into BENCH_DETAIL.json (section is kept LAST in the file;
+    // Bench re-appends it on its own rewrites)
+    val f = new java.io.File("BENCH_DETAIL.json")
+    val body = if (f.isFile) {
+      val src = scala.io.Source.fromFile(f)
+      val s = try src.mkString.trim finally src.close()
+      val cut = s.indexOf("\"sf1_smoke\":")
+      val head = if (cut >= 0) s.substring(0, cut).reverse.dropWhile(c => c == ',' || c.isWhitespace).reverse
+        else s.substring(0, s.lastIndexOf('}')).trim
+      head + "," + section + "}"
+    } else "{" + section + "}"
+    val w = new java.io.PrintWriter(f)
+    try w.println(body) finally w.close()
+    println("{" + section + "}")
+  }
+}

@@ -341,9 +341,29 @@ object Ann {
     * the corpus. */
   def nearDupPairsLsh(vecs: DataFrame, threshold: Double,
                       nBits: Int = 4, nTables: Int = 12,
-                      maxBucket: Int = 10000): DataFrame = {
+                      maxBucket: Int = 10000,
+                      targetOccupancy: Int = 0): DataFrame = {
+    // Bucket-space sizing is the scale lever the sf1 smoke exposed: a
+    // FIXED nBits means bucket occupancy grows linearly with the corpus
+    // and bucket-local pair generation quadratically (2^4 buckets/table
+    // held ~3k ids each at 50k vectors). With targetOccupancy > 0 the
+    // hyperplane count grows with log2(n/target) — expected occupancy
+    // stays ~constant, pair work stays ~linear. Costs one count() of
+    // the corpus (metadata-cheap next to pair generation); 100 TB
+    // callers who know n can pass nBits directly instead. Recall per
+    // table drops as bits grow ((1−θ/π)^bits), which the nTables
+    // OR-construction is exactly the hedge for — near-identical pairs
+    // (the dedup target) collide in some table at any practical depth.
+    val effBits =
+      if (targetOccupancy <= 0) nBits
+      else {
+        val n = math.max(1L, vecs.count())
+        val needed = math.ceil(
+          math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt
+        math.min(24, math.max(nBits, needed)) // kernel supports nBits < 30
+      }
     val banded = vecs.select(col("id"),
-      explode(Vectors.lshBuckets(col("vec"), nBits, nTables)).as("bucket"))
+      explode(Vectors.lshBuckets(col("vec"), effBits, nTables)).as("bucket"))
     val buckets = banded
       .groupBy(col("bucket"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))

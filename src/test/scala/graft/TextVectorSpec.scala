@@ -344,6 +344,34 @@ class TextVectorSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 40 * 39 / 2)
   }
 
+  test("nearDupPairsLsh: corpus-aware bucket sizing keeps near-dups, spreads the corpus") {
+    // 400 spread-out vectors + one planted near-identical pair. With
+    // targetOccupancy the hyperplane count grows with the corpus
+    // (sf1-smoke lesson: fixed 2^4 buckets/table go quadratic), and the
+    // near-identical pair must STILL be found — the multi-table OR
+    // construction is the recall hedge deeper bucketing relies on.
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    val spread = (100L until 500L).map { id =>
+      val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      (id, v)
+    }
+    val planted = Seq(
+      (1L, Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.01f)),
+      (2L, Array.tabulate(dim)(d => if (d == 0) 0.99f else 0.011f)))
+    val vecs = spark.createDataFrame(planted ++ spread).toDF("id", "vec")
+    val auto = graft.ops.Ann.nearDupPairsLsh(vecs, threshold = 0.98,
+        targetOccupancy = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.contains((2L, 1L)) || auto.contains((1L, 2L)),
+      s"planted near-dup lost under deeper bucketing: $auto")
+    // same answer set as the fixed-shallow default on this corpus
+    val shallow = graft.ops.Ann.nearDupPairsLsh(vecs, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(shallow),
+      "deeper bucketing must only prune candidates, never invent pairs")
+  }
+
   test("trainCentroids: output schema matches seed (float vectors), empty lists survive") {
     val e = plantedClusters()
     val trained = graft.ops.Ann.trainCentroids(e, nLists = 3, iters = 2)
