@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.expr.Financial
 import graft.ops.{Dedup, Merge}
-import graft.queries.{CurationQueries, EventQueries, FinancialQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, EventQueries, FinancialQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, TextQueries}
 import graft.schema.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
@@ -83,7 +83,7 @@ object SparkEntry {
     coreQueries ++ TextQueries.queries ++ SimilarityQueries.queries ++
       EventQueries.queries ++ FinancialQueries.queries ++
       PipelineQueries.queries ++ MultimodalQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -371,7 +371,7 @@ object SparkEntry {
     coreOracleSql ++ TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       EventQueries.oracleSql ++ FinancialQueries.oracleSql ++
       PipelineQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++ AnalyticsQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
 

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+  * over a Rabin–Karp polynomial rolling hash — the classic
+  * shared-substring detector: any match of length ≥ k+w−1 between two
+  * documents is GUARANTEED to share at least one selected fingerprint,
+  * so fingerprint-equality buckets are a complete candidate generator
+  * for substring-level overlap (quote/boilerplate detection — a
+  * different axis than MinHash's bag-of-shingles set similarity in
+  * ops.Dedup).
+  *
+  * The hash is plain ANSI-SQL arithmetic (ascii + substring + modular
+  * Horner evaluation, B=257 mod M=2^31−1: every intermediate ≤ M·B+255
+  * < 2^40, BIGINT-safe) — deliberately engine-portable, so the DuckDB
+  * oracle runs the IDENTICAL expansion and the driver hash-compares
+  * the fingerprints themselves, not a summary.
+  *
+  * Scale shape: positions explode to O(chars) fixed-width rows
+  * (id, pos, hash — the text never shuffles); winnow selection is ONE
+  * window shuffle on the doc id; output is the per-doc fingerprint set
+  * (≈ 2·chars/(w+1) rows). At 100 TB the explode is embarrassingly
+  * parallel and the window partitions by document — no cross-doc state.
+  */
+object Fingerprint {
+
+  val B = 257L
+  val M = 2147483647L // 2^31 − 1
+
+  /** Rolling k-gram hash at 1-based position `pos`:
+    * h = ((…(c₀·B + c₁) mod M)·B + c₂) mod M … — Horner form. */
+  def gramHash(text: Column, pos: Column, k: Int): Column = {
+    require(k >= 1, "k must be positive")
+    (0 until k).foldLeft(lit(0L)) { (acc, j) =>
+      (acc * lit(B) + ascii(text.substr(pos + lit(j), lit(1))).cast("long")) % M
+    }
+  }
+
+  /** The same hash as ANSI SQL text (for an external oracle engine):
+    * `textExpr`/`posExpr` are SQL fragments naming the text column and
+    * the 1-based gram position. Generated from the same constants as
+    * [[gramHash]] so the two can never drift. */
+  def gramHashSql(textExpr: String, posExpr: String, k: Int): String = {
+    require(k >= 1, "k must be positive")
+    // BIGINT-typed seed keeps the whole chain 64-bit (engines that
+    // default small literals to INT32 would overflow at acc·B otherwise)
+    (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * $B + ascii(substring($textExpr, $posExpr + $j, 1))) % $M)"
+    }
+  }
+
+  /** Winnowed fingerprint set per document: (idCol, fp) — DISTINCT
+    * selected hashes. Selection: the minimum hash of each w-window of
+    * consecutive gram hashes (robust-winnowing simplification: windows
+    * sharing their minimum contribute one fingerprint via DISTINCT).
+    * Documents shorter than k+w−1 chars have no full window and emit
+    * nothing.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int, w: Int): DataFrame = {
+    require(k >= 2, "gram size k must be >= 2")
+    require(w >= 1, "window size w must be >= 1")
+    // maxPos = #grams; windows start at 1 .. maxPos-w+1
+    val grams = docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol), col(textCol).as("__t"),
+        (length(col(textCol)) - (k - 1)).as("__maxpos"))
+      .select(col(idCol), col("__t"), col("__maxpos"),
+        explode(sequence(lit(1), col("__maxpos"))).as("__pos"))
+      .select(col(idCol), col("__maxpos"), col("__pos"),
+        gramHash(col("__t"), col("__pos"), k).as("__h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .select(col(idCol), col("__maxpos"), col("__pos"),
+        min(col("__h")).over(win).as("fp"))
+      .filter(col("__pos") <= col("__maxpos") - (w - 1))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+}

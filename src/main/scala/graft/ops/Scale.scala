@@ -211,6 +211,71 @@ object Scale {
     }
   }
 
+  /** Bit-interleaved Z-order value of two non-negative ints — the
+    * space-filling-curve key behind multi-dimension data clustering:
+    * sorting by z interleaves locality in BOTH dimensions, so a file
+    * holding a contiguous z-range has TIGHT min/max column statistics
+    * on both columns and parquet row-group/file skipping prunes scans
+    * filtered on either one (a single-column sort gives this for that
+    * column only — every file spans the full range of the other).
+    *
+    * `bits` low bits of each input are interleaved (a even positions,
+    * b odd); inputs must be in [0, 2^bits) — rank/bucket wider domains
+    * first (e.g. `pmod(hash(c), 1<<bits)` or an ntile rank). Checked
+    * per row, loudly. Pure integer arithmetic (shift/and/or), codegen-
+    * friendly, and portable: [[zValueSql]] emits the identical ANSI
+    * expansion for an external oracle engine. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val bound = 1L << bits
+    val av = a.cast("long")
+    val bv = b.cast("long")
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(av, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bv, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    // one range assert per input per row, added as a pass-through zero
+    // (assert_true is NULL on pass) so pruning can't drop the check
+    val checked = (c: Column) => coalesce(
+      assert_true(c >= 0 && c < bound,
+        lit(s"zValue input out of [0, $bound) — bucket or rank wider domains first")),
+      lit(0L))
+    z + checked(av) + checked(bv)
+  }
+
+  /** The same interleave as ANSI SQL text (for an external oracle):
+    * `aExpr`/`bExpr` are SQL fragments already cast to BIGINT and
+    * already range-checked by the caller. Generated from the same bit
+    * positions as [[zValue]] so the two can never drift. */
+  def zValueSql(aExpr: String, bExpr: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      s"(((($aExpr) >> $i) & 1) << ${2 * i}) | (((($bExpr) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Z-order-clustered parquet layout: range-partition by the
+    * interleaved key into `nFiles` contiguous z-ranges, sort within
+    * each, write. Each output file covers a compact rectangle-ish
+    * region of (colA, colB) space — min/max footer stats on BOTH
+    * columns are tight, so scans filtered on either column skip most
+    * files (ScaleSpec measures the covered area vs a single-column
+    * sort). The helper column is dropped before the write; dropping
+    * after the sort is a projection, so the within-partition order
+    * survives. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    bits: Int, nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(!df.columns.contains("__z"),
+      "column name __z is reserved by writeZOrdered")
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Resolve a path string to (FileSystem, fully-qualified Path) via the
     * session's Hadoop conf — the one seam every disk-mutating maintenance
     * op goes through, so none of them can regress to java.io.File. */

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Fingerprint, Funnel, Scale, TimeSeries}
+import graft.schema.Tables
+
+/** Product/corpus-analytics surface beyond the reference: time-series
+  * gap-fill, ordered-step funnels, cohort retention, bounded top-k per
+  * group, winnowing fingerprints, and the Z-order clustering key — each
+  * oracle-checked against DuckDB on the shared fixtures.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 2))
+
+  /** Funnel definition shared by query and oracle: view → click →
+    * purchase, later steps within 7 days of the user's first view. */
+  private val funnelSteps = Seq("view", "click", "purchase")
+  private val funnelHorizonSecs = 7L * 86400
+
+  private val winnowK = 8
+  private val winnowW = 4
+
+  private val zBits = 10
+  private val zMod = 1L << zBits
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Daily-spine gap-fill with forward fill (ops.TimeSeries): per-user
+    // purchase-value series regularized from each user's first purchase
+    // day to the table's last day; missing days carry the last observed
+    // value forward and are flagged observed=false.
+    "q_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(dec(sum(dec(col("value")))).cast("double").as("value_ffill"))
+      TimeSeries.gapFillDaily(daily, "user_id", "day", Seq("value_ffill"))
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+          col("value_ffill"), col("observed"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Ordered-step funnel (ops.Funnel): users who viewed, then clicked
+    // strictly after the first view, then purchased after that click —
+    // all within 7 days of the first view. Per-stage reach + conversion.
+    "q_funnel" -> ((s, dir) => {
+      Funnel.summary(t(s, dir, "events"), "user_id", "ts", "event_type",
+        funnelSteps, Some(funnelHorizonSecs))
+    }),
+
+    // Cohort retention: customers grouped by first-order month; how many
+    // ordered again k months later (k ≤ 12). The classic retention
+    // triangle — two shuffles (first-order agg, cohort-offset agg).
+    "q_cohort_retention" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("month"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("month")).as("cohort_month"))
+      o.join(first, Seq("o_custkey"))
+        .select(col("cohort_month"),
+          months_between(col("month"), col("cohort_month")).cast("long").as("month_offset"),
+          col("o_custkey"))
+        .filter(col("month_offset") <= 12)
+        .groupBy(col("cohort_month"), col("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("active_customers"))
+        .orderBy(col("cohort_month"), col("month_offset"))
+    }),
+
+    // Bounded top-k per group via the argmax-k aggregate (k rows per
+    // partition through the shuffle, O(n log k) — the scale-safe
+    // replacement for row_number-then-filter, which sorts EVERY group
+    // member; the oracle IS that window formulation, proving identical
+    // results). Ties: higher price first, then lower orderkey.
+    "q_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val top3 = column(graft.expr.catalyst.TopKByScore(
+        expression(struct(col("o_totalprice"),
+          col("o_orderkey").cast("long"))), 3).toAggregateExpression())
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(top3.as("__top"))
+        .select(col("o_orderpriority"), posexplode(col("__top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // Winnowing fingerprints (ops.Fingerprint): the full selected-hash
+    // set per document, hash-compared against DuckDB running the
+    // IDENTICAL rolling-hash arithmetic — any shared substring of
+    // length ≥ k+w−1 between two documents shares a fingerprint.
+    "q_winnow" -> ((s, dir) => {
+      Fingerprint.winnow(t(s, dir, "documents"), "doc_id", "text",
+          winnowK, winnowW)
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // Z-order clustering key (ops.Scale.zValue): bit-interleave of two
+    // bucketed dimensions, oracle-proven against the same expansion in
+    // DuckDB. The layout writer built on it (Scale.writeZOrdered) is
+    // footer-stat-verified in ScaleSpec.
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          Scale.zValue(pmod(col("p_partkey"), lit(zMod)),
+            pmod(col("p_size").cast("long") * 7919L, lit(zMod)), zBits).as("zval"))
+        .orderBy(col("p_partkey"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS day_value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(day) AS d0 FROM daily GROUP BY 1),
+        |gmax AS (SELECT MAX(day) AS d1 FROM daily),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds, gmax)
+        |SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS value_ffill,
+        |  d.day_value IS NOT NULL AS observed
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_funnel" -> {
+      val horizon = s"INTERVAL ${funnelHorizonSecs} SECONDS"
+      s"""WITH v AS (
+         |  SELECT user_id, MIN(ts) AS t1 FROM events
+         |  WHERE event_type = '${funnelSteps(0)}' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, v.t1, MIN(e.ts) AS t2
+         |  FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = '${funnelSteps(1)}' AND e.ts > v.t1
+         |    AND e.ts <= v.t1 + $horizon
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t3
+         |  FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = '${funnelSteps(2)}' AND e.ts > c.t2
+         |    AND e.ts <= c.t1 + $horizon
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT 1 AS step, '${funnelSteps(0)}' AS stage, COUNT(*) AS keys FROM v
+         |  UNION ALL SELECT 2, '${funnelSteps(1)}', COUNT(*) FROM c
+         |  UNION ALL SELECT 3, '${funnelSteps(2)}', COUNT(*) FROM p),
+         |b AS (SELECT keys AS base FROM s WHERE step = 1)
+         |SELECT CAST(step AS BIGINT) AS step, stage, keys,
+         |  ROUND(CAST(keys AS DOUBLE) / CAST(base AS DOUBLE), 4) AS conversion
+         |FROM s, b ORDER BY step""".stripMargin
+    },
+
+    "q_cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS month FROM orders),
+        |f AS (SELECT o_custkey, MIN(month) AS cohort_month FROM o GROUP BY 1)
+        |SELECT f.cohort_month,
+        |  CAST(date_diff('month', f.cohort_month, o.month) AS BIGINT) AS month_offset,
+        |  COUNT(DISTINCT o.o_custkey) AS active_customers
+        |FROM o JOIN f USING (o_custkey)
+        |WHERE date_diff('month', f.cohort_month, o.month) <= 12
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q_winnow" -> {
+      val k = winnowK; val w = winnowW
+      val minLen = k + w - 1
+      val hashSql = Fingerprint.gramHashSql("text", "pos", k)
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) - ${k - 1} AS maxpos
+         |  FROM documents WHERE length(text) >= $minLen),
+         |g AS (
+         |  SELECT doc_id, text, maxpos,
+         |    unnest(generate_series(1, maxpos)) AS pos
+         |  FROM d),
+         |h AS (SELECT doc_id, maxpos, pos, $hashSql AS h FROM g),
+         |m AS (
+         |  SELECT doc_id, maxpos, pos,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+         |  FROM h)
+         |SELECT DISTINCT doc_id, fp FROM m WHERE pos <= maxpos - ${w - 1}
+         |ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "q_zorder" -> {
+      val z = Scale.zValueSql(s"CAST(p_partkey % $zMod AS BIGINT)",
+        s"CAST((CAST(p_size AS BIGINT) * 7919) % $zMod AS BIGINT)", zBits)
+      s"""SELECT p_partkey, $z AS zval FROM part ORDER BY p_partkey""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,190 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Funnel, Scale, TimeSeries}
+
+/** Unit properties for the analytics operators (the DuckDB oracles in
+  * AnalyticsQueries cover end-to-end values; these pin the operator
+  * CONTRACTS on crafted frames where the edge cases are visible). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  test("gapFillDaily: fills every day to the global max, carries values, flags observed") {
+    val in = Seq(
+      (1L, d("2024-01-01"), Some(10.0)),
+      (1L, d("2024-01-04"), Some(40.0)),
+      (2L, d("2024-01-03"), Some(99.0)) // born late: no backfill before the 3rd
+    ).toDF("k", "day", "v")
+    val out = TimeSeries.gapFillDaily(in, "k", "day", Seq("v"))
+      .orderBy($"k", $"day")
+      .select($"k", $"day".cast("string"), $"v", $"observed")
+      .as[(Long, String, Option[Double], Boolean)].collect()
+
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", Some(10.0), true),
+      (1L, "2024-01-02", Some(10.0), false),
+      (1L, "2024-01-03", Some(10.0), false),
+      (1L, "2024-01-04", Some(40.0), true),
+      (2L, "2024-01-03", Some(99.0), true),
+      (2L, "2024-01-04", Some(99.0), false)))
+  }
+
+  test("gapFillDaily: an observed NULL value keeps the previous observation but flags observed") {
+    val in = Seq(
+      (1L, d("2024-01-01"), Some(10.0)),
+      (1L, d("2024-01-02"), None)
+    ).toDF("k", "day", "v")
+    val out = TimeSeries.gapFillDaily(in, "k", "day", Seq("v"))
+      .orderBy($"day").select($"v", $"observed")
+      .as[(Option[Double], Boolean)].collect()
+    assert(out.toSeq == Seq((Some(10.0), true), (Some(10.0), true)))
+  }
+
+  test("gapFillDaily: duplicate (key, date) input fails loudly") {
+    val in = Seq((1L, d("2024-01-01"), 1.0), (1L, d("2024-01-01"), 2.0))
+      .toDF("k", "day", "v")
+    val e = intercept[Exception] {
+      TimeSeries.gapFillDaily(in, "k", "day", Seq("v")).collect()
+    }
+    assert(e.getMessage.contains("duplicate") ||
+      e.getCause != null && e.getCause.getMessage.contains("duplicate"))
+  }
+
+  test("funnel stageTimes: strict ordering within each key, horizon enforced") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val in = Seq(
+      // key 1 completes all three in order
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 01:00:00"), "b"),
+      (1L, ts("2024-01-01 02:00:00"), "c"),
+      // key 2: b BEFORE its first a — must not count as step 2
+      (2L, ts("2024-01-01 01:00:00"), "b"),
+      (2L, ts("2024-01-01 02:00:00"), "a"),
+      // key 3: completes b only outside the 2h horizon
+      (3L, ts("2024-01-01 00:00:00"), "a"),
+      (3L, ts("2024-01-01 05:00:00"), "b")
+    ).toDF("k", "ts", "step")
+
+    val times = Funnel.stageTimes(in, "k", "ts", "step", Seq("a", "b", "c"),
+      withinSeconds = Some(7200L))
+    val byKey = times.select($"k", $"step", $"step_ts").as[(Long, Long, java.sql.Timestamp)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+
+    assert(byKey(1L).length == 3)
+    assert(byKey(1L)(0).before(byKey(1L)(1)) && byKey(1L)(1).before(byKey(1L)(2)))
+    assert(byKey(2L).length == 1, "pre-first-step events must not advance the funnel")
+    assert(byKey(3L).length == 1, "horizon must bound later steps")
+  }
+
+  test("funnel summary: emits every step (0-count included), monotone non-increasing") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val in = Seq((1L, ts("2024-01-01 00:00:00"), "a"))
+      .toDF("k", "ts", "step")
+    val out = Funnel.summary(in, "k", "ts", "step", Seq("a", "b"))
+      .orderBy($"step").select($"step", $"keys", $"conversion")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 1.0), (2L, 0L, 0.0)))
+  }
+
+  test("funnel summary on fixtures: counts match the naive window-scan reference") {
+    val e = graft.schema.Tables.load(spark, sfDir, "events")
+    val out = Funnel.summary(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(7L * 86400))
+      .select($"step", $"keys").as[(Long, Long)].collect().toMap
+    // reference: per-user collected scan (test-scale only)
+    val byUser = e.select($"user_id", $"ts", $"event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._2.getTime, r._3)))
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    byUser.foreach { case (_, evs) =>
+      val t1 = evs.collectFirst { case (_, t, "view") => t }
+      t1.foreach { t1v =>
+        n1 += 1
+        val lim = t1v.getTime + 7L * 86400 * 1000
+        val t2 = evs.collectFirst { case (_, t, "click")
+          if t.getTime > t1v.getTime && t.getTime <= lim => t }
+        t2.foreach { t2v =>
+          n2 += 1
+          val t3 = evs.collectFirst { case (_, t, "purchase")
+            if t.getTime > t2v.getTime && t.getTime <= lim => t }
+          t3.foreach(_ => n3 += 1)
+        }
+      }
+    }
+    assert(out(1L) == n1 && out(2L) == n2 && out(3L) == n3,
+      s"got $out want ($n1, $n2, $n3)")
+  }
+
+  test("zValue: interleaves bits (reference implementation parity, random inputs)") {
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val got = rows.toDF("a", "b")
+      .select(Scale.zValue($"a", $"b", 10).as("z")).as[Long].collect()
+    assert(got.toSeq == rows.map { case (a, b) => ref(a, b, 10) })
+    // z is monotone in each dim when the other is fixed
+    assert(ref(3, 5, 10) < ref(4, 5, 10) && ref(3, 5, 10) < ref(3, 6, 10))
+  }
+
+  test("zValue: out-of-range input fails loudly") {
+    val e = intercept[Exception] {
+      Seq((1L << 12, 1L)).toDF("a", "b")
+        .select(Scale.zValue($"a", $"b", 10)).collect()
+    }
+    assert(e.getMessage.contains("zValue") ||
+      e.getCause != null && e.getCause.getMessage.contains("zValue"))
+  }
+
+  test("writeZOrdered: point filters on the non-sort dim skip most files (column sort reads all)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val n = 1 << 14
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(n)((rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+      .toDF("a", "b")
+    val nFiles = 16
+
+    Scale.writeZOrdered(df, s"$dir/z", "a", "b", bits = 10, nFiles = nFiles)
+    df.repartitionByRange(nFiles, $"a").sortWithinPartitions($"a")
+      .write.parquet(s"$dir/plain")
+
+    // the z-order claim is NOT total area (16 contiguous z-ranges tile
+    // the same area a 16-range column sort does), nor worst-case file
+    // width (a range straddling a top-level curve corner can span a
+    // full dim) — it is FILE SKIPPING: a filter on the non-sort dim
+    // must read every file of a column-sorted layout, but only the few
+    // z-files whose min/max stats overlap the predicate. Metric: the
+    // average fraction of files whose [min,max] on b contains a probe
+    // point.
+    def stats(path: String): Array[(Long, Long)] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length == nFiles)
+      files.map { f =>
+        val r = spark.read.parquet(f).agg(min($"b"), max($"b"))
+          .as[(Long, Long)].head()
+        r
+      }
+    }
+    val probes = Seq(13L, 300L, 517L, 700L, 1000L)
+    def readFraction(st: Array[(Long, Long)]): Double =
+      probes.map(p => st.count { case (lo, hi) => lo <= p && p <= hi }).sum
+        .toDouble / (probes.size * nFiles)
+    val zFrac = readFraction(stats(s"$dir/z"))
+    val plainFrac = readFraction(stats(s"$dir/plain"))
+    assert(plainFrac > 0.99,
+      s"column sort leaves b unbounded per file — every probe reads all files (got $plainFrac)")
+    assert(zFrac < 0.6 * plainFrac,
+      s"z-order must let point filters on b skip most files: z=$zFrac plain=$plainFrac")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Fingerprint
+
+/** Winnowing fingerprint properties: parity with a direct Scala
+  * reference implementation, and the SIGMOD'03 matching guarantee that
+  * makes fingerprint buckets a COMPLETE candidate generator for shared
+  * substrings of length ≥ k+w−1. */
+class FingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 8
+  private val w = 4
+
+  /** Direct reference: rolling hash + per-window min + distinct. */
+  private def refWinnow(text: String): Set[Long] = {
+    if (text.length < k + w - 1) return Set.empty
+    val hashes = (0 to text.length - k).map { i =>
+      text.substring(i, i + k).foldLeft(0L)((acc, c) =>
+        (acc * Fingerprint.B + c.toLong) % Fingerprint.M)
+    }
+    hashes.sliding(w).map(_.min).toSet
+  }
+
+  test("winnow == reference implementation on random texts") {
+    val rnd = new scala.util.Random(3)
+    val texts = (1L to 40L).map { id =>
+      val len = 11 + rnd.nextInt(120)
+      (id, (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    val got = Fingerprint.winnow(texts.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == refWinnow(t), s"doc $id text $t")
+    }
+  }
+
+  test("matching guarantee: a shared substring of length k+w-1 shares a fingerprint") {
+    val rnd = new scala.util.Random(17)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // plant the same (k+w-1)-char snippet inside two otherwise-random docs
+    (1 to 20).foreach { trial =>
+      val snippet = randText(k + w - 1)
+      val a = randText(30) + snippet + randText(30)
+      val b = randText(50) + snippet + randText(10)
+      val fps = Fingerprint.winnow(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      assert(fps(1L).intersect(fps(2L)).nonEmpty, s"trial $trial: $snippet")
+    }
+  }
+
+  test("documents shorter than k+w-1 emit no fingerprints") {
+    val out = Fingerprint.winnow(
+      Seq((1L, "tiny"), (2L, "a" * (k + w - 2))).toDF("doc_id", "text"),
+      "doc_id", "text", k, w)
+    assert(out.count() == 0)
+  }
+
+  test("gramHash stays inside whole-stage codegen (no UDF call in plan)") {
+    val df = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
+      .select(Fingerprint.gramHash($"text", lit(1), k).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"), plan)
+    assert(df.as[Long].head() ==
+      "abcdefgh".foldLeft(0L)((acc, c) => (acc * Fingerprint.B + c.toLong) % Fingerprint.M))
+  }
+}
