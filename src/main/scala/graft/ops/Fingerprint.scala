@@ -53,6 +53,35 @@ object Fingerprint {
     }
   }
 
+  /** Substring-overlap candidate pairs from winnowed fingerprints:
+    * documents sharing ≥ `minShared` selected fingerprints, with the
+    * shared count — the complete candidate generator for copied
+    * passages of length ≥ k+w−1 (every such passage shares a
+    * fingerprint, so requiring minShared=1 misses nothing; higher
+    * thresholds trade recall for precision on longer overlaps).
+    *
+    * Same bucket-groupBy shape as Dedup.minhashLshCandidates — pairs
+    * come from sorted-id combinatorics inside each fingerprint bucket,
+    * never a self-join of the corpus. `maxBucket` caps the quadratic
+    * risk: a fingerprint shared by more than `maxBucket` docs (site
+    * boilerplate) produces no pairs. Its docs still pair through their
+    * OTHER shared fingerprints; shared counts are over surviving
+    * buckets only.
+    */
+  def overlapCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int, minShared: Int = 1,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fps = winnow(docs, idCol, textCol, k, w)
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Winnowed fingerprint set per document: (idCol, fp) — DISTINCT
     * selected hashes. Selection: the minimum hash of each w-window of
     * consecutive gram hashes (robust-winnowing simplification: windows

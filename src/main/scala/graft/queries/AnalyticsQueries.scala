@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Fingerprint, Funnel, Scale, TimeSeries}
+import graft.ops.{Fingerprint, Funnel, Scale, Sketch, TimeSeries}
 import graft.schema.Tables
 
 /** Product/corpus-analytics surface beyond the reference: time-series
@@ -26,6 +26,17 @@ object AnalyticsQueries {
 
   private val winnowK = 8
   private val winnowW = 4
+
+  // pair detection uses LONGER grams: shared 27-char passages are rare
+  // enough in the fixture corpus to keep candidate buckets tiny, which
+  // is exactly the tuning a real corpus needs against boilerplate
+  private val pairK = 20
+  private val pairW = 8
+  private val pairMaxBucket = 100
+  private val pairMinShared = 2
+
+  private val hhSupport = 0.1
+  private val hhEps = 0.001
 
   private val zBits = 10
   private val zMod = 1L << zBits
@@ -103,6 +114,27 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Substring-overlap candidate pairs from winnowed fingerprints
+    // (ops.Fingerprint.overlapCandidates): documents sharing ≥ 2
+    // selected fingerprints of 20-char grams — bucket-local pair
+    // combinatorics, never a corpus self-join; the oracle restates the
+    // whole chain (winnow → capped buckets → pairs → shared counts).
+    "q_winnow_pairs" -> ((s, dir) => {
+      Fingerprint.overlapCandidates(t(s, dir, "documents"), "doc_id", "text",
+          pairK, pairW, minShared = pairMinShared, maxBucket = pairMaxBucket)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Heavy hitters: keys with ≥ 10% support, exact counts cross-checked
+    // against a count-min sketch (ops.Sketch) — estimate ≥ exact and
+    // ≤ exact + eps·N surfaced as assertion-oracle booleans (the
+    // frequency-sketch companion of q_approx_distinct's HLL).
+    "q_heavy_hitters" -> ((s, dir) => {
+      Sketch.heavyHittersCms(t(s, dir, "events"), "event_type",
+          support = hhSupport, eps = hhEps)
+        .orderBy(col("event_type"))
+    }),
+
     // Z-order clustering key (ops.Scale.zValue): bit-interleave of two
     // bucketed dimensions, oracle-proven against the same expansion in
     // DuckDB. The layout writer built on it (Scale.writeZOrdered) is
@@ -115,6 +147,27 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"))
     }),
   )
+
+  /** Winnowing restated as SQL CTEs ending in `f(doc_id, fp)` — the
+    * DISTINCT selected-fingerprint set, from the SAME hash expansion
+    * as the Spark kernel (Fingerprint.gramHashSql). */
+  private def winnowCte(k: Int, w: Int): String = {
+    val hashSql = Fingerprint.gramHashSql("text", "pos", k)
+    s"""d AS (
+       |  SELECT doc_id, text, length(text) - ${k - 1} AS maxpos
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |g AS (
+       |  SELECT doc_id, text, maxpos,
+       |    unnest(generate_series(1, maxpos)) AS pos
+       |  FROM d),
+       |h AS (SELECT doc_id, maxpos, pos, $hashSql AS h FROM g),
+       |m AS (
+       |  SELECT doc_id, maxpos, pos,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM h),
+       |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= maxpos - ${w - 1})""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -184,26 +237,32 @@ object AnalyticsQueries {
         |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
         |FROM r WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
-    "q_winnow" -> {
-      val k = winnowK; val w = winnowW
-      val minLen = k + w - 1
-      val hashSql = Fingerprint.gramHashSql("text", "pos", k)
-      s"""WITH d AS (
-         |  SELECT doc_id, text, length(text) - ${k - 1} AS maxpos
-         |  FROM documents WHERE length(text) >= $minLen),
-         |g AS (
-         |  SELECT doc_id, text, maxpos,
-         |    unnest(generate_series(1, maxpos)) AS pos
-         |  FROM d),
-         |h AS (SELECT doc_id, maxpos, pos, $hashSql AS h FROM g),
-         |m AS (
-         |  SELECT doc_id, maxpos, pos,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
-         |  FROM h)
-         |SELECT DISTINCT doc_id, fp FROM m WHERE pos <= maxpos - ${w - 1}
-         |ORDER BY doc_id, fp""".stripMargin
-    },
+    "q_winnow" ->
+      s"""WITH ${winnowCte(winnowK, winnowW)}
+         |SELECT doc_id, fp FROM f
+         |ORDER BY doc_id, fp""".stripMargin,
+
+    "q_winnow_pairs" ->
+      s"""WITH ${winnowCte(pairK, pairW)},
+         |b AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1),
+         |p AS (
+         |  SELECT f1.doc_id AS id_a, f2.doc_id AS id_b
+         |  FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+         |  JOIN b ON b.fp = f1.fp
+         |  WHERE b.n <= $pairMaxBucket)
+         |SELECT id_a, id_b, COUNT(*) AS n_shared FROM p GROUP BY 1, 2
+         |HAVING COUNT(*) >= $pairMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // assertion-oracle: exact heavy-hitter counts; the CMS bound
+    // booleans must come back TRUE from the Spark side
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT COUNT(*) AS total FROM events)
+         |SELECT event_type, COUNT(*) AS n,
+         |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+         |FROM events, t GROUP BY event_type, t.total
+         |HAVING COUNT(*) >= $hhSupport * t.total
+         |ORDER BY event_type""".stripMargin,
 
     "q_zorder" -> {
       val z = Scale.zValueSql(s"CAST(p_partkey % $zMod AS BIGINT)",

@@ -121,6 +121,16 @@ class AnalyticsSpec extends SparkSpec {
       s"got $out want ($n1, $n2, $n3)")
   }
 
+  test("heavyHittersCms: exact counts, support cut, and CMS bounds hold") {
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 15).map(i => s"cold$i")
+    val df = rows.toDF("k")
+    val out = graft.ops.Sketch.heavyHittersCms(df, "k", support = 0.2)
+      .orderBy($"k").as[(String, Long, Boolean, Boolean)].collect()
+    assert(out.toSeq == Seq(("hot", 60L, true, true), ("warm", 25L, true, true)),
+      out.mkString(", "))
+  }
+
   test("zValue: interleaves bits (reference implementation parity, random inputs)") {
     def ref(a: Long, b: Long, bits: Int): Long = {
       var z = 0L

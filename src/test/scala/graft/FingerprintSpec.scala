@@ -52,6 +52,42 @@ class FingerprintSpec extends SparkSpec {
     }
   }
 
+  test("overlapCandidates: planted shared passage pairs the two docs; strangers don't pair") {
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val passage = randText(40) // >> k+w-1: guarantees ≥ 2 shared fingerprints
+    val docs = Seq(
+      (1L, randText(60) + passage + randText(20)),
+      (2L, randText(30) + passage + randText(50)),
+      (3L, randText(150))).toDF("doc_id", "text")
+    val pairs = Fingerprint.overlapCandidates(docs, "doc_id", "text", k, w,
+        minShared = 2, maxBucket = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2),
+      pairs.mkString(", "))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("overlapCandidates: a bucket over maxBucket produces no pairs (boilerplate cap)") {
+    val rnd = new scala.util.Random(29)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = randText(k + w - 1)
+    // every doc shares ONLY the boilerplate snippet
+    val docs = (1L to 10L).map(id => (id, randText(40) + boiler + randText(40)))
+      .toDF("doc_id", "text")
+    val uncapped = Fingerprint.overlapCandidates(docs, "doc_id", "text", k, w,
+      minShared = 1, maxBucket = 1000)
+    val capped = Fingerprint.overlapCandidates(docs, "doc_id", "text", k, w,
+      minShared = 1, maxBucket = 5)
+    // the snippet's one fully-interior window selects the same min hash
+    // in every doc → one 10-doc bucket → all 45 pairs uncapped
+    assert(uncapped.count() == 45)
+    // at maxBucket=5 that bucket is dead; boundary windows can still
+    // leak a few pairs through smaller snippet-gram buckets, but they
+    // cannot reconstruct the full clique
+    assert(capped.count() < 45)
+  }
+
   test("documents shorter than k+w-1 emit no fingerprints") {
     val out = Fingerprint.winnow(
       Seq((1L, "tiny"), (2L, "a" * (k + w - 2))).toDF("doc_id", "text"),

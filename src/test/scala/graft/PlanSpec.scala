@@ -147,4 +147,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "centroid cross joins must broadcast\n" + p)
   }
+
+  test("q_topk_per_group: bounded argmax-k aggregate, never a window sort") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("graft_top_k"),
+      "bounded top-k aggregate expected\n" + p)
+    assert(!p.contains("Window"),
+      "row_number-over-window would sort every group member\n" + p)
+  }
+
+  test("q_gapfill: global max date broadcasts (1-row scalar), no cartesian blowup") {
+    val p = plan("q_gapfill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_winnow: native arithmetic only (no UDF), window partitioned by doc") {
+    val p = plan("q_winnow")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+    assert(!p.contains("Join"), "winnowing is per-document — no join\n" + p)
+  }
+
+  test("q_winnow_pairs: bucket-local pair combinatorics, never a corpus self-join") {
+    val p = plan("q_winnow_pairs")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "fingerprint buckets must aggregate ids\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "pairs come from sorted-id combinatorics inside buckets\n" + p)
+  }
+
+  test("q_cohort_retention: hash aggregates with map-side partials, no cartesian") {
+    val p = plan("q_cohort_retention")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
