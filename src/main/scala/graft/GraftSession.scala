@@ -19,6 +19,8 @@ import graft.expr.catalyst._
   *   graft_shingles(text, n)       distinct word n-gram shingles
   *   graft_simhash64(text)         64-bit SimHash fingerprint
   *   graft_top_k(struct(s, id), k) bounded argmax-k aggregate
+  *   graft_winnow_fps(text, k, w)  distinct winnowed fingerprints
+  *   graft_cms_estimate(sk, key)   count-min sketch estimate
   *
   * Enable with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -57,7 +59,14 @@ object GraftFunctions {
       args => QuantizeInt8(args(0))),
     ("graft_top_k", "graft_top_k(struct(score, id), k) - bounded top-k by score",
       args => TopKByScore(args(0), intArg(args(1), "graft_top_k"))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    ("graft_winnow_fps",
+      "graft_winnow_fps(text, k, w) - distinct winnowed k-gram fingerprints",
+      args => WinnowFingerprints(args(0),
+        intArg(args(1), "graft_winnow_fps"), intArg(args(2), "graft_winnow_fps"))),
+    ("graft_cms_estimate",
+      "graft_cms_estimate(sketch, key) - count-min sketch frequency estimate",
+      args => CmsEstimate(args(0), args(1))))
 
   /** Register into an EXISTING session (extensions only apply at
     * construction time). */

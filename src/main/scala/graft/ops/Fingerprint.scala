@@ -88,9 +88,28 @@ object Fingerprint {
     * sharing their minimum contribute one fingerprint via DISTINCT).
     * Documents shorter than k+w−1 chars have no full window and emit
     * nothing.
+    *
+    * Runs the fused O(len)-per-doc kernel
+    * (expr.catalyst.WinnowFingerprints): fingerprints are computed and
+    * deduped inside the row they came from — no per-character explode,
+    * no window shuffle. [[winnowDeclarative]] is the slow declarative
+    * statement of the same semantics, kept as the parity reference.
     */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs.select(col(idCol),
+      explode(column(graft.expr.catalyst.WinnowFingerprints(
+        expression(col(textCol)), k, w))).as("fp"))
+  }
+
+  /** The kernel's semantics as declarative Spark (positions exploded →
+    * gram hash → per-doc window min → distinct) — O(len²·k) per doc
+    * because substr walks to each char boundary, plus one
+    * (id, pos, hash)-per-CHARACTER window shuffle; parity-tested
+    * against the kernel, never used on the hot path. */
+  def winnowDeclarative(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame = {
     require(k >= 2, "gram size k must be >= 2")
     require(w >= 1, "window size w must be >= 1")
     // maxPos = #grams; windows start at 1 .. maxPos-w+1

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * reference's event tables (events → signup/view/click/purchase), and
   * the batch shape of a "did the user convert" query.
   *
-  * Scale shape: each stage is one groupBy(key).min(ts) aggregation
-  * (map-side partial combine — the fact table never shuffles raw) joined
-  * to the previous stage's per-key frame on the key. Stage frames are
-  * |keys touched| rows of fixed width; nothing here is a window over the
-  * raw event stream, so a 10^12-event table costs S shuffles of
-  * per-key scalars, not a sort.
+  * Scale shape: per stage, the step-i events are projected to fixed-width
+  * (key, ts) rows — the fact table's payload never shuffles — and joined
+  * on the key to the previous stage's per-key frame (|keys| rows), then
+  * reduced by groupBy(key).min(ts). The step-i (key, ts) rows themselves
+  * DO shuffle when the per-key frame is too large to broadcast (each
+  * event must meet its own key's previous-step time — that comparison
+  * cannot pre-aggregate), so a funnel over 10^12 events costs S
+  * hash-joins of narrow rows; nothing is ever a global sort or a window
+  * over the raw stream.
   */
 object Funnel {
 

@@ -260,8 +260,8 @@ object Scale {
     * each, write. Each output file covers a compact rectangle-ish
     * region of (colA, colB) space — min/max footer stats on BOTH
     * columns are tight, so scans filtered on either column skip most
-    * files (ScaleSpec measures the covered area vs a single-column
-    * sort). The helper column is dropped before the write; dropping
+    * files (AnalyticsSpec measures probe-point file skipping vs a
+    * single-column sort). The helper column is dropped before the write; dropping
     * after the sort is a projection, so the within-partition order
     * survives. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,

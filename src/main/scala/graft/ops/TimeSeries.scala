@@ -38,6 +38,8 @@ object TimeSeries {
     require(valueCols.nonEmpty, "no value columns to fill")
     require(!df.columns.contains("observed"),
       "column name observed is reserved by gapFillDaily")
+    require(!df.columns.contains("__obs"),
+      "column name __obs is reserved by gapFillDaily")
     require(df.schema(dateCol).dataType ==
         org.apache.spark.sql.types.DateType,
       s"$dateCol must be DATE-typed (got ${df.schema(dateCol).dataType})")
@@ -45,12 +47,19 @@ object TimeSeries {
     // global right edge: 1-row broadcast scalar
     val gmax = df.agg(max(col(dateCol)).as("__gmax"))
     val spine = df.groupBy(col(keyCol))
-      .agg(min(col(dateCol)).as("__d0"), count(lit(1)).as("__n"),
-        countDistinct(col(dateCol)).as("__nd"))
+      .agg(min(col(dateCol)).as("__d0"),
+        count(col(dateCol)).as("__n"), // non-null dates
+        countDistinct(col(dateCol)).as("__nd"),
+        sum(when(col(dateCol).isNull, 1L).otherwise(0L)).as("__nulls"))
       .crossJoin(broadcast(gmax))
-      // duplicate (key, date) rows would make the fill order-dependent;
-      // the assert lives in a FILTER (coalesce(NULL-on-pass, true)) so
-      // column pruning cannot optimize the check away
+      // NULL dates have no place on a daily spine, and duplicate
+      // (key, date) rows would make the fill order-dependent — each
+      // gets its own named failure. The asserts live in FILTERs
+      // (coalesce(NULL-on-pass, true)) so column pruning cannot
+      // optimize the checks away
+      .filter(coalesce(assert_true(col("__nulls") === 0,
+        lit(s"gapFillDaily: NULL $dateCol rows in input — drop or date them first")),
+        lit(true)))
       .filter(coalesce(assert_true(col("__n") === col("__nd"),
         lit(s"gapFillDaily: duplicate ($keyCol, $dateCol) rows in input — " +
           "pre-aggregate to one row per key-date")), lit(true)))

@@ -138,7 +138,7 @@ object AnalyticsQueries {
     // Z-order clustering key (ops.Scale.zValue): bit-interleave of two
     // bucketed dimensions, oracle-proven against the same expansion in
     // DuckDB. The layout writer built on it (Scale.writeZOrdered) is
-    // footer-stat-verified in ScaleSpec.
+    // footer-stat-verified in AnalyticsSpec.
     "q_zorder" -> ((s, dir) => {
       t(s, dir, "part")
         .select(col("p_partkey"),

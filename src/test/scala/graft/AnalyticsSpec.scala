@@ -2,7 +2,6 @@ package graft
 
 import java.sql.Date
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Funnel, Scale, TimeSeries}
@@ -54,6 +53,26 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate") ||
       e.getCause != null && e.getCause.getMessage.contains("duplicate"))
+  }
+
+  test("gapFillDaily: NULL dates fail loudly with their own message") {
+    val in = Seq((1L, Some(d("2024-01-01")), 1.0), (1L, None, 2.0))
+      .toDF("k", "day", "v")
+    val e = intercept[Exception] {
+      TimeSeries.gapFillDaily(in, "k", "day", Seq("v")).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("NULL"), msg)
+  }
+
+  test("heavyHittersCms: NULL keys are excluded from total and counts (CMS skips them)") {
+    val rows: Seq[Option[String]] =
+      Seq.fill(6)(Some("hot")) ++ Seq.fill(4)(None) ++ Seq(Some("one"))
+    val out = graft.ops.Sketch.heavyHittersCms(rows.toDF("k"), "k", support = 0.5)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    // 7 non-null rows: hot=6 ≥ 3.5 qualifies; NULL never appears even
+    // though 4 rows carry it
+    assert(out.toSeq == Seq(("hot", 6L, true, true)), out.mkString(", "))
   }
 
   test("funnel stageTimes: strict ordering within each key, horizon enforced") {

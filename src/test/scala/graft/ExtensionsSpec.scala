@@ -84,4 +84,25 @@ class ExtensionsSpec extends SparkSpec {
       Vectors.lshBuckets(col("embedding"), 4, 3).as("b"))
     assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
   }
+
+  test("graft_winnow_fps SQL == Fingerprint.winnow") {
+    val d = schema.Tables.load(gspark, sfDir, "documents").limit(30)
+    d.createOrReplaceTempView("docs_w")
+    val sql = gspark.sql(
+      "SELECT doc_id, explode(graft_winnow_fps(text, 8, 4)) AS fp FROM docs_w")
+    val api = graft.ops.Fingerprint.winnow(d, "doc_id", "text", 8, 4)
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("graft_cms_estimate SQL probes a count_min_sketch binary") {
+    import gspark.implicits._
+    (Seq.fill(7)("x") ++ Seq.fill(3)("y")).toDF("k")
+      .createOrReplaceTempView("cms_in")
+    val out = gspark.sql(
+      """WITH s AS (SELECT count_min_sketch(k, 0.001d, 0.99d, 42) AS cms FROM cms_in)
+        |SELECT graft_cms_estimate(s.cms, t.k) AS est
+        |FROM (SELECT DISTINCT k FROM cms_in) t, s ORDER BY t.k""".stripMargin)
+      .as[Long].collect()
+    assert(out.toSeq == Seq(7L, 3L), out.mkString(", "))
+  }
 }

@@ -88,6 +88,17 @@ class FingerprintSpec extends SparkSpec {
     assert(capped.count() < 45)
   }
 
+  test("fused kernel == declarative winnow on fixture documents") {
+    val docs = graft.schema.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val kernel = Fingerprint.winnow(docs, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().toSet
+    val declarative = Fingerprint.winnowDeclarative(docs, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().toSet
+    assert(kernel == declarative)
+    assert(kernel.nonEmpty)
+  }
+
   test("documents shorter than k+w-1 emit no fingerprints") {
     val out = Fingerprint.winnow(
       Seq((1L, "tiny"), (2L, "a" * (k + w - 2))).toDF("doc_id", "text"),

@@ -176,6 +176,14 @@ class PlanSpec extends SparkSpec {
       "pairs come from sorted-id combinatorics inside buckets\n" + p)
   }
 
+  test("q_heavy_hitters: sketch broadcasts as a 1-row frame; probe runs in-plan") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("graft_cms_estimate"),
+      "CMS probe must be an in-plan expression, not a driver loop\n" + p)
+    assert(p.contains("count_min_sketch"), p)
+  }
+
   test("q_cohort_retention: hash aggregates with map-side partials, no cartesian") {
     val p = plan("q_cohort_retention")
     assert(p.contains("HashAggregate"), p)
