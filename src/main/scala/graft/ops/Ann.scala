@@ -85,11 +85,13 @@ object Ann {
     * would re-run the whole Lloyd chain once PER USE — measured 2×+ on
     * the IVF/k-means queries. Same posture as
     * [[Dedup.connectedComponents]]'s per-round labels. */
-  def trainCentroids(corpus: DataFrame, nLists: Int, iters: Int = 3): DataFrame = {
+  def trainCentroids(corpus: DataFrame, nLists: Int, iters: Int = 3,
+                     metric: String = "cosine"): DataFrame = {
     var cents = seedCentroids(corpus, nLists)
     for (_ <- 1 to iters) {
       val assigned = nearestLists(cents,
-        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)
+        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1,
+        metric)
       val means = assigned
         .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -115,19 +117,27 @@ object Ann {
       .select(col("id"), col("cid"))
   }
 
-  /** Nearest-`n` centroids per vector by cosine — the IVF assign/probe
-    * primitive. `cents` is (cid, cv); centroid norms are computed here
-    * so seeded and trained centroid frames share one contract. */
+  /** Nearest-`n` centroids per vector — the IVF assign/probe primitive.
+    * `cents` is (cid, cv); centroid norms are computed here so seeded
+    * and trained centroid frames share one contract. `metric`:
+    * "cosine" (the IVF family default) or "l2" (PQ codebook training,
+    * where subvectors are not unit-norm and cosine would collapse
+    * magnitude structure). */
   private def nearestLists(cents: DataFrame, df: DataFrame,
-                           idc: String, vc: String, n: Int): DataFrame = {
+                           idc: String, vc: String, n: Int,
+                           metric: String = "cosine"): DataFrame = {
     val c = cents.select(col("cid"), col("cv"), Vectors.l2Norm(col("cv")).as("cn"))
     // project the vector norm BEFORE the centroid cross join: computed
     // once per vector, not once per (vector × centroid) pair
     val withNorm = df.withColumn("__vn", Vectors.l2Norm(col(vc)))
     val withSim = withNorm.join(broadcast(c))
-      .withColumn("csim",
-        when(col("cn") > 0,
-          Vectors.dot(col(vc), col("cv")) / (col("__vn") * col("cn"))))
+      .withColumn("csim", metric match {
+        case "cosine" =>
+          when(col("cn") > 0,
+            Vectors.dot(col(vc), col("cv")) / (col("__vn") * col("cn")))
+        case "l2" => -Vectors.l2Sq(col(vc), col("cv"))
+        case other => throw new IllegalArgumentException(s"unknown metric $other")
+      })
     val w = Window.partitionBy(col(idc)).orderBy(col("csim").desc, col("cid"))
     withSim.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
       .select(col(idc), col(vc), col("cid"))
@@ -198,6 +208,87 @@ object Ann {
       Vectors.l2Norm(col("vec")).as("nn"))
     // the candidate set is |queries|·k·rerankFactor rows — broadcast it
     // so the exact-rerank lookup never shuffles the corpus by nid
+    rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
+  }
+
+  /** Per-subspace PQ codebooks trained with L2 Lloyd iterations over
+    * the corpus's subvector slices (the [[trainCentroids]] machinery
+    * with the L2 metric — cosine on subvectors would ignore the
+    * magnitude structure PQ must preserve). Returns
+    * codebooks(s)(c) = sub-centroid vector; shape m × nCodes × dim/m.
+    *
+    * The collect is bounded by construction (m·nCodes rows of dim/m
+    * floats — ~1 KiB at 8×16×8), same class as the watermark/probed-cid
+    * scalar reads. At 100 TB: train on a sample; encoding the full
+    * corpus with the trained books is the one-pass cost that matters.
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, nCodes: Int,
+                       iters: Int = 2): Array[Array[Array[Float]]] = {
+    require(m >= 1 && nCodes >= 2, "need m >= 1 subspaces and nCodes >= 2")
+    require(nCodes <= 128, "codes are stored as tinyint — nCodes <= 128")
+    val dim = corpus.select(size(col("vec")).as("d")).limit(1).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide the vector dim $dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val slices = corpus.select(col("id"),
+        slice(col("vec"), s * sub + 1, sub).as("vec"))
+      trainCentroids(slices, nCodes, iters, metric = "l2")
+        .orderBy(col("cid"))
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+    }.toArray
+  }
+
+  /** Two-stage product-quantized top-k (IVF-PQ's scoring half): the
+    * candidate stage scans the corpus as m-byte PQ codes (32× less
+    * bandwidth than 64 floats) ranked by ADC — each query precomputes
+    * an (m × nCodes) exact-subdistance table, a candidate costs m
+    * lookups — then the top k·rerankFactor rerank with exact float
+    * cosine. Same contract as [[bruteTopK]]/[[quantizedTopK]]:
+    * (qid, rank, nid, sim) with EXACT sims.
+    *
+    * ADC approximates L2 distance; for cosine ranking the inputs are
+    * unit-normalized before encoding (L2² = 2 − 2·cos on the unit
+    * sphere, so the orderings agree), and the rerank computes cosine
+    * on the ORIGINAL vectors.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, nCodes: Int = 16, trainIters: Int = 2,
+             rerankFactor: Int = 4,
+             codebooksOverride: Option[Array[Array[Array[Float]]]] = None,
+             maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def unit(v: Column): Column = {
+      val n = Vectors.l2Norm(v)
+      when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
+    }
+    val normCorpus = corpus.select(col("id"), unit(col("vec")).as("vec"))
+    val cbs = codebooksOverride.getOrElse(
+      trainPqCodebooks(normCorpus, m, nCodes, trainIters))
+
+    val qg = Guard.broadcastSmall(queries, "pqTopK query batch", maxBroadcastRows)
+    val qt = qg.select(col("id").as("qid"),
+      column(graft.expr.catalyst.PqAdcTable(
+        expression(unit(col("vec"))), cbs)).as("tbl"))
+    val codes = normCorpus.select(col("id").as("nid"),
+      column(graft.expr.catalyst.PqEncode(expression(col("vec")), cbs)).as("codes"))
+    val adist = column(graft.expr.catalyst.PqAdcDistance(
+      expression(col("tbl")), expression(col("codes")), nCodes))
+
+    val approxTop = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(-col("adist").cast("double"), col("nid"))),
+      k * rerankFactor).toAggregateExpression())
+    val cand = broadcast(qt).join(codes, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adist.as("adist"))
+      .groupBy(col("qid")).agg(approxTop.as("top"))
+      .select(col("qid"), explode(col("top")).as("entry"))
+      .select(col("qid"), col("entry.id").as("nid"))
+    val qv = queries.select(col("id").as("qid"), col("vec").as("qv"),
+      Vectors.l2Norm(col("vec")).as("qn"))
+    val cv = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+      Vectors.l2Norm(col("vec")).as("nn"))
+    // candidate set is |queries|·k·rerankFactor rows — broadcast it so
+    // the exact rerank never shuffles the corpus by nid
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 

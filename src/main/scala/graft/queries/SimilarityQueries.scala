@@ -96,6 +96,20 @@ object SimilarityQueries {
       annRecallCheck(Ann.quantizedTopK(e.filter(col("id") < 8), e, k = 5), e)
     }),
 
+    // Product-quantized two-stage scan (PQ/ADC: corpus scanned as
+    // m=8 byte codes, 32× less candidate-stage bandwidth than float64
+    // vectors; per-query distance-table lookups; exact cosine rerank)
+    // — same driver-visible recall gate as the other ANN twins.
+    // rerankFactor 8: the fixture embeddings are uniform random (no
+    // cluster structure — PQ's adversarial case), so the candidate
+    // stage needs a deeper shortlist before the exact rerank to hold
+    // the same full-containment gate as the other twins
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(Ann.pqTopK(e.filter(col("id") < 8), e, k = 5,
+        rerankFactor = 8), e)
+    }),
+
     // IVF-SQ8 (persisted, partition-pruned, int8-quantized lists — the
     // production ANN layout) with the same recall gate as the other
     // ANN twins: the probe returns quantized cosines, so the gate
@@ -292,6 +306,11 @@ object SimilarityQueries {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_ann_int8_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_ann_pq_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
