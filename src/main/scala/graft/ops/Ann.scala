@@ -211,6 +211,21 @@ object Ann {
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
+  /** Unit-normalize a float vector COLUMN IN A FRAME (zero vectors pass
+    * through): on the unit sphere L2² = 2 − 2·cos, so PQ's L2-based ADC
+    * ranks cosine-consistently. The norm is projected to an attribute
+    * FIRST — a lambda that embedded `l2Norm(v)` directly would
+    * re-evaluate the whole dot product per element (the O(dim²)
+    * interpreted-HOF trap the int8 kernel exists to avoid). */
+  private def unitNormalized(df: DataFrame, vc: String): DataFrame = {
+    require(!df.columns.contains("__un"), "column __un is reserved")
+    df.withColumn("__un", Vectors.l2Norm(col(vc)))
+      .withColumn(vc, when(col("__un") > 0,
+        transform(col(vc), x => (x / col("__un")).cast("float")))
+        .otherwise(col(vc)))
+      .drop("__un")
+  }
+
   /** Per-subspace PQ codebooks trained with L2 Lloyd iterations over
     * the corpus's subvector slices (the [[trainCentroids]] machinery
     * with the L2 metric — cosine on subvectors would ignore the
@@ -229,14 +244,42 @@ object Ann {
     val dim = corpus.select(size(col("vec")).as("d")).limit(1).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide the vector dim $dim")
     val sub = dim / m
-    (0 until m).map { s =>
-      val slices = corpus.select(col("id"),
-        slice(col("vec"), s * sub + 1, sub).as("vec"))
-      trainCentroids(slices, nCodes, iters, metric = "l2")
-        .orderBy(col("cid"))
-        .collect()
-        .map(_.getSeq[Float](1).toArray)
-    }.toArray
+
+    // all m subspaces train in ONE grouped Lloyd job per iteration —
+    // the sequential per-subspace formulation ran m separate training
+    // chains (m× the driver round trips and job-launch overhead; was
+    // the single slowest bench entry). Same math per subspace: first-K
+    // seeds, L2 argmin assignment (ties → lowest cid), element means,
+    // empty cells keep their previous centroid.
+    val slices = corpus.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("vec"), s * lit(sub) + 1, lit(sub)))).as(Seq("s", "sv")))
+    val seedIds = corpus.orderBy(col("id")).limit(nCodes)
+      .select(col("id").as("cid"))
+    var cents = slices.join(seedIds, col("id") === col("cid"))
+      .select(col("s"), col("cid"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val scored = slices.join(broadcast(cents), Seq("s"))
+        .withColumn("__d", Vectors.l2Sq(col("sv"), col("cv")))
+      val w = Window.partitionBy(col("s"), col("id"))
+        .orderBy(col("__d"), col("cid"))
+      val assigned = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("s"), col("cid"), col("sv"))
+      val means = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("mv"))
+      cents = cents.join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    // bounded collect: m·nCodes rows
+    cents.orderBy(col("s"), col("cid")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray).toArray)
+      .toArray
   }
 
   /** Two-stage product-quantized top-k (IVF-PQ's scoring half): the
@@ -258,18 +301,15 @@ object Ann {
              codebooksOverride: Option[Array[Array[Array[Float]]]] = None,
              maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def unit(v: Column): Column = {
-      val n = Vectors.l2Norm(v)
-      when(n > 0, transform(v, x => (x / n).cast("float"))).otherwise(v)
-    }
-    val normCorpus = corpus.select(col("id"), unit(col("vec")).as("vec"))
+    val normCorpus = unitNormalized(corpus.select(col("id"), col("vec")), "vec")
     val cbs = codebooksOverride.getOrElse(
       trainPqCodebooks(normCorpus, m, nCodes, trainIters))
 
     val qg = Guard.broadcastSmall(queries, "pqTopK query batch", maxBroadcastRows)
-    val qt = qg.select(col("id").as("qid"),
-      column(graft.expr.catalyst.PqAdcTable(
-        expression(unit(col("vec"))), cbs)).as("tbl"))
+    val qt = unitNormalized(qg.select(col("id").as("qid"), col("vec")), "vec")
+      .select(col("qid"),
+        column(graft.expr.catalyst.PqAdcTable(
+          expression(col("vec")), cbs)).as("tbl"))
     val codes = normCorpus.select(col("id").as("nid"),
       column(graft.expr.catalyst.PqEncode(expression(col("vec")), cbs)).as("codes"))
     val adist = column(graft.expr.catalyst.PqAdcDistance(
@@ -405,6 +445,90 @@ object Ann {
         col("nid"), col("nv8").as("nv"), col("nn"))
       .dropDuplicates("qid", "nid")
     rank(cand, k)
+  }
+
+  /** IVF-PQ: the production 100 TB ANN layout — coarse partition
+    * pruning AND product-quantized candidate payloads. Lists store
+    * (nid, codes, nv) per coarse cell: the candidate stage projects
+    * ONLY (nid, codes) out of the pruned partitions (parquet columnar
+    * projection — m bytes of codes instead of the float vector,
+    * plan-asserted in PqSpec), and the exact cosine rerank reads the
+    * float column for the shortlist join. Codebooks are persisted
+    * under `path/codebooks` so probes never retrain.
+    *
+    * Vectors are unit-normalized before encoding (same
+    * cosine-consistency contract as [[pqTopK]]); the stored `nv` is
+    * the ORIGINAL vector, so reranks report exact sims. */
+  def writeIvfIndexPq(corpus: DataFrame, path: String, nLists: Int = 16,
+                      m: Int = 8, nCodes: Int = 16,
+                      trainIters: Int = 0, pqIters: Int = 2,
+                      centroidsOverride: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val spark = corpus.sparkSession
+    val cbs = trainPqCodebooks(
+      unitNormalized(corpus.select(col("id"), col("vec")), "vec"), m, nCodes, pqIters)
+    val cbRows = for (s <- cbs.indices; c <- cbs(s).indices)
+      yield (s, c, cbs(s)(c).toSeq)
+    spark.createDataFrame(cbRows).toDF("s", "c", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride) { assigned =>
+      unitNormalized(assigned.withColumn("__nvu", col("nv")), "__nvu")
+        .select(col("nid"),
+          column(graft.expr.catalyst.PqEncode(expression(col("__nvu")), cbs))
+            .as("codes"),
+          col("nv"), col("cid"))
+    }
+  }
+
+  /** Read persisted PQ codebooks back into the kernel shape (bounded:
+    * m·nCodes rows). */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("s"), col("c")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray).toArray)
+      .toArray
+
+  /** Top-k probe of a [[writeIvfIndexPq]] layout: literal-partition-
+    * filter pruning (as [[probeIvfIndex]]), ADC over the codes column
+    * only, exact cosine rerank of the top k·rerankFactor against the
+    * lists' float column. Output contract matches [[bruteTopK]]:
+    * (qid, rank, nid, sim) with EXACT sims. */
+  def probeIvfIndexPq(queries: DataFrame, path: String, k: Int,
+                      nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val (probes, lists) = prunedProbe(queries, path, nProbe)
+    val cbs = readCodebooks(queries.sparkSession, path)
+    val nCodes = cbs(0).length
+
+    val qt = unitNormalized(
+        probes.select(col("qid"), col("qv")).dropDuplicates("qid"), "qv")
+      .select(col("qid"),
+        column(graft.expr.catalyst.PqAdcTable(expression(col("qv")), cbs))
+          .as("tbl"))
+    val adist = column(graft.expr.catalyst.PqAdcDistance(
+      expression(col("tbl")), expression(col("codes")), nCodes))
+    val approxTop = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(-col("adist").cast("double"), col("nid"))),
+      k * rerankFactor).toAggregateExpression())
+    // candidate stage: codes column ONLY out of the pruned lists
+    val shortlist = broadcast(
+        probes.select(col("qid"), col("cid")).join(qt, Seq("qid")))
+      .join(lists.select(col("nid"), col("codes"),
+        col("cid").cast("long").as("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adist.as("adist"))
+      .dropDuplicates("qid", "nid")
+      .groupBy(col("qid")).agg(approxTop.as("top"))
+      .select(col("qid"), explode(col("top")).as("entry"))
+      .select(col("qid"), col("entry.id").as("nid"))
+    // exact rerank: float vectors for candidate rows only
+    val qv = probes.select(col("qid"), col("qv")).dropDuplicates("qid")
+      .withColumn("qn", Vectors.l2Norm(col("qv")))
+    val cv = lists.select(col("nid"), col("nv"))
+      .withColumn("nn", Vectors.l2Norm(col("nv")))
+    rank(broadcast(shortlist.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the

@@ -129,6 +129,21 @@ object SimilarityQueries {
       annRecallCheck(exact, e)
     }),
 
+    // IVF-PQ (persisted, partition-pruned lists whose candidate stage
+    // reads ONLY the m-byte PQ codes column; exact cosine rerank from
+    // the lists' float column) — the production 100 TB ANN layout,
+    // same driver-visible recall gate as the other ANN twins. Deeper
+    // rerank (×8) for the same uniform-random-fixture reason as
+    // q_ann_pq_recall.
+    "q_ann_ivf_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = scratchDir("graft-ivf-pq", dir)
+      Ann.writeIvfIndexPq(e, path, nLists = 16, trainIters = 2)
+      annRecallCheck(
+        Ann.probeIvfIndexPq(e.filter(col("id") < 8), path, k = 5,
+          nProbe = 8, rerankFactor = 8), e)
+    }),
+
     // Persisted-IVF-index round trip with a driver-visible assertion:
     // build the index as a parquet layout partitioned by list id
     // (Ann.writeIvfIndex — the corpus's one-time shuffle), then serve
@@ -311,6 +326,11 @@ object SimilarityQueries {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_ann_pq_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_ann_ivf_pq_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,

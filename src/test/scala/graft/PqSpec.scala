@@ -125,6 +125,45 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean clustered PQ recall@5 = $mean")
   }
 
+  test("persisted IVF-PQ: pruned partitions, codes-only candidate scan, exhaustive == brute") {
+    val emb = e
+    val queries = emb.filter($"id" < 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-pq-idx").toString
+    Ann.writeIvfIndexPq(emb, path, nLists = 16)
+
+    val n = emb.count().toInt
+    val probed = Ann.probeIvfIndexPq(queries, path, k = 5, nProbe = 4)
+
+    // 1) the lists scan prunes to the probed partitions at planning time
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(scans.nonEmpty)
+    val staticFilters = scans.head.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(staticFilters.nonEmpty, s"no static partition filter:\n${scans.head}")
+    val prunedParts = scans.map(_.relation.location
+      .listFiles(staticFilters, Nil).length).max
+    assert(prunedParts < 16, s"probe read $prunedParts of 16 partitions")
+
+    // 2) the candidate stage projects codes, never the float vectors —
+    // the 32x-bandwidth claim is columnar projection, so it must be
+    // visible in a scan's required schema
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.exists(f => f.contains("codes") && !f.contains("nv")),
+      s"no codes-only scan found: $schemas")
+
+    // 3) probing every list with an exhaustive rerank reproduces brute
+    // force exactly (nothing can be dropped)
+    val brute = Ann.bruteTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Ann.probeIvfIndexPq(queries, path, k = 5, nProbe = 16,
+        rerankFactor = n / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === brute)
+  }
+
   test("trainPqCodebooks: m x nCodes x dim/m shape, deterministic across runs") {
     val emb = e
     val a = Ann.trainPqCodebooks(emb, m = 8, nCodes = 16, iters = 1)
