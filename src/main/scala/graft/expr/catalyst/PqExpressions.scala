@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
 object PqKernel {
 
   /** code[s] = argmin_c ‖vec_sub(s) − codebook(s)(c)‖² (ties → lowest
-    * code id, deterministic). */
+    * code id, deterministic). Null on dimension mismatch — the same
+    * contract as the sibling vector kernels (a silent out-of-bounds
+    * getFloat on UnsafeArrayData reads adjacent buffer memory). */
   def encode(vec: ArrayData, cbs: Array[Array[Array[Float]]]): ArrayData = {
     val m = cbs.length
     val sub = cbs(0)(0).length
+    if (vec.numElements() != m * sub) return null
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -55,11 +58,13 @@ object PqKernel {
   }
 
   /** Flattened (m × nCodes) ADC table: entry s·nCodes + c holds
-    * ‖query_sub(s) − codebook(s)(c)‖². */
+    * ‖query_sub(s) − codebook(s)(c)‖². Null on dimension mismatch
+    * (same contract as [[encode]]). */
   def adcTable(vec: ArrayData, cbs: Array[Array[Array[Float]]]): ArrayData = {
     val m = cbs.length
     val nCodes = cbs(0).length
     val sub = cbs(0)(0).length
+    if (vec.numElements() != m * sub) return null
     val out = new Array[Any](m * nCodes)
     var s = 0
     while (s < m) {
@@ -103,6 +108,8 @@ private[catalyst] trait PqCodebooked {
     require(codebooks.nonEmpty, "codebooks must be non-empty")
     require(codebooks.forall(_.length == codebooks(0).length),
       "every subspace needs the same code count")
+    require(codebooks(0).length <= 128,
+      "codes are stored as tinyint — at most 128 codewords per subspace")
     require(codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
       "every code vector needs the same sub-dimension")
   }
@@ -125,6 +132,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
 
   override def prettyName: String = "graft_pq_encode"
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true // null on dimension mismatch
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     requireFloatArray(child.dataType, prettyName)
@@ -135,7 +143,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.catalyst.PqKernel.encode($c, $cb);")
+      s"""${ev.value} = graft.expr.catalyst.PqKernel.encode($c, $cb);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -149,6 +158,7 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]])
 
   override def prettyName: String = "graft_pq_adc_table"
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true // null on dimension mismatch
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     requireFloatArray(child.dataType, prettyName)
@@ -159,7 +169,8 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.catalyst.PqKernel.adcTable($c, $cb);")
+      s"""${ev.value} = graft.expr.catalyst.PqKernel.adcTable($c, $cb);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

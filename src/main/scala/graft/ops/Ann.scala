@@ -276,11 +276,20 @@ object Ann {
         .select(col("s"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
     // bounded collect: m·nCodes rows
-    cents.orderBy(col("s"), col("cid")).collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray).toArray)
-      .toArray
+    reshapeCodebooks(cents.orderBy(col("s"), col("cid")).collect(),
+      _.getLong(1))
   }
+
+  /** (s, cid-or-c, cv) rows → codebooks(s)(c) nested array — the ONE
+    * reshape both the training tail and the persisted-index reader use
+    * (`cid` is long in training output, int in the stored table, hence
+    * the extractor). */
+  private def reshapeCodebooks(rows: Array[org.apache.spark.sql.Row],
+                               code: org.apache.spark.sql.Row => Long)
+      : Array[Array[Array[Float]]] =
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(code).map(_.getSeq[Float](2).toArray).toArray)
+      .toArray
 
   /** Two-stage product-quantized top-k (IVF-PQ's scoring half): the
     * candidate stage scans the corpus as m-byte PQ codes (32× less
@@ -301,9 +310,17 @@ object Ann {
              codebooksOverride: Option[Array[Array[Array[Float]]]] = None,
              maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val normCorpus = unitNormalized(corpus.select(col("id"), col("vec")), "vec")
+    // materialize the normalization once: training references the
+    // corpus per Lloyd iteration and the codes projection scans it
+    // again — a lazy plan would re-run the per-element divide each time
+    val normCorpus = Reliable.checkpoint(
+      unitNormalized(corpus.select(col("id"), col("vec")), "vec"))
     val cbs = codebooksOverride.getOrElse(
       trainPqCodebooks(normCorpus, m, nCodes, trainIters))
+    // stride comes from the ACTUAL codebooks — an override (or a corpus
+    // smaller than nCodes, which under-fills the seed) may disagree
+    // with the parameter, and a wrong stride mis-indexes every lookup
+    val effCodes = cbs(0).length
 
     val qg = Guard.broadcastSmall(queries, "pqTopK query batch", maxBroadcastRows)
     val qt = unitNormalized(qg.select(col("id").as("qid"), col("vec")), "vec")
@@ -313,7 +330,7 @@ object Ann {
     val codes = normCorpus.select(col("id").as("nid"),
       column(graft.expr.catalyst.PqEncode(expression(col("vec")), cbs)).as("codes"))
     val adist = column(graft.expr.catalyst.PqAdcDistance(
-      expression(col("tbl")), expression(col("codes")), nCodes))
+      expression(col("tbl")), expression(col("codes")), effCodes))
 
     val approxTop = column(graft.expr.catalyst.TopKByScore(
       expression(struct(-col("adist").cast("double"), col("nid"))),
@@ -466,7 +483,9 @@ object Ann {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val spark = corpus.sparkSession
     val cbs = trainPqCodebooks(
-      unitNormalized(corpus.select(col("id"), col("vec")), "vec"), m, nCodes, pqIters)
+      Reliable.checkpoint(
+        unitNormalized(corpus.select(col("id"), col("vec")), "vec")),
+      m, nCodes, pqIters)
     val cbRows = for (s <- cbs.indices; c <- cbs(s).indices)
       yield (s, c, cbs(s)(c).toSeq)
     spark.createDataFrame(cbRows).toDF("s", "c", "cv")
@@ -484,11 +503,9 @@ object Ann {
     * m·nCodes rows). */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                             path: String): Array[Array[Array[Float]]] =
-    spark.read.parquet(s"$path/codebooks")
-      .orderBy(col("s"), col("c")).collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray).toArray)
-      .toArray
+    reshapeCodebooks(
+      spark.read.parquet(s"$path/codebooks").orderBy(col("s"), col("c")).collect(),
+      _.getInt(1).toLong)
 
   /** Top-k probe of a [[writeIvfIndexPq]] layout: literal-partition-
     * filter pruning (as [[probeIvfIndex]]), ADC over the codes column

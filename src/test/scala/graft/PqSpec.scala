@@ -164,6 +164,32 @@ class PqSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("kernels return null on dimension mismatch (never read out of bounds)") {
+    val cbs = randCbs(4, 8, 4) // expects 16-dim vectors
+    val out = Seq(Tuple1(randVec(12).toSeq), Tuple1(randVec(16).toSeq))
+      .toDF("vec").select($"vec".cast("array<float>").as("vec"))
+      .select(column(PqEncode(expression($"vec"), cbs)).as("codes"),
+        column(PqAdcTable(expression($"vec"), cbs)).as("tbl"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1),
+      "12-dim input against 16-dim codebooks must be null")
+    assert(!out(1).isNullAt(0) && !out(1).isNullAt(1))
+  }
+
+  test("pqTopK with a codebooksOverride of a different code count still ranks correctly") {
+    // the ADC stride must come from the actual codebooks, not the
+    // nCodes parameter (which stays at its default 16 here)
+    val emb = e
+    val n = emb.count().toInt
+    val cbs8 = Ann.trainPqCodebooks(emb, m = 8, nCodes = 8, iters = 1)
+    val brute = Ann.bruteTopK(emb.filter($"id" < 8), emb, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pq = Ann.pqTopK(emb.filter($"id" < 8), emb, 5,
+        rerankFactor = n / 5 + 1, codebooksOverride = Some(cbs8))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq === brute)
+  }
+
   test("trainPqCodebooks: m x nCodes x dim/m shape, deterministic across runs") {
     val emb = e
     val a = Ann.trainPqCodebooks(emb, m = 8, nCodes = 16, iters = 1)
