@@ -55,7 +55,8 @@ object ScaleSmoke {
   val heavy: Seq[String] = Seq(
     "q_curation_e2e", "q_hydration_data", "q_dedup_keep", "q_dedup_clusters",
     "q_simhash_precision", "q_ann_ivf_sq8_recall", "q_ann_ivf_index",
-    "q_ann_ivf", "q_kmeans_quality", "q_incr_dedup")
+    "q_ann_ivf", "q_kmeans_quality", "q_incr_dedup",
+    "q_ann_pq_recall", "q_ann_ivf_pq_recall")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)

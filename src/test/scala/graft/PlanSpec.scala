@@ -184,6 +184,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("count_min_sketch"), p)
   }
 
+  test("q_funnel: narrow stage joins and partial aggregates, no cartesian") {
+    val p = plan("q_funnel")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the event payload must never join in: stage joins carry only
+    // (user_id, ts) — no wide event columns in any join output
+    assert(!p.contains("props"), "event payload columns leaked into the funnel plan\n" + p)
+  }
+
   test("q_cohort_retention: hash aggregates with map-side partials, no cartesian") {
     val p = plan("q_cohort_retention")
     assert(p.contains("HashAggregate"), p)
