@@ -614,6 +614,61 @@ object Ann {
       .filter(col("sim") > threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): k-means the embedding corpus, then
+    * look for semantic duplicates ONLY within each cluster, so the
+    * candidate cost is Σ|cluster|² instead of n² — the cluster count
+    * is the scale dial (100 TB wants k large enough that clusters
+    * stay ~10⁴). Within a cluster, a vector is DROPPED when another
+    * cluster member exceeds the cosine `threshold` AND dominates it:
+    * higher similarity-to-centroid, ties broken on lower id — i.e.
+    * the most prototypical copy of a duplicate group survives, and
+    * the rule is a strict total order, so of any duplicate pair
+    * exactly one side is dropped (kept rows therefore contain NO
+    * within-cluster pair above the threshold; only rows with at
+    * least one near-dup are ever dropped).
+    *
+    * Plan shape: centroids broadcast for assignment (no corpus
+    * shuffle), then ONE shuffle of (id, vec, cent_sim) by cluster id
+    * for the cluster-local self-join; AQE's skew-join split keeps a
+    * dense cluster from pinning a task. Clusters larger than
+    * `maxCluster` are excluded from pair generation and kept whole
+    * (same loud-cap posture as [[nearDupPairsLsh]]'s `maxBucket`) —
+    * a cluster that big means k is mis-sized for the corpus.
+    *
+    * Returns (id, cid, cent_sim, keep). */
+  def semDedup(vecs: DataFrame, k: Int, threshold: Double, iters: Int = 3,
+               maxCluster: Int = 20000,
+               centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val cents = centroidsOverride.getOrElse(trainCentroids(vecs, k, iters))
+    val c = cents.select(col("cid"), col("cv"))
+    val assigned = nearestLists(c, vecs.select(col("id"), col("vec")),
+        "id", "vec", 1)
+      .join(broadcast(c), Seq("cid"))
+      .select(col("id"), col("vec"), col("cid"),
+        Vectors.l2Norm(col("vec")).as("nrm"),
+        Vectors.cosine(col("vec"), col("cv")).as("cent_sim"))
+    val small = assigned.join(
+      assigned.groupBy(col("cid")).agg(count(lit(1)).as("__csz"))
+        .filter(col("__csz") <= maxCluster).select(col("cid")),
+      Seq("cid"), "left_semi")
+    def side(sfx: String) = small.select(
+      col("cid"), col("id").as(s"id_$sfx"), col("vec").as(s"v_$sfx"),
+      col("nrm").as(s"n_$sfx"), col("cent_sim").as(s"cs_$sfx"))
+    // only the dominated direction matters: (a, b) rows where b wins
+    val droppedIds = side("a").join(side("b"),
+        Seq("cid")).filter(col("id_a") =!= col("id_b") &&
+        (col("cs_b") > col("cs_a") ||
+          (col("cs_b") === col("cs_a") && col("id_b") < col("id_a"))))
+      .filter(col("n_a") > 0 && col("n_b") > 0 &&
+        Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
+          > threshold)
+      .select(col("id_a").as("id")).distinct()
+    assigned.join(droppedIds.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), col("cent_sim"),
+        coalesce(col("__drop"), lit(false)).unary_!.as("keep"))
+  }
+
   /** Rank candidate pairs by cosine, keep top k per query — via the
     * bounded argmax-k aggregate (expr.catalyst.TopKByScore): map-side
     * partial top-k, k rows per partition through the shuffle, no

@@ -246,6 +246,47 @@ object SimilarityQueries {
           (col("obj") >= col("obj_seed")).as("objective_improved"))
     }),
 
+    // SemDeDup semantic dedup (cluster-then-dedup, Abbas et al. 2023)
+    // with a driver-visible STRUCTURAL oracle: the operator guarantees
+    // (by its strict dominance order) that kept rows contain no
+    // within-cluster pair above the threshold and that only rows with
+    // at least one within-cluster near-dup are dropped. Both facts are
+    // recomputed here from scratch — exact cosine over the operator's
+    // own cluster assignment — so a kernel, assignment, or dominance
+    // bug flips a boolean. `has_dropped` pins the fixture-measured
+    // fact that semantic duplicates exist and co-cluster at every
+    // shipped SF (verified at sf0.001/0.01/0.1).
+    "q_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sd = Ann.semDedup(e, k = 10, threshold = 0.4)
+      val v = sd.join(e, Seq("id"))
+        .select(col("cid"), col("id"), col("vec"), col("keep"),
+          Vectors.l2Norm(col("vec")).as("nrm"))
+      def side(sfx: String) = v.select(col("cid"), col("id").as(s"id_$sfx"),
+        col("vec").as(s"v_$sfx"), col("nrm").as(s"n_$sfx"),
+        col("keep").as(s"keep_$sfx"))
+      val pairs = side("a").join(side("b"), Seq("cid"))
+        .filter(col("id_a") < col("id_b") &&
+          col("n_a") > 0 && col("n_b") > 0 &&
+          Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) > 0.4)
+        .select(col("id_a"), col("id_b"), col("keep_a"), col("keep_b"))
+      val pairStats = pairs.agg(
+        (coalesce(sum(when(col("keep_a") && col("keep_b"), 1).otherwise(0)),
+          lit(0)) === 0).as("kept_clean"))
+      val participants = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val dropStats = sd.filter(!col("keep"))
+        .join(participants.withColumn("__p", lit(true)), Seq("id"), "left")
+        .agg(
+          (coalesce(sum(when(col("__p").isNull, 1).otherwise(0)), lit(0)) === 0)
+            .as("dropped_are_dups"),
+          (count(lit(1)) >= 1).as("has_dropped"))
+      sd.agg(count(lit(1)).cast("long").as("n_vectors"))
+        .join(broadcast(pairStats)).join(broadcast(dropStats))
+        .select(col("n_vectors"), col("kept_clean"),
+          col("dropped_are_dups"), col("has_dropped"))
+    }),
+
     // Centroid distance per cluster label: grouped vector aggregation —
     // euclidean distance of each vector to its label's first member
     // (deterministic representative), exercising l2Sq at scale shape.
@@ -349,6 +390,10 @@ object SimilarityQueries {
     "q_kmeans_quality" ->
       """SELECT count(*) AS n_vectors, TRUE AS clusters_nondegenerate,
         |  TRUE AS objective_improved FROM embeddings""".stripMargin,
+
+    "q_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS kept_clean,
+        |  TRUE AS dropped_are_dups, TRUE AS has_dropped FROM embeddings""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH v AS (

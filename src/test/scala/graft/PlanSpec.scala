@@ -193,6 +193,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props"), "event payload columns leaked into the funnel plan\n" + p)
   }
 
+  test("q_semdedup: centroids broadcast for assignment, cluster-local joins only") {
+    val p = plan("q_semdedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_cohort_retention: hash aggregates with map-side partials, no cartesian") {
     val p = plan("q_cohort_retention")
     assert(p.contains("HashAggregate"), p)

@@ -322,6 +322,65 @@ class TextVectorSpec extends SparkSpec {
     assert(trained >= 0.85, s"trained recall@5 = $trained")
   }
 
+  test("semDedup: exact duplicates collapse to one prototypical copy; keepers clean") {
+    // 3 orthogonal clusters interleaved by id (so the first-K seed
+    // spreads across clusters), each member carrying a distinct
+    // deterministic 5-dim jitter; ids 101-103 are an EXACT triplicate
+    // of the pure cluster-0 axis. Identical vectors always co-cluster
+    // (deterministic cid tie-break) and tie on cent_sim, so the lowest
+    // id must survive and the other two must drop.
+    val dim = 8
+    def member(id: Long): Array[Float] = {
+      val v = Array.fill(dim)(0.0f)
+      v((id % 3).toInt) = 1.0f
+      for (d <- 0 until 5)
+        v(3 + d) = 0.02f * (((id * 7 + d * 13) % 61) - 30)
+      v
+    }
+    val pure0 = { val v = Array.fill(dim)(0.0f); v(0) = 1.0f; v }
+    val rows = (1L to 60L).map(id => (id, member(id))) ++
+      Seq((101L, pure0), (102L, pure0), (103L, pure0))
+    val vecs = spark.createDataFrame(rows).toDF("id", "vec")
+    val thr = 0.999
+    // fixture sanity: no accidental near-dups among the jittered members
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dp / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+            math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val members = (1L to 60L).map(id => id -> member(id))
+    val maxNonDup = (for {
+      (ia, va) <- members; (ib, vb) <- members if ia < ib
+    } yield cos(va, vb)).max
+    assert(maxNonDup < thr, s"fixture has accidental near-dup: $maxNonDup")
+
+    val out = graft.ops.Ann.semDedup(vecs, k = 3, threshold = thr, iters = 3)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(byId.size === 63)
+    assert(byId(101L)._2 && !byId(102L)._2 && !byId(103L)._2,
+      s"triplicate resolution wrong: ${byId.view.filterKeys(_ > 100L).toMap}")
+    // only the planted duplicates drop; every jittered member survives
+    assert((1L to 60L).forall(byId(_)._2),
+      s"non-duplicate dropped: ${byId.filter(e => !e._2._2).keys.toSeq.sorted}")
+    // identical vectors landed in one cluster
+    assert(Set(byId(101L)._1, byId(102L)._1, byId(103L)._1).size === 1)
+  }
+
+  test("semDedup: maxCluster cap keeps oversized clusters whole") {
+    val dim = 4
+    val v = Array.fill(dim)(1.0f)
+    val rows = (1L to 20L).map(id => (id, v))  // one identical blob
+    val vecs = spark.createDataFrame(rows).toDF("id", "vec")
+    val capped = graft.ops.Ann.semDedup(vecs, k = 2, threshold = 0.9,
+      iters = 1, maxCluster = 5)
+    assert(capped.filter(!org.apache.spark.sql.functions.col("keep")).count() === 0L,
+      "capped cluster must not generate pairs")
+    val uncapped = graft.ops.Ann.semDedup(vecs, k = 2, threshold = 0.9, iters = 1)
+    assert(uncapped.filter(org.apache.spark.sql.functions.col("keep")).count() === 1L,
+      "identical blob must collapse to a single keeper")
+  }
+
   test("nearDupPairsLsh: planted oversized bucket emits no pairs, bucket rows carry only ids") {
     // 40 identical all-ones vectors: same bucket in every LSH table ->
     // one giant bucket that must be dropped by the maxBucket backstop;
