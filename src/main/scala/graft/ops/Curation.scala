@@ -44,6 +44,40 @@ object Curation {
     df.filter(bucket < pctCol)
   }
 
+  /** Per-group adaptive quality filtering: drop each group's bottom
+    * `pct` quantile by score, with the threshold computed FROM the
+    * group itself — the standard posture when sources have different
+    * score distributions (a fixed global cutoff would empty the
+    * lowest-scoring source and pass everything from the highest).
+    *
+    * Two-pass plan: one aggregation to a |groups|-row threshold frame
+    * (exact `percentile` for oracle parity, or the mergeable
+    * `percentile_approx` sketch — the 100 TB path, where an exact
+    * per-group percentile would buffer every group's scores), then the
+    * thresholds broadcast back onto the corpus as a filter — the
+    * corpus itself is never shuffled. Rows with a NULL score or a
+    * group absent from the threshold frame are dropped (a NULL
+    * compare is not a keep).
+    *
+    * Broadcast contract (same as [[sourceMix]]'s rates frame): the
+    * threshold frame has one row per distinct group, so `group` must be
+    * a bounded-cardinality key (source, language, shard) — not a
+    * high-cardinality id. An explicit Guard here would re-execute the
+    * full-corpus aggregation, so the contract is documented rather
+    * than counted. */
+  def adaptiveQualityFilter(df: DataFrame, score: Column, group: Column,
+                            pct: Double, exact: Boolean = true,
+                            accuracy: Int = 10000): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
+    val s = df.withColumn("__q", score).withColumn("__g", group)
+    val thr = s.groupBy(col("__g")).agg(
+      (if (exact) percentile(col("__q"), lit(pct))
+       else percentile_approx(col("__q"), lit(pct), lit(accuracy))).as("__thr"))
+    s.join(broadcast(thr), Seq("__g"))
+      .filter(col("__q") >= col("__thr"))
+      .drop("__g", "__q", "__thr")
+  }
+
   /** Deterministic source-mixing sampler — the "data mixing" step of a
     * training pipeline: choose per-source keep rates so the sampled
     * corpus approaches target proportions `targetPct` (source → integer

@@ -101,6 +101,20 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source adaptive quality cut: drop each source's bottom
+    // quartile by the quality kernel, with the threshold learned FROM
+    // that source's own score distribution (a fixed global cutoff
+    // would gut the lowest-scoring source and keep everything from the
+    // highest). One aggregation to a |sources|-row threshold frame,
+    // broadcast back as a filter — the corpus never shuffles.
+    "q_adaptive_quality" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text")).as("q"))
+      Curation.adaptiveQualityFilter(d, col("q"), col("source"), pct = 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // END-TO-END curation chain — the full shard-prep pipeline a
     // training run consumes, composed from the individually-oracled
     // operators: (1) near-dup keep-list (MinHash-LSH pairs → connected
@@ -200,6 +214,36 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // quality kernel restated + per-source continuous quantile; the
+    // interpolated threshold sits strictly between two data points
+    // whenever the rank position is fractional, so a last-ulp
+    // interpolation difference between engines cannot flip membership
+    // unless two adjacent scores are within one ulp
+    "q_adaptive_quality" ->
+      raw"""WITH qc AS (
+           |  SELECT doc_id, source,
+           |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+           |    CASE WHEN len(text) > 0
+           |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+           |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+           |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+           |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+           |      ELSE 0.0 END AS stop_ratio
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    (len_score + greatest(1.0 - punct_ratio * 5, 0.0) + least(stop_ratio * 4, 1.0)) / 3 AS quality
+           |  FROM qc),
+           |thr AS (
+           |  SELECT source, quantile_cont(quality, 0.25) AS t FROM q GROUP BY source)
+           |SELECT q.doc_id, q.source
+           |FROM q JOIN thr ON q.source = thr.source
+           |WHERE q.quality >= thr.t
+           |ORDER BY q.doc_id""".stripMargin,
 
     // the whole chain restated: components (recursive CTE) → keep-list
     // → quality cut → contamination drop → split → pack

@@ -166,4 +166,39 @@ class CurationSpec extends SparkSpec {
       Map("a" -> 50, "b" -> 30, "c" -> 20))
       .filter(col("source") === "z").count() === 0)
   }
+
+  test("adaptiveQualityFilter: threshold is per-group, not global") {
+    // group lo scores 0.0-0.9, group hi scores 10.0-10.9: a global 25%
+    // cut would drop ALL of lo and NONE of hi; the adaptive cut drops
+    // the bottom quartile of EACH
+    val df = ((0 to 9).map(i => (i.toLong, "lo", i / 10.0)) ++
+      (0 to 9).map(i => ((100 + i).toLong, "hi", 10.0 + i / 10.0)))
+      .toDF("id", "grp", "score")
+    val kept = Curation.adaptiveQualityFilter(df, col("score"), col("grp"),
+        pct = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    // 10 values each: threshold = 25th percentile = value at position
+    // 0.25*(10-1) = 2.25 -> between index 2 and 3; >= keeps ids 3..9
+    assert(kept === ((3L to 9L) ++ (103L to 109L)).toSet, s"kept $kept")
+  }
+
+  test("adaptiveQualityFilter: NULL scores drop; sketch path agrees on clean data") {
+    val df = ((1 to 40).map(i => (i.toLong, "a", Some(i.toDouble))) :+
+      (999L, "a", Option.empty[Double]))
+      .toDF("id", "grp", "score")
+    val exact = Curation.adaptiveQualityFilter(df, col("score"), col("grp"),
+      pct = 0.25).collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(999L), "NULL score must not survive the cut")
+    // the sketch path returns a DATA value as threshold (no
+    // interpolation), so its cut may include one extra boundary row vs
+    // exact — but it must still be a clean suffix of the score order
+    // and land within one row of the exact cut
+    val approx = Curation.adaptiveQualityFilter(df, col("score"), col("grp"),
+      pct = 0.25, exact = false).collect().map(_.getLong(0)).toSet
+    assert(!approx.contains(999L))
+    assert(approx === (approx.min to 40L).toSet,
+      s"approx kept set must be a suffix by score, got $approx")
+    assert(math.abs(approx.size - exact.size) <= 1,
+      s"approx ${approx.size} vs exact ${exact.size}")
+  }
 }

@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join in a filter-in-place sampler\n" + p)
   }
 
+  test("q_adaptive_quality: thresholds broadcast back; the corpus is filtered, never shuffled") {
+    val p = plan("q_adaptive_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus-side shuffle join in a filter-in-place quality cut\n" + p)
+  }
+
   test("q_incr_dedup: batch bands broadcast against the corpus index") {
     val p = plan("q_incr_dedup")
     assert(p.contains("BroadcastHashJoin"), p)
