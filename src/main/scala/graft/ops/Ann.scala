@@ -621,16 +621,20 @@ object Ann {
     * is the scale dial (100 TB wants k large enough that clusters
     * stay ~10⁴). Within a cluster, a vector is DROPPED when another
     * cluster member exceeds the cosine `threshold` AND dominates it:
-    * higher similarity-to-centroid, ties broken on lower id — i.e.
-    * the most prototypical copy of a duplicate group survives, and
-    * the rule is a strict total order, so of any duplicate pair
-    * exactly one side is dropped (kept rows therefore contain NO
-    * within-cluster pair above the threshold; only rows with at
-    * least one near-dup are ever dropped).
+    * higher similarity-to-centroid, ties broken on lower id. The
+    * dominance rule is a strict total order, so the maximal element
+    * of every duplicate group survives: kept rows contain NO
+    * within-cluster pair above the threshold, and only rows with at
+    * least one near-dup are ever dropped. (BOTH sides of a pair can
+    * drop when each is dominated by a third near-dup — the guarantee
+    * is per duplicate GROUP, not one-survivor-per-pair.)
     *
-    * Plan shape: centroids broadcast for assignment (no corpus
-    * shuffle), then ONE shuffle of (id, vec, cent_sim) by cluster id
-    * for the cluster-local self-join; AQE's skew-join split keeps a
+    * Plan shape: centroids broadcast for assignment (the top-1 pick
+    * costs one corpus-sized shuffle of (id, vec, csim) rows inside
+    * [[nearestLists]]), then a shuffle of (id, vec, cent_sim) by
+    * cluster id for the cluster-local self-join; the assignment is
+    * materialized once ([[Reliable.checkpoint]]) because four
+    * downstream subtrees consume it. AQE's skew-join split keeps a
     * dense cluster from pinning a task. Clusters larger than
     * `maxCluster` are excluded from pair generation and kept whole
     * (same loud-cap posture as [[nearDupPairsLsh]]'s `maxBucket`) —
@@ -642,12 +646,17 @@ object Ann {
                centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val cents = centroidsOverride.getOrElse(trainCentroids(vecs, k, iters))
     val c = cents.select(col("cid"), col("cv"))
-    val assigned = nearestLists(c, vecs.select(col("id"), col("vec")),
-        "id", "vec", 1)
-      .join(broadcast(c), Seq("cid"))
-      .select(col("id"), col("vec"), col("cid"),
-        Vectors.l2Norm(col("vec")).as("nrm"),
-        Vectors.cosine(col("vec"), col("cv")).as("cent_sim"))
+    // materialized: four downstream subtrees (cluster sizes, both
+    // self-join sides, the final keep join) would otherwise each
+    // re-run the n·k assignment expansion — exchange reuse saves only
+    // the shuffle write, not the expand/sort above it
+    val assigned = Reliable.checkpoint(
+      nearestLists(c, vecs.select(col("id"), col("vec")),
+          "id", "vec", 1)
+        .join(broadcast(c), Seq("cid"))
+        .select(col("id"), col("vec"), col("cid"),
+          Vectors.l2Norm(col("vec")).as("nrm"),
+          Vectors.cosine(col("vec"), col("cv")).as("cent_sim")))
     val small = assigned.join(
       assigned.groupBy(col("cid")).agg(count(lit(1)).as("__csz"))
         .filter(col("__csz") <= maxCluster).select(col("cid")),

@@ -69,6 +69,11 @@ object Curation {
                             pct: Double, exact: Boolean = true,
                             accuracy: Int = 10000): DataFrame = {
     require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
+    val reserved = Set("__q", "__g", "__thr")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with this operator's " +
+        "scratch columns (__q, __g, __thr) — rename them first")
     val s = df.withColumn("__q", score).withColumn("__g", group)
     val thr = s.groupBy(col("__g")).agg(
       (if (exact) percentile(col("__q"), lit(pct))

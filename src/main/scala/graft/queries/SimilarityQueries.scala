@@ -253,13 +253,23 @@ object SimilarityQueries {
     // at least one within-cluster near-dup are dropped. Both facts are
     // recomputed here from scratch — exact cosine over the operator's
     // own cluster assignment — so a kernel, assignment, or dominance
-    // bug flips a boolean. `has_dropped` pins the fixture-measured
-    // fact that semantic duplicates exist and co-cluster at every
-    // shipped SF (verified at sf0.001/0.01/0.1).
+    // bug flips a boolean. The invariants hold only for clusters the
+    // operator actually deduped (≤ maxCluster members — oversized
+    // clusters are kept whole by design), so the recheck scopes its
+    // pairs the same way and pins `no_capped_cluster` separately: if
+    // k ever mis-sizes a cluster past the cap, THAT boolean flips —
+    // diagnosable — instead of the invariants going red. `has_dropped`
+    // pins the fixture-measured fact that semantic duplicates exist
+    // and co-cluster at every shipped SF (verified at sf0.001/0.01/0.1).
     "q_semdedup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val sd = Ann.semDedup(e, k = 10, threshold = 0.4)
+      val sizes = sd.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+      val capStats = sizes.agg(
+        (coalesce(max(col("csz")), lit(0L)) <= 20000).as("no_capped_cluster"))
       val v = sd.join(e, Seq("id"))
+        .join(sizes.filter(col("csz") <= 20000).select(col("cid")),
+          Seq("cid"), "left_semi")
         .select(col("cid"), col("id"), col("vec"), col("keep"),
           Vectors.l2Norm(col("vec")).as("nrm"))
       def side(sfx: String) = v.select(col("cid"), col("id").as(s"id_$sfx"),
@@ -283,8 +293,10 @@ object SimilarityQueries {
           (count(lit(1)) >= 1).as("has_dropped"))
       sd.agg(count(lit(1)).cast("long").as("n_vectors"))
         .join(broadcast(pairStats)).join(broadcast(dropStats))
+        .join(broadcast(capStats))
         .select(col("n_vectors"), col("kept_clean"),
-          col("dropped_are_dups"), col("has_dropped"))
+          col("dropped_are_dups"), col("has_dropped"),
+          col("no_capped_cluster"))
     }),
 
     // Centroid distance per cluster label: grouped vector aggregation —
@@ -393,7 +405,8 @@ object SimilarityQueries {
 
     "q_semdedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS kept_clean,
-        |  TRUE AS dropped_are_dups, TRUE AS has_dropped FROM embeddings""".stripMargin,
+        |  TRUE AS dropped_are_dups, TRUE AS has_dropped,
+        |  TRUE AS no_capped_cluster FROM embeddings""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH v AS (
