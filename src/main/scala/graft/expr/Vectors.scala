@@ -82,6 +82,25 @@ object Vectors {
     (0 until nBits).map(b => hyperplaneSign(v, b) * lit(1 << b))
       .reduce((x, y) => x + y)
 
+  /** Top-`n` nearest centroid ids (array<long>, best first) for a
+    * vector against a PACKED centroid array — one broadcast value of
+    * struct(cid: long, cv, cn: double) rows. The assignment primitive
+    * of the IVF/k-means family: per-row O(k·dim), no row expansion, no
+    * shuffle — versus the declarative broadcast-join + row_number
+    * window, which shuffles the k-expanded corpus by id just to pick
+    * each row's best. Ordering matches that window exactly
+    * (csim desc with Spark NaN-first semantics, invalid scores last,
+    * ties on cid asc; parity-tested). `metric`: "cosine" (cn-gated
+    * dot/(vn·cn)) or "l2" (negated squared distance; cn ignored). */
+  def nearestCents(v: Column, cents: Column, n: Int, metric: String): Column = {
+    val cosine = metric match {
+      case "cosine" => true
+      case "l2" => false
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    column(catalyst.NearestCents(expression(v), expression(cents), n, cosine))
+  }
+
   /** Multi-table LSH bucket ids (fused kernel): array<int> of
     * (table << nBits | bucket). Probing all tables bounds the ANN miss
     * probability at (1 − p^nBits)^nTables — single-probe recall

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Vectors
@@ -119,28 +118,27 @@ object Ann {
 
   /** Nearest-`n` centroids per vector — the IVF assign/probe primitive.
     * `cents` is (cid, cv); centroid norms are computed here so seeded
-    * and trained centroid frames share one contract. `metric`:
-    * "cosine" (the IVF family default) or "l2" (PQ codebook training,
-    * where subvectors are not unit-norm and cosine would collapse
-    * magnitude structure). */
+    * and trained centroid frames share one contract; cid is emitted as
+    * long. `metric`: "cosine" (the IVF family default) or "l2" (PQ
+    * codebook training, where subvectors are not unit-norm and cosine
+    * would collapse magnitude structure). */
   private def nearestLists(cents: DataFrame, df: DataFrame,
                            idc: String, vc: String, n: Int,
                            metric: String = "cosine"): DataFrame = {
-    val c = cents.select(col("cid"), col("cv"), Vectors.l2Norm(col("cv")).as("cn"))
-    // project the vector norm BEFORE the centroid cross join: computed
-    // once per vector, not once per (vector × centroid) pair
-    val withNorm = df.withColumn("__vn", Vectors.l2Norm(col(vc)))
-    val withSim = withNorm.join(broadcast(c))
-      .withColumn("csim", metric match {
-        case "cosine" =>
-          when(col("cn") > 0,
-            Vectors.dot(col(vc), col("cv")) / (col("__vn") * col("cn")))
-        case "l2" => -Vectors.l2Sq(col(vc), col("cv"))
-        case other => throw new IllegalArgumentException(s"unknown metric $other")
-      })
-    val w = Window.partitionBy(col(idc)).orderBy(col("csim").desc, col("cid"))
-    withSim.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
-      .select(col(idc), col(vc), col("cid"))
+    // centroids packed into ONE broadcast array value (cid, cv, norm),
+    // then a per-row fused top-n pick (expr.catalyst.NearestCents) —
+    // zero corpus shuffle and zero row expansion, where the previous
+    // broadcast-join + row_number window shuffled n·k (id, vec, csim)
+    // rows per assignment (and once per Lloyd iteration). The explode
+    // emits each row's n picks in place; a NULL vector yields a NULL
+    // pick list and drops here (documented on the kernel).
+    val packed = cents.agg(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("cv"),
+      Vectors.l2Norm(col("cv")).as("cn"))).as("__cents"))
+    df.crossJoin(broadcast(packed))
+      .select(col(idc), col(vc),
+        explode(Vectors.nearestCents(col(vc), col("__cents"), n, metric))
+          .as("cid"))
   }
 
   /** IVF-Flat top-k. Centroids come from, in precedence order:
@@ -259,13 +257,16 @@ object Ann {
     var cents = slices.join(seedIds, col("id") === col("cid"))
       .select(col("s"), col("cid"), col("sv").as("cv"))
     for (_ <- 1 to iters) {
-      val scored = slices.join(broadcast(cents), Seq("s"))
-        .withColumn("__d", Vectors.l2Sq(col("sv"), col("cv")))
-      val w = Window.partitionBy(col("s"), col("id"))
-        .orderBy(col("__d"), col("cid"))
-      val assigned = scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("s"), col("cid"), col("sv"))
+      // per-subspace packed codebooks, per-row L2 argmin (fused kernel;
+      // m-row broadcast join) — no slice expansion, no window shuffle
+      val packed = cents.groupBy(col("s")).agg(collect_list(struct(
+        col("cid").cast("long").as("cid"), col("cv"),
+        lit(0.0).as("cn"))).as("__cents"))
+      val assigned = slices.join(broadcast(packed), Seq("s"))
+        .select(col("s"),
+          Vectors.nearestCents(col("sv"), col("__cents"), 1, "l2")
+            .getItem(0).as("cid"),
+          col("sv"))
       val means = assigned
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -629,13 +630,13 @@ object Ann {
     * drop when each is dominated by a third near-dup — the guarantee
     * is per duplicate GROUP, not one-survivor-per-pair.)
     *
-    * Plan shape: centroids broadcast for assignment (the top-1 pick
-    * costs one corpus-sized shuffle of (id, vec, csim) rows inside
-    * [[nearestLists]]), then a shuffle of (id, vec, cent_sim) by
-    * cluster id for the cluster-local self-join; the assignment is
-    * materialized once ([[Reliable.checkpoint]]) because four
-    * downstream subtrees consume it. AQE's skew-join split keeps a
-    * dense cluster from pinning a task. Clusters larger than
+    * Plan shape: centroids broadcast for a PER-ROW fused top-1 pick
+    * (expr.catalyst.NearestCents — no corpus shuffle, no row
+    * expansion), then a shuffle of (id, vec, cent_sim) by cluster id
+    * for the cluster-local self-join; the assignment is materialized
+    * once ([[Reliable.checkpoint]]) because four downstream subtrees
+    * consume it. AQE's skew-join split keeps a dense cluster from
+    * pinning a task. Clusters larger than
     * `maxCluster` are excluded from pair generation and kept whole
     * (same loud-cap posture as [[nearDupPairsLsh]]'s `maxBucket`) —
     * a cluster that big means k is mis-sized for the corpus.

@@ -140,6 +140,112 @@ class KernelParitySpec extends SparkSpec {
     assert(nan.getSeq[Byte](1) === Seq[Byte](0, 0))
   }
 
+  // The old assignment formulation nearestLists replaced: broadcast-join
+  // the centroids onto every row, rank with a row_number window over
+  // (csim desc, cid). Kept here as the parity reference — the kernel
+  // must reproduce its ordering bit-for-bit, including the degenerate
+  // orderings (NaN first, null-score centroids last, ties on cid asc).
+  private def windowNearest(cents: org.apache.spark.sql.DataFrame,
+                            df: org.apache.spark.sql.DataFrame,
+                            n: Int, metric: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val c = cents.select(col("cid").cast("long").as("cid"), col("cv"),
+      Vectors.l2Norm(col("cv")).as("cn"))
+    val withSim = df.withColumn("__vn", Vectors.l2Norm(col("vec")))
+      .join(broadcast(c))
+      .withColumn("csim", metric match {
+        case "cosine" => when(col("cn") > 0,
+          Vectors.dot(col("vec"), col("cv")) / (col("__vn") * col("cn")))
+        case "l2" => -Vectors.l2Sq(col("vec"), col("cv"))
+      })
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    withSim.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+      .select(col("id"), col("__r"), col("cid"))
+  }
+
+  private def kernelNearest(cents: org.apache.spark.sql.DataFrame,
+                            df: org.apache.spark.sql.DataFrame,
+                            n: Int, metric: String) = {
+    val packed = cents.agg(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("cv"),
+      Vectors.l2Norm(col("cv")).as("cn"))).as("__cents"))
+    df.crossJoin(broadcast(packed))
+      .select(col("id"), posexplode(
+        Vectors.nearestCents(col("vec"), col("__cents"), n, metric))
+        .as(Seq("__p", "cid")))
+      .select(col("id"), (col("__p") + 1).cast("int").as("__r"), col("cid"))
+  }
+
+  test("NearestCents kernel == row_number window, both metrics, with edge rows") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // NO zero vector here: ANSI division makes the window reference
+    // THROW on 0/0 under cosine — the kernel's degrade-to-NaN behavior
+    // for that row is asserted separately below
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))) ++ Seq(
+      (501L, { val a = Array.fill(dim)(rnd.nextFloat()); a(3) = Float.NaN; a }))
+    val df = vecs.toDF("id", "vec")
+    val cents = ((0 until 7).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))) ++ Seq(
+      (7L, Array.fill(dim)(0.0f)),                 // zero norm: invalid under cosine
+      (8L, { val a = Array.fill(dim)(rnd.nextFloat()); a(0) = Float.NaN; a }), // NaN norm
+      (9L, vecs(3)._2.clone()),                    // exact duplicate of a corpus vector
+      (10L, vecs(3)._2.clone())))                  // duplicated centroid: cid tiebreak
+      .toDF("cid", "cv")
+    for (metric <- Seq("cosine", "l2"); n <- Seq(1, 3)) {
+      val slow = windowNearest(cents, df, n, metric)
+      val fast = kernelNearest(cents, df, n, metric)
+      val joined = slow.withColumnRenamed("cid", "slow_cid")
+        .join(fast.withColumnRenamed("cid", "fast_cid"), Seq("id", "__r"), "full")
+      val total = joined.count()
+      val agree = joined.filter(col("slow_cid") === col("fast_cid")).count()
+      assert(total === vecs.size.toLong * n, s"$metric n=$n row count")
+      assert(agree === total, s"$metric n=$n: kernel diverges from window\n" +
+        joined.filter(not(col("slow_cid") <=> col("fast_cid")))
+          .orderBy(col("id"), col("__r")).limit(10).collect().mkString("\n"))
+    }
+  }
+
+  test("NearestCents: zero vector degrades to NaN ties (lowest cids) where ANSI division throws") {
+    val dim = 4
+    val df = Seq((1L, Array.fill(dim)(0.0f))).toDF("id", "vec")
+    val cents = ((0 until 5).map(i => (i.toLong,
+      Array.fill(dim)((i + 1).toFloat))) :+ (5L, Array.fill(dim)(0.0f)))
+      .toDF("cid", "cv")
+    // window reference: ANSI DIVIDE_BY_ZERO kills the scan
+    val thrown = intercept[Exception] {
+      windowNearest(cents, df, 3, "cosine").collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"), thrown.getMessage)
+    // kernel: 0/0 = NaN for every valid centroid -> all tie -> cid asc;
+    // the zero-norm CENTROID (cid 5) stays invalid and ranks last
+    val got = kernelNearest(cents, df, 3, "cosine")
+      .orderBy(col("__r")).collect().map(_.getLong(2))
+    assert(got.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("NearestCents: null vector -> null pick list; mismatched-dim centroid ranks last") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, null))), schema)
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.5f, 0.5f, 0.5f))) // wrong dim: invalid, ranks behind cid 0
+      .toDF("cid", "cv")
+    val packed = cents.agg(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("cv"),
+      Vectors.l2Norm(col("cv")).as("cn"))).as("__cents"))
+    val got = df.crossJoin(broadcast(packed))
+      .select(col("id"),
+        Vectors.nearestCents(col("vec"), col("__cents"), 2, "cosine").as("picks"))
+      .orderBy(col("id")).collect()
+    assert(got(0).getSeq[Long](1) === Seq(0L, 1L))
+    assert(got(1).isNullAt(1), "null vec must yield a null pick list")
+  }
+
   test("MinHashSignature kernel == declarative minhash over shingles") {
     val rnd = new scala.util.Random(13)
     val vocab = Seq("the", "spark", "engine", "data", "row", "fast", "slow",

@@ -147,10 +147,14 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("might_contain") > p.indexOf("LeftSemi"), p)
   }
 
-  test("q_kmeans_quality: centroids broadcast, fused dot kernel in the plan") {
+  test("q_kmeans_quality: centroids broadcast, fused assignment, no window shuffle") {
     val p = plan("q_kmeans_quality")
     assert(p.contains("BroadcastExchange"), p)
-    assert(p.contains("graft_dot"), "fused dot kernel expected\n" + p)
+    assert(p.contains("graft_nearest_cents"),
+      "fused per-row assignment kernel expected\n" + p)
+    assert(!p.contains("Window"),
+      "assignment must be the per-row kernel, not a row_number window " +
+        "over the k-expanded corpus\n" + p)
     assert(!p.contains("CartesianProduct"),
       "centroid cross joins must broadcast\n" + p)
   }
@@ -204,6 +208,8 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_semdedup")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      "assignment must be the per-row kernel, not a row_number window\n" + p)
   }
 
   test("q_cohort_retention: hash aggregates with map-side partials, no cartesian") {
