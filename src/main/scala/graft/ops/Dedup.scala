@@ -401,6 +401,67 @@ object Dedup {
     column(graft.expr.catalyst.SimHash64(expression(text)))
   }
 
+  /** Exact substring-span dedup (Lee et al. 2022, arXiv:2107.06499 —
+    * "Deduplicating Training Data Makes Language Models Better",
+    * public): find every w-token window whose content occurs >= 2 times
+    * anywhere in the corpus, merge each document's duplicated window
+    * positions into maximal [start, end) token spans, and strip the
+    * covered tokens — the boilerplate/template remover document-level
+    * near-dup cannot express (two long documents sharing one licence
+    * paragraph are NOT near-dups, but the paragraph must go).
+    *
+    * The paper builds a corpus-wide suffix array; the Spark-native
+    * shape is window fingerprints: every token position emits md5 of
+    * its w-token window (computed map-side — window TEXT never
+    * shuffles), duplicated fingerprints fall out of one fixed-width
+    * (hash, count) aggregation, matching positions regroup doc-local,
+    * and a fused kernel (expr.catalyst.MergeSpans) folds each doc's
+    * sorted positions into spans. Two deliberate differences:
+    * detection is at w-token window granularity (a duplicated run of
+    * length L >= w is covered exactly by its L−w+1 duplicated windows,
+    * so coverage is identical; runs shorter than w don't count by
+    * definition), and ALL occurrences are stripped — the paper's
+    * posture — rather than keeping one copy.
+    *
+    * Scale shapes: both shuffles carry (32-char hash) or (id, int)
+    * rows, never text; per-doc position lists are bounded by document
+    * token count. Output (id, n_tokens, dup_tokens, n_spans, spans,
+    * clean_text); clean_text rejoins survivors with single spaces
+    * (whitespace-normalizing, like hashBucket's split contract). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), toks.as("__toks"))
+    val wins = base.select(col("id"),
+      posexplode(when(size(col("__toks")) >= w,
+          transform(sequence(lit(0), size(col("__toks")) - lit(w)),
+            i => md5(array_join(slice(col("__toks"), i + lit(1), lit(w)), " "))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "h")))
+    val dupHash = wins.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("h"))
+    val spans = wins.join(dupHash, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("id"),
+        column(graft.expr.catalyst.MergeSpans(expression(col("__ps")), w))
+          .as("spans"))
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"), size(col("__toks")).as("n_tokens"),
+        coalesce(col("spans"),
+          array().cast("array<struct<start:int,end:int>>")).as("spans"),
+        col("__toks"))
+      .select(col("id"), col("n_tokens"),
+        aggregate(col("spans"), lit(0), (a, s) =>
+          a + (s.getField("end") - s.getField("start"))).as("dup_tokens"),
+        size(col("spans")).as("n_spans"),
+        col("spans"),
+        array_join(filter(col("__toks"), (t, i) =>
+          !exists(col("spans"), s =>
+            i >= s.getField("start") && i < s.getField("end"))), " ")
+          .as("clean_text"))
+  }
+
   /** Declarative reference formulation (kernel parity test only). */
   def simhash64Declarative(text: Column): Column = {
     val toks = split(trim(lower(text)), "\\s+")

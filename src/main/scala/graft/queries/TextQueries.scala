@@ -79,6 +79,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact substring-span dedup (Lee et al. 2022): duplicated 8-token
+    // windows anywhere in the corpus merge into per-doc spans and the
+    // covered tokens are stripped. Boilerplate is planted on
+    // doc_id % 7 == 0 (an 11-token appended licence line) so ~1/7 of
+    // docs share guaranteed duplicated windows; natural 8-gram repeats
+    // count too. Hash-exact end to end: span arithmetic (dup_tokens,
+    // n_spans via the MergeSpans kernel vs the oracle's
+    // gaps-and-islands restatement) AND the cleaned text's md5.
+    "q_substr_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" all rights reserved contact support" +
+            " for help terms of service apply")))
+          .otherwise(col("text")).as("text"))
+      Dedup.substringDedup(planted, "doc_id", "text", w = 8)
+        .select(col("id").as("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("dup_tokens").cast("long").as("dup_tokens"),
+          col("n_spans").cast("long").as("n_spans"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash signature head (k=4 of the 12-hash signature): oracle-exact
     // because both engines agree on md5 hex and lexicographic min.
     "q_minhash_sig" -> ((s, dir) => {
@@ -405,6 +427,57 @@ object TextQueries {
       raw"""SELECT doc_id, lang, source FROM documents
            |QUALIFY ROW_NUMBER() OVER (PARTITION BY $norm ORDER BY doc_id) = 1
            |ORDER BY doc_id""".stripMargin,
+
+    // same window fingerprints; spans restated as gaps-and-islands
+    // (new island when pos > running max prior end), covered positions
+    // as an exploded generate_series — two independent formulations of
+    // the same span algebra
+    "q_substr_dedup" ->
+      raw"""WITH p AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text ||
+           |      ' all rights reserved contact support for help terms of service apply'
+           |    ELSE text END AS t
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> len(x) > 0) AS toks
+           |  FROM p),
+           |w AS (
+           |  SELECT doc_id, u.i AS pos,
+           |    md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS h
+           |  FROM b, unnest(CASE WHEN len(toks) >= 8
+           |    THEN generate_series(0, len(toks) - 8) ELSE [] END) AS u(i)),
+           |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+           |dp AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN pos <= max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    THEN 0 ELSE 1 END AS brk
+           |  FROM dp),
+           |isl2 AS (
+           |  SELECT doc_id, pos,
+           |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS UNBOUNDED PRECEDING) AS g
+           |  FROM isl),
+           |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           |  FROM isl2 GROUP BY doc_id, g),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    CAST(sum(e - s) AS BIGINT) AS dup_tokens
+           |  FROM sp GROUP BY doc_id),
+           |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+           |  FROM dp),
+           |covl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
+           |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+           |  coalesce(a.n_spans, 0) AS n_spans,
+           |  md5(coalesce(array_to_string(list_filter(b.toks,
+           |    (x, i) -> NOT list_contains(coalesce(c.cps, []), i - 1)), ' '), '')) AS clean_md5
+           |FROM b
+           |LEFT JOIN agg a ON a.doc_id = b.doc_id
+           |LEFT JOIN covl c ON c.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin,
 
     "q_minhash_sig" ->
       raw"""$toksCte

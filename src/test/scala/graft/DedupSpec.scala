@@ -258,4 +258,72 @@ class DedupSpec extends SparkSpec {
     val unrelated = hamming(h(0L), h(30L))
     assert(unrelated > 12, s"unrelated hamming $unrelated")
   }
+
+  test("substringDedup: cross-doc shared window stripped from BOTH docs") {
+    val df = Seq(
+      (1L, "a1 b1 c1 d1 e1 f1 g1 h1 tail1 only1"),
+      (2L, "a1 b1 c1 d1 e1 f1 g1 h1 tail2 only2"),
+      (3L, "completely different words with no overlap at all here ok")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", w = 8)
+      .orderBy("id").collect()
+    // docs 1 and 2 share exactly the 8-token prefix -> one window at
+    // pos 0 duplicated -> span [0, 8) in each, tails survive
+    assert(got(0).getAs[Int]("dup_tokens") === 8)
+    assert(got(0).getAs[Int]("n_spans") === 1)
+    assert(got(0).getAs[String]("clean_text") === "tail1 only1")
+    assert(got(1).getAs[String]("clean_text") === "tail2 only2")
+    // doc 3 untouched (all its windows unique)
+    assert(got(2).getAs[Int]("dup_tokens") === 0)
+    assert(got(2).getAs[String]("clean_text") ===
+      "completely different words with no overlap at all here ok")
+  }
+
+  test("substringDedup: within-doc repeat merges adjacent windows into one span") {
+    // "p..w" repeated back to back: windows at pos 0 and pos 8 have
+    // identical content (count 2 -> duplicated); straddling windows
+    // 1..7 are unique. Covers [0,8) ∪ [8,16) -> ONE merged span, doc
+    // fully stripped.
+    val df = Seq(
+      (1L, "p q r s t u v w p q r s t u v w"),
+      (2L, "some other unrelated filler text that is long enough here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", w = 8)
+      .orderBy("id").collect()
+    assert(got(0).getAs[Int]("n_tokens") === 16)
+    assert(got(0).getAs[Int]("dup_tokens") === 16)
+    assert(got(0).getAs[Int]("n_spans") === 1)
+    assert(got(0).getAs[String]("clean_text") === "")
+  }
+
+  test("substringDedup: docs shorter than the window are never touched") {
+    val df = Seq(
+      (1L, "short doc"), (2L, "short doc"), // identical but < w tokens
+      (3L, "  padded   short\tdoc  ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", w = 8)
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("dup_tokens") === 0)
+      assert(r.getAs[Int]("n_spans") === 0)
+    }
+    // tokenization is whitespace-normalizing
+    assert(got(2).getAs[String]("clean_text") === "padded short doc")
+    assert(got(2).getAs[Int]("n_tokens") === 3)
+  }
+
+  test("MergeSpans kernel: overlap merges, gap splits, adjacency merges") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def spans(ps: Seq[Int], w: Int): Seq[(Int, Int)] =
+      Seq(Tuple1(ps)).toDF("ps")
+        .select(column(graft.expr.catalyst.MergeSpans(
+          expression(col("ps")), w)).as("s"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getInt(0), r.getInt(1)))
+    assert(spans(Seq(0, 3, 20), 5) === Seq((0, 8), (20, 25)))
+    assert(spans(Seq(0, 5), 5) === Seq((0, 10)), "adjacent covers merge")
+    assert(spans(Seq(0, 6), 5) === Seq((0, 5), (6, 11)), "gap of one splits")
+    assert(spans(Seq(7), 3) === Seq((7, 10)))
+    assert(spans(Seq.empty[Int], 4) === Seq.empty)
+  }
 }

@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join in a filter-in-place sampler\n" + p)
   }
 
+  test("q_substr_dedup: window hashes shuffle, text never does; kernel span merge") {
+    val qe = SparkEntry.queries("q_substr_dedup")(spark, sfDir).queryExecution
+    // the span-merge kernel collapses into the aggregate's result
+    // projection in the physical printout — assert it on the analyzed
+    // plan instead
+    assert(qe.analyzed.toString.contains("graft_merge_spans"),
+      "fused span-merge kernel expected\n" + qe.analyzed)
+    val p = qe.executedPlan.toString
+    // duplicated-hash detection must partial-aggregate map-side; the
+    // per-doc position gather partial-collects before its shuffle
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_adaptive_quality: thresholds broadcast back; the corpus is filtered, never shuffled") {
     val p = plan("q_adaptive_quality")
     assert(p.contains("BroadcastHashJoin"), p)
