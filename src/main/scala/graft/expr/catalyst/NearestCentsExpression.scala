@@ -26,13 +26,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * and -0.0 == 0.0. Cosine score is dot/(vn·cn) with only the CENTROID
   * norm gated (> 0, or NaN — Spark's `>` ranks NaN above every number).
   *
-  * Two deliberate divergences from the declarative form, both the
-  * established degrade-don't-crash kernel posture: (1) a zero-norm
-  * VECTOR scores 0/0 = NaN against every valid centroid — ties, lowest
-  * cid wins — where ANSI division in the window formulation THROWS
-  * DIVIDE_BY_ZERO and kills the whole scan; (2) a NULL vector returns
-  * NULL (row dropped by the consumer's explode) instead of the window's
-  * accidental assigned-to-lowest-cid.
+  * Under the L2 metric the reference ordering is raw distance ASC (the
+  * PQ training window), where NaN sorts LAST — so a NaN distance
+  * quarantines that centroid (invalid) rather than inheriting
+  * negated-score NaN-first semantics, which would let one NaN-poisoned
+  * centroid capture every row and collapse codebook training.
+  *
+  * Deliberate divergences from the declarative forms, all the
+  * established degrade-don't-crash kernel posture: (1) under cosine, a
+  * zero-norm VECTOR scores 0/0 = NaN against every valid centroid —
+  * ties, lowest cid wins — where ANSI division in the window
+  * formulation THROWS DIVIDE_BY_ZERO and kills the whole scan; (2) a
+  * NULL vector returns NULL (row dropped by the consumer's explode)
+  * instead of the window's accidental assigned-to-lowest-cid; (3) a
+  * NULL slot in the packed cents array is skipped (no cid to rank)
+  * instead of an NPE.
   */
 object NearestCentsKernel {
 
@@ -73,7 +81,10 @@ object NearestCentsKernel {
     val bv = new Array[Boolean](m)
     var cnt = 0
     var c = 0
-    while (c < k) {
+    // a NULL slot in the cents array has no cid to rank — skipped
+    // outright (the type check permits containsNull; crashing here
+    // would violate the degrade-don't-crash posture)
+    while (c < k) if (cents.isNullAt(c)) c += 1 else {
       val row = cents.getStruct(c, 3)
       val cid = row.getLong(0)
       var s = 0.0
@@ -113,7 +124,12 @@ object NearestCentsKernel {
                 j += 1
               }
             }
-            if (ok) { s = -acc; valid = true }
+            // a NaN distance QUARANTINES the centroid (invalid, ranks
+            // last): the replaced PQ window ordered raw distance ASC,
+            // where NaN sorts last — negating the score would flip a
+            // NaN-poisoned centroid to rank FIRST and capture every
+            // row, collapsing codebook training
+            if (ok && !java.lang.Double.isNaN(acc)) { s = -acc; valid = true }
           }
         }
       }

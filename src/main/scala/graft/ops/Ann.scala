@@ -108,7 +108,9 @@ object Ann {
     * clustering counterpart of ivfTopK's build step, surfaced for
     * corpus organization (topic bucketing, per-cluster sampling,
     * cluster-stratified dedup). Broadcast centroids, no corpus
-    * shuffle — embarrassingly parallel at any scale. */
+    * shuffle — embarrassingly parallel at any scale. Rows with a NULL
+    * vector are EXCLUDED from the output (the kernel's null contract —
+    * filter them beforehand to handle them differently). */
   def kmeansAssign(vecs: DataFrame, k: Int, iters: Int = 3,
                    centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val cents = centroidsOverride.getOrElse(trainCentroids(vecs, k, iters))
@@ -641,7 +643,10 @@ object Ann {
     * (same loud-cap posture as [[nearDupPairsLsh]]'s `maxBucket`) —
     * a cluster that big means k is mis-sized for the corpus.
     *
-    * Returns (id, cid, cent_sim, keep). */
+    * Returns (id, cid, cent_sim, keep). Rows with a NULL vector are
+    * EXCLUDED from the output entirely (the assignment kernel's null
+    * contract) — a keep-list consumer that must retain them should
+    * filter them out first and union them back. */
   def semDedup(vecs: DataFrame, k: Int, threshold: Double, iters: Int = 3,
                maxCluster: Int = 20000,
                centroidsOverride: Option[DataFrame] = None): DataFrame = {

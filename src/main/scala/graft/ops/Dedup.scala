@@ -423,17 +423,22 @@ object Dedup {
     * definition), and ALL occurrences are stripped — the paper's
     * posture — rather than keeping one copy.
     *
-    * Scale shapes: both shuffles carry (32-char hash) or (id, int)
-    * rows, never text; per-doc position lists are bounded by document
-    * token count. Output (id, n_tokens, dup_tokens, n_spans, spans,
-    * clean_text); clean_text rejoins survivors with single spaces
-    * (whitespace-normalizing, like hashBucket's split contract). */
+    * Scale shapes: the detection shuffles carry (32-char hash) or
+    * (id, int) rows, never text. The one text-carrying exchange is the
+    * final rejoin of spans onto the corpus: the span frame holds only
+    * dup-BEARING docs, so Spark broadcasts it when it fits (no text
+    * moves at all); past broadcast size the corpus shuffles by id
+    * once — the unavoidable meeting point of text and its spans.
+    * Per-doc position lists are bounded by document token count.
+    * Output (id, n_tokens, dup_tokens, n_spans, spans, clean_text);
+    * clean_text rejoins survivors with single spaces (the shared
+    * [[graft.expr.Text.tokens]] whitespace-normalizing contract). */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"), toks.as("__toks"))
+    val base = df.select(col(idCol).as("id"),
+      graft.expr.Text.tokens(col(textCol)).as("__toks"))
     val wins = base.select(col("id"),
       posexplode(when(size(col("__toks")) >= w,
           transform(sequence(lit(0), size(col("__toks")) - lit(w)),

@@ -151,14 +151,20 @@ class KernelParitySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val c = cents.select(col("cid").cast("long").as("cid"), col("cv"),
       Vectors.l2Norm(col("cv")).as("cn"))
+    // cosine reference: csim DESC (NaN first, nulls last) — the shape
+    // nearestLists always used. L2 reference: RAW distance ASC (NaN
+    // last) — the shape the replaced PQ training window used; negating
+    // would flip NaN-poisoned centroids to rank first.
     val withSim = df.withColumn("__vn", Vectors.l2Norm(col("vec")))
       .join(broadcast(c))
       .withColumn("csim", metric match {
         case "cosine" => when(col("cn") > 0,
           Vectors.dot(col("vec"), col("cv")) / (col("__vn") * col("cn")))
-        case "l2" => -Vectors.l2Sq(col("vec"), col("cv"))
+        case "l2" => Vectors.l2Sq(col("vec"), col("cv"))
       })
-    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    val ord = if (metric == "cosine") col("csim").desc
+      else col("csim").asc_nulls_last
+    val w = Window.partitionBy(col("id")).orderBy(ord, col("cid"))
     withSim.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
       .select(col("id"), col("__r"), col("cid"))
   }
@@ -223,6 +229,27 @@ class KernelParitySpec extends SparkSpec {
     val got = kernelNearest(cents, df, 3, "cosine")
       .orderBy(col("__r")).collect().map(_.getLong(2))
     assert(got.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("NearestCents l2: NaN-poisoned centroid is quarantined, never captures rows") {
+    val dim = 4
+    val df = (1 to 5).map(i => (i.toLong, Array.fill(dim)(i.toFloat)))
+      .toDF("id", "vec")
+    val nanCv = Array.fill(dim)(Float.NaN)
+    val cents = Seq((0L, nanCv), (1L, Array.fill(dim)(2.0f)),
+      (2L, Array.fill(dim)(4.0f))).toDF("cid", "cv")
+    val packed = cents.agg(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("cv"),
+      Vectors.l2Norm(col("cv")).as("cn"))).as("__cents"))
+    val got = df.crossJoin(broadcast(packed))
+      .select(col("id"),
+        Vectors.nearestCents(col("vec"), col("__cents"), 1, "l2")
+          .getItem(0).as("cid"))
+      .orderBy(col("id")).collect().map(_.getLong(1))
+    // every row lands on a REAL centroid (1 or 2); the NaN centroid
+    // (cid 0, lowest id — would win every tie under NaN-first) never
+    // captures anything
+    assert(got.toSeq === Seq(1L, 1L, 1L, 2L, 2L), got.toSeq.toString)
   }
 
   test("NearestCents: null vector -> null pick list; mismatched-dim centroid ranks last") {
