@@ -131,6 +131,60 @@ object Curation {
       .drop("__src", "__ppm")
   }
 
+  /** Temperature-weighted source mixing (the UniMax / multilingual
+    * sampling posture): per-source keep probabilities proportional to
+    * n_s^alpha, alpha in (0, 1] — alpha = 1 reproduces raw proportions,
+    * smaller alpha flattens toward uniform, lifting scarce sources
+    * without a hand-written target map (the knob [[sourceMix]] needs).
+    * The sampled total is the largest N where no source is oversampled
+    * (N = min_s floor(n_s / p_s)); selection is by content-hash bucket,
+    * so the sample is reproducible and duplicate-consistent.
+    *
+    * Cross-engine determinism: alpha = 0.5 (the default) weights with
+    * sqrt — correctly rounded in every IEEE engine, so the whole
+    * pipeline is oracle-exact; other alphas go through pow, which
+    * carries 1-ulp library variance (rows-only guarantees there). The
+    * weight total is folded in sorted-source order on a packed
+    * |sources|-row frame — double addition is not associative, so the
+    * fold order is pinned the same way the BM25 score slots are.
+    *
+    * Scale: one count aggregate over the corpus; everything after
+    * operates on |sources| rows and broadcasts back — the corpus is
+    * filtered in place, never shuffled. */
+  def temperatureMix(df: DataFrame, source: Column, key: Column,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else if (alpha == 1.0) col("__n").cast("double")
+      else pow(col("__n").cast("double"), lit(alpha))
+    val w = counts.select(col("__src"), col("__n").cast("double").as("__n"),
+      wExpr.as("__w"))
+    // fixed-order fold of the weight total (see scaladoc)
+    val packed = w
+      .agg(sort_array(collect_list(struct(col("__src"), col("__n"), col("__w"))))
+        .as("__l"))
+      .select(col("__l"),
+        aggregate(col("__l"), lit(0.0), (a, s) => a + s.getField("__w"))
+          .as("__W"))
+    val shares = packed
+      .select(explode(col("__l")).as("s"), col("__W"))
+      .select(col("s.__src").as("__src"), col("s.__n").as("__n"),
+        (col("s.__w") / col("__W")).as("__p"))
+    val feas = shares.withColumn("__feas", floor(col("__n") / col("__p")))
+    // NOT "__N": Spark resolution is case-insensitive, so __N would be
+    // ambiguous against the per-source __n
+    val total = feas.agg(min(col("__feas")).as("__tot"))
+    val rates = feas.crossJoin(broadcast(total))
+      .select(col("__src"),
+        floor(floor(col("__tot") * col("__p")) * lit(1000000.0) / col("__n"))
+          .as("__ppm"))
+    df.join(broadcast(rates), source === col("__src"))
+      .filter(hashBucket(key, 1000000) < col("__ppm"))
+      .drop("__src", "__ppm")
+  }
+
   /** train/val/test label from a percentage bucket. */
   def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
     when(bucket < trainPct, lit("train"))

@@ -78,6 +78,18 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-smoothed source mixing (alpha = 0.5): scarce sources
+    // get lifted toward uniform without a target map. sqrt weights are
+    // correctly rounded in both engines and the weight total folds in
+    // sorted-source order on both sides, so the whole selection is
+    // hash-exact.
+    "q_temperature_mix" -> ((s, dir) => {
+      Curation.temperatureMix(docs(s, dir), col("source"), col("text"),
+          alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark contamination: corpus docs sharing any word-8-gram with
     // the (synthetic) benchmark set doc_id % 50 == 0. Benchmark grams
     // dedupe + broadcast; corpus text never shuffles.
@@ -214,6 +226,33 @@ object CurationQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // sqrt weights, sequential fold of the weight total in sorted-source
+    // order (list_reduce == Spark's aggregate fold: (0+w1)+w2 == w1+w2
+    // exactly), then the same floor/ppm chain as the operator
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source AS src, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |packed AS (
+        |  SELECT list(struct_pack(src := src, n := n, w := sqrt(n))
+        |    ORDER BY src) AS L FROM c),
+        |tot AS (
+        |  SELECT L, list_reduce(list_transform(L, x -> x.w),
+        |    (a, b) -> a + b) AS W FROM packed),
+        |r AS (
+        |  SELECT u.src AS src, u.n AS n, u.w / t.W AS p
+        |  FROM tot t, unnest(t.L) AS s(u)),
+        |f AS (SELECT src, n, p, floor(n / p) AS feas FROM r),
+        |nn AS (SELECT min(feas) AS N FROM f),
+        |rates AS (
+        |  SELECT f.src, floor(floor(nn.N * f.p) * 1000000.0 / f.n) AS ppm
+        |  FROM f, nn)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates ON d.source = rates.src
+        |WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 1000000
+        |  < rates.ppm
+        |ORDER BY d.doc_id""".stripMargin,
 
     // quality kernel restated + per-source continuous quantile; the
     // interpolated threshold sits strictly between two data points

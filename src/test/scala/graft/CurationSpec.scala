@@ -167,6 +167,31 @@ class CurationSpec extends SparkSpec {
       .filter(col("source") === "z").count() === 0)
   }
 
+  test("temperatureMix: alpha=0.5 lifts the scarce source toward uniform, never oversamples") {
+    // raw shares 80/20; sqrt weights give p = 2/3 vs 1/3; feasible
+    // N = min(4000/(2/3), 1000/(1/3)) = 3000 -> scarce source taken
+    // ~whole, abundant sampled down to ~2000
+    val df = ((1 to 4000).map(i => (i.toLong, "big", s"doc big $i")) ++
+      (1 to 1000).map(i => ((10000 + i).toLong, "small", s"doc small $i")))
+      .toDF("id", "source", "text")
+    val kept = Curation.temperatureMix(df, col("source"), col("text"), alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    assert(math.abs(kept("small") / total - 1.0 / 3) < 0.05, s"shares $kept")
+    assert(kept("small") <= 1000 && kept("small") >= 950, s"$kept")
+    // alpha = 1 reproduces ~raw proportions
+    val raw = Curation.temperatureMix(df, col("source"), col("text"), alpha = 1.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawTotal = raw.values.sum.toDouble
+    assert(math.abs(raw("small") / rawTotal - 0.2) < 0.05, s"raw shares $raw")
+    // deterministic: content-hash selection, no rand()
+    val again = Curation.temperatureMix(df, col("source"), col("text"), alpha = 0.5)
+      .count()
+    assert(again === total.toLong)
+  }
+
   test("adaptiveQualityFilter: threshold is per-group, not global") {
     // group lo scores 0.0-0.9, group hi scores 10.0-10.9: a global 25%
     // cut would drop ALL of lo and NONE of hi; the adaptive cut drops

@@ -104,6 +104,13 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join in a filter-in-place sampler\n" + p)
   }
 
+  test("q_temperature_mix: rates broadcast back; the corpus is filtered, never shuffled") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus-side shuffle join in a filter-in-place sampler\n" + p)
+  }
+
   test("q_substr_dedup: window hashes shuffle, text never does; kernel span merge") {
     val qe = SparkEntry.queries("q_substr_dedup")(spark, sfDir).queryExecution
     // the span-merge kernel collapses into the aggregate's result
