@@ -277,6 +277,164 @@ object Curation {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** C4-style line-filtering rules (Raffel et al. 2020, §2.2 — the
+    * publicly described cleaning recipe): a line survives when it ends
+    * in terminal punctuation, has at least `minWords` words, and
+    * contains none of `lineBlockPhrases`; a document survives when it
+    * contains none of `docBlockPhrases` (C4 drops pages with
+    * "lorem ipsum" or a curly brace) and keeps at least `minKeptLines`
+    * lines. Phrases are matched lowercased. */
+  case class LineRules(
+      minWords: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      lineBlockPhrases: Seq[String] = Seq("javascript"),
+      docBlockPhrases: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 1) {
+    require(minWords >= 0 && minKeptLines >= 0, "negative rule bounds")
+    require((lineBlockPhrases ++ docBlockPhrases).forall(p => p == p.toLowerCase),
+      "block phrases must be lowercase (matching is on lowercased text)")
+  }
+
+  /** C4-style line-level cleaning: filter each document's lines by
+    * [[LineRules]], drop documents that fail the doc-level rules, and
+    * add (clean_text, n_lines, n_kept). Pure per-row higher-order
+    * functions on the split array — zero shuffle, embarrassingly
+    * parallel at any corpus size; the only non-per-row cost a caller
+    * adds is their own ORDER BY. Terminal punctuation is a last-char
+    * set membership (`. ! ? "`), not a regex — byte-identical across
+    * engines, so the whole operator is oracle-exact. */
+  def cleanLines(df: DataFrame, text: Column,
+                 rules: LineRules = LineRules()): DataFrame = {
+    val reserved = Seq("clean_text", "n_lines", "n_kept", "__lines", "__kept")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"column names $reserved are reserved by cleanLines")
+    def keepLine(l: Column): Column = {
+      val lt = trim(l)
+      val punctOk =
+        if (rules.requireTerminalPunct)
+          substring(lt, -1, 1).isin(".", "!", "?", "\"")
+        else lit(true)
+      val wordsOk = size(split(lt, "\\s+", -1)) >= rules.minWords
+      val blockOk = rules.lineBlockPhrases
+        .map(p => instr(lower(lt), p) === 0)
+        .foldLeft(lit(true))(_ && _)
+      punctOk && wordsOk && blockOk
+    }
+    val docOk = rules.docBlockPhrases
+      .map(p => instr(lower(text), p) === 0)
+      .foldLeft(lit(true))(_ && _)
+    df.withColumn("__lines", split(text, "\n"))
+      .withColumn("__kept", filter(col("__lines"), keepLine _))
+      .filter(docOk && size(col("__kept")) >= rules.minKeptLines)
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .drop("__lines", "__kept")
+  }
+
+  /** Corpus-level duplicate-line removal (the RefinedWeb / CCNet
+    * boilerplate pass): every line whose text occurs at least
+    * `minCount` times ACROSS THE WHOLE CORPUS is removed from every
+    * document; adds (clean_text, n_dropped). Catches nav bars, cookie
+    * banners, license headers — repetition no within-document pass can
+    * see.
+    *
+    * Scale shape: lines explode to (id, pos, sha2-256) — 32-byte
+    * fingerprints shuffle, line text never does. The frequent set is
+    * the groupBy's survivors (tiny vs the corpus: only lines repeated
+    * minCount+ times); doomed positions aggregate per doc and join
+    * back on the id (one corpus-width join — AQE broadcasts it when
+    * the doomed set is small). Reconstruction is an indexed-lambda
+    * filter per row. sha2-256 rather than xxhash64 because at 10^12
+    * lines a 64-bit space yields birthday collisions that would doom
+    * innocent lines. */
+  def dropGlobalDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                               minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val reserved = Seq("clean_text", "n_dropped", "__lines", "__pos", "__h", "__doomed")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"column names $reserved are reserved by dropGlobalDuplicateLines")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+      .select(col(idCol), col("__pos"), sha2(col("__l"), 256).as("__h"))
+    val frequent = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__h"))
+    val doomed = lines.join(frequent, Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__doomed"))
+    df.join(doomed, Seq(idCol), "left")
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("clean_text",
+        when(col("__doomed").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("__lines"), (_, i) => !array_contains(col("__doomed"), i)),
+            "\n")))
+      .withColumn("n_dropped", coalesce(size(col("__doomed")), lit(0)).cast("long"))
+      .drop("__lines", "__doomed")
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021, §A1.1 — the
+    * published filter set): per-document boolean flags plus the
+    * conjunction `gopher_pass`. Every ratio threshold is evaluated as
+    * an integer cross-multiplication (`alpha·5 >= n·4` instead of
+    * `alpha/n >= 0.8`), so there is no float-division edge and the
+    * operator is oracle-exact. Pure per-row expressions — zero
+    * shuffle. Flags:
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio ('#' and '...') <= 0.1
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 distinct Gopher stopwords present
+    *  - <= 90% of lines start with a bullet; <= 30% end with '...' */
+  def gopherFlags(df: DataFrame, text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 0 && minWords <= maxWords, "need 0 <= minWords <= maxWords")
+    val reserved = Seq("n_words", "flag_word_count", "flag_mean_word_len",
+      "flag_symbol_ratio", "flag_alpha_words", "flag_stopwords",
+      "flag_bullet_lines", "flag_ellipsis_lines", "gopher_pass",
+      "__toks", "__lines", "__sumlen")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"column names $reserved are reserved by gopherFlags")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellChars = length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))
+    val out = df
+      .withColumn("__toks", graft.expr.Text.tokens(lower(text)))
+      .withColumn("__lines", split(text, "\n"))
+      .withColumn("__sumlen",
+        aggregate(col("__toks"), lit(0), (a, w) => a + length(w)))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("flag_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_mean_word_len",
+        col("__sumlen") >= col("n_words") * 3 && col("__sumlen") <= col("n_words") * 10)
+      // symbols = hashes + ellChars/3; ratio <= 0.1  ⇔  (3·hashes + ellChars)·10 <= 3·n
+      .withColumn("flag_symbol_ratio",
+        (hashes * 3 + ellChars) * 10 <= col("n_words") * 3)
+      .withColumn("flag_alpha_words",
+        size(filter(col("__toks"), w => w.rlike("[a-z]"))) * 5 >= col("n_words") * 4)
+      .withColumn("flag_stopwords",
+        size(filter(array(stops.map(lit): _*),
+          s => array_contains(col("__toks"), s))) >= 2)
+      .withColumn("flag_bullet_lines",
+        size(filter(col("__lines"),
+          l => substring(trim(l), 1, 1).isin("•", "-", "*"))) * 10
+          <= size(col("__lines")) * 9)
+      .withColumn("flag_ellipsis_lines",
+        size(filter(col("__lines"),
+          l => substring(trim(l), -3, 3) === "...")) * 10
+          <= size(col("__lines")) * 3)
+    out
+      .withColumn("gopher_pass",
+        col("flag_word_count") && col("flag_mean_word_len") &&
+          col("flag_symbol_ratio") && col("flag_alpha_words") &&
+          col("flag_stopwords") && col("flag_bullet_lines") &&
+          col("flag_ellipsis_lines"))
+      .drop("__toks", "__lines", "__sumlen")
+  }
+
   /** df + `outCol` holding the intra-document repetition ratio
     * (Gopher-style quality signal): the fraction of word n-gram
     * occurrences that duplicate an earlier occurrence; 0 for texts

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.Text
@@ -18,6 +18,29 @@ object CurationQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  /** Fixture text is single-line word soup, so the line-level operators
+    * are exercised on a deterministically derived multi-line form:
+    * 4-token lines, and (when `withPunct`) a terminal '.' on lines
+    * where (line_no + doc_id) % 3 != 0 — giving the C4 punctuation
+    * rule something to bind on. Both engines restate the derivation
+    * token-for-token, so line-level results stay hash-exact. */
+  private def linedDocs(s: SparkSession, dir: String,
+                        withPunct: Boolean): DataFrame = {
+    val d = docs(s, dir).withColumn("__toks", split(trim(col("text")), "\\s+"))
+    val line = (g: Column) => {
+      val base = array_join(slice(col("__toks"), g * 4 + 1, lit(4)), " ")
+      if (withPunct)
+        concat(base,
+          when((g + col("doc_id")) % 3 =!= 0, lit(".")).otherwise(lit("")))
+      else base
+    }
+    d.withColumn("lined_text",
+        array_join(transform(
+          sequence(lit(0), floor((size(col("__toks")) - 1) / 4).cast("int")),
+          line), "\n"))
+      .drop("__toks")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -87,6 +110,46 @@ object CurationQueries {
       Curation.temperatureMix(docs(s, dir), col("source"), col("text"),
           alpha = 0.5)
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style line cleaning on the derived multi-line corpus: terminal
+    // punctuation + >=3 words + phrase blocklist per line, page-level
+    // drop phrases + minimum surviving lines per doc. Pure per-row
+    // higher-order functions — zero shuffle beyond the final ORDER BY.
+    "q_line_clean" -> ((s, dir) => {
+      Curation.cleanLines(linedDocs(s, dir, withPunct = true), col("lined_text"),
+          Curation.LineRules(minWords = 3, requireTerminalPunct = true,
+            lineBlockPhrases = Seq("slow"), docBlockPhrases = Seq("merge batch"),
+            minKeptLines = 5))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level duplicate-line removal (RefinedWeb/CCNet boilerplate
+    // pass): lines occurring >= 3 times across the WHOLE corpus vanish
+    // from every document. Only 32-byte line fingerprints shuffle; the
+    // reconstruction is an indexed-lambda filter per row.
+    "q_line_dedup" -> ((s, dir) => {
+      Curation.dropGlobalDuplicateLines(
+          linedDocs(s, dir, withPunct = false).select("doc_id", "lined_text"),
+          "doc_id", "lined_text", minCount = 3)
+        .select(col("doc_id"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher document-quality rules: every ratio threshold evaluated as
+    // an integer cross-multiplication, so the flags are hash-exact
+    // cross-engine. Per-row expressions only.
+    "q_gopher_rules" -> ((s, dir) => {
+      Curation.gopherFlags(docs(s, dir), col("text"), minWords = 30)
+        .select(col("doc_id"), col("n_words"), col("flag_word_count"),
+          col("flag_mean_word_len"), col("flag_symbol_ratio"),
+          col("flag_alpha_words"), col("flag_stopwords"),
+          col("flag_bullet_lines"), col("flag_ellipsis_lines"),
+          col("gopher_pass"))
         .orderBy(col("doc_id"))
     }),
 
@@ -253,6 +316,116 @@ object CurationQueries {
         |WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 1000000
         |  < rates.ppm
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the derived lines restated (generate_series spine, list slicing,
+    // the same (g + doc_id) % 3 punctuation), then the C4 rules; the
+    // kept lines reassemble with string_agg ORDER BY line_no, which is
+    // byte-identical to Spark's order-preserving array filter + join
+    "q_line_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, g,
+        |    array_to_string(toks[(g*4+1):(g*4+4)], ' ') ||
+        |      CASE WHEN (g + doc_id) % 3 <> 0 THEN '.' ELSE '' END AS line
+        |  FROM t, unnest(generate_series(0,
+        |    CAST(floor((len(toks)-1)/4.0) AS BIGINT))) AS s(g)),
+        |flags AS (
+        |  SELECT doc_id, g, line,
+        |    right(trim(line), 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split_regex(trim(line), '\s+')) >= 3
+        |      AND NOT contains(lower(trim(line)), 'slow') AS keep
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id,
+        |    -- the doc-level blocklist applies to the LINED text (the
+        |    -- operator's input), where a line break or inserted '.'
+        |    -- can split a phrase the raw text contains
+        |    lower(string_agg(line, chr(10) ORDER BY g)) AS lined_lower,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY g) FILTER (keep) AS clean_text
+        |  FROM flags GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept, md5(clean_text) AS clean_md5
+        |FROM agg
+        |WHERE NOT contains(lined_lower, 'merge batch') AND n_kept >= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    // global line frequency via a LEFT JOIN against the >=3 set; docs
+    // with every line doomed reassemble to the empty string on both
+    // engines (coalesce here, empty array_join in Spark)
+    "q_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, g, array_to_string(toks[(g*4+1):(g*4+4)], ' ') AS line
+        |  FROM t, unnest(generate_series(0,
+        |    CAST(floor((len(toks)-1)/4.0) AS BIGINT))) AS s(g)),
+        |freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 3),
+        |marked AS (
+        |  SELECT l.doc_id, l.g, l.line, (f.line IS NOT NULL) AS doomed
+        |  FROM lines l LEFT JOIN freq f ON l.line = f.line),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (doomed) AS BIGINT) AS n_dropped,
+        |    coalesce(string_agg(line, chr(10) ORDER BY g) FILTER (NOT doomed),
+        |      '') AS clean_text
+        |  FROM marked GROUP BY doc_id)
+        |SELECT doc_id, n_dropped, md5(clean_text) AS clean_md5
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // every Gopher threshold as integer cross-multiplication — no float
+    // division anywhere, so the booleans are exact on both engines
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS toks,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_transform(toks, x -> length(x)),
+        |      (a, b) -> a + b) AS BIGINT) AS sumlen,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS hashes,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT)
+        |      AS ellchars,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stops,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> left(trim(l), 1) IN ('•', '-', '*')))
+        |      AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(ls, l -> right(trim(l), 3) = '...'))
+        |      AS BIGINT) AS ells
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words >= 30 AND n_words <= 100000 AS flag_word_count,
+        |  sumlen >= n_words * 3 AND sumlen <= n_words * 10 AS flag_mean_word_len,
+        |  (hashes * 3 + ellchars) * 10 <= n_words * 3 AS flag_symbol_ratio,
+        |  alpha * 5 >= n_words * 4 AS flag_alpha_words,
+        |  stops >= 2 AS flag_stopwords,
+        |  bullets * 10 <= n_lines * 9 AS flag_bullet_lines,
+        |  ells * 10 <= n_lines * 3 AS flag_ellipsis_lines,
+        |  (n_words >= 30 AND n_words <= 100000)
+        |    AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
+        |    AND (hashes * 3 + ellchars) * 10 <= n_words * 3
+        |    AND alpha * 5 >= n_words * 4 AND stops >= 2
+        |    AND bullets * 10 <= n_lines * 9
+        |    AND ells * 10 <= n_lines * 3 AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // quality kernel restated + per-source continuous quantile; the
     // interpolated threshold sits strictly between two data points

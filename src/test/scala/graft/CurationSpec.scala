@@ -192,6 +192,71 @@ class CurationSpec extends SparkSpec {
     assert(again === total.toLong)
   }
 
+  test("cleanLines: C4 rules — punctuation, min words, blocklists, doc drop") {
+    val df = Seq(
+      (1L, "Good line one.\nshort.\nno punct here at all\nbad javascript line.\nGood line two!"),
+      (2L, "This page mentions lorem ipsum somewhere.\nAnother perfectly fine line."),
+      (3L, "Only line.")
+    ).toDF("id", "text")
+    val out = Curation.cleanLines(df, col("text"),
+      Curation.LineRules(minWords = 3, requireTerminalPunct = true,
+        lineBlockPhrases = Seq("javascript"), docBlockPhrases = Seq("lorem ipsum"),
+        minKeptLines = 1))
+    val m = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!m.contains(2L), "doc-level phrase must drop the whole page")
+    assert(!m.contains(3L), "2-word line fails minWords; 0 kept < minKeptLines")
+    assert(m(1L).getAs[String]("clean_text") === "Good line one.\nGood line two!")
+    assert(m(1L).getAs[Long]("n_lines") === 5L)
+    assert(m(1L).getAs[Long]("n_kept") === 2L)
+  }
+
+  test("dropGlobalDuplicateLines: corpus-frequent lines vanish everywhere") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique a\n$boiler\nunique b"),
+      (2L, s"$boiler\nunique c"),
+      (3L, s"unique d\n$boiler"),
+      (4L, "all unique here\nnothing shared")
+    ).toDF("id", "text")
+    val m = Curation.dropGlobalDuplicateLines(df, "id", "text", minCount = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[String]("clean_text") === "unique a\nunique b")
+    assert(m(1L).getAs[Long]("n_dropped") === 1L)
+    assert(m(4L).getAs[Long]("n_dropped") === 0L)
+    assert(m(4L).getAs[String]("clean_text") === "all unique here\nnothing shared")
+    // within-doc repeats count toward the corpus threshold, and a doc
+    // whose every line is doomed reassembles to the empty string
+    val m2 = Curation.dropGlobalDuplicateLines(
+        Seq((1L, "x\nx"), (2L, "x\ny")).toDF("id", "text"), "id", "text",
+        minCount = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("clean_text")).toMap
+    assert(m2(1L) === "" && m2(2L) === "y")
+  }
+
+  test("gopherFlags: each rule binds on a crafted violator") {
+    val prose = (1 to 55).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$prose the and of that"),                     // passes everything
+      (2L, "the and of tiny"),                             // too few words
+      (3L, (1 to 53).map(_ => "a").mkString(" ") + " the of"), // mean len < 3
+      (4L, s"$prose the of " + (1 to 8).map(_ => "#").mkString(" ")), // symbols
+      (5L, s"$prose the of " + (1 to 16).map(_ => "123").mkString(" ")), // alpha
+      (6L, prose),                                         // no stopwords
+      (7L, (1 to 12).map(i => s"- bullet line $i").mkString("\n") +
+        s"\n$prose the and")                               // >90% bullet lines
+    ).toDF("id", "text")
+    val m = Curation.gopherFlags(df, col("text"), minWords = 50)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Boolean]("gopher_pass"), m(1L).toString)
+    assert(!m(2L).getAs[Boolean]("flag_word_count"))
+    assert(!m(3L).getAs[Boolean]("flag_mean_word_len"))
+    assert(!m(4L).getAs[Boolean]("flag_symbol_ratio"))
+    assert(!m(5L).getAs[Boolean]("flag_alpha_words"))
+    assert(!m(6L).getAs[Boolean]("flag_stopwords"))
+    assert(!m(7L).getAs[Boolean]("flag_bullet_lines"))
+    (2L to 7L).foreach(i => assert(!m(i).getAs[Boolean]("gopher_pass"), s"doc $i"))
+  }
+
   test("adaptiveQualityFilter: threshold is per-group, not global") {
     // group lo scores 0.0-0.9, group hi scores 10.0-10.9: a global 25%
     // cut would drop ALL of lo and NONE of hi; the adaptive cut drops

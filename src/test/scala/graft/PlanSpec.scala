@@ -111,6 +111,20 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join in a filter-in-place sampler\n" + p)
   }
 
+  test("q_line_clean / q_gopher_rules: pure per-row — no join, no aggregate") {
+    for (q <- Seq("q_line_clean", "q_gopher_rules")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q should be scan→project→filter→sort only\n" + p)
+    }
+  }
+
+  test("q_line_dedup: fingerprints aggregate and semi-join; no cartesian") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("LeftSemi"), "frequent-line membership must be a semi join\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_substr_dedup: window hashes shuffle, text never does; kernel span merge") {
     val qe = SparkEntry.queries("q_substr_dedup")(spark, sfDir).queryExecution
     // the span-merge kernel collapses into the aggregate's result
