@@ -551,6 +551,63 @@ object Ann {
     rank(broadcast(shortlist.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
+  /** Append a batch of new vectors to a persisted IVF layout WITHOUT
+    * touching the stored corpus: assign the batch against the index's
+    * stored (immutable-after-build) centroids — broadcast assignment,
+    * no corpus read, no corpus shuffle — and append files only under
+    * the touched cid partitions. This is the daily-arrivals posture for
+    * a 100 TB embedding corpus: ingest cost is |batch| assignment plus
+    * nTouched partition appends, and the index never rebuilds — the
+    * vector twin of [[Dedup.incrementalCandidates]] over the stored
+    * band index.
+    *
+    * Because assignment depends only on the stored centroids, the
+    * appended layout is IDENTICAL (not approximately — row for row) to
+    * rebuilding from scratch over corpus ∪ batch with the same
+    * centroids; q_ann_ivf_append asserts probe equality and
+    * TextVectorSpec additionally pins that untouched partitions keep
+    * their exact file sets. Callers own id-uniqueness across appends
+    * (same contract as the build). */
+  def appendToIvfIndex(batch: DataFrame, path: String): Unit =
+    appendToIvfLayout(batch, path)(
+      _.select(col("nid"), col("nv"), col("cid")))
+
+  /** [[appendToIvfIndex]] for the int8-quantized [[writeIvfIndexSq8]]
+    * layout: the batch quantizes exactly as the build does, so appended
+    * and rebuilt lists are byte-identical. */
+  def appendToIvfIndexSq8(batch: DataFrame, path: String): Unit =
+    appendToIvfLayout(batch, path)(
+      _.select(col("nid"),
+        Vectors.quantizeInt8(col("nv")).getField("q").as("nq"), col("cid")))
+
+  /** [[appendToIvfIndex]] for the [[writeIvfIndexPq]] layout: codes are
+    * produced by the codebooks PERSISTED under the index (never
+    * retrained), so an append leaves the ADC geometry untouched — the
+    * property that makes incremental ingest safe for PQ. */
+  def appendToIvfIndexPq(batch: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val cbs = readCodebooks(batch.sparkSession, path)
+    appendToIvfLayout(batch, path) { assigned =>
+      unitNormalized(assigned.withColumn("__nvu", col("nv")), "__nvu")
+        .select(col("nid"),
+          column(graft.expr.catalyst.PqEncode(expression(col("__nvu")), cbs))
+            .as("codes"),
+          col("nv"), col("cid"))
+    }
+  }
+
+  /** Shared append half of [[writeIvfLayout]]: stored-centroid
+    * assignment + mode=append partitioned write (new files land only in
+    * the batch's cid directories; existing files are never rewritten). */
+  private def appendToIvfLayout(batch: DataFrame, path: String)(
+      project: DataFrame => DataFrame): Unit = {
+    val cents = batch.sparkSession.read.parquet(s"$path/centroids")
+    project(nearestLists(cents,
+        batch.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+  }
+
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the
     * all-pairs cosine-threshold baseline (q_embed_neardup): candidates
     * are same-bucket vector pairs under multi-table hyperplane LSH,

@@ -190,6 +190,53 @@ class TextVectorSpec extends SparkSpec {
     assert(got === mem)
   }
 
+  test("IVF index append: equals rebuild; untouched partitions keep their exact files") {
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val corpus = e.filter($"id" % 5 =!= 0)
+    val batch = e.filter($"id" % 5 === 0)
+    val pApp = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val pFull = java.nio.file.Files.createTempDirectory("graft-ivf-appf").toString
+    graft.ops.Ann.writeIvfIndex(corpus, pApp, nLists = 16, trainIters = 2)
+
+    def fileSets(p: String): Map[String, Set[String]] =
+      new java.io.File(s"$p/lists").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = fileSets(pApp)
+    graft.ops.Ann.appendToIvfIndex(batch, pApp)
+    val after = fileSets(pApp)
+
+    // the touched partitions are exactly the batch's assigned lists —
+    // computed independently via stored-centroid assignment
+    val cents = spark.read.parquet(s"$pApp/centroids")
+    val touched = graft.ops.Ann.kmeansAssign(batch, 16,
+        centroidsOverride = Some(cents))
+      .select($"cid").distinct().collect().map("cid=" + _.getLong(0)).toSet
+    before.foreach { case (cid, files) =>
+      if (touched.contains(cid))
+        assert(files.subsetOf(after(cid)) && after(cid) != files,
+          s"touched $cid should gain files and keep its old ones")
+      else
+        assert(after(cid) === files, s"untouched $cid was rewritten")
+    }
+
+    // every corpus+batch row is in the lists exactly once
+    assert(spark.read.parquet(s"$pApp/lists").count() === e.count())
+
+    // probes against the appended layout == a from-scratch rebuild over
+    // corpus ∪ batch with the same centroids, triple for triple
+    graft.ops.Ann.writeIvfIndex(e, pFull, nLists = 16,
+      centroidsOverride = Some(cents))
+    val qs = e.filter($"id" < 8)
+    def triples(p: String) =
+      graft.ops.Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(pApp) === triples(pFull))
+  }
+
   test("persisted BM25 index: partition-pruned probe == ad-hoc scoring bit-for-bit") {
     val d = schema.Tables.load(spark, sfDir, "documents")
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
