@@ -435,6 +435,69 @@ object Curation {
       .drop("__toks", "__lines", "__sumlen")
   }
 
+  /** Incremental corpus-refresh dispositions — the decision tree a
+    * continuously-ingesting curation pipeline applies to each arriving
+    * batch (q_incr_curation's core, surfaced as an operator):
+    *
+    *   low_quality  the caller's per-row gate said drop (evaluated
+    *                FIRST — cheap per-row work happens before any
+    *                signing, so rejected docs never reach the index);
+    *   dup_corpus   a band-index candidate against the stored corpus
+    *                index confirmed at `confirmThreshold` n-gram
+    *                Jaccard;
+    *   dup_batch    confirmed against a SMALLER-id batch survivor that
+    *                was not itself a corpus dup — a one-level rule,
+    *                deterministic without label propagation; longer
+    *                chains resolve on the next refresh cycle, exactly
+    *                as they would had the docs arrived in separate
+    *                batches;
+    *   accepted     everything else — the rows to append to the
+    *                curated corpus (and whose bands to append to the
+    *                index, keeping it coherent for the next batch).
+    *
+    * `batch` carries (idCol, textCol, lqCol boolean); `corpusBands` is
+    * a STORED [[Dedup.bandIndex]] (same shingle/k/bandRows parameters —
+    * the index-coherence contract); `corpusDocs` supplies corpus text
+    * for the confirm stage (candidate-sized join only). Returns every
+    * batch row as (idCol, status).
+    *
+    * Scale shape: gates per-row; survivors signed ONCE; the corpus is
+    * probed through its index (never re-signed, never re-paired);
+    * Jaccard reads text for candidate pairs only; shuffle payloads are
+    * (id, 16-byte band key) or (id, id) throughout. */
+  def refreshDispositions(batch: DataFrame, idCol: String, textCol: String,
+                          lqCol: String, corpusDocs: DataFrame,
+                          corpusBands: DataFrame, shingleSize: Int = 3,
+                          k: Int = 12, bandRows: Int = 2,
+                          confirmThreshold: Double = 0.8): DataFrame = {
+    val surv = batch.filter(!col(lqCol)).select(col(idCol), col(textCol))
+    val cand = Dedup.incrementalCandidates(
+      Dedup.bandIndex(surv, idCol, textCol, shingleSize, k, bandRows),
+      corpusBands)
+    // confirm-stage text: batch survivors + corpus (the only ids that
+    // can appear in candidates)
+    val texts = surv.unionByName(corpusDocs.select(col(idCol), col(textCol)))
+    val conf = Dedup.ngramJaccard(texts, idCol, textCol,
+        cand.select(col("id_new").as("id_a"), col("id_match").as("id_b")),
+        shingleSize)
+      .join(cand.select(col("id_new").as("id_a"),
+        col("id_match").as("id_b"), col("src")), Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= confirmThreshold)
+    val dupCorpus = conf.filter(col("src") === "corpus")
+      .select(col("id_a").as(idCol)).distinct()
+    val dupBatch = conf.filter(col("src") === "batch")
+      .join(dupCorpus.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+      .select(col("id_a").as(idCol)).distinct()
+    batch
+      .join(dupCorpus.withColumn("__dc", lit(1)), Seq(idCol), "left")
+      .join(dupBatch.withColumn("__db", lit(1)), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(lqCol), lit("low_quality"))
+          .when(col("__dc") === 1, lit("dup_corpus"))
+          .when(col("__db") === 1, lit("dup_batch"))
+          .otherwise(lit("accepted")).as("status"))
+  }
+
   /** df + `outCol` holding the intra-document repetition ratio
     * (Gopher-style quality signal): the fraction of word n-gram
     * occurrences that duplicate an earlier occurrence; 0 for texts

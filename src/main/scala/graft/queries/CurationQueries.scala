@@ -200,6 +200,45 @@ object CurationQueries {
     // Every stage's shuffle payload is (id, fixed-width); text is read
     // for scoring/grams but never shuffled. Hash-checked END-TO-END
     // against a single DuckDB statement that restates the whole chain.
+    // INCREMENTAL corpus refresh — the continuous-ingestion end
+    // product: a new-arrivals batch (doc_id % 3 == 0) flows through the
+    // cheap per-row gates FIRST (Gopher word-count rule + composite
+    // quality; the full Gopher rule set is exercised in q_gopher_rules —
+    // its stopword rule is tuned for natural English and rejects the
+    // entire synthetic fixture), then ONLY the survivors are MinHash-
+    // signed and probed against the curated corpus's STORED band index
+    // (persisted to parquet and read back — the sign-once posture of
+    // Dedup.bandIndex made literal), candidates confirm by exact 3-gram
+    // Jaccard >= 0.8, and every batch doc gets a disposition:
+    // low_quality | dup_corpus | dup_batch | accepted. dup_batch uses
+    // the one-level rule "confirmed against a smaller-id survivor that
+    // was not itself a corpus dup" — deterministic without label
+    // propagation (longer chains resolve on the next refresh cycle,
+    // exactly as they would had the docs arrived in separate batches).
+    // Scale shape: gates are per-row; the corpus is probed via its
+    // index (never re-signed, never re-paired); Jaccard runs on
+    // candidate pairs only; text never shuffles — every shuffle payload
+    // is (id, 16-byte band key) or (id, id).
+    "q_incr_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 3 === 0)
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      val gated = Curation.gopherFlags(batch, col("text"), minWords = 30)
+        .withColumn("low_quality",
+          !(col("flag_word_count") && Text.qualityScore(col("text")) >= 0.65))
+        .select(col("doc_id"), col("text"), col("low_quality"))
+      val idxPath = graft.Scratch.dir("graft-curidx", dir)
+      graft.ops.Dedup.bandIndex(corpus, "doc_id", "text",
+          shingleSize = 3, k = 12, bandRows = 2)
+        .write.mode("overwrite").parquet(idxPath)
+      Curation.refreshDispositions(gated, "doc_id", "text", "low_quality",
+          corpus, s.read.parquet(idxPath))
+        .join(gated.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"), col("status"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_curation_e2e" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = graft.ops.Dedup.minhashLshPairs(d, "doc_id", "text",
@@ -459,6 +498,83 @@ object CurationQueries {
 
     // the whole chain restated: components (recursive CTE) → keep-list
     // → quality cut → contamination drop → split → pack
+    // mirrors the Spark decision tree stage for stage; the MinHash /
+    // band arithmetic is the same restatement q_incr_dedup validates
+    "q_incr_curation" ->
+      raw"""${TextQueries.toksCte},
+           |qc AS (
+           |  SELECT doc_id,
+           |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+           |    CASE WHEN len(text) > 0
+           |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+           |      ELSE 0.0 END AS punct_ratio,
+           |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+           |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+           |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+           |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+           |      ELSE 0.0 END AS stop_ratio
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |q AS (
+           |  SELECT doc_id,
+           |    (len_score + greatest(1.0 - punct_ratio * 5, 0.0) + least(stop_ratio * 4, 1.0)) / 3 AS quality
+           |  FROM qc),
+           |nw AS (
+           |  SELECT doc_id, CAST(len(list_filter(__t, x -> x <> '')) AS BIGINT) AS n_words
+           |  FROM __tok WHERE doc_id % 3 = 0),
+           |gated AS (
+           |  SELECT q.doc_id,
+           |    NOT (nw.n_words >= 30 AND nw.n_words <= 100000 AND q.quality >= 0.65)
+           |      AS low_quality
+           |  FROM q JOIN nw USING (doc_id)),
+           |sig AS (
+           |  SELECT doc_id, ${TextQueries.sig12} AS sig
+           |  FROM (SELECT doc_id, ${TextQueries.shingles3} AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+           |surv AS (SELECT doc_id FROM gated WHERE NOT low_quality),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match,
+           |    'corpus' AS src
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key
+           |  WHERE a.doc_id IN (SELECT doc_id FROM surv) AND b.doc_id % 3 <> 0
+           |  UNION ALL
+           |  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_match,
+           |    'batch' AS src
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id IN (SELECT doc_id FROM surv)
+           |    AND b.doc_id IN (SELECT doc_id FROM surv)),
+           |sh AS (SELECT doc_id, ${TextQueries.shingles3} AS sh FROM __tok),
+           |conf AS (
+           |  SELECT c.id_new, c.id_match, c.src,
+           |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+           |  FROM cand c
+           |  JOIN sh x ON x.doc_id = c.id_new
+           |  JOIN sh y ON y.doc_id = c.id_match),
+           |dup_corpus AS (
+           |  SELECT DISTINCT id_new AS doc_id FROM conf
+           |  WHERE src = 'corpus' AND jaccard >= 0.8),
+           |dup_batch AS (
+           |  SELECT DISTINCT id_new AS doc_id FROM conf
+           |  WHERE src = 'batch' AND jaccard >= 0.8
+           |    AND id_match NOT IN (SELECT doc_id FROM dup_corpus)),
+           |tok_n AS (
+           |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents WHERE doc_id % 3 = 0)
+           |SELECT g.doc_id,
+           |  CASE WHEN g.low_quality THEN 'low_quality'
+           |       WHEN g.doc_id IN (SELECT doc_id FROM dup_corpus) THEN 'dup_corpus'
+           |       WHEN g.doc_id IN (SELECT doc_id FROM dup_batch) THEN 'dup_batch'
+           |       ELSE 'accepted' END AS status,
+           |  t.n_tokens
+           |FROM gated g JOIN tok_n t USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
+
     "q_curation_e2e" ->
       raw"""${TextQueries.toksCte.replaceFirst("WITH", "WITH RECURSIVE")},
            |sig AS (

@@ -81,6 +81,44 @@ class CurationSpec extends SparkSpec {
     counts.values.foreach(c => assert(c > 60 && c < 600, counts.toString))
   }
 
+  test("refreshDispositions: every branch binds; gates run first; one-level dup_batch rule") {
+    // corpus: A (exact-dup target) and X (a 200-token doc with unique
+    // tokens, so isolated single-token changes perturb exactly 3
+    // shingles each and 3-gram Jaccards are exact closed forms)
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val xToks = (0 until 200).map(i => s"x$i")
+    def repl(base: Seq[String], changes: Map[Int, String]) =
+      base.zipWithIndex.map { case (t, i) => changes.getOrElse(i, t) }.mkString(" ")
+    // a: 4 isolated changes vs X  -> jac(a,X) = 186/210 ≈ 0.886 >= 0.8
+    // b: 4 more isolated changes  -> jac(b,a) ≈ 0.886, but
+    //    jac(b,X) = 174/222 ≈ 0.784 < 0.8 — near its corpus-dup
+    //    NEIGHBOR, not near the corpus itself
+    val aT = repl(xToks, Map(20 -> "p0", 40 -> "p1", 80 -> "p2", 120 -> "p3"))
+    val bT = repl(aT.split(" ").toSeq,
+      Map(30 -> "q0", 60 -> "q1", 100 -> "q2", 160 -> "q3"))
+    val D = "dog cat fish bird lion tiger bear wolf fox deer"
+    val E = "one lone unique document with entirely fresh wording here"
+
+    val corpus = Seq((100L, A), (102L, xToks.mkString(" "))).toDF("id", "text")
+    val batch = Seq(
+      (1L, A, true),   // low-quality gate fires FIRST — never reaches dedup
+      (2L, A, false),  // exact corpus dup
+      (4L, D, false),  // smaller id of a batch pair -> accepted
+      (5L, D, false),  // larger id, match 4 is a clean survivor -> dup_batch
+      (6L, E, false),  // unique -> accepted
+      (7L, aT, false), // near-dup of corpus X -> dup_corpus
+      (8L, bT, false)  // near-dup of 7 ONLY, and 7 is a corpus dup ->
+                       // accepted (one-level rule: chain resolves next cycle)
+    ).toDF("id", "text", "lq")
+    val bands = graft.ops.Dedup.bandIndex(corpus, "id", "text")
+    val got = Curation.refreshDispositions(batch, "id", "text", "lq",
+        corpus, bands)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "low_quality", 2L -> "dup_corpus",
+      4L -> "accepted", 5L -> "dup_batch", 6L -> "accepted",
+      7L -> "dup_corpus", 8L -> "accepted"))
+  }
+
   test("dupNgramRatio: closed form on constructed repetition") {
     // 6 tokens "a b a b a b": 5-grams = "a b a b a", "b a b a b" -> 2
     // distinct of 2 -> ratio 0; "a a a a a a": grams both "a a a a a"
