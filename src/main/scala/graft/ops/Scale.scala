@@ -288,8 +288,10 @@ object Scale {
 
   /** Run `body` with partitionOverwriteMode=dynamic, restoring the
     * previous session value afterwards — shared by every
-    * partition-selective writer so the conf swap exists once. */
-  private def withDynamicOverwrite(
+    * partition-selective writer so the conf swap exists once (also the
+    * replay-idempotence seam for streaming.CurationStream's
+    * batch_id-partitioned refresh writes). */
+  private[graft] def withDynamicOverwrite(
       spark: org.apache.spark.sql.SparkSession)(body: => Unit): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)

@@ -301,6 +301,56 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental refresh maintains its own index; replays are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val D = "dog cat fish bird lion tiger bear wolf fox deer"
+    val E = "one lone unique document with entirely fresh wording here"
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-sc-c").toString
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-sc-i").toString
+    val dispPath = java.nio.file.Files.createTempDirectory("graft-sc-d").toString
+    graft.streaming.CurationStream.seedRefresh(
+      Seq((100L, A), (102L, "a totally separate seeded corpus document body"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", corpusPath, indexPath)
+
+    val fn = graft.streaming.CurationStream.refreshBatch(
+      corpusPath, indexPath, dispPath, "doc_id", "text",
+      lq = length(col("text")) < 20)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append").foreachBatch(fn).start()
+    try {
+      mem.addData((1L, A), (2L, D))            // micro-batch 0
+      q.processAllAvailable()
+      mem.addData((3L, D), (4L, E), (5L, "tiny")) // micro-batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def dispositions = spark.read.parquet(dispPath)
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3 is dup_corpus, NOT dup_batch: D was accepted in micro-batch
+    // 0 and its bands were appended to the index the stream probes —
+    // the stream maintains the index it reads
+    val expected = Map(1L -> "dup_corpus", 2L -> "accepted",
+      3L -> "dup_corpus", 4L -> "accepted", 5L -> "low_quality")
+    assert(dispositions === expected)
+    // curated corpus = seed + the accepted docs
+    assert(spark.read.parquet(corpusPath).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L, 100L, 102L))
+
+    // at-least-once replay of micro-batch 1: dynamic partition
+    // overwrite rewrites its partitions — nothing duplicates
+    fn(Seq((3L, D), (4L, E), (5L, "tiny")).toDF("doc_id", "text"), 1L)
+    assert(dispositions === expected)
+    assert(spark.read.parquet(dispPath).count() === 5)
+    assert(spark.read.parquet(corpusPath).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L, 100L, 102L))
+    assert(spark.read.parquet(indexPath).select("id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L, 100L, 102L))
+  }
+
   test("multimodal: resize clamps the long side, preserves aspect floor") {
     val df = Seq((1L, 640, 480), (2L, 100, 50)).toDF("id", "w", "h")
       .select(col("id"), struct(col("w").as("width"), col("h").as("height"),
