@@ -269,12 +269,50 @@ object EventQueries {
     // across partitions — the expression twin of the typed WeightedMean
     // Aggregator).
     "q_weighted_avg" -> ((s, dir) => {
+      // sums are exact decimals; the DIVISION runs in double (one IEEE
+      // op on identical operands in both engines) — a decimal division
+      // rounds at engine-specific derived scales and flipped the last
+      // ulp on q_ohlc_vwap's data; same hardening here
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg((sum((col("l_extendedprice") * col("l_quantity")).cast(DecimalType(38, 4)))
-            / sum(col("l_quantity").cast(DecimalType(38, 4))))
-          .cast(DecimalType(38, 6)).cast("double").as("weighted_price"))
+            .cast("double")
+            / sum(col("l_quantity").cast(DecimalType(38, 4))).cast("double"))
+          .as("weighted_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // OHLC/VWAP bars — the market-data summary the reference's DEX
+    // domain consumes (price series → per-instrument time bars):
+    // open/close are the first/last tick by (ts, event_id) — picked via
+    // struct min/max, so they ride the SAME hash aggregate as
+    // high/low/volume (one shuffle, map-side partials, never a sorted
+    // window); vwap sums per-row DECIMAL casts (so partition order
+    // can't move a double sum) but DIVIDES as double — both engines
+    // then run one IEEE division on identical operands, where a
+    // decimal division would round at engine-specific scales (observed
+    // 1-ulp flips at sf0.1). Zero-volume bars yield NULL vwap (ANSI
+    // division guard). Volume comes from the props JSON (the tick's
+    // size field), exercising extraction inside an aggregate.
+    "q_ohlc_vwap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("vol", get_json_object(col("props"), "$.k").cast("long"))
+      e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n_trades"),
+          sum(col("vol")).as("volume"),
+          when(sum(col("vol")) === 0, lit(null))
+            .otherwise(
+              sum((col("value") * col("vol")).cast(DecimalType(38, 4)))
+                .cast("double") / sum(col("vol")).cast("double"))
+            .as("vwap"))
+        .orderBy(col("event_type"), col("hour"))
     }),
 
     // Generator/unpivot (stack) — the Stellar token0/token1 unpivot
@@ -330,10 +368,34 @@ object EventQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // open/close via first/last-tick window ranks — the declarative
+    // restatement of the struct-min/max aggregate trick
+    "q_ohlc_vwap" ->
+      """WITH ticks AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+        |    value, CAST(props->>'$.k' AS BIGINT) AS vol,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, hour,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_trades,
+        |  CAST(SUM(vol) AS BIGINT) AS volume,
+        |  CASE WHEN SUM(vol) = 0 THEN NULL
+        |       ELSE CAST(SUM(CAST(value * vol AS DECIMAL(38,4))) AS DOUBLE)
+        |            / CAST(SUM(vol) AS DOUBLE) END AS vwap
+        |FROM ticks GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
+
     "q_weighted_avg" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4)))
-        |       / SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS DOUBLE) AS weighted_price
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS weighted_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
