@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// ATTEMPTED and blocked: the transactional MERGE sink (ops/SqlMergeSink)
+// wants delta-spark on the test classpath for a live MERGE INTO
+// lifecycle run. The resolver is offline-only (COURSIER_MODE=offline,
+// zero egress) and no delta/iceberg jar ships in /opt/spark/jars or the
+// pre-warmed cache, so enabling the line below fails with an
+// unresolved-dependency error. SqlMergeSink itself compiles with zero
+// format deps (MERGE INTO is Spark-parser-owned SQL); MergeSinkSqlSpec
+// verifies statement construction offline and self-gates its live test.
+// On a connected build, uncomment to run the full lifecycle:
+//libraryDependencies += "io.delta" %% "delta-spark" % "4.0.0" % Test
 Test / fork := true
 run / fork := true
 // Forked runMain output must reach stdout UNPREFIXED: the default

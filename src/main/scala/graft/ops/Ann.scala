@@ -564,10 +564,11 @@ object Ann {
     * Because assignment depends only on the stored centroids, the
     * appended layout is IDENTICAL (not approximately — row for row) to
     * rebuilding from scratch over corpus ∪ batch with the same
-    * centroids; q_ann_ivf_append asserts probe equality and
-    * TextVectorSpec additionally pins that untouched partitions keep
-    * their exact file sets. Callers own id-uniqueness across appends
-    * (same contract as the build). */
+    * centroids; TextVectorSpec asserts probe-triple equality against a
+    * rebuild and pins that untouched partitions keep their exact file
+    * sets (q_ann_ivf_append benches the production build+append+probe
+    * cycle with a recall gate). Callers own id-uniqueness across
+    * appends (same contract as the build). */
   def appendToIvfIndex(batch: DataFrame, path: String): Unit =
     appendToIvfLayout(batch, path)(
       _.select(col("nid"), col("nv"), col("cid")))

@@ -50,14 +50,24 @@ object Curation {
     * score distributions (a fixed global cutoff would empty the
     * lowest-scoring source and pass everything from the highest).
     *
-    * Two-pass plan: one aggregation to a |groups|-row threshold frame
-    * (exact `percentile` for oracle parity, or the mergeable
-    * `percentile_approx` sketch — the 100 TB path, where an exact
-    * per-group percentile would buffer every group's scores), then the
-    * thresholds broadcast back onto the corpus as a filter — the
-    * corpus itself is never shuffled. Rows with a NULL score or a
+    * Two-pass plan: one aggregation to a |groups|-row threshold frame,
+    * then the thresholds broadcast back onto the corpus as a filter —
+    * the corpus itself is never shuffled. Rows with a NULL score or a
     * group absent from the threshold frame are dropped (a NULL
     * compare is not a keep).
+    *
+    * The threshold dial: `exact = false` (the DEFAULT) computes each
+    * group's threshold with the mergeable `percentile_approx` sketch —
+    * bounded memory per group regardless of group size, rank error
+    * ≤ 1/accuracy, map-side partial merge. This is the only safe
+    * setting at scale: exact `percentile` buffers EVERY group's score
+    * array in a single aggregation buffer, so a billion-row source
+    * group OOMs the executor. Opt into `exact = true` only when every
+    * group is known memory-sized (tests, oracle-parity queries,
+    * per-shard thresholds) and bit-exact interpolated quantiles
+    * matter. The two differ by at most one boundary row per group at
+    * the cut (the sketch returns a data value, exact interpolates) —
+    * spec-asserted in CurationSpec.
     *
     * Broadcast contract (same as [[sourceMix]]'s rates frame): the
     * threshold frame has one row per distinct group, so `group` must be
@@ -66,7 +76,7 @@ object Curation {
     * full-corpus aggregation, so the contract is documented rather
     * than counted. */
   def adaptiveQualityFilter(df: DataFrame, score: Column, group: Column,
-                            pct: Double, exact: Boolean = true,
+                            pct: Double, exact: Boolean = false,
                             accuracy: Int = 10000): DataFrame = {
     require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
     val reserved = Set("__q", "__g", "__thr")

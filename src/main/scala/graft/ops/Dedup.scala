@@ -423,8 +423,16 @@ object Dedup {
     * definition), and ALL occurrences are stripped — the paper's
     * posture — rather than keeping one copy.
     *
-    * Scale shapes: the detection shuffles carry (32-char hash) or
-    * (id, int) rows, never text. The one text-carrying exchange is the
+    * Scale shapes: the detection shuffles carry (8-byte xxhash64) or
+    * (id, int) rows, never text. The 64-bit window hash is safe HERE
+    * (unlike [[graft.ops.Curation]]'s global line dedup, which keeps
+    * sha2-256): a birthday collision between two unrelated windows
+    * only marks those w-token windows as duplicated — a few spuriously
+    * stripped tokens, ~n²/2^65 windows expected corpus-wide (≈1e-6 of
+    * tokens at 2e13 windows) — it can never delete a whole distinct
+    * line/document the way a colliding global line hash would. The
+    * 4× narrower shuffle payload vs a 32-char md5 hex string is the
+    * dominant cost at 100 TB, so the trade is taken on this path only. The one text-carrying exchange is the
     * final rejoin of spans onto the corpus: the span frame holds only
     * dup-BEARING docs, so Spark broadcasts it when it fits (no text
     * moves at all); past broadcast size the corpus shuffles by id
@@ -442,8 +450,8 @@ object Dedup {
     val wins = base.select(col("id"),
       posexplode(when(size(col("__toks")) >= w,
           transform(sequence(lit(0), size(col("__toks")) - lit(w)),
-            i => md5(array_join(slice(col("__toks"), i + lit(1), lit(w)), " "))))
-        .otherwise(array().cast("array<string>"))).as(Seq("pos", "h")))
+            i => xxhash64(array_join(slice(col("__toks"), i + lit(1), lit(w)), " "))))
+        .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
     val dupHash = wins.groupBy(col("h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select(col("h"))
     val spans = wins.join(dupHash, Seq("h"), "left_semi")

@@ -19,20 +19,21 @@ import org.apache.spark.sql.functions._
   *    batched keyed upserts, one connection per partition — the
   *    reference's `INSERT … ON DUPLICATE KEY UPDATE` shape
   *    (SqlDbEtl.py:49-70) without its row-at-a-time round trips;
-  *  - Delta/Iceberg: `merge(incoming, keys, updateCols)` maps 1:1 onto
-  *    the transactional statement
+  *  - Delta/Iceberg ([[SqlMergeSink]]): `merge(incoming, keys,
+  *    updateCols)` maps 1:1 onto the transactional statement
   *    {{{
   *    MERGE INTO target t USING incoming s
   *      ON  t.k1 = s.k1 AND … -- one conjunct per key
   *      WHEN MATCHED THEN UPDATE SET c = s.c, … -- one per updateCol
   *      WHEN NOT MATCHED THEN INSERT *
   *    }}}
-  *    (DeltaTable.merge / Iceberg's Spark SQL extension). Not shipped
-  *    here — the sandbox build has no table-format jars — but an
-  *    implementation is a ~10-line class against this trait, and it is
-  *    what a 100 TB deployment with concurrent readers should use: the
-  *    parquet sink's dynamic overwrite is atomic per partition
-  *    directory only, not across the whole commit.
+  *    issued through `spark.sql` — no compile-time table-format
+  *    dependency at all; Spark's parser owns MERGE INTO and the
+  *    session's catalog (Delta, Iceberg, any row-level-operation v2
+  *    source) executes it transactionally. This is what a 100 TB
+  *    deployment with concurrent readers should use: the parquet
+  *    sink's dynamic overwrite is atomic per partition directory only,
+  *    not across the whole commit.
   *
   * Contract (same as Merge.upsert, spec-asserted): incoming unique per
   * key; matched rows update `updateCols` only; unmatched rows insert
@@ -105,4 +106,63 @@ final class JdbcMergeSink(spark: SparkSession, url: String, table: String,
       incoming, url, table, keys, updateCols, props, batchSize, dialect)
 
   def read(): DataFrame = graft.sources.JdbcSource.dimension(spark, url, table, props)
+}
+
+/** [[MergeSink]] over a transactional catalog table (Delta Lake,
+  * Iceberg, or any v2 source with row-level-operation support) via
+  * ANSI `MERGE INTO` — the sink a 100 TB deployment with concurrent
+  * readers should run.
+  *
+  * Deliberately ZERO compile-time table-format dependency: Spark's own
+  * parser owns the MERGE INTO syntax (it analyzes to
+  * `MergeIntoTable`), and the format jars on the DEPLOYMENT classpath
+  * (`delta-spark` + `spark.sql.extensions=io.delta.sql.
+  * DeltaSparkSessionExtension`, or Iceberg's runtime jar + catalog)
+  * execute it as one atomic commit. The sandbox build intentionally
+  * carries no such jar (zero-egress resolver — the delta-spark
+  * resolution attempt fails offline, recorded in build.sbt), so the
+  * statement-construction contract is what's verified here:
+  * MergeSinkSqlSpec parses the generated SQL with Spark's parser and
+  * asserts the resulting `MergeIntoTable` plan matches key-conjunct /
+  * update-assignment / insert-star semantics exactly; the live
+  * lifecycle test self-gates on a merge-capable catalog being present.
+  *
+  * First batch: if `table` does not exist it is created through the
+  * DataFrameWriterV2 (`writeTo(table).create()`), picking up the
+  * catalog's native format (a Delta catalog creates a Delta table).
+  * Idempotency: same contract as [[Merge.upsert]] — re-applying a
+  * batch re-asserts the same column values, a no-op. */
+final class SqlMergeSink(spark: SparkSession, table: String) extends MergeSink {
+
+  def merge(incoming: DataFrame, keys: Seq[String], updateCols: Seq[String]): Unit = {
+    require(keys.nonEmpty, "at least one merge key required")
+    require(updateCols.nonEmpty, "at least one update column required")
+    if (!spark.catalog.tableExists(table)) {
+      incoming.writeTo(table).create()
+    } else {
+      val view = s"__graft_merge_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      incoming.createOrReplaceTempView(view)
+      try spark.sql(SqlMergeSink.mergeSql(table, view, keys, updateCols))
+      finally spark.catalog.dropTempView(view)
+    }
+  }
+
+  def read(): DataFrame = spark.table(table)
+}
+
+object SqlMergeSink {
+  /** The exact statement [[SqlMergeSink.merge]] issues — factored out
+    * so the spec can parse and structurally assert it. Column names are
+    * backtick-quoted (caller-supplied identifiers); `target` is passed
+    * through verbatim so multi-part catalog names work. */
+  def mergeSql(target: String, sourceView: String,
+               keys: Seq[String], updateCols: Seq[String]): String = {
+    def q(c: String) = "`" + c.replace("`", "``") + "`"
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val sets = updateCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+    s"""MERGE INTO $target t USING $sourceView s
+       |ON $on
+       |WHEN MATCHED THEN UPDATE SET $sets
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+  }
 }

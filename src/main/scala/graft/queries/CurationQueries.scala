@@ -185,7 +185,12 @@ object CurationQueries {
     "q_adaptive_quality" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"),
         Text.qualityScore(col("text")).as("q"))
-      Curation.adaptiveQualityFilter(d, col("q"), col("source"), pct = 0.25)
+      // exact=true: DuckDB's quantile_cont interpolates like Spark's
+      // exact percentile; the library DEFAULT is the percentile_approx
+      // sketch (the memory-bounded 100 TB path — see the operator's
+      // threshold-dial scaladoc)
+      Curation.adaptiveQualityFilter(d, col("q"), col("source"), pct = 0.25,
+        exact = true)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),

@@ -173,29 +173,21 @@ object SimilarityQueries {
     // corpus half (vec_id % 5 != 0), then APPEND the batch half via
     // stored-centroid assignment (Ann.appendToIvfIndex — broadcast
     // assignment, only the touched cid partitions gain files, the
-    // corpus is never re-read). Assignment depends only on the
-    // immutable stored centroids, so the appended layout must answer
-    // probes IDENTICALLY to a from-scratch rebuild over corpus ∪ batch
-    // with the same centroids — asserted triple-for-triple here;
-    // untouched-partition file sets are pinned in TextVectorSpec.
+    // corpus is never re-read), then PROBE the appended index with the
+    // standard driver-visible recall gate. This query costs exactly
+    // what a production daily-ingest cycle costs (build + append +
+    // probe — VERDICT r6 item 2 slimmed the second from-scratch index
+    // build out); the stronger append==rebuild identity (probe triples
+    // equal row for row, untouched partitions keep their exact file
+    // sets) is asserted in TextVectorSpec over the same layout.
     "q_ann_ivf_append" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val pApp = scratchDir("graft-ivf-app", dir)
-      val pFull = scratchDir("graft-ivf-appfull", dir)
       Ann.writeIvfIndex(e.filter(col("id") % 5 =!= 0), pApp,
         nLists = 16, trainIters = 2)
       Ann.appendToIvfIndex(e.filter(col("id") % 5 === 0), pApp)
-      val cents = s.read.parquet(s"$pApp/centroids")
-      Ann.writeIvfIndex(e, pFull, nLists = 16, centroidsOverride = Some(cents))
-      val qs = e.filter(col("id") < 8)
-      Ann.probeIvfIndex(qs, pApp, k = 5, nProbe = 4)
-        .select(col("qid"), col("rank"), col("nid"), lit(1).as("in_app"))
-        .join(Ann.probeIvfIndex(qs, pFull, k = 5, nProbe = 4)
-            .select(col("qid"), col("rank"), col("nid"), lit(1).as("in_full")),
-          Seq("qid", "rank", "nid"), "full_outer")
-        .agg(count(lit(1)).cast("long").as("n_results"),
-          (sum(when(col("in_app").isNull || col("in_full").isNull, 1).otherwise(0)) === 0)
-            .as("appended_matches_rebuild"))
+      annRecallCheck(
+        Ann.probeIvfIndex(e.filter(col("id") < 8), pApp, k = 5, nProbe = 4), e)
     }),
 
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
@@ -427,7 +419,9 @@ object SimilarityQueries {
       "SELECT CAST(40 AS BIGINT) AS n_results, TRUE AS index_matches_memory",
 
     "q_ann_ivf_append" ->
-      "SELECT CAST(40 AS BIGINT) AS n_results, TRUE AS appended_matches_rebuild",
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_embed_neardup_lsh" ->
       "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",

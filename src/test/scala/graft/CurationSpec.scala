@@ -303,7 +303,7 @@ class CurationSpec extends SparkSpec {
       (0 to 9).map(i => ((100 + i).toLong, "hi", 10.0 + i / 10.0)))
       .toDF("id", "grp", "score")
     val kept = Curation.adaptiveQualityFilter(df, col("score"), col("grp"),
-        pct = 0.25)
+        pct = 0.25, exact = true)
       .collect().map(_.getLong(0)).toSet
     // 10 values each: threshold = 25th percentile = value at position
     // 0.25*(10-1) = 2.25 -> between index 2 and 3; >= keeps ids 3..9
@@ -315,7 +315,7 @@ class CurationSpec extends SparkSpec {
       (999L, "a", Option.empty[Double]))
       .toDF("id", "grp", "score")
     val exact = Curation.adaptiveQualityFilter(df, col("score"), col("grp"),
-      pct = 0.25).collect().map(_.getLong(0)).toSet
+      pct = 0.25, exact = true).collect().map(_.getLong(0)).toSet
     assert(!exact.contains(999L), "NULL score must not survive the cut")
     // the sketch path returns a DATA value as threshold (no
     // interpolation), so its cut may include one extra boundary row vs
@@ -328,5 +328,18 @@ class CurationSpec extends SparkSpec {
       s"approx kept set must be a suffix by score, got $approx")
     assert(math.abs(approx.size - exact.size) <= 1,
       s"approx ${approx.size} vs exact ${exact.size}")
+  }
+
+  test("adaptiveQualityFilter: DEFAULT is the memory-bounded sketch path") {
+    // the scale-safety contract: a caller who doesn't touch the dial
+    // must get percentile_approx (bounded buffer per group), never the
+    // exact percentile that materializes whole-group score arrays —
+    // asserted on the plan so a future default flip is loud
+    val df = (1 to 10).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "grp", "score")
+    val plan = Curation.adaptiveQualityFilter(df, col("score"), col("grp"),
+      pct = 0.25).queryExecution.analyzed.toString
+    assert(plan.contains("percentile_approx"),
+      "default threshold must use the percentile_approx sketch\n" + plan)
   }
 }

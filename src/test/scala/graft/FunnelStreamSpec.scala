@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Funnel
+import graft.streaming.FunnelStream
+
+/** Stream==batch contract for the funnel (VERDICT r6 item 8): the
+  * stateful streaming funnel must emit exactly the rows
+  * [[Funnel.stageTimes]] computes relationally on the same events —
+  * including events arriving out of order across micro-batches (the
+  * case the watermark-buffered replay exists for). */
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val steps = Seq("signup", "view", "purchase")
+
+  test("replay machine == batch stageTimes on assorted shapes") {
+    // (events, label) pairs exercising the tricky orderings
+    val cases: Seq[(Seq[(Long, String, String)], String)] = Seq(
+      (Seq((1L, "2025-05-01 10:00:00", "signup"),
+        (1L, "2025-05-01 10:05:00", "view"),
+        (1L, "2025-05-01 10:20:00", "purchase")), "clean conversion"),
+      (Seq((1L, "2025-05-01 10:05:00", "view"),        // view BEFORE signup
+        (1L, "2025-05-01 10:10:00", "signup"),          // must not count
+        (1L, "2025-05-01 10:30:00", "view"),
+        (1L, "2025-05-01 10:40:00", "purchase")), "step-2 before step-1 skipped"),
+      (Seq((1L, "2025-05-01 10:00:00", "signup"),
+        (1L, "2025-05-01 10:00:00", "view")), "same-ts tie needs strict after"),
+      (Seq((1L, "2025-05-01 10:00:00", "signup"),
+        (1L, "2025-05-01 12:00:00", "view")), "view outside horizon dropped"),
+      (Seq((1L, "2025-05-01 09:00:00", "view"),
+        (1L, "2025-05-01 09:30:00", "purchase")), "never signed up: no stages"))
+    cases.foreach { case (evts, label) =>
+      val df = evts.map { case (u, t, s) => (u, ts(t), s) }.toDF("user_id", "ts", "step")
+      val batch = Funnel.stageTimes(df, "user_id", "ts", "step", steps,
+          withinSeconds = Some(3600L))
+        .orderBy("step").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getTimestamp(3).getTime)).toSeq
+      val machine = FunnelStream.replay(
+          evts.map { case (_, t, s) => (ts(t).getTime, s) }.sortBy(identity),
+          steps, withinMs = Some(3600L * 1000))
+        .map { case (i, s, t) => (i.toLong, s, t) }
+      assert(machine === batch, s"case: $label")
+    }
+  }
+
+  test("streaming funnel emits the same stage rows as batch, across out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      FunnelStream.Event(1L, ts("2025-05-01 10:05:00"), "view"),     // arrives first,
+      FunnelStream.Event(2L, ts("2025-05-01 10:00:00"), "signup"),
+      FunnelStream.Event(2L, ts("2025-05-01 10:02:00"), "view"))
+    val batch2 = Seq(
+      FunnelStream.Event(1L, ts("2025-05-01 10:01:00"), "signup"),   // ...but ts-earlier
+      FunnelStream.Event(1L, ts("2025-05-01 10:30:00"), "purchase"),
+      FunnelStream.Event(2L, ts("2025-05-01 10:20:00"), "purchase"))
+    val all = batch1 ++ batch2
+
+    val mem = MemoryStream[FunnelStream.Event]
+    val q = FunnelStream.stageTimesStream(mem.toDS(), steps,
+        withinSeconds = Some(3600L), lateness = "30 minutes",
+        quiesceSeconds = 600L)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // advance the watermark past every key's quiesce horizon
+      mem.addData(FunnelStream.Event(99L, ts("2025-05-02 12:00:00"), "signup"))
+      q.processAllAvailable()
+      mem.addData(FunnelStream.Event(99L, ts("2025-05-03 12:00:00"), "signup"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("funnel_stream")
+        .filter(col("user_id") < 99)
+        .select("user_id", "step", "stage", "step_ts")
+        .orderBy("user_id", "step").collect().map(_.toSeq)
+      val batch = Funnel.stageTimes(
+          all.map(e => (e.user_id, e.ts, e.step)).toDF("user_id", "ts", "step"),
+          "user_id", "ts", "step", steps, withinSeconds = Some(3600L))
+        .select(col("user_id"), col("step"), col("stage"), col("step_ts"))
+        .orderBy("user_id", "step").collect().map(_.toSeq)
+      assert(batch.nonEmpty, "fixture must convert at least one key")
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+}
