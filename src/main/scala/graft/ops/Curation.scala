@@ -531,4 +531,65 @@ object Curation {
             / (col("__n_toks") - (n - 1)))
         .otherwise(lit(0.0)))
       .drop("__n_toks", "__n_distinct")
+
+  /** Bigram language-model quality score — the CCNet/Gopher-family
+    * "LM perplexity" filter (Wenzek et al. 2020 score with a trained
+    * LM; here the LM is an add-α-smoothed bigram model trained ON the
+    * corpus itself, so the operator is self-contained and
+    * engine-portable). For each doc in `score`:
+    *
+    *   avg_logp = (1/N) Σᵢ ln P(wᵢ | wᵢ₋₁)
+    *   P(w₂|w₁) = (c(w₁,w₂) + α) / (c(w₁,·) + α·V)
+    *
+    * with counts from `train`'s bigrams and V = |distinct second
+    * tokens| in training. Low avg_logp = text the corpus LM finds
+    * improbable (gibberish, boilerplate soup, wrong language) — the
+    * standard perplexity cut-off signal. Docs with fewer than 2 tokens
+    * have no bigrams and are absent from the output (same explode
+    * semantics in the DuckDB oracle). Training and scoring sets may differ
+    * (hold-out split) or coincide (self-scoring); unseen contexts
+    * degrade to the smoothed floor α/(α·V) = 1/V, never a log of zero.
+    *
+    * Scale shapes: tokens explode to (w₁, w₂) pairs — WORD-sized
+    * shuffle rows with map-side partial counting, the vocabulary
+    * aggregation posture of q_vocab_topk, never document text. The
+    * model frames are vocab-bounded (pair counts ≤ V², context counts
+    * ≤ V); scoring joins them by hash on the word keys — bigram vocab
+    * at web scale (~10⁸ rows) exceeds broadcast, so the shuffle join
+    * is the honest default and AQE broadcasts when a small corpus
+    * makes the model tiny. V rides a 1-row broadcast cross join (the
+    * bounded-scalar posture). The per-doc double sum is rounded to
+    * 1e-9 (same contract as BM25 — float addition order across
+    * partitions is not associative; the ~1e-13 worst-case wobble on
+    * hundreds of terms sits far inside the rounding). */
+  def bigramLmScore(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
+    def bigrams(df: DataFrame, cols: Column*): DataFrame = {
+      val t = graft.expr.Text.tokens(lower(col(textCol)))
+      df.select(cols :+
+        explode(when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1),
+              i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("__b"): _*)
+        .select(cols :+ col("__b.w1") :+ col("__b.w2"): _*)
+    }
+    val tb = bigrams(train)
+    val pairCounts = tb.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val ctxCounts = tb.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = tb.agg(countDistinct(col("w2")).as("__v"))
+
+    bigrams(score, col(idCol))
+      .join(pairCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("__c12"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(alpha) * col("__v"))).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp")) / count(lit(1)), 9).as("avg_logp"))
+  }
 }

@@ -107,4 +107,67 @@ object TextIndex {
     scored.select(col("doc_id"), col("matched_terms"), col("matched_tf"),
       col("score"))
   }
+
+  /** Ad-hoc BM25 scoring (no persisted index): tokenize `docs` and
+    * score `qTerms` with the exact formula/fold of [[probeBm25Index]].
+    * One tokenization pass over the corpus; use the persisted index
+    * when the same corpus serves many query batches. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 qTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(qTerms.nonEmpty, "empty query")
+    val t = termRows(docs, idCol, textCol)
+    val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = t.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("term"), col("part"))).as("parts"),
+        count(lit(1)).as("matched_terms"), sum(col("tf")).as("matched_tf"))
+      .withColumn("score",
+        aggregate(array_sort(col("parts")), lit(0.0),
+          (acc, x) => acc + x.getField("part")))
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine heterogeneous retrieval lists (sparse BM25 + dense ANN,
+    * multiple probes, prior rankings) without score calibration:
+    *
+    *   rrf(doc) = Σ over lists containing doc of 1 / (kRrf + rank)
+    *
+    * Each input frame carries (`idCol`, `rank`), rank 1-based. A doc
+    * missing from a list simply contributes nothing (the full-outer
+    * semantics retrieval fusion wants). Contributions are folded in
+    * FIXED list order (each input tagged with its position, parts
+    * sorted before summing), so the double arithmetic is
+    * associativity-deterministic across engines — the same contract as
+    * the BM25 fold; the result is rounded to 1e-9. Scale: each list is
+    * already a top-k frame (tiny); the fusion is a union + one
+    * word-sized groupBy — nothing touches the corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings.zipWithIndex
+      .map { case (df, i) =>
+        df.select(col(idCol), lit(i).as("__src"),
+          (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("__contrib")) }
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        round(aggregate(
+            array_sort(collect_list(struct(col("__src"), col("__contrib")))),
+            lit(0.0), (acc, x) => acc + x.getField("__contrib")), 9)
+          .as("rrf_score"))
+  }
 }

@@ -195,6 +195,17 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM quality score (the CCNet/Gopher perplexity-filter
+    // family): add-0.1-smoothed bigram model trained on the 80% split,
+    // scoring the held-out 20% — unseen contexts exercise the smoothed
+    // floor. Word-pair-sized shuffles only; text never moves.
+    "q_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.bigramLmScore(d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), "doc_id", "text", alpha = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // END-TO-END curation chain — the full shard-prep pipeline a
     // training run consumes, composed from the individually-oracled
     // operators: (1) near-dup keep-list (MinHash-LSH pairs → connected
@@ -476,6 +487,32 @@ object CurationQueries {
     // whenever the rank position is fractional, so a last-ulp
     // interpolation difference between engines cannot flip membership
     // unless two adjacent scores are within one ulp
+    "q_lm_score" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM documents),
+           |tb AS (
+           |  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+           |  FROM toks, unnest(CASE WHEN len(t) >= 2
+           |    THEN generate_series(1, len(t) - 1) ELSE [] END) AS u(i)),
+           |trn AS (SELECT * FROM tb WHERE doc_id % 5 <> 0),
+           |pc AS (SELECT w1, w2, count(*) AS c12 FROM trn GROUP BY 1, 2),
+           |cc AS (SELECT w1, count(*) AS c1 FROM trn GROUP BY 1),
+           |v AS (SELECT count(DISTINCT w2) AS v FROM trn),
+           |sc AS (
+           |  SELECT b.doc_id,
+           |    ln((coalesce(pc.c12, 0) + 0.1) / (coalesce(cc.c1, 0) + 0.1 * v.v)) AS lp
+           |  FROM tb b
+           |  LEFT JOIN pc ON b.w1 = pc.w1 AND b.w2 = pc.w2
+           |  LEFT JOIN cc ON b.w1 = cc.w1
+           |  CROSS JOIN v
+           |  WHERE b.doc_id % 5 = 0)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(sum(lp) / count(*), 9) AS avg_logp
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_adaptive_quality" ->
       raw"""WITH qc AS (
            |  SELECT doc_id, source,

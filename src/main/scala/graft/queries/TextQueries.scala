@@ -298,6 +298,36 @@ object TextQueries {
           col("matched_tf"), col("score_r9"))
     }),
 
+    // HYBRID retrieval — sparse BM25 + dense cosine fused by
+    // reciprocal-rank fusion (TextIndex.rrfFuse; Cormack et al. 2009):
+    // the production RAG retrieval shape. Both lists are top-20
+    // (TakeOrderedAndProject — distributed partial top-k; the
+    // row_number window runs over the 20 surviving rows, not the
+    // corpus), fused on the shared id space (doc_id == vec_id on the
+    // fixtures), top-10 by fused score. Docs found by only one
+    // retriever fuse with one contribution — the full-outer semantics
+    // rank fusion exists for.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      def ranked(top: DataFrame, ord: Seq[org.apache.spark.sql.Column]) =
+        top.withColumn("rank",
+          row_number().over(w.orderBy(ord: _*)).cast("long"))
+      val sparse = ranked(
+        TextIndex.bm25Scores(docs(s, dir), "doc_id", "text",
+            Seq("hash", "join", "stream"))
+          .withColumn("score_r9", round(col("score"), 9))
+          .orderBy(col("score_r9").desc, col("doc_id")).limit(20),
+        Seq(col("score_r9").desc, col("doc_id")))
+        .select(col("doc_id"), col("rank"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dense = graft.ops.Ann.bruteTopK(e.filter(col("id") === 0), e, k = 20)
+        .select(col("nid").as("doc_id"), col("rank").cast("long").as("rank"))
+      TextIndex.rrfFuse(Seq(sparse, dense), "doc_id")
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_lists"), col("rrf_score"))
+    }),
+
     // SimHash fingerprints (xxhash64-based — no DuckDB equivalent, driver
     // records rows-only; Hamming-distance behavior is unit-tested).
     "q_simhash" -> ((s, dir) => {
@@ -697,6 +727,68 @@ object TextQueries {
            |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
            |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
            |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin,
+
+    // hybrid RRF: the BM25 CTEs of q_bm25 (top-20) + the exact-cosine
+    // CTEs of q_cosine_topk pinned to query vector 0 (top-20), fused
+    // with 1/(60+rank) contributions. Two contributions per doc at
+    // most — IEEE double addition of two terms is order-exact, so no
+    // fixed-order scaffolding is needed on the SQL side.
+    "q_hybrid_rrf" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |           t -> len(t) > 0)) AS term
+           |  FROM documents),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+           |tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+           |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+           |parts AS (
+           |  SELECT t.doc_id, t.term,
+           |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
+           |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+           |  CROSS JOIN stats s),
+           |bm AS (
+           |  SELECT doc_id,
+           |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
+           |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
+           |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score
+           |  FROM parts GROUP BY doc_id),
+           |sparse AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank
+           |  FROM bm QUALIFY rank <= 20),
+           |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+           |sims AS (
+           |  SELECT c.vec_id AS doc_id,
+           |    CASE WHEN sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+           |           i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))) > 0
+           |      AND sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+           |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) > 0
+           |    THEN list_sum(list_transform(range(1, len(q.v) + 1),
+           |           i -> CAST(q.v[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+           |           i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+           |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+           |    END AS sim
+           |  FROM embeddings c CROSS JOIN qv q WHERE c.vec_id <> 0),
+           |dense AS (
+           |  SELECT doc_id,
+           |    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+           |  FROM sims QUALIFY rank <= 20),
+           |fused AS (
+           |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           |    CAST((CASE WHEN s.rank IS NULL THEN 0 ELSE 1 END)
+           |      + (CASE WHEN d.rank IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists,
+           |    round(coalesce(CAST(1 AS DOUBLE) / (60 + s.rank), 0)
+           |      + coalesce(CAST(1 AS DOUBLE) / (60 + d.rank), 0), 9) AS rrf_score
+           |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+           |SELECT doc_id, n_lists, rrf_score FROM fused
+           |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
 
     // q_simhash / q_simhash_pairs: no oracle (xxhash64 has no DuckDB
     // equivalent) — rows-only; semantics covered by DedupSpec. The

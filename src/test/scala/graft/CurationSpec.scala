@@ -330,6 +330,26 @@ class CurationSpec extends SparkSpec {
       s"approx ${approx.size} vs exact ${exact.size}")
   }
 
+  test("bigramLmScore: hand-computed probabilities, smoothing floor, absent singletons") {
+    // train "a b a c": pairs (a,b),(b,a),(a,c); contexts a=2,b=1; V=3
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b d"),   // (a,b) seen; (b,d) unseen pair, seen context
+      (11L, "z q"),     // unseen context -> smoothed floor 1/V
+      (12L, "x")        // no bigrams -> absent from output
+    ).toDF("doc_id", "text")
+    val got = Curation.bigramLmScore(train, score, "doc_id", "text", alpha = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expB = (math.log((1 + 0.5) / (2 + 0.5 * 3)) +
+      math.log((0 + 0.5) / (1 + 0.5 * 3))) / 2
+    val expC = math.log((0 + 0.5) / (0 + 0.5 * 3)) // = ln(1/V)
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((10L, 2L), (11L, 1L)))
+    assert(math.abs(got(0)._3 - expB) < 1e-9, s"${got(0)._3} vs $expB")
+    assert(math.abs(got(1)._3 - expC) < 1e-9, s"${got(1)._3} vs $expC")
+    assert(math.abs(expC - math.log(1.0 / 3)) < 1e-12, "floor must equal 1/V")
+  }
+
   test("adaptiveQualityFilter: DEFAULT is the memory-bounded sketch path") {
     // the scale-safety contract: a caller who doesn't touch the dial
     // must get percentile_approx (bounded buffer per group), never the

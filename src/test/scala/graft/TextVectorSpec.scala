@@ -487,4 +487,33 @@ class TextVectorSpec extends SparkSpec {
       org.apache.spark.sql.types.FloatType)
     assert(trained.count() === 3)
   }
+
+  test("rrfFuse: hand-computed contributions; one-list docs fuse with one term") {
+    import spark.implicits._
+    val l0 = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val l1 = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val got = graft.ops.TextIndex.rrfFuse(Seq(l0, l1), "doc_id", kRrf = 60)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      (1L, 1L, r9(1.0 / 61)),
+      (2L, 2L, r9(1.0 / 62 + 1.0 / 61)),
+      (3L, 1L, r9(1.0 / 62))))
+  }
+
+  test("bm25Scores (ad-hoc) == probeBm25Index (persisted) on the fixture corpus") {
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val terms = Seq("hash", "join", "stream")
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-adhoc").toString
+    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", path, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        round(col("score"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(graft.ops.TextIndex.bm25Scores(d, "doc_id", "text", terms))
+      === rows(graft.ops.TextIndex.probeBm25Index(spark, path, terms)))
+  }
 }
