@@ -65,6 +65,73 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental ingest for a [[writeBm25Index]] layout — the
+    * daily-arrivals posture of [[Ann.appendToIvfIndex]] for the text
+    * index: the CORPUS is never re-tokenized; only the batch is.
+    *
+    *  - `postings/`: batch (doc_id, term, tf) rows APPEND as new files
+    *    into their term-hash buckets — existing files untouched;
+    *  - `terms/`: document frequencies are ADDITIVE across disjoint doc
+    *    sets (callers own id-uniqueness across appends, the same
+    *    contract as the IVF append), so the batch's per-term doc counts
+    *    merge into the stored df table with one sum; only the buckets
+    *    the batch touches are rewritten (dynamic partition overwrite —
+    *    term frames are vocab-bounded, tiny next to postings);
+    *  - `doclen/`: batch doc lengths append;
+    *  - `stats/`: recomputed from the post-append doclen table (one
+    *    narrow columnar scan — n_docs rows of (id, long)).
+    *
+    * An appended index answers probes identically to a from-scratch
+    * rebuild over corpus ∪ batch up to double-addition order in `avgdl`
+    * (scores compare equal at the 1e-9 contract boundary every ranked
+    * query already rounds to) — spec-asserted in TextVectorSpec, and
+    * driver-visible via q_bm25_append (appended-index probe vs the
+    * oracle's full-corpus ad-hoc BM25). */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).first().getInt(0)
+    // one tokenization pass over the BATCH; materialized once — the
+    // postings write, the df merge, and the doclen append all read it
+    val batch = Reliable.checkpoint(
+      termRows(docs, idCol, textCol)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))))
+    batch.repartition(col("tb"))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+
+    // df merge: old + batch counts, only the touched buckets rewritten.
+    // Touched bucket ids collect to the driver (<= nBuckets ints — the
+    // bounded-scalar posture) and push as a LITERAL partition filter on
+    // the stored terms table, so the merge reads only those buckets.
+    val batchDf = batch.groupBy(col("term"), col("tb"))
+      .agg(count(lit(1)).as("df"))
+    val touched = batchDf.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val merged = spark.read.parquet(s"$path/terms")
+      .filter(col("tb").isin(touched: _*))
+      .select(col("term"), col("df"), col("tb"))
+      .unionByName(batchDf.select(col("term"), col("df"), col("tb")))
+      .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df"))
+      .transform(Reliable.checkpoint) // materialize BEFORE overwriting its input
+    Scale.withDynamicOverwrite(spark) {
+      merged.select(col("term"), col("df"), col("tb"))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+    }
+
+    batch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+    // stats recompute reads doclen/ and overwrites stats/ — disjoint
+    // dirs, so no pre-materialization is needed (and doclen is
+    // corpus-sized: never checkpoint it)
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25-score `qTerms` against the stored index: returns
     * (doc_id, matched_terms, matched_tf, score) for every doc matching
     * at least one term — identical numbers to the ad-hoc computation on

@@ -298,6 +298,31 @@ object TextQueries {
           col("matched_tf"), col("score_r9"))
     }),
 
+    // INCREMENTAL text-index ingest (the daily-arrivals posture,
+    // mirroring q_ann_ivf_append for the lexical index): build the
+    // inverted index over the 80% corpus, APPEND the 20% batch
+    // (postings append into term buckets, df counts merge additively,
+    // stats recompute from doclen — the corpus is never re-tokenized),
+    // then probe. The oracle computes ad-hoc BM25 over the FULL corpus:
+    // the appended index must reproduce it exactly at the 1e-9 contract.
+    "q_bm25_append" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft-bm25-app", dir)
+      val d = docs(s, dir)
+      TextIndex.writeBm25Index(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", base, nBuckets = 16)
+      TextIndex.appendToBm25Index(d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", base)
+      TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream"))
+        .withColumn("score_r9", round(col("score"), 9))
+        .orderBy(col("score_r9").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_r9").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("matched_terms"),
+          col("matched_tf"), col("score_r9"))
+    }),
+
     // HYBRID retrieval — sparse BM25 + dense cosine fused by
     // reciprocal-rank fusion (TextIndex.rrfFuse; Cormack et al. 2009):
     // the production RAG retrieval shape. Both lists are top-20
@@ -388,6 +413,39 @@ object TextQueries {
   private[queries] val sig12 =
     raw"""list_transform(range(0, 12), seed ->
          |  list_min(list_transform(__sh, s -> md5(CAST(seed AS VARCHAR) || ':' || s))))""".stripMargin
+
+  /** Full-corpus ad-hoc BM25 top-10 — the shared oracle for every
+    * index-served path (q_bm25_index, q_bm25_append): identical math
+    * to q_bm25's oracle, ranked at the 1e-9 rounding contract. */
+  private val bm25FullCorpusOracle: String =
+    raw"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         |           t -> len(t) > 0)) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |parts AS (
+         |  SELECT t.doc_id, t.term, t.tf,
+         |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
+         |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+         |  CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT doc_id,
+         |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
+         |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
+         |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score,
+         |    COUNT(*) AS matched_terms,
+         |    CAST(SUM(tf) AS BIGINT) AS matched_tf
+         |  FROM parts GROUP BY doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
+         |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -698,35 +756,11 @@ object TextQueries {
     // identical computation to q_bm25 — the INDEXED path must reproduce
     // the ad-hoc numbers bit-for-bit (rounded to 1e-9 at the contract
     // boundary like q_bm25)
-    "q_bm25_index" ->
-      raw"""WITH toks AS (
-           |  SELECT doc_id,
-           |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-           |           t -> len(t) > 0)) AS term
-           |  FROM documents),
-           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-           |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-           |tf AS (
-           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-           |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
-           |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-           |parts AS (
-           |  SELECT t.doc_id, t.term, t.tf,
-           |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
-           |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
-           |  CROSS JOIN stats s),
-           |scored AS (
-           |  SELECT doc_id,
-           |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
-           |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
-           |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score,
-           |    COUNT(*) AS matched_terms,
-           |    CAST(SUM(tf) AS BIGINT) AS matched_tf
-           |  FROM parts GROUP BY doc_id)
-           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
-           |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
-           |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin,
+    "q_bm25_index" -> bm25FullCorpusOracle,
+
+    // identical oracle again: an APPENDED index must answer exactly
+    // like the full-corpus computation — the whole point of the op
+    "q_bm25_append" -> bm25FullCorpusOracle,
 
     // hybrid RRF: the BM25 CTEs of q_bm25 (top-20) + the exact-cosine
     // CTEs of q_cosine_topk pinned to query vector 0 (top-20), fused

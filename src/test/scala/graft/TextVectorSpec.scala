@@ -503,6 +503,60 @@ class TextVectorSpec extends SparkSpec {
       (3L, 1L, r9(1.0 / 62))))
   }
 
+  test("BM25 index append: probes == full rebuild; untouched buckets keep their files") {
+    import spark.implicits._
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val terms = Seq("hash", "join", "stream")
+    val pApp = java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
+    val pFull = java.nio.file.Files.createTempDirectory("graft-bm25-appf").toString
+    graft.ops.TextIndex.writeBm25Index(d.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", pApp, nBuckets = 16)
+    graft.ops.TextIndex.appendToBm25Index(d.filter($"doc_id" % 5 === 0),
+      "doc_id", "text", pApp)
+    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", pFull, nBuckets = 16)
+    def probeRows(p: String) = graft.ops.TextIndex.probeBm25Index(spark, p, terms)
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        round(col("score"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // scores equal at the 1e-9 contract every ranked consumer rounds to
+    // (avgdl is a double avg — addition order may differ in the last ulp)
+    assert(probeRows(pApp) === probeRows(pFull))
+
+    // untouched-bucket pinning needs a batch with a KNOWN tiny term
+    // footprint — hand corpus: the batch term maps to one bucket
+    val p2 = java.nio.file.Files.createTempDirectory("graft-bm25-pin").toString
+    val train = Seq((1L, "beta beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    graft.ops.TextIndex.writeBm25Index(train, "doc_id", "text", p2, nBuckets = 16)
+    def fileSets(sub: String): Map[String, Set[String]] =
+      new java.io.File(s"$p2/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+        .map(dd => dd.getName ->
+          dd.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val (postBefore, termsBefore) = (fileSets("postings"), fileSets("terms"))
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "zeta")).toDF("doc_id", "text"), "doc_id", "text", p2)
+    val zetaTb = "tb=" + spark.range(1)
+      .select(pmod(hash(lit("zeta")), lit(16))).first().getInt(0)
+    val (postAfter, termsAfter) = (fileSets("postings"), fileSets("terms"))
+    postBefore.foreach { case (tb, files) =>
+      if (tb == zetaTb)
+        assert(files.subsetOf(postAfter(tb)) && postAfter(tb) != files,
+          s"touched $tb should gain posting files and keep its old ones")
+      else assert(postAfter(tb) === files, s"untouched postings $tb was rewritten")
+    }
+    termsBefore.foreach { case (tb, files) =>
+      if (tb != zetaTb)
+        assert(termsAfter(tb) === files, s"untouched terms $tb was rewritten")
+    }
+    // df additivity: every stored term's df equals its true doc count
+    val dfs = spark.read.parquet(s"$p2/terms")
+      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs === Map("beta" -> 1L, "gamma" -> 1L, "delta" -> 1L,
+      "epsilon" -> 1L, "zeta" -> 1L))
+  }
+
   test("bm25Scores (ad-hoc) == probeBm25Index (persisted) on the fixture corpus") {
     val d = schema.Tables.load(spark, sfDir, "documents")
     val terms = Seq("hash", "join", "stream")
