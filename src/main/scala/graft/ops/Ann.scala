@@ -34,6 +34,39 @@ object Ann {
     rank(broadcast(q).join(c, col("qid") =!= col("nid")), k)
   }
 
+  /** Hard-negative mining for retrieval training (the DPR/ANCE data
+    * recipe, public: Karpukhin et al. 2020, Xiong et al. 2021): for
+    * each query, the top-`k` nearest corpus vectors that are NOT the
+    * query's labeled positives — the near-misses a dual encoder learns
+    * the most from. `positives` is (qid, pos_id); `posPerQueryBound`
+    * must bound positives per query (the retrieval depth is
+    * k + posPerQueryBound so dropping every positive still leaves k
+    * candidates — over-bounding only deepens the shortlist, never
+    * changes the answer). Emits (qid, neg_rank, nid, sim), neg_rank
+    * 1-based by exact cosine (sim desc, nid tie-break).
+    *
+    * Scale shape: one [[bruteTopK]] retrieval (query batch broadcast,
+    * corpus streamed, bounded argmax-k through the shuffle), an anti
+    * join against the positive pairs on (qid, nid), and a re-rank
+    * window over the k+bound survivors PER QUERY — never the corpus.
+    * Swap the retrieval stage for [[probeIvfIndex]] output at index-
+    * served scale; the anti-join + re-rank are retrieval-size either
+    * way. */
+  def hardNegatives(queries: DataFrame, positives: DataFrame,
+                    corpus: DataFrame, k: Int,
+                    posPerQueryBound: Int = 8): DataFrame = {
+    require(k > 0 && posPerQueryBound >= 0, "bad k / positive bound")
+    val cand = bruteTopK(queries, corpus, k + posPerQueryBound)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rank"))
+    cand
+      .join(positives.select(col("qid"), col("pos_id").as("nid")),
+        Seq("qid", "nid"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid"), col("neg_rank"), col("nid"), col("sim"))
+  }
+
   /** Multi-table LSH top-k. Queries broadcast (guarded). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 4, nTables: Int = 12,

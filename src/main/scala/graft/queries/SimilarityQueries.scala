@@ -49,6 +49,22 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Hard-negative mining (the DPR/ANCE retrieval-training recipe):
+    // each query's labeled positive is its TRUE nearest neighbor (the
+    // realistic setup — the positive is the best match), and the mined
+    // negatives are the top-10 nearest that are NOT it, i.e. the
+    // near-misses ranks 2-11 re-ranked 1-10. The anti join bites for
+    // every query at every SF. One brute retrieval + anti join + a
+    // per-query re-rank window over the shortlist.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.filter(col("id") < 8)
+      val pos = Ann.bruteTopK(qs, e, k = 1)
+        .select(col("qid"), col("nid").as("pos_id"))
+      Ann.hardNegatives(qs, pos, e, k = 10)
+        .orderBy(col("qid"), col("neg_rank"))
+    }),
+
     // Multi-table LSH ANN (the shuffle-light scale path): 12 tables ×
     // 4-bit hyperplane buckets, union of same-bucket candidates, cosine
     // top-5 — xxhash64-based planes have no DuckDB equivalent, so the
@@ -378,6 +394,25 @@ object SimilarityQueries {
          |  FROM sims)
          |SELECT qid, rank, nid, sim FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+
+    // same sims/rank CTEs; drop each query's rank-1 (its labeled
+    // positive) and re-rank the survivors — ranks 2-11 become 1-10
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT qid, nid,
+         |    CASE WHEN sqrt(${dot("qv", "qv")}) > 0 AND sqrt(${dot("nv", "nv")}) > 0
+         |      THEN ${dot("qv", "nv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("nv", "nv")}))
+         |    END AS sim
+         |  FROM q JOIN c ON qid <> nid),
+         |ranked AS (
+         |  SELECT qid, nid, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT qid, CAST(rank - 1 AS BIGINT) AS neg_rank, nid, sim
+         |FROM ranked WHERE rank BETWEEN 2 AND 11
+         |ORDER BY qid, neg_rank""".stripMargin,
 
     // q_ann_lsh / q_ann_ivf: no oracle (xxhash64 hyperplanes /
     // engine-internal list assignment) — rows-only, recall spec-tested.

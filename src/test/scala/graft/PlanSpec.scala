@@ -147,6 +147,35 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join in a filter-in-place quality cut\n" + p)
   }
 
+  test("q_lm_score: word-pair aggregations partial map-side; no cartesian corpus join") {
+    val p = plan("q_lm_score")
+    // pair/context counting must partial-aggregate before the shuffle
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the 1-row V scalar broadcast
+    assert(!p.contains("SortMergeJoin") || p.contains("partial_count"),
+      "unexpected plan shape\n" + p)
+  }
+
+  test("q_hybrid_rrf: both retrieval lists are distributed partial top-k, fusion never sees the corpus") {
+    val p = plan("q_hybrid_rrf")
+    // sparse side: TakeOrderedAndProject (distributed top-k), not a
+    // global sort of the scored corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // dense side: the bounded argmax-k aggregate kernel
+    assert(p.contains("graft_top_k") || p.contains("TopK"),
+      "bounded top-k aggregate expected on the dense side\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_hard_negatives: anti join on the shortlist; bounded top-k through the shuffle") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("LeftAnti"), "positive drop must be an anti join\n" + p)
+    assert(p.contains("graft_top_k") || p.contains("TopK"),
+      "bounded argmax-k expected in the retrieval stage\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_incr_dedup: batch bands broadcast against the corpus index") {
     val p = plan("q_incr_dedup")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -488,6 +488,21 @@ class TextVectorSpec extends SparkSpec {
     assert(trained.count() === 3)
   }
 
+  test("hardNegatives: positives dropped, survivors re-ranked from 1, self excluded") {
+    import spark.implicits._
+    // 2-dim vectors on a fan: sim to q=(1,0) strictly decreases in id
+    def v(i: Int): Array[Float] = Array(1.0f, i * 0.1f)
+    val corpus = (0 to 6).map(i => (i.toLong, v(i))).toDF("id", "vec")
+    val qs = corpus.filter($"id" === 0L)
+    // positives: the truest match (id 1) and a mid-rank one (id 3)
+    val pos = Seq((0L, 1L), (0L, 3L)).toDF("qid", "pos_id")
+    val got = graft.ops.Ann.hardNegatives(qs, pos, corpus, k = 2,
+        posPerQueryBound = 2)
+      .orderBy("neg_rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // true order by sim: 1,2,3,4,5,6; drop positives {1,3} -> 2,4
+    assert(got.toSeq === Seq((1L, 2L), (2L, 4L)))
+  }
+
   test("rrfFuse: hand-computed contributions; one-list docs fuse with one term") {
     import spark.implicits._
     val l0 = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
