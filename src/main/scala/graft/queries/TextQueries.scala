@@ -103,14 +103,20 @@ object TextQueries {
 
     // MinHash signature head (k=4 of the 12-hash signature): oracle-exact
     // because both engines agree on md5 hex and lexicographic min.
+    // The signature is ALIASED through a sub-select so the kernel runs
+    // once per row — four inline element_at(sig, i) references would
+    // each re-evaluate the whole shingle+hash chain (CollapseProject
+    // keeps a multi-referenced non-cheap alias in its own projection).
     "q_minhash_sig" -> ((s, dir) => {
-      val sig = Dedup.minhashSignature(col("text"), 3, 4)
-      docs(s, dir).select(
-        col("doc_id"),
-        element_at(sig, 1).as("mh0"),
-        element_at(sig, 2).as("mh1"),
-        element_at(sig, 3).as("mh2"),
-        element_at(sig, 4).as("mh3"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), 3, 4).as("__sig"))
+        .select(
+          col("doc_id"),
+          element_at(col("__sig"), 1).as("mh0"),
+          element_at(col("__sig"), 2).as("mh1"),
+          element_at(col("__sig"), 3).as("mh2"),
+          element_at(col("__sig"), 4).as("mh3"))
         .orderBy(col("doc_id"))
     }),
 
