@@ -118,6 +118,84 @@ object Multimodal {
     final case class Decoded(width: Int, height: Int, sumR: Long, sumG: Long,
                              sumB: Long, pixelDigest: Long)
 
+    /** Patterned grayscale PNG (the near-dup fixture generator): gray
+      * at (x, y) = base + pattern(seed, x, y) with the pattern bounded
+      * so no pixel clamps — a pure BRIGHTNESS SHIFT between two images
+      * of the same seed, which [[dHash]] is invariant to by
+      * construction (it fingerprints gradient signs, not levels). */
+    def encodePatternPng(width: Int, height: Int, seed: Int, base: Int): Array[Byte] = {
+      require(base >= 0 && base <= 120, s"base must stay clamp-free, got $base")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = base + ((x * (seed * 2 + 3) + y * (seed % 7 + 1) + (x * y) % 5) % 97)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Perceptual difference-hash (public dHash algorithm): integer
+      * box-average the decoded image onto a 9x8 grayscale grid, then
+      * one bit per adjacent horizontal pair (left > right) — 64 bits.
+      * Pure integer arithmetic (luma = (299r + 587g + 114b)/1000,
+      * cell = mean over its pixel block), so the fingerprint is
+      * engine- and platform-deterministic — no AWT rescaler involved.
+      * Invariant to uniform brightness shifts; near-duplicate images
+      * land within small Hamming distance, so the SimHash banding
+      * machinery (Dedup.simhashPairs posture) applies unchanged to
+      * image near-dup. None for null/corrupt payloads or images
+      * smaller than the 9x8 grid. */
+    def dHash(bytes: Array[Byte]): Option[Long] = {
+      if (bytes == null) return None
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      img.flatMap { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        if (w < 9 || h < 8) None
+        else {
+          val cells = Array.ofDim[Long](8, 9)
+          val counts = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(y * 8 / h, 7)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(x * 9 / w, 8)
+              val p = im.getRGB(x, y)
+              val luma = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                (p & 0xff) * 114) / 1000
+              cells(cy)(cx) += luma
+              counts(cy)(cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val left = cells(cy)(cx) / counts(cy)(cx)
+              val right = cells(cy)(cx + 1) / counts(cy)(cx + 1)
+              if (left > right) hash |= 1L << (cy * 8 + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          Some(hash)
+        }
+      }
+    }
+
     /** Decode PNG/JPEG/GIF/BMP bytes. None for null, corrupt, or
       * unsupported payloads — a bad asset degrades to null facts
       * instead of killing a 100 TB scan. */
@@ -165,6 +243,45 @@ object Multimodal {
       rows.map { r =>
         val bytes = ImageCodec.encodePng(r.getInt(wi), r.getInt(hi), r.getInt(ci))
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Patterned-PNG encode at the mapPartitions codec boundary
+    * (fixture generator for the perceptual-hash surface):
+    * (widthCol, heightCol, seedCol, baseCol) ints → `payload` bytes. */
+  def encodePatternPng(df: DataFrame, widthCol: String, heightCol: String,
+                       seedCol: String, baseCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val (wi, hi, si, bi) = (df.schema.fieldIndex(widthCol),
+      df.schema.fieldIndex(heightCol), df.schema.fieldIndex(seedCol),
+      df.schema.fieldIndex(baseCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = ImageCodec.encodePatternPng(
+          r.getInt(wi), r.getInt(hi), r.getInt(si), r.getInt(bi))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Perceptual fingerprints at the mapPartitions codec boundary:
+    * appends a `dhash` long ([[ImageCodec.dHash]]; null for
+    * null/corrupt/too-small payloads). Payloads are consumed where
+    * they sit — the downstream near-dup machinery (exact groupBy for
+    * duplicates, SimHash-style banding for near-misses) shuffles the
+    * 8-byte fingerprint, never the image. */
+  def dhashImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("dhash", LongType, nullable = true))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val h = ImageCodec.dHash(bytes).map(java.lang.Long.valueOf).orNull
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ h)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -77,6 +77,32 @@ object MultimodalQueries {
           col("decoded").isNotNull.as("ok"))
         .orderBy(col("asset_id"))
     }),
+
+    // IMAGE near-dup via perceptual hashing (dHash): 25 deterministic
+    // gradient patterns, each rendered at a per-doc brightness shift.
+    // dHash fingerprints gradient SIGNS, so all brightness variants of
+    // a pattern collapse to ONE 64-bit fingerprint (the perceptual-dup
+    // property) while distinct patterns stay distinct — asserted as
+    // driver-visible booleans (the fingerprint values themselves are
+    // engine-internal, same posture as the ANN recall twins). The
+    // near-dup machinery downstream of the fingerprint is the exact/
+    // banded dedup family — 8-byte shuffles, never image bytes.
+    "q_media_phash" -> ((s, dir) => {
+      val spec = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        lit(24).as("w"), lit(16).as("h"),
+        (col("doc_id") % 25).cast("int").as("seed"),
+        ((col("doc_id") * 7) % 60).cast("int").as("base"))
+      Multimodal.dhashImages(
+          Multimodal.encodePatternPng(spec, "w", "h", "seed", "base"))
+        .agg(
+          countDistinct(col("dhash")).as("n_fingerprints"),
+          (countDistinct(col("seed"), col("dhash"))
+            === countDistinct(col("seed"))).as("brightness_invariant"),
+          (countDistinct(col("seed")) === countDistinct(col("dhash")))
+            .as("seeds_bijective"),
+          (sum(when(col("dhash").isNull, 1).otherwise(0)) === 0).as("all_decoded"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -120,5 +146,14 @@ object MultimodalQueries {
         |UNION ALL
         |SELECT -1, NULL, NULL, NULL, NULL, NULL, FALSE
         |ORDER BY asset_id""".stripMargin,
+
+    // dHash fingerprints are engine-internal; the oracle states the
+    // perceptual contract (25 patterns -> 25 fingerprints, brightness
+    // shifts collapse, no decode failures) and Spark computes the
+    // real verdict — the recall-twin posture
+    "q_media_phash" ->
+      """SELECT CAST(25 AS BIGINT) AS n_fingerprints,
+        |  TRUE AS brightness_invariant, TRUE AS seeds_bijective,
+        |  TRUE AS all_decoded""".stripMargin,
   )
 }

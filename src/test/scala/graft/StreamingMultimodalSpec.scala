@@ -351,6 +351,24 @@ class StreamingMultimodalSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L, 100L, 102L))
   }
 
+  test("multimodal: dHash brightness-invariant, pattern-sensitive, degrades safely") {
+    import graft.multimodal.Multimodal.ImageCodec
+    val a = ImageCodec.dHash(ImageCodec.encodePatternPng(24, 16, seed = 5, base = 10))
+    val b = ImageCodec.dHash(ImageCodec.encodePatternPng(24, 16, seed = 5, base = 80))
+    val c = ImageCodec.dHash(ImageCodec.encodePatternPng(24, 16, seed = 6, base = 10))
+    assert(a.isDefined && c.isDefined)
+    assert(a === b, "a pure brightness shift must not change the fingerprint")
+    assert(a !== c, "a different gradient pattern must change the fingerprint")
+    // all 25 fixture seeds stay pairwise distinct (the q_media_phash contract)
+    val hashes = (0 until 25).map(s =>
+      ImageCodec.dHash(ImageCodec.encodePatternPng(24, 16, s, base = 0)))
+    assert(hashes.forall(_.isDefined) && hashes.distinct.size === 25)
+    // degrade, never throw: corrupt bytes, null, sub-grid images
+    assert(ImageCodec.dHash("not an image".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.dHash(null).isEmpty)
+    assert(ImageCodec.dHash(ImageCodec.encodePng(4, 4, 0xffffff)).isEmpty)
+  }
+
   test("multimodal: resize clamps the long side, preserves aspect floor") {
     val df = Seq((1L, 640, 480), (2L, 100, 50)).toDF("id", "w", "h")
       .select(col("id"), struct(col("w").as("width"), col("h").as("height"),
