@@ -151,6 +151,31 @@ object Ann {
       .select(col("id"), col("cid"))
   }
 
+  /** Cluster-balanced corpus sampling — the diversity-balancing step of
+    * a training-data pipeline (cap each topic/cluster so a dominant
+    * mode cannot flood the mix; the cluster side of what
+    * [[graft.ops.Curation.sourceMix]] does for labeled sources): assign
+    * every vector to its nearest centroid, then keep at most `cap`
+    * rows per cluster, selecting the LOWEST ids (deterministic,
+    * engine-portable — a hashed order balances adversarial id
+    * locality; pre-permute ids upstream if that matters). Emits
+    * (id, cid) for the kept rows.
+    *
+    * Scale shape: assignment is the broadcast-centroids fused kernel
+    * (no corpus shuffle); the cap is one shuffle of (id, cid) pairs by
+    * cid with a bounded per-cluster sort window — fixed-width rows,
+    * never vectors. */
+  def clusterBalance(vecs: DataFrame, k: Int, cap: Int, iters: Int = 3,
+                     centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("id"))
+    kmeansAssign(vecs, k, iters, centroidsOverride)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Nearest-`n` centroids per vector — the IVF assign/probe primitive.
     * `cents` is (cid, cv); centroid norms are computed here so seeded
     * and trained centroid frames share one contract; cid is emitted as

@@ -337,6 +337,20 @@ object SimilarityQueries {
           col("no_capped_cluster"))
     }),
 
+    // Cluster-balanced sampling (diversity balancing): assign to the 16
+    // SEEDED centroids (first-16 vectors, zero Lloyd iterations — so
+    // the oracle can replicate assignment exactly: argmax cosine, ties
+    // to lowest cid, the kernel's window semantics), cap each cluster
+    // at 10 by lowest id. Fully oracle-checked row for row.
+    "q_cluster_sample" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cv"))
+      Ann.clusterBalance(e, k = 16, cap = 10,
+          centroidsOverride = Some(cents))
+        .orderBy(col("id"))
+    }),
+
     // Centroid distance per cluster label: grouped vector aggregation —
     // euclidean distance of each vector to its label's first member
     // (deterministic representative), exercising l2Sq at scale shape.
@@ -480,6 +494,27 @@ object SimilarityQueries {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cluster_sample" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |sims AS (
+         |  SELECT e.vec_id AS id, c.cid,
+         |    ${dot("e.embedding", "c.cv")}
+         |      / (sqrt(${dot("e.embedding", "e.embedding")})
+         |       * sqrt(${dot("c.cv", "c.cv")})) AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |capped AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY id) AS rn
+         |    FROM assigned) WHERE rn <= 10)
+         |SELECT id, cid FROM capped ORDER BY id""".stripMargin,
 
     "q_l2_to_rep" ->
       s"""WITH rep AS (
