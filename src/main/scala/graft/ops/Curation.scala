@@ -287,6 +287,38 @@ object Curation {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** Span-level decontamination — the surgical counterpart of
+    * [[contamination]] (which only DETECTS): strip every w-token span
+    * of a corpus document that appears verbatim in the benchmark set,
+    * keeping the rest of the document. The standard eval-hygiene
+    * posture when dropping whole contaminated documents would cost too
+    * much data (public recipe: n-gram-overlap decontamination as in
+    * GPT-3 appendix C / Brown et al. 2020, applied span-wise).
+    *
+    * Mechanics reuse the [[Dedup.substringDedup]] window family: the
+    * benchmark's distinct window fingerprints broadcast (benchmarks
+    * are small — loudly guarded); corpus windows semi-join them; hit
+    * positions merge into spans (MergeSpans kernel) and strip. Corpus
+    * text never shuffles; the detection exchange carries (id, int,
+    * 8-byte hash) rows. Output (id, n_tokens, contam_tokens, n_spans,
+    * spans, clean_text) — same contract as substringDedup with the
+    * count column renamed. */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         w: Int = 8,
+                         maxBenchGrams: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    val (base, wins) = Dedup.windowFrame(corpus, idCol, textCol, w)
+    val (_, bwins) = Dedup.windowFrame(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol).as("__btext")),
+      "__bid", "__btext", w)
+    val benchHashes = Guard.broadcastSmall(
+      bwins.select(col("h")).distinct(),
+      "decontamination benchmark window set", maxBenchGrams)
+    Dedup.stripSpans(base,
+      wins.join(broadcast(benchHashes), Seq("h"), "left_semi"),
+      w, "contam_tokens")
+  }
+
   /** C4-style line-filtering rules (Raffel et al. 2020, §2.2 — the
     * publicly described cleaning recipe): a line survives when it ends
     * in terminal punctuation, has at least `minWords` words, and

@@ -444,7 +444,20 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
     require(w >= 2, s"window width must be >= 2 tokens, got $w")
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val (base, wins) = windowFrame(df, idCol, textCol, w)
+    val dupHash = wins.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("h"))
+    stripSpans(base, wins.join(dupHash, Seq("h"), "left_semi"), w, "dup_tokens")
+  }
+
+  /** (base, wins) for the token-window span family: base = (id,
+    * __toks), wins = one (id, pos, h) row per w-token window with h
+    * the 8-byte xxhash64 fingerprint (collision bound documented on
+    * [[substringDedup]]). Shared by substring dedup and span-level
+    * decontamination ([[Curation.decontaminateSpans]]). */
+  private[ops] def windowFrame(df: DataFrame, idCol: String, textCol: String,
+                               w: Int): (DataFrame, DataFrame) = {
+    require(w >= 2, s"window width must be >= 2 tokens, got $w")
     val base = df.select(col(idCol).as("id"),
       graft.expr.Text.tokens(col(textCol)).as("__toks"))
     val wins = base.select(col("id"),
@@ -452,9 +465,18 @@ object Dedup {
           transform(sequence(lit(0), size(col("__toks")) - lit(w)),
             i => xxhash64(array_join(slice(col("__toks"), i + lit(1), lit(w)), " "))))
         .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
-    val dupHash = wins.groupBy(col("h")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select(col("h"))
-    val spans = wins.join(dupHash, Seq("h"), "left_semi")
+    (base, wins)
+  }
+
+  /** The span tail shared by the window family: gather each doc's bad
+    * window positions, merge into token spans (MergeSpans kernel), and
+    * strip — output (id, n_tokens, `countCol`, n_spans, spans,
+    * clean_text). `badWins` carries (id, pos) for every flagged
+    * window. */
+  private[ops] def stripSpans(base: DataFrame, badWins: DataFrame,
+                              w: Int, countCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val spans = badWins
       .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("__ps"))
       .select(col("id"),
         column(graft.expr.catalyst.MergeSpans(expression(col("__ps")), w))
@@ -466,7 +488,7 @@ object Dedup {
         col("__toks"))
       .select(col("id"), col("n_tokens"),
         aggregate(col("spans"), lit(0), (a, s) =>
-          a + (s.getField("end") - s.getField("start"))).as("dup_tokens"),
+          a + (s.getField("end") - s.getField("start"))).as(countCol),
         size(col("spans")).as("n_spans"),
         col("spans"),
         array_join(filter(col("__toks"), (t, i) =>

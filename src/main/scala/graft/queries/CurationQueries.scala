@@ -195,6 +195,32 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SPAN-LEVEL decontamination — q_contamination detects, this one
+    // REMOVES: every 8-token window shared with the benchmark set is
+    // merged into spans and stripped, keeping the rest of the doc
+    // (eval hygiene without dropping whole documents). The benchmark
+    // and one in seven corpus docs carry the same planted boilerplate
+    // tail, so the strip path exercises at every SF; organic 8-gram
+    // overlap strips too (both engines agree).
+    "q_decontam" -> ((s, dir) => {
+      val phrase =
+        " all rights reserved contact support for help terms of service apply"
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(concat(col("text"), lit(phrase)).as("btext"))
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(phrase)))
+            .otherwise(col("text")).as("t"))
+      Curation.decontaminateSpans(corpus, "doc_id", "t", bench, "btext", w = 8)
+        .select(col("id").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("contam_tokens").cast("long").as("contam_tokens"),
+          col("n_spans").cast("long").as("n_spans"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram-LM quality score (the CCNet/Gopher perplexity-filter
     // family): add-0.1-smoothed bigram model trained on the 80% split,
     // scoring the held-out 20% — unseen contexts exercise the smoothed
@@ -487,6 +513,64 @@ object CurationQueries {
     // whenever the rank position is fractional, so a last-ulp
     // interpolation difference between engines cannot flip membership
     // unless two adjacent scores are within one ulp
+    "q_decontam" ->
+      raw"""WITH bp AS (
+           |  SELECT text ||
+           |    ' all rights reserved contact support for help terms of service apply' AS t
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |bb AS (
+           |  SELECT list_filter(regexp_split_to_array(trim(t), '\s+'),
+           |    x -> len(x) > 0) AS toks
+           |  FROM bp),
+           |bw AS (
+           |  SELECT DISTINCT md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS h
+           |  FROM bb, unnest(CASE WHEN len(toks) >= 8
+           |    THEN generate_series(0, len(toks) - 8) ELSE [] END) AS u(i)),
+           |p AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text ||
+           |      ' all rights reserved contact support for help terms of service apply'
+           |    ELSE text END AS t
+           |  FROM documents WHERE doc_id % 50 <> 0),
+           |b AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> len(x) > 0) AS toks
+           |  FROM p),
+           |w AS (
+           |  SELECT doc_id, u.i AS pos,
+           |    md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS h
+           |  FROM b, unnest(CASE WHEN len(toks) >= 8
+           |    THEN generate_series(0, len(toks) - 8) ELSE [] END) AS u(i)),
+           |dp AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM bw)),
+           |isl AS (
+           |  SELECT doc_id, pos,
+           |    CASE WHEN pos <= max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    THEN 0 ELSE 1 END AS brk
+           |  FROM dp),
+           |isl2 AS (
+           |  SELECT doc_id, pos,
+           |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS UNBOUNDED PRECEDING) AS g
+           |  FROM isl),
+           |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+           |  FROM isl2 GROUP BY doc_id, g),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    CAST(sum(e - s) AS BIGINT) AS contam_tokens
+           |  FROM sp GROUP BY doc_id),
+           |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+           |  FROM dp),
+           |covl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
+           |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           |  coalesce(a.contam_tokens, 0) AS contam_tokens,
+           |  coalesce(a.n_spans, 0) AS n_spans,
+           |  md5(coalesce(array_to_string(list_filter(b.toks,
+           |    (x, i) -> NOT list_contains(coalesce(c.cps, []), i - 1)), ' '), '')) AS clean_md5
+           |FROM b
+           |LEFT JOIN agg a ON a.doc_id = b.doc_id
+           |LEFT JOIN covl c ON c.doc_id = b.doc_id
+           |ORDER BY b.doc_id""".stripMargin,
+
     "q_lm_score" ->
       raw"""WITH toks AS (
            |  SELECT doc_id,

@@ -330,6 +330,23 @@ class CurationSpec extends SparkSpec {
       s"approx ${approx.size} vs exact ${exact.size}")
   }
 
+  test("decontaminateSpans: planted benchmark span stripped, clean docs untouched") {
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("btext")
+    val corpus = Seq(
+      (1L, "start words here then alpha beta gamma delta epsilon zeta eta theta trailing bits"),
+      (2L, "totally unrelated content that shares no benchmark window at all ok")
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "btext", w = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(5)))
+    assert(got(0) === ((1L, 14, 8, 1, "start words here then trailing bits")),
+      s"got ${got(0)}")
+    assert(got(1) === ((2L, 11, 0, 0,
+      "totally unrelated content that shares no benchmark window at all ok")))
+  }
+
   test("bigramLmScore: hand-computed probabilities, smoothing floor, absent singletons") {
     // train "a b a c": pairs (a,b),(b,a),(a,c); contexts a=2,b=1; V=3
     val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
