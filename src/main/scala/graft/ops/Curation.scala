@@ -564,6 +564,80 @@ object Curation {
         .otherwise(lit(0.0)))
       .drop("__n_toks", "__n_distinct")
 
+  /** BPE merge-table training (Sennrich et al. 2016 — the public
+    * byte-pair-encoding recipe): learn the `nMerges` most frequent
+    * adjacent-symbol merges, exactly the artifact a subword tokenizer
+    * ships. The classic distributed shape: ONE corpus pass builds the
+    * word-frequency table, then every training iteration runs on that
+    * VOCAB-sized frame (distinct words × counts), never the corpus —
+    * at 100 TB the corpus pass dominates and training is noise.
+    *
+    * Each iteration: adjacent symbol pairs explode from the per-word
+    * symbol arrays (weighted by word count, map-side partial sum), the
+    * best pair is picked deterministically (freq desc, then symbol
+    * pair asc) as a bounded 1-row collect (the watermark-read scalar
+    * posture), and the merge applies as a greedy left-to-right
+    * non-overlapping fold over each word's symbols (a merged symbol
+    * cannot re-merge within the same pass — the standard semantics).
+    * State is checkpointed per iteration ([[Reliable.checkpoint]]) so
+    * the plan does not grow with nMerges. Words are lowercased
+    * whitespace tokens split to characters; no end-of-word marker
+    * (document-level token statistics, not a drop-in GPT-2 vocab).
+    *
+    * Returns the merge table (rank, s1, s2, freq), rank 1-based in
+    * learn order. Stops early when no pair remains. */
+  def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(graft.expr.Text.tokens(lower(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    var state = Reliable.checkpoint(
+      words.select(col("wc"), split(col("w"), "").as("syms")))
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
+      val zipped = when(size(col("syms")) >= 2,
+          arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))
+      val best = state.select(col("wc"), explode(zipped).as("p"))
+        .groupBy(col("p").getField("0").as("s1"), col("p").getField("1").as("s2"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (s1, s2, freq) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((rank, s1, s2, freq))
+        // greedy left-to-right non-overlapping merge: fold with a
+        // one-symbol carry; a completed merge clears the carry so the
+        // new symbol cannot chain-merge in this same pass
+        val merged = aggregate(col("syms"),
+          struct(array().cast("array<string>").as("res"),
+            lit(null).cast("string").as("carry")),
+          (acc, x) =>
+            when(acc.getField("carry") === lit(s1) && x === lit(s2),
+              struct(concat(acc.getField("res"), array(lit(s1 + s2))).as("res"),
+                lit(null).cast("string").as("carry")))
+            .when(acc.getField("carry").isNull,
+              struct(acc.getField("res").as("res"), x.as("carry")))
+            .otherwise(
+              struct(concat(acc.getField("res"),
+                  array(acc.getField("carry"))).as("res"),
+                x.as("carry"))),
+          acc => when(acc.getField("carry").isNull, acc.getField("res"))
+            .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
+        state = Reliable.checkpoint(state.select(col("wc"), merged.as("syms")))
+      }
+    }
+    learned.toSeq.toDF("rank", "s1", "s2", "freq")
+      .select(col("rank").cast("long").as("rank"), col("s1"), col("s2"),
+        col("freq"))
+  }
+
   /** Bigram language-model quality score — the CCNet/Gopher-family
     * "LM perplexity" filter (Wenzek et al. 2020 score with a trained
     * LM; here the LM is an add-α-smoothed bigram model trained ON the

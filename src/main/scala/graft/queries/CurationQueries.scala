@@ -195,6 +195,27 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge-table training (Sennrich et al. 2016): 8 merges learned
+    // from the word-frequency table. The summary row carries anchors
+    // the oracle can state exactly: the FIRST merge is the raw
+    // char-pair argmax (pure SQL over the word table), and BPE's
+    // max-pick guarantees learned frequencies never increase — so the
+    // shape booleans are theorems, not tautologies (a greedy-merge or
+    // tie-break bug flips them).
+    "q_bpe" -> ((s, dir) => {
+      val m = Curation.bpeMerges(docs(s, dir), col("text"), nMerges = 8)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+      val shape = m.withColumn("__prev", lag(col("freq"), 1).over(w))
+        .agg(count(lit(1)).as("n_merges"),
+          (sum(when(col("__prev").isNotNull && col("freq") > col("__prev"), 1)
+            .otherwise(0)) === 0).as("freqs_nonincreasing"),
+          (min(col("freq")) > 0).as("freqs_positive"))
+      val first = m.filter(col("rank") === 1)
+        .select(col("s1").as("first_s1"), col("s2").as("first_s2"),
+          col("freq").as("first_freq"))
+      shape.crossJoin(broadcast(first))
+    }),
+
     // SPAN-LEVEL decontamination — q_contamination detects, this one
     // REMOVES: every 8-token window shared with the benchmark set is
     // merged into spans and stripped, keeping the rest of the doc
@@ -513,6 +534,25 @@ object CurationQueries {
     // whenever the rank position is fractional, so a last-ulp
     // interpolation difference between engines cannot flip membership
     // unless two adjacent scores are within one ulp
+    "q_bpe" ->
+      raw"""WITH words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+           |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |      x -> len(x) > 0)) AS w
+           |    FROM documents) GROUP BY w),
+           |pairs AS (
+           |  SELECT w[u.i : u.i] AS s1, w[u.i+1 : u.i+1] AS s2, SUM(wc) AS freq
+           |  FROM words, unnest(CASE WHEN len(w) >= 2
+           |    THEN generate_series(1, len(w) - 1) ELSE [] END) AS u(i)
+           |  GROUP BY 1, 2),
+           |best AS (
+           |  SELECT s1, s2, CAST(freq AS BIGINT) AS freq FROM pairs
+           |  ORDER BY freq DESC, s1, s2 LIMIT 1)
+           |SELECT CAST(8 AS BIGINT) AS n_merges, TRUE AS freqs_nonincreasing,
+           |  TRUE AS freqs_positive, s1 AS first_s1, s2 AS first_s2,
+           |  freq AS first_freq
+           |FROM best""".stripMargin,
+
     "q_decontam" ->
       raw"""WITH bp AS (
            |  SELECT text ||

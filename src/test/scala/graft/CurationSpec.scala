@@ -330,6 +330,29 @@ class CurationSpec extends SparkSpec {
       s"approx ${approx.size} vs exact ${exact.size}")
   }
 
+  test("bpeMerges: the classic low/lower corpus learns the known merge sequence") {
+    // words: low x2, lower x1. char pairs: (l,o)=3, (o,w)=3, (w,e)=1,
+    // (e,r)=1 -> tie at 3 broken by s1 asc: (l,o). Then (lo,w)=3,
+    // then (low,e)=1 (tie with (e,r) broken by s1: 'e' < 'low'? NO —
+    // 'e' sorts before 'low', so merge 3 is (e,r)), then (low,er)=1
+    // ... verify the exact greedy sequence the operator must produce.
+    val df = Seq(Tuple1("low low lower")).toDF("text")
+    val got = Curation.bpeMerges(df, col("text"), nMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "l", "o", 3L),
+      (2L, "lo", "w", 3L),
+      (3L, "e", "r", 1L),
+      (4L, "low", "er", 1L)))
+    // greedy non-overlap: "aaa a" merges (a,a) once in the triple
+    val df2 = Seq(Tuple1("aaa")).toDF("text")
+    val g2 = Curation.bpeMerges(df2, col("text"), nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g2.toSeq === Seq(("a", "a", 2L)),
+      "both adjacent (a,a) pairs count in statistics")
+  }
+
   test("decontaminateSpans: planted benchmark span stripped, clean docs untouched") {
     val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("btext")
