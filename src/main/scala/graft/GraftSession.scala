@@ -21,6 +21,7 @@ import graft.expr.catalyst._
   *   graft_top_k(struct(s, id), k) bounded argmax-k aggregate
   *   graft_winnow_fps(text, k, w)  distinct winnowed fingerprints
   *   graft_cms_estimate(sk, key)   count-min sketch estimate
+  *   graft_normalize(text, form)   Unicode NFC/NFD/NFKC/NFKD
   *
   * Enable with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
@@ -66,7 +67,14 @@ object GraftFunctions {
         intArg(args(1), "graft_winnow_fps"), intArg(args(2), "graft_winnow_fps"))),
     ("graft_cms_estimate",
       "graft_cms_estimate(sketch, key) - count-min sketch frequency estimate",
-      args => CmsEstimate(args(0), args(1))))
+      args => CmsEstimate(args(0), args(1))),
+    ("graft_normalize",
+      "graft_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization",
+      args => UnicodeNormalize(args(0), args(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize expects a string literal form, got $other")
+      })))
 
   /** Register into an EXISTING session (extensions only apply at
     * construction time). */

@@ -17,6 +17,14 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode normalization (fused kernel; NFC default) — canonicalize
+    * BEFORE hash-based dedup/fingerprints so combining-mark encoding
+    * variants of the same visible text hash together. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.UnicodeNormalize(expression(text), form))
+  }
+
   /** BPE-ish subword count: words + digits + punctuation runs counted
     * separately — a cheap deterministic proxy for tokenizer counts. */
   def subwordCount(text: Column): Column =

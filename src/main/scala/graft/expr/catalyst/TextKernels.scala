@@ -13,6 +13,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernelFunctions {
 
+  /** Unicode normalization (java.text.Normalizer). Fast path: an
+    * already-normalized string (the overwhelming case on real corpora)
+    * returns the INPUT UTF8String — no re-encode, no allocation. */
+  def unicodeNormalize(t: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, form)) t
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
+
   /** Distinct word n-gram shingles in first-occurrence order — matches
     * `array_distinct(transform(sequence(...), i => array_join(slice(
     * split(trim(lower(text)), "\\s+"), i, n), " ")))` exactly. */
@@ -74,6 +83,41 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.catalyst.TextKernelFunctions.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+  * step that belongs BEFORE any hash-based dedup/fingerprint: visually
+  * identical strings with different combining-mark encodings otherwise
+  * hash apart. No Spark built-in exists; this wraps
+  * `java.text.Normalizer` with an already-normalized fast path (zero
+  * allocation on ASCII/normalized inputs — the common case).
+  * Oracle-compatible with DuckDB's `nfc_normalize` (both implement the
+  * Unicode standard algorithm). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"form must be NFC|NFD|NFKC|NFKD, got $form")
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+  override def prettyName: String = "graft_normalize"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernelFunctions.unicodeNormalize(t.asInstanceOf[UTF8String], f)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", f, "java.text.Normalizer.Form")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.catalyst.TextKernelFunctions.unicodeNormalize($c, $formRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -101,6 +101,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization (fused kernel; no Spark built-in):
+    // each doc gets a planted decomposed-combining-mark tail, so the
+    // normalize path exercises on every row while the fixture body
+    // rides the zero-allocation already-normalized fast path. Oracle:
+    // DuckDB's nfc_normalize — both sides implement the Unicode
+    // standard algorithm, asserted equal via md5 + char counts.
+    "q_unicode_norm" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          // DECOMPOSED combining marks (e+U+0301, i+U+0308): NFC
+          // composes them, so `changed` is true on every row
+          concat(col("text"), lit(" cafe\u0301 nai\u0308ve")).as("__t"))
+        .select(col("doc_id"), col("__t"),
+          Text.normalizeUnicode(col("__t"), "NFC").as("__n"))
+        .select(col("doc_id"),
+          md5(col("__n")).as("nfc_md5"),
+          (col("__n") =!= col("__t")).as("changed"),
+          length(col("__n")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash signature head (k=4 of the 12-hash signature): oracle-exact
     // because both engines agree on md5 hex and lexicographic min.
     // The signature is ALIASED through a sub-select so the kernel runs
@@ -454,6 +475,18 @@ object TextQueries {
          |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // chr(769)/chr(776) are the combining acute/diaeresis the Spark
+    // side plants as ́/̈
+    "q_unicode_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS tt
+        |  FROM documents),
+        |n AS (SELECT doc_id, tt, nfc_normalize(tt) AS nn FROM t)
+        |SELECT doc_id, md5(nn) AS nfc_md5, nn <> tt AS changed,
+        |  CAST(len(nn) AS BIGINT) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       raw"""SELECT doc_id,

@@ -37,6 +37,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
   }
 
+  test("graft_normalize SQL == Text.normalizeUnicode; composes, idempotent, null-safe") {
+    val d = schema.Tables.load(gspark, sfDir, "documents").limit(20)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301")).as("t"))
+    d.createOrReplaceTempView("docs_nfc")
+    val sql = gspark.sql(
+      "SELECT doc_id, graft_normalize(t, 'NFC') AS n FROM docs_nfc")
+    val api = d.select(col("doc_id"),
+      graft.expr.Text.normalizeUnicode(col("t"), "NFC").as("n"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+    // composes e+combining-acute into the single precomposed char
+    val one = api.limit(1).collect()(0).getString(1)
+    assert(one.endsWith(" caf\u00e9"), s"expected precomposed tail, got ${one.takeRight(8)}")
+    // idempotent on already-normalized input; null stays null
+    val again = gspark.sql(
+      "SELECT graft_normalize(graft_normalize(t, 'NFC'), 'NFC') = graft_normalize(t, 'NFC') AS eq, " +
+      "graft_normalize(CAST(NULL AS STRING), 'NFD') IS NULL AS nn FROM docs_nfc")
+      .collect()
+    assert(again.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   test("graft_shingles / graft_simhash64 SQL == Column API") {
     val d = schema.Tables.load(gspark, sfDir, "documents").limit(50)
     d.createOrReplaceTempView("docs_sh")
