@@ -147,6 +147,17 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join in a filter-in-place quality cut\n" + p)
   }
 
+  test("q_decontam: benchmark window set broadcasts; corpus text never shuffle-joins") {
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark window membership must be a broadcast semi join\n" + p)
+    assert(p.contains("graft_merge_spans") ||
+      SparkEntry.queries("q_decontam")(spark, sfDir)
+        .queryExecution.analyzed.toString.contains("graft_merge_spans"),
+      "fused span-merge kernel expected")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_lm_score: word-pair aggregations partial map-side; no cartesian corpus join") {
     val p = plan("q_lm_score")
     // pair/context counting must partial-aggregate before the shuffle
