@@ -49,6 +49,44 @@ class FunnelStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel survives a checkpointed restart with buffered state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft-funnel-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+    val mem = MemoryStream[FunnelStream.Event]
+    def runOnce(): Unit = {
+      val q = FunnelStream.stageTimesStream(mem.toDS(), steps,
+          withinSeconds = Some(3600L), lateness = "30 minutes",
+          quiesceSeconds = 600L)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    // run 1: only the first two stages arrive, then the query STOPS —
+    // user 1's buffer lives in the state store
+    mem.addData(FunnelStream.Event(1L, ts("2025-05-01 10:00:00"), "signup"),
+      FunnelStream.Event(1L, ts("2025-05-01 10:05:00"), "view"))
+    runOnce()
+    // run 2 (same checkpoint): the purchase plus watermark advancers —
+    // the recovered state must still hold the earlier events
+    mem.addData(FunnelStream.Event(1L, ts("2025-05-01 10:20:00"), "purchase"))
+    runOnce()
+    mem.addData(FunnelStream.Event(99L, ts("2025-05-02 12:00:00"), "signup"))
+    runOnce()
+    mem.addData(FunnelStream.Event(99L, ts("2025-05-03 12:00:00"), "signup"))
+    runOnce()
+    val got = spark.read.parquet(sink).filter(col("user_id") === 1L)
+      .select("step", "stage", "step_ts")
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toString))
+    assert(got.toSeq === Seq(
+      (1L, "signup", "2025-05-01 10:00:00.0"),
+      (2L, "view", "2025-05-01 10:05:00.0"),
+      (3L, "purchase", "2025-05-01 10:20:00.0")),
+      s"full funnel must assemble across the restart, got ${got.toSeq}")
+  }
+
   test("streaming funnel emits the same stage rows as batch, across out-of-order batches") {
     implicit val sqlCtx = spark.sqlContext
     val batch1 = Seq(

@@ -572,6 +572,37 @@ class TextVectorSpec extends SparkSpec {
       "epsilon" -> 1L, "zeta" -> 1L))
   }
 
+  test("appended postings bucket compacts in place; probe answers unchanged") {
+    // the maintenance story for the incremental index: appends leave
+    // extra small files in touched buckets; Scale.compact restores the
+    // file count without changing a single probe answer
+    import spark.implicits._
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val terms = Seq("hash", "join", "stream")
+    val p = java.nio.file.Files.createTempDirectory("graft-bm25-cpt").toString
+    graft.ops.TextIndex.writeBm25Index(d.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", p, nBuckets = 16)
+    graft.ops.TextIndex.appendToBm25Index(d.filter($"doc_id" % 5 === 0),
+      "doc_id", "text", p)
+    def probeRows() = graft.ops.TextIndex.probeBm25Index(spark, p, terms)
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        round(col("score"), 9))
+      .collect().map(_.toSeq).toSet
+    val before = probeRows()
+    // compact every appended (multi-file) bucket
+    val multi = new java.io.File(s"$p/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multi.nonEmpty, "append should leave at least one multi-file bucket")
+    multi.foreach(dir => graft.ops.Scale.compact(spark, dir.getAbsolutePath))
+    multi.foreach { dir =>
+      val n = new java.io.File(dir.getAbsolutePath)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"bucket ${dir.getName} still has $n files")
+    }
+    assert(probeRows() === before, "compaction must not change probe answers")
+  }
+
   test("bm25Scores (ad-hoc) == probeBm25Index (persisted) on the fixture corpus") {
     val d = schema.Tables.load(spark, sfDir, "documents")
     val terms = Seq("hash", "join", "stream")
