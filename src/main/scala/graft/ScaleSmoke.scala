@@ -53,14 +53,19 @@ object ScaleSmoke {
   /** Heaviest queries by BENCH_DETAIL, minus the declared all-pairs
     * baseline — including the round-6 heavyweights (substring/semantic/
     * line dedup, PQ family, IVF append, temperature mix) per VERDICT
-    * r6 item 3. */
+    * r6 item 3, plus the round-7 additions (LM scoring, BM25 append,
+    * span decontamination, BPE training, hybrid retrieval, perceptual
+    * hashing, cluster balancing, hard negatives, NFC). */
   val heavy: Seq[String] = Seq(
     "q_curation_e2e", "q_hydration_data", "q_dedup_keep", "q_dedup_clusters",
     "q_simhash_precision", "q_ann_ivf_sq8_recall", "q_ann_ivf_index",
     "q_ann_ivf", "q_kmeans_quality", "q_incr_dedup",
     "q_ann_pq_recall", "q_ann_ivf_pq_recall",
     "q_substr_dedup", "q_semdedup", "q_line_dedup", "q_line_clean",
-    "q_ann_ivf_append", "q_temperature_mix")
+    "q_ann_ivf_append", "q_temperature_mix",
+    "q_lm_score", "q_bm25_append", "q_decontam", "q_bpe",
+    "q_hybrid_rrf", "q_media_phash", "q_cluster_sample",
+    "q_hard_negatives", "q_unicode_norm")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
