@@ -79,6 +79,32 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // PASSAGE retrieval — BM25 ranked over overlapping token-window
+    // chunks instead of whole documents: the unit a RAG pipeline
+    // actually retrieves. Composite pid = doc_id*1000 + chunk_id keys
+    // the chunk table through the scorer; the top-10 passages come
+    // back as (doc, chunk) coordinates. Chunking and BM25 are each
+    // independently oracled (q_chunk_overlap, q_bm25); this pins their
+    // composition end to end.
+    "q_passage_bm25" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val chunks = Curation.chunkTokens(docs(s, dir), col("text"),
+          maxTokens = 64, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("pid"),
+          col("chunk_text"))
+      graft.ops.TextIndex.bm25Scores(chunks, "pid", "chunk_text",
+          Seq("hash", "join", "stream"))
+        .withColumnRenamed("doc_id", "pid")
+        .withColumn("score_r9", round(col("score"), 9))
+        .orderBy(col("score_r9").desc, col("pid")).limit(10)
+        .withColumn("rank", row_number()
+          .over(w.orderBy(col("score_r9").desc, col("pid"))).cast("long"))
+        .select(col("rank"),
+          ((col("pid") - pmod(col("pid"), lit(1000))) / 1000).cast("long").as("doc_id"),
+          pmod(col("pid"), lit(1000)).cast("long").as("chunk_id"),
+          col("matched_terms"), col("matched_tf"), col("score_r9"))
+    }),
+
     // Deterministic stratified sampling: per-source keep fractions via
     // content-hash buckets — reproducible across runs, no rand().
     "q_stratified_sample" -> ((s, dir) => {
@@ -836,6 +862,46 @@ object CurationQueries {
          |  CAST(len(toks[chunk_id*56+1:chunk_id*56+64]) AS BIGINT) AS chunk_tokens,
          |  md5(array_to_string(toks[chunk_id*56+1:chunk_id*56+64], ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_passage_bm25" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |                x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks,
+         |    CAST(ceil(CAST(greatest(len(toks) - 8, 1) AS DOUBLE) / 56) AS INT) AS n_chunks
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id * 1000 + CAST(u.i AS BIGINT) AS pid,
+         |    toks[u.i*56+1 : u.i*56+64] AS ctoks
+         |  FROM n, unnest(range(0, n_chunks)) AS u(i)),
+         |tk AS (SELECT pid, unnest(ctoks) AS term FROM ch),
+         |dl AS (SELECT pid, COUNT(*) AS dl FROM tk GROUP BY 1),
+         |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT pid, term, COUNT(*) AS tf FROM tk
+         |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(DISTINCT pid) AS df FROM tf GROUP BY 1),
+         |parts AS (
+         |  SELECT t.pid, t.term, t.tf,
+         |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
+         |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (pid)
+         |  CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT pid,
+         |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
+         |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
+         |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score,
+         |    COUNT(*) AS matched_terms,
+         |    CAST(SUM(tf) AS BIGINT) AS matched_tf
+         |  FROM parts GROUP BY pid)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, pid) AS BIGINT) AS rank,
+         |  pid // 1000 AS doc_id, pid % 1000 AS chunk_id,
+         |  matched_terms, matched_tf, round(score, 9) AS score_r9
+         |FROM scored ORDER BY round(score, 9) DESC, pid LIMIT 10""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH b AS (
