@@ -458,9 +458,76 @@ object Ann {
     val probes = Reliable.checkpoint(nearestLists(cents,
       queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe))
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val lists = spark.read.parquet(s"$path/lists")
+    val raw = spark.read.parquet(s"$path/lists")
       .filter(col("cid").cast("long").isin(cids: _*))
+    // logical deletes: rows tombstoned by deleteFromIvfIndex never
+    // reach a probe — the anti join broadcasts the (small, between-
+    // purges) tombstone set against only the probed partitions
+    val lists =
+      if (hasTombstones(spark, path))
+        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("nid"))), Seq("nid"), "left_anti")
+      else raw
     (probes, lists)
+  }
+
+  private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Logical delete from a persisted IVF/SQ8/PQ layout — the
+    * right-to-erasure maintenance op: the ids append to a tombstone
+    * table and every probe path anti-joins them (single seam —
+    * [[probeIvfIndex]], the SQ8 and PQ probes all read through it), so
+    * deletion is immediate and O(batch) regardless of index size; no
+    * list partition is touched. Run [[purgeIvfTombstones]] on a
+    * maintenance cadence to reclaim the space physically. Deleting ids
+    * not present in the index is a no-op (the anti join simply never
+    * matches). */
+  def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("nid"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically apply accumulated tombstones: one columnar (nid, cid)
+    * scan over the lists finds the touched partitions (bounded cid
+    * collect), ONLY those rewrite via dynamic partition overwrite with
+    * the tombstoned rows dropped, and the tombstone table resets.
+    * Probe answers are identical before and after (spec-asserted) —
+    * purge trades a bounded rewrite for smaller probes and a clean
+    * slate. Returns the number of partitions rewritten. */
+  def purgeIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Int = {
+    if (!hasTombstones(spark, path)) return 0
+    val tomb = broadcast(spark.read.parquet(s"$path/tombstones").select(col("nid")))
+    val touched = spark.read.parquet(s"$path/lists")
+      .join(tomb, Seq("nid"), "left_semi")
+      .select(col("cid").cast("long")).distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val kept = Reliable.checkpoint(
+        spark.read.parquet(s"$path/lists")
+          .filter(col("cid").cast("long").isin(touched: _*))
+          .join(tomb, Seq("nid"), "left_anti"))
+      Scale.withDynamicOverwrite(spark) {
+        kept.withColumn("cid", col("cid").cast("long"))
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+      }
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // write — a fully-tombstoned cell keeps its stale directory;
+      // drop those explicitly
+      val keptCids = kept.select(col("cid").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(s"$path/lists")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(keptCids).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cid=$cid"), true)
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    touched.length
   }
 
   /** Top-k probe against a persisted [[writeIvfIndex]] layout. The

@@ -206,6 +206,32 @@ object SimilarityQueries {
         Ann.probeIvfIndex(e.filter(col("id") < 8), pApp, k = 5, nProbe = 4), e)
     }),
 
+    // INDEX DELETES — the right-to-erasure lifecycle step (build →
+    // append → compact → DELETE): tombstone 20% of ids, probe the
+    // index. Deleted ids must never surface (boolean gate) and the
+    // survivors must still clear the standard recall bar computed
+    // against the REMAINING corpus — both immediately after the
+    // logical delete and again after the physical purge (spec pins
+    // purge equivalence + directory hygiene; this query gates the
+    // user-visible semantics).
+    "q_ann_ivf_delete" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val p = scratchDir("graft-ivf-del", dir)
+      Ann.writeIvfIndex(e, p, nLists = 16, trainIters = 2)
+      Ann.deleteFromIvfIndex(
+        e.filter(col("id") % 5 === 0).select(col("id").as("nid")), p)
+      val ann = Ann.probeIvfIndex(e.filter(col("id") < 8), p, k = 5, nProbe = 4)
+      val rest = e.filter(col("id") % 5 =!= 0)
+      val kth = Ann.bruteTopK(e.filter(col("id") < 8), rest, k = 20)
+        .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
+      ann.join(kth, Seq("qid"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_returned"),
+          sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L)).as("n_in_true20"),
+          (sum(when(col("nid") % 5 === 0, 1).otherwise(0)) === 0).as("no_deleted"))
+        .orderBy(col("qid"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
     // all pairs above a cosine threshold, id_a < id_b. Brute-force here
     // (correctness surface); the LSH/IVF candidate pruning above is the
@@ -474,6 +500,11 @@ object SimilarityQueries {
 
     "q_embed_neardup_lsh" ->
       "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",
+
+    "q_ann_ivf_delete" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20, TRUE AS no_deleted
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_kmeans_quality" ->
       """SELECT count(*) AS n_vectors, TRUE AS clusters_nondegenerate,

@@ -488,6 +488,38 @@ class TextVectorSpec extends SparkSpec {
     assert(trained.count() === 3)
   }
 
+  test("IVF tombstone deletes: probes exclude immediately; purge reclaims and preserves answers") {
+    import spark.implicits._
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-tomb").toString
+    graft.ops.Ann.writeIvfIndex(e, p, nLists = 16, trainIters = 2)
+    val qs = e.filter($"id" < 8)
+    def probeIds() = graft.ops.Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4)
+      .select($"qid", $"rank", $"nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = probeIds()
+    assert(before.exists(_._3 % 5 == 0), "fixture must rank some to-be-deleted ids")
+
+    graft.ops.Ann.deleteFromIvfIndex(
+      e.filter($"id" % 5 === 0).select($"id".as("nid")), p)
+    val logical = probeIds()
+    assert(logical.forall(_._3 % 5 != 0), "tombstoned ids surfaced in a probe")
+
+    // purge: same probe answers, tombstone table gone, per-list rows
+    // physically reduced
+    val nBefore = spark.read.parquet(s"$p/lists").count()
+    val touched = graft.ops.Ann.purgeIvfTombstones(spark, p)
+    assert(touched > 0)
+    assert(!new java.io.File(s"$p/tombstones").exists)
+    assert(probeIds() === logical, "purge changed probe answers")
+    val nAfter = spark.read.parquet(s"$p/lists").count()
+    assert(nAfter === nBefore - e.filter($"id" % 5 === 0).count(),
+      "purge must drop exactly the tombstoned rows")
+    // purging again is a no-op
+    assert(graft.ops.Ann.purgeIvfTombstones(spark, p) === 0)
+  }
+
   test("hardNegatives: positives dropped, survivors re-ranked from 1, self excluded") {
     import spark.implicits._
     // 2-dim vectors on a fan: sim to q=(1,0) strictly decreases in id
