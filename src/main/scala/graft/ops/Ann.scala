@@ -49,14 +49,66 @@ object Ann {
     * corpus streamed, bounded argmax-k through the shuffle), an anti
     * join against the positive pairs on (qid, nid), and a re-rank
     * window over the k+bound survivors PER QUERY — never the corpus.
-    * Swap the retrieval stage for [[probeIvfIndex]] output at index-
-    * served scale; the anti-join + re-rank are retrieval-size either
-    * way. */
+    * [[hardNegativesIndexed]] is the same recipe with the retrieval
+    * stage served by a persisted IVF index (partition-pruned probe
+    * instead of a full corpus scan) — the anti-join + re-rank are
+    * retrieval-size either way.
+    *
+    * The bound is VALIDATED (one bounded per-qid count aggregate over
+    * the positives — query-batch-sized by contract): a query with more
+    * positives than the bound would silently yield fewer than k
+    * negatives, so it fails loudly here instead. */
   def hardNegatives(queries: DataFrame, positives: DataFrame,
                     corpus: DataFrame, k: Int,
                     posPerQueryBound: Int = 8): DataFrame = {
     require(k > 0 && posPerQueryBound >= 0, "bad k / positive bound")
-    val cand = bruteTopK(queries, corpus, k + posPerQueryBound)
+    assertPositiveBound(positives, posPerQueryBound)
+    negRerank(bruteTopK(queries, corpus, k + posPerQueryBound), positives, k)
+  }
+
+  /** [[hardNegatives]] served from a persisted [[writeIvfIndex]] layout
+    * — the mining shape for a DPR-style job where the corpus is too
+    * large to scan per batch: the candidate stage is a partition-pruned
+    * [[probeIvfIndex]] at depth k + posPerQueryBound + depthSlack
+    * (dropping every positive still leaves k candidates; slack deepens
+    * the shortlist for recall headroom — nProbe is the primary recall
+    * dial), and the anti-join + re-rank tail is identical to the brute
+    * path. Sims are exact float cosines (IVF-Flat lists store float
+    * vectors), so mined negatives rank bit-identically to a brute run
+    * whenever the probe's candidate set contains them — driver-gated
+    * by q_hard_negatives_ivf against the brute mining run. */
+  def hardNegativesIndexed(queries: DataFrame, positives: DataFrame,
+                           indexPath: String, k: Int,
+                           posPerQueryBound: Int = 8, nProbe: Int = 4,
+                           depthSlack: Int = 0): DataFrame = {
+    require(k > 0 && posPerQueryBound >= 0 && depthSlack >= 0,
+      "bad k / positive bound / depth slack")
+    assertPositiveBound(positives, posPerQueryBound)
+    negRerank(
+      probeIvfIndex(queries, indexPath, k + posPerQueryBound + depthSlack,
+        nProbe),
+      positives, k)
+  }
+
+  /** Loud check that no query exceeds its declared positives-per-query
+    * bound (the silent-undercount trap: every positive beyond the bound
+    * eats one emitted negative). One bounded scalar read — the max of a
+    * per-qid count — same posture as the watermark reads. */
+  private def assertPositiveBound(positives: DataFrame, bound: Int): Unit = {
+    val worst = positives.groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("m")).head().getLong(0)
+    require(worst <= bound,
+      s"a query has $worst labeled positives but posPerQueryBound=$bound — " +
+        "the retrieval depth budgets k + bound candidates, so extra " +
+        "positives would silently shrink the mined negative set; raise " +
+        "posPerQueryBound to cover the worst query")
+  }
+
+  /** Shared mining tail: drop labeled positives from the ranked
+    * shortlist, re-rank the survivors 1..k per query. Window cost is
+    * per-query over k+bound rows — never corpus-sized. */
+  private def negRerank(cand: DataFrame, positives: DataFrame,
+                        k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("rank"))
     cand
@@ -451,8 +503,9 @@ object Ann {
     * candidate join would otherwise run the assignment twice), push the
     * probed list ids as a LITERAL partition filter, and return
     * (probes, pruned lists). */
-  private def prunedProbe(queries: DataFrame, path: String,
-                          nProbe: Int): (DataFrame, DataFrame) = {
+  private def prunedProbe(queries: DataFrame, path: String, nProbe: Int,
+                          maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows)
+      : (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
     val probes = Reliable.checkpoint(nearestLists(cents,
@@ -461,12 +514,20 @@ object Ann {
     val raw = spark.read.parquet(s"$path/lists")
       .filter(col("cid").cast("long").isin(cids: _*))
     // logical deletes: rows tombstoned by deleteFromIvfIndex never
-    // reach a probe — the anti join broadcasts the (small, between-
-    // purges) tombstone set against only the probed partitions
+    // reach a probe — the anti join broadcasts the tombstone set
+    // against only the probed partitions. The set is small BETWEEN
+    // purges by contract, but nothing upstream bounds how many delete
+    // batches accumulate, so the read goes through the broadcastSmall
+    // rail: a caller streaming daily deletes without maintenance gets
+    // a named failure pointing at purgeIvfTombstones instead of a
+    // driver OOM deep inside the probe job.
     val lists =
       if (hasTombstones(spark, path))
-        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")
-          .select(col("nid"))), Seq("nid"), "left_anti")
+        raw.join(broadcast(Guard.broadcastSmall(
+          spark.read.parquet(s"$path/tombstones").select(col("nid")),
+          s"IVF tombstone set at $path/tombstones (run purgeIvfTombstones " +
+            "to compact accumulated deletes)",
+          maxTombstoneRows)), Seq("nid"), "left_anti")
       else raw
     (probes, lists)
   }
@@ -538,8 +599,9 @@ object Ann {
     * verified by plan assertion in TextVectorSpec. Results are
     * identical to the in-memory `ivfTopK` with the same centroids. */
   def probeIvfIndex(queries: DataFrame, path: String, k: Int,
-                    nProbe: Int = 4): DataFrame = {
-    val (probes, lists) = prunedProbe(queries, path, nProbe)
+                    nProbe: Int = 4,
+                    maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    val (probes, lists) = prunedProbe(queries, path, nProbe, maxTombstoneRows)
     val cand = broadcast(
         probes.select(col("qid"), col("qv"),
           Vectors.l2Norm(col("qv")).as("qn"), col("cid")))

@@ -520,6 +520,44 @@ class TextVectorSpec extends SparkSpec {
     assert(graft.ops.Ann.purgeIvfTombstones(spark, p) === 0)
   }
 
+  test("purge that empties a cell: directory dropped, probe == rebuild over survivors") {
+    import spark.implicits._
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    graft.ops.Ann.writeIvfIndex(e, p, nLists = 16, trainIters = 2)
+    // tombstone EVERY member of one occupied cell (plus nothing else),
+    // so the purge must drop that cid directory outright
+    val lists = spark.read.parquet(s"$p/lists")
+    val victim = lists.select($"cid".cast("long")).distinct()
+      .orderBy($"cid").limit(1).head().getLong(0)
+    // materialize the victim ids BEFORE the purge rewrites the lists —
+    // a lazy frame over the pre-purge files would dangle afterwards
+    val victimIds = lists.filter($"cid".cast("long") === victim)
+      .select($"nid").collect().map(_.getLong(0)).toSeq
+    assert(victimIds.nonEmpty)
+    val victims = victimIds.map(Tuple1(_)).toDF("nid")
+    graft.ops.Ann.deleteFromIvfIndex(victims, p)
+    assert(graft.ops.Ann.purgeIvfTombstones(spark, p) >= 1)
+    assert(!new java.io.File(s"$p/lists/cid=$victim").exists,
+      "fully-tombstoned cell kept its directory")
+
+    // probe-triple equality against a FROM-SCRATCH rebuild over the
+    // surviving corpus with the same stored centroids — the purged
+    // layout must be indistinguishable from never having indexed the
+    // deleted rows
+    val cents = spark.read.parquet(s"$p/centroids")
+    val pRef = java.nio.file.Files.createTempDirectory("graft-ivf-emptyref").toString
+    val survivors = e.join(victims.withColumnRenamed("nid", "id"), Seq("id"), "left_anti")
+    graft.ops.Ann.writeIvfIndex(survivors, pRef, nLists = 16,
+      centroidsOverride = Some(cents))
+    val qs = e.filter($"id" < 8)
+    def triples(path: String) = graft.ops.Ann.probeIvfIndex(qs, path, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(p) === triples(pRef),
+      "purged index diverges from a rebuild over the survivors")
+  }
+
   test("hardNegatives: positives dropped, survivors re-ranked from 1, self excluded") {
     import spark.implicits._
     // 2-dim vectors on a fan: sim to q=(1,0) strictly decreases in id
@@ -533,6 +571,32 @@ class TextVectorSpec extends SparkSpec {
       .orderBy("neg_rank").collect().map(r => (r.getLong(1), r.getLong(2)))
     // true order by sim: 1,2,3,4,5,6; drop positives {1,3} -> 2,4
     assert(got.toSeq === Seq((1L, 2L), (2L, 4L)))
+  }
+
+  test("hardNegativesIndexed: full-coverage probe mines identically to the brute path") {
+    import spark.implicits._
+    // same fan fixture as the brute test; the index probes BOTH of its
+    // 2 seeded lists, so the candidate set is complete and the mined
+    // (qid, neg_rank, nid, sim) rows must equal hardNegatives row for
+    // row — the docstring's "swap the retrieval stage" claim as code
+    def v(i: Int): Array[Float] = Array(1.0f, i * 0.1f)
+    val corpus = (0 to 6).map(i => (i.toLong, v(i))).toDF("id", "vec")
+    val qs = corpus.filter($"id" === 0L)
+    val pos = Seq((0L, 1L), (0L, 3L)).toDF("qid", "pos_id")
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-hn").toString
+    graft.ops.Ann.writeIvfIndex(corpus, p, nLists = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "neg_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = rows(graft.ops.Ann.hardNegatives(qs, pos, corpus, k = 2,
+      posPerQueryBound = 2))
+    val indexed = rows(graft.ops.Ann.hardNegativesIndexed(qs, pos, p, k = 2,
+      posPerQueryBound = 2, nProbe = 2))
+    assert(indexed === brute)
+    // depthSlack only deepens the shortlist — never changes the answer
+    val slacked = rows(graft.ops.Ann.hardNegativesIndexed(qs, pos, p, k = 2,
+      posPerQueryBound = 2, nProbe = 2, depthSlack = 3))
+    assert(slacked === brute)
   }
 
   test("rrfFuse: hand-computed contributions; one-list docs fuse with one term") {
