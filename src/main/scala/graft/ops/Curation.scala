@@ -572,22 +572,52 @@ object Curation {
     * VOCAB-sized frame (distinct words × counts), never the corpus —
     * at 100 TB the corpus pass dominates and training is noise.
     *
-    * Each iteration: adjacent symbol pairs explode from the per-word
-    * symbol arrays (weighted by word count, map-side partial sum), the
-    * best pair is picked deterministically (freq desc, then symbol
-    * pair asc) as a bounded 1-row collect (the watermark-read scalar
-    * posture), and the merge applies as a greedy left-to-right
-    * non-overlapping fold over each word's symbols (a merged symbol
-    * cannot re-merge within the same pass — the standard semantics).
-    * State is checkpointed per iteration ([[Reliable.checkpoint]]) so
-    * the plan does not grow with nMerges. Words are lowercased
-    * whitespace tokens split to characters; no end-of-word marker
-    * (document-level token statistics, not a drop-in GPT-2 vocab).
+    * Merges are learned in BATCHED ROUNDS (VERDICT r7 item 3 — the
+    * per-merge formulation was one driver round-trip + checkpoint per
+    * merge, so a 32k-merge vocabulary meant 32k sequential Spark
+    * jobs): each round counts pairs once, collects the top
+    * `mergesPerRound`+1 candidates (bounded TakeOrdered — the
+    * watermark-read scalar posture), and accepts a batch that is
+    * PROVABLY identical to learning the same merges one at a time:
+    *
+    *   - the batch is a NO-SKIP PREFIX of the (freq desc, s1, s2)
+    *     candidate order, pairwise SYMBOL-DISJOINT including concat
+    *     strings (merging (a,b) only changes counts of pairs touching
+    *     a, b, or the new symbol a+b — a disjoint later pick keeps
+    *     its exact count and, by the prefix property, every
+    *     higher-ordered pair is already merged ahead of it);
+    *   - members must beat the first rejected/overflow candidate's
+    *     freq STRICTLY: a pair created by an earlier batch merge is
+    *     count-bounded by its conflicting pre-image pair (each
+    *     (x, a+b) occurrence was an (x, a) adjacency), and every
+    *     pre-image is conflicting hence ≤ that break freq — so no
+    *     created pair can reach a later batch member's freq;
+    *   - a merge whose concat ALREADY EXISTS as a symbol (checked
+    *     with one bounded existence probe per round) would add count
+    *     to existing pairs, so it is only admitted as the LAST batch
+    *     member; duplicate concats inside a batch are rejected by the
+    *     same disjointness walk.
+    *
+    * When no multi-merge batch qualifies the round degrades to the
+    * plain argmax (sequential semantics trivially), so progress is
+    * guaranteed and the output is ALWAYS the sequential greedy table
+    * — CurationSpec asserts mergesPerRound=1 == 16 on fixtures. Each
+    * merge applies as a greedy left-to-right non-overlapping fold
+    * over each word's symbols (a merged symbol cannot re-merge within
+    * the same pass — the standard semantics); a round's merges chain
+    * as one projection pipeline and checkpoint ONCE, so driver
+    * round-trips and checkpoints drop by ~mergesPerRound×. Words are
+    * lowercased whitespace tokens split to characters; no end-of-word
+    * marker (document-level token statistics, not a drop-in GPT-2
+    * vocab).
     *
     * Returns the merge table (rank, s1, s2, freq), rank 1-based in
     * learn order. Stops early when no pair remains. */
-  def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: Column, nMerges: Int,
+                mergesPerRound: Int = 16): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(mergesPerRound >= 1,
+      s"mergesPerRound must be positive, got $mergesPerRound")
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -597,46 +627,86 @@ object Curation {
       words.select(col("wc"), split(col("w"), "").as("syms")))
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
-    for (rank <- 1 to nMerges if !exhausted) {
+    while (learned.size < nMerges && !exhausted) {
+      val want = math.min(mergesPerRound, nMerges - learned.size)
       val zipped = when(size(col("syms")) >= 2,
           arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1),
             slice(col("syms"), lit(2), size(col("syms")) - 1)))
         .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))
-      val best = state.select(col("wc"), explode(zipped).as("p"))
+      val cands = state.select(col("wc"), explode(zipped).as("p"))
         .groupBy(col("p").getField("0").as("s1"), col("p").getField("1").as("s2"))
         .agg(sum(col("wc")).as("freq"))
         .orderBy(col("freq").desc, col("s1"), col("s2"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true
       else {
-        val (s1, s2, freq) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        learned += ((rank, s1, s2, freq))
-        // greedy left-to-right non-overlapping merge: fold with a
-        // one-symbol carry; a completed merge clears the carry so the
-        // new symbol cannot chain-merge in this same pass
-        val merged = aggregate(col("syms"),
-          struct(array().cast("array<string>").as("res"),
-            lit(null).cast("string").as("carry")),
-          (acc, x) =>
-            when(acc.getField("carry") === lit(s1) && x === lit(s2),
-              struct(concat(acc.getField("res"), array(lit(s1 + s2))).as("res"),
-                lit(null).cast("string").as("carry")))
-            .when(acc.getField("carry").isNull,
-              struct(acc.getField("res").as("res"), x.as("carry")))
-            .otherwise(
-              struct(concat(acc.getField("res"),
-                  array(acc.getField("carry"))).as("res"),
-                x.as("carry"))),
-          acc => when(acc.getField("carry").isNull, acc.getField("res"))
-            .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
-        state = Reliable.checkpoint(state.select(col("wc"), merged.as("syms")))
+        // no-skip symbol-disjoint prefix; `used` holds accepted
+        // symbols AND concats (a candidate touching either would have
+        // its count changed by — or change the count of — an earlier
+        // batch merge)
+        val accepted = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var break = 0L // freq bound on everything outside the prefix
+        var stop = false
+        for (c @ (s1, s2, f) <- cands if !stop) {
+          if (accepted.size >= want || used(s1) || used(s2) || used(s1 + s2)) {
+            break = f; stop = true
+          } else { accepted += c; used ++= Seq(s1, s2, s1 + s2) }
+        }
+        // strict-freq truncation (created-pair tie guard); degrade to
+        // the plain argmax rather than stall when ties truncate all
+        val prefix = accepted.toList.takeWhile(_._3 > break) match {
+          case Nil => accepted.toList.take(1)
+          case p   => p
+        }
+        // concat-existence probe: a merge whose concat is already a
+        // live symbol may only close the batch
+        val concats = prefix.map(p => p._1 + p._2)
+        val colliding = state.select(explode(col("syms")).as("s"))
+          .filter(col("s").isin(concats: _*)).distinct()
+          .collect().map(_.getString(0)).toSet
+        val batch = prefix.indexWhere(p => colliding(p._1 + p._2)) match {
+          case -1 => prefix
+          case i  => prefix.take(i + 1)
+        }
+        batch.foreach { case (s1, s2, f) =>
+          learned += ((learned.size + 1, s1, s2, f))
+        }
+        // the round's merges chain as ONE projection pipeline over the
+        // vocab frame (Catalyst collapses the selects) — sequential
+        // application order, one checkpoint
+        val merged = batch.foldLeft(state) { case (st, (s1, s2, _)) =>
+          st.select(col("wc"), mergeFold(s1, s2).as("syms"))
+        }
+        state = Reliable.checkpoint(merged)
       }
     }
     learned.toSeq.toDF("rank", "s1", "s2", "freq")
       .select(col("rank").cast("long").as("rank"), col("s1"), col("s2"),
         col("freq"))
   }
+
+  /** Greedy left-to-right non-overlapping (s1,s2)→s1+s2 merge over a
+    * `syms` array column: fold with a one-symbol carry; a completed
+    * merge clears the carry so the new symbol cannot chain-merge in
+    * this same pass. */
+  private def mergeFold(s1: String, s2: String): Column =
+    aggregate(col("syms"),
+      struct(array().cast("array<string>").as("res"),
+        lit(null).cast("string").as("carry")),
+      (acc, x) =>
+        when(acc.getField("carry") === lit(s1) && x === lit(s2),
+          struct(concat(acc.getField("res"), array(lit(s1 + s2))).as("res"),
+            lit(null).cast("string").as("carry")))
+        .when(acc.getField("carry").isNull,
+          struct(acc.getField("res").as("res"), x.as("carry")))
+        .otherwise(
+          struct(concat(acc.getField("res"),
+              array(acc.getField("carry"))).as("res"),
+            x.as("carry"))),
+      acc => when(acc.getField("carry").isNull, acc.getField("res"))
+        .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
 
   /** Bigram language-model quality score — the CCNet/Gopher-family
     * "LM perplexity" filter (Wenzek et al. 2020 score with a trained

@@ -353,6 +353,38 @@ class CurationSpec extends SparkSpec {
       "both adjacent (a,a) pairs count in statistics")
   }
 
+  test("bpeMerges: batched rounds == sequential merge table (fixture + adversarial corpora)") {
+    def table(df: org.apache.spark.sql.DataFrame, n: Int, r: Int) =
+      Curation.bpeMerges(df, col("text"), nMerges = n, mergesPerRound = r)
+        .orderBy("rank").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+        .toSeq
+
+    // the real fixture corpus — 24 merges deep so several multi-merge
+    // batches actually form (the q_bpe production shape)
+    val docs = schema.Tables.load(spark, sfDir, "documents")
+      .select(col("text"))
+    assert(table(docs, 24, 16) === table(docs, 24, 1),
+      "batched learning diverged from sequential on the fixture corpus")
+
+    // adversarial: chained symbols where every merge conflicts with the
+    // next (each concat's right symbol is the next pair's left), so
+    // batches must degrade toward 1 and still match
+    val chain = Seq(Tuple1("abcde abcde abcd abc ab")).toDF("text")
+    assert(table(chain, 6, 16) === table(chain, 6, 1))
+
+    // adversarial: flat tie plateau (every pair freq-tied) — the
+    // strict-freq truncation must keep the argmax path
+    val ties = Seq(Tuple1("ab cd ef gh ij kl")).toDF("text")
+    assert(table(ties, 6, 16) === table(ties, 6, 1))
+
+    // adversarial: concat collision — symbol "ab" is learned early,
+    // then pair (a,b) re-forms count onto existing (x,ab) pairs; the
+    // existence probe must keep batches exact
+    val collide = Seq(Tuple1("xab xab xab aab aab zab zab ab ab ab ab")).toDF("text")
+    assert(table(collide, 8, 16) === table(collide, 8, 1))
+  }
+
   test("decontaminateSpans: planted benchmark span stripped, clean docs untouched") {
     val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("btext")
