@@ -139,8 +139,12 @@ object Bench {
           case Left(e)  => failures((dir, name)) = e; name -> -1.0
         }
         if (trackGc) {
+          // both instrumentation maps keep the MAX across the timed
+          // passes (uniform semantics — a reader of BENCH_DETAIL.json
+          // sees each query's worst GC bill and worst post-query heap,
+          // comparable numbers for the same diagnosis)
           gcByQuery(name) = gcByQuery.getOrElse(name, 0L).max(gcMillis - g0)
-          heapByQuery(name) = heapUsedMb
+          heapByQuery(name) = heapByQuery.getOrElse(name, 0L).max(heapUsedMb)
         }
         betweenQueries()
         r

@@ -86,7 +86,20 @@ object TextIndex {
     * (scores compare equal at the 1e-9 contract boundary every ranked
     * query already rounds to) — spec-asserted in TextVectorSpec, and
     * driver-visible via q_bm25_append (appended-index probe vs the
-    * oracle's full-corpus ad-hoc BM25). */
+    * oracle's full-corpus ad-hoc BM25).
+    *
+    * ATOMICITY CONTRACT (same class as the [[MergeSink]] parquet
+    * caveat): the append is a multi-step metadata update — postings
+    * append, then terms/doclen rewrites, then the stats overwrite —
+    * with no cross-directory transaction. A crash mid-append leaves
+    * df/stats inconsistent with postings, and a BLIND RETRY
+    * DOUBLE-APPENDS the batch's postings and doclen rows (tf/df
+    * double-count). Do not retry a failed append: rebuild via
+    * [[writeBm25Index]], or restore the index directory from the
+    * pre-append snapshot. Streaming callers get this detection for
+    * free — [[graft.streaming.IndexStream.bm25AppendBatch]] stages
+    * per-batch started/committed markers, so a replay of a partial
+    * append fails loudly instead of double-counting. */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit = {
     val spark = docs.sparkSession
@@ -215,7 +228,12 @@ object TextIndex {
     *
     * Each input frame carries (`idCol`, `rank`), rank 1-based. A doc
     * missing from a list simply contributes nothing (the full-outer
-    * semantics retrieval fusion wants). Contributions are folded in
+    * semantics retrieval fusion wants). A doc appearing MORE THAN ONCE
+    * within one frame (easy to introduce via a bad upstream join)
+    * counts once — its best (lowest) rank wins, enforced by a per-list
+    * dedup before the union, so `n_lists` counts LISTS, never
+    * duplicate rows, and a duplicated row cannot double its
+    * contribution. Contributions are folded in
     * FIXED list order (each input tagged with its position, parts
     * sorted before summing), so the double arithmetic is
     * associativity-deterministic across engines — the same contract as
@@ -227,8 +245,11 @@ object TextIndex {
     require(rankings.nonEmpty, "need at least one ranking")
     rankings.zipWithIndex
       .map { case (df, i) =>
-        df.select(col(idCol), lit(i).as("__src"),
-          (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("__contrib")) }
+        // per-(list, id) dedup: best rank wins — a list is a set of
+        // docs, and the groupBy is top-k-frame-sized
+        df.groupBy(col(idCol)).agg(min(col("rank")).as("__rank"))
+          .select(col(idCol), lit(i).as("__src"),
+            (lit(1.0) / (lit(kRrf.toDouble) + col("__rank"))).as("__contrib")) }
       .reduce(_ unionByName _)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lists"),

@@ -612,6 +612,17 @@ class TextVectorSpec extends SparkSpec {
       (1L, 1L, r9(1.0 / 61)),
       (2L, 2L, r9(1.0 / 62 + 1.0 / 61)),
       (3L, 1L, r9(1.0 / 62))))
+    // a doc duplicated WITHIN one list (bad upstream join) counts once
+    // at its best rank — n_lists stays a list count, contributions
+    // never double
+    val dup = Seq((1L, 3L), (1L, 1L), (1L, 2L)).toDF("doc_id", "rank")
+    val fused = graft.ops.TextIndex.rrfFuse(Seq(dup, l1), "doc_id", kRrf = 60)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fused.toSeq === Seq(
+      (1L, 1L, r9(1.0 / 61)),
+      (2L, 1L, r9(1.0 / 61)),
+      (3L, 1L, r9(1.0 / 62))))
   }
 
   test("BM25 index append: probes == full rebuild; untouched buckets keep their files") {
