@@ -10,15 +10,22 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 // ATTEMPTED and blocked: the transactional MERGE sink (ops/SqlMergeSink)
-// wants delta-spark on the test classpath for a live MERGE INTO
-// lifecycle run. The resolver is offline-only (COURSIER_MODE=offline,
-// zero egress) and no delta/iceberg jar ships in /opt/spark/jars or the
-// pre-warmed cache, so enabling the line below fails with an
-// unresolved-dependency error. SqlMergeSink itself compiles with zero
-// format deps (MERGE INTO is Spark-parser-owned SQL); MergeSinkSqlSpec
-// verifies statement construction offline and self-gates its live test.
-// On a connected build, uncomment to run the full lifecycle:
+// wants a MERGE-capable catalog on the test classpath for a live
+// MERGE INTO lifecycle run. The resolver is offline-only
+// (COURSIER_MODE=offline, zero egress) and no delta/iceberg jar ships
+// in /opt/spark/jars or the pre-warmed cache; BOTH candidates were
+// attempted and fail with unresolved-dependency errors:
+//   io.delta:delta-spark_2.13:4.0.0            (round 7 attempt)
+//   org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0
+//                                              (round 8 attempt: "Not
+//                                               found" from the offline
+//                                               coursier cache)
+// SqlMergeSink itself compiles with zero format deps (MERGE INTO is
+// Spark-parser-owned SQL); MergeSinkSqlSpec verifies statement
+// construction offline and self-gates its live test. On a connected
+// build, uncomment EITHER line to run the full lifecycle:
 //libraryDependencies += "io.delta" %% "delta-spark" % "4.0.0" % Test
+//libraryDependencies += "org.apache.iceberg" %% "iceberg-spark-runtime-4.0" % "1.10.0" % Test
 Test / fork := true
 run / fork := true
 // Forked runMain output must reach stdout UNPREFIXED: the default
