@@ -692,7 +692,13 @@ object Curation {
     * merge clears the carry so the new symbol cannot chain-merge in
     * this same pass. */
   private def mergeFold(s1: String, s2: String): Column =
-    aggregate(col("syms"),
+    mergeFoldOn(col("syms"), s1, s2)
+
+  /** [[mergeFold]] over an arbitrary symbol-array column (the trainer
+    * binds it to its `syms` state; [[bpeEncodeFoldCol]] binds it inside
+    * a per-word lambda). */
+  private[graft] def mergeFoldOn(syms: Column, s1: String, s2: String): Column =
+    aggregate(syms,
       struct(array().cast("array<string>").as("res"),
         lit(null).cast("string").as("carry")),
       (acc, x) =>
@@ -707,6 +713,61 @@ object Curation {
             x.as("carry"))),
       acc => when(acc.getField("carry").isNull, acc.getField("res"))
         .otherwise(concat(acc.getField("res"), array(acc.getField("carry")))))
+
+  /** Materialize a trained merge table ([[bpeMerges]] output or any
+    * (rank, s1, s2) frame) into the rank-ordered pair list a tokenizer
+    * ships. Bounded collect by design — a merge table IS the vocab-sized
+    * artifact (32k–100k rows for production vocabularies), the same
+    * scalar-state posture as watermark reads; `maxMerges` fails loudly
+    * if someone points this at a non-vocab frame. */
+  def collectMerges(merges: DataFrame, maxMerges: Int = 1 << 20): Seq[(String, String)] = {
+    val rows = merges.select(col("rank"), col("s1"), col("s2"))
+      .orderBy(col("rank")).limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"merge table exceeds maxMerges=$maxMerges rows — not a vocab-sized artifact")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** BPE ENCODE — the apply half of the tokenizer lifecycle
+    * ([[bpeMerges]] trains the table; Sennrich et al. 2016): document
+    * text → subword token array, applying the merges in rank order,
+    * each as one greedy left-to-right non-overlapping pass — byte-exact
+    * the trainer's own application semantics, so encoding the training
+    * corpus reproduces the trainer's final symbol state (spec-pinned).
+    *
+    * Scale shape: a fused per-row Catalyst kernel
+    * ([[graft.expr.catalyst.BpeEncodeText]]) — the vocab-sized merge
+    * table rides inside the serialized expression, the corpus never
+    * shuffles, nothing leaves whole-stage codegen, and a per-thread
+    * word memo exploits Zipf (the cost per OCCURRENCE of a common word
+    * is one hash probe). Tokenization parity with [[tokensOf]]:
+    * lower → trim → split `\s+` → drop empties. */
+  def bpeEncodeCol(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.BpeEncodeText(expression(text), merges))
+  }
+
+  /** [[bpeEncodeCol]] over a trained merge-table frame: collects the
+    * bounded table once, encodes `textCol` into `outCol`
+    * (array<string>) and `outCol`_n (token count). */
+  def bpeEncode(df: DataFrame, textCol: Column, merges: DataFrame,
+                outCol: String = "bpe_tokens"): DataFrame = {
+    val table = collectMerges(merges)
+    df.withColumn(outCol, bpeEncodeCol(textCol, table))
+      .withColumn(s"${outCol}_n", size(col(outCol)))
+  }
+
+  /** Declarative twin of [[bpeEncodeCol]] — the merge table applied as
+    * chained [[mergeFoldOn]] HOF passes inside a per-word lambda (the
+    * trainer's literal formulation). One chained expression per merge,
+    * so this is the PARITY/ORACLE path for bounded tables, not the
+    * production encoder (the kernel is); KernelParitySpec-style
+    * equality between the two is driver-visible via q_bpe_encode. */
+  def bpeEncodeFoldCol(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(tokensOf(text), w =>
+      merges.foldLeft(split(w, "")) { case (syms, (s1, s2)) =>
+        mergeFoldOn(syms, s1, s2)
+      }))
 
   /** Bigram language-model quality score — the CCNet/Gopher-family
     * "LM perplexity" filter (Wenzek et al. 2020 score with a trained

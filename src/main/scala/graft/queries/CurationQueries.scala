@@ -374,6 +374,30 @@ object CurationQueries {
         md5(regexp_replace(t, pat, "<EMAIL>")).as("redacted_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // BPE ENCODE — the apply half of the tokenizer lifecycle (q_bpe
+    // trains). The fused per-row kernel encodes every doc with the
+    // 8-merge table learned from this corpus; the driver-visible gate
+    // is kernel == declarative-fold equality per doc (two independent
+    // implementations of the rank-ordered greedy-pass semantics) plus
+    // the token-count sandwich n_words <= n_bpe <= n_chars, both of
+    // which the oracle states as constants. Exact subword encodings are
+    // pinned in BpeEncodeSpec (low/lower classic, overlap, roundtrip
+    // onto the trainer's final state).
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val table = Curation.collectMerges(
+        Curation.bpeMerges(d, col("text"), nMerges = 8))
+      val enc = Curation.bpeEncodeCol(col("text"), table)
+      val fold = Curation.bpeEncodeFoldCol(col("text"), table)
+      val words = Text.tokens(lower(col("text")))
+      val nChars = aggregate(words, lit(0), (a, x) => a + length(x))
+      d.select(col("doc_id"),
+          (enc === fold).as("matches_fold"),
+          (size(enc) >= size(words) && size(enc) <= nChars)
+            .as("tokens_within_bounds"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val toks =
@@ -970,5 +994,13 @@ object CurationQueries {
          |  md5(regexp_replace(text,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5
          |FROM src ORDER BY doc_id""".stripMargin,
+
+    // kernel-vs-fold equality and the token-count sandwich are
+    // theorems of a correct encoder over ANY corpus and merge table —
+    // the oracle asserts them per doc; a kernel/fold divergence or a
+    // lost/duplicated token flips a row red
+    "q_bpe_encode" ->
+      """SELECT doc_id, TRUE AS matches_fold, TRUE AS tokens_within_bounds
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -245,6 +245,38 @@ object PipelineQueries {
         col("tvl"), col("tvl_usd"), col("created_at"))
         .orderBy(col("token_id"))
     }),
+
+    // Snapshot CDC diff: two keyed snapshots of orders (deterministic
+    // membership/mutation derivations) → the exact insert/update/delete
+    // change set with per-row changed-column lists — the operator that
+    // retrofits CDC onto full-snapshot sources so downstream merges
+    // process deltas, not snapshots. One full-outer shuffle on the key.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val newSnap = o.filter(col("o_orderkey") % 3 =!= 1)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, lit("9-SYNTH"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      graft.ops.Merge.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change_op"),
+          array_join(col("changed_cols"), ",").as("changed"),
+          col("o_orderstatus_old"), col("o_orderstatus_new"),
+          col("o_orderpriority_new"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // One-pass column profiler over lineitem (exact distinct mode for
+    // the oracle; the library default is the HLL sketch single-pass).
+    "q_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+          exact = true)
+        .orderBy(col("column"))
+    }),
   )
 
   /** Shared oracle CTEs: the Stellar loop semantics restated in SQL. */
@@ -485,5 +517,67 @@ object PipelineQueries {
       """SELECT token_id, pool_id AS pool_address,
         |  CAST(date AS TIMESTAMP) AS date, apy, tvl, tvl AS tvl_usd, created_at
         |FROM keyed ORDER BY token_id""".stripMargin),
+
+    "q_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |newsnap AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '9-SYNTH' ELSE o_orderpriority END
+        |      AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 1),
+        |j AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |           THEN 'update' END AS change_op,
+        |    o.o_orderstatus AS o_orderstatus_old,
+        |    n.o_orderstatus AS o_orderstatus_new,
+        |    n.o_orderpriority AS o_orderpriority_new,
+        |    o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL AS both_sides,
+        |    o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS st_chg,
+        |    o.o_orderpriority IS DISTINCT FROM n.o_orderpriority AS pr_chg
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_op,
+        |  CASE WHEN change_op <> 'update' THEN ''
+        |       WHEN st_chg AND pr_chg THEN 'o_orderpriority,o_orderstatus'
+        |       WHEN st_chg THEN 'o_orderstatus'
+        |       ELSE 'o_orderpriority' END AS changed,
+        |  o_orderstatus_old, o_orderstatus_new, o_orderpriority_new
+        |FROM j WHERE change_op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_linenumber) AS BIGINT),
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
+        |    CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_linestatus) AS BIGINT),
+        |    CAST(count(DISTINCT l_linestatus) AS BIGINT),
+        |    CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
   )
 }

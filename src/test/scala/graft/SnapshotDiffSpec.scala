@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Merge, Profile}
+
+/** Snapshot CDC diff classification (null-safe compares, changed-column
+  * lists, empty diff on identical snapshots) and the one-pass column
+  * profiler's statistics. */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, String)*) =
+    rows.toDF("k", "v", "w")
+
+  test("insert/update/delete classification with null-safe compares") {
+    val oldS = Seq((1L, "a", "p"), (2L, "b", "q"), (3L, null, "r"), (4L, "d", "s"))
+      .toDF("k", "v", "w")
+    val newS = Seq((2L, "b", "q"), (3L, "x", "r"), (4L, null, "s"), (5L, "e", "t"))
+      .toDF("k", "v", "w")
+    val got = Merge.snapshotDiff(oldS, newS, Seq("k"))
+      .orderBy("k")
+      .select(col("k"), col("change_op"), col("changed_cols"),
+        col("v_old"), col("v_new"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toList,
+        r.getString(3), r.getString(4)))
+    assert(got.toList === List(
+      (1L, "delete", Nil, "a", null),
+      (3L, "update", List("v"), null, "x"),
+      (4L, "update", List("v"), "d", null),
+      (5L, "insert", Nil, null, "e")))
+  }
+
+  test("multi-column updates list changed columns sorted; unchanged keys absent") {
+    val oldS = snap((1L, "a", "p"), (2L, "b", "q"))
+    val newS = snap((1L, "A", "P"), (2L, "b", "q"))
+    val got = Merge.snapshotDiff(oldS, newS, Seq("k")).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Seq[String]]("changed_cols").toList === List("v", "w"))
+    // identical snapshots diff to empty
+    assert(Merge.snapshotDiff(oldS, oldS, Seq("k")).isEmpty)
+  }
+
+  test("schema / key validation fails loudly") {
+    val a = snap((1L, "a", "p"))
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(a, a.drop("w"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(a, a, Seq("nope"))
+    }
+  }
+
+  test("profile: per-column stats in one pass, exact and sketch modes") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (3L, "b")).toDF("id", "s")
+    for (exact <- Seq(true, false)) {
+      val p = Profile.profile(df, Seq("id", "s"), exact = exact)
+        .orderBy("column").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))
+      assert(p.toList === List(
+        ("id", 4L, 0L, 3L, "1", "3"),
+        ("s", 4L, 1L, 2L, "a", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("missing"))
+    }
+  }
+}
