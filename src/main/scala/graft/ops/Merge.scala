@@ -97,18 +97,25 @@ object Merge {
     * standard way to retrofit CDC onto sources that only publish full
     * snapshots.
     *
-    * Comparisons are null-safe (`IS DISTINCT FROM`): null→value and
-    * value→null are updates, null==null is unchanged. Keys may be
-    * null-valued (presence is tracked with side markers, not key
-    * nullability).
+    * VALUE comparisons are null-safe (`IS DISTINCT FROM`): null→value
+    * and value→null are updates, null==null is unchanged. KEY matching
+    * defaults to plain equality — CDC keys are primary keys, and the
+    * equi-join is what lets two key-bucketed snapshots diff with ZERO
+    * exchanges (BucketingSpec pins the plan; Catalyst rewrites a
+    * null-safe join key to `coalesce(k, 0), isnull(k)`, which disables
+    * bucketed co-location and re-shuffles both 100 TB sides). A
+    * null-valued key under the default therefore classifies as a
+    * delete + insert pair — still byte-exact under [[applyDiff]]
+    * reconstruction; pass `nullSafeKeys = true` to match null keys to
+    * each other instead, at the cost of the bucket-local plan.
     *
-    * Scale shape: ONE shuffle — a single full-outer join on the key
-    * (AQE skew-safe); per-column compares are codegen'd projections.
-    * With both snapshots date-partitioned the join prunes to changed
-    * partitions; with both bucketed on the key it plans with no
-    * exchange at all (BucketedScanSpec posture). Diff output is
-    * change-sized, not snapshot-sized. */
-  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    * Scale shape: ONE shuffle at most — a single full-outer join on
+    * the key (AQE skew-safe); per-column compares are codegen'd
+    * projections. With both snapshots date-partitioned the join prunes
+    * to changed partitions; with both bucketed on the key, none. Diff
+    * output is change-sized, not snapshot-sized. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   nullSafeKeys: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "diff keys required")
     val cols = oldDf.columns.toSeq
     require(newDf.columns.toSet == cols.toSet,
@@ -119,7 +126,9 @@ object Merge {
       .withColumn("__o_present", lit(true))
     val n = newDf.select(cols.map(c => col(c).as(s"__n_$c")): _*)
       .withColumn("__n_present", lit(true))
-    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    val cond = keys.map(k =>
+      if (nullSafeKeys) o(s"__o_$k") <=> n(s"__n_$k")
+      else o(s"__o_$k") === n(s"__n_$k")).reduce(_ && _)
     val j = o.join(n, cond, "full_outer")
     val changed = filter(
       array(nonKey.map(c =>
@@ -137,6 +146,26 @@ object Merge {
               .otherwise(array().cast("array<string>")).as("changed_cols")) ++
           nonKey.flatMap(c => Seq(col(s"__o_$c").as(s"${c}_old"),
             col(s"__n_$c").as(s"${c}_new"))): _*)
+  }
+
+  /** Apply a [[snapshotDiff]] change set to the old snapshot,
+    * reconstructing the new one — the CDC consumer: deletes drop via a
+    * null-safe anti join (change-sized right side, broadcast-friendly),
+    * inserts/updates apply their `<col>_new` images through the keyed
+    * [[replace]] merge. `applyDiff(old, snapshotDiff(old, new)) == new`
+    * is the operator pair's defining theorem (spec-pinned), which is
+    * what lets a pipeline ship deltas instead of snapshots and trust
+    * the replica state. */
+  def applyDiff(oldDf: DataFrame, diff: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = oldDf.columns.toSeq
+    val nonKey = cols.filterNot(keys.contains)
+    val upserts = diff.filter(col("change_op") =!= "delete")
+      .select(cols.map(c =>
+        (if (keys.contains(c)) col(c) else col(s"${c}_new")).as(c)): _*)
+    val deletes = diff.filter(col("change_op") === "delete")
+      .select(keys.map(k => col(k).as(s"__d_$k")): _*)
+    val delCond = keys.map(k => oldDf(k) <=> deletes(s"__d_$k")).reduce(_ && _)
+    replace(oldDf.join(deletes, delCond, "left_anti"), upserts, keys)
   }
 
   /** Last-writer-wins dedup used to build an SCD-1 dim from a stream of

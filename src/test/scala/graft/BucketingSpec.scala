@@ -37,6 +37,39 @@ class BucketingSpec extends SparkSpec {
       orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count())
   }
 
+  test("snapshotDiff of two key-bucketed snapshots plans no shuffle") {
+    // the snapshotDiff scaladoc's bucketed posture made real: daily
+    // snapshots stored bucketed on the diff key full-outer join with
+    // zero exchanges — the diff of two 100 TB snapshots reads
+    // co-partitioned buckets in place
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc-wh").toString
+    val o = schema.Tables.load(spark, sfDir, "orders")
+    val oldSnap = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_orderstatus")
+    val newSnap = o.filter(col("o_orderkey") % 3 =!= 1)
+      .select("o_orderkey", "o_orderstatus")
+
+    spark.sql("DROP TABLE IF EXISTS snap_old")
+    spark.sql("DROP TABLE IF EXISTS snap_new")
+    oldSnap.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/snap_old").saveAsTable("snap_old")
+    newSnap.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/snap_new").saveAsTable("snap_new")
+
+    val diff = graft.ops.Merge.snapshotDiff(
+      spark.table("snap_old"), spark.table("snap_new"), Seq("o_orderkey"))
+    diff.count() // force AQE final plan
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed snapshot diff must not re-shuffle either side:\n" + plan)
+    // classification identical to the unbucketed path
+    val unbucketed = graft.ops.Merge.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    assert(diff.groupBy("change_op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      unbucketed.groupBy("change_op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("persisted band index round trip: stored bucketed, probe answers unchanged") {
     // the Dedup.bandIndex docstring's storage posture made real: the
     // corpus's band rows persist ONCE, bucketed on the probe key, and

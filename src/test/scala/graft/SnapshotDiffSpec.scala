@@ -42,6 +42,36 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(Merge.snapshotDiff(oldS, oldS, Seq("k")).isEmpty)
   }
 
+  test("null-valued keys: delete+insert by default, matched under nullSafeKeys") {
+    val oldS = Seq((Option(1L), "a"), (Option.empty[Long], "z")).toDF("k", "v")
+    val newS = Seq((Option(1L), "a"), (Option.empty[Long], "y")).toDF("k", "v")
+    def ops(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("change_op"), col("v_old"), col("v_new"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ops(Merge.snapshotDiff(oldS, newS, Seq("k"))) ===
+      Set(("delete", "z", null), ("insert", null, "y")))
+    assert(ops(Merge.snapshotDiff(oldS, newS, Seq("k"), nullSafeKeys = true)) ===
+      Set(("update", "z", "y")))
+  }
+
+  test("applyDiff(old, snapshotDiff(old, new)) reconstructs new exactly") {
+    val oldS = Seq((1L, "a", "p"), (2L, "b", "q"), (3L, null.asInstanceOf[String], "r"),
+      (4L, "d", "s")).toDF("k", "v", "w")
+    val newS = Seq((2L, "b", "q"), (3L, "x", "r"), (4L, null.asInstanceOf[String], "s"),
+      (5L, "e", "t")).toDF("k", "v", "w")
+    val rebuilt = Merge.applyDiff(oldS, Merge.snapshotDiff(oldS, newS, Seq("k")),
+      Seq("k"))
+    assert(rebuilt.columns.toSeq === oldS.columns.toSeq)
+    val a = rebuilt.orderBy("k").collect().map(_.toSeq).toList
+    val b = newS.orderBy("k").collect().map(_.toSeq).toList
+    assert(a === b)
+    // empty diff is the identity
+    val same = Merge.applyDiff(oldS, Merge.snapshotDiff(oldS, oldS, Seq("k")),
+      Seq("k"))
+    assert(same.orderBy("k").collect().map(_.toSeq).toList ===
+      oldS.orderBy("k").collect().map(_.toSeq).toList)
+  }
+
   test("schema / key validation fails loudly") {
     val a = snap((1L, "a", "p"))
     intercept[IllegalArgumentException] {
