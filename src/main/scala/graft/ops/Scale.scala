@@ -279,7 +279,7 @@ object Scale {
   /** Resolve a path string to (FileSystem, fully-qualified Path) via the
     * session's Hadoop conf — the one seam every disk-mutating maintenance
     * op goes through, so none of them can regress to java.io.File. */
-  private[ops] def resolve(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def resolve(spark: org.apache.spark.sql.SparkSession,
                            path: String): (org.apache.hadoop.fs.FileSystem, HPath) = {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -14,26 +14,15 @@ import graft.ops.{Ann, TextIndex}
   *
   * Exactly-once posture: `foreachBatch` delivery is at-least-once and
   * both appends are NON-IDEMPOTENT (postings/lists append files; BM25
-  * df counts merge additively), so each writer stages per-batch
-  * markers under `indexPath/_stream_batches`:
-  *
-  *  - `batch_id=N.committed` exists → the batch already applied fully;
-  *    a redelivery SKIPS it (the restart-recovery path — Spark replays
-  *    the last micro-batch after a crash-stop);
-  *  - `batch_id=N.started` without `.committed` → a previous attempt
-  *    died MID-APPEND and the index may hold a partial batch; the
-  *    writer fails LOUDLY naming the rebuild remedy instead of
-  *    double-appending (the append ops' documented no-retry contract —
-  *    multi-directory parquet writes have no cross-directory
-  *    transaction to roll back);
-  *  - neither → append, then mark committed.
-  *
-  * The marker pair narrows the unsafe window to a crash between append
-  * completion and the committed-marker write, which surfaces as the
-  * loud partial-append failure — never as silent double counts. State
-  * across restarts rides the stream checkpoint (offsets) plus the
-  * markers (applied-batch set); both live outside the executors, so a
-  * new cluster resumes correctly.
+  * df counts merge additively), so each writer stages the shared
+  * [[StreamOnce]] per-batch markers under `indexPath/_stream_batches` —
+  * committed replays skip, a started-without-committed marker fails
+  * loudly naming the rebuild remedy (the append ops' documented
+  * no-retry contract — multi-directory parquet writes have no
+  * cross-directory transaction to roll back). State across restarts
+  * rides the stream checkpoint (offsets) plus the markers
+  * (applied-batch set); both live outside the executors, so a new
+  * cluster resumes correctly.
   */
 object IndexStream {
 
@@ -72,24 +61,9 @@ object IndexStream {
       }
 
   /** Run `append` exactly once per (indexPath, batchId): skip committed
-    * replays, loudly refuse started-but-uncommitted ones. */
+    * replays, loudly refuse started-but-uncommitted ones (shared
+    * [[StreamOnce]] marker contract). */
   private def appliedOnce(spark: SparkSession, indexPath: String,
-                          batchId: Long, what: String)(append: => Unit): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_stream_batches")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val started = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId.started")
-    val committed = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId.committed")
-    if (fs.exists(committed)) return
-    if (fs.exists(started))
-      throw new IllegalStateException(
-        s"$what index at $indexPath holds a PARTIAL append of stream batch " +
-          s"$batchId (started marker without committed) — a previous attempt " +
-          "died mid-append and the layout may be inconsistent; do not retry: " +
-          "rebuild the index (or restore it from a snapshot), clear " +
-          "_stream_batches, and restart the stream")
-    fs.mkdirs(dir)
-    fs.create(started, false).close()
-    append
-    fs.create(committed, false).close()
-  }
+                          batchId: Long, what: String)(append: => Unit): Unit =
+    StreamOnce.appliedOnce(spark, indexPath, batchId, s"$what index")(append)
 }

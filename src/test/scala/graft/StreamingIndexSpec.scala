@@ -76,7 +76,7 @@ class StreamingIndexSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       IndexStream.ivfAppendBatch(p)(vecRows(100 until 110).toDF("id", "vec"), 7L)
     }
-    assert(e.getMessage.contains("PARTIAL append"))
+    assert(e.getMessage.contains("PARTIAL apply"))
     assert(e.getMessage.contains("rebuild"))
     // the refused batch wrote nothing
     assert(spark.read.parquet(s"$p/lists").count() === 30L)
