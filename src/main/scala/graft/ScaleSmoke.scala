@@ -65,7 +65,11 @@ object ScaleSmoke {
     "q_ann_ivf_append", "q_temperature_mix",
     "q_lm_score", "q_bm25_append", "q_decontam", "q_bpe",
     "q_hybrid_rrf", "q_media_phash", "q_cluster_sample",
-    "q_hard_negatives", "q_unicode_norm")
+    "q_hard_negatives", "q_unicode_norm",
+    // round-8 additions: index-served mining, tokenizer apply,
+    // CDC diff, exact profiling, JL projection
+    "q_hard_negatives_ivf", "q_bpe_encode", "q_snapshot_diff",
+    "q_profile", "q_rp_recall")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)

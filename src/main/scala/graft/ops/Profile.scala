@@ -56,6 +56,12 @@ object Profile {
     val tall = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
     if (!exact) tall
     else {
+      profileExactDistinct(df, cols, tall)
+    }
+  }
+
+  private def profileExactDistinct(df: DataFrame, cols: Seq[String],
+                                   tall: DataFrame): DataFrame = {
       val pairs = df.select(explode(array(cols.map(c =>
           struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("p"))
         .select(col("p.*")).filter(col("v").isNotNull)
@@ -65,6 +71,53 @@ object Profile {
         .select(col("column"), col("n_rows"), col("n_null"),
           coalesce(col("__nd"), lit(0L)).as("n_distinct"),
           col("min_value"), col("max_value"))
-    }
+  }
+
+  /** Referential-integrity report: one row summarizing how `child`'s
+    * foreign key (`childKeys`) resolves against `parent`'s key
+    * (`parentKeys`, positionally paired) —
+    * (n_child, n_null_fk, n_orphans, n_orphan_keys). Standard SQL FK
+    * semantics: a child row with ANY null key column is exempt
+    * (counted as n_null_fk, never as an orphan).
+    *
+    * Scale shape: parent projects to its distinct key (map-side
+    * combined), one left join on the key (broadcast when the parent
+    * key set is dim-sized, shuffled+AQE otherwise), one global
+    * aggregate — the orphan COUNT never materializes orphan rows.
+    * [[orphans]] returns the violating child rows themselves
+    * (change-sized) when a quarantine sink needs them. */
+  def integrityReport(child: DataFrame, childKeys: Seq[String],
+                      parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    val (_, joined) = integrityJoin(child, childKeys, parent, parentKeys)
+    val anyNull = childKeys.map(col(_).isNull).reduce(_ || _)
+    val orphan = !anyNull && col("__hit").isNull
+    joined.agg(count(lit(1)).as("n_child"),
+      sum(when(anyNull, 1L).otherwise(0L)).as("n_null_fk"),
+      sum(when(orphan, 1L).otherwise(0L)).as("n_orphans"),
+      count_distinct(when(orphan, struct(childKeys.map(col): _*)))
+        .as("n_orphan_keys"))
+  }
+
+  /** The violating child rows themselves (full row, change-sized):
+    * non-null FKs with no matching parent key. */
+  def orphans(child: DataFrame, childKeys: Seq[String],
+              parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    val (c, joined) = integrityJoin(child, childKeys, parent, parentKeys)
+    val anyNull = childKeys.map(col(_).isNull).reduce(_ || _)
+    joined.filter(!anyNull && col("__hit").isNull).select(c.map(col): _*)
+  }
+
+  private def integrityJoin(child: DataFrame, childKeys: Seq[String],
+                            parent: DataFrame, parentKeys: Seq[String])
+      : (Seq[String], DataFrame) = {
+    require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
+      "childKeys and parentKeys must pair positionally")
+    require(childKeys.forall(child.columns.contains) &&
+      parentKeys.forall(parent.columns.contains), "key columns must exist")
+    require(!child.columns.contains("__hit"), "column __hit is reserved")
+    val pk = parent.select(parentKeys.zip(childKeys).map {
+        case (p, c) => col(p).as(c)
+      }: _*).distinct().withColumn("__hit", lit(true))
+    (child.columns.toSeq, child.join(pk, childKeys, "left"))
   }
 }

@@ -277,6 +277,16 @@ object PipelineQueries {
           exact = true)
         .orderBy(col("column"))
     }),
+
+    // Referential-integrity report: lineitem.l_orderkey against a
+    // deterministically damaged orders key set (every 7th key removed)
+    // — orphan rows/keys counted without materializing them.
+    "q_integrity" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0)
+      graft.ops.Profile.integrityReport(li, Seq("l_orderkey"),
+        o, Seq("o_orderkey"))
+    }),
   )
 
   /** Shared oracle CTEs: the Stellar loop semantics restated in SQL. */
@@ -551,6 +561,19 @@ object PipelineQueries {
         |  o_orderstatus_old, o_orderstatus_new, o_orderpriority_new
         |FROM j WHERE change_op IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_integrity" ->
+      """WITH pk AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_fk,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND pk.o_orderkey IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(count(DISTINCT CASE WHEN l.l_orderkey IS NOT NULL
+        |    AND pk.o_orderkey IS NULL THEN l.l_orderkey END) AS BIGINT)
+        |    AS n_orphan_keys
+        |FROM lineitem l LEFT JOIN pk ON l.l_orderkey = pk.o_orderkey""".stripMargin,
 
     "q_profile" ->
       """SELECT * FROM (

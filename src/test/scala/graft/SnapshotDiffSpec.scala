@@ -98,4 +98,21 @@ class SnapshotDiffSpec extends SparkSpec {
       Profile.profile(df, Seq("missing"))
     }
   }
+
+  test("integrityReport: orphans counted, null FKs exempt, orphan rows returned") {
+    val child = Seq((Option(1L), "a"), (Option(1L), "b"), (Option(5L), "c"),
+      (Option(5L), "d"), (Option.empty[Long], "e")).toDF("fk", "payload")
+    val parent = Seq((1L, "p")).toDF("pk", "x")
+    val rep = Profile.integrityReport(child, Seq("fk"), parent, Seq("pk"))
+      .head()
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3)) ===
+      (5L, 1L, 2L, 1L))
+    val bad = Profile.orphans(child, Seq("fk"), parent, Seq("pk"))
+      .orderBy("payload").collect().map(_.getString(1)).toList
+    assert(bad === List("c", "d"))
+    // intact relation reports zero orphans
+    val clean = Profile.integrityReport(
+      Seq((1L, "a")).toDF("fk", "p"), Seq("fk"), parent, Seq("pk")).head()
+    assert(clean.getLong(2) === 0L && clean.getLong(3) === 0L)
+  }
 }
