@@ -96,6 +96,15 @@ object Multimodal {
     * bytes in, parsed dimensions and pixel statistics out. */
   object ImageCodec {
 
+    // ImageIO defaults to a DISK-backed stream cache: every
+    // read/write creates and locks a temp cache file, which serializes
+    // 32 concurrent decode tasks behind filesystem churn (measured:
+    // q_media_decode 10 s at local[32] vs 2 s at local[4] on the SAME
+    // data). All payloads here are in-memory byte arrays — the disk
+    // cache buys nothing — so force the memory-cached stream path
+    // once per JVM.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Encode a solid-fill RGB image as PNG bytes (the fixture-side
       * generator: dimensions and fill are the caller's known-answer
       * contract, so a later decode is verifiable arithmetic). */
