@@ -121,7 +121,13 @@ object Merge {
     require(newDf.columns.toSet == cols.toSet,
       s"new snapshot schema ${newDf.columns.toSeq} != old snapshot schema $cols")
     require(keys.forall(cols.contains), s"keys $keys must exist in the schema")
+    require(!cols.contains("change_op") && !cols.contains("changed_cols"),
+      "columns change_op / changed_cols are reserved by snapshotDiff")
     val nonKey = cols.filterNot(keys.contains)
+    val imageClash = nonKey.flatMap(c => Seq(s"${c}_old", s"${c}_new"))
+      .filter(cols.contains)
+    require(imageClash.isEmpty,
+      s"columns $imageClash collide with snapshotDiff's before/after image names")
     val o = oldDf.select(cols.map(c => col(c).as(s"__o_$c")): _*)
       .withColumn("__o_present", lit(true))
     val n = newDf.select(cols.map(c => col(c).as(s"__n_$c")): _*)
