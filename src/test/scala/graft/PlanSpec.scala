@@ -293,4 +293,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_snapshot_diff: ONE join on the key, no cartesian, value compares projected") {
+    val p = plan("q_snapshot_diff")
+    assert("SortMergeJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size === 1,
+      "snapshot diff must be exactly one keyed join\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "no window needed for a keyed diff\n" + p)
+  }
+
+  test("q_profile: a fixed number of scans, hash aggregation, no Expand sort") {
+    val p = plan("q_profile")
+    assert(!p.contains("CartesianProduct"), p)
+    // the whole point of the two-hash-pass exact mode: no Expand into
+    // a multi-key SortAggregate
+    assert(!p.contains("Expand"), "exact profile must not plan Expand\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_integrity: distinct parent key + single left join + global aggregate") {
+    val p = plan("q_integrity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_rp_recall: projected candidate stage keeps fused kernels and bounded top-k") {
+    val p = plan("q_rp_recall")
+    assert(p.contains("graft_random_project"), "projection kernel must be in-plan\n" + p)
+    assert(p.contains("graft_dot"), "fused dot kernel must score candidates\n" + p)
+    assert(p.contains("graft_top_k"), "bounded top-k aggregate expected\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bpe_encode: encode is a pure per-row kernel; the 1-row gate broadcasts") {
+    val p = plan("q_bpe_encode")
+    assert(p.contains("graft_bpe_encode"), "BPE kernel must be in-plan\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row parity gate must broadcast, never cartesian\n" + p)
+  }
 }
