@@ -73,6 +73,46 @@ object Profile {
           col("min_value"), col("max_value"))
   }
 
+  /** Equi-width histogram of a numeric column: `nBins` bins spanning
+    * [min, max], bin i covering [min + i·w, min + (i+1)·w) with
+    * w = (max − min)/nBins and the max value landing in the LAST bin
+    * (the standard closed-top convention). Returns
+    * (bin, lo, hi, n_rows) with EVERY bin present (empty bins at 0) so
+    * consumers can plot without gap-filling; nulls are excluded.
+    *
+    * Scale shape: one bounded min/max aggregate (parquet stats make it
+    * near-metadata-only), then ONE map-side-combined groupBy over the
+    * bin id — a per-row `floor` against two broadcast scalars, never a
+    * sort. Degenerate min==max collapses to a single bin holding every
+    * non-null row. */
+  def histogram(df: DataFrame, colName: String, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(df.columns.contains(colName), s"column $colName missing")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mm = df.agg(min(col(colName)).cast("double"),
+      max(col(colName)).cast("double")).head()
+    if (mm.isNullAt(0)) {
+      // all-null / empty input: an empty histogram, typed
+      return Seq.empty[(Long, Double, Double, Long)]
+        .toDF("bin", "lo", "hi", "n_rows")
+    }
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val w = (hi - lo) / nBins
+    val bin =
+      if (w == 0d) lit(0L)
+      else least(floor((col(colName).cast("double") - lit(lo)) / lit(w)),
+        lit(nBins - 1L)).cast("long")
+    val counts = df.filter(col(colName).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n_rows"))
+    val bins = spark.range(if (w == 0d) 1 else nBins).select(col("id").as("bin"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("hi"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Referential-integrity report: one row summarizing how `child`'s
     * foreign key (`childKeys`) resolves against `parent`'s key
     * (`parentKeys`, positionally paired) —

@@ -278,6 +278,13 @@ object PipelineQueries {
         .orderBy(col("column"))
     }),
 
+    // Equi-width histogram of l_extendedprice: bounded min/max read,
+    // then one map-side-combined groupBy on the bin id; every bin
+    // emitted (empty bins at 0).
+    "q_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", nBins = 10).orderBy(col("bin"))),
+
     // Referential-integrity report: lineitem.l_orderkey against a
     // deterministically damaged orders key set (every 7th key removed)
     // — orphan rows/keys counted without materializing them.
@@ -561,6 +568,23 @@ object PipelineQueries {
         |  o_orderstatus_old, o_orderstatus_new, o_orderpriority_new
         |FROM j WHERE change_op IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+        |    (CAST(max(l_extendedprice) AS DOUBLE)
+        |      - CAST(min(l_extendedprice) AS DOUBLE)) / 10 AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT LEAST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.mn) / b.w)
+        |      AS BIGINT), 9) AS bin, count(*) AS n
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS bin)
+        |SELECT CAST(g.bin AS BIGINT) AS bin, b.mn + g.bin * b.w AS lo,
+        |  b.mn + (g.bin + 1) * b.w AS hi,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+        |FROM g CROSS JOIN b LEFT JOIN c ON c.bin = g.bin
+        |ORDER BY bin""".stripMargin,
 
     "q_integrity" ->
       """WITH pk AS (

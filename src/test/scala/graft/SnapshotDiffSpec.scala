@@ -99,6 +99,29 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 
+  test("histogram: closed-top bins, empty bins present, degenerate and null edges") {
+    val df = Seq(0.0, 1.0, 2.5, 9.9, 10.0, 10.0).map(Tuple1(_)).toDF("v")
+    val h = Profile.histogram(df, "v", nBins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // w = 2: [0,2)->2, [2,4)->1, [4,6)->0, [6,8)->0, [8,10]->3 (max lands last)
+    assert(h.map(x => (x._1, x._4)).toList ===
+      List((0L, 2L), (1L, 1L), (2L, 0L), (3L, 0L), (4L, 3L)))
+    assert(h.head._2 === 0.0 && h.last._3 === 10.0)
+
+    val one = Profile.histogram(Seq(7.0, 7.0).map(Tuple1(_)).toDF("v"), "v", 4)
+      .collect()
+    assert(one.length === 1 && one.head.getLong(3) === 2L,
+      "min==max must collapse to a single full bin")
+
+    val withNull = Seq(Some(1.0), None, Some(3.0)).map(Tuple1(_)).toDF("v")
+    assert(Profile.histogram(withNull, "v", 2)
+      .agg(sum(col("n_rows"))).head().getLong(0) === 2L, "nulls excluded")
+
+    assert(Profile.histogram(Seq.empty[Tuple1[Option[Double]]].toDF("v"), "v", 3)
+      .isEmpty, "empty input yields an empty histogram")
+  }
+
   test("integrityReport: orphans counted, null FKs exempt, orphan rows returned") {
     val child = Seq((Option(1L), "a"), (Option(1L), "b"), (Option(5L), "c"),
       (Option(5L), "d"), (Option.empty[Long], "e")).toDF("fk", "payload")
