@@ -73,6 +73,73 @@ object Profile {
           col("min_value"), col("max_value"))
   }
 
+  // ---- incremental profile state ------------------------------------
+  //
+  // Profiling 100 TB once is affordable; re-profiling it on every daily
+  // drop is not. The state below makes the profile MERGEABLE: one row
+  // per column holding (n_rows, n_null, an HLL sketch binary, min/max),
+  // so absorbing a batch costs one pass over the BATCH plus a
+  // state-sized merge — the corpus never rescans. The HLL union is
+  // register-wise max, so the merged sketch is BIT-IDENTICAL to the
+  // sketch of the union: incremental == one-shot exactly, not
+  // approximately (spec + q_profile_incr pin it). Min/max maintain on
+  // the DOUBLE cast — numeric columns; a non-castable column carries
+  // null min/max in this state (the full profile() covers it).
+
+  private val stateCols = Seq("column", "n_rows", "n_null", "nd_sketch",
+    "min_num", "max_num")
+
+  private def profileState(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile state requires at least one column")
+    require(cols.forall(df.columns.contains), s"missing columns in ${df.columns.toSeq}")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      val qc = "`" + c.replace("`", "``") + "`"
+      val asNum = expr(s"try_cast($qc AS DOUBLE)")
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        hll_sketch_agg(col(c)).as(s"__sk_$c"),
+        min(asNum).as(s"__min_$c"),
+        max(asNum).as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__sk_$c").as("nd_sketch"),
+        col(s"__min_$c").as("min_num"), col(s"__max_$c").as("max_num"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Seed the mergeable profile state at `statePath` (overwrite). */
+  def writeProfileState(df: DataFrame, cols: Seq[String], statePath: String): Unit =
+    profileState(df, cols).write.mode("overwrite").parquet(statePath)
+
+  /** Absorb a batch into the stored state: one pass over the BATCH,
+    * then a state-sized merge (sum counts, HLL union, min/least /
+    * max/greatest) — the profiled corpus is never rescanned. */
+  def appendProfileState(batch: DataFrame, cols: Seq[String],
+                         statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val merged = Reliable.checkpoint(
+      spark.read.parquet(statePath).select(stateCols.map(col): _*)
+        .unionByName(profileState(batch, cols))
+        .groupBy(col("column"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
+          hll_union_agg(col("nd_sketch")).as("nd_sketch"),
+          min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num")))
+    merged.select(stateCols.map(col): _*)
+      .write.mode("overwrite").parquet(statePath)
+  }
+
+  /** Read the state as a profile: (column, n_rows, n_null,
+    * n_distinct_est, min_num, max_num). */
+  def readProfileState(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .select(col("column"), col("n_rows"), col("n_null"),
+        hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"),
+        col("min_num"), col("max_num"))
+
   /** Equi-width histogram of a numeric column: `nBins` bins spanning
     * [min, max], bin i covering [min + i·w, min + (i+1)·w) with
     * w = (max − min)/nBins and the max value landing in the LAST bin

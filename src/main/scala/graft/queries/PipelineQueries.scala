@@ -278,6 +278,34 @@ object PipelineQueries {
         .orderBy(col("column"))
     }),
 
+    // Incremental profile maintenance: the state built by absorbing
+    // lineitem in 3 key-partitioned batches must EQUAL the one-shot
+    // profile — counts/min/max exactly (oracle-stated), and the merged
+    // HLL sketch is bit-identical to the one-shot sketch (register-wise
+    // max), so the distinct estimates match exactly AND sit within 5%
+    // of the true count (both booleans oracle-stated as constants).
+    "q_profile_incr" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft-pstate").toString + "/state"
+      graft.ops.Profile.writeProfileState(
+        li.filter(col("l_orderkey") % 3 === 0), cols, statePath)
+      graft.ops.Profile.appendProfileState(
+        li.filter(col("l_orderkey") % 3 === 1), cols, statePath)
+      graft.ops.Profile.appendProfileState(
+        li.filter(col("l_orderkey") % 3 === 2), cols, statePath)
+      val inc = graft.ops.Profile.readProfileState(s, statePath)
+      val one = graft.ops.Profile.profile(li, cols, exact = true)
+        .select(col("column"), col("n_distinct").as("__exact"))
+      inc.join(one, Seq("column"))
+        .select(col("column"), col("n_rows"), col("n_null"),
+          col("min_num"), col("max_num"),
+          (abs(col("n_distinct_est") - col("__exact")) * 20 <= col("__exact"))
+            .as("est_within_5pct"))
+        .orderBy(col("column"))
+    }),
+
     // Equi-width histogram of l_extendedprice: bounded min/max read,
     // then one map-side-combined groupBy on the bin id; every bin
     // emitted (empty bins at 0).
@@ -568,6 +596,27 @@ object PipelineQueries {
         |  o_orderstatus_old, o_orderstatus_new, o_orderpriority_new
         |FROM j WHERE change_op IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_profile_incr" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |    TRUE AS est_within_5pct
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_linenumber) AS BIGINT),
+        |    CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE),
+        |    TRUE
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE
+        |  FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (

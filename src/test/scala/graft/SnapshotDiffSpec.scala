@@ -99,6 +99,29 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 
+  test("incremental profile state: 3-batch merge == one-shot, estimates bit-exact") {
+    import graft.ops.Profile
+    val df = (1 to 90).map(i =>
+      (i.toLong % 30, if (i % 7 == 0) null else s"v${i % 11}"))
+      .toDF("id", "s")
+    val cols = Seq("id", "s")
+    val inc = java.nio.file.Files.createTempDirectory("graft-ps-i").toString + "/s"
+    val one = java.nio.file.Files.createTempDirectory("graft-ps-o").toString + "/s"
+    Profile.writeProfileState(df.filter(col("id") % 3 === 0), cols, inc)
+    Profile.appendProfileState(df.filter(col("id") % 3 === 1), cols, inc)
+    Profile.appendProfileState(df.filter(col("id") % 3 === 2), cols, inc)
+    Profile.writeProfileState(df, cols, one)
+    def read(p: String) = Profile.readProfileState(spark, p).orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5))).toList
+    val got = read(inc)
+    assert(got === read(one), "merged state must equal the one-shot state")
+    // small-cardinality HLL is exact: 30 ids, 11 string values
+    assert(got === List(("id", 90L, 0L, 30L, 0.0, 29.0),
+      ("s", 90L, 12L, 11L, null, null)))
+  }
+
   test("histogram: closed-top bins, empty bins present, degenerate and null edges") {
     val df = Seq(0.0, 1.0, 2.5, 9.9, 10.0, 10.0).map(Tuple1(_)).toDF("v")
     val h = Profile.histogram(df, "v", nBins = 5)
