@@ -180,6 +180,28 @@ object Profile {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 
+  /** Schema drift between an expected contract and an arriving batch:
+    * (column, status ∈ added | removed | retyped, expected_type,
+    * actual_type), empty when the schemas agree. Pure metadata — zero
+    * data scanned; run it BEFORE [[graft.ops.Merge.upsertEvolving]] so
+    * additive drift is absorbed deliberately and a retype (the genuine
+    * contract break upsertEvolving also rejects) is caught with a
+    * readable report instead of an analysis exception. */
+  def schemaDrift(expected: org.apache.spark.sql.types.StructType,
+                  actual: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String, Option[String], Option[String])] = {
+    val e = expected.fields.map(f => f.name -> f.dataType.sql).toMap
+    val a = actual.fields.map(f => f.name -> f.dataType.sql).toMap
+    val added = a.keySet.diff(e.keySet).toSeq.sorted
+      .map(c => (c, "added", None, Some(a(c))))
+    val removed = e.keySet.diff(a.keySet).toSeq.sorted
+      .map(c => (c, "removed", Some(e(c)), None))
+    val retyped = e.keySet.intersect(a.keySet).toSeq.sorted
+      .filter(c => e(c) != a(c))
+      .map(c => (c, "retyped", Some(e(c)), Some(a(c))))
+    added ++ removed ++ retyped
+  }
+
   /** Referential-integrity report: one row summarizing how `child`'s
     * foreign key (`childKeys`) resolves against `parent`'s key
     * (`parentKeys`, positionally paired) —

@@ -145,6 +145,20 @@ class SnapshotDiffSpec extends SparkSpec {
       .isEmpty, "empty input yields an empty histogram")
   }
 
+  test("schemaDrift: added/removed/retyped classified; agreement is empty") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("c", DoubleType)))
+    val actual = StructType(Seq(StructField("a", LongType),
+      StructField("b", IntegerType), StructField("d", StringType)))
+    val drift = graft.ops.Profile.schemaDrift(expected, actual)
+    assert(drift === Seq(
+      ("d", "added", None, Some("STRING")),
+      ("c", "removed", Some("DOUBLE"), None),
+      ("b", "retyped", Some("STRING"), Some("INT"))))
+    assert(graft.ops.Profile.schemaDrift(expected, expected).isEmpty)
+  }
+
   test("integrityReport: orphans counted, null FKs exempt, orphan rows returned") {
     val child = Seq((Option(1L), "a"), (Option(1L), "b"), (Option(5L), "c"),
       (Option(5L), "d"), (Option.empty[Long], "e")).toDF("fk", "payload")
