@@ -205,6 +205,46 @@ object Multimodal {
       }
     }
 
+    /** REAL pixel resize (JDK Graphics2D, bilinear): decode, clamp the
+      * longer edge to `maxDim` preserving aspect (the exact
+      * [[Multimodal.resizeMeta]] algebra: scale = min(1, maxDim /
+      * max(w, h)), new dims floor(edge·scale), floored dims clamp up
+      * to 1 px), re-encode PNG. No upscaling: an image already within
+      * `maxDim` returns its ORIGINAL payload byte-for-byte (no
+      * re-encode, no allocation — the common case when normalizing a
+      * mostly-conformant corpus). None for null/corrupt payloads.
+      * Bilinear interpolation of a constant region is constant, so
+      * solid-fill fixtures have exactly predictable post-resize pixel
+      * sums — what the q_media_resize oracle states. */
+    def resize(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+      require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+      if (bytes == null) return None
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      img.map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        if (math.max(w, h) <= maxDim) bytes
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          val nw = math.max(1, math.floor(w * scale).toInt)
+          val nh = math.max(1, math.floor(h * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
+    }
+
     /** Decode PNG/JPEG/GIF/BMP bytes. None for null, corrupt, or
       * unsupported payloads — a bad asset degrades to null facts
       * instead of killing a 100 TB scan. */
@@ -314,6 +354,24 @@ object Multimodal {
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dec)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Real pixel resize at the mapPartitions codec boundary (same shape
+    * as [[decodeImages]]): the `payload` column is REPLACED with the
+    * clamped re-encode ([[ImageCodec.resize]] — already-small payloads
+    * pass through byte-identical). Payloads are consumed where they
+    * sit; nothing multiplies through a shuffle. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val resized = ImageCodec.resize(bytes, maxDim).orNull
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(payloadIdx, resized))
+      }
+    }(org.apache.spark.sql.Encoders.row(media.schema))
   }
 
   /** Frame sampling: one output row per sampled frame index (every

@@ -103,6 +103,32 @@ object MultimodalQueries {
             .as("seeds_bijective"),
           (sum(when(col("dhash").isNull, 1).otherwise(0)) === 0).as("all_decoded"))
     }),
+
+    // REAL pixel resize (Graphics2D bilinear at the codec boundary):
+    // clamp the longer edge to 24 px preserving aspect, no upscale.
+    // Solid fills make the post-resize facts exact arithmetic —
+    // bilinear of a constant is the constant, so the decoded sums are
+    // newW·newH·channel and the dims are the documented floor-clamp
+    // algebra, all stated by the oracle.
+    "q_media_resize" -> ((s, dir) => {
+      val spec = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        (lit(16) + col("doc_id") % 32).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 7) % 32).cast("int").as("h"),
+        (shiftleft(col("doc_id") % 256, 16)
+          .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
+          .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
+      val encoded = Multimodal.encodePng(spec, "w", "h", "rgb")
+        .select(col("asset_id"), col("payload"))
+      Multimodal.decodeImages(Multimodal.resizeImages(encoded, maxDim = 24))
+        .select(col("asset_id"),
+          col("decoded.width").cast("long").as("width"),
+          col("decoded.height").cast("long").as("height"),
+          col("decoded.sum_r").as("sum_r"),
+          col("decoded.sum_g").as("sum_g"),
+          col("decoded.sum_b").as("sum_b"))
+        .orderBy(col("asset_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,5 +181,28 @@ object MultimodalQueries {
       """SELECT CAST(25 AS BIGINT) AS n_fingerprints,
         |  TRUE AS brightness_invariant, TRUE AS seeds_bijective,
         |  TRUE AS all_decoded""".stripMargin,
+
+    // aspect-preserving floor-clamp algebra + constant-fill sums; an
+    // image already within maxDim keeps its original dims exactly
+    "q_media_resize" ->
+      """WITH spec AS (
+        |  SELECT doc_id AS asset_id,
+        |    16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h,
+        |    doc_id % 256 AS r, (doc_id * 3) % 256 AS g, (doc_id * 5) % 256 AS b
+        |  FROM documents),
+        |d AS (
+        |  SELECT asset_id, r, g, b,
+        |    CASE WHEN GREATEST(w, h) <= 24 THEN w
+        |      ELSE GREATEST(1, CAST(FLOOR(w * (CAST(24 AS DOUBLE) / GREATEST(w, h)))
+        |        AS INTEGER)) END AS nw,
+        |    CASE WHEN GREATEST(w, h) <= 24 THEN h
+        |      ELSE GREATEST(1, CAST(FLOOR(h * (CAST(24 AS DOUBLE) / GREATEST(w, h)))
+        |        AS INTEGER)) END AS nh
+        |  FROM spec)
+        |SELECT asset_id, CAST(nw AS BIGINT) AS width, CAST(nh AS BIGINT) AS height,
+        |  CAST(nw * nh * r AS BIGINT) AS sum_r,
+        |  CAST(nw * nh * g AS BIGINT) AS sum_g,
+        |  CAST(nw * nh * b AS BIGINT) AS sum_b
+        |FROM d ORDER BY asset_id""".stripMargin,
   )
 }

@@ -240,6 +240,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(0)))
   }
 
+  test("multimodal: real pixel resize — clamp algebra, constant fills, no-upscale identity") {
+    import Multimodal.ImageCodec
+    // 40x20 clamped to maxDim 24: scale 0.6 -> 24x12; constant fill survives
+    val big = ImageCodec.encodePng(40, 20, 0x102030)
+    val small = ImageCodec.decode(ImageCodec.resize(big, 24).get).get
+    assert((small.width, small.height) === (24, 12))
+    assert((small.sumR, small.sumG, small.sumB) ===
+      (24L * 12 * 0x10, 24L * 12 * 0x20, 24L * 12 * 0x30))
+    // within maxDim: the ORIGINAL bytes come back untouched
+    val ok = ImageCodec.encodePng(10, 24, 0xABCDEF)
+    assert(ImageCodec.resize(ok, 24).get eq ok)
+    // extreme aspect clamps to >= 1 px
+    val sliver = ImageCodec.decode(
+      ImageCodec.resize(ImageCodec.encodePng(100, 2, 0xFFFFFF), 24).get).get
+    assert(sliver.width === 24 && sliver.height >= 1)
+    // corrupt and null degrade to None
+    assert(ImageCodec.resize("junk".getBytes, 24).isEmpty)
+    assert(ImageCodec.resize(null, 24).isEmpty)
+    // the DataFrame boundary replaces payloads in place
+    import spark.implicits._
+    val spec = Seq((1L, 40, 20, 0x102030), (2L, 8, 8, 0x010203))
+      .toDF("asset_id", "w", "h", "rgb")
+    val out = Multimodal.decodeImages(Multimodal.resizeImages(
+        Multimodal.encodePng(spec, "w", "h", "rgb")
+          .select(col("asset_id"), col("payload")), 24))
+      .select("asset_id", "decoded.width", "decoded.height")
+      .orderBy("asset_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList ===
+      List((1L, 24, 12), (2L, 8, 8)))
+  }
+
   test("streaming curation equals batch curation on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = Seq(
