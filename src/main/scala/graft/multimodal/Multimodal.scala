@@ -9,14 +9,18 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample plumbing a training-data
   * pipeline needs.
   *
-  * IMAGE decode is REAL (javax.imageio — JDK built-in; [[Multimodal.ImageCodec]]
-  * parses PNG/JPEG bytes into dimensions + pixel statistics, exercised
-  * end-to-end by q_media_decode). Audio/video codec work remains
-  * STUBBED (no such libraries in this environment): `DeterministicCodec`
-  * derives metadata from payload bytes alone, so every Spark-side
-  * contract — schema, partition-local codec initialization, batch
-  * shape, null policy — is real and tested, and a production codec
-  * (FFmpeg via JNI) drops in by replacing one object.
+  * IMAGE decode/resize is REAL (javax.imageio + Graphics2D — JDK
+  * built-in; [[Multimodal.ImageCodec]] parses PNG/JPEG bytes into
+  * dimensions + pixel statistics and clamps pixels bilinearly,
+  * exercised end-to-end by q_media_decode / q_media_resize). AUDIO is
+  * REAL for WAV/PCM (javax.sound.sampled; [[Multimodal.AudioCodec]]
+  * parses containers into format + amplitude statistics —
+  * q_media_audio). Only VIDEO codec work remains STUBBED (no JDK video
+  * codec exists): `DeterministicCodec` derives metadata from payload
+  * bytes alone, so every Spark-side contract — schema, partition-local
+  * codec initialization, batch shape, null policy — is real and
+  * tested, and a production codec (FFmpeg via JNI) drops in by
+  * replacing one object.
   *
   * Scale posture: payloads never shuffle — decode/feature steps are
   * per-row maps; frame sampling explodes AFTER projecting the payload
@@ -352,6 +356,122 @@ object Multimodal {
           org.apache.spark.sql.Row(d.width, d.height, d.sumR, d.sumG, d.sumB,
             d.pixelDigest)).orNull
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dec)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** =========== REAL AUDIO CODEC (javax.sound.sampled, JDK) =======
+    * WAV/PCM parse-and-decode with zero new dependencies — audio joins
+    * image on the REAL side of the codec boundary; only video (no JDK
+    * codec exists) remains a documented deterministic stub. */
+  object AudioCodec {
+
+    /** Encode 16-bit signed PCM mono samples as a WAV container. */
+    def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decoded audio facts: container-parsed format + per-sample
+      * amplitude statistics over all channels. */
+    final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                  nSamples: Long, sumAbs: Long, maxAbs: Int)
+
+    /** Decode a 16-bit signed PCM WAV payload. None for null, corrupt,
+      * or non-16-bit-PCM payloads — a bad asset degrades to null facts
+      * instead of killing a 100 TB scan (the image-codec policy). */
+    def decode(bytes: Array[Byte]): Option[DecodedAudio] = {
+      if (bytes == null) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sum = 0L
+          var mx = 0
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i) & 0xff
+            val hi = data(2 * i + 1).toInt
+            val s =
+              if (f.isBigEndian) ((data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff))
+              else ((hi << 8) | lo)
+            val a = math.abs(s)
+            sum += a
+            if (a > mx) mx = a
+            i += 1
+          }
+          Some(DecodedAudio(f.getSampleRate.toInt, f.getChannels,
+            n.toLong / math.max(1, f.getChannels), sum, mx))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+  }
+
+  /** audio decoded facts struct for [[decodeAudio]]. */
+  private val decodedAudioStruct = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("n_samples", LongType), StructField("sum_abs", LongType),
+    StructField("max_abs", IntegerType)))
+
+  /** Real WAV decode at the mapPartitions codec boundary (the
+    * [[decodeImages]] shape): appends a `decoded` struct, null for
+    * null/corrupt/unsupported payloads. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", decodedAudioStruct, nullable = true))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val dec = AudioCodec.decode(bytes).map(d =>
+          org.apache.spark.sql.Row(d.sampleRate, d.channels, d.nSamples,
+            d.sumAbs, d.maxAbs)).orNull
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dec)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Fixture-side WAV generator at the codec boundary: encodes an
+    * alternating ±`amp` square wave of `n` samples (known-answer
+    * contract: sum_abs = n·amp, max_abs = amp). */
+  def encodeWav(df: DataFrame, nCol: String, rateCol: String,
+                ampCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val (nIdx, rIdx, aIdx) =
+      (df.schema.fieldIndex(nCol), df.schema.fieldIndex(rateCol),
+        df.schema.fieldIndex(ampCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.getInt(nIdx); val rate = r.getInt(rIdx); val amp = r.getInt(aIdx)
+        val samples = Array.tabulate[Short](n)(i =>
+          (if (i % 2 == 0) amp else -amp).toShort)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ AudioCodec.encodeWavPcm16(samples, rate))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

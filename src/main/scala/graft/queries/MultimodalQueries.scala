@@ -104,6 +104,33 @@ object MultimodalQueries {
           (sum(when(col("dhash").isNull, 1).otherwise(0)) === 0).as("all_decoded"))
     }),
 
+    // REAL WAV audio (javax.sound.sampled): encode an alternating
+    // ±amp square wave per doc, decode the container back — parsed
+    // format and amplitude statistics are exact arithmetic the oracle
+    // states (sum_abs = n·amp, max_abs = amp). The planted corrupt
+    // payload must degrade to NULL facts.
+    "q_media_audio" -> ((s, dir) => {
+      import s.implicits._
+      val spec = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        (lit(100) + col("doc_id") % 400).cast("int").as("n"),
+        (lit(8000) + (col("doc_id") % 5) * lit(8000)).cast("int").as("rate"),
+        ((col("doc_id") * 11) % 30000).cast("int").as("amp"))
+      val encoded = Multimodal.encodeWav(spec, "n", "rate", "amp")
+        .select(col("asset_id"), col("payload"))
+      val corrupt = Seq((-1L, "not audio")).toDF("asset_id", "txt")
+        .select(col("asset_id"), col("txt").cast("binary").as("payload"))
+      Multimodal.decodeAudio(encoded.unionByName(corrupt))
+        .select(col("asset_id"),
+          col("decoded.sample_rate").cast("long").as("sample_rate"),
+          col("decoded.channels").cast("long").as("channels"),
+          col("decoded.n_samples").as("n_samples"),
+          col("decoded.sum_abs").as("sum_abs"),
+          col("decoded.max_abs").cast("long").as("max_abs"),
+          col("decoded").isNotNull.as("ok"))
+        .orderBy(col("asset_id"))
+    }),
+
     // REAL pixel resize (Graphics2D bilinear at the codec boundary):
     // clamp the longer edge to 24 px preserving aspect, no upscale.
     // Solid fills make the post-resize facts exact arithmetic —
@@ -181,6 +208,20 @@ object MultimodalQueries {
       """SELECT CAST(25 AS BIGINT) AS n_fingerprints,
         |  TRUE AS brightness_invariant, TRUE AS seeds_bijective,
         |  TRUE AS all_decoded""".stripMargin,
+
+    // parsed WAV format + square-wave amplitude facts are arithmetic
+    "q_media_audio" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+        |  CAST((100 + doc_id % 400) * ((doc_id * 11) % 30000) AS BIGINT) AS sum_abs,
+        |  CAST((doc_id * 11) % 30000 AS BIGINT) AS max_abs,
+        |  TRUE AS ok
+        |FROM documents
+        |UNION ALL
+        |SELECT -1, NULL, NULL, NULL, NULL, NULL, FALSE
+        |ORDER BY asset_id""".stripMargin,
 
     // aspect-preserving floor-clamp algebra + constant-fill sums; an
     // image already within maxDim keeps its original dims exactly

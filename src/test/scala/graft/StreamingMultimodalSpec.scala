@@ -271,6 +271,35 @@ class StreamingMultimodalSpec extends SparkSpec {
       List((1L, 24, 12), (2L, 8, 8)))
   }
 
+  test("multimodal: real WAV codec — PCM16 round trip, format parse, corrupt degrade") {
+    import Multimodal.AudioCodec
+    val samples = Array.tabulate[Short](50)(i => (if (i % 2 == 0) 1000 else -1000).toShort)
+    val wav = AudioCodec.encodeWavPcm16(samples, 16000)
+    // RIFF/WAVE container magic
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val d = AudioCodec.decode(wav).get
+    assert(d.sampleRate === 16000 && d.channels === 1)
+    assert(d.nSamples === 50L && d.sumAbs === 50L * 1000 && d.maxAbs === 1000)
+    // silence and zero-amp edges
+    val silent = AudioCodec.decode(
+      AudioCodec.encodeWavPcm16(new Array[Short](10), 8000)).get
+    assert(silent.sumAbs === 0L && silent.maxAbs === 0)
+    // corrupt/null degrade to None, never throw
+    assert(AudioCodec.decode("junk".getBytes).isEmpty)
+    assert(AudioCodec.decode(null).isEmpty)
+    // DataFrame boundary: encode + decode through the ops
+    import spark.implicits._
+    val spec = Seq((1L, 40, 8000, 500), (2L, 10, 48000, 0))
+      .toDF("asset_id", "n", "rate", "amp")
+    val out = Multimodal.decodeAudio(
+        Multimodal.encodeWav(spec, "n", "rate", "amp")
+          .select(col("asset_id"), col("payload")))
+      .select("asset_id", "decoded.*").orderBy("asset_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+      .toList === List((1L, 8000, 40L, 20000L), (2L, 48000, 10L, 0L)))
+  }
+
   test("streaming curation equals batch curation on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = Seq(
