@@ -131,6 +131,27 @@ object MultimodalQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // REAL windowed audio features: 32-sample energy frames over the
+    // encoded square waves — per-frame sum-of-squares and peak are
+    // exact arithmetic (n·amp², amp), including the trailing partial
+    // window's true sample count.
+    "q_audio_frames" -> ((s, dir) => {
+      val spec = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        (lit(64) + col("doc_id") % 100).cast("int").as("n"),
+        lit(8000).cast("int").as("rate"),
+        ((col("doc_id") * 13) % 20000).cast("int").as("amp"))
+      val encoded = Multimodal.encodeWav(spec, "n", "rate", "amp")
+        .select(col("asset_id"), col("payload"))
+      Multimodal.audioFrames(encoded, frameSamples = 32)
+        .select(col("asset_id"),
+          col("frame.frame_idx").cast("long").as("frame_idx"),
+          col("frame.n_samples").cast("long").as("n_samples"),
+          col("frame.sum_sq").as("sum_sq"),
+          col("frame.max_abs").cast("long").as("max_abs"))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
     // REAL pixel resize (Graphics2D bilinear at the codec boundary):
     // clamp the longer edge to 24 px preserving aspect, no upscale.
     // Solid fills make the post-resize facts exact arithmetic —
@@ -208,6 +229,22 @@ object MultimodalQueries {
       """SELECT CAST(25 AS BIGINT) AS n_fingerprints,
         |  TRUE AS brightness_invariant, TRUE AS seeds_bijective,
         |  TRUE AS all_decoded""".stripMargin,
+
+    // windowed square-wave energy facts are arithmetic per frame
+    "q_audio_frames" ->
+      """WITH spec AS (
+        |  SELECT doc_id AS asset_id, 64 + doc_id % 100 AS n,
+        |    (doc_id * 13) % 20000 AS amp
+        |  FROM documents),
+        |f AS (
+        |  SELECT asset_id, n, amp, u.i AS frame_idx
+        |  FROM spec, unnest(generate_series(0,
+        |    CAST(ceil(CAST(n AS DOUBLE) / 32) AS INTEGER) - 1)) AS u(i))
+        |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(LEAST(32, n - frame_idx * 32) AS BIGINT) AS n_samples,
+        |  CAST(LEAST(32, n - frame_idx * 32) * amp * amp AS BIGINT) AS sum_sq,
+        |  CAST(amp AS BIGINT) AS max_abs
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
 
     // parsed WAV format + square-wave amplitude facts are arithmetic
     "q_media_audio" ->

@@ -300,6 +300,24 @@ class StreamingMultimodalSpec extends SparkSpec {
       .toList === List((1L, 8000, 40L, 20000L), (2L, 48000, 10L, 0L)))
   }
 
+  test("multimodal: windowed audio frames — energy per window, partial tail, corrupt skip") {
+    import spark.implicits._
+    // 10 samples of ±500 in windows of 4 -> frames (4,4,2)
+    val spec = Seq((1L, 10, 8000, 500)).toDF("asset_id", "n", "rate", "amp")
+    val enc = Multimodal.encodeWav(spec, "n", "rate", "amp")
+      .select(col("asset_id"), col("payload"))
+    val corrupt = Seq((9L, "nope")).toDF("asset_id", "txt")
+      .select(col("asset_id"), col("txt").cast("binary").as("payload"))
+    val got = Multimodal.audioFrames(enc.unionByName(corrupt), frameSamples = 4)
+      .select("asset_id", "frame.*").orderBy("frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(got.toList === List(
+      (1L, 0, 4, 4L * 500 * 500, 500),
+      (1L, 1, 4, 4L * 500 * 500, 500),
+      (1L, 2, 2, 2L * 500 * 500, 500)),
+      "corrupt payloads must contribute zero frames; tail keeps true count")
+  }
+
   test("streaming curation equals batch curation on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = Seq(
