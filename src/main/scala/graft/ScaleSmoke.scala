@@ -67,9 +67,11 @@ object ScaleSmoke {
     "q_hybrid_rrf", "q_media_phash", "q_cluster_sample",
     "q_hard_negatives", "q_unicode_norm",
     // round-8 additions: index-served mining, tokenizer apply,
-    // CDC diff, exact profiling, JL projection
+    // CDC diff, exact profiling, JL projection, incremental profile
+    // state, real resize/audio codecs
     "q_hard_negatives_ivf", "q_bpe_encode", "q_snapshot_diff",
-    "q_profile", "q_rp_recall")
+    "q_profile", "q_rp_recall",
+    "q_profile_incr", "q_media_resize", "q_media_audio", "q_audio_frames")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
