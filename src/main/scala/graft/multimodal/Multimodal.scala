@@ -15,12 +15,15 @@ import org.apache.spark.sql.types._
   * exercised end-to-end by q_media_decode / q_media_resize). AUDIO is
   * REAL for WAV/PCM (javax.sound.sampled; [[Multimodal.AudioCodec]]
   * parses containers into format + amplitude statistics —
-  * q_media_audio). Only VIDEO codec work remains STUBBED (no JDK video
-  * codec exists): `DeterministicCodec` derives metadata from payload
-  * bytes alone, so every Spark-side contract — schema, partition-local
-  * codec initialization, batch shape, null policy — is real and
-  * tested, and a production codec (FFmpeg via JNI) drops in by
-  * replacing one object.
+  * q_media_audio). VIDEO is REAL for the one multi-frame container the
+  * JDK ships a codec for — animated GIF ([[Multimodal.VideoCodec]]:
+  * frame-sequence encode, container parse, and REAL frame sampling
+  * with per-frame luma statistics — q_media_video). Modern containers
+  * (MP4/H.264) have no JDK codec; `DeterministicCodec` remains the
+  * documented deterministic stand-in for those formats, so every
+  * Spark-side contract — schema, partition-local codec initialization,
+  * batch shape, null policy — is real and tested, and a production
+  * codec (FFmpeg via JNI) drops in at the same boundary.
   *
   * Scale posture: payloads never shuffle — decode/feature steps are
   * per-row maps; frame sampling explodes AFTER projecting the payload
@@ -457,6 +460,214 @@ object Multimodal {
         case _: java.io.IOException => None
       }
     }
+  }
+
+  /** =========== REAL VIDEO CODEC (animated GIF, javax.imageio) ====
+    * The JDK ships exactly one multi-frame container codec: GIF. That
+    * makes the VIDEO leg of the boundary real with zero new
+    * dependencies — frame-sequence encode, container parse (frame
+    * count + dims), and true frame sampling that decodes pixels. The
+    * decoder reads each frame's raster AS STORED (no inter-frame
+    * compositing) — exact for full-frame GIFs like this encoder's
+    * output; a compositing/MP4 decoder drops in at the same boundary.
+    * Encoding renders through an explicit 256-gray IndexColorModel, so
+    * the GIF stores index bytes losslessly and decode round-trips
+    * pixel values EXACTLY — what makes q_media_video's arithmetic
+    * oracle possible. */
+  object VideoCodec {
+
+    /** 256-entry grayscale palette: index i ↦ rgb(i,i,i). Rendering
+      * gray fills through this palette is lossless in GIF. */
+    private val grayPalette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Encode `nFrames` solid-gray frames as one animated GIF: frame f
+      * is filled with gray level `base + f·grayStep` (the caller's
+      * known-answer contract; caller keeps levels within 0..255). */
+    def encodeGif(width: Int, height: Int, nFrames: Int, base: Int,
+                  grayStep: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames > 0,
+        s"dims/frames must be positive, got ${width}x$height x$nFrames")
+      require(base >= 0 && base + (nFrames - 1) * grayStep <= 255,
+        s"gray levels must stay in 0..255, got base=$base step=$grayStep n=$nFrames")
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+            grayPalette)
+          val gray = base + f * grayStep
+          val g2 = img.createGraphics()
+          try {
+            g2.setColor(new java.awt.Color(gray, gray, gray))
+            g2.fillRect(0, 0, width, height)
+          } finally g2.dispose()
+          val md = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), null)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
+      bos.toByteArray
+    }
+
+    /** Container-parsed video facts: dims of frame 0 + frame count. */
+    final case class DecodedVideo(width: Int, height: Int, nFrames: Int)
+
+    /** Sampled-frame facts: integer luma ((299r+587g+114b)/1000 per
+      * pixel — the [[ImageCodec.dHash]] luma) summed over the frame,
+      * plus the frame's own dims (GIF frames may differ from the
+      * container's logical screen). */
+    final case class FrameFacts(frameIdx: Int, width: Int, height: Int,
+                                sumLuma: Long, maxLuma: Int)
+
+    /** Parse an animated-GIF container: frame count + first-frame
+      * dims, WITHOUT decoding every frame's pixels. None for null /
+      * corrupt / non-GIF payloads — degrade, never kill the scan. */
+    def decode(bytes: Array[Byte]): Option[DecodedVideo] = {
+      if (bytes == null) return None
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else Some(DecodedVideo(reader.getWidth(0), reader.getHeight(0), n))
+      } catch {
+        case scala.util.control.NonFatal(_) => None // corrupt container
+      } finally reader.dispose()
+    }
+
+    /** REAL frame sampling: decode every `step`-th frame's pixels and
+      * emit (total frame count, per-frame luma facts) in ONE container
+      * parse. None for null/corrupt payloads. */
+    def sampleFrames(bytes: Array[Byte], step: Int): Option[(Int, Seq[FrameFacts])] = {
+      require(step > 0, s"step must be positive, got $step")
+      if (bytes == null) return None
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None // zero-frame container == corrupt
+        val out = Seq.newBuilder[FrameFacts]
+        var f = 0
+        while (f < n) {
+          val im = reader.read(f)
+          val (w, h) = (im.getWidth, im.getHeight)
+          var sum = 0L
+          var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              val luma = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                (p & 0xff) * 114) / 1000
+              sum += luma
+              if (luma > mx) mx = luma
+              x += 1
+            }
+            y += 1
+          }
+          out += FrameFacts(f, w, h, sum, mx)
+          f += step
+        }
+        Some((n, out.result()))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally reader.dispose()
+    }
+  }
+
+  /** video decoded facts struct for [[decodeVideo]]. */
+  private val decodedVideoStruct = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** video frame-fact struct for [[videoFrames]]. */
+  private val videoFrameStruct = StructType(Seq(
+    StructField("frame_idx", IntegerType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("sum_luma", LongType),
+    StructField("max_luma", IntegerType)))
+
+  /** Fixture-side animated-GIF generator at the codec boundary:
+    * (wCol, hCol, nFramesCol, baseCol, stepCol) ints → `payload` GIF
+    * bytes appended (frame f solid-filled at gray base + f·step — the
+    * known-answer contract the q_media_video oracle restates). */
+  def encodeGif(df: DataFrame, wCol: String, hCol: String, nFramesCol: String,
+                baseCol: String, stepCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", BinaryType, nullable = true))
+    val (wi, hi, ni, bi, si) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(nFramesCol),
+      df.schema.fieldIndex(baseCol), df.schema.fieldIndex(stepCol))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = VideoCodec.encodeGif(r.getInt(wi), r.getInt(hi),
+          r.getInt(ni), r.getInt(bi), r.getInt(si))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Real video-container parse at the mapPartitions codec boundary
+    * (the [[decodeImages]] shape): appends a `decoded` struct (width,
+    * height, n_frames), null for null/corrupt/non-GIF payloads. Only
+    * the container directory is read — no frame pixels decode here. */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", decodedVideoStruct, nullable = true))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        val dec = VideoCodec.decode(bytes).map(d =>
+          org.apache.spark.sql.Row(d.width, d.height, d.nFrames)).orNull
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ dec)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** REAL video frame sampling: decode every `step`-th frame of each
+    * payload and emit (asset_id, n_frames, frame) rows with per-frame
+    * luma statistics — the [[audioFrames]] posture for video. One
+    * iterator-to-iterator flatMap; payloads are consumed where they
+    * sit and only fixed-width feature rows continue downstream.
+    * Null/corrupt payloads contribute zero rows. */
+  def videoFrames(media: DataFrame, step: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("asset_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val outSchema = StructType(Seq(media.schema.fields(idIdx),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame", videoFrameStruct, nullable = false)))
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        VideoCodec.sampleFrames(bytes, step) match {
+          case None => Iterator.empty
+          case Some((nFrames, frames)) =>
+            frames.map { ff =>
+              org.apache.spark.sql.Row(r.get(idIdx), nFrames,
+                org.apache.spark.sql.Row(ff.frameIdx, ff.width, ff.height,
+                  ff.sumLuma, ff.maxLuma))
+            }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** audio decoded facts struct for [[decodeAudio]]. */

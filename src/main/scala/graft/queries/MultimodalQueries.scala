@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.schema.Tables
 
-/** Multimodal-column queries: payloads synthesized as binary from
-  * documents.text (UTF-8 bytes) so the decode/frame-sample plumbing is
-  * oracle-checkable; the codec itself is the documented deterministic
-  * stub (graft.multimodal.Multimodal).
+/** Multimodal-column queries. Image (PNG via javax.imageio), audio
+  * (WAV/PCM via javax.sound.sampled) and video (animated GIF via
+  * javax.imageio) run REAL codecs end-to-end with arithmetic oracles;
+  * the q_media_meta/q_media_frames pair additionally exercises the
+  * documented deterministic stand-in (graft.multimodal.Multimodal
+  * .DeterministicCodec) that holds the boundary for formats the JDK
+  * cannot parse (MP4/H.264).
   */
 object MultimodalQueries {
 
@@ -152,6 +155,37 @@ object MultimodalQueries {
         .orderBy(col("asset_id"), col("frame_idx"))
     }),
 
+    // REAL video (animated GIF — the one multi-frame container the JDK
+    // ships a codec for): encode n solid-gray frames per doc (frame f
+    // at gray base + f·step), then REAL frame sampling — every 2nd
+    // frame's pixels decode back at the mapPartitions boundary into
+    // luma statistics the oracle states arithmetically (gray fills:
+    // integer luma of (g,g,g) is exactly g, so sum_luma = w·h·gray).
+    // The planted corrupt payload must contribute ZERO frame rows.
+    "q_media_video" -> ((s, dir) => {
+      import s.implicits._
+      val spec = Tables.load(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        (lit(16) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(12) + (col("doc_id") * 5) % 16).cast("int").as("h"),
+        (lit(2) + col("doc_id") % 6).cast("int").as("nf"),
+        (col("doc_id") % 200).cast("int").as("base"),
+        (lit(1) + col("doc_id") % 7).cast("int").as("gstep"))
+      val encoded = Multimodal.encodeGif(spec, "w", "h", "nf", "base", "gstep")
+        .select(col("asset_id"), col("payload"))
+      val corrupt = Seq((-1L, "not a video")).toDF("asset_id", "txt")
+        .select(col("asset_id"), col("txt").cast("binary").as("payload"))
+      Multimodal.videoFrames(encoded.unionByName(corrupt), step = 2)
+        .select(col("asset_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame.frame_idx").cast("long").as("frame_idx"),
+          col("frame.width").cast("long").as("width"),
+          col("frame.height").cast("long").as("height"),
+          col("frame.sum_luma").as("sum_luma"),
+          col("frame.max_luma").cast("long").as("max_luma"))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
     // REAL pixel resize (Graphics2D bilinear at the codec boundary):
     // clamp the longer edge to 24 px preserving aspect, no upscale.
     // Solid fills make the post-resize facts exact arithmetic —
@@ -259,6 +293,26 @@ object MultimodalQueries {
         |UNION ALL
         |SELECT -1, NULL, NULL, NULL, NULL, NULL, FALSE
         |ORDER BY asset_id""".stripMargin,
+
+    // solid-gray GIF frame facts are arithmetic: the integer luma of
+    // (g,g,g) is g exactly ((299+587+114)·g/1000), so every sampled
+    // frame states sum_luma = w·h·(base + f·step). The corrupt payload
+    // (asset_id -1) contributes no rows at all.
+    "q_media_video" ->
+      """WITH spec AS (
+        |  SELECT doc_id AS asset_id,
+        |    16 + doc_id % 16 AS w, 12 + (doc_id * 5) % 16 AS h,
+        |    2 + doc_id % 6 AS nf, doc_id % 200 AS base, 1 + doc_id % 7 AS gstep
+        |  FROM documents),
+        |f AS (
+        |  SELECT asset_id, w, h, nf, base, gstep, u.i AS frame_idx
+        |  FROM spec, unnest(generate_series(0, nf - 1, 2)) AS u(i))
+        |SELECT asset_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h * (base + frame_idx * gstep) AS BIGINT) AS sum_luma,
+        |  CAST(base + frame_idx * gstep AS BIGINT) AS max_luma
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
 
     // aspect-preserving floor-clamp algebra + constant-fill sums; an
     // image already within maxDim keeps its original dims exactly

@@ -179,6 +179,27 @@ object TextQueries {
         .orderBy(col("rep"))
     }),
 
+    // RECORD LINKAGE / entity resolution (blocking architecture): a
+    // dirty customer table — every canonical record plus, for every
+    // third customer, a typo'd variant ("Customer#…" → "Custmer#…",
+    // edit distance 1) — is resolved back to canonical entities.
+    // Blocks on the 9-digit name suffix (typo-free by construction),
+    // pairs generate BLOCK-LOCALLY with exact Levenshtein confirm,
+    // transitive closure via connected components. The oracle
+    // recomputes the same levenshtein in DuckDB — matching is only
+    // possible if the edit-distance linkage semantics agree.
+    "q_record_linkage" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val base = cust.select((col("c_custkey") * 2).cast("long").as("id"),
+        col("c_name").as("name"))
+      val variants = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") * 2 + 1).cast("long").as("id"),
+          regexp_replace(col("c_name"), "Customer", "Custmer").as("name"))
+      graft.ops.Linkage.resolveEntities(base.unionByName(variants),
+          "id", "name", blockKey = expr("right(name, 9)"), maxDist = 2)
+        .orderBy(col("id"))
+    }),
+
     // INCREMENTAL near-dup — the append-only-corpus production shape:
     // a new batch (doc_id % 5 == 0) is deduped against the already-
     // indexed corpus (doc_id % 5 != 0) by probing the corpus's stored
@@ -656,6 +677,39 @@ object TextQueries {
            |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep)
            |SELECT lab.id, lab.rep, sz.cluster_size
            |FROM lab JOIN sz USING (rep) ORDER BY id""".stripMargin,
+
+    // the oracle RECOMPUTES the linkage semantics end-to-end: same
+    // dirty table, same suffix blocking, DuckDB's own levenshtein,
+    // transitive closure via a recursive CTE (the q_dedup_clusters
+    // components posture)
+    "q_record_linkage" ->
+      """WITH RECURSIVE dirty AS (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS id, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey * 2 + 1 AS BIGINT),
+        |    replace(c_name, 'Customer', 'Custmer')
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM dirty a JOIN dirty b
+        |    ON right(a.name, 9) = right(b.name, 9) AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |sz AS (SELECT rep, COUNT(*) AS entity_size FROM lab GROUP BY rep)
+        |SELECT d.id, COALESCE(lab.rep, d.id) AS canonical_id,
+        |  CAST(COALESCE(sz.entity_size, 1) AS BIGINT) AS entity_size
+        |FROM dirty d
+        |LEFT JOIN lab ON d.id = lab.id
+        |LEFT JOIN sz ON lab.rep = sz.rep
+        |ORDER BY d.id""".stripMargin,
 
     // q_dedup_clusters components + per-doc quality, best doc per rep
     "q_dedup_keep" ->

@@ -326,4 +326,46 @@ class DedupSpec extends SparkSpec {
     assert(spans(Seq(7), 3) === Seq((7, 10)))
     assert(spans(Seq.empty[Int], 4) === Seq.empty)
   }
+
+  test("record linkage: typos link within blocks, distinct entities stay apart") {
+    import graft.ops.Linkage
+    val recs = Seq(
+      (1L, "Acme Corp", "b1"), (2L, "Acme Corpp", "b1"),   // dist 1 -> link
+      (3L, "Zenith Ltd", "b1"),                             // same block, far
+      (4L, "Acme Corp", "b2"),                              // other block: no pair
+      (5L, "Solo Inc", "b3"))
+      .toDF("id", "name", "bk")
+    val got = Linkage.resolveEntities(recs, "id", "name", col("bk"), maxDist = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L), (5L, 5L, 1L)),
+      "identical names in DIFFERENT blocks must not link (blocking contract)")
+  }
+
+  test("record linkage: transitive chain resolves to one entity; pair dist is exact") {
+    import graft.ops.Linkage
+    // abcd—abce dist 1, abce—abee dist 1, abcd—abee dist 2 > maxDist 1:
+    // linked only transitively
+    val recs = Seq((10L, "abcd", "k"), (20L, "abce", "k"), (30L, "abee", "k"))
+      .toDF("id", "name", "bk")
+    val pairs = Linkage.linkPairs(recs, "id", "name", col("bk"), maxDist = 1)
+      .pairs.orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((10L, 20L, 1), (20L, 30L, 1)))
+    val got = Linkage.resolveEntities(recs, "id", "name", col("bk"), maxDist = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, 10L, 3L), (20L, 10L, 3L), (30L, 10L, 3L)))
+  }
+
+  test("record linkage: oversized blocks divert to flagged, never pair") {
+    import graft.ops.Linkage
+    val recs = (1L to 5L).map(i => (i, s"name$i", "flood")) :+ (9L, "ok", "tiny")
+    val r = Linkage.linkPairs(recs.toDF("id", "name", "bk"),
+      "id", "name", col("bk"), maxDist = 10, maxBlock = 3)
+    assert(r.pairs.count() === 0L, "flood block must not generate pairs")
+    val f = r.flagged.collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(f.toSeq === Seq(("flood", 5L)))
+  }
 }

@@ -318,6 +318,46 @@ class StreamingMultimodalSpec extends SparkSpec {
       "corrupt payloads must contribute zero frames; tail keeps true count")
   }
 
+  test("multimodal: real animated-GIF video codec — frame round trip, sampling, corrupt skip") {
+    import Multimodal.VideoCodec
+    // 4 frames of 20x10 gray fills at 40 + 15·f: container parse + exact pixels
+    val gif = VideoCodec.encodeGif(20, 10, 4, base = 40, grayStep = 15)
+    // GIF89a container magic
+    assert(new String(gif.take(6), "US-ASCII") === "GIF89a")
+    val dv = VideoCodec.decode(gif).get
+    assert((dv.width, dv.height, dv.nFrames) === (20, 10, 4))
+    // every 2nd frame decodes to exact luma facts (luma of (g,g,g) == g)
+    val (n, frames) = VideoCodec.sampleFrames(gif, step = 2).get
+    assert(n === 4)
+    assert(frames.map(f => (f.frameIdx, f.width, f.height, f.sumLuma, f.maxLuma))
+      === Seq((0, 20, 10, 200L * 40, 40), (2, 20, 10, 200L * 70, 70)))
+    // step 1 hits every frame
+    assert(VideoCodec.sampleFrames(gif, step = 1).get._2.map(_.frameIdx) ===
+      Seq(0, 1, 2, 3))
+    // corrupt/null degrade to None, never throw
+    assert(VideoCodec.decode("junk junk junk".getBytes).isEmpty)
+    assert(VideoCodec.decode(null).isEmpty)
+    assert(VideoCodec.sampleFrames("GIF89a-but-truncated".getBytes, 1).isEmpty)
+    // DataFrame boundary: encode + real frame sampling through the ops;
+    // corrupt payloads contribute zero rows
+    import spark.implicits._
+    val spec = Seq((1L, 20, 10, 4, 40, 15), (2L, 9, 8, 1, 200, 0))
+      .toDF("asset_id", "w", "h", "nf", "base", "gstep")
+    val enc = Multimodal.encodeGif(spec, "w", "h", "nf", "base", "gstep")
+      .select(col("asset_id"), col("payload"))
+    val corrupt = Seq((9L, "nope")).toDF("asset_id", "txt")
+      .select(col("asset_id"), col("txt").cast("binary").as("payload"))
+    val got = Multimodal.videoFrames(enc.unionByName(corrupt), step = 2)
+      .select(col("asset_id"), col("n_frames"), col("frame.frame_idx"),
+        col("frame.sum_luma"))
+      .orderBy("asset_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toList === List(
+      (1L, 4, 0, 200L * 40), (1L, 4, 2, 200L * 70),
+      (2L, 1, 0, 72L * 200)),
+      "corrupt payloads must contribute zero frame rows")
+  }
+
   test("streaming curation equals batch curation on the same documents") {
     implicit val sqlCtx = spark.sqlContext
     val docsData = Seq(
