@@ -95,8 +95,19 @@ object Profile {
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       val qc = "`" + c.replace("`", "``") + "`"
       val asNum = expr(s"try_cast($qc AS DOUBLE)")
+      // hll_sketch_agg accepts INT/BIGINT/STRING/BINARY only; any other
+      // type sketches its canonical string rendering (injective for the
+      // atomic types a profiler runs on — the profile() exact-distinct
+      // convention). The choice is part of the persisted state contract:
+      // it is keyed on the BATCH's dtype, so keep a column's type stable
+      // across appends (schemaDrift catches the violation upstream).
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, BinaryType}
+      val skIn = df.schema(c).dataType match {
+        case IntegerType | LongType | StringType | BinaryType => col(c)
+        case _ => col(c).cast("string")
+      }
       Seq(count(col(c)).as(s"__cnt_$c"),
-        hll_sketch_agg(col(c)).as(s"__sk_$c"),
+        hll_sketch_agg(skIn).as(s"__sk_$c"),
         min(asNum).as(s"__min_$c"),
         max(asNum).as(s"__max_$c"))
     }
@@ -110,9 +121,14 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  // the parquet lives under statePath/state so the statePath ROOT can
+  // host sibling metadata (ProfileStream's _stream_batches markers)
+  // without the overwrite-merge wiping it
+  private def stateDir(statePath: String): String = s"$statePath/state"
+
   /** Seed the mergeable profile state at `statePath` (overwrite). */
   def writeProfileState(df: DataFrame, cols: Seq[String], statePath: String): Unit =
-    profileState(df, cols).write.mode("overwrite").parquet(statePath)
+    profileState(df, cols).write.mode("overwrite").parquet(stateDir(statePath))
 
   /** Absorb a batch into the stored state: one pass over the BATCH,
     * then a state-sized merge (sum counts, HLL union, min/least /
@@ -121,21 +137,21 @@ object Profile {
                          statePath: String): Unit = {
     val spark = batch.sparkSession
     val merged = Reliable.checkpoint(
-      spark.read.parquet(statePath).select(stateCols.map(col): _*)
+      spark.read.parquet(stateDir(statePath)).select(stateCols.map(col): _*)
         .unionByName(profileState(batch, cols))
         .groupBy(col("column"))
         .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
           hll_union_agg(col("nd_sketch")).as("nd_sketch"),
           min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num")))
     merged.select(stateCols.map(col): _*)
-      .write.mode("overwrite").parquet(statePath)
+      .write.mode("overwrite").parquet(stateDir(statePath))
   }
 
   /** Read the state as a profile: (column, n_rows, n_null,
     * n_distinct_est, min_num, max_num). */
   def readProfileState(spark: org.apache.spark.sql.SparkSession,
                        statePath: String): DataFrame =
-    spark.read.parquet(statePath)
+    spark.read.parquet(stateDir(statePath))
       .select(col("column"), col("n_rows"), col("n_null"),
         hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"),
         col("min_num"), col("max_num"))

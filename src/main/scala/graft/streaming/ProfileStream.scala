@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Profile
+
+/** Streamed maintenance for the mergeable column-profile state — the
+  * `foreachBatch` face of [[Profile.appendProfileState]]: rows arriving
+  * on a stream absorb into the SAME state layout the batch profiler
+  * seeds ([[Profile.writeProfileState]]) and serves
+  * ([[Profile.readProfileState]]), so data-quality monitoring keeps up
+  * with arrivals without ever rescanning the profiled corpus — each
+  * micro-batch costs one pass over the BATCH plus a state-sized merge.
+  *
+  * Exactly-once posture: the merge is NON-IDEMPOTENT (counts sum, HLL
+  * sketches union), so the writer stages the shared [[StreamOnce]]
+  * per-batch markers under `statePath/_stream_batches` — committed
+  * replays skip, a started-without-committed marker fails loudly with
+  * the reseed remedy. HLL union is register-wise max, so the streamed
+  * state equals the one-shot profile over the same rows BIT-EXACTLY
+  * (StreamingProfileSpec asserts it across a restart).
+  */
+object ProfileStream {
+
+  /** foreachBatch writer absorbing each micro-batch into the persisted
+    * profile state at `statePath` (seed it with
+    * [[Profile.writeProfileState]] first — possibly over zero rows). */
+  def profileAppendBatch(statePath: String,
+                         cols: Seq[String]): (DataFrame, Long) => Unit =
+    (batchDf, batchId) =>
+      StreamOnce.appliedOnce(batchDf.sparkSession, statePath, batchId,
+        "profile state") {
+        if (!batchDf.isEmpty) Profile.appendProfileState(batchDf, cols, statePath)
+      }
+}
