@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical anomaly detection — the monitoring pass a pipeline runs
+  * over a new data drop before training on it (value spikes, broken
+  * feeds, unit mix-ups show up as per-group outliers).
+  *
+  * Scale posture: the stats frame is GROUP-sized (one row per group —
+  * orders of magnitude smaller than the data), so scoring is one full
+  * scan plus a broadcast-joined per-row projection: no row-level
+  * shuffle at any input size. Group stats aggregate map-side-partially.
+  */
+object Anomaly {
+
+  /** Per-group z-scores: appends (grp_mean, grp_std, z) computed
+    * against each row's group population statistics (stddev_pop: the
+    * drop being scored IS the population). Rows in single-value groups
+    * (stddev 0) and null values get null z — flagged by neither side.
+    *
+    * `roundTo`: decimal places to round z to (negative = no rounding).
+    * Rounding belongs to the OPERATOR contract, not just the oracle:
+    * downstream thresholding on a rounded z is reproducible across
+    * engines and runs, while raw double z-scores near the threshold
+    * flip with summation order. */
+  def zScores(df: DataFrame, valueCol: String, groupCols: Seq[String],
+              roundTo: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "zScores needs at least one group column")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("grp_mean"),
+        stddev_pop(col(valueCol)).as("grp_std"))
+    val z = (col(valueCol) - col("grp_mean")) / col("grp_std")
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z",
+        when(col("grp_std") > 0,
+          if (roundTo >= 0) round(z, roundTo) else z))
+  }
+
+  /** Rows whose |z| exceeds `threshold` within their group — the
+    * outlier report. Same scan/broadcast shape as [[zScores]]. */
+  def outliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+               threshold: Double, roundTo: Int = 4): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    zScores(df, valueCol, groupCols, roundTo)
+      .filter(abs(col("z")) > threshold)
+  }
+}

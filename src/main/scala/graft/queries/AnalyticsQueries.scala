@@ -58,6 +58,24 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Per-group z-score anomaly report (ops.Anomaly): events whose value
+    // sits more than 3 population standard deviations from its
+    // event_type's mean. The stats frame is GROUP-sized and broadcast —
+    // one scan plus a per-row projection, no row shuffle at any scale.
+    // z rounds to 4dp INSIDE the operator so thresholding is
+    // reproducible across engines (the operator's documented contract).
+    "q_anomaly" -> ((s, dir) => {
+      graft.ops.Anomaly.outliers(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "value", Seq("event_type"), threshold = 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"),
+          round(col("grp_mean"), 4).as("grp_mean"),
+          round(col("grp_std"), 4).as("grp_std"),
+          col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Ordered-step funnel (ops.Funnel): users who viewed, then clicked
     // strictly after the first view, then purchased after that click —
     // all within 7 days of the first view. Per-stage reach + conversion.
@@ -189,6 +207,18 @@ object AnalyticsQueries {
         |  d.day_value IS NOT NULL AS observed
         |FROM spine s LEFT JOIN daily d USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+
+    // same population statistics, same 4dp-rounded z, same > threshold
+    "q_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, round(value, 4) AS value,
+        |  round(m, 4) AS grp_mean, round(sd, 4) AS grp_std,
+        |  round((value - m) / sd, 4) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "q_funnel" -> {
       val horizon = s"INTERVAL ${funnelHorizonSecs} SECONDS"

@@ -216,4 +216,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(zFrac < 0.6 * plainFrac,
       s"z-order must let point filters on b skip most files: z=$zFrac plain=$plainFrac")
   }
+
+  test("anomaly z-scores: hand-computed group stats, null for degenerate groups") {
+    import spark.implicits._
+    import graft.ops.Anomaly
+    // group a: values 0,10,20 -> mean 10, stddev_pop sqrt(200/3)
+    // group b: single value -> stddev 0 -> null z
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 10.0), ("a", 3L, 20.0),
+      ("b", 4L, 99.0)).toDF("g", "id", "v")
+    val out = Anomaly.zScores(df, "v", Seq("g")).orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double])))
+    val sd = math.sqrt(200.0 / 3)
+    def z(v: Double) = math.round((v - 10.0) / sd * 10000) / 10000.0
+    assert(out.toSeq === Seq((1L, Some(z(0))), (2L, Some(z(10))),
+      (3L, Some(z(20))), (4L, None)),
+      "single-value group must yield null z, not infinity")
+  }
+
+  test("anomaly outliers: only |z| above threshold survive; nulls never flag") {
+    import spark.implicits._
+    import graft.ops.Anomaly
+    // 20 values at 10 plus one spike: the spike's z is large, others ~ -0.22
+    val df = ((1L to 20L).map(i => ("g", i, 10.0)) :+ (("g", 99L, 1000.0)))
+      .toDF("g", "id", "v")
+    val got = Anomaly.outliers(df, "v", Seq("g"), threshold = 3.0)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(99L))
+  }
 }
