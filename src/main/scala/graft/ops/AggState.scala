@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted keyed additive aggregate state — incremental
+  * materialized-view maintenance for the rollup tables a warehouse
+  * serves (daily per-type counts/sums, per-key min/max watermarks).
+  *
+  * Aggregating 100 TB once is affordable; re-aggregating it on every
+  * daily drop is not. The state here is MERGEABLE per key: counts and
+  * decimal sums add, min/max fold — so absorbing a batch costs one
+  * pass over the BATCH plus a rewrite of only the key-hash buckets the
+  * batch touches. The aggregated corpus is never rescanned, and
+  * untouched bucket directories are never read or written (the
+  * [[TextIndex.appendToBm25Index]] posture for plain rollups).
+  *
+  * Sums are DECIMAL(38,6): decimal addition is associative, so the
+  * absorbed state equals the one-shot aggregate EXACTLY regardless of
+  * batch arrival order — double sums would drift by summation order
+  * and break the absorb==one-shot contract (AggStateSpec pins it).
+  *
+  * Layout under `path`:
+  *   state/kb=<bucket>/…  aggregate rows partitioned by key-hash bucket
+  *   meta/                keys, value columns, bucket count
+  * The path ROOT stays free for sibling metadata (RollupStream's
+  * _stream_batches markers).
+  *
+  * The append is read-merge-overwrite on the touched buckets; it is
+  * NOT atomic across buckets and NOT idempotent — do not blindly
+  * retry a failed append: rebuild the state (or restore a snapshot).
+  * Streamed absorption gets exactly-once via [[graft.streaming
+  * .RollupStream]]'s per-batch markers.
+  */
+object AggState {
+
+  private def stateDir(path: String) = s"$path/state"
+  private def metaDir(path: String) = s"$path/meta"
+
+  private def bucketOf(keys: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
+
+  /** One pass over `df`: per-key additive measures for each value
+    * column — (n_rows, <v>_cnt, <v>_sum DECIMAL(38,6), <v>_min,
+    * <v>_max). Map-side partial aggregation; one shuffle on the keys. */
+  private def aggregate(df: DataFrame, keys: Seq[String],
+                        valueCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ valueCols.flatMap { v =>
+      Seq(count(col(v)).as(s"${v}_cnt"),
+        sum(col(v).cast(DecimalType(38, 6))).cast(DecimalType(38, 6))
+          .as(s"${v}_sum"),
+        min(col(v)).as(s"${v}_min"), max(col(v)).as(s"${v}_max"))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two aggregate frames with identical schemas: counts and
+    * sums add, min/max fold. */
+  private def merge(a: DataFrame, b: DataFrame, keys: Seq[String],
+                    valueCols: Seq[String]): DataFrame = {
+    val aggs = Seq(sum(col("n_rows")).as("n_rows")) ++ valueCols.flatMap { v =>
+      Seq(sum(col(s"${v}_cnt")).as(s"${v}_cnt"),
+        sum(col(s"${v}_sum")).cast(DecimalType(38, 6)).as(s"${v}_sum"),
+        min(col(s"${v}_min")).as(s"${v}_min"),
+        max(col(s"${v}_max")).as(s"${v}_max"))
+    }
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Seed the state at `path` from `df` (overwrite). `nBuckets` fixes
+    * the key-hash partitioning for the state's lifetime — size it so
+    * one bucket's aggregate rows fit an executor comfortably (buckets
+    * hold KEYS, not rows: 4096 buckets cover billions of keys). */
+  def writeAggState(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
+                    path: String, nBuckets: Int = 64): Unit = {
+    require(keys.nonEmpty, "aggregate state requires at least one key")
+    require(valueCols.nonEmpty, "aggregate state requires at least one value column")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(keys.intersect(valueCols).isEmpty, "keys and valueCols must be disjoint")
+    val spark = df.sparkSession
+    import spark.implicits._
+    aggregate(df, keys, valueCols)
+      .withColumn("kb", bucketOf(keys, nBuckets))
+      .write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
+    Seq((keys.mkString(","), valueCols.mkString(","), nBuckets))
+      .toDF("keys", "value_cols", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Seq[String], Seq[String], Int) = {
+    val m = spark.read.parquet(metaDir(path)).first()
+    (m.getString(0).split(",").toSeq, m.getString(1).split(",").toSeq, m.getInt(2))
+  }
+
+  /** Absorb a batch: one pass over the BATCH, then read ONLY the state
+    * buckets whose keys the batch touches (partition-pruned scan),
+    * merge additively, and dynamic-overwrite those buckets alone.
+    * Cost is O(batch + touched buckets) at any corpus size. */
+  def appendAggState(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (keys, valueCols, nBuckets) = readMeta(spark, path)
+    val batchAgg = Reliable.checkpoint(
+      aggregate(batch, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
+    // touched bucket ids collect to the driver (<= nBuckets ints — the
+    // bounded-scalar-read exception, same as the BM25 append)
+    val touched = batchAgg.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(stateDir(path))
+      .filter(col("kb").isin(touched.map(Integer.valueOf): _*))
+    val merged = Reliable.checkpoint(
+      merge(existing.drop("kb"), batchAgg.drop("kb"), keys, valueCols)
+        .withColumn("kb", bucketOf(keys, nBuckets)))
+    Scale.withDynamicOverwrite(spark) {
+      merged.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
+    }
+  }
+
+  /** Read the state as a rollup: keys + n_rows + per-value cnt/sum/
+    * min/max/avg (avg derived as sum/cnt — DECIMAL(38,6)-exact). */
+  def readAggState(spark: SparkSession, path: String): DataFrame = {
+    val (_, valueCols, _) = readMeta(spark, path)
+    val derived = valueCols.map { v =>
+      (col(s"${v}_sum") / col(s"${v}_cnt")).cast(DecimalType(38, 6)).as(s"${v}_avg")
+    }
+    val st = spark.read.parquet(stateDir(path)).drop("kb")
+    st.select(st.columns.map(col) ++ derived: _*)
+  }
+}

@@ -306,6 +306,31 @@ object PipelineQueries {
         .orderBy(col("column"))
     }),
 
+    // Incremental materialized rollup (ops.AggState): a per-(type, day)
+    // events rollup seeded from 60% of history absorbs two later drops
+    // WITHOUT rescanning the corpus — each append is one pass over the
+    // batch plus a rewrite of only the touched key-hash buckets.
+    // Decimal sums are associative, so the absorbed state must equal
+    // the oracle's one-shot full-data aggregate EXACTLY.
+    "q_incr_rollup" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def slice(m: Int) = ev.filter(col("event_id") % 5 === m ||
+          (col("event_id") % 5 >= 3 && lit(m) === 0))
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-rollup").toString
+      graft.ops.AggState.writeAggState(slice(0),
+        Seq("event_type", "day"), Seq("value"), path, nBuckets = 16)
+      graft.ops.AggState.appendAggState(slice(1), path)
+      graft.ops.AggState.appendAggState(slice(2), path)
+      graft.ops.AggState.readAggState(s, path)
+        .select(col("event_type"), col("day"), col("n_rows"),
+          col("value_cnt"), col("value_sum").cast("double").as("value_sum"),
+          col("value_min"), col("value_max"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Equi-width histogram of l_extendedprice: bounded min/max read,
     // then one map-side-combined groupBy on the bin id; every bin
     // emitted (empty bins at 0).
@@ -617,6 +642,16 @@ object PipelineQueries {
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE
         |  FROM lineitem)
         |ORDER BY "column"""".stripMargin,
+
+    // one-shot full-data aggregate with the same decimal arithmetic —
+    // equality is only possible if absorb == one-shot exactly
+    "q_incr_rollup" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(value) AS BIGINT) AS value_cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+        |  min(value) AS value_min, max(value) AS value_max
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (

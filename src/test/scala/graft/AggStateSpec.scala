@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AggState
+
+/** Persisted keyed additive aggregate state: absorbing batches must
+  * equal the one-shot aggregate EXACTLY (decimal sums), appends must
+  * rewrite only the touched key-hash buckets, and null keys/values
+  * must follow SQL aggregate semantics. */
+class AggStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range): Seq[(String, java.lang.Double)] =
+    ids.map(i => (s"k${i % 7}", if (i % 11 == 0) null
+      else java.lang.Double.valueOf(i * 0.1)))
+
+  private def snap(path: String) =
+    AggState.readAggState(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)))).toSet
+
+  test("absorbing batches == one-shot aggregate, bit-exact") {
+    val all = rows(0 until 200)
+    val (seed, rest) = all.splitAt(80)
+    val (b1, b2) = rest.splitAt(60)
+    val p = java.nio.file.Files.createTempDirectory("graft-aggst").toString
+    AggState.writeAggState(seed.toDF("g", "v"), Seq("g"), Seq("v"), p, nBuckets = 8)
+    AggState.appendAggState(b1.toDF("g", "v"), p)
+    AggState.appendAggState(b2.toDF("g", "v"), p)
+
+    val pRef = java.nio.file.Files.createTempDirectory("graft-aggst-ref").toString
+    AggState.writeAggState(all.toDF("g", "v"), Seq("g"), Seq("v"), pRef, nBuckets = 8)
+    assert(snap(p) === snap(pRef),
+      "absorbed state diverges from the one-shot aggregate")
+    // spot check one group by hand: k0 gets i = 0,7,...,196; nulls at i%11==0
+    val k0 = AggState.readAggState(spark, p).filter(col("g") === "k0")
+      .select("n_rows", "v_cnt").first()
+    val ids = (0 until 200).filter(_ % 7 == 0)
+    assert(k0.getLong(0) === ids.size.toLong)
+    assert(k0.getLong(1) === ids.count(_ % 11 != 0).toLong)
+  }
+
+  test("append rewrites ONLY the touched key-hash buckets") {
+    val p = java.nio.file.Files.createTempDirectory("graft-aggbk").toString
+    AggState.writeAggState(rows(0 until 100).toDF("g", "v"),
+      Seq("g"), Seq("v"), p, nBuckets = 16)
+    def files(): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$p/state")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, (f.length, f.lastModified))).toMap
+    }
+    val before = files()
+    // a batch touching exactly one key -> at most one bucket rewrites
+    AggState.appendAggState(Seq(("k3", java.lang.Double.valueOf(5.0)))
+      .toDF("g", "v"), p)
+    val after = files()
+    val untouchedBefore = before.filterNot(_._1.contains(afterTouched(before, after)))
+    assert(untouchedBefore.forall { case (path, sig) => after.get(path).contains(sig) },
+      "untouched bucket files must remain byte-identical on disk")
+    // and the state is still correct: k3 rows are i ≡ 3 (mod 7), so the
+    // pre-append max is 9.4; the absorbed 5.0 must not lower it
+    val k3 = AggState.readAggState(spark, p).filter(col("g") === "k3")
+      .select("v_max").first().getDouble(0)
+    assert(k3 === 9.4)
+  }
+
+  private def afterTouched(before: Map[String, (Long, Long)],
+                           after: Map[String, (Long, Long)]): String = {
+    // the single kb=<n>/ dir whose file set changed
+    val changedDirs = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+      .map(p => p.substring(p.indexOf("kb=")).takeWhile(_ != '/'))
+    assert(changedDirs.size === 1,
+      s"a one-key batch must rewrite exactly one bucket, got $changedDirs")
+    changedDirs.head + "/"
+  }
+
+  test("null keys and null values follow SQL aggregate semantics") {
+    val df = Seq((null.asInstanceOf[String], java.lang.Double.valueOf(1.0)),
+      (null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]),
+      ("k", java.lang.Double.valueOf(2.0))).toDF("g", "v")
+    val p = java.nio.file.Files.createTempDirectory("graft-aggnull").toString
+    AggState.writeAggState(df, Seq("g"), Seq("v"), p, nBuckets = 4)
+    AggState.appendAggState(
+      Seq((null.asInstanceOf[String], java.lang.Double.valueOf(3.0))).toDF("g", "v"), p)
+    val nullRow = AggState.readAggState(spark, p).filter(col("g").isNull)
+      .select("n_rows", "v_cnt", "v_min", "v_max").first()
+    assert((nullRow.getLong(0), nullRow.getLong(1)) === (3L, 2L),
+      "null keys group together; null values count rows but not v_cnt")
+    assert((nullRow.getDouble(2), nullRow.getDouble(3)) === (1.0, 3.0))
+  }
+
+  test("guards: empty keys/values, overlapping keys and values") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      AggState.writeAggState(df, Seq(), Seq("v"), "/tmp/x")
+    }
+    intercept[IllegalArgumentException] {
+      AggState.writeAggState(df, Seq("g"), Seq("g"), "/tmp/x")
+    }
+  }
+}
