@@ -27,9 +27,16 @@ object Anomaly {
   def zScores(df: DataFrame, valueCol: String, groupCols: Seq[String],
               roundTo: Int = 4): DataFrame = {
     require(groupCols.nonEmpty, "zScores needs at least one group column")
-    val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(avg(col(valueCol)).as("grp_mean"),
-        stddev_pop(col(valueCol)).as("grp_std"))
+    // the broadcast assumes groups << rows; a caller grouping on a
+    // near-unique key would replicate a runaway frame to every task —
+    // fail loudly at the boundary instead (Guard rail). The stats
+    // lineage is one cheap aggregate, so the guard's extra pass is
+    // cheaper than a checkpoint at any realistic group count.
+    val stats = Guard.broadcastSmall(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(avg(col(valueCol)).as("grp_mean"),
+          stddev_pop(col(valueCol)).as("grp_std")),
+      s"zScores group statistics over ${groupCols.mkString(", ")}")
     val z = (col(valueCol) - col("grp_mean")) / col("grp_std")
     df.join(broadcast(stats), groupCols)
       .withColumn("z",

@@ -46,15 +46,22 @@ object Linkage {
                 maxBlock: Int = 1000): LinkageResult = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
-    val blocks = records
+    val keyed = records
       .select(blockKey.as("block_key"),
         struct(col(idCol).as("id"), col(nameCol).as("name")).as("rec"))
+    // size blocks BEFORE collecting: a junk-key flood block would
+    // otherwise materialize its full membership in one agg buffer and
+    // kill the task before the size filter could drop it — the count
+    // agg is map-side-combined and carries (key, long) only
+    val flagged = keyed.groupBy(col("block_key"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBlock)
+    val blocks = keyed
+      .join(flagged.select(col("block_key")), Seq("block_key"), "left_anti")
       .groupBy(col("block_key"))
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
-    val flagged = blocks.filter(size(col("recs")) > maxBlock)
-      .select(col("block_key"), size(col("recs")).cast("long").as("n_ids"))
     val pairs = blocks
-      .filter(size(col("recs")) > 1 && size(col("recs")) <= maxBlock)
+      .filter(size(col("recs")) > 1)
       // Dedup.pairsFromSortedIds is element-type-agnostic: over the
       // sorted struct array it yields each unordered pair once with
       // id_a/id_b holding the (id, name) structs
