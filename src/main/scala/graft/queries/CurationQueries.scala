@@ -54,6 +54,29 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sharded corpus export + fixity manifest (ops.Export): documents
+    // written as 8 deterministic content-hash shards with per-shard
+    // doc/token/char counts and an order-independent md5-sum checksum,
+    // then VALIDATED by recomputing every fact from the shard bytes.
+    // The oracle restates the manifest arithmetic over the source table
+    // — matching is only possible if the export wrote exactly the
+    // corpus and the validator read exactly the export.
+    "q_export_manifest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-export").toString
+      graft.ops.Export.writeShards(d, "doc_id", "text", path, nShards = 8)
+      // the stored checksum is DECIMAL(38,0); the driver-visible column
+      // folds it into BIGINT range (mod 2^62) because the oracle
+      // comparator coerces DuckDB HUGEINT through float64
+      graft.ops.Export.validateShards(s, path, "text")
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("n_tokens"), col("n_chars"),
+          (col("checksum") % lit(4611686018427387904L)).cast("long")
+            .as("checksum"), col("ok"))
+        .orderBy(col("shard"))
+    }),
+
     // Budgeted sequence packing: 256-token packs per source shard in
     // doc_id order — a windowed cumsum per shard (parallel across
     // shards), the floor-of-running-sum approximation of greedy packing.
@@ -440,6 +463,21 @@ object CurationQueries {
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the manifest arithmetic restated over the SOURCE table: same
+    // md5 shard assignment, token/char sums, and md5-prefix checksum
+    "q_export_manifest" ->
+      raw"""SELECT
+           |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           |    AS BIGINT) % 8 AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           |    t -> len(t) > 0))) AS BIGINT) AS n_tokens,
+           |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           |  CAST(sum(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
+           |    % 4611686018427387904 AS BIGINT) AS checksum,
+           |  TRUE AS ok
+           |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_seq_packing" ->
       s"""WITH t AS (
