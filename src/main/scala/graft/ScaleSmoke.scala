@@ -71,7 +71,11 @@ object ScaleSmoke {
     // state, real resize/audio codecs
     "q_hard_negatives_ivf", "q_bpe_encode", "q_snapshot_diff",
     "q_profile", "q_rp_recall",
-    "q_profile_incr", "q_media_resize", "q_media_audio", "q_audio_frames")
+    "q_profile_incr", "q_media_resize", "q_media_audio", "q_audio_frames",
+    // round-8 continuation: real video codec, record linkage,
+    // incremental rollup, sharded export + fixity validation
+    "q_media_video", "q_record_linkage", "q_incr_rollup",
+    "q_export_manifest")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
