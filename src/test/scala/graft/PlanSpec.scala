@@ -334,4 +334,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row parity gate must broadcast, never cartesian\n" + p)
   }
+
+  test("q_anomaly: group stats broadcast back over one scan — no row shuffle join") {
+    val p = plan("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "the group-sized stats frame must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "scoring must not shuffle the event rows\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("record linkage pairs: block-local combinatorics, no cartesian, levenshtein in-plan") {
+    // the full q_record_linkage executed plan is lineage-truncated by
+    // the components checkpoint, so pin the pair-generation stage — the
+    // one whose shape decides whether linkage scales
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val recs = Seq((1L, "a", "k"), (2L, "b", "k")).toDF("id", "name", "bk")
+    val p = graft.ops.Linkage.linkPairs(recs, "id", "name", col("bk"), 2)
+      .pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must stay block-local\n" + p)
+    assert(p.toLowerCase.contains("levenshtein"),
+      "the exact edit-distance confirm must be in the plan\n" + p)
+    assert(!p.contains("SortMergeJoin") || p.contains("LeftAnti"),
+      "the only join is the flood-block anti-join\n" + p)
+  }
 }
