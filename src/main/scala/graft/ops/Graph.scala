@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge frames — the companion family to
+  * [[Dedup.connectedComponents]]: where components answer "which rows
+  * are the same thing", PageRank answers "which nodes matter" —
+  * boilerplate hubs in a near-dup graph, load-bearing entities in a
+  * linkage graph, influential users in an interaction graph.
+  *
+  * Scale posture (the components playbook): the edge frame is joined
+  * once per iteration against a NODE-sized rank frame — per round one
+  * shuffle of (node, double) pairs plus one map-side-combined
+  * aggregate; iterations are driver-coordinated with per-round
+  * [[Reliable.checkpoint]] (lineage stays flat, an executor loss
+  * recovers from the round boundary). Dangling mass is a 1-row scalar
+  * broadcast, never a driver collect of node state.
+  */
+object Graph {
+
+  /** Standard damped PageRank (Page et al. 1999) over a directed edge
+    * frame (src, dst): `iters` synchronous rounds of
+    *
+    *   pr'(v) = (1−d)/N + d·( Σ_{u→v} pr(u)/outDeg(u) + D/N )
+    *
+    * where D is the total rank of dangling nodes (no out-edges),
+    * redistributed uniformly — so Σ pr == 1 after every round (the
+    * spec's conservation theorem). Returns (node, rank). Fixed
+    * iteration count rather than convergence detection: rank queries
+    * run a known budget (3–20 rounds) and a fixed count keeps the
+    * result deterministic and oracle-restatable. Duplicate edges are
+    * counted once (the edge SET defines the graph). */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val sc = edges.sparkSession.sparkContext
+    // superseded rounds free their localCheckpoint blocks immediately
+    // (the connectedComponents leak-class fix); reliable checkpoints
+    // (dir configured) persist nothing here, so free() is a no-op
+    def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = Reliable.checkpoint(df)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val e = Reliable.checkpoint(
+      edges.select(col("src"), col("dst")).distinct())
+    val nodes = Reliable.checkpoint(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    // out-degree folded onto the edges once: each iteration's join
+    // carries (src, dst, deg) against the rank frame only
+    val eDeg = Reliable.checkpoint(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
+    var (pr, prIds) = trackedCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
+    var i = 0
+    while (i < iters) {
+      val contrib = eDeg
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("in_rank"))
+      // dangling rank: nodes with no out-edge leak their mass — gather
+      // it as ONE scalar row and broadcast it back (never a collect of
+      // node state)
+      val dangling = pr.join(eDeg.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("in_rank"), lit(0.0)) + col("dmass") / n))
+            .as("rank"))
+      val (nextPr, nextIds) = trackedCheckpoint(next)
+      free(prIds)
+      pr = nextPr; prIds = nextIds
+      i += 1
+    }
+    pr
+  }
+
+  /** Degree summary per node: (node, out_deg, in_deg) over the edge
+    * SET — the cheap first look at any graph. One aggregate per
+    * direction, full-outer merged. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

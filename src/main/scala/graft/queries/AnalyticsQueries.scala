@@ -84,6 +84,24 @@ object AnalyticsQueries {
         funnelSteps, Some(funnelHorizonSecs))
     }),
 
+    // PageRank over the bipartite user↔event-type interaction graph
+    // (ops.Graph): 3 synchronous damped rounds, each ONE edge-vs-rank
+    // join + a map-side-combined aggregate — (node, double) pairs are
+    // all that shuffle; rounds checkpoint so lineage stays flat. The
+    // symmetric construction has no dangling nodes; the operator's
+    // dangling redistribution is spec-gated separately. The oracle
+    // restates the SAME 3 rounds as unrolled CTEs.
+    "q_pagerank" -> ((s, dir) => {
+      val uv = t(s, dir, "events")
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("v")).distinct()
+      val edges = uv.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(uv.select(col("v").as("src"), col("u").as("dst")))
+      graft.ops.Graph.pageRank(edges, iters = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // Cohort retention: customers grouped by first-order month; how many
     // ordered again k months later (k ≤ 12). The classic retention
     // triangle — two shuffles (first-order agg, cohort-offset agg).
@@ -207,6 +225,37 @@ object AnalyticsQueries {
         |  d.day_value IS NOT NULL AS observed
         |FROM spine s LEFT JOIN daily d USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+
+    // the same 3 damped rounds unrolled as explicit CTEs — no dangling
+    // terms because the bipartite construction gives every node an
+    // out-edge
+    "q_pagerank" -> {
+      val iters = 3
+      val base =
+        """WITH e AS (
+          |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+          |    't:' || event_type AS dst FROM events
+          |  UNION
+          |  SELECT DISTINCT 't:' || event_type,
+          |    'u:' || CAST(user_id AS VARCHAR) FROM events),
+          |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS node FROM e
+          |          UNION SELECT DISTINCT dst FROM e),
+          |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+          |pr0 AS (SELECT node, 1.0/c AS r FROM nodes, nn)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.node, 0.15/nn.c + 0.85 * COALESCE(s.cs, 0) AS r
+           |  FROM nodes n CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.r / deg.d) AS cs
+           |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+           |    JOIN deg ON e.src = deg.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }
+      base + ",\n" + steps.mkString(",\n") +
+        s"\nSELECT node, round(r, 8) AS rank FROM pr$iters ORDER BY node"
+    },
 
     // same population statistics, same 4dp-rounded z, same > threshold
     "q_anomaly" ->
