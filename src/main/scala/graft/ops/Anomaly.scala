@@ -52,4 +52,57 @@ object Anomaly {
     zScores(df, valueCol, groupCols, roundTo)
       .filter(abs(col("z")) > threshold)
   }
+
+  /** Robust per-group z-scores (median/MAD — the estimator that does
+    * not let the outliers it hunts corrupt its own baseline, unlike
+    * mean/stddev): appends (grp_median, grp_mad, rz) with
+    * rz = (x − median) / (1.4826·MAD), 1.4826 the standard normal
+    * consistency constant. Two scans (median, then MAD of residuals
+    * against the broadcast median) + one scoring scan — all stats
+    * frames group-sized and Guard-broadcast. Null rz when MAD is 0
+    * (constant-majority group) — same degenerate-group policy as
+    * [[zScores]]. */
+  def robustZScores(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    roundTo: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "robustZScores needs at least one group column")
+    val what = s"robustZScores group statistics over ${groupCols.mkString(", ")}"
+    val med = Guard.broadcastSmall(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(expr(s"percentile($valueCol, 0.5)").as("grp_median")), what)
+    val mad = Guard.broadcastSmall(
+      df.join(broadcast(med), groupCols)
+        .groupBy(groupCols.map(col): _*)
+        .agg(expr(s"percentile(abs($valueCol - grp_median), 0.5)").as("grp_mad")),
+      what)
+    val rz = (col(valueCol) - col("grp_median")) / (lit(1.4826) * col("grp_mad"))
+    df.join(broadcast(med), groupCols).join(broadcast(mad), groupCols)
+      .withColumn("rz",
+        when(col("grp_mad") > 0,
+          if (roundTo >= 0) round(rz, roundTo) else rz))
+  }
+
+  /** Per-group winsorization: clamp `valueCol` into its group's
+    * [loPct, hiPct] exact quantiles — the outlier-taming transform a
+    * feature pipeline runs where dropping rows is not an option.
+    * Appends (grp_lo, grp_hi, <valueCol>_wins); null values stay null.
+    * One stats scan + one clamping scan, bounds group-sized and
+    * Guard-broadcast. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                loPct: Double = 0.01, hiPct: Double = 0.99): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1, got [$loPct, $hiPct]")
+    val bounds = Guard.broadcastSmall(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(expr(s"percentile($valueCol, $loPct)").as("grp_lo"),
+          expr(s"percentile($valueCol, $hiPct)").as("grp_hi")),
+      s"winsorize group bounds over ${groupCols.mkString(", ")}")
+    df.join(broadcast(bounds), groupCols)
+      // guard the null case explicitly: Spark's least/greatest SKIP
+      // nulls, so an unguarded clamp would turn a null value into the
+      // lower bound instead of keeping it null
+      .withColumn(s"${valueCol}_wins",
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("grp_lo")), col("grp_hi"))))
+  }
 }

@@ -76,6 +76,37 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Robust anomaly report (median/MAD — the baseline the outliers
+    // cannot corrupt): events beyond 3.5 robust sigmas of their
+    // event_type's median. Two group-sized stats passes broadcast back;
+    // rz rounds inside the operator (engine-reproducible thresholding).
+    "q_anomaly_robust" -> ((s, dir) => {
+      graft.ops.Anomaly.robustZScores(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "value", Seq("event_type"))
+        .filter(abs(col("rz")) > 3.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"),
+          round(col("grp_median"), 4).as("grp_median"),
+          round(col("grp_mad"), 4).as("grp_mad"),
+          col("rz"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Per-group winsorization: values clamped into their event_type's
+    // exact [p1, p99] quantiles — one bounds pass (group-sized,
+    // broadcast) + one clamping scan.
+    "q_winsorize" -> ((s, dir) => {
+      graft.ops.Anomaly.winsorize(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "value", Seq("event_type"), loPct = 0.01, hiPct = 0.99)
+        .select(col("event_id"), col("event_type"),
+          round(col("value_wins"), 4).as("value_wins"),
+          round(col("grp_lo"), 4).as("grp_lo"),
+          round(col("grp_hi"), 4).as("grp_hi"))
+        .orderBy(col("event_id"))
+    }),
+
     // Ordered-step funnel (ops.Funnel): users who viewed, then clicked
     // strictly after the first view, then purchased after that click —
     // all within 7 days of the first view. Per-stage reach + conversion.
@@ -268,6 +299,33 @@ object AnalyticsQueries {
         |FROM events JOIN s USING (event_type)
         |WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    // same median/MAD estimators (quantile_cont == Spark percentile),
+    // same consistency constant, same rounded threshold
+    "q_anomaly_robust" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS md
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+        |  round(m, 4) AS grp_median, round(md, 4) AS grp_mad,
+        |  round((e.value - m) / (1.4826 * md), 4) AS rz
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE md > 0 AND abs(round((e.value - m) / (1.4826 * md), 4)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    // same exact quantile bounds, same clamp
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round(LEAST(GREATEST(e.value, lo), hi), 4) AS value_wins,
+        |  round(lo, 4) AS grp_lo, round(hi, 4) AS grp_hi
+        |FROM events e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
 
     "q_funnel" -> {
       val horizon = s"INTERVAL ${funnelHorizonSecs} SECONDS"

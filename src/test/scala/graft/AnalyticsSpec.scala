@@ -244,4 +244,47 @@ class AnalyticsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0))
     assert(got.toSeq === Seq(99L))
   }
+
+  test("robust z-scores: outliers cannot corrupt the median/MAD baseline") {
+    import spark.implicits._
+    import graft.ops.Anomaly
+    // values 1..9 plus a huge spike: median 5.5, MAD 2.5 — the spike
+    // barely moves them (it DOES inflate mean/stddev, which is the point)
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ (("g", 99L, 1e6)))
+      .toDF("g", "id", "v")
+    val out = Anomaly.robustZScores(df, "v", Seq("g"))
+      .select("id", "grp_median", "grp_mad", "rz").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.forall(r => r._2 === 5.5 && r._3 === 2.5))
+    val spike = out.find(_._1 == 99L).get
+    assert(spike._4 > 1000, "the spike must score enormous against the robust baseline")
+    // classic z would dilute: the spike is < 3 classic sigmas here
+    val classic = Anomaly.zScores(df, "v", Seq("g"))
+      .filter(col("id") === 99L).select("z").first().getDouble(0)
+    assert(classic < 3.5, s"mean/stddev baseline self-corrupts (z=$classic)")
+    // degenerate: constant-majority group -> MAD 0 -> null rz
+    val const = Seq(("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0), ("c", 4L, 9.0))
+      .toDF("g", "id", "v")
+    assert(Anomaly.robustZScores(const, "v", Seq("g"))
+      .filter(col("rz").isNotNull).count() === 0L)
+  }
+
+  test("winsorize clamps into exact group quantiles; nulls stay null") {
+    import spark.implicits._
+    import graft.ops.Anomaly
+    val df = ((1 to 100).map(i => ("g", i.toLong, java.lang.Double.valueOf(i.toDouble)))
+      :+ (("g", 999L, null.asInstanceOf[java.lang.Double])))
+      .toDF("g", "id", "v")
+    val out = Anomaly.winsorize(df, "v", Seq("g"), loPct = 0.1, hiPct = 0.9)
+      .select("id", "v_wins").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+    // exact interpolated p10/p90 of 1..100 are 10.9 and 90.1 (compare
+    // at 1e-9: the interpolation arithmetic carries float error)
+    def approx(o: Option[Double], v: Double) =
+      o.exists(x => math.abs(x - v) < 1e-9)
+    assert(approx(out(1L), 10.9) && approx(out(5L), 10.9))
+    assert(approx(out(100L), 90.1) && approx(out(95L), 90.1))
+    assert(out(50L) === Some(50.0), "interior values pass through untouched")
+    assert(out(999L) === None, "null values must stay null, not clamp to the bound")
+  }
 }
