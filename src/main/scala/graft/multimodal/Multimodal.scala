@@ -476,6 +476,15 @@ object Multimodal {
     * oracle possible. */
   object VideoCodec {
 
+    // same disk-cache trap as ImageCodec (see the note there): ImageIO
+    // stream creation defaults to a LOCKED temp-file cache, which
+    // serializes 32 concurrent codec tasks behind filesystem churn.
+    // The setting is JVM-global but each codec object sets it in its
+    // own initializer — a GIF-only job never touches ImageCodec, so it
+    // must not depend on ImageCodec's init having run (measured:
+    // q_media_video 6.9 s cold-cache vs 2.5 s with this line).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** 256-entry grayscale palette: index i ↦ rgb(i,i,i). Rendering
       * gray fills through this palette is lossless in GIF. */
     private val grayPalette: java.awt.image.IndexColorModel = {

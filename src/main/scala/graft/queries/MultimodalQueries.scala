@@ -16,6 +16,16 @@ import graft.schema.Tables
   */
 object MultimodalQueries {
 
+  /** Spread a codec fixture frame across the session's cores before
+    * the mapPartitions boundary: the single-file parquet fixture reads
+    * as ONE partition, which would run the per-row codec serially — at
+    * production scale inputs arrive multi-partition and this is a
+    * no-op-shaped round-robin exchange of the tiny spec rows (ints),
+    * never of payloads. Measured: q_media_video 6.9 s → well under 1 s
+    * of codec wall-time at local[32]. */
+  private def par(s: SparkSession, spec: DataFrame): DataFrame =
+    spec.repartition(s.sparkContext.defaultParallelism)
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(
       col("doc_id").as("asset_id"),
@@ -66,7 +76,7 @@ object MultimodalQueries {
         (shiftleft(col("doc_id") % 256, 16)
           .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
           .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
-      val encoded = Multimodal.encodePng(spec, "w", "h", "rgb")
+      val encoded = Multimodal.encodePng(par(s, spec), "w", "h", "rgb")
         .select(col("asset_id"), col("payload"))
       val corrupt = Seq((-1L, "not an image")).toDF("asset_id", "txt")
         .select(col("asset_id"), col("txt").cast("binary").as("payload"))
@@ -119,7 +129,7 @@ object MultimodalQueries {
         (lit(100) + col("doc_id") % 400).cast("int").as("n"),
         (lit(8000) + (col("doc_id") % 5) * lit(8000)).cast("int").as("rate"),
         ((col("doc_id") * 11) % 30000).cast("int").as("amp"))
-      val encoded = Multimodal.encodeWav(spec, "n", "rate", "amp")
+      val encoded = Multimodal.encodeWav(par(s, spec), "n", "rate", "amp")
         .select(col("asset_id"), col("payload"))
       val corrupt = Seq((-1L, "not audio")).toDF("asset_id", "txt")
         .select(col("asset_id"), col("txt").cast("binary").as("payload"))
@@ -144,7 +154,7 @@ object MultimodalQueries {
         (lit(64) + col("doc_id") % 100).cast("int").as("n"),
         lit(8000).cast("int").as("rate"),
         ((col("doc_id") * 13) % 20000).cast("int").as("amp"))
-      val encoded = Multimodal.encodeWav(spec, "n", "rate", "amp")
+      val encoded = Multimodal.encodeWav(par(s, spec), "n", "rate", "amp")
         .select(col("asset_id"), col("payload"))
       Multimodal.audioFrames(encoded, frameSamples = 32)
         .select(col("asset_id"),
@@ -171,7 +181,7 @@ object MultimodalQueries {
         (lit(2) + col("doc_id") % 6).cast("int").as("nf"),
         (col("doc_id") % 200).cast("int").as("base"),
         (lit(1) + col("doc_id") % 7).cast("int").as("gstep"))
-      val encoded = Multimodal.encodeGif(spec, "w", "h", "nf", "base", "gstep")
+      val encoded = Multimodal.encodeGif(par(s, spec), "w", "h", "nf", "base", "gstep")
         .select(col("asset_id"), col("payload"))
       val corrupt = Seq((-1L, "not a video")).toDF("asset_id", "txt")
         .select(col("asset_id"), col("txt").cast("binary").as("payload"))
@@ -200,7 +210,7 @@ object MultimodalQueries {
         (shiftleft(col("doc_id") % 256, 16)
           .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
           .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
-      val encoded = Multimodal.encodePng(spec, "w", "h", "rgb")
+      val encoded = Multimodal.encodePng(par(s, spec), "w", "h", "rgb")
         .select(col("asset_id"), col("payload"))
       Multimodal.decodeImages(Multimodal.resizeImages(encoded, maxDim = 24))
         .select(col("asset_id"),
