@@ -252,6 +252,37 @@ object Profile {
     joined.filter(!anyNull && col("__hit").isNull).select(c.map(col): _*)
   }
 
+  /** Candidate-key discovery: for each column, is it a unique non-null
+    * identifier of the frame — (column, n_rows, n_null, n_distinct,
+    * is_key)? Piggybacks on the exact [[profile]] (two hash passes for
+    * ANY number of checked columns, never a pass per column); exactness
+    * is required — an approximate distinct count cannot certify a key. */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, exact = true)
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+        (col("n_null") === 0 && col("n_distinct") === col("n_rows"))
+          .as("is_key"))
+
+  /** Functional-dependency check det → dep: does each distinct `det`
+    * tuple determine exactly one `dep` value? One row:
+    * (holds, n_groups, n_violating_groups, max_dep_per_group). SQL
+    * null semantics: null dep values do not count as a determination
+    * (count_distinct skips them), so a group holding {x, null}
+    * determines x. One map-side-combined aggregate on det, then a
+    * scalar fold — at any scale the shuffle carries (det, partial
+    * distinct) only. */
+  def functionalDependency(df: DataFrame, det: Seq[String],
+                           dep: String): DataFrame = {
+    require(det.nonEmpty, "determinant columns must be non-empty")
+    require(!det.contains(dep), "dep must not be part of det")
+    df.groupBy(det.map(col): _*)
+      .agg(count_distinct(col(dep)).as("__nd"))
+      .agg((max(col("__nd")) <= 1).as("holds"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        max(col("__nd")).as("max_dep_per_group"))
+  }
+
   private def integrityJoin(child: DataFrame, childKeys: Seq[String],
                             parent: DataFrame, parentKeys: Seq[String])
       : (Seq[String], DataFrame) = {

@@ -338,6 +338,35 @@ object PipelineQueries {
       graft.ops.Profile.histogram(Tables.load(s, dir, "lineitem"),
         "l_extendedprice", nBins = 10).orderBy(col("bin"))),
 
+    // Candidate-key discovery: which orders columns uniquely identify
+    // the row? Exact distinct counts required (an approximation cannot
+    // certify a key) — two hash passes regardless of column count.
+    "q_candidate_keys" -> ((s, dir) =>
+      graft.ops.Profile.candidateKeys(Tables.load(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy(col("column"))),
+
+    // Functional-dependency report: does det determine dep? The PK
+    // dependencies must hold; o_custkey->o_orderstatus must not. One
+    // map-side-combined aggregate per check, (det, partial-distinct)
+    // shuffles only.
+    "q_fd_check" -> ((s, dir) => {
+      def check(label: String, df: org.apache.spark.sql.DataFrame,
+                det: Seq[String], dep: String) =
+        graft.ops.Profile.functionalDependency(df, det, dep)
+          .withColumn("dependency", lit(label))
+      check("lineitem.(l_orderkey,l_linenumber)->l_quantity",
+          Tables.load(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"),
+          "l_quantity")
+        .unionByName(check("nation.n_nationkey->n_regionkey",
+          Tables.load(s, dir, "nation"), Seq("n_nationkey"), "n_regionkey"))
+        .unionByName(check("orders.o_custkey->o_orderstatus",
+          Tables.load(s, dir, "orders"), Seq("o_custkey"), "o_orderstatus"))
+        .select(col("dependency"), col("holds"), col("n_groups"),
+          col("n_violating_groups"), col("max_dep_per_group"))
+        .orderBy(col("dependency"))
+    }),
+
     // Referential-integrity report: lineitem.l_orderkey against a
     // deterministically damaged orders key set (every 7th key removed)
     // — orphan rows/keys counted without materializing them.
@@ -642,6 +671,49 @@ object PipelineQueries {
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE
         |  FROM lineitem)
         |ORDER BY "column"""".stripMargin,
+
+    "q_candidate_keys" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |    count(*) = count(o_custkey)
+        |      AND count(DISTINCT o_custkey) = count(*) AS is_key
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |    count(*) = count(o_orderkey)
+        |      AND count(DISTINCT o_orderkey) = count(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |    count(*) = count(o_orderstatus)
+        |      AND count(DISTINCT o_orderstatus) = count(*)
+        |  FROM orders)
+        |ORDER BY "column"""".stripMargin,
+
+    "q_fd_check" -> {
+      def one(label: String, sub: String) =
+        s"""SELECT '$label' AS dependency, max(nd) <= 1 AS holds,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_groups,
+           |  CAST(max(nd) AS BIGINT) AS max_dep_per_group
+           |FROM ($sub)""".stripMargin
+      one("lineitem.(l_orderkey,l_linenumber)->l_quantity",
+        "SELECT count(DISTINCT l_quantity) AS nd FROM lineitem GROUP BY l_orderkey, l_linenumber") +
+        "\nUNION ALL\n" +
+        one("nation.n_nationkey->n_regionkey",
+          "SELECT count(DISTINCT n_regionkey) AS nd FROM nation GROUP BY n_nationkey") +
+        "\nUNION ALL\n" +
+        one("orders.o_custkey->o_orderstatus",
+          "SELECT count(DISTINCT o_orderstatus) AS nd FROM orders GROUP BY o_custkey") +
+        "\nORDER BY dependency"
+    },
 
     // one-shot full-data aggregate with the same decimal arithmetic —
     // equality is only possible if absorb == one-shot exactly

@@ -175,4 +175,29 @@ class SnapshotDiffSpec extends SparkSpec {
       Seq((1L, "a")).toDF("fk", "p"), Seq("fk"), parent, Seq("pk")).head()
     assert(clean.getLong(2) === 0L && clean.getLong(3) === 0L)
   }
+
+  test("candidateKeys: unique non-null columns certify; nulls and dups disqualify") {
+    val df = Seq((1L, Option(10), "a"), (2L, Option(20), "a"),
+      (3L, None: Option[Int], "b")).toDF("id", "v", "s")
+    val got = Profile.candidateKeys(df, Seq("id", "v", "s")).collect()
+      .map(r => (r.getString(0), r.getBoolean(4))).toMap
+    assert(got === Map("id" -> true, "v" -> false /* null */ ,
+      "s" -> false /* dup  */))
+  }
+
+  test("functionalDependency: holds, violations counted, null dep skipped") {
+    val df = Seq((1, "x", "p"), (1, "x", "q"), (2, "y", "p"),
+      (3, null.asInstanceOf[String], "p"), (3, "z", "p"))
+      .toDF("det", "dep", "other")
+    // det->dep: group 1 -> {x}, group 2 -> {y}, group 3 -> {null, z} == {z}
+    val ok = Profile.functionalDependency(df, Seq("det"), "dep").head()
+    assert(ok.getBoolean(0) === true && ok.getLong(1) === 3L)
+    // det->other: group 1 -> {p, q} violates
+    val bad = Profile.functionalDependency(df, Seq("det"), "other").head()
+    assert(bad.getBoolean(0) === false)
+    assert(bad.getLong(2) === 1L && bad.getLong(3) === 2L)
+    intercept[IllegalArgumentException] {
+      Profile.functionalDependency(df, Seq("det"), "det")
+    }
+  }
 }
