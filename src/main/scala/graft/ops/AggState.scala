@@ -80,9 +80,13 @@ object AggState {
     require(keys.intersect(valueCols).isEmpty, "keys and valueCols must be disjoint")
     val spark = df.sparkSession
     import spark.implicits._
-    aggregate(df, keys, valueCols)
-      .withColumn("kb", bucketOf(keys, nBuckets))
-      .write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
+    val agg = Reliable.checkpoint(
+      aggregate(df, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
+    // a partitioned write of an EMPTY frame loses the schema (no
+    // partition dirs to read back) — an empty seed writes meta only,
+    // and the first non-empty append lays the state down
+    if (!agg.isEmpty)
+      agg.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
     Seq((keys.mkString(","), valueCols.mkString(","), nBuckets))
       .toDF("keys", "value_cols", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
@@ -107,6 +111,15 @@ object AggState {
     val touched = batchAgg.select(col("kb")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
+    // an empty-seeded state has meta but no state dir yet — this first
+    // non-empty batch lays it down
+    val stateExists = new org.apache.hadoop.fs.Path(stateDir(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(stateDir(path)))
+    if (!stateExists) {
+      batchAgg.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
+      return
+    }
     val existing = spark.read.parquet(stateDir(path))
       .filter(col("kb").isin(touched.map(Integer.valueOf): _*))
     val merged = Reliable.checkpoint(

@@ -76,6 +76,19 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Degree summary over the same bipartite graph — the cheap first
+    // look before ranking: one aggregate per direction, full-outer
+    // merged; symmetric construction makes out_deg == in_deg, which the
+    // oracle independently restates.
+    "q_degrees" -> ((s, dir) => {
+      val uv = t(s, dir, "events")
+        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+          concat(lit("t:"), col("event_type")).as("v")).distinct()
+      val edges = uv.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(uv.select(col("v").as("src"), col("u").as("dst")))
+      graft.ops.Graph.degrees(edges).orderBy(col("node"))
+    }),
+
     // Robust anomaly report (median/MAD — the baseline the outliers
     // cannot corrupt): events beyond 3.5 robust sigmas of their
     // event_type's median. Two group-sized stats passes broadcast back;
@@ -299,6 +312,21 @@ object AnalyticsQueries {
         |FROM events JOIN s USING (event_type)
         |WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_degrees" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+        |    't:' || event_type AS dst FROM events
+        |  UNION
+        |  SELECT DISTINCT 't:' || event_type,
+        |    'u:' || CAST(user_id AS VARCHAR) FROM events),
+        |o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+        |      FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+        |      FROM e GROUP BY 1)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+        |FROM o FULL JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
 
     // same median/MAD estimators (quantile_cont == Spark percentile),
     // same consistency constant, same rounded threshold

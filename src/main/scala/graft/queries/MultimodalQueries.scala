@@ -21,11 +21,12 @@ object MultimodalQueries {
     * as ONE partition, which would run the per-row codec serially — at
     * production scale inputs arrive multi-partition and this is a
     * no-op-shaped round-robin exchange of the tiny spec rows (ints),
-    * never of payloads. Only worth it for the EXPENSIVE codecs
-    * (PNG/GIF LZW encode ~1 ms/asset: q_media_video 6.9 → 3.1 s,
-    * q_media_decode 1.8 → 0.5 s); the WAV writer is microseconds per
-    * asset and the exchange + extra stage cost more than it saves
-    * (measured 1.1 → 1.9 s — so the audio queries stay single-stage). */
+    * never of payloads. At sf0.1 the exchange is a wash for the cheap
+    * WAV codec (~0.8 s of fixed stage overhead vs ~1 s of serial
+    * encode) — but the sf1 smoke showed the serial path is a CLIFF,
+    * not a constant: 10× data cost 20× time (q_media_audio 27 s,
+    * one 50k-asset partition). Scale posture wins: every codec
+    * fixture parallelizes, and the sf0.1 constant is accepted. */
   private def par(s: SparkSession, spec: DataFrame): DataFrame =
     spec.repartition(s.sparkContext.defaultParallelism)
 
@@ -132,7 +133,7 @@ object MultimodalQueries {
         (lit(100) + col("doc_id") % 400).cast("int").as("n"),
         (lit(8000) + (col("doc_id") % 5) * lit(8000)).cast("int").as("rate"),
         ((col("doc_id") * 11) % 30000).cast("int").as("amp"))
-      val encoded = Multimodal.encodeWav(spec, "n", "rate", "amp")
+      val encoded = Multimodal.encodeWav(par(s, spec), "n", "rate", "amp")
         .select(col("asset_id"), col("payload"))
       val corrupt = Seq((-1L, "not audio")).toDF("asset_id", "txt")
         .select(col("asset_id"), col("txt").cast("binary").as("payload"))
@@ -157,7 +158,7 @@ object MultimodalQueries {
         (lit(64) + col("doc_id") % 100).cast("int").as("n"),
         lit(8000).cast("int").as("rate"),
         ((col("doc_id") * 13) % 20000).cast("int").as("amp"))
-      val encoded = Multimodal.encodeWav(spec, "n", "rate", "amp")
+      val encoded = Multimodal.encodeWav(par(s, spec), "n", "rate", "amp")
         .select(col("asset_id"), col("payload"))
       Multimodal.audioFrames(encoded, frameSamples = 32)
         .select(col("asset_id"),

@@ -94,6 +94,42 @@ class AggStateSpec extends SparkSpec {
     assert((nullRow.getDouble(2), nullRow.getDouble(3)) === (1.0, 3.0))
   }
 
+  test("property: random batch splits absorb == one-shot (seeded)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val all = (0 until 120).map { i =>
+        (s"k${rnd.nextInt(9)}", if (rnd.nextInt(13) == 0) null
+          else java.lang.Double.valueOf(rnd.nextInt(2000) * 0.01 - 5))
+      }
+      // random 3-way split, any sizes (possibly-empty middles exercise
+      // the empty-batch no-op path)
+      val c1 = rnd.nextInt(all.size)
+      val c2 = c1 + rnd.nextInt(all.size - c1 + 1)
+      val p = java.nio.file.Files.createTempDirectory(s"graft-aggp$seed").toString
+      AggState.writeAggState(all.take(c1).toDF("g", "v"),
+        Seq("g"), Seq("v"), p, nBuckets = 1 + rnd.nextInt(16))
+      AggState.appendAggState(all.slice(c1, c2).toDF("g", "v"), p)
+      AggState.appendAggState(all.drop(c2).toDF("g", "v"), p)
+      val pRef = java.nio.file.Files.createTempDirectory(s"graft-aggpr$seed").toString
+      AggState.writeAggState(all.toDF("g", "v"), Seq("g"), Seq("v"), pRef,
+        nBuckets = 4)
+      assert(snap(p) === snap(pRef), s"seed $seed: absorb != one-shot")
+    }
+  }
+
+  test("empty seed: meta-only state; the first non-empty append lays the state down") {
+    val p = java.nio.file.Files.createTempDirectory("graft-aggmt").toString
+    AggState.writeAggState(
+      Seq.empty[(String, java.lang.Double)].toDF("g", "v"),
+      Seq("g"), Seq("v"), p, nBuckets = 4)
+    val batch = Seq(("a", java.lang.Double.valueOf(1.5)),
+      ("b", java.lang.Double.valueOf(2.5)))
+    AggState.appendAggState(batch.toDF("g", "v"), p)
+    val pRef = java.nio.file.Files.createTempDirectory("graft-aggmtr").toString
+    AggState.writeAggState(batch.toDF("g", "v"), Seq("g"), Seq("v"), pRef, 4)
+    assert(snap(p) === snap(pRef))
+  }
+
   test("guards: empty keys/values, overlapping keys and values") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
