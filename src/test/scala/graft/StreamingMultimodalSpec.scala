@@ -281,6 +281,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     val d = AudioCodec.decode(wav).get
     assert(d.sampleRate === 16000 && d.channels === 1)
     assert(d.nSamples === 50L && d.sumAbs === 50L * 1000 && d.maxAbs === 1000)
+    // interop: the direct RIFF writer's output parses identically
+    // through javax.sound (the format is the contract, not the SPI)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val jf = ais.getFormat
+    assert(jf.getSampleRate.toInt === 16000 && jf.getChannels === 1 &&
+      jf.getSampleSizeInBits === 16 && !jf.isBigEndian)
+    assert(ais.readAllBytes().length === 100, "payload length via javax parse")
+    // ...and a javax-written container parses through the direct reader
+    val raw = new Array[Byte](20)
+    samples.take(10).zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw),
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), 10L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, jbos)
+    val jd = AudioCodec.decode(jbos.toByteArray).get
+    assert(jd.sampleRate === 8000 && jd.nSamples === 10L && jd.maxAbs === 1000)
     // silence and zero-amp edges
     val silent = AudioCodec.decode(
       AudioCodec.encodeWavPcm16(new Array[Short](10), 8000)).get
