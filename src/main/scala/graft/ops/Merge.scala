@@ -183,4 +183,84 @@ object Merge {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** SCD Type-2 history upsert — the dimension-history counterpart of
+    * the SCD-1 [[upsert]]: instead of overwriting changed attributes,
+    * the current version CLOSES (`valid_to` = batchTs) and a new
+    * version opens (`valid_from` = batchTs, `valid_to` null), so every
+    * fact can join the dimension AS IT WAS at the fact's own time
+    * ([[scd2AsOf]] is that read).
+    *
+    * `history` carries keys + attributes + (`valid_from`,
+    * `valid_to` timestamp, null = current); `incoming` carries keys +
+    * attributes, unique per key (Dedup.firstSeen upstream — the
+    * [[upsert]] contract). Per incoming key: no current version →
+    * insert; attribute-equal current version (null-safe, the
+    * [[snapshotDiff]] compare) → no-op; differing → close + insert.
+    * `closeMissing` = true additionally closes current versions whose
+    * key is ABSENT from incoming — the full-snapshot-feed semantics
+    * where disappearance means deletion; the default (delta feeds)
+    * leaves them open. Closed history is UNTOUCHED and unioned back —
+    * with the table partitioned on `valid_to IS NULL`, a materialized
+    * upsert rewrites only the current partition and appends closures.
+    *
+    * Idempotent at the same batchTs: re-applying the same batch finds
+    * attribute-equal current versions and no-ops (property-specced).
+    * Scale shape: ONE full-outer join of the CURRENT slice against the
+    * batch; history never joins. */
+  def scd2Upsert(history: DataFrame, incoming: DataFrame, keys: Seq[String],
+                 batchTs: Column, closeMissing: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "scd2 keys required")
+    val metaCols = Seq("valid_from", "valid_to")
+    val cols = history.columns.toSeq
+    require(metaCols.forall(cols.contains),
+      s"history must carry $metaCols, got $cols")
+    val attrs = cols.filterNot(keys.contains).filterNot(metaCols.contains)
+    require(incoming.columns.toSet == (keys ++ attrs).toSet,
+      s"incoming schema ${incoming.columns.toSeq} != keys+attrs ${keys ++ attrs}")
+
+    require(!cols.contains("__cur") && !cols.contains("__in"),
+      "columns __cur/__in are reserved")
+    val current = history.filter(col("valid_to").isNull)
+      .withColumn("__cur", lit(true))
+    val closed = history.filter(col("valid_to").isNotNull)
+    val in = incoming.select((keys ++ attrs).map(c => col(c).as(s"__in_$c")): _*)
+      .withColumn("__in", lit(true))
+    val joinCond = keys.map(k => current(k) === in(s"__in_$k")).reduce(_ && _)
+    val j = current.join(in, joinCond, "full_outer")
+    // side-presence via literal tags, not key-null tests — a (broken
+    // but survivable) null-keyed current row must keep flowing instead
+    // of silently vanishing from both branches
+    val inPresent = in("__in").isNotNull
+    val curPresent = current("__cur").isNotNull
+    val attrsEqual =
+      if (attrs.isEmpty) lit(true)
+      else attrs.map(a => current(a) <=> in(s"__in_$a")).reduce(_ && _)
+
+    // surviving current versions: unchanged matches, plus (delta-feed
+    // default) keys the batch does not mention
+    val keepOpen = j.filter(curPresent && (
+        (inPresent && attrsEqual) || (!inPresent && lit(!closeMissing))))
+      .select(cols.map(c => current(c).as(c)): _*)
+    // closures: changed matches always; missing keys under closeMissing
+    val nowClosed = j.filter(curPresent && (
+        (inPresent && !attrsEqual) || (!inPresent && lit(closeMissing))))
+      .select(cols.map(c =>
+        (if (c == "valid_to") batchTs else current(c)).as(c)): _*)
+    // new versions: unseen keys and changed matches
+    val opened = j.filter(inPresent && (!curPresent || !attrsEqual))
+      .select(cols.map {
+        case "valid_from" => batchTs.as("valid_from")
+        case "valid_to" => lit(null).cast("timestamp").as("valid_to")
+        case c => in(s"__in_$c").as(c)
+      }: _*)
+    closed.unionByName(keepOpen).unionByName(nowClosed).unionByName(opened)
+  }
+
+  /** Point-in-time read of an SCD-2 history: the version of each key
+    * valid AT `ts` (valid_from <= ts < valid_to, open-ended current).
+    * Partition-prunable per the [[scd2Upsert]] layout note. */
+  def scd2AsOf(history: DataFrame, ts: Column): DataFrame =
+    history.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
 }

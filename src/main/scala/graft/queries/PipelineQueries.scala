@@ -338,6 +338,56 @@ object PipelineQueries {
       graft.ops.Profile.histogram(Tables.load(s, dir, "lineitem"),
         "l_extendedprice", nBins = 10).orderBy(col("bin"))),
 
+    // SCD Type-2 dimension history: seed every customer's segment at
+    // t0, then apply a t1 batch where every third customer changes
+    // segment and every tenth arrives as a brand-new key — changed
+    // versions must CLOSE (valid_to = t1) with the new version opening,
+    // untouched keys stay open (delta-feed default). One full-outer
+    // join of the CURRENT slice against the batch; closed history never
+    // joins.
+    "q_scd2" -> ((s, dir) => {
+      val (t0, t1) = (lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      val cust = Tables.load(s, dir, "customer")
+      val seed = cust.select(col("c_custkey").cast("long").as("id"),
+          col("c_mktsegment").as("seg"))
+        .withColumn("valid_from", t0)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val mx = cust.agg(max(col("c_custkey")).cast("long")).first().getLong(0)
+      val batch = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").cast("long").as("id"),
+          concat(lit("CHANGED-"), (col("c_custkey") % 2).cast("string")).as("seg"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + mx + 1).cast("long").as("id"),
+            lit("FRESH").as("seg")))
+      graft.ops.Merge.scd2Upsert(seed, batch, Seq("id"), t1)
+        .orderBy(col("id"), col("valid_from"))
+    }),
+
+    // ...and the point-in-time read over the same history: the
+    // dimension AS OF t1 — changed keys show their new version, the
+    // rest their seed version, fresh keys appear.
+    "q_scd2_asof" -> ((s, dir) => {
+      val (t0, t1) = (lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      val cust = Tables.load(s, dir, "customer")
+      val seed = cust.select(col("c_custkey").cast("long").as("id"),
+          col("c_mktsegment").as("seg"))
+        .withColumn("valid_from", t0)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val mx = cust.agg(max(col("c_custkey")).cast("long")).first().getLong(0)
+      val batch = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").cast("long").as("id"),
+          concat(lit("CHANGED-"), (col("c_custkey") % 2).cast("string")).as("seg"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + mx + 1).cast("long").as("id"),
+            lit("FRESH").as("seg")))
+      graft.ops.Merge.scd2AsOf(
+          graft.ops.Merge.scd2Upsert(seed, batch, Seq("id"), t1), t1)
+        .select(col("id"), col("seg"))
+        .orderBy(col("id"))
+    }),
+
     // Candidate-key discovery: which orders columns uniquely identify
     // the row? Exact distinct counts required (an approximation cannot
     // certify a key) — two hash passes regardless of column count.
@@ -671,6 +721,39 @@ object PipelineQueries {
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE
         |  FROM lineitem)
         |ORDER BY "column"""".stripMargin,
+
+    // the SCD-2 semantics restated: seed rows close iff their key is in
+    // the change batch ('CHANGED-x' never equals a TPC-H segment);
+    // change + fresh versions open at t1
+    "q_scd2" ->
+      """WITH mx AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT CAST(c_custkey AS BIGINT) AS id, c_mktsegment AS seg,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN c_custkey % 3 = 0
+        |    THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey AS BIGINT),
+        |  'CHANGED-' || CAST(c_custkey % 2 AS VARCHAR),
+        |  TIMESTAMP '2024-02-01 00:00:00', NULL
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(c_custkey + m + 1 AS BIGINT), 'FRESH',
+        |  TIMESTAMP '2024-02-01 00:00:00', NULL
+        |FROM customer, mx WHERE c_custkey % 10 = 0
+        |ORDER BY id, valid_from""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH mx AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CASE WHEN c_custkey % 3 = 0
+        |    THEN 'CHANGED-' || CAST(c_custkey % 2 AS VARCHAR)
+        |    ELSE c_mktsegment END AS seg
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey + m + 1 AS BIGINT), 'FRESH'
+        |FROM customer, mx WHERE c_custkey % 10 = 0
+        |ORDER BY id""".stripMargin,
 
     "q_candidate_keys" ->
       """SELECT * FROM (

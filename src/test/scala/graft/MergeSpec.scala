@@ -119,4 +119,76 @@ class MergeSpec extends SparkSpec {
         s"trial $trial not idempotent")
     }
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getTimestamp(2)).map(_.toString).orNull,
+      Option(r.getTimestamp(3)).map(_.toString).orNull)).toSet
+
+  test("scd2Upsert: change closes + opens, new key inserts, untouched stays open") {
+    import spark.implicits._
+    val t0 = "2024-01-01 00:00:00"; val t1 = "2024-02-01 00:00:00"
+    val history = Seq(
+      (1L, "gold", ts(t0), null.asInstanceOf[java.sql.Timestamp]),
+      (2L, "iron", ts(t0), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val batch = Seq((1L, "platinum"), (3L, "new")).toDF("id", "tier")
+    val out = Merge.scd2Upsert(history, batch, Seq("id"), lit(t1).cast("timestamp"))
+    assert(scd2Rows(out) === Set(
+      (1L, "gold", t0 + ".0", t1 + ".0"),       // closed
+      (1L, "platinum", t1 + ".0", null),        // new version
+      (2L, "iron", t0 + ".0", null),            // untouched (delta feed)
+      (3L, "new", t1 + ".0", null)))            // fresh key
+    // point-in-time reads
+    assert(scd2Rows(Merge.scd2AsOf(out, lit(t0).cast("timestamp"))).map(_._2)
+      === Set("gold", "iron"))
+    assert(scd2Rows(Merge.scd2AsOf(out, lit(t1).cast("timestamp"))).map(_._2)
+      === Set("platinum", "iron", "new"))
+  }
+
+  test("scd2Upsert: idempotent re-apply; null-safe attr compare; closeMissing") {
+    import spark.implicits._
+    val t0 = "2024-01-01 00:00:00"; val t1 = "2024-02-01 00:00:00"
+    val history = Seq(
+      (1L, null.asInstanceOf[String], ts(t0), null.asInstanceOf[java.sql.Timestamp]),
+      (2L, "iron", ts(t0), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    // null == null attr is a no-op; re-applying the same batch is stable
+    val batch = Seq((1L, null.asInstanceOf[String])).toDF("id", "tier")
+    val once = Merge.scd2Upsert(history, batch, Seq("id"), lit(t1).cast("timestamp"))
+    val twice = Merge.scd2Upsert(once, batch, Seq("id"), lit(t1).cast("timestamp"))
+    assert(scd2Rows(once) === scd2Rows(history), "null==null must be a no-op")
+    assert(scd2Rows(twice) === scd2Rows(once), "re-apply must be idempotent")
+    // null -> value is a change
+    val change = Merge.scd2Upsert(history, Seq((1L, "bronze")).toDF("id", "tier"),
+      Seq("id"), lit(t1).cast("timestamp"))
+    assert(scd2Rows(change).contains((1L, null, t0 + ".0", t1 + ".0")))
+    assert(scd2Rows(change).contains((1L, "bronze", t1 + ".0", null)))
+    // full-snapshot semantics: absent key closes under closeMissing
+    val snap = Merge.scd2Upsert(history, Seq((1L, null.asInstanceOf[String]))
+        .toDF("id", "tier"),
+      Seq("id"), lit(t1).cast("timestamp"), closeMissing = true)
+    assert(scd2Rows(snap).contains((2L, "iron", t0 + ".0", t1 + ".0")),
+      "missing key must close under closeMissing")
+  }
+
+  test("scd2Upsert: closed history is never touched; boundaries are [from, to)") {
+    import spark.implicits._
+    val t0 = "2024-01-01 00:00:00"; val t1 = "2024-02-01 00:00:00"
+    val t2 = "2024-03-01 00:00:00"
+    val history = Seq(
+      (1L, "v1", ts(t0), ts(t1)),
+      (1L, "v2", ts(t1), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val out = Merge.scd2Upsert(history, Seq((1L, "v3")).toDF("id", "tier"),
+      Seq("id"), lit(t2).cast("timestamp"))
+    assert(scd2Rows(out) === Set(
+      (1L, "v1", t0 + ".0", t1 + ".0"),
+      (1L, "v2", t1 + ".0", t2 + ".0"),
+      (1L, "v3", t2 + ".0", null)))
+    // at exactly t1 the v2 version (valid_from inclusive) is current
+    assert(scd2Rows(Merge.scd2AsOf(out, lit(t1).cast("timestamp"))).map(_._2)
+      === Set("v2"))
+  }
 }
