@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Merge, Reliable, Scale}
+
+/** Streamed SCD Type-2 maintenance — the `foreachBatch` face of
+  * [[Merge.scd2Upsert]]: a stream of dimension-attribute updates
+  * maintains a persisted versioned history, so every fact joined later
+  * can see the dimension AS IT WAS at the fact's own time
+  * ([[Merge.scd2AsOf]]), and the warehouse's slowly-changing
+  * dimensions keep up with arrivals without batch rebuilds.
+  *
+  * Each micro-batch carries keys + attributes + an event-time column;
+  * the batch's version timestamp is max(tsCol) over the batch —
+  * derived from the DATA, so a redelivered batch computes the same
+  * timestamp and the idempotence of [[Merge.scd2Upsert]] at a fixed ts
+  * composes with the [[StreamOnce]] markers. Within-batch duplicates
+  * collapse last-writer-wins on tsCol (the unique-per-key upsert
+  * contract).
+  *
+  * Layout: history parquet under `historyPath/state` (the
+  * [[ProfileStream]] convention — the state overwrite cannot clobber
+  * the sibling `_stream_batches` markers at the root). The state
+  * rewrite is non-atomic, so markers stage exactly-once: committed
+  * replays skip, partial applies fail loudly with the rebuild remedy.
+  */
+object Scd2Stream {
+
+  /** foreachBatch writer applying each micro-batch to the persisted
+    * SCD-2 history at `historyPath`. First batch bootstraps the
+    * history. */
+  def scd2Batch(historyPath: String, keys: Seq[String],
+                tsCol: String): (DataFrame, Long) => Unit =
+    (batchDf, batchId) =>
+      StreamOnce.appliedOnce(batchDf.sparkSession, historyPath, batchId,
+        "SCD-2 history") {
+        if (!batchDf.isEmpty) {
+          val spark = batchDf.sparkSession
+          val raw = Reliable.checkpoint(batchDf)
+          val batchTs = raw.agg(max(col(tsCol))).first().getTimestamp(0)
+          val incoming = Merge.lastWriterWins(raw, keys, Seq(col(tsCol)))
+            .drop(tsCol)
+          val statePath = s"$historyPath/state"
+          val (fs, root) = Scale.resolve(spark, statePath)
+          val history =
+            if (fs.exists(root)) spark.read.parquet(statePath)
+            else incoming
+              .withColumn("valid_from", lit(null).cast("timestamp"))
+              .withColumn("valid_to", lit(null).cast("timestamp"))
+              .filter(lit(false))
+          val next = Reliable.checkpoint(
+            Merge.scd2Upsert(history, incoming, keys, lit(batchTs)))
+          next.write.mode("overwrite").parquet(statePath)
+        }
+      }
+}
