@@ -32,6 +32,40 @@ object Scale {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Shuffle-key skew diagnosis — the measurement that decides whether
+    * [[saltedJoin]] (or AQE skew handling) is needed BEFORE a 100 TB
+    * join runs: the heaviest `topK` key tuples with their row counts
+    * plus the global shape (total rows, distinct keys, skew_factor =
+    * heaviest key / mean rows-per-key). One map-side-combined groupBy
+    * on the keys; the summary is a scalar fold over the key counts.
+    * Rank ties break on the key rendering (deterministic output). Null
+    * key components participate — null-heavy keys are the most common
+    * real-world skew. */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "skewReport needs at least one key column")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("key_rows"))
+    val keyStr = concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+    val summary = counts.agg(
+      sum(col("key_rows")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("key_rows")).as("max_key_rows"))
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-k merged on the driver, never a global window sort over the
+    // (possibly billions of) key counts
+    val top = counts.withColumn("key", keyStr)
+      .orderBy(col("key_rows").desc, col("key"))
+      .limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    top // rank assignment runs on <= topK rows — the window is bounded
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_rows").desc, col("key"))))
+      .select(col("rank"), col("key"), col("key_rows"))
+      .crossJoin(broadcast(summary)) // 1-row shape frame
+      .withColumn("skew_factor",
+        round(col("max_key_rows") / (col("n_rows") / col("n_keys")), 4))
+  }
+
   /** Dense 0-based global index in total `order` — the scale-safe
     * replacement for `row_number() OVER (ORDER BY …)` (which funnels
     * every row through ONE partition). Two-phase numbering: range-

@@ -50,4 +50,28 @@ object Sketch {
         (est <= col("n") + ceil(col("__total") * eps).cast("long"))
           .as("est_within_eps"))
   }
+
+  /** Approximate distinct-value overlap between two frames' columns —
+    * the join-planning question ("how many of A's keys exist in B?")
+    * answered WITHOUT executing the join: one pass per side builds an
+    * HLL sketch, union is register-wise max, and inclusion-exclusion
+    * gives |A ∩ B| ≈ |A| + |B| − |A ∪ B|. Returns one row:
+    * (nd_a, nd_b, nd_union, nd_intersect_est). Error compounds (three
+    * estimates), so read the intersect as a planning signal, not a
+    * count — the q_distinct_overlap gate bounds it against the exact
+    * join at 10%. Both sketches are mergeable state: persist them (the
+    * Profile state posture) and overlap checks between 100 TB drops
+    * never rescan either side. */
+  def distinctOverlap(a: DataFrame, aCol: String,
+                      b: DataFrame, bCol: String): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(aCol)).as("sk_a"))
+    val sb = b.agg(hll_sketch_agg(col(bCol)).as("sk_b"))
+    sa.crossJoin(broadcast(sb)) // two 1-row frames
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("nd_a"),
+        hll_sketch_estimate(col("sk_b")).as("nd_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("nd_union"))
+      .withColumn("nd_intersect_est",
+        greatest(lit(0L), col("nd_a") + col("nd_b") - col("nd_union")))
+  }
 }

@@ -146,6 +146,40 @@ object AnalyticsQueries {
         .orderBy(col("node"))
     }),
 
+    // Shuffle-key skew diagnosis (ops.Scale.skewReport): the
+    // measurement that decides whether salting/AQE-skew handling is
+    // needed BEFORE the join runs. Top-10 heaviest user_ids with the
+    // global shape; orderBy+limit plans as TakeOrderedAndProject (a
+    // distributed per-partition top-k), never a global window sort
+    // over the key counts.
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.Scale.skewReport(t(s, dir, "events"), Seq("user_id"), topK = 10)
+        .orderBy(col("rank"))),
+
+    // Approximate distinct-overlap (ops.Sketch.distinctOverlap): how
+    // many order custkeys exist among customers, WITHOUT running the
+    // join — two HLL passes + inclusion-exclusion. The gate computes
+    // the exact answer too and requires the estimates within 10%.
+    "q_distinct_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val est = graft.ops.Sketch.distinctOverlap(o, "o_custkey", c, "c_custkey")
+      val exact = o.select(col("o_custkey")).distinct()
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersect"))
+        .crossJoin(broadcast(o.agg(
+          countDistinct(col("o_custkey")).as("exact_a"))))
+        .crossJoin(broadcast(c.agg(
+          countDistinct(col("c_custkey")).as("exact_b"))))
+      est.crossJoin(broadcast(exact)).select(
+        col("exact_a"), col("exact_b"), col("exact_intersect"),
+        (abs(col("nd_a") - col("exact_a")) * 10 <= col("exact_a"))
+          .as("a_within_10pct"),
+        (abs(col("nd_b") - col("exact_b")) * 10 <= col("exact_b"))
+          .as("b_within_10pct"),
+        (abs(col("nd_intersect_est") - col("exact_intersect")) * 10
+          <= col("exact_intersect")).as("intersect_within_10pct"))
+    }),
+
     // Cohort retention: customers grouped by first-order month; how many
     // ordered again k months later (k ≤ 12). The classic retention
     // triangle — two shuffles (first-order agg, cohort-offset agg).
@@ -312,6 +346,39 @@ object AnalyticsQueries {
         |FROM events JOIN s USING (event_type)
         |WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS key_rows
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(key_rows) AS BIGINT) AS max_key_rows FROM c),
+        |t AS (
+        |  SELECT key, key_rows,
+        |    ROW_NUMBER() OVER (ORDER BY key_rows DESC, key) AS rank
+        |  FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, key,
+        |  CAST(key_rows AS BIGINT) AS key_rows, n_rows, n_keys, max_key_rows,
+        |  ROUND(max_key_rows / (CAST(n_rows AS DOUBLE) / n_keys), 4)
+        |    AS skew_factor
+        |FROM t, s WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // the oracle states the exact overlap; the estimates are
+    // engine-internal and gated by the within-10% booleans
+    "q_distinct_overlap" ->
+      """WITH a AS (SELECT COUNT(DISTINCT o_custkey) AS exact_a FROM orders),
+        |b AS (SELECT COUNT(DISTINCT c_custkey) AS exact_b FROM customer),
+        |i AS (SELECT COUNT(*) AS exact_intersect FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  JOIN customer ON o_custkey = c_custkey))
+        |SELECT CAST(exact_a AS BIGINT) AS exact_a,
+        |  CAST(exact_b AS BIGINT) AS exact_b,
+        |  CAST(exact_intersect AS BIGINT) AS exact_intersect,
+        |  TRUE AS a_within_10pct, TRUE AS b_within_10pct,
+        |  TRUE AS intersect_within_10pct
+        |FROM a, b, i""".stripMargin,
 
     "q_degrees" ->
       """WITH e AS (

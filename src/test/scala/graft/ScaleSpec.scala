@@ -306,4 +306,37 @@ class ScaleSpec extends SparkSpec {
       if (r.isNullAt(3)) null else r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 1.5), (2L, 2.5), (3L, null), (4L, 9.0)))
   }
+
+  test("skewReport: hand-computed counts, null keys participate, distributed top-k plan") {
+    import spark.implicits._
+    import graft.ops.Scale
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b") ++
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("k")
+    val out = Scale.skewReport(df, Seq("k"), topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // 11 rows over 4 keys (null included) -> mean 2.75, max 6
+    assert(out.toSeq === Seq(
+      (1, "hot", 6L, 11L, 4L, 6L, 2.1818),
+      (2, "", 2L, 11L, 4L, 6L, 2.1818), // null key renders "", sorts first
+      (3, "a", 2L, 11L, 4L, 6L, 2.1818)))
+    // the top-k must plan as TakeOrdered, never a global window sort
+    val plan = Scale.skewReport(df, Seq("k"), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("distinctOverlap: inclusion-exclusion estimate is exact at small cardinality") {
+    import spark.implicits._
+    import graft.ops.Sketch
+    val a = (1L to 300L).map(Tuple1(_)).toDF("x")
+    val b = (201L to 500L).map(Tuple1(_)).toDF("y")
+    val r = Sketch.distinctOverlap(a, "x", b, "y").head()
+    // individual sketches are exact at this cardinality; the union
+    // estimate (and therefore the intersect) carries a small HLL error
+    assert(r.getLong(0) === 300L && r.getLong(1) === 300L)
+    assert(math.abs(r.getLong(2) - 500L) <= 10L, s"union ${r.getLong(2)}")
+    assert(math.abs(r.getLong(3) - 100L) <= 10L, s"intersect ${r.getLong(3)}")
+  }
 }
