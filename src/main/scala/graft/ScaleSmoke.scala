@@ -73,9 +73,10 @@ object ScaleSmoke {
     "q_profile", "q_rp_recall",
     "q_profile_incr", "q_media_resize", "q_media_audio", "q_audio_frames",
     // round-8 continuation: real video codec, record linkage,
-    // incremental rollup, sharded export + fixity validation
+    // incremental rollup, sharded export + fixity validation, SCD-2
+    // history, skew diagnosis
     "q_media_video", "q_record_linkage", "q_incr_rollup",
-    "q_export_manifest")
+    "q_export_manifest", "q_scd2", "q_skew_report")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
