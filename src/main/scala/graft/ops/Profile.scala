@@ -252,6 +252,106 @@ object Profile {
     joined.filter(!anyNull && col("__hit").isNull).select(c.map(col): _*)
   }
 
+  // ---- incremental histogram state -----------------------------------
+  //
+  // The mergeable counterpart of [[histogram]]: a FIXED-BOUND equi-width
+  // histogram whose bins are plain integer counts — absorbing a batch is
+  // one pass over the BATCH plus a state-sized additive merge, and the
+  // merged state equals the one-shot histogram EXACTLY (integer adds are
+  // associative). Bounds are fixed at seed time ([[histogram]] derives
+  // them per-call from min/max, which an incremental state cannot do —
+  // they would shift under every batch); values outside the bounds land
+  // in explicit n_below / n_above overflow bins, so drift is VISIBLE,
+  // not silently clamped. Approximate quantiles then come from
+  // [[histQuantile]] without ever rescanning the corpus.
+
+  private def histStateDir(path: String) = s"$path/state"
+
+  private def histBins(df: DataFrame, colName: String, lo: Double, hi: Double,
+                       nBins: Int): DataFrame = {
+    val w = (hi - lo) / nBins
+    val v = col(colName).cast("double")
+    val bin = when(v < lo, lit(-1))
+      .when(v >= hi, lit(nBins))
+      .otherwise(least(floor((v - lo) / w), lit(nBins - 1)).cast("int"))
+    df.filter(v.isNotNull).groupBy(bin.cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Seed the histogram state: bounds [lo, hi), `nBins` equi-width
+    * bins, plus the −1 (below) and nBins (above) overflow bins. */
+  def writeHistState(df: DataFrame, colName: String, lo: Double, hi: Double,
+                     nBins: Int, statePath: String): Unit = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = Seq((colName, lo, hi, nBins)).toDF("column", "lo", "hi", "n_bins")
+    histBins(df, colName, lo, hi, nBins)
+      .write.mode("overwrite").parquet(histStateDir(statePath))
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$statePath/meta")
+  }
+
+  /** Absorb a batch: one pass over the BATCH, then a bin-count merge
+    * (≤ nBins + 2 rows on the state side). */
+  def appendHistState(batch: DataFrame, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$statePath/meta").first()
+    val (colName, lo, hi, nBins) =
+      (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
+    val merged = Reliable.checkpoint(
+      spark.read.parquet(histStateDir(statePath))
+        .unionByName(histBins(batch, colName, lo, hi, nBins))
+        .groupBy(col("bin")).agg(sum(col("n_rows")).as("n_rows")))
+    merged.write.mode("overwrite").parquet(histStateDir(statePath))
+  }
+
+  /** Read the state as a dense histogram: every in-range bin present
+    * (empty bins at 0, the [[histogram]] convention) plus
+    * (n_below, n_above) columns repeated per row. */
+  def readHistState(spark: org.apache.spark.sql.SparkSession,
+                    statePath: String): DataFrame = {
+    val m = spark.read.parquet(s"$statePath/meta").first()
+    val (lo, hi, nBins) = (m.getDouble(1), m.getDouble(2), m.getInt(3))
+    val w = (hi - lo) / nBins
+    val counts = spark.read.parquet(histStateDir(statePath))
+    val over = counts.agg(
+      sum(when(col("bin") === -1, col("n_rows")).otherwise(0L)).as("n_below"),
+      sum(when(col("bin") === nBins, col("n_rows")).otherwise(0L)).as("n_above"))
+    spark.range(nBins).select(col("id").cast("int").as("bin"))
+      .join(counts.filter(col("bin") >= 0 && col("bin") < nBins), Seq("bin"), "left")
+      .select(col("bin"), (lit(lo) + col("bin") * w).as("lo"),
+        (lit(lo) + (col("bin") + 1) * w).as("hi"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .crossJoin(broadcast(over))
+  }
+
+  /** Approximate quantile from the stored histogram: linear
+    * interpolation within the bin holding the q-th in-range row.
+    * Overflow rows are excluded (they have no position inside the
+    * bounds); callers watching n_below/n_above decide when drift
+    * demands a reseed. Accuracy is one bin width. */
+  def histQuantile(spark: org.apache.spark.sql.SparkSession,
+                   statePath: String, q: Double): Double = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1], got $q")
+    val h = readHistState(spark, statePath)
+      .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
+      .orderBy(col("bin")).collect() // nBins rows — bounded driver read
+    val total = h.map(_.getLong(3)).sum
+    if (total == 0) return Double.NaN
+    val target = q * total
+    var cum = 0L
+    for (r <- h) {
+      val n = r.getLong(3)
+      if (cum + n >= target && n > 0) {
+        val frac = (target - cum) / n.toDouble
+        return r.getDouble(1) + (r.getDouble(2) - r.getDouble(1)) * frac
+      }
+      cum += n
+    }
+    h.last.getDouble(2)
+  }
+
   /** Candidate-key discovery: for each column, is it a unique non-null
     * identifier of the frame — (column, n_rows, n_null, n_distinct,
     * is_key)? Piggybacks on the exact [[profile]] (two hash passes for

@@ -417,6 +417,28 @@ object PipelineQueries {
         .orderBy(col("dependency"))
     }),
 
+    // Incremental histogram state: a fixed-bound [0, 400)×20 histogram
+    // of event values seeded from one third of the data absorbs the
+    // other two thirds WITHOUT rescanning — integer bin counts add, so
+    // the absorbed state must equal the oracle's one-shot histogram
+    // EXACTLY; out-of-bound values land in visible overflow bins, and
+    // the stored bins answer quantile queries within one bin width
+    // (gated against the exact percentile).
+    "q_hist_incr" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").select(col("event_id"), col("value"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-histst").toString
+      graft.ops.Profile.writeHistState(ev.filter(col("event_id") % 3 === 0),
+        "value", lo = 0.0, hi = 400.0, nBins = 20, path)
+      graft.ops.Profile.appendHistState(ev.filter(col("event_id") % 3 === 1), path)
+      graft.ops.Profile.appendHistState(ev.filter(col("event_id") % 3 === 2), path)
+      val p50 = graft.ops.Profile.histQuantile(s, path, 0.5)
+      val exact = ev.agg(expr("percentile(value, 0.5)")).first().getDouble(0)
+      graft.ops.Profile.readHistState(s, path)
+        .withColumn("p50_within_bin", lit(math.abs(p50 - exact) <= 20.0))
+        .orderBy(col("bin"))
+    }),
+
     // Referential-integrity report: lineitem.l_orderkey against a
     // deterministically damaged orders key set (every 7th key removed)
     // — orphan rows/keys counted without materializing them.
@@ -754,6 +776,26 @@ object PipelineQueries {
         |SELECT CAST(c_custkey + m + 1 AS BIGINT), 'FRESH'
         |FROM customer, mx WHERE c_custkey % 10 = 0
         |ORDER BY id""".stripMargin,
+
+    // the one-shot histogram with the same fixed-bound arithmetic —
+    // equality requires absorb == one-shot exactly (integer bins)
+    "q_hist_incr" ->
+      """WITH binned AS (
+        |  SELECT CASE WHEN value < 0 THEN -1 WHEN value >= 400 THEN 20
+        |    ELSE LEAST(CAST(FLOOR(value / 20.0) AS INTEGER), 19) END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+        |o AS (SELECT
+        |  CAST(COALESCE(SUM(CASE WHEN bin = -1 THEN n END), 0) AS BIGINT)
+        |    AS n_below,
+        |  CAST(COALESCE(SUM(CASE WHEN bin = 20 THEN n END), 0) AS BIGINT)
+        |    AS n_above FROM c)
+        |SELECT CAST(b.bin AS INTEGER) AS bin, b.bin * 20.0 AS lo,
+        |  (b.bin + 1) * 20.0 AS hi,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_rows,
+        |  o.n_below, o.n_above, TRUE AS p50_within_bin
+        |FROM (SELECT unnest(generate_series(0, 19)) AS bin) b
+        |LEFT JOIN c ON b.bin = c.bin, o ORDER BY b.bin""".stripMargin,
 
     "q_candidate_keys" ->
       """SELECT * FROM (

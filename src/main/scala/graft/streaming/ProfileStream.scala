@@ -32,4 +32,16 @@ object ProfileStream {
         "profile state") {
         if (!batchDf.isEmpty) Profile.appendProfileState(batchDf, cols, statePath)
       }
+
+  /** foreachBatch writer absorbing each micro-batch into the persisted
+    * fixed-bound histogram state at `statePath` (seed with
+    * [[Profile.writeHistState]] first). Integer bin counts add, so the
+    * streamed state equals the one-shot histogram EXACTLY — same
+    * marker-guarded exactly-once posture as the profile state. */
+  def histAppendBatch(statePath: String): (DataFrame, Long) => Unit =
+    (batchDf, batchId) =>
+      StreamOnce.appliedOnce(batchDf.sparkSession, statePath, batchId,
+        "histogram state") {
+        if (!batchDf.isEmpty) Profile.appendHistState(batchDf, statePath)
+      }
 }

@@ -176,6 +176,30 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(clean.getLong(2) === 0L && clean.getLong(3) === 0L)
   }
 
+  test("histogram state: absorb == one-shot, overflow visible, quantile interpolation") {
+    def rows(r: Range) = r.map(i => Tuple1(i.toDouble)).toDF("v")
+    val p = java.nio.file.Files.createTempDirectory("graft-hstate").toString
+    // bounds [0, 100) x 10 bins; values -5..119 exercise both overflows
+    Profile.writeHistState(rows(-5 until 40), "v", 0.0, 100.0, 10, p)
+    Profile.appendHistState(rows(40 until 120), p)
+    val pRef = java.nio.file.Files.createTempDirectory("graft-hstate-r").toString
+    Profile.writeHistState(rows(-5 until 120), "v", 0.0, 100.0, 10, pRef)
+    def snap(q: String) = Profile.readHistState(spark, q).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(snap(p) === snap(pRef), "absorbed bins diverge from one-shot")
+    val s = snap(p)
+    assert(s.forall(r => r._4 == 10L), "each in-range bin holds exactly 10 ints")
+    assert(s.head._5 === 5L && s.head._6 === 20L, "overflows must be visible")
+    // uniform 0..99 in-range: interpolated median is 50 ± numerical dust
+    assert(math.abs(Profile.histQuantile(spark, p, 0.5) - 50.0) < 1.0)
+    assert(Profile.histQuantile(spark, p, 0.0) === 0.0)
+    // empty state -> NaN, not a crash
+    val pe = java.nio.file.Files.createTempDirectory("graft-hstate-e").toString
+    Profile.writeHistState(rows(0 until 0), "v", 0.0, 1.0, 4, pe)
+    assert(Profile.histQuantile(spark, pe, 0.5).isNaN)
+  }
+
   test("candidateKeys: unique non-null columns certify; nulls and dups disqualify") {
     val df = Seq((1L, Option(10), "a"), (2L, Option(20), "a"),
       (3L, None: Option[Int], "b")).toDF("id", "v", "s")

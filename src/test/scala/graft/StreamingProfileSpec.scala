@@ -59,6 +59,36 @@ class StreamingProfileSpec extends SparkSpec {
     assert(state(p) === state(pRef), "replay of a committed batch must be a no-op")
   }
 
+  test("streamed histogram across 3 micro-batches + restart == one-shot, bit-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 90).map(i => Tuple1(i * 1.5 - 10)) // spans both overflows
+    val (seed, arrivals) = all.splitAt(30)
+    val p = java.nio.file.Files.createTempDirectory("graft-shist").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shist-ck").toString
+    Profile.writeHistState(seed.toDF("v"), "v", 0.0, 100.0, 10, p)
+
+    val fn = graft.streaming.ProfileStream.histAppendBatch(p)
+    val mem = MemoryStream[Tuple1[Double]]
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventStream.incrementalWriter(
+        mem.toDF().toDF("v"), ckpt)(fn).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    mem.addData(arrivals.slice(0, 20): _*); runOnce()
+    mem.addData(arrivals.slice(20, 40): _*); runOnce() // restart boundary
+    mem.addData(arrivals.slice(40, 60): _*); runOnce()
+
+    val pRef = java.nio.file.Files.createTempDirectory("graft-shist-ref").toString
+    Profile.writeHistState(all.toDF("v"), "v", 0.0, 100.0, 10, pRef)
+    def snap(q: String) = Profile.readHistState(spark, q).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(snap(p) === snap(pRef),
+      "streamed histogram diverges from the one-shot")
+    // committed replay out-of-band: no double-counted bins
+    fn(arrivals.slice(0, 20).toDF("v"), 0L)
+    assert(snap(p) === snap(pRef), "replay of a committed batch must be a no-op")
+  }
+
   test("partial profile append fails loudly instead of double-counting") {
     val cols = Seq("id", "cat", "v")
     val p = java.nio.file.Files.createTempDirectory("graft-sprof-part").toString
