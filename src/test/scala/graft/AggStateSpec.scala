@@ -130,6 +130,20 @@ class AggStateSpec extends SparkSpec {
     assert(snap(p) === snap(pRef))
   }
 
+  test("state layout partition-prunes on the bucket column") {
+    val p = java.nio.file.Files.createTempDirectory("graft-aggpp").toString
+    AggState.writeAggState(rows(0 until 50).toDF("g", "v"),
+      Seq("g"), Seq("v"), p, nBuckets = 8)
+    // the append's state read filters kb.isin(touched) — that filter
+    // must reach the scan as a PARTITION filter (directory pruning),
+    // not a post-scan predicate
+    val plan = spark.read.parquet(s"$p/state")
+      .filter(org.apache.spark.sql.functions.col("kb").isin(3, 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("kb"),
+      "bucket filter must prune partitions\n" + plan)
+  }
+
   test("guards: empty keys/values, overlapping keys and values") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
