@@ -237,24 +237,28 @@ object Merge {
       if (attrs.isEmpty) lit(true)
       else attrs.map(a => current(a) <=> in(s"__in_$a")).reduce(_ && _)
 
-    // surviving current versions: unchanged matches, plus (delta-feed
-    // default) keys the batch does not mention
-    val keepOpen = j.filter(curPresent && (
-        (inPresent && attrsEqual) || (!inPresent && lit(!closeMissing))))
-      .select(cols.map(c => current(c).as(c)): _*)
-    // closures: changed matches always; missing keys under closeMissing
-    val nowClosed = j.filter(curPresent && (
-        (inPresent && !attrsEqual) || (!inPresent && lit(closeMissing))))
-      .select(cols.map(c =>
-        (if (c == "valid_to") batchTs else current(c)).as(c)): _*)
-    // new versions: unseen keys and changed matches
-    val opened = j.filter(inPresent && (!curPresent || !attrsEqual))
-      .select(cols.map {
-        case "valid_from" => batchTs.as("valid_from")
-        case "valid_to" => lit(null).cast("timestamp").as("valid_to")
-        case c => in(s"__in_$c").as(c)
+    // classify ONCE and emit 1–2 output rows per joined row through a
+    // single explode — three filtered union branches would each replan
+    // (and re-execute) the join; this keeps the statement at genuinely
+    // ONE current-vs-batch join (PlanSpec pins it)
+    def rowFrom(validFrom: Column, validTo: Column, incomingSide: Boolean) =
+      struct(cols.map {
+        case "valid_from" => validFrom.as("valid_from")
+        case "valid_to" => validTo.as("valid_to")
+        case c => (if (incomingSide) in(s"__in_$c") else current(c)).as(c)
       }: _*)
-    closed.unionByName(keepOpen).unionByName(nowClosed).unionByName(opened)
+    val curRow = rowFrom(current("valid_from"), current("valid_to"), incomingSide = false)
+    val curClosed = rowFrom(current("valid_from"), batchTs, incomingSide = false)
+    val newRow = rowFrom(batchTs, lit(null).cast("timestamp"), incomingSide = true)
+    val emitted =
+      when(curPresent && inPresent && attrsEqual, array(curRow))       // no-op
+        .when(curPresent && inPresent && !attrsEqual,
+          array(curClosed, newRow))                                    // version
+        .when(curPresent && !inPresent,
+          if (closeMissing) array(curClosed) else array(curRow))       // absent
+        .otherwise(array(newRow))                                      // fresh
+    closed.unionByName(
+      j.select(explode(emitted).as("__r")).select(col("__r.*")))
   }
 
   /** Point-in-time read of an SCD-2 history: the version of each key

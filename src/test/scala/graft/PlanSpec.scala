@@ -345,6 +345,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("scd2Upsert: exactly one keyed join (current slice vs batch); closed history never joins") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val history = Seq(
+      (1L, "a", ts, null.asInstanceOf[java.sql.Timestamp]),
+      (2L, "b", ts, ts)).toDF("id", "tier", "valid_from", "valid_to")
+    val p = graft.ops.Merge.scd2Upsert(history,
+        Seq((1L, "c")).toDF("id", "tier"), Seq("id"),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert("SortMergeJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size === 1,
+      "the upsert must be ONE current-vs-batch join\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "no window needed for a keyed upsert\n" + p)
+  }
+
   test("record linkage pairs: block-local combinatorics, no cartesian, levenshtein in-plan") {
     // the full q_record_linkage executed plan is lineage-truncated by
     // the components checkpoint, so pin the pair-generation stage — the
