@@ -83,18 +83,29 @@ object AggState {
     val agg = Reliable.checkpoint(
       aggregate(df, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
     // a partitioned write of an EMPTY frame loses the schema (no
-    // partition dirs to read back) — an empty seed writes meta only,
-    // and the first non-empty append lays the state down
+    // partition dirs to read back) — an empty seed writes meta only
+    // (including the full state schema as JSON, so an empty-seeded
+    // state is still READABLE), and the first non-empty append lays
+    // the state down
     if (!agg.isEmpty)
       agg.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
-    Seq((keys.mkString(","), valueCols.mkString(","), nBuckets))
-      .toDF("keys", "value_cols", "n_buckets")
+    // keys/value_cols persist as array<string> — a comma-joined string
+    // would silently mis-split a column name containing ','
+    Seq((keys, valueCols, nBuckets, agg.drop("kb").schema.json))
+      .toDF("keys", "value_cols", "n_buckets", "state_schema")
       .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Seq[String], Seq[String], Int) = {
-    val m = spark.read.parquet(metaDir(path)).first()
-    (m.getString(0).split(",").toSeq, m.getString(1).split(",").toSeq, m.getInt(2))
+  private case class Meta(keys: Seq[String], valueCols: Seq[String],
+                          nBuckets: Int,
+                          stateSchema: org.apache.spark.sql.types.StructType)
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val m = spark.read.parquet(metaDir(path))
+      .select("keys", "value_cols", "n_buckets", "state_schema").first()
+    Meta(m.getSeq[String](0), m.getSeq[String](1), m.getInt(2),
+      org.apache.spark.sql.types.DataType.fromJson(m.getString(3))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Absorb a batch: one pass over the BATCH, then read ONLY the state
@@ -103,7 +114,7 @@ object AggState {
     * Cost is O(batch + touched buckets) at any corpus size. */
   def appendAggState(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    val (keys, valueCols, nBuckets) = readMeta(spark, path)
+    val Meta(keys, valueCols, nBuckets, _) = readMeta(spark, path)
     val batchAgg = Reliable.checkpoint(
       aggregate(batch, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
     // touched bucket ids collect to the driver (<= nBuckets ints — the
@@ -133,11 +144,20 @@ object AggState {
   /** Read the state as a rollup: keys + n_rows + per-value cnt/sum/
     * min/max/avg (avg derived as sum/cnt — DECIMAL(38,6)-exact). */
   def readAggState(spark: SparkSession, path: String): DataFrame = {
-    val (_, valueCols, _) = readMeta(spark, path)
-    val derived = valueCols.map { v =>
+    val meta = readMeta(spark, path)
+    val derived = meta.valueCols.map { v =>
       (col(s"${v}_sum") / col(s"${v}_cnt")).cast(DecimalType(38, 6)).as(s"${v}_avg")
     }
-    val st = spark.read.parquet(stateDir(path)).drop("kb")
+    // an empty-seeded state has meta but no state dir yet (the case
+    // writeAggState documents) — read it as the EMPTY rollup with the
+    // persisted schema, not a path-not-found failure
+    val stateExists = new org.apache.hadoop.fs.Path(stateDir(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(stateDir(path)))
+    val st =
+      if (stateExists) spark.read.parquet(stateDir(path)).drop("kb")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        meta.stateSchema)
     st.select(st.columns.map(col) ++ derived: _*)
   }
 }

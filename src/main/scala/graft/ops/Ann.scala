@@ -966,6 +966,16 @@ object Ann {
         coalesce(col("__drop"), lit(false)).unary_!.as("keep"))
   }
 
+  /** Cluster-size distribution of a [[semDedup]] output (or any frame
+    * carrying a `cid` assignment) — the Σ|cluster|² instrumentation
+    * ([[Scale.sizeDistribution]]): SemDeDup's candidate cost tracks the
+    * cluster-size DISTRIBUTION, not corpus size, so this report is what
+    * to watch (and what says k is mis-sized) as the corpus grows. One
+    * aggregate over (cid, count) rows — never a data-row scan. */
+  def clusterSizeReport(assigned: DataFrame): DataFrame =
+    Scale.sizeDistribution(
+      assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_ids")), "n_ids")
+
   /** Rank candidate pairs by cosine, keep top k per query — via the
     * bounded argmax-k aggregate (expr.catalyst.TopKByScore): map-side
     * partial top-k, k rows per partition through the shuffle, no

@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Broadcast-join `df` to its group-sized `stats` frame NULL-SAFELY:
+    * groupBy keeps a stats row for the null group, so the join must
+    * match it (`<=>` per key) — a plain equi-join would silently drop
+    * every null-group row from the scored output (rows-never-dropped is
+    * part of the winsorize contract, and a dropped row is a silent
+    * anomaly-report gap for the others). Stats group columns are
+    * prefixed before the join so the predicate is unambiguous, then
+    * dropped. */
+  private def joinStats(df: DataFrame, stats: DataFrame,
+                        groupCols: Seq[String]): DataFrame = {
+    val s = stats.select(stats.columns.map(c =>
+      if (groupCols.contains(c)) col(c).as(s"__g_$c") else col(c)): _*)
+    val cond = groupCols.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _)
+    df.join(broadcast(s), cond).drop(groupCols.map(k => s"__g_$k"): _*)
+  }
+
   /** Per-group z-scores: appends (grp_mean, grp_std, z) computed
     * against each row's group population statistics (stddev_pop: the
     * drop being scored IS the population). Rows in single-value groups
@@ -38,7 +54,7 @@ object Anomaly {
           stddev_pop(col(valueCol)).as("grp_std")),
       s"zScores group statistics over ${groupCols.mkString(", ")}")
     val z = (col(valueCol) - col("grp_mean")) / col("grp_std")
-    df.join(broadcast(stats), groupCols)
+    joinStats(df, stats, groupCols)
       .withColumn("z",
         when(col("grp_std") > 0,
           if (roundTo >= 0) round(z, roundTo) else z))
@@ -70,12 +86,12 @@ object Anomaly {
       df.groupBy(groupCols.map(col): _*)
         .agg(expr(s"percentile($valueCol, 0.5)").as("grp_median")), what)
     val mad = Guard.broadcastSmall(
-      df.join(broadcast(med), groupCols)
+      joinStats(df, med, groupCols)
         .groupBy(groupCols.map(col): _*)
         .agg(expr(s"percentile(abs($valueCol - grp_median), 0.5)").as("grp_mad")),
       what)
     val rz = (col(valueCol) - col("grp_median")) / (lit(1.4826) * col("grp_mad"))
-    df.join(broadcast(med), groupCols).join(broadcast(mad), groupCols)
+    joinStats(joinStats(df, med, groupCols), mad, groupCols)
       .withColumn("rz",
         when(col("grp_mad") > 0,
           if (roundTo >= 0) round(rz, roundTo) else rz))
@@ -97,7 +113,7 @@ object Anomaly {
         .agg(expr(s"percentile($valueCol, $loPct)").as("grp_lo"),
           expr(s"percentile($valueCol, $hiPct)").as("grp_hi")),
       s"winsorize group bounds over ${groupCols.mkString(", ")}")
-    df.join(broadcast(bounds), groupCols)
+    joinStats(df, bounds, groupCols)
       // guard the null case explicitly: Spark's least/greatest SKIP
       // nulls, so an unguarded clamp would turn a null value into the
       // lower bound instead of keeping it null

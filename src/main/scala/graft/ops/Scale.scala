@@ -45,7 +45,11 @@ object Scale {
     require(keys.nonEmpty, "skewReport needs at least one key column")
     require(topK > 0, s"topK must be positive, got $topK")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("key_rows"))
-    val keyStr = concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+    // render null components EXPLICITLY: concat_ws skips nulls, which
+    // would make ("a", null) and ("a", "") indistinguishable — and the
+    // null-heavy key this report exists to expose would render as ""
+    val keyStr = concat_ws("|",
+      keys.map(k => coalesce(col(k).cast("string"), lit("<null>"))): _*)
     val summary = counts.agg(
       sum(col("key_rows")).as("n_rows"),
       count(lit(1)).as("n_keys"),
@@ -66,30 +70,82 @@ object Scale {
         round(col("max_key_rows") / (col("n_rows") / col("n_keys")), 4))
   }
 
+  /** Log2-bucketed size distribution of pair-generating groups (LSH
+    * buckets, linkage blocks, SemDeDup clusters) — the instrumentation
+    * that exposes the Σ|group|² failure axis BEFORE a quadratic stage
+    * runs at scale: total work tracks the block-size DISTRIBUTION, not
+    * corpus size, so this report is what to watch as data grows. One
+    * row per ⌊log2(size)⌋ bucket: (size_bucket, n_groups, max_size,
+    * total_rows, total_pairs) with total_pairs = Σ size·(size−1)/2 —
+    * the exact comparison count those groups will generate.
+    *
+    * Input is the GROUP-sized counts frame (one row per group), so the
+    * report costs one map-side-combined aggregate over group counts,
+    * never a data-row scan. The bucket is computed in INTEGER
+    * arithmetic (bit length − 1) — a floating log2 rounds differently
+    * across engines exactly at the power-of-2 boundaries. */
+  def sizeDistribution(counts: DataFrame, sizeCol: String): DataFrame =
+    counts
+      .groupBy((length(bin(col(sizeCol))) - 1).cast("int").as("size_bucket"))
+      .agg(count(lit(1)).as("n_groups"),
+        max(col(sizeCol)).cast("long").as("max_size"),
+        sum(col(sizeCol)).cast("long").as("total_rows"),
+        // per-group integer `div` BEFORE the sum — n·(n−1) is always
+        // even, and a post-sum double division would lose exactness
+        // past 2^53 total pairs
+        sum(expr(s"cast($sizeCol as bigint) * (cast($sizeCol as bigint) - 1) div 2"))
+          .cast("long").as("total_pairs"))
+      .orderBy(col("size_bucket"))
+
   /** Dense 0-based global index in total `order` — the scale-safe
     * replacement for `row_number() OVER (ORDER BY …)` (which funnels
-    * every row through ONE partition). Two-phase numbering: range-
-    * partition + sort by `order` (parallel), then RDD `zipWithIndex`
-    * (a per-partition count job + offset cumsum on the driver — the
-    * cumsum is over #partitions scalars, not rows). Deterministic for
-    * a total `order`: the index depends only on the global sort order,
-    * not on where the range bounds fall.
+    * every row through ONE partition). Two-phase numbering, entirely in
+    * DataFrame ops (no RDD seam — codegen and AQE stay live):
+    * range-partition + sort by `order` (parallel), stamp each row with
+    * `monotonically_increasing_id()` — whose layout IS
+    * (partitionId << 33) | rowOffsetInPartition — then aggregate
+    * per-partition row counts, cumsum them into exclusive offsets on
+    * the driver (#partitions scalars — the bounded-scalar-read
+    * exception, the same cumsum the classic RDD `zipWithIndex` runs),
+    * and broadcast-join the offsets back: index = offset + local row
+    * position. Range partition ids ascend with the sort ranges, so the
+    * result equals the global rank exactly (ScaleSpec pins dense ==
+    * `row_number` over the same total order).
     *
-    * Cost: one extra count job over the sorted frame; worth it the
-    * moment the frame can be large (e.g. a dim backfill at 100 TB
-    * scale). For frames guaranteed tiny, a global window is fine. */
+    * The stamped frame is checkpointed BEFORE fan-out: the counts
+    * branch and the join branch must observe the SAME physical
+    * partitioning (re-executing the range exchange twice could resample
+    * bounds or re-coalesce under AQE and desynchronize the offsets).
+    * Cost: one materialization + one count pass — the same two jobs the
+    * old RDD `zipWithIndex` ran, without leaving Catalyst. Limits from
+    * the id layout: < 2^31 partitions, < 2^33 rows per partition —
+    * far beyond any sane layout. For frames guaranteed tiny, a global
+    * window is fine. */
   def zipWithOrderedIndex(df: DataFrame, order: Seq[Column],
                           indexName: String): DataFrame = {
     require(!df.columns.contains(indexName), s"column $indexName already exists")
+    val reserved = Seq("__zwi_mid", "__zwi_pid", "__zwi_cnt", "__zwi_off")
+    require(!df.columns.exists(reserved.contains),
+      s"column names ${reserved.mkString(", ")} are reserved by zipWithOrderedIndex")
+    val sorted = Reliable.checkpoint(
+      df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+        .withColumn("__zwi_mid", monotonically_increasing_id()))
+    val pid = shiftright(col("__zwi_mid"), 33)
+    val localIdx = col("__zwi_mid").bitwiseAND(lit((1L << 33) - 1))
+    val counts = sorted.groupBy(pid.as("__zwi_pid"))
+      .agg(count(lit(1)).as("__zwi_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix sum over #partitions scalars on the driver —
+    // never over data rows
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        indexName, org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(rdd, schema)
+    import spark.implicits._
+    sorted.join(
+        broadcast(offsets.toDF("__zwi_pid", "__zwi_off")),
+        pid === col("__zwi_pid"))
+      .withColumn(indexName, (col("__zwi_off") + localIdx).cast("long"))
+      .drop(reserved: _*)
   }
 
   /** Date-partitioned (and optionally bucketed-by-key, via

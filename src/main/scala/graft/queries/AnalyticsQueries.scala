@@ -335,21 +335,24 @@ object AnalyticsQueries {
         s"\nSELECT node, round(r, 8) AS rank FROM pr$iters ORDER BY node"
     },
 
-    // same population statistics, same 4dp-rounded z, same > threshold
+    // same population statistics, same 4dp-rounded z, same > threshold;
+    // join null-safely (IS NOT DISTINCT FROM) — the operator scores
+    // null-group rows against the null group's own statistics
     "q_anomaly" ->
       """WITH s AS (
         |  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
         |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, round(value, 4) AS value,
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
         |  round(m, 4) AS grp_mean, round(sd, 4) AS grp_std,
-        |  round((value - m) / sd, 4) AS z
-        |FROM events JOIN s USING (event_type)
-        |WHERE sd > 0 AND abs(round((value - m) / sd, 4)) > 3.0
-        |ORDER BY event_id""".stripMargin,
+        |  round((e.value - m) / sd, 4) AS z
+        |FROM events e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
+        |WHERE sd > 0 AND abs(round((e.value - m) / sd, 4)) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS key_rows
+        |  SELECT COALESCE(CAST(user_id AS VARCHAR), '<null>') AS key,
+        |    COUNT(*) AS key_rows
         |  FROM events GROUP BY user_id),
         |s AS (
         |  SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
@@ -396,22 +399,25 @@ object AnalyticsQueries {
         |FROM o FULL JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
 
     // same median/MAD estimators (quantile_cont == Spark percentile),
-    // same consistency constant, same rounded threshold
+    // same consistency constant, same rounded threshold; null-safe joins
     "q_anomaly_robust" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS m
         |  FROM events GROUP BY 1),
         |mad AS (
         |  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS md
-        |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+        |  FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
+        |  GROUP BY 1)
         |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
         |  round(m, 4) AS grp_median, round(md, 4) AS grp_mad,
         |  round((e.value - m) / (1.4826 * md), 4) AS rz
-        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |FROM events e
+        |JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
+        |JOIN mad ON e.event_type IS NOT DISTINCT FROM mad.event_type
         |WHERE md > 0 AND abs(round((e.value - m) / (1.4826 * md), 4)) > 3.5
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY e.event_id""".stripMargin,
 
-    // same exact quantile bounds, same clamp
+    // same exact quantile bounds, same clamp; null-safe join
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
@@ -420,7 +426,8 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.event_type,
         |  round(LEAST(GREATEST(e.value, lo), hi), 4) AS value_wins,
         |  round(lo, 4) AS grp_lo, round(hi, 4) AS grp_hi
-        |FROM events e JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+        |FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_funnel" -> {
       val horizon = s"INTERVAL ${funnelHorizonSecs} SECONDS"

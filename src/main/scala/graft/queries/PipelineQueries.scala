@@ -56,9 +56,15 @@ object PipelineQueries {
           expr("make_interval(0, 0, 0, 0, 0, 0, p_partkey)")).as("created_at"))
 
   // q_stellar_daily and q_stellar_yield are two sinks of ONE pipeline
-  // run — memoize the Warehouse per (session, dir) and persist the two
-  // small fact frames so the shared lineage computes once (the batch
-  // analogue of a pipeline writing both tables in one pass).
+  // run — memoize the Warehouse per (session, dir) and park the two
+  // small fact frames in scratch PARQUET so the shared lineage computes
+  // once (the batch analogue of a pipeline writing both tables in one
+  // pass). Parquet, not persist(): the frames OUTLIVE the building
+  // query, and the harness's steady-state hygiene unpersists every
+  // cached/locally-checkpointed RDD between queries — a persisted frame
+  // whose lineage crosses a localCheckpoint (the dim surrogate
+  // numbering) would then be unrecomputable for the second consumer.
+  // Disk survives unpersist; the frames are fact-sized, not corpus-sized.
   private val whCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Warehouse]()
 
@@ -66,9 +72,12 @@ object PipelineQueries {
     whCache.computeIfAbsent((s, dir), _ => {
       val wh = Stellar.run(synthPool(s, dir), synthPrice(s, dir),
         Warehouse.withChains(s, Seq((7, "stellaswap"))))
+      val base = graft.Scratch.dir("graft-stellar", dir)
+      wh.factTokenDailyStats.write.mode("overwrite").parquet(s"$base/daily")
+      wh.factYieldStats.write.mode("overwrite").parquet(s"$base/yield")
       wh.copy(
-        factTokenDailyStats = wh.factTokenDailyStats.persist(),
-        factYieldStats = wh.factYieldStats.persist())
+        factTokenDailyStats = s.read.parquet(s"$base/daily"),
+        factYieldStats = s.read.parquet(s"$base/yield"))
     })
 
   // ---- synthesized reference-shaped inputs for the four non-Stellar

@@ -200,6 +200,27 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // The linkage SCALE instrumentation: log2-bucketed block-size
+    // distribution with exact per-bucket pair work (Σ n·(n−1)/2) for
+    // the same dirty table + suffix blocking as q_record_linkage —
+    // linkage cost tracks this DISTRIBUTION, not corpus size, so this
+    // is the report to watch before the quadratic stage runs at 100 TB.
+    // One group-count aggregate + one bucket aggregate; no data row
+    // ever leaves its block. The bucket is integer bit-length
+    // arithmetic (length(bin(n))−1), identical in both engines —
+    // floating log2 rounds differently exactly at powers of 2.
+    "q_linkage_blocks" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val base = cust.select((col("c_custkey") * 2).cast("long").as("id"),
+        col("c_name").as("name"))
+      val variants = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") * 2 + 1).cast("long").as("id"),
+          regexp_replace(col("c_name"), "Customer", "Custmer").as("name"))
+      graft.ops.Linkage.linkPairs(base.unionByName(variants),
+          "id", "name", blockKey = expr("right(name, 9)"), maxDist = 2)
+        .blockReport.orderBy(col("size_bucket"))
+    }),
+
     // INCREMENTAL near-dup — the append-only-corpus production shape:
     // a new batch (doc_id % 5 == 0) is deduped against the already-
     // indexed corpus (doc_id % 5 != 0) by probing the corpus's stored
@@ -710,6 +731,26 @@ object TextQueries {
         |LEFT JOIN lab ON d.id = lab.id
         |LEFT JOIN sz ON lab.rep = sz.rep
         |ORDER BY d.id""".stripMargin,
+
+    // same dirty table + blocking; bucket = bit length − 1 (DuckDB's
+    // bin() == Spark's bin()), pair work summed with integer div
+    "q_linkage_blocks" ->
+      """WITH dirty AS (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS id, c_name AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey * 2 + 1 AS BIGINT),
+        |    replace(c_name, 'Customer', 'Custmer')
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |c AS (
+        |  SELECT right(name, 9) AS bk, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dirty GROUP BY 1)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS size_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MAX(n) AS BIGINT) AS max_size,
+        |  CAST(SUM(n) AS BIGINT) AS total_rows,
+        |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS total_pairs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q_dedup_clusters components + per-doc quality, best doc per rep
     "q_dedup_keep" ->

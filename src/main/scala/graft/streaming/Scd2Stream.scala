@@ -33,12 +33,24 @@ object Scd2Stream {
     * history. */
   def scd2Batch(historyPath: String, keys: Seq[String],
                 tsCol: String): (DataFrame, Long) => Unit =
-    (batchDf, batchId) =>
-      StreamOnce.appliedOnce(batchDf.sparkSession, historyPath, batchId,
-        "SCD-2 history") {
-        if (!batchDf.isEmpty) {
-          val spark = batchDf.sparkSession
-          val raw = Reliable.checkpoint(batchDf)
+    (batchDf, batchId) => {
+      val spark = batchDf.sparkSession
+      // validate BEFORE the exactly-once marker opens: a batch with
+      // rows but an all-null event-time column would open versions with
+      // null valid_from and never close them (two 'current' rows per
+      // key — corrupt history). Refusing out here leaves NO started
+      // marker, so a fixed redelivery of the same batch id applies
+      // cleanly instead of tripping the partial-apply guard.
+      val rawOpt =
+        if (batchDf.isEmpty) None else Some(Reliable.checkpoint(batchDf))
+      rawOpt.foreach { raw =>
+        require(raw.agg(max(col(tsCol))).first().getTimestamp(0) != null,
+          s"SCD-2 batch $batchId has rows but $tsCol is all null — " +
+            "cannot derive the batch version timestamp; fix the feed " +
+            "or filter null event times upstream")
+      }
+      StreamOnce.appliedOnce(spark, historyPath, batchId, "SCD-2 history") {
+        rawOpt.foreach { raw =>
           val batchTs = raw.agg(max(col(tsCol))).first().getTimestamp(0)
           val incoming = Merge.lastWriterWins(raw, keys, Seq(col(tsCol)))
             .drop(tsCol)
@@ -55,4 +67,5 @@ object Scd2Stream {
           next.write.mode("overwrite").parquet(statePath)
         }
       }
+    }
 }

@@ -130,6 +130,30 @@ class AggStateSpec extends SparkSpec {
     assert(snap(p) === snap(pRef))
   }
 
+  test("empty seed is READABLE before any append: empty rollup, full schema") {
+    val p = java.nio.file.Files.createTempDirectory("graft-aggrd").toString
+    AggState.writeAggState(
+      Seq.empty[(String, java.lang.Double)].toDF("g", "v"),
+      Seq("g"), Seq("v"), p, nBuckets = 4)
+    val out = AggState.readAggState(spark, p)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("g", "n_rows", "v_cnt", "v_sum",
+      "v_min", "v_max", "v_avg"),
+      "empty read must carry the persisted rollup schema, not throw")
+  }
+
+  test("column names containing commas round-trip through meta intact") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("g,1", "v,2")
+    val p = java.nio.file.Files.createTempDirectory("graft-aggcm").toString
+    AggState.writeAggState(df, Seq("g,1"), Seq("v,2"), p, nBuckets = 4)
+    AggState.appendAggState(Seq(("b", 10.0)).toDF("g,1", "v,2"), p)
+    val got = AggState.readAggState(spark, p)
+      .select(col("`g,1`"), col("n_rows"), col("`v,2_max`"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(("a", 2L, 3.0), ("b", 2L, 10.0)),
+      "array-typed meta must not mis-split comma-bearing column names")
+  }
+
   test("state layout partition-prunes on the bucket column") {
     val p = java.nio.file.Files.createTempDirectory("graft-aggpp").toString
     AggState.writeAggState(rows(0 until 50).toDF("g", "v"),

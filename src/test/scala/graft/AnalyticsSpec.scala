@@ -287,4 +287,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(50L) === Some(50.0), "interior values pass through untouched")
     assert(out(999L) === None, "null values must stay null, not clamp to the bound")
   }
+
+  test("anomaly family scores null-group rows against the null group — never drops them") {
+    import spark.implicits._
+    import graft.ops.Anomaly
+    // groupBy keeps a stats row for the null group; the score joins
+    // must match it null-safely or these rows silently vanish
+    val df = Seq((Option("a"), 1L, 0.0), (Option("a"), 2L, 10.0),
+      (Option.empty[String], 3L, 0.0), (Option.empty[String], 4L, 4.0),
+      (Option.empty[String], 5L, 8.0)).toDF("g", "id", "v")
+    val z = Anomaly.zScores(df, "v", Seq("g"))
+    assert(z.count() === 5L, "zScores must keep every row incl. null group")
+    val nullZ = z.filter(col("g").isNull && col("id") === 5L).first()
+    assert(nullZ.getDouble(nullZ.fieldIndex("grp_mean")) === 4.0,
+      "null-group rows score against the NULL group's own statistics")
+    assert(Anomaly.robustZScores(df, "v", Seq("g")).count() === 5L)
+    val w = Anomaly.winsorize(df, "v", Seq("g"), loPct = 0.25, hiPct = 0.75)
+    assert(w.count() === 5L, "winsorize documents rows are never dropped")
+    assert(w.filter(col("g").isNull).count() === 3L)
+  }
 }

@@ -368,4 +368,49 @@ class DedupSpec extends SparkSpec {
     val f = r.flagged.collect().map(x => (x.getString(0), x.getLong(1)))
     assert(f.toSeq === Seq(("flood", 5L)))
   }
+
+  test("record linkage: sub-block salted pairing equals unsalted pair set exactly") {
+    import graft.ops.Linkage
+    // 61 members in one block + 7 in another, targetSub=8 → the big
+    // block fans out over g=8 sub-groups (36 triangle cells), the small
+    // one stays g=1; the pair set must equal the unsalted formulation
+    // (targetSub large ⇒ every block g=1) pair for pair, dist for dist
+    val recs = ((1L to 61L).map(i => (i * 7 % 61 + 100, s"nm${i % 9}x${i % 4}", "big")) ++
+      (1L to 7L).map(i => (i, s"ab${i % 3}", "small"))).toDF("id", "name", "bk")
+    def run(ts: Int) = Linkage
+      .linkPairs(recs, "id", "name", col("bk"), maxDist = 3, targetSub = ts)
+      .pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = run(8)
+    val plain = run(1000000)
+    assert(salted === plain, "triangle decomposition must not add or drop pairs")
+    assert(salted.nonEmpty && salted.forall { case (a, b, _) => a < b })
+  }
+
+  test("record linkage: block-size report buckets by log2 with exact pair work") {
+    import graft.ops.Linkage
+    // blocks of size 1, 3, 5, 9 → buckets 0, 1, 2, 3; flagged blocks
+    // (the 9 @ maxBlock=8) still appear — the report exists to expose them
+    val recs = (Seq((0L, "solo", "k1")) ++
+      (1L to 3L).map(i => (i + 10, s"a$i", "k3")) ++
+      (1L to 5L).map(i => (i + 20, s"b$i", "k5")) ++
+      (1L to 9L).map(i => (i + 30, s"c$i", "k9"))).toDF("id", "name", "bk")
+    val rep = Linkage.linkPairs(recs, "id", "name", col("bk"),
+        maxDist = 1, maxBlock = 8)
+      .blockReport.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.toSeq === Seq(
+      (0, 1L, 1L, 1L, 0L), (1, 1L, 3L, 3L, 3L),
+      (2, 1L, 5L, 5L, 10L), (3, 1L, 9L, 9L, 36L)))
+  }
+
+  test("semdedup cluster report: totals and pair work from the assignment") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(4)(if (i % 2 == 0) 1.0f else -1.0f))).toDF("id", "vec")
+    val out = graft.ops.Ann.semDedup(vecs, k = 2, threshold = 0.99, iters = 2)
+    val rep = graft.ops.Ann.clusterSizeReport(out).collect()
+    assert(rep.map(_.getLong(3)).sum === 40L, "report totals cover every assigned row")
+    val expectedPairs = out.groupBy(col("cid")).count().collect()
+      .map(_.getLong(1)).map(n => n * (n - 1) / 2).sum
+    assert(rep.map(_.getLong(4)).sum === expectedPairs)
+  }
 }

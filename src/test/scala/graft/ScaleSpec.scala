@@ -320,8 +320,16 @@ class ScaleSpec extends SparkSpec {
     // 11 rows over 4 keys (null included) -> mean 2.75, max 6
     assert(out.toSeq === Seq(
       (1, "hot", 6L, 11L, 4L, 6L, 2.1818),
-      (2, "", 2L, 11L, 4L, 6L, 2.1818), // null key renders "", sorts first
+      // null keys render EXPLICITLY — "<null>" ('<' sorts before 'a'),
+      // never collapsing with "" or vanishing from the key string
+      (2, "<null>", 2L, 11L, 4L, 6L, 2.1818),
       (3, "a", 2L, 11L, 4L, 6L, 2.1818)))
+    // and a ("x", null) tuple stays distinct from ("x", "")
+    val two = Seq(("x", null.asInstanceOf[String]), ("x", ""))
+      .toDF("k1", "k2")
+    assert(Scale.skewReport(two, Seq("k1", "k2"), 5)
+      .select("key").collect().map(_.getString(0)).toSet
+      === Set("x|<null>", "x|"))
     // the top-k must plan as TakeOrdered, never a global window sort
     val plan = Scale.skewReport(df, Seq("k"), 3).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -82,4 +82,22 @@ class StreamingScd2Spec extends SparkSpec {
     assert(e.getMessage.contains("PARTIAL apply"))
     assert(hist(p).map(_._2) === Set("a"))
   }
+
+  test("non-empty batch with all-null event times is refused before touching history") {
+    val p = java.nio.file.Files.createTempDirectory("graft-sscd2n").toString
+    val fn = Scd2Stream.scd2Batch(p, Seq("id"), "ts")
+    fn(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("id", "tier", "ts"), 0L)
+    val before = hist(p)
+    // max(ts) over an all-null column is null — applying it would open
+    // null-valid_from versions and leave two 'current' rows per key
+    val e = intercept[IllegalArgumentException] {
+      fn(Seq((1L, "b", null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("id", "tier", "ts"), 1L)
+    }
+    assert(e.getMessage.contains("all null"))
+    assert(hist(p) === before, "refused batch must leave history untouched")
+    // and the batch id is NOT marked committed: a fixed redelivery applies
+    fn(Seq((1L, "b", ts("2024-02-01 00:00:00"))).toDF("id", "tier", "ts"), 1L)
+    assert(hist(p).exists(r => r._1 == 1L && r._2 == "b" && r._4 == null))
+  }
 }
