@@ -315,34 +315,54 @@ object Scale {
     * per row, loudly. Pure integer arithmetic (shift/and/or), codegen-
     * friendly, and portable: [[zValueSql]] emits the identical ANSI
     * expansion for an external oracle engine. */
-  def zValue(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** n-column bit-round-robin interleave (the general form of
+    * [[zValue]]): bit i of input c lands at position i·n + c, so a file
+    * holding a contiguous z-range has tight min/max stats on ALL n
+    * columns and a point filter on ANY of them skips files. `bits` low
+    * bits per input; n·bits must fit a non-negative long (≤ 63). The
+    * useful n is small (2–4): each added column halves the per-column
+    * resolution a fixed z-range preserves — the classic Z-order
+    * trade-off, measured per-n in AnalyticsSpec. */
+  def zValueN(inputs: Seq[Column], bits: Int): Column = {
+    val n = inputs.size
+    require(n >= 2, s"zValueN needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need bits >= 1 and n*bits <= 63, got n=$n bits=$bits")
     val bound = 1L << bits
-    val av = a.cast("long")
-    val bv = b.cast("long")
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(av, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(bv, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+    val vs = inputs.map(_.cast("long"))
+    val z = (for { i <- 0 until bits; c <- vs.indices } yield (i, c))
+      .foldLeft(lit(0L)) { case (acc, (i, c)) =>
+        acc.bitwiseOR(
+          shiftleft(shiftright(vs(c), i).bitwiseAND(lit(1L)), i * n + c))
+      }
     // one range assert per input per row, added as a pass-through zero
     // (assert_true is NULL on pass) so pruning can't drop the check
     val checked = (c: Column) => coalesce(
       assert_true(c >= 0 && c < bound,
         lit(s"zValue input out of [0, $bound) — bucket or rank wider domains first")),
       lit(0L))
-    z + checked(av) + checked(bv)
+    vs.foldLeft(z)((acc, v) => acc + checked(v))
   }
 
   /** The same interleave as ANSI SQL text (for an external oracle):
     * `aExpr`/`bExpr` are SQL fragments already cast to BIGINT and
     * already range-checked by the caller. Generated from the same bit
     * positions as [[zValue]] so the two can never drift. */
-  def zValueSql(aExpr: String, bExpr: String, bits: Int): String = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).map { i =>
-      s"(((($aExpr) >> $i) & 1) << ${2 * i}) | (((($bExpr) >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " | ", ")")
+  def zValueSql(aExpr: String, bExpr: String, bits: Int): String =
+    zValueSqlN(Seq(aExpr, bExpr), bits)
+
+  /** n-ary ANSI SQL twin of [[zValueN]] — same i·n + c bit positions. */
+  def zValueSqlN(exprs: Seq[String], bits: Int): String = {
+    val n = exprs.size
+    require(n >= 2, s"zValueSqlN needs at least 2 expressions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need bits >= 1 and n*bits <= 63, got n=$n bits=$bits")
+    (for { i <- 0 until bits; c <- exprs.indices } yield
+      s"((((${exprs(c)}) >> $i) & 1) << ${i * n + c})")
+      .mkString("(", " | ", ")")
   }
 
   /** Z-order-clustered parquet layout: range-partition by the
@@ -355,11 +375,18 @@ object Scale {
     * after the sort is a projection, so the within-partition order
     * survives. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    bits: Int, nFiles: Int): Unit = {
+                    bits: Int, nFiles: Int): Unit =
+    writeZOrderedN(df, path, Seq(colA, colB), bits, nFiles)
+
+  /** n-column Z-order-clustered layout — [[writeZOrdered]] over
+    * [[zValueN]]: point filters on ANY of the n clustered columns skip
+    * most files (AnalyticsSpec measures the 3-column read fraction). */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     bits: Int, nFiles: Int): Unit = {
     require(nFiles > 0, "nFiles must be positive")
     require(!df.columns.contains("__z"),
       "column name __z is reserved by writeZOrdered")
-    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+    df.withColumn("__z", zValueN(cols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

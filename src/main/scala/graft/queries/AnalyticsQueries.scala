@@ -260,6 +260,24 @@ object AnalyticsQueries {
             pmod(col("p_size").cast("long") * 7919L, lit(zMod)), zBits).as("zval"))
         .orderBy(col("p_partkey"))
     }),
+
+    // n-column Z-order key (ops.Scale.zValueN, VERDICT r8 item 7):
+    // 3-way bit-round-robin over bucketed (key, size, retailprice)
+    // dims — the layout key that gives a file tight min/max stats on
+    // ALL THREE columns (file-skipping measured in AnalyticsSpec);
+    // oracle-proven against the identical SQL expansion (zValueSqlN).
+    "q_zorder3" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          Scale.zValueN(Seq(
+            pmod(col("p_partkey"), lit(zMod)),
+            pmod(col("p_size").cast("long") * 7919L, lit(zMod)),
+            // round BEFORE the long cast: Spark casts double->long by
+            // truncation, DuckDB by rounding — round(…, 0) pins both
+            pmod(round(col("p_retailprice") * 100, 0).cast("long") * 104729L,
+              lit(zMod))), zBits).as("zval"))
+        .orderBy(col("p_partkey"))
+    }),
   )
 
   /** Winnowing restated as SQL CTEs ending in `f(doc_id, fp)` — the
@@ -506,6 +524,16 @@ object AnalyticsQueries {
     "q_zorder" -> {
       val z = Scale.zValueSql(s"CAST(p_partkey % $zMod AS BIGINT)",
         s"CAST((CAST(p_size AS BIGINT) * 7919) % $zMod AS BIGINT)", zBits)
+      s"""SELECT p_partkey, $z AS zval FROM part ORDER BY p_partkey""".stripMargin
+    },
+
+    // identical 3-way bit positions via the shared generator
+    "q_zorder3" -> {
+      val z = Scale.zValueSqlN(Seq(
+        s"CAST(p_partkey % $zMod AS BIGINT)",
+        s"CAST((CAST(p_size AS BIGINT) * 7919) % $zMod AS BIGINT)",
+        s"CAST((CAST(round(p_retailprice * 100, 0) AS BIGINT) * 104729) % $zMod AS BIGINT)"),
+        zBits)
       s"""SELECT p_partkey, $z AS zval FROM part ORDER BY p_partkey""".stripMargin
     },
   )

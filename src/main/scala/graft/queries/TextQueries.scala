@@ -422,15 +422,16 @@ object TextQueries {
         .select(col("doc_id"), col("n_lists"), col("rrf_score"))
     }),
 
-    // SimHash fingerprints (xxhash64-based — no DuckDB equivalent, driver
-    // records rows-only; Hamming-distance behavior is unit-tested).
+    // SimHash fingerprints — VALUE-EXACT oracle: the DuckDB side
+    // restates Spark's XXH64 arithmetic in pure SQL (SimHashSql below),
+    // so the 64-bit fingerprints hash-compare bit for bit.
     "q_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
     // SimHash banded near-dup pairs (pigeonhole buckets + exact Hamming
-    // confirm) — rows-only; planted-dup recall is spec-asserted.
+    // confirm) — value-exact oracle via the same XXH64 restatement.
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
@@ -958,12 +959,179 @@ object TextQueries {
            |SELECT doc_id, n_lists, rrf_score FROM fused
            |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
 
-    // q_simhash / q_simhash_pairs: no oracle (xxhash64 has no DuckDB
-    // equivalent) — rows-only; semantics covered by DedupSpec. The
-    // precision assertion below is the driver-visible quality gate: the
+    // VALUE-EXACT simhash oracle (VERDICT r8 item 2): DuckDB has no
+    // xxhash64 built-in, so the oracle RESTATES Spark's XXH64 in pure
+    // SQL — HUGEINT arithmetic mod 2^64, 32-bit-split multiplication,
+    // rotate via shift-and-wrap — unrolled for inputs ≤ 8 bytes (the
+    // stripe loop never runs below 32 bytes, and the fixture's token
+    // vocabulary is single words ≤ 8 bytes; SimHashSql asserts that in
+    // the SQL itself so a longer token fails LOUDLY, never silently).
+    // Per-bit majority vote then folds the per-token hashes exactly as
+    // the fused kernel does.
+    "q_simhash" -> SimHashSql.simhashOracle,
+
+    // banded pigeonhole restated: 4 x 16-bit chunk equi-join (complete
+    // for hamming <= 3 by pigeonhole) + exact popcount confirm
+    "q_simhash_pairs" -> SimHashSql.pairsOracle,
+
+    // The precision assertion is the driver-visible quality gate: the
     // oracle states the expected verdict, Spark computes the real one
     // from the emitted pairs.
     "q_simhash_precision" ->
       "SELECT TRUE AS mostly_confirmed, TRUE AS floor_ok, TRUE AS has_pairs",
   )
+}
+
+/** DuckDB restatement of Spark's XXH64 (seed 42) for inputs ≤ 8 bytes,
+  * and the simhash64 per-bit majority fold on top of it — the oracle
+  * side of q_simhash / q_simhash_pairs. Pure-SQL 64-bit wraparound:
+  * values live as HUGEINT in [0, 2^64); multiplication splits into
+  * 32-bit halves so no intermediate exceeds 2^65; rotation is
+  * shift-mod-2^64 plus the wrapped high bits (disjoint bit ranges, so
+  * `+` is `|`). Every primitive lands in its own derived column (a
+  * subquery per step) so the expression tree never duplicates
+  * non-column operands.
+  *
+  * Spark reference: XXH64.hashUnsafeBytes for length < 32 — acc = seed
+  * + PRIME64_5 + len, one 8-byte word round if len == 8 (little-endian),
+  * else an optional 4-byte round (len >= 4) then per-byte rounds, then
+  * the final avalanche (33/29/32 shifts). Verified bit-exact against
+  * the kernel by the driver's hash compare at all SFs. */
+private object SimHashSql {
+  private val M = "18446744073709551616"   // 2^64
+  private val P1 = "11400714785074694791"  // 0x9E3779B185EBCA87
+  private val P2 = "14029467366897019727"  // 0xC2B2AE3D27D4EB4F
+  private val P3 = "1609587929392839161"   // 0x165667B19E3779F9
+  private val P4 = "9650029242287828579"   // 0x85EBCA77C2B2AE63
+  private val P5 = "2870177450012600261"   // 0x27D4EB2F165667C5
+
+  private def mul(a: String, b: String): String =
+    s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
+      s"(((($a) // 4294967296) * (($b) % 4294967296) + " +
+      s"(($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) " +
+      s"* 4294967296) % $M)"
+  private def add(a: String, b: String): String = s"((($a) + ($b)) % $M)"
+  private def xor(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+  private def rotl(x: String, r: Int): String =
+    s"(((($x) * ${1L << r}) % $M) + (($x) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}))"
+  private def shr(x: String, n: Int): String = s"(($x) // ${1L << n})"
+
+  /** One derived column per primitive op: each step sees the previous
+    * step's VALUE as a column reference, so textual operand duplication
+    * inside mul/rotl stays O(1). */
+  private final class Prog(val from: String) {
+    private val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private var n = 0
+    def add(expr: String): String = {
+      n += 1; val c = s"x$n"; steps += ((c, expr)); c
+    }
+    def render(select: String): String =
+      s"SELECT $select FROM " +
+        steps.foldLeft(s"($from)")((acc, s) =>
+          s"(SELECT *, ${s._2} AS ${s._1} FROM $acc)")
+  }
+
+  /** The per-distinct-token XXH64(seed 42) pipeline as a SQL subquery
+    * yielding (tok, xx) with xx the UNSIGNED hash in [0, 2^64). */
+  private def tokenHashes: String = {
+    // byte j (1-indexed, little-endian weight 256^(j-1)) from the hex
+    // rendering; 0 beyond len. assert_ok fails the whole query loudly
+    // if any token exceeds the 8-byte unroll bound.
+    def byteAt(j: Int) =
+      s"CAST(CASE WHEN len >= $j THEN " +
+        s"(strpos('0123456789ABCDEF', substr(hx, ${2 * j - 1}, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789ABCDEF', substr(hx, ${2 * j}, 1)) - 1) " +
+        s"ELSE 0 END AS HUGEINT)"
+    val bytesSel = (1 to 8).map(j => s"${byteAt(j)} AS b$j").mkString(", ")
+    val k1 = (1 to 8).map(j => s"b$j * ${java.lang.Long.toUnsignedString(1L << (8 * (j - 1)))}")
+      .mkString("(", " + ", ")")
+    val i1 = (1 to 4).map(j => s"b$j * ${1L << (8 * (j - 1))}").mkString("(", " + ", ")")
+    val base =
+      "SELECT tok, len, CASE WHEN len <= 8 THEN 1 " +
+        "ELSE CAST(error('simhash oracle: token over 8 bytes — extend the unroll') AS INTEGER) END AS assert_ok, " +
+        s"$bytesSel, CAST($k1 AS HUGEINT) AS k1, CAST($i1 AS HUGEINT) AS i1 FROM " +
+        "(SELECT tok, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS len FROM " +
+        "(SELECT DISTINCT tok FROM __simtok))"
+    val p = new Prog(base)
+    val h0 = p.add(add(add(P5, "42"), "len"))
+    // len == 8: one little-endian word round
+    val a1 = p.add(mul("k1", P2))
+    val a2 = p.add(rotl(a1, 31))
+    val a3 = p.add(mul(a2, P1))
+    val a4 = p.add(xor(h0, a3))
+    val a5 = p.add(rotl(a4, 27))
+    val a6 = p.add(mul(a5, P1))
+    val a7 = p.add(add(a6, P4))
+    // 4 <= len < 8: one little-endian int round
+    val d1 = p.add(mul("i1", P1))
+    val d2 = p.add(xor(h0, d1))
+    val d3 = p.add(rotl(d2, 23))
+    val d4 = p.add(mul(d3, P2))
+    val d5 = p.add(add(d4, P3))
+    var m = p.add(s"CASE WHEN len = 8 THEN $a7 WHEN len >= 4 THEN $d5 ELSE $h0 END")
+    // tail bytes: positions 5..7 when len >= 4, 1..3 otherwise
+    for (j <- 1 to 7) {
+      val e1 = p.add(mul(s"b$j", P5))
+      val e2 = p.add(xor(m, e1))
+      val e3 = p.add(rotl(e2, 11))
+      val e4 = p.add(mul(e3, P1))
+      m = p.add(s"CASE WHEN len < 8 AND len >= $j AND (len < 4 OR $j >= 5) " +
+        s"THEN $e4 ELSE $m END")
+    }
+    // final avalanche
+    val f1 = p.add(xor(m, shr(m, 33)))
+    val f2 = p.add(mul(f1, P2))
+    val f3 = p.add(xor(f2, shr(f2, 29)))
+    val f4 = p.add(mul(f3, P3))
+    val xx = p.add(xor(f4, shr(f4, 32)))
+    p.render(s"tok, assert_ok * 0 + $xx AS xx")
+  }
+
+  /** (doc_id, xx HUGEINT unsigned simhash) for every document — the
+    * majority-vote fold over per-token hashes, duplicates kept (every
+    * occurrence votes, exactly like the kernel). */
+  private def docSimhash: String =
+    raw"""__simtok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         |  FROM documents),
+         |__simhash AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN votes * 2 > n THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+         |        ELSE 0 END) AS xx
+         |  FROM (
+         |    SELECT t.doc_id, bp.b,
+         |      SUM((CAST(h.xx AS UBIGINT) >> CAST(bp.b AS INTEGER)) & 1) AS votes,
+         |      COUNT(*) AS n
+         |    FROM __simtok t
+         |    JOIN ($tokenHashes) h USING (tok)
+         |    CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bp
+         |    GROUP BY 1, 2)
+         |  GROUP BY doc_id)""".stripMargin
+
+  /** Signed-BIGINT view of an unsigned HUGEINT hash column. */
+  private def signed(c: String): String =
+    s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - $M ELSE $c END AS BIGINT)"
+
+  val simhashOracle: String =
+    s"""WITH $docSimhash
+       |SELECT doc_id, ${signed("xx")} AS simhash
+       |FROM __simhash ORDER BY doc_id""".stripMargin
+
+  val pairsOracle: String =
+    s"""WITH $docSimhash,
+       |banded AS (
+       |  SELECT doc_id, xx, b,
+       |    (CAST(xx AS UBIGINT) >> CAST(b * 16 AS INTEGER)) & 65535 AS chunk
+       |  FROM __simhash, (SELECT unnest(range(0, 4)) AS b) bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.xx AS ha, b.xx AS hb
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT))) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(CAST(ha AS UBIGINT), CAST(hb AS UBIGINT))) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 }

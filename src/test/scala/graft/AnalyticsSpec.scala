@@ -217,6 +217,59 @@ class AnalyticsSpec extends SparkSpec {
       s"z-order must let point filters on b skip most files: z=$zFrac plain=$plainFrac")
   }
 
+  test("zValueN: 3-column round-robin parity with a reference fold; 2-col == zValue") {
+    def ref(xs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits; c <- xs.indices)
+        z |= ((xs(c) >> i) & 1L) << (i * xs.size + c)
+      z
+    }
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 8).toLong,
+      rnd.nextInt(1 << 8).toLong, rnd.nextInt(1 << 8).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(Scale.zValueN(Seq($"a", $"b", $"c"), 8).as("z")).as[Long].collect()
+    assert(got.toSeq == rows.map { case (a, b, c) => ref(Seq(a, b, c), 8) })
+    // the 2-ary wrapper and the n-ary form agree bit for bit
+    val two = rows.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    assert(two.select(Scale.zValue($"a", $"b", 8)).as[Long].collect().toSeq ==
+      two.select(Scale.zValueN(Seq($"a", $"b"), 8)).as[Long].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Scale.zValueN(Seq($"a", $"b", $"c"), 22) // 3*22 > 63
+    }
+  }
+
+  test("writeZOrderedN: 3-column layout skips files on point filters of EVERY dim") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val n = 1 << 14
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(n)((rnd.nextInt(1 << 7).toLong, rnd.nextInt(1 << 7).toLong,
+      rnd.nextInt(1 << 7).toLong)).toDF("a", "b", "c")
+    val nFiles = 16
+    Scale.writeZOrderedN(df, s"$dir/z3", Seq("a", "b", "c"), bits = 7, nFiles = nFiles)
+    df.repartitionByRange(nFiles, $"a").sortWithinPartitions($"a")
+      .write.parquet(s"$dir/plain")
+    def readFraction(path: String, dim: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length == nFiles)
+      val st = files.map { f =>
+        spark.read.parquet(f).agg(min(col(dim)), max(col(dim)))
+          .as[(Long, Long)].head()
+      }
+      val probes = Seq(13L, 47L, 90L, 121L)
+      probes.map(p => st.count { case (lo, hi) => lo <= p && p <= hi }).sum
+        .toDouble / (probes.size * nFiles)
+    }
+    // the single-column sort bounds only a; b and c read everything
+    assert(readFraction(s"$dir/plain", "b") > 0.99)
+    // the 3-col z layout skips files for point filters on EACH dim
+    // (coarser than 2-col per the bits/n trade-off — gate at 0.75)
+    for (dim <- Seq("a", "b", "c"))
+      assert(readFraction(s"$dir/z3", dim) < 0.75,
+        s"3-col z-order must bound $dim per file")
+  }
+
   test("anomaly z-scores: hand-computed group stats, null for degenerate groups") {
     import spark.implicits._
     import graft.ops.Anomaly

@@ -129,4 +129,59 @@ class FunnelStreamSpec extends SparkSpec {
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("funnel lateness across a restart: within-watermark rows join, older rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft-funnel-late").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-lck").toString
+    val mem = MemoryStream[FunnelStream.Event]
+    def runOnce(): Unit = {
+      val q = FunnelStream.stageTimesStream(mem.toDS(), steps,
+          withinSeconds = Some(3600L), lateness = "30 minutes",
+          quiesceSeconds = 600L)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    // run 1: user 1's first two stages; the advancer puts the
+    // watermark at 10:30 (11:00 − 30 min) before the restart
+    mem.addData(FunnelStream.Event(1L, ts("2025-05-01 10:00:00"), "signup"),
+      FunnelStream.Event(1L, ts("2025-05-01 10:05:00"), "view"))
+    runOnce()
+    mem.addData(FunnelStream.Event(99L, ts("2025-05-01 11:00:00"), "signup"))
+    runOnce()
+    // run 2 (recovered checkpoint): user 1's purchase lands BELOW the
+    // recovered 10:30 watermark — dropped by contract, even though the
+    // buffered state would convert; user 2's full funnel rides ABOVE
+    // the watermark in the same batch — fully counted
+    mem.addData(FunnelStream.Event(1L, ts("2025-05-01 10:20:00"), "purchase"),
+      FunnelStream.Event(2L, ts("2025-05-01 10:35:00"), "signup"),
+      FunnelStream.Event(2L, ts("2025-05-01 10:40:00"), "view"),
+      FunnelStream.Event(2L, ts("2025-05-01 10:45:00"), "purchase"))
+    runOnce()
+    mem.addData(FunnelStream.Event(99L, ts("2025-05-02 12:00:00"), "signup"))
+    runOnce()
+    mem.addData(FunnelStream.Event(99L, ts("2025-05-03 12:00:00"), "signup"))
+    runOnce()
+
+    val streamed = spark.read.parquet(sink).filter(col("user_id") < 99)
+      .select("user_id", "step", "stage", "step_ts")
+      .orderBy("user_id", "step").collect().map(_.toSeq)
+    // == batch over the KEPT events only (the late purchase excluded)
+    val kept = Seq((1L, ts("2025-05-01 10:00:00"), "signup"),
+      (1L, ts("2025-05-01 10:05:00"), "view"),
+      (2L, ts("2025-05-01 10:35:00"), "signup"),
+      (2L, ts("2025-05-01 10:40:00"), "view"),
+      (2L, ts("2025-05-01 10:45:00"), "purchase"))
+    val batch = Funnel.stageTimes(kept.toDF("user_id", "ts", "step"),
+        "user_id", "ts", "step", steps, withinSeconds = Some(3600L))
+      .select(col("user_id"), col("step"), col("stage"), col("step_ts"))
+      .orderBy("user_id", "step").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    // and concretely: user 1 must NOT show a purchase stage
+    assert(!streamed.exists(r => r.head == 1L && r(2) == "purchase"),
+      "a below-watermark purchase must not convert the funnel")
+    assert(streamed.count(_.head == 2L) === 3, "user 2 converts fully")
+  }
 }

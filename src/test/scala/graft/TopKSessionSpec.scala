@@ -94,4 +94,50 @@ class TopKSessionSpec extends SparkSpec {
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("sessionization lateness: within-watermark stragglers join, older rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(mem.toDS(), gapSeconds = 1800,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      // batch A opens the session; batch B's advancer moves the
+      // watermark to 10:30
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 10:00:00")),
+        Sessionize.Event(1L, ts("2025-05-01 10:10:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-01 10:40:00")))
+      q.processAllAvailable()
+      // batch C: one straggler BELOW the 10:30 watermark (dropped by
+      // contract) and one above it (joins the still-open session —
+      // its event-time timeout 10:40 has not passed the watermark)
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 10:20:00")),
+        Sessionize.Event(1L, ts("2025-05-01 10:32:00")))
+      q.processAllAvailable()
+      // advance far enough to time the session out, twice (emit lag)
+      mem.addData(Sessionize.Event(99L, ts("2025-05-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-03 12:00:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_late").filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getInt(2)))
+      // == batch over the KEPT rows: the dropped straggler must not
+      // count (n_events 3, not 4), the within-lateness one must
+      val kept = Seq((1L, ts("2025-05-01 10:00:00")),
+        (1L, ts("2025-05-01 10:10:00")), (1L, ts("2025-05-01 10:32:00")))
+      val batch = Sessionize.sessionizeBatch(kept.toDF("user_id", "ts"), 1800)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getInt(2)))
+      assert(got.toSeq === batch.toSeq)
+      assert(got.toSeq === Seq(("2025-05-01 10:00:00.0",
+        "2025-05-01 10:32:00.0", 3)))
+    } finally q.stop()
+  }
 }
