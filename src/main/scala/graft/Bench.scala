@@ -55,6 +55,13 @@ import org.apache.spark.sql.SparkSession
   *    window: it is harness hygiene, not query cost.
   */
 object Bench {
+
+  /** Matches the start of any ScaleSmoke section key in
+    * BENCH_DETAIL.json (`"sf1_smoke":`, `"sf3_smoke":`, …) — shared by
+    * Bench's preserve and ScaleSmoke's splice so the two can never
+    * disagree about where the smoke tail begins. */
+  private[graft] val smokeSectionPattern = "\"sf[0-9x.]+_smoke\":".r
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,15 +181,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallTotal = small.map(_._2).filter(_ >= 0).sum
 
-    // preserve the ScaleSmoke section (always the LAST key in the file)
-    // across bench rewrites — it is produced by a separate, much longer
-    // run and must not vanish every bench cycle
+    // preserve the ScaleSmoke sections (always the LAST keys in the
+    // file — sf1_smoke, sf3_smoke, …) across bench rewrites — they are
+    // produced by separate, much longer runs and must not vanish every
+    // bench cycle
     val prevSf1: String = try {
       val f = new java.io.File("BENCH_DETAIL.json")
       if (f.isFile) {
         val src = scala.io.Source.fromFile(f)
         val s = try src.mkString finally src.close()
-        val i = s.indexOf("\"sf1_smoke\":")
+        val i = Bench.smokeSectionPattern.findFirstMatchIn(s).map(_.start).getOrElse(-1)
         if (i >= 0) "," + s.substring(i, s.lastIndexOf('}')) else ""
       } else ""
     } catch { case _: Throwable => "" }

@@ -102,8 +102,25 @@ object ScaleSmoke {
     val (mc, mo, mp, ms) = (maxOf(cust, "c_custkey"), maxOf(ord, "o_orderkey"),
       maxOf(part, "p_partkey"), maxOf(supp, "s_suppkey"))
 
-    write(replicate(cust)((d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + i * mc)), "customer")
+    // customer NAMES get a per-replica digit remap into a rotated
+    // 36-char ring: replicas stay isomorphic (the in-replica typo
+    // structure q_record_linkage links is untouched — the "Customer"
+    // prefix survives) but name-derived blocking keys are DISJOINT
+    // across replicas, so linkage block sizes — and Σ|block|², the
+    // quantity its cost actually tracks — stay constant while the
+    // corpus grows, exactly like the documents Caesar rotation.
+    // (Identical copies would instead grow every block ×mult and pair
+    // work ×mult² by construction.) Disjointness holds because keys
+    // ≤ ~10^6 render with 3+ leading zeros: the leading zero maps to a
+    // replica-unique ring char. Requires mult <= 36.
+    val ring = "0123456789abcdefghijklmnopqrstuvwxyz"
+    require(mult <= 36, s"customer-name digit remap supports mult <= 36, got $mult")
+    def digitMap(i: Int) = (ring.drop(i) + ring.take(i)).take(10)
+    write(replicate(cust)((d, i) => d
+      .withColumn("c_custkey", col("c_custkey") + i * mc)
+      .withColumn("c_name",
+        if (i == 0) col("c_name")
+        else translate(col("c_name"), "0123456789", digitMap(i)))), "customer")
     write(replicate(supp)((d, i) =>
       d.withColumn("s_suppkey", col("s_suppkey") + i * ms)), "supplier")
     write(replicate(part)((d, i) =>
@@ -191,20 +208,33 @@ object ScaleSmoke {
 
     def jmap(m: Map[String, Double]): String = names
       .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
-    val section = s""""sf1_smoke":{"mult":$mult,"sf_base":"$srcDir",""" +
+    // section name follows the amplified scale: mult 10 -> sf1_smoke
+    // (the historical key), mult 30 -> sf3_smoke, …
+    val key = if (mult % 10 == 0) s"sf${mult / 10}_smoke" else s"sfx${mult}_smoke"
+    val section = s""""$key":{"mult":$mult,"sf_base":"$srcDir",""" +
       s""""base":${jmap(base)},"sf1":${jmap(big)},"ratio":${jmap(ratios)},""" +
       s""""outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
 
-    // splice into BENCH_DETAIL.json (section is kept LAST in the file;
-    // Bench re-appends it on its own rewrites)
+    // splice into BENCH_DETAIL.json: all smoke sections live LAST in
+    // the file (Bench re-appends them on its own rewrites); rewrite
+    // only THIS mult's section, preserving the other scales' results
     val f = new java.io.File("BENCH_DETAIL.json")
     val body = if (f.isFile) {
       val src = scala.io.Source.fromFile(f)
       val s = try src.mkString.trim finally src.close()
-      val cut = s.indexOf("\"sf1_smoke\":")
-      val head = if (cut >= 0) s.substring(0, cut).reverse.dropWhile(c => c == ',' || c.isWhitespace).reverse
-        else s.substring(0, s.lastIndexOf('}')).trim
-      head + "," + section + "}"
+      val hits = Bench.smokeSectionPattern.findAllMatchIn(s).map(_.start).toList
+      def rstrip(x: String) =
+        x.reverse.dropWhile(c => c == ',' || c.isWhitespace).reverse
+      val head =
+        if (hits.nonEmpty) rstrip(s.substring(0, hits.head))
+        else rstrip(s.substring(0, s.lastIndexOf('}')).trim)
+      val tail = if (hits.nonEmpty) s.substring(hits.head, s.lastIndexOf('}')) else ""
+      val starts = Bench.smokeSectionPattern.findAllMatchIn(tail).map(_.start).toList
+      val sections = starts.zip(starts.drop(1) :+ tail.length).map {
+        case (a, b) => rstrip(tail.substring(a, b).trim)
+      }
+      val kept = sections.filterNot(_.startsWith("\"" + key + "\""))
+      head + "," + (kept :+ section).mkString(",") + "}"
     } else "{" + section + "}"
     val w = new java.io.PrintWriter(f)
     try w.println(body) finally w.close()

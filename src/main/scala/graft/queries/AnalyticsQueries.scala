@@ -261,6 +261,55 @@ object AnalyticsQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // LAYOUT AUDIT (ops.Layout): write the 3-dim z-ordered layout and a
+    // single-column-sorted control to scratch, then measure — from the
+    // files themselves — the fraction of files a point filter must
+    // read per dimension. The driver-visible gate asserts the z layout
+    // skips files on its secondary dims STRICTLY better than the
+    // column sort (and bounds the primary dim absolutely); file counts
+    // are exact. A writeZOrderedN regression that stops clustering
+    // flips the booleans and the oracle hash goes red.
+    "q_layout_audit" -> ((s, dir) => {
+      import graft.ops.Layout
+      val nF = 8
+      val zdf = t(s, dir, "part").select(
+        col("p_partkey"),
+        pmod(col("p_partkey"), lit(zMod)).as("a"),
+        pmod(col("p_size").cast("long") * 7919L, lit(zMod)).as("b"),
+        pmod(round(col("p_retailprice") * 100, 0).cast("long") * 104729L,
+          lit(zMod)).as("c"))
+      val base = graft.Scratch.dir("graft-layout", dir)
+      Scale.writeZOrderedN(zdf, s"$base/z", Seq("a", "b", "c"),
+        bits = zBits, nFiles = nF)
+      zdf.repartitionByRange(nF, col("a")).sortWithinPartitions(col("a"))
+        .write.mode("overwrite").parquet(s"$base/plain")
+      val zs = Layout.fileStats(s, s"$base/z", Seq("a", "b", "c"))
+      val ps = Layout.fileStats(s, s"$base/plain", Seq("a", "b", "c"))
+      val probes = Seq(13L, 300L, 517L, 700L, 1000L)
+      def f(st: org.apache.spark.sql.DataFrame, d: String) =
+        Layout.readFraction(st, d, probes)
+      import s.implicits._
+      Seq((zs.count(), ps.count(),
+        f(zs, "a") < 0.9,
+        f(zs, "b") < f(ps, "b"), f(zs, "c") < f(ps, "c")))
+        .toDF("n_files_z", "n_files_plain", "z_skips_a",
+          "z_beats_plain_b", "z_beats_plain_c")
+    }),
+
+    // Dense 0-based global index (ops.Scale.zipWithOrderedIndex): the
+    // scale-safe replacement for row_number() OVER (ORDER BY …) — range
+    // partition + per-partition numbering + driver offset cumsum over
+    // #partitions scalars, entirely in DataFrame ops (no RDD seam, no
+    // global single-partition window). Oracle-pinned against DuckDB's
+    // actual row_number over the same total order at every SF.
+    "q_ordered_index" -> ((s, dir) => {
+      Scale.zipWithOrderedIndex(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal")),
+          Seq(col("c_nationkey"), col("c_acctbal"), col("c_custkey")), "idx")
+        .orderBy(col("c_custkey"))
+    }),
+
     // n-column Z-order key (ops.Scale.zValueN, VERDICT r8 item 7):
     // 3-way bit-round-robin over bucketed (key, size, retailprice)
     // dims — the layout key that gives a file tight min/max stats on
@@ -526,6 +575,21 @@ object AnalyticsQueries {
         s"CAST((CAST(p_size AS BIGINT) * 7919) % $zMod AS BIGINT)", zBits)
       s"""SELECT p_partkey, $z AS zval FROM part ORDER BY p_partkey""".stripMargin
     },
+
+    // assertion-oracle: exact file counts + the expected layout verdict
+    "q_layout_audit" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files_z,
+        |  CAST(8 AS BIGINT) AS n_files_plain,
+        |  TRUE AS z_skips_a, TRUE AS z_beats_plain_b,
+        |  TRUE AS z_beats_plain_c""".stripMargin,
+
+    // the distributed two-phase numbering must equal the engine's own
+    // global rank exactly (0-based), over the identical total order
+    "q_ordered_index" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CAST(row_number() OVER (ORDER BY c_nationkey, c_acctbal, c_custkey) - 1
+        |    AS BIGINT) AS idx
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // identical 3-way bit positions via the shared generator
     "q_zorder3" -> {

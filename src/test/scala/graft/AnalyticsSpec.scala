@@ -270,6 +270,29 @@ class AnalyticsSpec extends SparkSpec {
         s"3-col z-order must bound $dim per file")
   }
 
+  test("Layout.fileStats/readFraction: per-file stats equal hand-derived footers") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("layoutfs").toString
+    // two files with KNOWN disjoint ranges: partitionBy on a 2-value
+    // column yields one leaf dir each; audit the leaves separately
+    (1L to 100L).map(i => (i, i * 3)).toDF("k", "v")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.parquet(s"$dir/t")
+    val st = Layout.fileStats(spark, s"$dir/t", Seq("k", "v")).collect()
+    assert(st.length === 2)
+    assert(st.map(_.getLong(st.head.fieldIndex("n_rows"))).sum === 100L)
+    // the two files tile [1,100] on k disjointly (range partition)
+    val ranges = st.map(r => (r.getLong(r.fieldIndex("k_min")),
+      r.getLong(r.fieldIndex("k_max")))).sortBy(_._1)
+    assert(ranges.head._1 === 1L && ranges.last._2 === 100L)
+    assert(ranges.head._2 < ranges.last._1, "range files must not overlap on k")
+    // probe containment arithmetic: a probe inside one file's range
+    // reads 1 of 2 files; outside both reads none
+    val stats = Layout.fileStats(spark, s"$dir/t", Seq("k"))
+    assert(Layout.readFraction(stats, "k", Seq(ranges.head._1)) === 0.5)
+    assert(Layout.readFraction(stats, "k", Seq(1000L)) === 0.0)
+  }
+
   test("anomaly z-scores: hand-computed group stats, null for degenerate groups") {
     import spark.implicits._
     import graft.ops.Anomaly
