@@ -115,22 +115,47 @@ object Dedup {
     val banded = sig.select(col("id"),
         explode(lshBands(col("sig"), bandRows, nBands)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
-    val buckets = banded
+    // when a cap is set, SIZE buckets BEFORE collecting (the Linkage
+    // posture): a boilerplate flood bucket would otherwise materialize
+    // its full membership in one agg buffer and kill the task before
+    // the size filter could drop it. The sizing pass is count +
+    // bounded-sample only — (16-byte key, long) through the shuffle.
+    // The bounded sample needs numeric ids (cast to long; the
+    // pruneOversizedBuckets contract) — string-id callers that need
+    // flood diversion should map ids first. Uncapped callers keep the
+    // single-pass shape.
+    val (safe, flagged) =
+      if (maxBucket == Int.MaxValue)
+        (banded, sizedBuckets(banded, Seq("band_id", "band_key"))
+          .filter(lit(false)))
+      else {
+        val over = sizedBuckets(banded, Seq("band_id", "band_key"))
+          .filter(col("n_ids") > maxBucket)
+        (banded.join(over.select(col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"), "left_anti"), over)
+      }
+    val pairs = safe
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    // ordered pairs within each capped bucket: ids[i] × ids[i+1..]
-    val pairs = buckets
-      .filter(size(col("ids")) <= maxBucket)
       .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
-    // bounded sample only: a pathological bucket can hold millions of
-    // ids — never materialize the full membership in the side output
-    val flagged = buckets
-      .filter(size(col("ids")) > maxBucket)
-      .select(col("band_id"), col("band_key"),
-        size(col("ids")).as("n_ids"), slice(col("ids"), 1, 20).as("sample_ids"))
     LshCandidates(pairs, flagged)
+  }
+
+  /** Bucket sizing pass shared by the capped candidate generators:
+    * (bucket keys, n_ids, sample_ids) with a BOUNDED 20-smallest-id
+    * sample via the argmax-k aggregate — only a count and ≤ 20 ids per
+    * bucket cross the shuffle, never the membership. */
+  private def sizedBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val sample20 = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(-col("id").cast("double"), col("id").cast("long"))), 20)
+      .toAggregateExpression())
+    rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
+      .select(keys.map(col) ++ Seq(col("n_ids"),
+        transform(col("__top"), e => e.getField("id")).as("sample_ids")): _*)
   }
 
   /** Bucket-local no-self-join pair kernel, shared by every LSH-style
@@ -176,25 +201,16 @@ object Dedup {
     * both inflate n_ids and repeat ids in sample_ids. */
   case class PrunedBands(pruned: DataFrame, flagged: DataFrame)
   def pruneOversizedBuckets(bands: DataFrame, maxBucket: Int): PrunedBands = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    // bounded sample via the argmax-k aggregate (score = −id keeps the
-    // 20 SMALLEST ids, ascending — the deterministic pick): only a
-    // count and ≤20 ids per bucket cross the shuffle, never the full
-    // membership, so a 50M-doc boilerplate bucket costs the same as a
-    // 21-doc one. Requires long ids (the aggregate's contract).
-    // Precision bound: the score ranks via double, exact only for
-    // |id| ≤ 2^53 — above that, ids collapsing to one double may make
-    // sample_ids not strictly the smallest 20 (the (score, id) tie-break
-    // keeps the sample deterministic either way). Fine for sequence ids;
-    // hash-derived 64-bit ids get A deterministic sample, not the MIN-20.
-    val sample20 = column(graft.expr.catalyst.TopKByScore(
-      expression(struct(-col("id").cast("double"), col("id").cast("long"))), 20)
-      .toAggregateExpression())
-    val sized = bands.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
-    val flagged = sized.filter(col("n_ids") > maxBucket)
-      .select(col("band_id"), col("band_key"), col("n_ids"),
-        transform(col("__top"), e => e.getField("id")).as("sample_ids"))
+    // sizing + bounded sample via the shared sizedBuckets pass (the
+    // argmax-k aggregate keeps the 20 SMALLEST ids — deterministic).
+    // Precision bound: the sample score ranks via double, exact only
+    // for |id| ≤ 2^53 — above that, ids collapsing to one double may
+    // make sample_ids not strictly the smallest 20 (the (score, id)
+    // tie-break keeps the sample deterministic either way). Fine for
+    // sequence ids; hash-derived 64-bit ids get A deterministic
+    // sample, not the MIN-20.
+    val flagged = sizedBuckets(bands, Seq("band_id", "band_key"))
+      .filter(col("n_ids") > maxBucket)
     val pruned = bands.join(flagged.select(col("band_id"), col("band_key")),
       Seq("band_id", "band_key"), "left_anti")
     PrunedBands(pruned, flagged)
@@ -264,14 +280,23 @@ object Dedup {
 
   // ---- SimHash near-dup ----
 
+  /** Pairs + skew side-output of the SimHash candidate generation —
+    * the [[LshCandidates]] posture for the banded-simhash path. */
+  case class SimhashCandidates(pairs: DataFrame, flaggedBuckets: DataFrame)
+
   /** SimHash near-dup candidate pairs: split the 64-bit simhash into
     * `nBands` chunks; by pigeonhole, two hashes within Hamming distance
     * `nBands − 1` share at least one exact chunk, so bucketing on
     * (band_id, chunk) finds all such pairs with one shuffle of
     * (16-bit chunk, id) — then the exact Hamming check confirms.
-    * Same bucket-groupBy shape as minhashLshPairs (no self-join). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    * Same bucket-groupBy shape as minhashLshPairs (no self-join);
+    * `maxBucket` diverts flood buckets (identical boilerplate hashes
+    * share every chunk) to `flaggedBuckets` via the same
+    * size-before-collect pass, so the flood never materializes in an
+    * agg buffer and never pairs quadratically. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        nBands: Int = 4, maxHamming: Int = 3,
+                        maxBucket: Int = Int.MaxValue): SimhashCandidates = {
     require(64 % nBands == 0, "nBands must divide 64")
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
@@ -282,7 +307,16 @@ object Dedup {
           shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask)).as("chunk"))): _*))
         .as("band"))
       .select(col("id"), col("h"), col("band.band_id"), col("band.chunk"))
-    val buckets = banded
+    val (safe, flagged) =
+      if (maxBucket == Int.MaxValue)
+        (banded, sizedBuckets(banded, Seq("band_id", "chunk")).filter(lit(false)))
+      else {
+        val over = sizedBuckets(banded, Seq("band_id", "chunk"))
+          .filter(col("n_ids") > maxBucket)
+        (banded.join(over.select(col("band_id"), col("chunk")),
+          Seq("band_id", "chunk"), "left_anti"), over)
+      }
+    val buckets = safe
       .groupBy(col("band_id"), col("chunk"))
       .agg(sort_array(collect_set(struct(col("id"), col("h")))).as("members"))
       .filter(size(col("members")) > 1)
@@ -293,11 +327,18 @@ object Dedup {
             a.getField("h").as("h_a"), b.getField("h").as("h_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.h_a"), col("p.h_b"))
       .distinct()
-    pairs
+    val confirmed = pairs
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    SimhashCandidates(confirmed, flagged)
   }
+
+  /** Pairs-only convenience — see [[simhashCandidates]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   nBands: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashCandidates(df, idCol, textCol, nBands, maxHamming, maxBucket).pairs
 
   // ---- near-dup cluster resolution ----
 

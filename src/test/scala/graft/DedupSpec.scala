@@ -76,8 +76,11 @@ class DedupSpec extends SparkSpec {
     // the cluster surfaces in the side output with a bounded sample
     val flagged = res.flaggedBuckets.collect()
     assert(flagged.nonEmpty, "expected flagged oversized buckets")
-    assert(flagged.forall(r => r.getAs[Int]("n_ids") === 30))
+    assert(flagged.forall(r => r.getAs[Long]("n_ids") === 30L))
     assert(flagged.forall(r => r.getAs[Seq[Long]]("sample_ids").size <= 20))
+    // the bounded sample is the 20 SMALLEST member ids, ascending
+    assert(flagged.forall(r =>
+      r.getAs[Seq[Long]]("sample_ids") == (500L until 520L)))
     // normal near-dups still found
     val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
     assert(planted.count(pairs.contains) >= 8)
@@ -85,6 +88,36 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count { case (a, b) => a >= 500 && b >= 500 } === 30 * 29 / 2)
+    // and on a flood-free corpus, the capped and uncapped paths emit
+    // the IDENTICAL pair set (the sizing pass must not change results)
+    val clean = corpus().toDF("doc_id", "text")
+    val cap = Dedup.minhashLshCandidates(clean, "doc_id", "text", maxBucket = 10)
+      .pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val noCap = Dedup.minhashLshPairs(clean, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap === noCap)
+  }
+
+  test("simhashCandidates: flood bucket diverts with a bounded sample, never pairs") {
+    // 40 identical docs share EVERY simhash chunk; cap at 25
+    val boiler = (900 until 940).map(i => (i.toLong, "same exact boilerplate text here"))
+    val normal = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "totally different content words entirely distinct"))
+    val df = (normal ++ boiler).toDF("doc_id", "text")
+    val res = Dedup.simhashCandidates(df, "doc_id", "text", maxBucket = 25)
+    val pairs = res.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 900 && b >= 900 },
+      "flood bucket must not pair")
+    val flagged = res.flaggedBuckets.collect()
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(r => r.getAs[Long]("n_ids") === 40L))
+    assert(flagged.forall(r => r.getAs[Seq[Long]]("sample_ids") == (900L until 920L)))
+    // flood-free input: capped == uncapped pair-for-pair
+    val clean = normal.toDF("doc_id", "text")
+    def ps(cap: Int) = Dedup.simhashPairs(clean, "doc_id", "text", maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ps(25) === ps(Int.MaxValue))
   }
 
   test("ngramJaccard: near-dups score high, unrelated docs score low") {
