@@ -67,8 +67,10 @@ object SimilarityQueries {
 
     // Multi-table LSH ANN (the shuffle-light scale path): 12 tables ×
     // 4-bit hyperplane buckets, union of same-bucket candidates, cosine
-    // top-5 — xxhash64-based planes have no DuckDB equivalent, so the
-    // driver records rows-only; recall vs brute force is spec-asserted.
+    // top-5. VALUE-EXACT oracle: the xxhash64-parity plane matrix is
+    // data-free, so lshOracleSql embeds it as DuckDB literals and
+    // replays bucketing + cosine ranking bit-for-bit; recall vs brute
+    // force stays spec-asserted and driver-visible via the _recall twin.
     "q_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       Ann.lshTopK(e.filter(col("id") < 8), e, k = 5)
@@ -483,6 +485,54 @@ object SimilarityQueries {
   private def dot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Value-exact DuckDB restatement of [[Ann.lshTopK]] (the SimHashSql
+    * move applied to vectors): the hyperplane weights are DATA-FREE
+    * constants — parity of xxhash64 over (plane, elemIndex) — so the
+    * generator evaluates the same `LshKernel.weight` the fused Spark
+    * kernel calls and embeds the nTables·nBits × dim ±1 matrix as a SQL
+    * literal. The rest is engine-neutral arithmetic DuckDB reproduces
+    * bit-for-bit: sequential-double projections (the q_vector_norms
+    * precedent), sign→bucket bits, same-bucket candidate union,
+    * guarded cosine, (sim DESC, nid) ranking (the q_cosine_topk
+    * precedent). `dim` is pinned to the fixture's embedding length —
+    * the weight matrix must cover every element. */
+  private def lshOracleSql(nBits: Int, nTables: Int, dim: Int, k: Int): String = {
+    val planeRows = (0 until nBits * nTables).map { p =>
+      val w = (0 until dim)
+        .map(i => if (graft.expr.catalyst.LshKernel.weight(p, i) > 0) "1" else "-1")
+        .mkString(",")
+      s"($p, [$w])"
+    }.mkString(",\n    ")
+    s"""WITH planes(p, w) AS (VALUES
+       |    $planeRows),
+       |e AS (SELECT vec_id AS id, embedding AS v,
+       |        sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |projs AS (
+       |  SELECT e.id, pl.p // $nBits AS tbl, pl.p % $nBits AS bit,
+       |    list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> CAST(e.v[i] AS DOUBLE) * CAST(pl.w[i] AS DOUBLE))) AS proj
+       |  FROM e CROSS JOIN planes pl),
+       |bucketed AS (
+       |  SELECT id, tbl * ${1 << nBits} +
+       |    CAST(sum(CASE WHEN proj >= 0 THEN 1 << bit ELSE 0 END) AS INT) AS bucket
+       |  FROM projs GROUP BY id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM bucketed q JOIN bucketed c USING (bucket)
+       |  WHERE q.id < 8 AND q.id <> c.id),
+       |sims AS (
+       |  SELECT cand.qid, cand.nid,
+       |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+       |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+       |  FROM cand JOIN e qe ON qe.id = cand.qid JOIN e ce ON ce.id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM sims)
+       |SELECT qid, rank, nid FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_vector_norms" ->
@@ -526,11 +576,18 @@ object SimilarityQueries {
          |FROM ranked WHERE rank BETWEEN 2 AND 11
          |ORDER BY qid, neg_rank""".stripMargin,
 
-    // q_ann_lsh / q_ann_ivf: no oracle (xxhash64 hyperplanes /
-    // engine-internal list assignment) — rows-only, recall spec-tested.
-    // The *_recall twins below make quality driver-visible: the oracle
-    // produces the fixed qid set and the expected full-containment
-    // counts; Spark computes the real counts from the ANN output.
+    // q_ann_lsh: VALUE-EXACT — the hyperplane signs are data-free
+    // xxhash64 parities, restated as an embedded ±1 literal matrix
+    // (lshOracleSql). q_ann_ivf stays rows-only by design: its k-means
+    // centroids are Spark sum(double) aggregates whose partition-order
+    // summation DuckDB cannot replicate, and a last-ulp centroid
+    // difference can flip a list assignment and thus the probed
+    // candidate set. The *_recall twins keep quality driver-visible
+    // either way: the oracle produces the fixed qid set and the
+    // expected full-containment counts; Spark computes the real counts
+    // from the ANN output.
+
+    "q_ann_lsh" -> lshOracleSql(nBits = 4, nTables = 12, dim = 64, k = 5),
 
     "q_ann_lsh_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
