@@ -433,6 +433,36 @@ object CurationQueries {
         .select(col("doc_id"), col("matches_fold"), col("tokens_within_bounds"))
         .orderBy(col("doc_id"))
     }),
+
+    // Reproducible epoch-3 shuffle into 8 shards: every row's
+    // (shuffle_key, shard, pos_in_shard) is a pure function of
+    // (doc_id, epoch) via xxhash64 — rerunnable, resumable, auditable
+    // training order. One shard-hash shuffle + shard-local sort; the
+    // oracle replays the XXH64 chain through XxhashSql and DuckDB's
+    // own row_number, so the permutation is value-exact cross-engine.
+    "q_epoch_shuffle" -> ((s, dir) => {
+      graft.ops.Sampling.epochShuffle(
+          docs(s, dir).select(col("doc_id")), "doc_id",
+          epoch = 3, nShards = 8)
+        .orderBy(col("shard"), col("pos_in_shard"))
+    }),
+
+    // Deterministic weighted up/down-sampling: per-source weights
+    // 0.25/1.0/1.75/2.5 (source index mod 4) exercise drop, identity,
+    // and both fractional-replication arms; the fractional coin is an
+    // INTEGER compare of the key's top 53 bits against
+    // floor(frac(w)·2^53), so the oracle reproduces every boundary
+    // decision bit-for-bit.
+    "q_weighted_upsample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("weight", lit(0.25) +
+          (substring(col("source"), 4, 10).cast("int") % 4).cast("double")
+            * lit(0.75))
+      graft.ops.Sampling.weightedUpsample(d, "doc_id", col("weight"),
+          salt = 7L)
+        .select(col("doc_id"), col("rep"), col("weight"))
+        .orderBy(col("doc_id"), col("rep"))
+    }),
   )
 
   private val toks =
@@ -1052,5 +1082,58 @@ object CurationQueries {
     "q_bpe_encode" ->
       """SELECT doc_id, TRUE AS matches_fold, TRUE AS tokens_within_bounds
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_epoch_shuffle" -> SamplingSql.epochShuffleOracle(epoch = 3, nShards = 8),
+
+    "q_weighted_upsample" -> SamplingSql.weightedUpsampleOracle(salt = 7L),
   )
+}
+
+/** Value-exact DuckDB restatements of the [[graft.ops.Sampling]]
+  * operators: the shuffle/coin keys are xxhash64 chains over LongType
+  * inputs, replayed step-for-step through [[XxhashSql.hashLong]]. */
+private object SamplingSql {
+  import XxhashSql.{Prog, hashLong, signed, unsigned}
+
+  /** (doc_id, shuffle_key) — the xxhash64(doc_id, lit) chain:
+    * hashLong(lit, hashLong(doc_id, 42)). */
+  private def keyed(lit: Long): String = {
+    val p = new Prog(
+      s"SELECT doc_id, ${unsigned("doc_id")} AS u FROM documents")
+    val h1 = hashLong(p, "u", "42")
+    val xx = hashLong(p, lit.toString, h1)
+    p.render(s"doc_id, ${signed(xx)} AS shuffle_key")
+  }
+
+  def epochShuffleOracle(epoch: Int, nShards: Int): String =
+    s"""WITH sharded AS (
+       |  SELECT doc_id, shuffle_key,
+       |    CAST(((shuffle_key % $nShards) + $nShards) % $nShards AS INTEGER) AS shard
+       |  FROM (${keyed(epoch.toLong)}))
+       |SELECT doc_id, shuffle_key, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY shuffle_key, doc_id) AS pos_in_shard
+       |FROM sharded ORDER BY shard, pos_in_shard""".stripMargin
+
+  /** Same weight derivation as the Spark query (exact binary doubles:
+    * 0.25 + (idx%4)·0.75), the same integer coin (top 53 key bits vs
+    * floor(frac·2^53)), and unnest(range(0, copies)) — which drops
+    * copies=0 rows exactly like the Spark filter. */
+  def weightedUpsampleOracle(salt: Long): String =
+    s"""WITH keyed AS (${keyed(salt)}),
+       |weighted AS (
+       |  SELECT d.doc_id,
+       |    CAST(0.25 + (CAST(substr(d.source, 4) AS INTEGER) % 4) * 0.75
+       |      AS DOUBLE) AS weight,
+       |    ${unsigned("k.shuffle_key")} // 2048 AS u53
+       |  FROM documents d JOIN keyed k USING (doc_id)),
+       |counted AS (
+       |  SELECT doc_id, weight,
+       |    CAST(floor(weight) AS BIGINT) +
+       |      CASE WHEN u53 < CAST(floor((weight - floor(weight))
+       |        * 9007199254740992e0) AS BIGINT) THEN 1 ELSE 0 END AS copies
+       |  FROM weighted)
+       |SELECT doc_id, rep, weight FROM (
+       |  SELECT doc_id, unnest(range(0, copies)) AS rep, weight
+       |  FROM counted) ORDER BY doc_id, rep""".stripMargin
 }

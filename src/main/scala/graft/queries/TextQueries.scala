@@ -998,39 +998,7 @@ object TextQueries {
   * the final avalanche (33/29/32 shifts). Verified bit-exact against
   * the kernel by the driver's hash compare at all SFs. */
 private object SimHashSql {
-  private val M = "18446744073709551616"   // 2^64
-  private val P1 = "11400714785074694791"  // 0x9E3779B185EBCA87
-  private val P2 = "14029467366897019727"  // 0xC2B2AE3D27D4EB4F
-  private val P3 = "1609587929392839161"   // 0x165667B19E3779F9
-  private val P4 = "9650029242287828579"   // 0x85EBCA77C2B2AE63
-  private val P5 = "2870177450012600261"   // 0x27D4EB2F165667C5
-
-  private def mul(a: String, b: String): String =
-    s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
-      s"(((($a) // 4294967296) * (($b) % 4294967296) + " +
-      s"(($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) " +
-      s"* 4294967296) % $M)"
-  private def add(a: String, b: String): String = s"((($a) + ($b)) % $M)"
-  private def xor(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-  private def rotl(x: String, r: Int): String =
-    s"(((($x) * ${1L << r}) % $M) + (($x) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}))"
-  private def shr(x: String, n: Int): String = s"(($x) // ${1L << n})"
-
-  /** One derived column per primitive op: each step sees the previous
-    * step's VALUE as a column reference, so textual operand duplication
-    * inside mul/rotl stays O(1). */
-  private final class Prog(val from: String) {
-    private val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    private var n = 0
-    def add(expr: String): String = {
-      n += 1; val c = s"x$n"; steps += ((c, expr)); c
-    }
-    def render(select: String): String =
-      s"SELECT $select FROM " +
-        steps.foldLeft(s"($from)")((acc, s) =>
-          s"(SELECT *, ${s._2} AS ${s._1} FROM $acc)")
-  }
+  import XxhashSql.{M, P1, P2, P3, P4, P5, Prog, add, mul, rotl, shr, signed, xor}
 
   /** The per-distinct-token XXH64(seed 42) pipeline as a SQL subquery
     * yielding (tok, xx) with xx the UNSIGNED hash in [0, 2^64). */
@@ -1108,10 +1076,6 @@ private object SimHashSql {
          |    CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bp
          |    GROUP BY 1, 2)
          |  GROUP BY doc_id)""".stripMargin
-
-  /** Signed-BIGINT view of an unsigned HUGEINT hash column. */
-  private def signed(c: String): String =
-    s"CAST(CASE WHEN $c >= 9223372036854775808 THEN $c - $M ELSE $c END AS BIGINT)"
 
   val simhashOracle: String =
     s"""WITH $docSimhash
