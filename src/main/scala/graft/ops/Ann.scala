@@ -976,6 +976,48 @@ object Ann {
     Scale.sizeDistribution(
       assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_ids")), "n_ids")
 
+  /** Semantic decontamination — the embedding-level counterpart of the
+    * n-gram `Curation.contamination` (the Llama-3-style recipe: drop
+    * training documents that are semantically near an eval item even
+    * when no n-gram matches). Flags every corpus vector whose cosine
+    * to ANY benchmark vector reaches `tau`; emits
+    * (id, bench_id, bench_sim, contaminated) with the NEAREST
+    * benchmark item and its exact cosine, so the threshold can be
+    * re-tuned from the output without a re-scan.
+    *
+    * Scale shape: benchmark sets are eval-suite-sized by nature, so
+    * the bench side packs into ONE broadcast array (the nearestLists
+    * posture, guarded loudly) and the corpus streams — per-row fused
+    * O(|bench|·dim) work, zero shuffle, zero row expansion; at 100 TB
+    * this is a map-only pass over the corpus. A null corpus vector is
+    * KEPT with null bench_id/bench_sim and contaminated=false (the
+    * conservative verdict — decontam must never silently drop rows;
+    * flag-and-review is the caller's job). */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, tau: Double,
+                       maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1, 1], got $tau")
+    val bg = Guard.broadcastSmall(bench, "semanticDecontam benchmark",
+      maxBroadcastRows)
+    val packed = bg.agg(collect_list(struct(
+      col("id").cast("long").as("cid"), col("vec").as("cv"),
+      Vectors.l2Norm(col("vec")).as("cn"))).as("__bench"))
+    val benchSide = bg.select(col("id").cast("long").as("bench_id"),
+      col("vec").as("__bv"), Vectors.l2Norm(col("vec")).as("__bn"))
+    corpus.select(col("id"), col("vec"),
+        Vectors.l2Norm(col("vec")).as("__qn"))
+      .crossJoin(broadcast(packed))
+      .withColumn("bench_id",
+        explode_outer(Vectors.nearestCents(col("vec"), col("__bench"), 1,
+          "cosine")))
+      .drop("__bench")
+      .join(broadcast(benchSide), Seq("bench_id"), "left")
+      .withColumn("bench_sim",
+        when(col("__qn") > 0 && col("__bn") > 0,
+          Vectors.dot(col("vec"), col("__bv")) / (col("__qn") * col("__bn"))))
+      .select(col("id"), col("bench_id"), col("bench_sim"),
+        coalesce(col("bench_sim") >= tau, lit(false)).as("contaminated"))
+  }
+
   /** Rank candidate pairs by cosine, keep top k per query — via the
     * bounded argmax-k aggregate (expr.catalyst.TopKByScore): map-side
     * partial top-k, k rows per partition through the shuffle, no

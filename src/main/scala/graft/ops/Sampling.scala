@@ -35,6 +35,15 @@ object Sampling {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
                    nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    val added = Seq("shuffle_key", "shard", "pos_in_shard")
+    require(!df.columns.exists(added.contains),
+      s"columns ${added.mkString(", ")} are produced by epochShuffle — " +
+        "rename the input's clashing column (withColumn would silently " +
+        "overwrite it)")
+    // contract: idCol is unique and non-null. A duplicate id collides
+    // on the key and ties on the (key, id) sort, so the relative order
+    // of its copies — and their pos_in_shard — would be partitioning-
+    // dependent; null ids all hash to one key with the same tie.
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col(idCol))
     df.withColumn("shuffle_key", xxhash64(col(idCol), lit(epoch.toLong)))
@@ -61,9 +70,19 @@ object Sampling {
     * w) copies); no shuffle, no state. */
   def weightedUpsample(df: DataFrame, idCol: String, weight: Column,
                        salt: Long = 0L): DataFrame = {
+    require(!df.columns.contains("rep"),
+      "column rep is produced by weightedUpsample — rename the input's")
+    // a null/NaN/negative weight would otherwise DROP the row silently
+    // (null copies fails the >0 filter; ANSI would kill the whole scan
+    // on cast(NaN as long)) — fail loudly per offending row instead
+    val checked = when(weight.isNull || isnan(weight) || weight < 0,
+        raise_error(concat(
+          lit("weightedUpsample: null/NaN/negative weight for id "),
+          col(idCol).cast("string"))).cast("double"))
+      .otherwise(weight)
     val key = xxhash64(col(idCol), lit(salt))
-    val base = floor(weight).cast("long")
-    val thresh = floor((weight - floor(weight)) * lit(9007199254740992.0))
+    val base = floor(checked).cast("long")
+    val thresh = floor((checked - floor(checked)) * lit(9007199254740992.0))
       .cast("long") // floor(frac(w) * 2^53)
     val copies = base +
       when(shiftrightunsigned(key, 11) < thresh, 1L).otherwise(0L)

@@ -449,6 +449,21 @@ object SimilarityQueries {
         .orderBy(col("id"))
     }),
 
+    // Semantic decontamination (the embedding-level counterpart of
+    // q_decontam's n-gram spans): benchmark = vectors 0-31 packed into
+    // one broadcast array, corpus = the rest streamed map-only; each
+    // corpus row gets its nearest benchmark item, the exact cosine,
+    // and the tau verdict. Value-exact: the fused nearest pick orders
+    // identically to DuckDB's (sim DESC, bid) window (the
+    // q_cluster_sample precedent), and the sim is the sequential-
+    // double dot both engines share.
+    "q_semantic_decontam" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.semanticDecontam(e.filter(col("id") >= 32),
+          e.filter(col("id") < 32), tau = 0.35)
+        .orderBy(col("id"))
+    }),
+
     // Centroid distance per cluster label: grouped vector aggregation —
     // euclidean distance of each vector to its label's first member
     // (deterministic representative), exercising l2Sq at scale shape.
@@ -690,6 +705,28 @@ object SimilarityQueries {
          |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY id) AS rn
          |    FROM assigned) WHERE rn <= 10)
          |SELECT id, cid FROM capped ORDER BY id""".stripMargin,
+
+    "q_semantic_decontam" ->
+      s"""WITH b AS (
+         |  SELECT vec_id AS bid, embedding AS bv,
+         |    sqrt(${dot("embedding", "embedding")}) AS bn
+         |  FROM embeddings WHERE vec_id < 32),
+         |c AS (
+         |  SELECT vec_id AS id, embedding AS cv,
+         |    sqrt(${dot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id >= 32),
+         |sims AS (
+         |  SELECT c.id, b.bid,
+         |    CASE WHEN c.qn > 0 AND b.bn > 0
+         |      THEN ${dot("c.cv", "b.bv")} / (c.qn * b.bn) END AS sim
+         |  FROM c CROSS JOIN b),
+         |best AS (
+         |  SELECT id, bid AS bench_id, sim AS bench_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, bid) AS rn
+         |  FROM sims)
+         |SELECT id, bench_id, bench_sim,
+         |  COALESCE(bench_sim >= 0.35, FALSE) AS contaminated
+         |FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "q_l2_to_rep" ->
       s"""WITH rep AS (

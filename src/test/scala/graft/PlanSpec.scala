@@ -380,4 +380,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || p.contains("LeftAnti"),
       "the only join is the flood-block anti-join\n" + p)
   }
+
+  test("q_semantic_decontam: bench packs + broadcasts, corpus never shuffles") {
+    val p = plan("q_semantic_decontam")
+    assert(p.contains("graft_nearest_cents"),
+      "the fused nearest-bench pick must be in-plan\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the bench side must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must stream map-only — no corpus shuffle join\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_epoch_shuffle: one shard-hash exchange feeds the shard-local sort") {
+    val p = plan("q_epoch_shuffle")
+    assert(p.contains("xxhash64"), "the epoch key must be in-plan\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // exactly one hashpartitioning exchange (the shard window); the
+    // final orderBy adds a range exchange — nothing else may shuffle
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected 1 shard hash exchange, got $hashEx\n" + p)
+  }
 }

@@ -81,6 +81,32 @@ class SamplingSpec extends SparkSpec {
     assert(b !== a.keySet)
   }
 
+  test("weightedUpsample: null/NaN weight fails loudly instead of dropping rows") {
+    val bad = Seq((1L, Some(1.5)), (2L, None)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedUpsample(bad, "id", col("w")).collect()
+    }
+    assert(e.getMessage.contains("weightedUpsample"), e.getMessage)
+    val nan = Seq((1L, Double.NaN)).toDF("id", "w")
+    val e2 = intercept[Exception] {
+      Sampling.weightedUpsample(nan, "id", col("w")).collect()
+    }
+    assert(e2.getMessage.contains("weightedUpsample"), e2.getMessage)
+  }
+
+  test("output column collisions are refused up front") {
+    val d = ids(3).withColumn("shard", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(d, "id", epoch = 1, nShards = 2)
+    }
+    assert(e.getMessage.contains("shard"))
+    val r = ids(3).withColumn("rep", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.weightedUpsample(r, "id", lit(1.0))
+    }
+    assert(e2.getMessage.contains("rep"))
+  }
+
   test("weightedUpsample: fractional arm adds at most one copy over floor") {
     val d = ids(1000).withColumn("w", lit(1.75))
     val n = Sampling.weightedUpsample(d, "id", col("w"))

@@ -723,4 +723,30 @@ class TextVectorSpec extends SparkSpec {
     assert(rows(graft.ops.TextIndex.bm25Scores(d, "doc_id", "text", terms))
       === rows(graft.ops.TextIndex.probeBm25Index(spark, path, terms)))
   }
+
+  test("semanticDecontam: near-bench rows flag, orthogonal rows keep, null vecs survive") {
+    val ax = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val ay = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val nearAx = Array(0.99f, 0.1f, 0.0f, 0.0f)
+    val bench = spark.createDataFrame(Seq((100L, ax), (101L, ay)))
+      .toDF("id", "vec")
+    val corpus = spark.createDataFrame(Seq(
+        (1L, nearAx),                          // ~0.995 cosine to bench 100
+        (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // orthogonal to both
+        (3L, ay)))                             // exact bench copy
+      .toDF("id", "vec")
+      .unionByName(spark.createDataFrame(Seq(Tuple1(4L))).toDF("id")
+        .withColumn("vec",
+          org.apache.spark.sql.functions.lit(null)
+            .cast("array<float>")))            // unembeddable row
+    val out = graft.ops.Ann.semanticDecontam(corpus, bench, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "no row may be dropped")
+    assert(out(1L) === ((100L, true)), s"near-dup must flag: ${out(1L)}")
+    assert(out(3L) === ((101L, true)), s"exact copy must flag: ${out(3L)}")
+    assert(!out(2L)._2, "orthogonal row must not flag")
+    assert(out(4L) === ((-1L, false)),
+      "null-vec row must survive unflagged with null bench_id")
+  }
 }
