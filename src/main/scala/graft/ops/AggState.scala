@@ -101,8 +101,20 @@ object AggState {
                           stateSchema: org.apache.spark.sql.types.StructType)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
-    val m = spark.read.parquet(metaDir(path))
-      .select("keys", "value_cols", "n_buckets", "state_schema").first()
+    val df = spark.read.parquet(metaDir(path))
+    // format detection: the pre-array-meta layout stored keys/value_cols
+    // as comma-joined strings and had no state_schema column — surface
+    // a named, actionable error instead of an unresolved-column
+    // AnalysisException deep inside a select
+    val legacy = !df.columns.contains("state_schema") ||
+      df.schema("keys").dataType == org.apache.spark.sql.types.StringType
+    if (legacy) throw new IllegalStateException(
+      s"agg state at $path was written by an older graft meta format " +
+        "(comma-joined keys, no state_schema); re-seed it with " +
+        "writeAggState from the source data — the meta format is not " +
+        "auto-migrated because the old comma-split keys may be wrong " +
+        "for column names containing ','")
+    val m = df.select("keys", "value_cols", "n_buckets", "state_schema").first()
     Meta(m.getSeq[String](0), m.getSeq[String](1), m.getInt(2),
       org.apache.spark.sql.types.DataType.fromJson(m.getString(3))
         .asInstanceOf[org.apache.spark.sql.types.StructType])

@@ -115,25 +115,8 @@ object Dedup {
     val banded = sig.select(col("id"),
         explode(lshBands(col("sig"), bandRows, nBands)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_key"))
-    // when a cap is set, SIZE buckets BEFORE collecting (the Linkage
-    // posture): a boilerplate flood bucket would otherwise materialize
-    // its full membership in one agg buffer and kill the task before
-    // the size filter could drop it. The sizing pass is count +
-    // bounded-sample only — (16-byte key, long) through the shuffle.
-    // The bounded sample needs numeric ids (cast to long; the
-    // pruneOversizedBuckets contract) — string-id callers that need
-    // flood diversion should map ids first. Uncapped callers keep the
-    // single-pass shape.
     val (safe, flagged) =
-      if (maxBucket == Int.MaxValue)
-        (banded, sizedBuckets(banded, Seq("band_id", "band_key"))
-          .filter(lit(false)))
-      else {
-        val over = sizedBuckets(banded, Seq("band_id", "band_key"))
-          .filter(col("n_ids") > maxBucket)
-        (banded.join(over.select(col("band_id"), col("band_key")),
-          Seq("band_id", "band_key"), "left_anti"), over)
-      }
+      divertOversized(banded, Seq("band_id", "band_key"), maxBucket)
     val pairs = safe
       .groupBy(col("band_id"), col("band_key"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
@@ -156,6 +139,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
       .select(keys.map(col) ++ Seq(col("n_ids"),
         transform(col("__top"), e => e.getField("id")).as("sample_ids")): _*)
+  }
+
+  /** SIZE buckets BEFORE collecting, then divert oversized ones (the
+    * Linkage posture): a boilerplate flood bucket would otherwise
+    * materialize its full membership in one agg buffer and kill the
+    * task before a size filter could drop it. Returns (safe rows,
+    * flagged buckets); identity with an empty flagged frame when
+    * `maxBucket` is unset, keeping uncapped callers single-pass. One
+    * definition for every capped generator so a cap fix can never
+    * silently miss a copy.
+    *
+    * The bounded sample requires an INTEGRAL `id` column (the argmax-k
+    * aggregate's contract) — enforced loudly, because the silent
+    * alternatives are empty sample_ids (null-skipping) under default
+    * config or a mid-job cast failure under ANSI: string-id callers
+    * should map ids first (Scale.zipWithOrderedIndex, or
+    * Text.fingerprint64 when collision-tolerant). */
+  private def divertOversized(rows: DataFrame, keys: Seq[String],
+                              maxBucket: Int): (DataFrame, DataFrame) = {
+    if (maxBucket == Int.MaxValue)
+      (rows, sizedBuckets(rows, keys).filter(lit(false)))
+    else {
+      import org.apache.spark.sql.types._
+      val idType = rows.schema("id").dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(idType),
+        s"bucket-cap diversion requires an integral id column for its " +
+          s"bounded flood sample, got ${idType.simpleString} — map ids " +
+          "to longs first (Scale.zipWithOrderedIndex or Text.fingerprint64)")
+      val over = sizedBuckets(rows, keys).filter(col("n_ids") > maxBucket)
+      (rows.join(over.select(keys.map(col): _*), keys, "left_anti"), over)
+    }
   }
 
   /** Bucket-local no-self-join pair kernel, shared by every LSH-style
@@ -201,7 +216,7 @@ object Dedup {
     * both inflate n_ids and repeat ids in sample_ids. */
   case class PrunedBands(pruned: DataFrame, flagged: DataFrame)
   def pruneOversizedBuckets(bands: DataFrame, maxBucket: Int): PrunedBands = {
-    // sizing + bounded sample via the shared sizedBuckets pass (the
+    // sizing + bounded sample via the shared divertOversized pass (the
     // argmax-k aggregate keeps the 20 SMALLEST ids — deterministic).
     // Precision bound: the sample score ranks via double, exact only
     // for |id| ≤ 2^53 — above that, ids collapsing to one double may
@@ -209,10 +224,8 @@ object Dedup {
     // tie-break keeps the sample deterministic either way). Fine for
     // sequence ids; hash-derived 64-bit ids get A deterministic
     // sample, not the MIN-20.
-    val flagged = sizedBuckets(bands, Seq("band_id", "band_key"))
-      .filter(col("n_ids") > maxBucket)
-    val pruned = bands.join(flagged.select(col("band_id"), col("band_key")),
-      Seq("band_id", "band_key"), "left_anti")
+    val (pruned, flagged) =
+      divertOversized(bands, Seq("band_id", "band_key"), maxBucket)
     PrunedBands(pruned, flagged)
   }
 
@@ -308,14 +321,7 @@ object Dedup {
         .as("band"))
       .select(col("id"), col("h"), col("band.band_id"), col("band.chunk"))
     val (safe, flagged) =
-      if (maxBucket == Int.MaxValue)
-        (banded, sizedBuckets(banded, Seq("band_id", "chunk")).filter(lit(false)))
-      else {
-        val over = sizedBuckets(banded, Seq("band_id", "chunk"))
-          .filter(col("n_ids") > maxBucket)
-        (banded.join(over.select(col("band_id"), col("chunk")),
-          Seq("band_id", "chunk"), "left_anti"), over)
-      }
+      divertOversized(banded, Seq("band_id", "chunk"), maxBucket)
     val buckets = safe
       .groupBy(col("band_id"), col("chunk"))
       .agg(sort_array(collect_set(struct(col("id"), col("h")))).as("members"))

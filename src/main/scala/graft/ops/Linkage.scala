@@ -80,9 +80,17 @@ object Linkage {
     val report = Scale.sizeDistribution(counts, "n_ids")
     // per-record sub-group: deterministic id hash into the block's g
     // sub-groups; the block size rides in via an equi-join on the
-    // block key (the same shuffle key the grouping uses)
+    // block key (the same shuffle key the grouping uses). NULL-SAFE
+    // equality: groupBy keeps the null-key block (a missing blocking
+    // attribute is the common real-world case), so a plain equi-join
+    // here would silently exclude those records from pairing while
+    // blockReport still counted them — the null block must pair,
+    // cap, and divert exactly like any other
     val sized = keyed
-      .join(counts.filter(col("n_ids") <= maxBlock), Seq("block_key"))
+      .join(counts.filter(col("n_ids") <= maxBlock)
+          .withColumnRenamed("block_key", "__bk"),
+        col("block_key") <=> col("__bk"))
+      .drop("__bk")
       .withColumn("__g", ceil(col("n_ids") / lit(targetSub)).cast("int"))
       .withColumn("__sg", pmod(xxhash64(col("rec.id")), col("__g")).cast("int"))
     // a record in sub-group s attends the g cells {(min(i,s), max(i,s))}

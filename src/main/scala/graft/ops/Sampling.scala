@@ -69,16 +69,27 @@ object Sampling {
     * Scale shape: per-row work plus one bounded explode (≤ ceil(max
     * w) copies); no shuffle, no state. */
   def weightedUpsample(df: DataFrame, idCol: String, weight: Column,
-                       salt: Long = 0L): DataFrame = {
+                       salt: Long = 0L, maxWeight: Double = 1000.0): DataFrame = {
     require(!df.columns.contains("rep"),
       "column rep is produced by weightedUpsample — rename the input's")
+    require(maxWeight > 0 && !maxWeight.isInfinite && !maxWeight.isNaN,
+      s"maxWeight must be a positive finite rail, got $maxWeight")
     // a null/NaN/negative weight would otherwise DROP the row silently
     // (null copies fails the >0 filter; ANSI would kill the whole scan
-    // on cast(NaN as long)) — fail loudly per offending row instead
-    val checked = when(weight.isNull || isnan(weight) || weight < 0,
+    // on cast(NaN as long)); a +Infinity or runaway-large weight (the
+    // x/0.0 upstream bug) would explode the row into a Long.MaxValue
+    // sequence and die with an opaque array-size error. Both violate
+    // the fail-loudly contract — refuse per offending row with the id
+    // in the message. maxWeight is the replication rail: genuine
+    // upsampling factors are small; raise it deliberately if not.
+    val checked = when(weight.isNull || isnan(weight) || weight < 0 ||
+          weight > maxWeight,
         raise_error(concat(
-          lit("weightedUpsample: null/NaN/negative weight for id "),
-          col(idCol).cast("string"))).cast("double"))
+          lit("weightedUpsample: null/NaN/negative/over-rail (max "),
+          lit(maxWeight), lit(") weight "),
+          coalesce(weight.cast("string"), lit("null")),
+          lit(" for id "),
+          coalesce(col(idCol).cast("string"), lit("null")))).cast("double"))
       .otherwise(weight)
     val key = xxhash64(col(idCol), lit(salt))
     val base = floor(checked).cast("long")

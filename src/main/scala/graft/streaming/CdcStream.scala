@@ -79,6 +79,17 @@ object CdcStream {
   * completion and the committed-marker write, which surfaces as the
   * loud partial failure — never as silent double counts. */
 object StreamOnce {
+
+  /** True when `batchId` already committed at `path` — lets a writer
+    * skip a redelivered batch BEFORE paying any batch materialization
+    * (checkpoint, validation scans); `appliedOnce` re-checks under its
+    * own marker protocol either way. */
+  def isCommitted(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_stream_batches")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId.committed"))
+  }
+
   def appliedOnce(spark: SparkSession, path: String,
                   batchId: Long, what: String)(apply: => Unit): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stream_batches")

@@ -35,23 +35,31 @@ object Scd2Stream {
                 tsCol: String): (DataFrame, Long) => Unit =
     (batchDf, batchId) => {
       val spark = batchDf.sparkSession
+      // a committed replay skips BEFORE any batch materialization —
+      // recovery-window redeliveries must cost one marker stat, not a
+      // checkpoint plus a validation scan (appliedOnce re-checks under
+      // its own marker protocol regardless)
+      if (!StreamOnce.isCommitted(spark, historyPath, batchId)) {
       // validate BEFORE the exactly-once marker opens: a batch with
       // rows but an all-null event-time column would open versions with
       // null valid_from and never close them (two 'current' rows per
       // key — corrupt history). Refusing out here leaves NO started
       // marker, so a fixed redelivery of the same batch id applies
-      // cleanly instead of tripping the partial-apply guard.
+      // cleanly instead of tripping the partial-apply guard. The
+      // max(ts) scan doubles as the batch version timestamp — computed
+      // ONCE, reused inside the apply.
       val rawOpt =
         if (batchDf.isEmpty) None else Some(Reliable.checkpoint(batchDf))
-      rawOpt.foreach { raw =>
-        require(raw.agg(max(col(tsCol))).first().getTimestamp(0) != null,
+      val tsOpt = rawOpt.map { raw =>
+        val t = raw.agg(max(col(tsCol))).first().getTimestamp(0)
+        require(t != null,
           s"SCD-2 batch $batchId has rows but $tsCol is all null — " +
             "cannot derive the batch version timestamp; fix the feed " +
             "or filter null event times upstream")
+        t
       }
       StreamOnce.appliedOnce(spark, historyPath, batchId, "SCD-2 history") {
-        rawOpt.foreach { raw =>
-          val batchTs = raw.agg(max(col(tsCol))).first().getTimestamp(0)
+        rawOpt.zip(tsOpt).foreach { case (raw, batchTs) =>
           val incoming = Merge.lastWriterWins(raw, keys, Seq(col(tsCol)))
             .drop(tsCol)
           val statePath = s"$historyPath/state"
@@ -66,6 +74,7 @@ object Scd2Stream {
             Merge.scd2Upsert(history, incoming, keys, lit(batchTs)))
           next.write.mode("overwrite").parquet(statePath)
         }
+      }
       }
     }
 }

@@ -177,4 +177,16 @@ class AggStateSpec extends SparkSpec {
       AggState.writeAggState(df, Seq("g"), Seq("g"), "/tmp/x")
     }
   }
+
+  test("legacy comma-joined meta format fails with a named remedy, not an AnalysisException") {
+    val p = java.nio.file.Files.createTempDirectory("graft-aggstate-legacy").toString
+    // the pre-array meta layout: comma-joined strings, no state_schema
+    Seq(("g1,g2", "v", 16)).toDF("keys", "value_cols", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+    val e = intercept[IllegalStateException] {
+      AggState.readAggState(spark, p)
+    }
+    assert(e.getMessage.contains("older graft meta format"), e.getMessage)
+    assert(e.getMessage.contains("writeAggState"), e.getMessage)
+  }
 }

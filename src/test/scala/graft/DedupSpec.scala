@@ -98,6 +98,23 @@ class DedupSpec extends SparkSpec {
     assert(cap === noCap)
   }
 
+  test("capped candidate generation refuses non-integral ids loudly; uncapped still works") {
+    val strDocs = Seq(("a", "alpha beta gamma delta epsilon"),
+      ("b", "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    // uncapped string-id callers keep the single-pass shape
+    assert(Dedup.minhashLshPairs(strDocs, "doc_id", "text").count() >= 0L)
+    // capped needs the bounded integral-id flood sample — loud, because
+    // the silent alternative is empty sample_ids or an ANSI cast crash
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshCandidates(strDocs, "doc_id", "text", maxBucket = 5)
+    }
+    assert(e.getMessage.contains("integral id"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(strDocs, "doc_id", "text", maxBucket = 5)
+    }
+    assert(e2.getMessage.contains("integral id"), e2.getMessage)
+  }
+
   test("simhashCandidates: flood bucket diverts with a bounded sample, never pairs") {
     // 40 identical docs share EVERY simhash chunk; cap at 25
     val boiler = (900 until 940).map(i => (i.toLong, "same exact boilerplate text here"))
@@ -374,6 +391,33 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L), (5L, 5L, 1L)),
       "identical names in DIFFERENT blocks must not link (blocking contract)")
+  }
+
+  test("record linkage: a NULL block key blocks, pairs, and reports like any other") {
+    import graft.ops.Linkage
+    // missing blocking attribute (null key) is the common real-world
+    // case — those records must still pair among themselves
+    val recs = Seq(
+      (1L, "Acme Corp", Some("b1")), (2L, "Acme Corpp", Some("b1")),
+      (10L, "Null Key Co", None), (11L, "Null Key Coo", None),  // dist 1
+      (12L, "Unrelated Name", None))
+      .toDF("id", "name", "bk")
+    val res = Linkage.linkPairs(recs, "id", "name", col("bk"), maxDist = 2)
+    val pairs = res.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)),
+      s"null-key records must pair within their block, got $pairs")
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a <= 2 && b >= 10 },
+      "null block must not cross-pair with keyed blocks")
+    // the null block caps and diverts like any other
+    val flood = (100L to 130L).map(i => (i, s"Flood $i", None: Option[String]))
+      .toDF("id", "name", "bk")
+    val capped = Linkage.linkPairs(flood, "id", "name", col("bk"),
+      maxDist = 2, maxBlock = 10)
+    assert(capped.pairs.count() === 0L)
+    assert(capped.flagged.count() === 1L,
+      "the oversized null block must surface in flagged")
   }
 
   test("record linkage: transitive chain resolves to one entity; pair dist is exact") {

@@ -92,6 +92,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedUpsample(nan, "id", col("w")).collect()
     }
     assert(e2.getMessage.contains("weightedUpsample"), e2.getMessage)
+    // +Infinity (the x/0.0 upstream bug) and runaway weights hit the
+    // maxWeight rail with the id in the message — not an opaque
+    // Long.MaxValue explode
+    val inf = Seq((7L, Double.PositiveInfinity)).toDF("id", "w")
+    val e3 = intercept[Exception] {
+      Sampling.weightedUpsample(inf, "id", col("w")).collect()
+    }
+    assert(e3.getMessage.contains("weightedUpsample"), e3.getMessage)
+    val big = Seq((8L, 5000.0)).toDF("id", "w")
+    val e4 = intercept[Exception] {
+      Sampling.weightedUpsample(big, "id", col("w")).collect()
+    }
+    assert(e4.getMessage.contains("over-rail") ||
+      e4.getMessage.contains("weightedUpsample"), e4.getMessage)
+    // a deliberately raised rail admits the same weight
+    assert(Sampling.weightedUpsample(big, "id", col("w"),
+      maxWeight = 10000.0).count() === 5000L)
   }
 
   test("output column collisions are refused up front") {
