@@ -855,4 +855,35 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("__lp")) / count(lit(1)), 9).as("avg_logp"))
   }
+
+  /** k-anonymity suppression (public recipe: Sweeney 2002): drop every
+    * row whose quasi-identifier combination is shared by fewer than
+    * `k` rows, so no released row can be narrowed below a k-member
+    * crowd — the coarse privacy rail a training-data release runs
+    * AFTER direct-identifier redaction (PII strips the identifiers;
+    * this suppresses the combinations that still single people out).
+    * Survivors carry `group_size` so the release manifest can report
+    * its anonymity floor.
+    *
+    * Scale shape: one hash aggregate over the quasi columns (map-side
+    * combined, count-only payload) joined back NULL-SAFELY — groupBy
+    * keeps the null group, and a missing quasi attribute is the
+    * common case, so a plain equi-join would silently exempt null-key
+    * rows from suppression (the Linkage lesson). The counts side is
+    * distinct-combination-sized; AQE broadcasts it when small. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(quasiCols.forall(df.columns.contains),
+      s"quasi columns ${quasiCols.filterNot(df.columns.contains).mkString(", ")} absent")
+    require(!df.columns.contains("group_size"),
+      "column group_size is produced by kAnonymize — rename the input's")
+    val counts = quasiCols.foldLeft(
+        df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("group_size"))
+      )((d, c) => d.withColumnRenamed(c, s"__ka_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__ka_$c")).reduce(_ && _)
+    df.join(counts, cond)
+      .drop(quasiCols.map(c => s"__ka_$c"): _*)
+      .filter(col("group_size") >= k)
+  }
 }

@@ -463,6 +463,40 @@ object CurationQueries {
         .select(col("doc_id"), col("rep"), col("weight"))
         .orderBy(col("doc_id"), col("rep"))
     }),
+
+    // The full training-order chain COMPOSED: per-source temperature
+    // upsample → composite sample id (doc_id·8 + rep — exact and
+    // collision-free, rep < 8 by the weight rail, so the epoch
+    // shuffle's unique-id contract holds for the replicated rows) →
+    // epoch-5 shuffle into 4 shards. Every stage deterministic, the
+    // whole chain value-exact cross-engine.
+    "q_training_mix_e2e" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("weight", lit(0.25) +
+          (substring(col("source"), 4, 10).cast("int") % 4).cast("double")
+            * lit(0.75))
+      val up = graft.ops.Sampling
+        .weightedUpsample(d, "doc_id", col("weight"), salt = 7L)
+        .withColumn("sample_id", col("doc_id") * 8 + col("rep"))
+        .select(col("sample_id"), col("doc_id"), col("rep"))
+      graft.ops.Sampling.epochShuffle(up, "sample_id",
+          epoch = 5, nShards = 4)
+        .select(col("sample_id"), col("doc_id"), col("rep"),
+          col("shard"), col("pos_in_shard"))
+        .orderBy(col("shard"), col("pos_in_shard"))
+    }),
+
+    // k-anonymity suppression over (lang, source, length-bucket) quasi
+    // identifiers: groups smaller than k=5 are suppressed entirely;
+    // survivors carry their group_size (the release's anonymity
+    // floor). The null-safe count join means null quasi values
+    // suppress correctly too.
+    "q_k_anonymize" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 200).cast("long").as("len_bucket"))
+      Curation.kAnonymize(d, Seq("lang", "source", "len_bucket"), k = 5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val toks =
@@ -1086,54 +1120,97 @@ object CurationQueries {
     "q_epoch_shuffle" -> SamplingSql.epochShuffleOracle(epoch = 3, nShards = 8),
 
     "q_weighted_upsample" -> SamplingSql.weightedUpsampleOracle(salt = 7L),
+
+    "q_training_mix_e2e" ->
+      SamplingSql.trainingMixOracle(salt = 7L, epoch = 5, nShards = 4),
+
+    // Spark casts double→long by truncation, DuckDB // is floor — equal
+    // for the non-negative n_chars
+    "q_k_anonymize" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 200 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, count(*) OVER
+        |    (PARTITION BY lang, source, len_bucket) AS group_size
+        |  FROM d)
+        |SELECT doc_id, lang, source, len_bucket, group_size
+        |FROM g WHERE group_size >= 5 ORDER BY doc_id""".stripMargin,
   )
 }
 
 /** Value-exact DuckDB restatements of the [[graft.ops.Sampling]]
   * operators: the shuffle/coin keys are xxhash64 chains over LongType
-  * inputs, replayed step-for-step through [[XxhashSql.hashLong]]. */
+  * inputs, replayed step-for-step through [[XxhashSql.hashLong]]. Each
+  * building block is a self-contained SELECT so the operators COMPOSE
+  * — the training-mix oracle chains upsample → composite id → shuffle
+  * exactly as the Spark query chains the ops. */
 private object SamplingSql {
   import XxhashSql.{Prog, hashLong, signed, unsigned}
 
-  /** (doc_id, shuffle_key) — the xxhash64(doc_id, lit) chain:
-    * hashLong(lit, hashLong(doc_id, 42)). */
-  private def keyed(lit: Long): String = {
-    val p = new Prog(
-      s"SELECT doc_id, ${unsigned("doc_id")} AS u FROM documents")
+  /** (carry..., idCol, shuffle_key) — the xxhash64(id, lit) chain:
+    * hashLong(lit, hashLong(id, 42)) over any row source. */
+  private def keyedChain(from: String, idCol: String, litArg: Long,
+                         carry: Seq[String]): String = {
+    val cols = (carry :+ idCol).distinct.mkString(", ")
+    val p = new Prog(s"SELECT $cols, ${unsigned(idCol)} AS u FROM ($from)")
     val h1 = hashLong(p, "u", "42")
-    val xx = hashLong(p, lit.toString, h1)
-    p.render(s"doc_id, ${signed(xx)} AS shuffle_key")
+    val xx = hashLong(p, litArg.toString, h1)
+    p.render(s"$cols, ${signed(xx)} AS shuffle_key")
+  }
+
+  /** Epoch-shuffle block over any row source: adds shuffle_key, shard,
+    * pos_in_shard (signed pmod + per-shard row_number — the exact
+    * Sampling.epochShuffle arithmetic). */
+  private def shuffled(from: String, idCol: String, epoch: Int,
+                       nShards: Int, carry: Seq[String]): String = {
+    val cols = (carry :+ idCol).distinct.mkString(", ")
+    s"""SELECT $cols, shuffle_key, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY shuffle_key, $idCol) AS pos_in_shard
+       |FROM (
+       |  SELECT *,
+       |    CAST(((shuffle_key % $nShards) + $nShards) % $nShards AS INTEGER) AS shard
+       |  FROM (${keyedChain(from, idCol, epoch.toLong, carry)}))""".stripMargin
   }
 
   def epochShuffleOracle(epoch: Int, nShards: Int): String =
-    s"""WITH sharded AS (
-       |  SELECT doc_id, shuffle_key,
-       |    CAST(((shuffle_key % $nShards) + $nShards) % $nShards AS INTEGER) AS shard
-       |  FROM (${keyed(epoch.toLong)}))
-       |SELECT doc_id, shuffle_key, shard,
-       |  ROW_NUMBER() OVER (PARTITION BY shard
-       |    ORDER BY shuffle_key, doc_id) AS pos_in_shard
-       |FROM sharded ORDER BY shard, pos_in_shard""".stripMargin
+    s"""SELECT doc_id, shuffle_key, shard, pos_in_shard FROM (
+       |${shuffled("SELECT doc_id FROM documents", "doc_id", epoch, nShards, Nil)})
+       |ORDER BY shard, pos_in_shard""".stripMargin
 
-  /** Same weight derivation as the Spark query (exact binary doubles:
-    * 0.25 + (idx%4)·0.75), the same integer coin (top 53 key bits vs
-    * floor(frac·2^53)), and unnest(range(0, copies)) — which drops
-    * copies=0 rows exactly like the Spark filter. */
-  def weightedUpsampleOracle(salt: Long): String =
-    s"""WITH keyed AS (${keyed(salt)}),
-       |weighted AS (
-       |  SELECT d.doc_id,
-       |    CAST(0.25 + (CAST(substr(d.source, 4) AS INTEGER) % 4) * 0.75
-       |      AS DOUBLE) AS weight,
-       |    ${unsigned("k.shuffle_key")} // 2048 AS u53
-       |  FROM documents d JOIN keyed k USING (doc_id)),
-       |counted AS (
+  /** (doc_id, rep, weight) — same weight derivation as the Spark query
+    * (exact binary doubles: 0.25 + (idx%4)·0.75), the same integer
+    * coin (top 53 key bits vs floor(frac·2^53)), and
+    * unnest(range(0, copies)) — which drops copies=0 rows exactly like
+    * the Spark filter. */
+  private def upsampleSql(salt: Long): String = {
+    val keyed = keyedChain("SELECT doc_id FROM documents", "doc_id", salt, Nil)
+    s"""SELECT doc_id, unnest(range(0, copies)) AS rep, weight FROM (
        |  SELECT doc_id, weight,
        |    CAST(floor(weight) AS BIGINT) +
        |      CASE WHEN u53 < CAST(floor((weight - floor(weight))
        |        * 9007199254740992e0) AS BIGINT) THEN 1 ELSE 0 END AS copies
-       |  FROM weighted)
-       |SELECT doc_id, rep, weight FROM (
-       |  SELECT doc_id, unnest(range(0, copies)) AS rep, weight
-       |  FROM counted) ORDER BY doc_id, rep""".stripMargin
+       |  FROM (
+       |    SELECT d.doc_id,
+       |      CAST(0.25 + (CAST(substr(d.source, 4) AS INTEGER) % 4) * 0.75
+       |        AS DOUBLE) AS weight,
+       |      ${unsigned("k.shuffle_key")} // 2048 AS u53
+       |    FROM documents d JOIN ($keyed) k USING (doc_id)))""".stripMargin
+  }
+
+  def weightedUpsampleOracle(salt: Long): String =
+    s"""SELECT doc_id, rep, weight FROM (${upsampleSql(salt)})
+       |ORDER BY doc_id, rep""".stripMargin
+
+  /** Upsample → composite sample id (doc_id·8 + rep, exact: rep < 8 by
+    * the weight rail) → epoch shuffle, mirroring the Spark chain. */
+  def trainingMixOracle(salt: Long, epoch: Int, nShards: Int): String = {
+    val samples =
+      s"SELECT doc_id, rep, doc_id * 8 + rep AS sample_id FROM (${upsampleSql(salt)})"
+    s"""SELECT sample_id, doc_id, rep, shard, pos_in_shard FROM (
+       |${shuffled(samples, "sample_id", epoch, nShards, Seq("doc_id", "rep"))})
+       |ORDER BY shard, pos_in_shard""".stripMargin
+  }
 }

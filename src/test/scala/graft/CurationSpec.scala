@@ -434,4 +434,23 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("percentile_approx"),
       "default threshold must use the percentile_approx sketch\n" + plan)
   }
+
+  test("kAnonymize: sub-k groups suppress entirely; null quasi values group and suppress") {
+    val df = Seq(
+      (1L, Some("en"), "web"), (2L, Some("en"), "web"), (3L, Some("en"), "web"),
+      (4L, Some("de"), "web"),                       // singleton -> suppressed
+      (5L, None, "web"), (6L, None, "web"), (7L, None, "web"),  // null group of 3
+      (8L, None, "wiki"))                            // null singleton -> suppressed
+      .toDF("id", "lang", "src")
+    val out = Curation.kAnonymize(df, Seq("lang", "src"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L, 6L, 7L),
+      s"sub-k groups (incl. null singletons) must suppress, got ${out.keySet}")
+    assert(out.values.forall(_ === 3L), "survivors carry their group size")
+    // k=1 keeps everything (no row may be dropped at the trivial floor)
+    assert(Curation.kAnonymize(df, Seq("lang", "src"), k = 1).count() === 8L)
+    intercept[IllegalArgumentException] {
+      Curation.kAnonymize(df, Seq("nope"), k = 2)
+    }
+  }
 }
