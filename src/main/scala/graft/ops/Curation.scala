@@ -878,6 +878,11 @@ object Curation {
       s"quasi columns ${quasiCols.filterNot(df.columns.contains).mkString(", ")} absent")
     require(!df.columns.contains("group_size"),
       "column group_size is produced by kAnonymize — rename the input's")
+    val clashes = quasiCols.map(c => s"__ka_$c").filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"columns ${clashes.mkString(", ")} are reserved by kAnonymize's " +
+        "count join — rename the input's (an ambiguous-reference failure " +
+        "or a silent data-column drop otherwise)")
     val counts = quasiCols.foldLeft(
         df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("group_size"))
       )((d, c) => d.withColumnRenamed(c, s"__ka_$c"))

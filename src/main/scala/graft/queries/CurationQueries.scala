@@ -466,8 +466,10 @@ object CurationQueries {
 
     // The full training-order chain COMPOSED: per-source temperature
     // upsample → composite sample id (doc_id·8 + rep — exact and
-    // collision-free, rep < 8 by the weight rail, so the epoch
-    // shuffle's unique-id contract holds for the replicated rows) →
+    // collision-free, rep < 8 ENFORCED by passing maxWeight = 7 to the
+    // upsample rail, so the epoch shuffle's unique-id contract holds
+    // for the replicated rows and a future weight-formula edit that
+    // breaks the bound fails loudly instead of silently colliding) →
     // epoch-5 shuffle into 4 shards. Every stage deterministic, the
     // whole chain value-exact cross-engine.
     "q_training_mix_e2e" -> ((s, dir) => {
@@ -476,7 +478,8 @@ object CurationQueries {
           (substring(col("source"), 4, 10).cast("int") % 4).cast("double")
             * lit(0.75))
       val up = graft.ops.Sampling
-        .weightedUpsample(d, "doc_id", col("weight"), salt = 7L)
+        .weightedUpsample(d, "doc_id", col("weight"), salt = 7L,
+          maxWeight = 7.0)
         .withColumn("sample_id", col("doc_id") * 8 + col("rep"))
         .select(col("sample_id"), col("doc_id"), col("rep"))
       graft.ops.Sampling.epochShuffle(up, "sample_id",
@@ -489,10 +492,16 @@ object CurationQueries {
     // k-anonymity suppression over (lang, source, length-bucket) quasi
     // identifiers: groups smaller than k=5 are suppressed entirely;
     // survivors carry their group_size (the release's anonymity
-    // floor). The null-safe count join means null quasi values
-    // suppress correctly too.
+    // floor). 'fr' maps to NULL so the null-quasi group — the common
+    // missing-attribute case — is exercised CROSS-ENGINE at every SF:
+    // Spark's null-safe count join must group it exactly like DuckDB's
+    // window PARTITION BY, which an equality-join regression would
+    // break visibly here instead of only in the in-memory spec.
     "q_k_anonymize" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("lang") === "fr", lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        col("source"),
         (col("n_chars") / 200).cast("long").as("len_bucket"))
       Curation.kAnonymize(d, Seq("lang", "source", "len_bucket"), k = 5)
         .orderBy(col("doc_id"))
@@ -1125,10 +1134,11 @@ object CurationQueries {
       SamplingSql.trainingMixOracle(salt = 7L, epoch = 5, nShards = 4),
 
     // Spark casts double→long by truncation, DuckDB // is floor — equal
-    // for the non-negative n_chars
+    // for the non-negative n_chars. NULLIF mirrors the Spark side's
+    // fr→NULL quasi derivation (the null-group parity pin).
     "q_k_anonymize" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, source,
+        |  SELECT doc_id, NULLIF(lang, 'fr') AS lang, source,
         |    CAST(n_chars // 200 AS BIGINT) AS len_bucket
         |  FROM documents),
         |g AS (
@@ -1150,13 +1160,17 @@ private object SamplingSql {
   import XxhashSql.{Prog, hashLong, signed, unsigned}
 
   /** (carry..., idCol, shuffle_key) — the xxhash64(id, lit) chain:
-    * hashLong(lit, hashLong(id, 42)) over any row source. */
+    * hashLong(lit, hashLong(id, 42)) over any row source. The literal
+    * splices as its UNSIGNED decimal rendering — Spark hashes the
+    * two's-complement bit pattern, and the XXH64 SQL arithmetic
+    * assumes unsigned words, so a negative salt/epoch spliced signed
+    * would silently diverge from Spark. */
   private def keyedChain(from: String, idCol: String, litArg: Long,
                          carry: Seq[String]): String = {
     val cols = (carry :+ idCol).distinct.mkString(", ")
     val p = new Prog(s"SELECT $cols, ${unsigned(idCol)} AS u FROM ($from)")
     val h1 = hashLong(p, "u", "42")
-    val xx = hashLong(p, litArg.toString, h1)
+    val xx = hashLong(p, java.lang.Long.toUnsignedString(litArg), h1)
     p.render(s"$cols, ${signed(xx)} AS shuffle_key")
   }
 
@@ -1204,8 +1218,9 @@ private object SamplingSql {
     s"""SELECT doc_id, rep, weight FROM (${upsampleSql(salt)})
        |ORDER BY doc_id, rep""".stripMargin
 
-  /** Upsample → composite sample id (doc_id·8 + rep, exact: rep < 8 by
-    * the weight rail) → epoch shuffle, mirroring the Spark chain. */
+  /** Upsample → composite sample id (doc_id·8 + rep; rep < 8 is
+    * ENFORCED on the Spark side by the maxWeight = 7 rail) → epoch
+    * shuffle, mirroring the Spark chain. */
   def trainingMixOracle(salt: Long, epoch: Int, nShards: Int): String = {
     val samples =
       s"SELECT doc_id, rep, doc_id * 8 + rep AS sample_id FROM (${upsampleSql(salt)})"
