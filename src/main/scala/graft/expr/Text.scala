@@ -75,8 +75,15 @@ object Text {
     val scored = LangProfiles.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val hitsArr = array(scored: _*)
+    val best = array_max(hitsArr)
+    // a TIE is ambiguity, not evidence — two languages at the max hit
+    // count must yield "und", not the lexicographically greatest lang
+    // (which array_max's struct tie-break would silently pick)
+    val tied = size(filter(hitsArr,
+      s => s.getField("hits") === best.getField("hits"))) > 1
+    when(best.getField("hits") > 0 && !tied, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Document fingerprint: 64-bit rolling-style content hash, cheap exact

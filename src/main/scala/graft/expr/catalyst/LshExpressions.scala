@@ -36,12 +36,25 @@ object LshKernel {
 
   def buckets(vec: ArrayData, elemIsFloat: Boolean, nBits: Int, nTables: Int): ArrayData = {
     val n = vec.numElements()
+    // declarative parity (hyperplaneSign): a null element nulls the
+    // whole projection and an empty vector has a null fold seed — both
+    // fall through `when(proj >= 0, 1).otherwise(0)` to bit 0, so
+    // every table buckets to (t << nBits) | 0. Reading null slots as
+    // 0.0 here would instead produce hash-dependent buckets (empty:
+    // all-ones) and silently split such rows from declaratively
+    // bucketed probes.
+    var degenerate = n == 0
+    var j = 0
+    while (!degenerate && j < n) {
+      if (vec.isNullAt(j)) degenerate = true
+      j += 1
+    }
     val out = new Array[Any](nTables)
     var t = 0
     while (t < nTables) {
       var bucket = 0
       var b = 0
-      while (b < nBits) {
+      if (!degenerate) while (b < nBits) {
         val plane = t * nBits + b
         var proj = 0.0
         var i = 0

@@ -88,13 +88,29 @@ object PqKernel {
     new GenericArrayData(out)
   }
 
-  /** Approximate distance: Σ_s table[s·nCodes + code[s]]. */
+  /** Approximate distance: Σ_s table[s·nCodes + code[s]]. Shape and
+    * code-range are VALIDATED loudly: on UnsafeArrayData an
+    * out-of-range getFloat reads adjacent buffer memory silently (the
+    * hazard encode/adcTable guard with their null-on-mismatch
+    * contract), so a table built under one codebook config probed with
+    * codes from another would corrupt the candidate ranking with
+    * garbage distances instead of failing. */
   def adcDistance(table: ArrayData, codes: ArrayData, nCodes: Int): Float = {
+    val m = codes.numElements()
+    if (m * nCodes != table.numElements())
+      throw new IllegalArgumentException(
+        s"PQ ADC shape mismatch: ${table.numElements()}-entry table vs " +
+          s"$m codes × $nCodes codewords — table and codes were built " +
+          "under different codebook configs")
     var d = 0.0f
     var s = 0
-    val m = codes.numElements()
     while (s < m) {
-      d += table.getFloat(s * nCodes + codes.getByte(s))
+      val code = codes.getByte(s)
+      if (code < 0 || code >= nCodes)
+        throw new IllegalArgumentException(
+          s"PQ code $code at subspace $s outside [0, $nCodes) — codes " +
+            "were encoded under a different codebook config")
+      d += table.getFloat(s * nCodes + code)
       s += 1
     }
     d

@@ -14,10 +14,15 @@ import org.apache.spark.util.sketch.CountMinSketch
   * INSIDE the plan (broadcast to the probe rows) instead of forcing a
   * driver-side collect at DataFrame-construction time.
   *
-  * The deserialized sketch is cached per byte-array reference, so a
-  * 1-row broadcast sketch deserializes once per task, not once per
-  * probe row. CodegenFallback: probe frames are candidate-sized
-  * (≤ 1/support rows for heavy hitters) — never a hot path.
+  * The deserialized sketch is cached by CONTENT (length + byte
+  * equality), not by reference: the usual probe path reads the sketch
+  * column out of an UnsafeRow (broadcast join output), and
+  * UnsafeRow.getBinary allocates a FRESH array per access, so a
+  * reference cache would miss on every row and re-deserialize the
+  * whole depth×width sketch per probe. The memcmp costs O(sketch
+  * bytes) with zero allocation — far cheaper than readFrom.
+  * CodegenFallback: probe frames are candidate-sized (≤ 1/support
+  * rows for heavy hitters) — never a hot path.
   */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -34,14 +39,14 @@ case class CmsEstimate(left: Expression, right: Expression)
           s"$prettyName requires (binary sketch, string-or-integral key), got (${l.sql}, ${r.sql})")
     }
 
-  @transient private var cachedRef: AnyRef = _
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedCms: CountMinSketch = _
 
   override def nullSafeEval(sketch: Any, key: Any): Any = {
     val bytes = sketch.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedRef)) {
+    if (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedCms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedRef = bytes
+      cachedBytes = bytes.clone()
     }
     key match {
       // the aggregate adds strings as their UTF-8 bytes; estimateCount

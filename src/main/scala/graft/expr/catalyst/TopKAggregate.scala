@@ -94,10 +94,29 @@ final class TopKBuffer(k: Int) {
   private val scores = new Array[Double](k)
   private val ids = new Array[Long](k)
 
+  /** Spark's nan-safe double total order (Utils.nanSafeCompareDoubles):
+    * NaN == NaN, NaN ABOVE every number (so NaN ranks FIRST in the
+    * score-desc output, exactly like a desc window sort), ±0.0 equal.
+    * Primitive < / == alone returns false for every NaN comparison,
+    * which would let a NaN at the heap root permanently block
+    * replacements and sort NaN entries last — diverging from the
+    * window formulation this aggregate is contracted to match. */
+  @inline private def cmpScore(a: Double, b: Double): Int =
+    if (a < b) -1
+    else if (a > b) 1
+    else if (a == b) 0
+    else { // at least one NaN
+      val an = java.lang.Double.isNaN(a)
+      val bn = java.lang.Double.isNaN(b)
+      if (an && bn) 0 else if (an) 1 else -1
+    }
+
   /** true if (s1, id1) ranks WORSE than (s2, id2): lower score, or equal
     * score with higher id. */
-  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && id1 > id2)
+  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = cmpScore(s1, s2)
+    c < 0 || (c == 0 && id1 > id2)
+  }
 
   def add(s: Double, id: Long): Unit = {
     if (n < k) {
@@ -140,10 +159,13 @@ final class TopKBuffer(k: Int) {
     while (i < o.n) { add(o.scores(i), o.ids(i)); i += 1 }
   }
 
-  /** best-first: score desc, id asc. */
+  /** best-first: score desc (NaN first, the nan-safe order), id asc. */
   def sortedEntries: Seq[(Double, Long)] =
     (0 until n).map(i => (scores(i), ids(i)))
-      .sortBy { case (s, i) => (-s, i) }
+      .sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = cmpScore(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
 
   def toBytes: Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + n * 16)

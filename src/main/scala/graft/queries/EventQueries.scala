@@ -445,12 +445,14 @@ object EventQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY p.user_id, pts, cts""".stripMargin,
 
+    // gap in MILLISECONDS (epoch_ms == Spark unix_millis): whole-second
+    // truncation would split sub-second feeds differently from the
+    // streaming twin's ms arithmetic
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
         |      THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

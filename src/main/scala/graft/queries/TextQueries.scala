@@ -569,10 +569,15 @@ object TextQueries {
            |  FROM toks)
            |SELECT doc_id, lang,
            |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-           |       WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
-           |       WHEN h_es >= greatest(h_en, h_de) THEN 'es'
-           |       WHEN h_en >= h_de THEN 'en'
-           |       ELSE 'de' END AS lang_guess
+           |       WHEN (CASE WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 1 ELSE 0 END)
+           |          + (CASE WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 1 ELSE 0 END)
+           |          + (CASE WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 1 ELSE 0 END)
+           |          + (CASE WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 1 ELSE 0 END)
+           |          > 1 THEN 'und'
+           |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+           |       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+           |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+           |       ELSE 'es' END AS lang_guess
            |FROM hits ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->

@@ -26,15 +26,22 @@ object Sessionize {
 
   /** Declarative batch sessionization: a new session starts when the
     * gap to the previous event exceeds `gapSeconds`; session id is the
-    * cumulative count of session-starts per user. */
+    * cumulative count of session-starts per user. The gap compares
+    * MILLISECONDS (unix_millis) — unix_timestamp truncates to whole
+    * seconds, which would split sub-second feeds differently from the
+    * stream twin's millisecond arithmetic. */
   def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new_session",
+        // the cast lifts TIMESTAMP_NTZ (the parquet fixture type) to
+        // TIMESTAMP for unix_millis; the session-tz shift cancels in
+        // the subtraction, so the gap is tz-invariant
         when(col("__prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSeconds, 1)
+          unix_millis(col("ts").cast("timestamp")) -
+            unix_millis(col("__prev").cast("timestamp")) > gapSeconds * 1000L, 1)
           .otherwise(0))
       .withColumn("__sid", sum(col("__new_session")).over(byUser))
       .groupBy(col("user_id"), col("__sid"))
@@ -44,10 +51,24 @@ object Sessionize {
   }
 
   /** Streaming sessionization with custom state: sessions are emitted
-    * once the event-time timeout (gap) fires past the watermark. */
+    * once the event-time timeout (gap) fires past the watermark.
+    *
+    * Out-of-order arrivals within the lateness window are merged by
+    * INTERVAL arithmetic, not append-only: an event EARLIER than the
+    * open session's start extends the session backward (min-start, the
+    * same session_start the batch twin computes), an event within the
+    * gap on either side merges, and a within-batch event that bridges
+    * two intervals fuses them. Documented limitation of the O(1)
+    * per-user state: only the LATEST interval survives a batch —
+    * older intervals emit at batch end, so a bridge event arriving in
+    * a LATER batch (two out-of-order stragglers split across batches)
+    * cannot re-open them; the batch twin over the same kept rows would
+    * merge. FunnelStream escapes this by buffering raw events; here
+    * the O(1) state is the point. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
                        lateness: String): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
@@ -60,27 +81,39 @@ object Sessionize {
             Iterator.single(Session(userId, new Timestamp(s.start),
               new Timestamp(s.end), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var emitted = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  emitted ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            // fold sorted points into a SORTED interval list (existing
+            // state included): merge within gap on either side, fusing
+            // a bridged successor interval
+            var intervals = state.getOption.toList
+            rows.toSeq.map(_.ts.getTime).sorted.foreach { t =>
+              val (before, rest) = intervals.span(iv => iv.end + gapMs < t)
+              intervals = rest match {
+                case Nil => before :+ SessionState(t, t, 1)
+                case head :: tail if t < head.start - gapMs =>
+                  before ++ (SessionState(t, t, 1) :: head :: tail)
+                case head :: tail =>
+                  var merged = SessionState(math.min(head.start, t),
+                    math.max(head.end, t), head.n + 1)
+                  var remaining = tail
+                  while (remaining.nonEmpty &&
+                      remaining.head.start - merged.end <= gapMs) {
+                    val nxt = remaining.head
+                    merged = SessionState(math.min(merged.start, nxt.start),
+                      math.max(merged.end, nxt.end), merged.n + nxt.n)
+                    remaining = remaining.tail
+                  }
+                  before ++ (merged :: remaining)
               }
             }
-            cur.foreach { s =>
+            // all but the newest interval emit now (gap-closed within
+            // this batch, modulo the cross-batch bridge limitation);
+            // the newest stays open in state
+            intervals.lastOption.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+              state.setTimeoutTimestamp(s.end + gapMs)
             }
-            emitted.reverseIterator
+            intervals.dropRight(1).iterator.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
           }
       }
   }

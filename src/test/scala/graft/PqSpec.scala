@@ -176,6 +176,22 @@ class PqSpec extends SparkSpec {
     assert(!out(1).isNullAt(0) && !out(1).isNullAt(1))
   }
 
+  test("adcDistance refuses a table/codes shape mismatch loudly (silent OOB otherwise)") {
+    // a 4x8 table (m=4, nCodes=8) probed with m=6 codes would read
+    // past the table on UnsafeArrayData without raising — must throw
+    val df = Seq((Array.fill(32)(1.0f).toSeq, Array.fill(6)(1.toByte).toSeq))
+      .toDF("tbl", "codes")
+      .select($"tbl".cast("array<float>").as("tbl"),
+        $"codes".cast("array<tinyint>").as("codes"))
+    val e = intercept[Exception] {
+      df.select(column(PqAdcDistance(expression($"tbl"),
+        expression($"codes"), 8))).collect()
+    }
+    assert(e.getMessage.contains("shape mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("shape mismatch")),
+      e.toString)
+  }
+
   test("pqTopK with a codebooksOverride of a different code count still ranks correctly") {
     // the ADC stride must come from the actual codebooks, not the
     // nCodes parameter (which stays at its default 16 here)

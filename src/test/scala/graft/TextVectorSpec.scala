@@ -31,6 +31,13 @@ class TextVectorSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(1) === r.getString(0), r.toString))
   }
 
+  test("langId: a hit-count tie is ambiguity -> und, not the greatest lang string") {
+    // 'the' hits en; 'que' hits BOTH fr and es -> three-way tie at 1
+    val tied = Seq(Tuple1("the que zzz")).toDF("text")
+      .select(Text.langId($"text")).head().getString(0)
+    assert(tied === "und", s"tie must yield und, got $tied")
+  }
+
   test("fingerprint64 is whitespace/case insensitive") {
     val df = Seq(("A  b\tC", "a b c"), ("x y", "x  z")).toDF("t1", "t2")
     val got = df.select(
@@ -75,6 +82,27 @@ class TextVectorSpec extends SparkSpec {
         element_at(Vectors.lshBuckets($"embedding", 6, 1), 1).as("fast"))
       .filter(not($"fast" <=> $"slow")).count()
     assert(bad === 0)
+  }
+
+  test("lshBuckets kernel: null-element and empty vectors bucket 0, like the declarative form") {
+    // declarative: a null element nulls the projection and an empty
+    // vector has a null fold — both fall to bit 0; the kernel must not
+    // read null slots as 0.0 (hash-dependent buckets) or set all bits
+    // on empty (2^nBits - 1)
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 0.5f)),
+      (2L, Seq.empty[java.lang.Float]),
+      (3L, Seq[java.lang.Float](1.0f, -2.0f, 0.5f)))
+    val df = spark.createDataFrame(rows).toDF("id", "vec")
+    val rowsOut = df.select($"id",
+        Vectors.lshBucket($"vec", 4).as("slow"),
+        element_at(Vectors.lshBuckets($"vec", 4, 1), 1).as("fast"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    rowsOut.foreach { case (id, slow, fast) =>
+      assert(slow === fast, s"kernel/declarative divergence for id $id")
+    }
+    assert(rowsOut.filter(_._1 != 3L).forall(r => r._2 === 0),
+      "degenerate vectors must bucket 0")
   }
 
   private def annGround(k: Int): (org.apache.spark.sql.DataFrame, Map[Long, Set[Long]]) = {

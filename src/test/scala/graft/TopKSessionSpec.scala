@@ -36,6 +36,29 @@ class TopKSessionSpec extends SparkSpec {
     assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
   }
 
+  test("TopKByScore: NaN scores rank FIRST (the nan-safe desc window order)") {
+    // a NaN at the heap root must not block replacements, and NaN
+    // entries must sort first like row_number over (score DESC) does
+    val df = Seq((1L, Double.NaN, 1L), (1L, 5.0, 2L), (1L, 9.0, 3L),
+      (2L, 7.0, 1L), (2L, Double.NaN, 2L))
+      .toDF("g", "score", "id")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val topK = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("score"), col("id"))), 2).toAggregateExpression())
+    val agg = df.groupBy(col("g")).agg(topK.as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val win = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("g"), col("rank").cast("long"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg === win)
+    assert(agg === Set((1L, 1L, 1L), (1L, 2L, 3L), (2L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
   test("TopKByScore: groups smaller than k return all rows, best first") {
     val df = Seq((1L, 5.0, 10L), (1L, 7.0, 11L)).toDF("g", "score", "id")
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -139,5 +162,55 @@ class TopKSessionSpec extends SparkSpec {
       assert(got.toSeq === Seq(("2025-05-01 10:00:00.0",
         "2025-05-01 10:32:00.0", 3)))
     } finally q.stop()
+  }
+
+  test("sessionization: an out-of-order straggler EARLIER than the open session extends it backward") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(mem.toDS(), gapSeconds = 1800,
+        lateness = "20 minutes")
+      .writeStream.format("memory").queryName("sessions_back")
+      .outputMode("append").start()
+    try {
+      // batch A opens the session at 10:40 (watermark 10:20)
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 10:40:00")))
+      q.processAllAvailable()
+      // batch B: a within-lateness straggler EARLIER than the open
+      // session's start — must extend the session BACKWARD, so
+      // session_start is 10:25, exactly what the batch twin computes
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 10:25:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-03 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions_back").filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getInt(2)))
+      val batch = Sessionize.sessionizeBatch(
+          Seq((1L, ts("2025-05-01 10:40:00")), (1L, ts("2025-05-01 10:25:00")))
+            .toDF("user_id", "ts"), 1800)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getInt(2)))
+      assert(got.toSeq === batch.toSeq)
+      assert(got.toSeq === Seq(("2025-05-01 10:25:00.0",
+        "2025-05-01 10:40:00.0", 2)))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch: the gap compares milliseconds, not truncated seconds") {
+    // events 10.9 s apart with gap 10 s: whole-second truncation reads
+    // the diff as 10 <= 10 and merges; millisecond arithmetic splits —
+    // the streaming twin's semantics
+    val df = Seq(
+      (1L, new Timestamp(1000L)),      // 00:00:01.000
+      (1L, new Timestamp(11900L)))     // 00:00:11.900
+      .toDF("user_id", "ts")
+    val sessions = Sessionize.sessionizeBatch(df, gapSeconds = 10)
+    assert(sessions.count() === 2L,
+      "a 10.9 s gap must split sessions at gap 10 s")
   }
 }
