@@ -50,7 +50,10 @@ object Multimodal {
     * null policy are the contract. */
   object DeterministicCodec {
     def width(payloadLen: Column): Column = (payloadLen % 640 + 16).cast(IntegerType)
-    def height(payloadLen: Column): Column = ((payloadLen * 7) % 480 + 16).cast(IntegerType)
+    // the *7 runs in LONG (payload lengths over ~306 MB overflow Int
+    // and wrap negative — the row-side twin already uses n.toLong * 7)
+    def height(payloadLen: Column): Column =
+      ((payloadLen.cast("long") * 7) % 480 + 16).cast(IntegerType)
     def nFrames(payloadLen: Column): Column = (payloadLen % 24 + 1).cast(IntegerType)
     def sampleRate(payloadLen: Column): Column =
       (lit(8000) + (payloadLen % 5) * 8000).cast(IntegerType)
@@ -173,7 +176,7 @@ object Multimodal {
       if (bytes == null) return None
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None } // ImageIO throws RuntimeExceptions on bad ICC/malformed headers, not just IOException
       img.flatMap { im =>
         val (w, h) = (im.getWidth, im.getHeight)
         if (w < 9 || h < 8) None
@@ -228,7 +231,7 @@ object Multimodal {
       if (bytes == null) return None
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None } // ImageIO throws RuntimeExceptions on bad ICC/malformed headers, not just IOException
       img.map { im =>
         val (w, h) = (im.getWidth, im.getHeight)
         if (math.max(w, h) <= maxDim) bytes
@@ -277,7 +280,7 @@ object Multimodal {
             }
             Decoded(w, h, sr, sg, sb, crc.getValue)
           }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None } // ImageIO throws RuntimeExceptions on bad ICC/malformed headers, not just IOException
     }
   }
 
@@ -806,9 +809,14 @@ object Multimodal {
     decoded
       .filter(col("meta").isNotNull)
       .select(col("asset_id"), col("kind"), col("meta.n_frames").as("n_frames"))
+      // n_frames <= 0 (external metadata permits any int) contributes
+      // ZERO rows — sequence(0, -1, +step) would otherwise throw
+      // 'Illegal sequence boundaries' and kill the scan (the
+      // degrade-don't-kill policy the VideoCodec path follows)
       .select(col("asset_id"), col("kind"),
-        explode(sequence(lit(0), col("n_frames") - 1,
-          lit(step))).as("frame_idx"))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(step)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
 
   /** Per-frame feature stub: a 64-bit content hash of (payload bytes,
     * frame index) — the contract for an embedding extractor's output
@@ -821,9 +829,12 @@ object Multimodal {
   def resizeMeta(meta: Column, maxDim: Int): Column = {
     val w = meta.getField("width"); val h = meta.getField("height")
     val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    // the 1-px clamp matches ImageCodec.resize (math.max(1, ...)):
+    // extreme aspect ratios would otherwise floor the short edge to 0
+    // while the real resize emits 1, breaking meta/payload parity
     struct(
-      floor(w * scale).cast(IntegerType).as("width"),
-      floor(h * scale).cast(IntegerType).as("height"),
+      greatest(lit(1), floor(w * scale).cast(IntegerType)).as("width"),
+      greatest(lit(1), floor(h * scale).cast(IntegerType)).as("height"),
       meta.getField("n_frames").as("n_frames"),
       meta.getField("sample_rate").as("sample_rate"))
   }

@@ -47,11 +47,15 @@ object Stellar {
       // F4: ratio at 50-digit context; token1 = token0_usd · ratio·10^(d0−d1),
       // both ROUND_DOWN to 18 dp (utils.py:130-171)
       .withColumn("q96_ratio", Financial.q96RatioDecimal(col("sqrt_price")))
-      .withColumn("adj_ratio", Financial.priceToken0InToken1(
-        col("q96_ratio"), col("token0_decimals"), col("token1_decimals")))
       .withColumn("token0_price", Financial.roundDown18(col("token0_usd")))
-      .withColumn("token1_price",
-        Financial.roundDown18(col("token0_usd") * col("adj_ratio")))
+      // token1_price is NOT computed: the reference derives it
+      // (calculate_token_prices, Stellar.py:81) but stores token0_price
+      // for BOTH unpivot sides (Stellar.py:147,241 — quirk Q2), so the
+      // value is dead there too; restating it through the Decimal ×
+      // double pow coercion would also silently degrade the Q96Ratio
+      // kernel's 50-digit fidelity to ~16 significant digits — if a
+      // fork ever stores token1_price, do the whole product inside a
+      // decimal kernel (the Q96Kernel pattern), not in plan arithmetic
       .withColumn("apy",
         when(col("final_apr").isNull || col("final_apr") === 0, lit(0.0))
           .otherwise(Financial.apyFromAprPct(col("final_apr"))).cast(DecimalType(10, 2)))
@@ -84,8 +88,10 @@ object Stellar {
       lit(1).cast(IntegerType).as("asset_type_id"))
     val dim = Warehouse.upsertDimTokens(wh.dimTokens, dimIn, lit(current_timestamp()))
 
-    val keyed = firstPerToken.join(broadcast(dim.select(col("chain_id"),
-      col("address"), col("id").as("token_id"))), Seq("chain_id", "address"))
+    // no broadcast hint on the dim readback: dim_tokens is unbounded
+    // (millions-of-keys backfills) — AQE broadcasts it when small
+    val keyed = firstPerToken.join(dim.select(col("chain_id"),
+      col("address"), col("id").as("token_id")), Seq("chain_id", "address"))
 
     // J4/J5: −14d point-in-time lookup against pre-batch facts
     val prev = wh.factTokenDailyStats.select(col("token_id").as("p_tid"),

@@ -50,10 +50,15 @@ object Tasks {
     df.select(graft.schema.Schemas.factYieldStats.fieldNames.map(col): _*)
 
   /** Join batch rows (with address col) to post-upsert dim for the
-    * surrogate id (J2 readback as a broadcast join). */
+    * surrogate id (J2 readback). NO broadcast hint: dim_tokens is
+    * unbounded — `upsertDimTokens` is built for backfills of millions
+    * of keys, and a forced broadcast would pin the whole dim to driver
+    * memory (and the 8 GB broadcast cap) on EVERY task run. AQE
+    * broadcasts it at runtime whenever it is actually small, which is
+    * the common steady state. */
   private def withTokenId(batch: DataFrame, dim: DataFrame): DataFrame =
-    batch.join(broadcast(dim.select(col("chain_id"), col("address"),
-      col("id").as("token_id"))), Seq("chain_id", "address"))
+    batch.join(dim.select(col("chain_id"), col("address"),
+      col("id").as("token_id")), Seq("chain_id", "address"))
 
   // ---------------------------------------------------------------
   // Bifrost site task — Bifrost.py:58-185. chain 'Bifrost', P5/P6
@@ -203,7 +208,8 @@ object Tasks {
       lit(18).cast(IntegerType).as("decimals"), lit(1).cast(IntegerType).as("asset_type_id"))
     val dim = Warehouse.upsertDimTokens(wh.dimTokens, dimIn, lit(current_timestamp()))
 
-    val keyed = Merge.lastWriterWins(withTokenId(batch0, dim),
+    val enriched = withTokenId(batch0, dim)
+    val keyed = Merge.lastWriterWins(enriched,
       Seq("token_id", "date"), Seq(col("created_at"), col("id")))
 
     // point-in-time self-join at the −14d offset (J4/J5 as equi-join on
@@ -227,7 +233,15 @@ object Tasks {
       Seq("token_id", "date"),
       Seq("volume", "volume_usd", "volume_yoy", "volume_qoq", "created_at"))
 
-    val yld = toYield(keyed
+    // the yield merge key is the FINER (token_id, pool_address=asset_id,
+    // date): the reference upserts fact_yield_stats per source row
+    // (Hydration.py:286-307, processed-set check commented out), so one
+    // symbol/date carrying several asset_ids must land one yield row
+    // PER pool — deduping at the daily grain (`keyed`) would silently
+    // drop all but one pool
+    val yieldKeyed = Merge.lastWriterWins(enriched,
+      Seq("token_id", "asset_id", "date"), Seq(col("created_at"), col("id")))
+    val yld = toYield(yieldKeyed
       .withColumn("return_type_id", lit(2).cast(IntegerType))
       .withColumn("pool_address", col("asset_id"))
       .withColumn("apy",

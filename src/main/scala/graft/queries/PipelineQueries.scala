@@ -214,6 +214,23 @@ object PipelineQueries {
         .orderBy(col("token_id"), col("date"))
     }),
 
+    // Yield-grain pin for the hydration task: the reference upserts
+    // fact_yield_stats per source row at (token, pool=asset_id, date)
+    // (Hydration.py:286-307, processed-set check commented out), so a
+    // symbol/date carrying many asset_ids lands one yield row PER
+    // POOL — the daily (token, date) dedup grain must not collapse
+    // them. Single batch, hash-exact.
+    "q_hydration_yield" -> ((s, dir) => {
+      val wh = Tasks.hydrationData(synthHydraData(s, dir, 1),
+        Warehouse.withChains(s, Seq((9, "Hydration"))))
+      wh.factYieldStats.select(
+        col("token_id"), col("return_type_id"), col("pool_address"),
+        col("date").cast("timestamp").as("date"),
+        col("apy").cast("double").as("apy"),
+        col("tvl"), col("tvl_usd"), col("created_at"))
+        .orderBy(col("token_id"), col("pool_address"), col("date"))
+    }),
+
     // dim_chains incremental refresh (SqlDbEtl.py:131-169): distinct
     // names in the slice touch their dim row; unknown names surface in
     // the side output (the reference only logs them). region names are
@@ -668,6 +685,40 @@ object PipelineQueries {
         |  0.0 AS price_usd, created_at
         |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
         |ORDER BY token_id, date""".stripMargin,
+
+    "q_hydration_yield" ->
+      """WITH src1 AS (
+        |  SELECT CASE WHEN p_partkey % 31 = 0 THEN p_partkey - 1
+        |              ELSE p_partkey END + 100000 AS id,
+        |    'a' || CAST(p_partkey % 41 AS VARCHAR) AS pool_address,
+        |    p_brand AS symbol,
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |         WHEN p_partkey % 7 = 1 THEN 0.0
+        |         ELSE CAST(p_size % 50 AS DOUBLE) / 10.0 END AS total_apr,
+        |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+        |         ELSE CAST(p_retailprice AS DOUBLE) END AS tvl_usd,
+        |    TIMESTAMP '2025-05-01 00:00:00' + INTERVAL 1 SECOND * p_partkey AS created_at
+        |  FROM part),
+        |dd1 AS (SELECT * FROM src1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY created_at, id) = 1),
+        |dim1 AS (
+        |  SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS token_id
+        |  FROM (SELECT DISTINCT symbol FROM dd1)),
+        |yk AS (
+        |  SELECT d.token_id, x.pool_address, CAST(x.created_at AS DATE) AS date,
+        |    x.total_apr, x.tvl_usd, x.created_at
+        |  FROM dd1 x JOIN dim1 d ON d.symbol = x.symbol
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY d.token_id, x.pool_address, CAST(x.created_at AS DATE)
+        |    ORDER BY x.created_at DESC, x.id DESC) = 1)
+        |SELECT token_id, CAST(2 AS INTEGER) AS return_type_id, pool_address,
+        |  CAST(date AS TIMESTAMP) AS date,
+        |  CAST(CAST(CASE WHEN total_apr IS NULL OR total_apr = 0 THEN 0.0
+        |    ELSE ROUND(LEAST((POW(1.0 + total_apr / 100 / 365.0, 365.0) - 1.0) * 100,
+        |                     99999999.99), 2) END AS DECIMAL(10,2)) AS DOUBLE) AS apy,
+        |  COALESCE(tvl_usd, 0.0) AS tvl, COALESCE(tvl_usd, 0.0) AS tvl_usd,
+        |  created_at
+        |FROM yk ORDER BY token_id, pool_address, date""".stripMargin,
 
     "q_chains_refresh" ->
       """WITH chains AS (

@@ -135,6 +135,12 @@ object JdbcSource {
     require(keys.nonEmpty && keys.forall(cols.contains), s"bad keys $keys for $cols")
     val upd = if (updateCols.isEmpty) cols.filterNot(keys.contains) else updateCols
     require(upd.forall(cols.contains), s"bad updateCols $upd for $cols")
+    require(upd.nonEmpty,
+      s"every column of $table is a key — both dialects would render a " +
+        "malformed UPDATE clause ('ON DUPLICATE KEY UPDATE' with no " +
+        "assignments) that fails at the first executeBatch on every " +
+        "partition; for a pure-key presence table use a plain " +
+        "insert-ignore path instead")
     val sql = dialect.statement(table, cols, keys, upd)
     // pre-resolve marker position -> row ordinal once on the driver
     val bindIdx = dialect.bindOrder(cols, keys, upd).map(cols.indexOf).toArray
