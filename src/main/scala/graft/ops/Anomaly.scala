@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Backtick-quote a raw column name for expr() interpolation (the
+    * Profile.profileState convention): an unquoted name like `a-b`
+    * would PARSE as the expression a minus b — silently wrong stats. */
+  private def q(c: String): String = "`" + c.replace("`", "``") + "`"
+
+
   /** Broadcast-join `df` to its group-sized `stats` frame NULL-SAFELY:
     * groupBy keeps a stats row for the null group, so the join must
     * match it (`<=>` per key) — a plain equi-join would silently drop
@@ -84,11 +90,11 @@ object Anomaly {
     val what = s"robustZScores group statistics over ${groupCols.mkString(", ")}"
     val med = Guard.broadcastSmall(
       df.groupBy(groupCols.map(col): _*)
-        .agg(expr(s"percentile($valueCol, 0.5)").as("grp_median")), what)
+        .agg(expr(s"percentile(${q(valueCol)}, 0.5)").as("grp_median")), what)
     val mad = Guard.broadcastSmall(
       joinStats(df, med, groupCols)
         .groupBy(groupCols.map(col): _*)
-        .agg(expr(s"percentile(abs($valueCol - grp_median), 0.5)").as("grp_mad")),
+        .agg(expr(s"percentile(abs(${q(valueCol)} - grp_median), 0.5)").as("grp_mad")),
       what)
     val rz = (col(valueCol) - col("grp_median")) / (lit(1.4826) * col("grp_mad"))
     joinStats(joinStats(df, med, groupCols), mad, groupCols)
@@ -110,8 +116,8 @@ object Anomaly {
       s"need 0 <= loPct < hiPct <= 1, got [$loPct, $hiPct]")
     val bounds = Guard.broadcastSmall(
       df.groupBy(groupCols.map(col): _*)
-        .agg(expr(s"percentile($valueCol, $loPct)").as("grp_lo"),
-          expr(s"percentile($valueCol, $hiPct)").as("grp_hi")),
+        .agg(expr(s"percentile(${q(valueCol)}, $loPct)").as("grp_lo"),
+          expr(s"percentile(${q(valueCol)}, $hiPct)").as("grp_hi")),
       s"winsorize group bounds over ${groupCols.mkString(", ")}")
     joinStats(df, bounds, groupCols)
       // guard the null case explicitly: Spark's least/greatest SKIP

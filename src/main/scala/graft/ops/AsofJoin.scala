@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first formulation (no custom physical operator needed): tag
   * and union both sides, then one window per key ordered by
-  * (ts, side, tiebreak) carries the last non-null right payload forward
+  * (ts, side, tiebreak) carries the last right payload forward
   * (`last(..., ignoreNulls)` over rows UNBOUNDED PRECEDING..CURRENT).
   * Right rows sort BEFORE left rows at equal ts, giving inclusive
-  * `<=` semantics. Cost: ONE shuffle + sort on the key — no range
-  * explosion, no per-row probes; at 100 TB this is the same shape as a
-  * sort-merge join and AQE-skew-splittable.
+  * `<=` semantics. The payload travels as ONE struct, so the match is
+  * ROW-atomic: a right row whose latest quote has a null column still
+  * supplies that null, never a blend of columns from different right
+  * rows (per-column carry would silently mix two quotes). Right rows
+  * with a null timestamp are dropped up front — `right.ts <= left.ts`
+  * is NULL for them (no match), but NULLS FIRST ordering would
+  * otherwise hand their payload to every pre-first-quote left row.
+  * Cost: ONE shuffle + sort on the key — no range explosion, no
+  * per-row probes; at 100 TB this is the same shape as a sort-merge
+  * join and AQE-skew-splittable.
   */
 object AsofJoin {
 
@@ -37,48 +44,52 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
       s"right payload columns $rightCols collide with left schema")
-    val reserved = Seq("__ts", "__side", "__tb")
+    val reserved = Seq("__ts", "__side", "__tb", "__pay")
     require(reserved.forall(r => !leftCols.contains(r) && !rightCols.contains(r)),
       s"column names $reserved are reserved by asof")
+
+    val payType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+    val shape = keys ++ Seq("__ts", "__side", "__tb", "__pay") ++
+      leftCols.filterNot(keys.contains)
 
     // at equal ts the right row must sort on the INCLUSIVE side of the
     // left row: before it for backward (last() sees it), after it for
     // forward (first() sees it)
-    val l = left
+    val lAll = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(if (backward) 1 else 0))
       .withColumn("__tb", lit(null).cast("long"))
-    val lAll = rightCols.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__pay", lit(null).cast(payType))
+      .select(shape.map(col): _*)
 
     val r0 = right
+      .filter(col(rightTs).isNotNull) // null ts = no match, see above
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(if (backward) 0 else 1))
       .withColumn("__tb", tiebreak.cast("long"))
+      .withColumn("__pay", struct(rightCols.map(col): _*))
     val rAll = leftCols.filterNot(keys.contains).foldLeft(r0)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select((keys ++ Seq("__ts", "__side", "__tb") ++
-        leftCols.filterNot(keys.contains) ++ rightCols).map(col): _*)
+      .select(shape.map(col): _*)
 
-    val unioned = lAll
-      .select((keys ++ Seq("__ts", "__side", "__tb") ++
-        leftCols.filterNot(keys.contains) ++ rightCols).map(col): _*)
-      .unionByName(rAll)
+    val unioned = lAll.unionByName(rAll)
 
     val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tb"))
     val carried =
       if (backward) {
         val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rightCols.foldLeft(unioned)((df, c) =>
-          df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+        unioned.withColumn("__pay",
+          last(col("__pay"), ignoreNulls = true).over(w))
       } else {
         val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        rightCols.foldLeft(unioned)((df, c) =>
-          df.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+        unioned.withColumn("__pay",
+          first(col("__pay"), ignoreNulls = true).over(w))
       }
 
     carried.filter(col("__side") === lit(if (backward) 1 else 0))
-      .select((leftCols ++ rightCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__pay").getField(c).as(c)): _*)
   }
 }

@@ -55,7 +55,14 @@ object Export {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(shardsDir(path))
-    shardFacts(rows.withColumn("__text", col(textCol)))
+    // the manifest is computed from the WRITTEN files, never by
+    // re-evaluating the input plan (the writeBm25Index posture): a
+    // nondeterministic upstream (sample, rand-derived column, source
+    // mutated between actions) would otherwise produce a manifest that
+    // disagrees with the shards it claims to describe — and the
+    // read-back is also cheaper than a second full input evaluation
+    shardFacts(df.sparkSession.read.parquet(shardsDir(path))
+        .withColumn("__text", col(textCol)))
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(path))
   }
 

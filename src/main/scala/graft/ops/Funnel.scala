@@ -88,7 +88,12 @@ object Funnel {
       .select(col("keys").as("__base"))
     perStep.crossJoin(broadcast(base))
       .select(col("step"), col("stage"), col("keys"),
-        round(col("keys").cast("double") / col("__base").cast("double"), 4)
+        // base = 0 (no key ever completed step 1 — a misspelled step
+        // name or an empty day) must yield NULL conversions, not the
+        // NaN of 0.0/0.0 that fails every downstream threshold compare
+        // silently and breaks JSON serializers
+        when(col("__base") > 0,
+          round(col("keys").cast("double") / col("__base").cast("double"), 4))
           .as("conversion"))
       .orderBy(col("step"))
   }

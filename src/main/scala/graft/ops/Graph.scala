@@ -46,15 +46,15 @@ object Graph {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val e = Reliable.checkpoint(
+    val (e, eIds) = trackedCheckpoint(
       edges.select(col("src"), col("dst")).distinct())
-    val nodes = Reliable.checkpoint(
+    val (nodes, nodeIds) = trackedCheckpoint(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count().toDouble
     // out-degree folded onto the edges once: each iteration's join
     // carries (src, dst, deg) against the rank frame only
-    val eDeg = Reliable.checkpoint(
+    val (eDeg, eDegIds) = trackedCheckpoint(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
     var (pr, prIds) = trackedCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
     var i = 0
@@ -81,6 +81,12 @@ object Graph {
       pr = nextPr; prIds = nextIds
       i += 1
     }
+    // the returned pr is checkpointed (self-contained) — release the
+    // edge-sized working frames NOW instead of pinning e/nodes/eDeg
+    // (eDeg is the largest frame in the op) in executor storage until
+    // the context cleaner happens to run (the connectedComponents
+    // leak-class lesson: waiting degraded BENCH_r03/r04)
+    free(eIds ++ nodeIds ++ eDegIds)
     pr
   }
 

@@ -50,10 +50,21 @@ object Incremental {
       else None
     }
 
-    /** Forward-only: ignores regressions, like SqlDbEtl.py:106. */
+    /** Forward-only: ignores regressions, like SqlDbEtl.py:106.
+      * Write-temp-then-ATOMIC_MOVE: an in-place overwrite killed
+      * mid-write would leave a truncated timestamp that bricks every
+      * later lastRun parse (the reference's etl_control UPDATE is
+      * atomic; the file replacement must be too). */
     def advance(task: String, to: Timestamp): Unit = {
       val keep = lastRun(task).forall(_.before(to))
-      if (keep) java.nio.file.Files.writeString(p(task), to.toString)
+      if (keep) {
+        val target = p(task)
+        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, to.toString)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 

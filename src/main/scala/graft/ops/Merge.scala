@@ -65,18 +65,27 @@ object Merge {
     val cols = existing.columns.toSeq
     require(incoming.columns.toSet == cols.toSet,
       s"incoming schema ${incoming.columns.toSeq} != existing schema $cols")
+    require(!cols.contains("__ex_present"),
+      "column __ex_present is reserved by upsert")
     val upd = updateCols.toSet
-    val in = incoming.select(cols.map(c => col(c).as(s"__in_$c")): _*)
-    val joinCond = keys.map(k => existing(k) <=> in(s"__in_$k")).reduce(_ && _)
-    val matched = keys.map(k => in(s"__in_$k").isNotNull).reduce(_ && _) &&
-      keys.map(k => existing(k).isNotNull).reduce(_ && _)
+    // row presence is an explicit flag, NOT key/value nullability: a
+    // matched row whose existing non-update column is null must KEEP
+    // that null (ON DUPLICATE KEY UPDATE touches only the named
+    // columns) — coalesce(ex, nw) would silently let the incoming
+    // value leak into a column the update set never named
+    val exF = existing.withColumn("__ex_present", lit(true))
+    val in = incoming.select(cols.map(c => col(c).as(s"__in_$c")) :+
+      lit(true).as("__in_present"): _*)
+    val joinCond = keys.map(k => exF(k) <=> in(s"__in_$k")).reduce(_ && _)
+    val exPresent = coalesce(exF("__ex_present"), lit(false))
+    val inPresent = coalesce(in("__in_present"), lit(false))
 
-    val out = existing.join(in, joinCond, "full_outer").select(cols.map { c =>
-      val ex = existing(c); val nw = in(s"__in_$c")
+    val out = exF.join(in, joinCond, "full_outer").select(cols.map { c =>
+      val ex = exF(c); val nw = in(s"__in_$c")
       val v =
-        if (keys.contains(c)) coalesce(ex, nw)
-        else if (upd.contains(c)) when(matched || ex.isNull, nw).otherwise(ex)
-        else coalesce(ex, nw)
+        if (keys.contains(c)) when(exPresent, ex).otherwise(nw)
+        else if (upd.contains(c)) when(inPresent, nw).otherwise(ex)
+        else when(exPresent, ex).otherwise(nw)
       v.as(c)
     }: _*)
     out

@@ -151,9 +151,14 @@ object TextIndex {
     * the same corpus (spec + oracle-asserted). The probed term buckets
     * are collected to the driver (≤ |qTerms| ints — bounded-scalar
     * posture) and pushed as a literal partition filter. */
-  def probeBm25Index(spark: SparkSession, path: String, qTerms: Seq[String],
+  def probeBm25Index(spark: SparkSession, path: String, qTerms0: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(qTerms.nonEmpty, "empty query")
+    require(qTerms0.nonEmpty, "empty query")
+    // the index stores tokens of LOWERCASED text — an unnormalized
+    // query term with an uppercase letter would silently match zero
+    // docs (and probe the wrong partition bucket); normalize here so
+    // build and probe share one tokenizer contract
+    val qTerms = qTerms0.map(_.toLowerCase)
     import spark.implicits._
     val stats = spark.read.parquet(s"$path/stats")
     val nBuckets = stats.select(col("n_buckets")).first().getInt(0)
@@ -193,9 +198,10 @@ object TextIndex {
     * One tokenization pass over the corpus; use the persisted index
     * when the same corpus serves many query batches. */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
-                 qTerms: Seq[String],
+                 qTerms0: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(qTerms.nonEmpty, "empty query")
+    require(qTerms0.nonEmpty, "empty query")
+    val qTerms = qTerms0.map(_.toLowerCase) // the probeBm25Index contract
     val t = termRows(docs, idCol, textCol)
     val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))

@@ -40,6 +40,8 @@ object TimeSeries {
       "column name observed is reserved by gapFillDaily")
     require(!df.columns.contains("__obs"),
       "column name __obs is reserved by gapFillDaily")
+    require(!df.columns.contains("__mk") && !df.columns.contains("__md"),
+      "column names __mk, __md are reserved by gapFillDaily")
     require(df.schema(dateCol).dataType ==
         org.apache.spark.sql.types.DateType,
       s"$dateCol must be DATE-typed (got ${df.schema(dateCol).dataType})")
@@ -69,7 +71,17 @@ object TimeSeries {
     val marked = df.withColumn("__obs", lit(true))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = spine.join(marked, Seq(keyCol, dateCol), "left")
+    // NULL-SAFE key join: groupBy builds a spine for the null-key
+    // group (an unmapped id is ordinary dirty data), so a plain
+    // equi-join would emit its spine rows all-null while silently
+    // dropping every observation — the null-key group must gap-fill
+    // exactly like any other (the Linkage lesson)
+    val joined = spine.join(
+        marked.withColumnRenamed(keyCol, "__mk")
+          .withColumnRenamed(dateCol, "__md"),
+        col(keyCol) <=> col("__mk") && col(dateCol) === col("__md"),
+        "left")
+      .drop("__mk", "__md")
     val filled = valueCols.foldLeft(joined) { (acc, v) =>
       acc.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }

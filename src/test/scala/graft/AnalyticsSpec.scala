@@ -382,4 +382,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(w.count() === 5L, "winsorize documents rows are never dropped")
     assert(w.filter(col("g").isNull).count() === 3L)
   }
+
+  test("anomaly percentile ops backtick-quote the value column name") {
+    import spark.implicits._
+    import graft.ops.Anomaly
+    // an unquoted "a-b" would PARSE as column a minus column b inside
+    // expr("percentile(...)") — silently wrong stats when both exist
+    val df = Seq(("g", 1.0, 100.0), ("g", 3.0, 100.0), ("g", 5.0, 100.0))
+      .toDF("g", "a-b", "a")
+    val rz = Anomaly.robustZScores(df, "a-b", Seq("g"))
+    assert(rz.select("grp_median").distinct().head().getDouble(0) === 3.0,
+      "median must be of the LITERAL a-b column, not a minus b")
+    val w = Anomaly.winsorize(df, "a-b", Seq("g"), loPct = 0.0, hiPct = 1.0)
+    assert(w.select("grp_hi").distinct().head().getDouble(0) === 5.0)
+  }
+
+  test("gapFillDaily: the null-key group gap-fills like any other (no silent drop)") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Date.valueOf("2025-05-01"), Option(10.0)),
+      (Option(1L), Date.valueOf("2025-05-03"), Option(30.0)),
+      (Option.empty[Long], Date.valueOf("2025-05-01"), Option(5.0)),
+      (Option.empty[Long], Date.valueOf("2025-05-02"), Option(7.0)))
+      .toDF("k", "d", "v")
+    val out = TimeSeries.gapFillDaily(df, "k", "d", Seq("v"))
+    val nullRows = out.filter(col("k").isNull).orderBy("d").collect()
+    assert(nullRows.length === 3, // 05-01..05-03 (global right edge)
+      s"null-key spine must span to the global max, got ${nullRows.length}")
+    assert(nullRows.map(_.getDouble(2)).toSeq === Seq(5.0, 7.0, 7.0),
+      "null-key observations must survive and forward-fill")
+    assert(nullRows.map(_.getBoolean(3)).toSeq === Seq(true, true, false))
+  }
+
+  test("funnel summary: zero step-1 completions yields NULL conversions, not NaN") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq((1L, ts("2025-05-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "stage")
+    val out = Funnel.summary(df, "user_id", "ts", "stage",
+        Seq("signup", "view")) // nobody completes step 1 'signup'
+      .orderBy("step").collect()
+    assert(out.forall(_.isNullAt(3)),
+      "0/0 conversion must be NULL, not NaN: " + out.mkString(", "))
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L),
+      "keys counted from the spine even when base is empty" +
+        " (a later step cannot fire without step 1 in-order)")
+  }
 }

@@ -33,6 +33,19 @@ class MergeSpec extends SparkSpec {
     assert(r4.getString(1) === "d" && r4.getDouble(2) === 40.0 && r4.getLong(3) === 400L)
   }
 
+  test("upsert: a matched row's NULL non-update column stays NULL (no incoming leak)") {
+    // ON DUPLICATE KEY UPDATE touches only the named columns — an
+    // existing null must not be backfilled from the incoming row
+    val ex = Seq((1L, Option.empty[String], 10.0, Option.empty[java.lang.Long]))
+      .toDF("id", "sym", "price", "vol")
+    val in = Seq((1L, Option("X"), 21.0, Option(java.lang.Long.valueOf(999L))))
+      .toDF("id", "sym", "price", "vol")
+    val r = Merge.upsert(ex, in, Seq("id"), Seq("price")).collect()(0)
+    assert(r.isNullAt(1), "non-update col sym must keep its existing NULL")
+    assert(r.getDouble(2) === 21.0)
+    assert(r.isNullAt(3), "non-update col vol must keep its existing NULL")
+  }
+
   test("upsert keeps existing-only rows unchanged") {
     val out = Merge.upsert(existing, incoming, Seq("id"), Seq("price"))
     val r1 = out.filter($"id" === 1L).collect()(0)

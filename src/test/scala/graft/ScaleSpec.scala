@@ -307,6 +307,30 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1.5), (2L, 2.5), (3L, null), (4L, 9.0)))
   }
 
+  test("asof join: row-atomic payload (no cross-row column blending), null right ts matches nothing") {
+    import graft.ops.AsofJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2025-05-01 12:00:00")),
+      (2L, 20L, ts("2025-05-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // user 10: the LATEST quote has a null bid — the match must hand
+      // over (null, 7.0), never the older row's bid blended in
+      (10L, Option(ts("2025-05-01 10:00:00")), Option(5.0), Option(6.0)),
+      (10L, Option(ts("2025-05-01 11:00:00")), Option.empty[Double], Option(7.0)),
+      // user 20: only a null-ts junk row — right.ts <= left.ts is NULL,
+      // so it must match NOTHING (not act as a matches-everything row)
+      (20L, Option.empty[java.sql.Timestamp], Option(99.0), Option(99.0)))
+      .toDF("user_id", "q_ts", "bid", "ask")
+    val out = AsofJoin.asof(left, right, Seq("user_id"),
+        "ts", "q_ts", Seq("bid", "ask"))
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(3) && out(0).getDouble(4) === 7.0,
+      s"must carry the latest ROW (null bid, ask 7), got ${out(0)}")
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4),
+      s"a null-ts right row must match nothing, got ${out(1)}")
+  }
+
   test("skewReport: hand-computed counts, null keys participate, distributed top-k plan") {
     import spark.implicits._
     import graft.ops.Scale

@@ -752,6 +752,15 @@ class TextVectorSpec extends SparkSpec {
       === rows(graft.ops.TextIndex.probeBm25Index(spark, path, terms)))
   }
 
+  test("bm25: uppercase query terms normalize to the index's lowercase tokens") {
+    val d = Seq((1L, "Bitcoin rallies again"), (2L, "ethereum dips"))
+      .toDF("doc_id", "text")
+    val hits = graft.ops.TextIndex.bm25Scores(d, "doc_id", "text",
+      Seq("Bitcoin")).collect()
+    assert(hits.length === 1 && hits(0).getLong(0) === 1L,
+      "an uppercase query term must match the lowercased index tokens")
+  }
+
   test("semanticDecontam: near-bench rows flag, orthogonal rows keep, null vecs survive") {
     val ax = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val ay = Array(0.0f, 1.0f, 0.0f, 0.0f)
