@@ -598,7 +598,12 @@ object Ann {
   def purgeIvfTombstones(spark: org.apache.spark.sql.SparkSession,
                          path: String): Int = {
     if (!hasTombstones(spark, path)) return 0
-    val tomb = broadcast(spark.read.parquet(s"$path/tombstones").select(col("nid")))
+    // NO broadcast hint: this is the remediation path for an
+    // over-accumulated tombstone set — the one input guaranteed to be
+    // large exactly when this function is needed most; a forced
+    // broadcast would die on the size cap while probes refuse. AQE
+    // broadcasts it when actually small.
+    val tomb = spark.read.parquet(s"$path/tombstones").select(col("nid"))
     val touched = spark.read.parquet(s"$path/lists")
       .join(tomb, Seq("nid"), "left_semi")
       .select(col("cid").cast("long")).distinct().collect().map(_.getLong(0))
@@ -859,7 +864,20 @@ object Ann {
   def nearDupPairsLsh(vecs: DataFrame, threshold: Double,
                       nBits: Int = 4, nTables: Int = 12,
                       maxBucket: Int = 10000,
-                      targetOccupancy: Int = 0): DataFrame = {
+                      targetOccupancy: Int = 0): DataFrame =
+    nearDupCandidatesLsh(vecs, threshold, nBits, nTables, maxBucket,
+      targetOccupancy).pairs
+
+  /** Pairs + flagged oversized buckets — the [[Dedup.LshCandidates]]
+    * posture for the vector path. */
+  case class VecLshCandidates(pairs: DataFrame, flaggedBuckets: DataFrame)
+
+  /** See [[nearDupPairsLsh]]; this variant also surfaces the diverted
+    * flood buckets (bucket, n_ids, sample_ids). */
+  def nearDupCandidatesLsh(vecs: DataFrame, threshold: Double,
+                           nBits: Int = 4, nTables: Int = 12,
+                           maxBucket: Int = 10000,
+                           targetOccupancy: Int = 0): VecLshCandidates = {
     // Bucket-space sizing is the scale lever the sf1 smoke exposed: a
     // FIXED nBits means bucket occupancy grows linearly with the corpus
     // and bucket-local pair generation quadratically (2^4 buckets/table
@@ -881,22 +899,32 @@ object Ann {
       }
     val banded = vecs.select(col("id"),
       explode(Vectors.lshBuckets(col("vec"), effBits, nTables)).as("bucket"))
-    val buckets = banded
+    // SIZE buckets BEFORE collecting (the Dedup.divertOversized
+    // posture): a zero/padding-vector flood hashing to one bucket in
+    // every table would otherwise materialize its full membership in a
+    // single collect_set buffer before the size filter could drop it.
+    // Oversized buckets surface in the flagged side-output of
+    // [[nearDupCandidatesLsh]] — a capped bucket IS a giant duplicate
+    // cluster, not something to discard without a signal.
+    val (safe, flagged) =
+      Dedup.divertOversized(banded, Seq("bucket"), maxBucket)
+    val buckets = safe
       .groupBy(col("bucket"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) > 1)
     val idPairs = buckets
       .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
       .select(col("p.*"))
       .dropDuplicates("id_a", "id_b")
     val v = vecs.select(col("id"), col("vec"), Vectors.l2Norm(col("vec")).as("nrm"))
-    idPairs
+    val pairs = idPairs
       .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("na") > 0 && col("nb") > 0,
           Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") > threshold)
+    VecLshCandidates(pairs, flagged)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

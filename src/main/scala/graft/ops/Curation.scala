@@ -88,9 +88,14 @@ object Curation {
     val thr = s.groupBy(col("__g")).agg(
       (if (exact) percentile(col("__q"), lit(pct))
        else percentile_approx(col("__q"), lit(pct), lit(accuracy))).as("__thr"))
-    s.join(broadcast(thr), Seq("__g"))
+    // NULL-SAFE group join (the Linkage lesson): groupBy computes a
+    // threshold for the null group (a missing source attribute is
+    // ordinary dirty data), and a plain equi-join would silently drop
+    // 100% of its rows instead of its bottom pct
+    s.join(broadcast(thr.withColumnRenamed("__g", "__tg")),
+        col("__g") <=> col("__tg"))
       .filter(col("__q") >= col("__thr"))
-      .drop("__g", "__q", "__thr")
+      .drop("__g", "__tg", "__q", "__thr")
   }
 
   /** Deterministic source-mixing sampler — the "data mixing" step of a
@@ -512,7 +517,14 @@ object Curation {
                           corpusBands: DataFrame, shingleSize: Int = 3,
                           k: Int = 12, bandRows: Int = 2,
                           confirmThreshold: Double = 0.8): DataFrame = {
-    val surv = batch.filter(!col(lqCol)).select(col(idCol), col(textCol))
+    // a NULL quality flag must not skip the dedup probe: filter(!lq)
+    // excludes null rows from signing, and the null-falsy status CASE
+    // would then return 'accepted' for an UNINSPECTED row — an exact
+    // corpus duplicate slipping into the curated set. Normalize null
+    // to false (not flagged low-quality, but probed like every
+    // survivor).
+    val lqNorm = coalesce(col(lqCol), lit(false))
+    val surv = batch.filter(!lqNorm).select(col(idCol), col(textCol))
     val cand = Dedup.incrementalCandidates(
       Dedup.bandIndex(surv, idCol, textCol, shingleSize, k, bandRows),
       corpusBands)
@@ -534,7 +546,7 @@ object Curation {
       .join(dupCorpus.withColumn("__dc", lit(1)), Seq(idCol), "left")
       .join(dupBatch.withColumn("__db", lit(1)), Seq(idCol), "left")
       .select(col(idCol),
-        when(col(lqCol), lit("low_quality"))
+        when(lqNorm, lit("low_quality"))
           .when(col("__dc") === 1, lit("dup_corpus"))
           .when(col("__db") === 1, lit("dup_batch"))
           .otherwise(lit("accepted")).as("status"))
@@ -554,7 +566,9 @@ object Curation {
     * makes the denominator smaller than the numerator's basis and the
     * ratio can go negative on such inputs. */
   def withDupNgramRatio(df: DataFrame, text: Column, n: Int,
-                        outCol: String): DataFrame =
+                        outCol: String): DataFrame = {
+    require(!df.columns.contains("__n_toks") && !df.columns.contains("__n_distinct"),
+      "columns __n_toks, __n_distinct are reserved by withDupNgramRatio")
     df.withColumn("__n_toks", size(split(trim(lower(text)), "\\s+", -1)))
       .withColumn("__n_distinct", size(wordNgrams(text, n)))
       .withColumn(outCol,
@@ -563,6 +577,7 @@ object Curation {
             / (col("__n_toks") - (n - 1)))
         .otherwise(lit(0.0)))
       .drop("__n_toks", "__n_distinct")
+  }
 
   /** BPE merge-table training (Sennrich et al. 2016 — the public
     * byte-pair-encoding recipe): learn the `nMerges` most frequent
@@ -620,10 +635,23 @@ object Curation {
       s"mergesPerRound must be positive, got $mergesPerRound")
     val spark = df.sparkSession
     import spark.implicits._
+    // superseded vocab rounds free their localCheckpoint blocks
+    // immediately (the connectedComponents leak-class fix): a 32k-merge
+    // training run is ~2000 rounds — leaving each round's vocab frame
+    // persisted until context-cleaner GC pins thousands of RDDs in
+    // executor storage
+    val sc = spark.sparkContext
+    def trackedCheckpoint(d: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = Reliable.checkpoint(d)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val words = df
       .select(explode(graft.expr.Text.tokens(lower(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-    var state = Reliable.checkpoint(
+    var (state, stateIds) = trackedCheckpoint(
       words.select(col("wc"), split(col("w"), "").as("syms")))
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -679,9 +707,12 @@ object Curation {
         val merged = batch.foldLeft(state) { case (st, (s1, s2, _)) =>
           st.select(col("wc"), mergeFold(s1, s2).as("syms"))
         }
-        state = Reliable.checkpoint(merged)
+        val (next, nextIds) = trackedCheckpoint(merged)
+        free(stateIds)
+        state = next; stateIds = nextIds
       }
     }
+    free(stateIds)
     learned.toSeq.toDF("rank", "s1", "s2", "freq")
       .select(col("rank").cast("long").as("rank"), col("s1"), col("s2"),
         col("freq"))

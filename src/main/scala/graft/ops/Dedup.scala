@@ -21,6 +21,8 @@ object Dedup {
     * reference's "first seen" is MySQL result order — nondeterministic in
     * principle (SURVEY §7.7 #4); we pin arrival order to `order` columns. */
   def firstSeen(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "column __rn is reserved by firstSeen — rename the input's")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -33,9 +35,12 @@ object Dedup {
     * the smallest tiebreak. sha2-256 collisions are negligible; the hash
     * (32 bytes) shuffles instead of the full text — at 100 TB that is the
     * difference between shuffling hashes and shuffling documents. */
-  def exactByHash(df: DataFrame, contentCol: String, tiebreak: Column): DataFrame =
+  def exactByHash(df: DataFrame, contentCol: String, tiebreak: Column): DataFrame = {
+    require(!df.columns.contains("__h"),
+      "column __h is reserved by exactByHash — rename the input's")
     firstSeen(df.withColumn("__h", sha2(col(contentCol), 256)),
       Seq("__h"), Seq(tiebreak)).drop("__h")
+  }
 
   // ---- MinHash-LSH near-dup ----
 
@@ -109,6 +114,10 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2,
                            maxBucket: Int = Int.MaxValue): LshCandidates = {
+    require(k % bandRows == 0,
+      s"bandRows=$bandRows must divide k=$k — a remainder would silently " +
+        "drop the trailing minhash values from banding, quietly lowering " +
+        "recall below what the configuration implies")
     val nBands = k / bandRows
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleSize, k).as("sig"))
@@ -156,7 +165,7 @@ object Dedup {
     * config or a mid-job cast failure under ANSI: string-id callers
     * should map ids first (Scale.zipWithOrderedIndex, or
     * Text.fingerprint64 when collision-tolerant). */
-  private def divertOversized(rows: DataFrame, keys: Seq[String],
+  private[ops] def divertOversized(rows: DataFrame, keys: Seq[String],
                               maxBucket: Int): (DataFrame, DataFrame) = {
     if (maxBucket == Int.MaxValue)
       (rows, sizedBuckets(rows, keys).filter(lit(false)))
@@ -195,6 +204,10 @@ object Dedup {
     * coherent (band keys are md5 over signature slices). */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
                 shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2): DataFrame = {
+    require(k % bandRows == 0,
+      s"bandRows=$bandRows must divide k=$k — a remainder would silently " +
+        "drop the trailing minhash values from banding, quietly lowering " +
+        "recall below what the configuration implies")
     val nBands = k / bandRows
     df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleSize, k).as("sig"))
@@ -402,29 +415,31 @@ object Dedup {
     var (labels, labelIds) = trackedCheckpoint(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("rep")))
-    // min-labels only ever decrease, so sum(rep) strictly decreases
-    // until fixpoint — one scalar agg per round as the convergence test
-    // (ZERO for the empty graph: zero pairs in → zero rows out, no loop)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("rep").cast("decimal(38,0)"))).first().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
-    var converged = prevSum.signum == 0 && labels.isEmpty
+    // convergence = ZERO labels changed this round — an exact,
+    // TYPE-AGNOSTIC test (one count per round, same cost as a scalar
+    // agg). The previous sum(rep cast decimal) test silently cast
+    // non-numeric ids to NULL, making every round's sum ZERO and
+    // declaring convergence after one propagation round — silently
+    // wrong components for string/UUID ids (the ids
+    // Linkage.resolveEntities commonly feeds in).
+    var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("rep")).as("nbr_rep"))
-      val (next, nextIds) = trackedCheckpoint(
-        labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep")))
+      // the checkpoint carries old+new rep so the changed-count and the
+      // next round read ONE materialization
+      val (nextFull, nextIds) = trackedCheckpoint(
+        labels.select(col("id"), col("rep").as("__old"))
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("__old"),
+            least(col("__old"), coalesce(col("nbr_rep"), col("__old")))
+              .as("rep")))
+      val changed = nextFull.filter(not(col("rep") <=> col("__old"))).count()
       free(labelIds)
-      labels = next; labelIds = nextIds
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      labels = nextFull.select(col("id"), col("rep")); labelIds = nextIds
+      converged = changed == 0
       iter += 1
     }
     free(edgeIds)

@@ -435,6 +435,52 @@ class CurationSpec extends SparkSpec {
       "default threshold must use the percentile_approx sketch\n" + plan)
   }
 
+  test("adaptiveQualityFilter: the null group filters by ITS OWN threshold, not to zero") {
+    val df = Seq(
+      (Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 3.0), (Option("a"), 4.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Option.empty[String], 30.0), (Option.empty[String], 40.0))
+      .toDF("src", "score")
+    val out = Curation.adaptiveQualityFilter(df, col("score"), col("src"),
+        pct = 0.5, exact = true)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(out.count(_._1.isEmpty) === 2,
+      s"null group must keep its TOP half, got $out")
+    assert(out.filter(_._1.isEmpty).map(_._2) === Set(30.0, 40.0))
+    assert(out.count(_._1.contains("a")) === 2)
+  }
+
+  test("refreshDispositions: a NULL quality flag is probed, not silently accepted") {
+    import graft.ops.Dedup
+    // corpus doc 100 'same exact text'; batch doc 1 is an EXACT dup
+    // with a NULL lq flag — must surface as dup_corpus, never slip in
+    val corpus = Seq((100L, "same exact text here words")).toDF("doc_id", "text")
+    val corpusBands = Dedup.bandIndex(corpus, "doc_id", "text", 3, 12, 2)
+    val batch = Seq(
+      (1L, "same exact text here words", Option.empty[Boolean]),
+      (2L, "totally different unrelated content words", Option(false)),
+      (3L, "whatever low quality", Option(true)))
+      .toDF("doc_id", "text", "lq")
+    val out = Curation.refreshDispositions(batch, "doc_id", "text", "lq",
+        corpus, corpusBands)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "dup_corpus",
+      s"null-lq exact dup must be caught, got ${out(1L)}")
+    assert(out(2L) === "accepted")
+    assert(out(3L) === "low_quality")
+  }
+
+  test("bpeMerges frees every superseded round's checkpoint blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = Seq.tabulate(30)(i => s"low lower lowest new newer ${i % 5}")
+      .toDF("text")
+    Curation.bpeMerges(df, col("text"), nMerges = 12, mergesPerRound = 2)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"bpeMerges left ${leaked.size} persisted RDDs behind")
+  }
+
   test("kAnonymize: sub-k groups suppress entirely; null quasi values group and suppress") {
     val df = Seq(
       (1L, Some("en"), "web"), (2L, Some("en"), "web"), (3L, Some("en"), "web"),

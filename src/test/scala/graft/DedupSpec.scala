@@ -98,6 +98,39 @@ class DedupSpec extends SparkSpec {
     assert(cap === noCap)
   }
 
+  test("connectedComponents: STRING ids converge exactly (type-agnostic convergence test)") {
+    // a diameter-3 chain a-b-c-d: the old sum(rep cast decimal)
+    // convergence test cast string reps to NULL, saw ZERO every round,
+    // and declared convergence after ONE propagation — silently split
+    // components for the ids Linkage.resolveEntities commonly feeds in
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(Seq("a", "b", "c", "d").map(out(_)._1).distinct === Seq("a"),
+      s"chain must collapse to one rep, got $out")
+    assert(Seq("a", "b", "c", "d").forall(out(_)._2 === 4L))
+    assert(out("x")._1 === "x" && out("y")._1 === "x")
+  }
+
+  test("banding requires bandRows to divide k; scratch-column collisions are loud") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshCandidates(d, "doc_id", "text", k = 12, bandRows = 5)
+    }
+    assert(e.getMessage.contains("must divide"), e.getMessage)
+    val clash = d.withColumn("__h", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.exactByHash(clash, "text", col("doc_id"))
+    }
+    assert(e2.getMessage.contains("__h"), e2.getMessage)
+    val clash2 = d.withColumn("__rn", lit(1))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.firstSeen(clash2, Seq("doc_id"), Seq(col("doc_id")))
+    }
+    assert(e3.getMessage.contains("__rn"), e3.getMessage)
+  }
+
   test("capped candidate generation refuses non-integral ids loudly; uncapped still works") {
     val strDocs = Seq(("a", "alpha beta gamma delta epsilon"),
       ("b", "alpha beta gamma delta zeta")).toDF("doc_id", "text")

@@ -752,6 +752,26 @@ class TextVectorSpec extends SparkSpec {
       === rows(graft.ops.TextIndex.probeBm25Index(spark, path, terms)))
   }
 
+  test("nearDupCandidatesLsh: a vector flood diverts to flagged before any collection") {
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val near = Array(0.999f, 0.04f, 0.0f, 0.0f)
+    val other = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // 40 identical vectors share EVERY table's bucket; cap at 25
+    val rows = Seq((1L, v), (2L, near), (3L, other)) ++
+      (100L until 140L).map(i => (i, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val vecs = spark.createDataFrame(rows).toDF("id", "vec")
+    val res = graft.ops.Ann.nearDupCandidatesLsh(vecs, threshold = 0.9,
+      maxBucket = 25)
+    val pairs = res.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 100 && b >= 100 },
+      "flood bucket must not pair")
+    assert(pairs.contains((1L, 2L)), s"planted near-dup must survive: $pairs")
+    val flagged = res.flaggedBuckets.collect()
+    // every flagged bucket holds the 40-vector flood (plus possibly a
+    // normal vector that happens to share that table's bucket)
+    assert(flagged.nonEmpty && flagged.forall(_.getAs[Long]("n_ids") >= 40L))
+  }
+
   test("bm25: uppercase query terms normalize to the index's lowercase tokens") {
     val d = Seq((1L, "Bitcoin rallies again"), (2L, "ethereum dips"))
       .toDF("doc_id", "text")
