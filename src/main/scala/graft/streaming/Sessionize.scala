@@ -50,6 +50,28 @@ object Sessionize {
       .drop("__sid")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` grouping — the
+    * built-in the custom formulations are benchmarked against (prefer
+    * the built-in where it expresses the semantics; the gap-flag
+    * cumulative sum and the flatMapGroupsWithState stream exist for
+    * the shapes it cannot serve: session ids joined back onto events,
+    * custom per-session state). Emits the same
+    * (user_id, session_start, session_end, n_events) rows as
+    * [[sessionizeBatch]] — EXACTLY, boundary included: the built-in's
+    * merge test is inclusive at prev + gap (measured and spec-pinned;
+    * easy to misremember as exclusive), matching the gap-flag form's
+    * `diff > gap` split. Its window END is last-event + gap though, so
+    * session_end reports max(ts) explicitly, not window.end. Works on
+    * a stream too (with a watermark) — the built-in state store
+    * handles merging. */
+  def sessionizeNative(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .drop("session_window")
+
   /** Streaming sessionization with custom state: sessions are emitted
     * once the event-time timeout (gap) fires past the watermark.
     *

@@ -201,6 +201,31 @@ class TopKSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window == gap-flag batch, boundary INCLUDED (inclusive merge)") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2025-05-01 10:00:00")), (1L, ts("2025-05-01 10:20:00")),
+      (1L, ts("2025-05-01 11:30:00")), (2L, ts("2025-05-01 09:00:00")))
+      .toDF("user_id", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getInt(3))).toSet
+    assert(
+      rows(Sessionize.sessionizeNative(events, gapSeconds = 1800)) ===
+        rows(Sessionize.sessionizeBatch(events, gapSeconds = 1800)),
+      "built-in and gap-flag formulations must agree")
+    // the built-in's merge is INCLUSIVE at exactly prev + gap —
+    // measured here because it is easy to misremember as exclusive
+    // (window end = ts + gap reads like a half-open interval); both
+    // formulations merge the boundary event
+    val boundary = Seq((1L, ts("2025-05-01 10:00:00")),
+      (1L, ts("2025-05-01 10:30:00"))).toDF("user_id", "ts")
+    assert(Sessionize.sessionizeNative(boundary, gapSeconds = 1800)
+      .count() === 1L)
+    assert(Sessionize.sessionizeBatch(boundary, gapSeconds = 1800)
+      .count() === 1L)
+  }
+
   test("sessionizeBatch: the gap compares milliseconds, not truncated seconds") {
     // events 10.9 s apart with gap 10 s: whole-second truncation reads
     // the diff as 10 <= 10 and merges; millisecond arithmetic splits —
