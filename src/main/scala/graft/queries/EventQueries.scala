@@ -342,6 +342,24 @@ object EventQueries {
     }),
   )
 
+  private val sessionizeOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events WHERE ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(COUNT(*) AS INT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_json_extract" ->
@@ -457,46 +475,16 @@ object EventQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY p.user_id, pts, cts""".stripMargin,
 
-    // native session_window: inclusive merge at prev+gap, identical
-    // sessions to q_sessionize (measured; spec-pinned at the boundary)
-    "q_sessionize_native" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e)
-        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(COUNT(*) AS INT) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
     // gap in MILLISECONDS (epoch_ms == Spark unix_millis): whole-second
     // truncation would split sub-second feeds differently from the
-    // streaming twin's ms arithmetic
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e)
-        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(COUNT(*) AS INT) AS n_events
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    // streaming twin's ms arithmetic. ONE definition serves both the
+    // gap-flag and native-session_window queries — the two are
+    // mutually pinned to identical sessions (inclusive at prev+gap,
+    // measured against Spark's UpdatingSessionsIterator), and a shared
+    // oracle makes that equivalence impossible to drift silently.
+    "q_sessionize" -> sessionizeOracleSql,
+
+    "q_sessionize_native" -> sessionizeOracleSql,
 
     // q_approx_distinct: the HLL estimate is engine-specific, so the
     // oracle asserts the exact counts plus the error-bound boolean the

@@ -29,11 +29,16 @@ object Sessionize {
     * cumulative count of session-starts per user. The gap compares
     * MILLISECONDS (unix_millis) — unix_timestamp truncates to whole
     * seconds, which would split sub-second feeds differently from the
-    * stream twin's millisecond arithmetic. */
+    * stream twin's millisecond arithmetic. Null-ts events are DROPPED:
+    * an event without a time belongs to no session, and Spark's native
+    * session_window filters them the same way (its analyzer rule adds
+    * IsNotNull) — so all three formulations agree on dirty feeds
+    * instead of this one emitting a (null, null) pseudo-session. */
   def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
+      .filter(col("ts").isNotNull)
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new_session",
         // the cast lifts TIMESTAMP_NTZ (the parquet fixture type) to

@@ -224,6 +224,13 @@ class TopKSessionSpec extends SparkSpec {
       .count() === 1L)
     assert(Sessionize.sessionizeBatch(boundary, gapSeconds = 1800)
       .count() === 1L)
+    // null-ts events belong to no session and DROP in both forms (the
+    // native analyzer injects IsNotNull; batch filters explicitly —
+    // previously it emitted a (null, null) pseudo-session)
+    val dirty = Seq((1L, Option(ts("2025-05-01 10:00:00"))),
+      (1L, Option.empty[Timestamp])).toDF("user_id", "ts")
+    assert(Sessionize.sessionizeBatch(dirty, gapSeconds = 1800).count() === 1L)
+    assert(Sessionize.sessionizeNative(dirty, gapSeconds = 1800).count() === 1L)
   }
 
   test("sessionizeBatch: the gap compares milliseconds, not truncated seconds") {
