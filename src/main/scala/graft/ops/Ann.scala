@@ -956,11 +956,31 @@ object Ann {
     * Returns (id, cid, cent_sim, keep). Rows with a NULL vector are
     * EXCLUDED from the output entirely (the assignment kernel's null
     * contract) — a keep-list consumer that must retain them should
-    * filter them out first and union them back. */
+    * filter them out first and union them back.
+    *
+    * `autoScaleK` turns the cluster count into a FUNCTION of corpus
+    * size: k grows to ceil(√n) (never below the passed `k`), the
+    * BALANCE point of SemDeDup's two cost terms — assignment is
+    * O(n·k·d) and cluster-local pairing is O(n²/k), so k ≈ √n keeps
+    * both at O(n^1.5) where a FIXED k makes pairing quadratic (the
+    * ×30 scale smoke measured it) and k ∝ n would make the
+    * ASSIGNMENT quadratic instead. Same move as [[nearDupPairsLsh]]'s
+    * `targetOccupancy`, adjusted for SemDeDup's paying an O(n·k)
+    * assign that LSH does not. Costs one count() of the corpus;
+    * 100 TB callers who know n can size k directly (and past ~10⁶
+    * clusters should train centroids on a sample — the paper's own
+    * recipe — via `centroidsOverride`). */
   def semDedup(vecs: DataFrame, k: Int, threshold: Double, iters: Int = 3,
                maxCluster: Int = 20000,
-               centroidsOverride: Option[DataFrame] = None): DataFrame = {
-    val cents = centroidsOverride.getOrElse(trainCentroids(vecs, k, iters))
+               centroidsOverride: Option[DataFrame] = None,
+               autoScaleK: Boolean = false): DataFrame = {
+    val effK =
+      if (!autoScaleK || centroidsOverride.isDefined) k
+      else {
+        val n = math.max(1L, vecs.count())
+        math.max(k, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
+    val cents = centroidsOverride.getOrElse(trainCentroids(vecs, effK, iters))
     val c = cents.select(col("cid"), col("cv"))
     // materialized: four downstream subtrees (cluster sizes, both
     // self-join sides, the final keep join) would otherwise each

@@ -399,7 +399,10 @@ object SimilarityQueries {
     // and co-cluster at every shipped SF (verified at sf0.001/0.01/0.1).
     "q_semdedup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val sd = Ann.semDedup(e, k = 10, threshold = 0.4)
+      // autoScaleK sizes k ≈ √n so the scale smoke exercises the
+      // BALANCED path: assignment O(n·k) and pairing O(n²/k) both stay
+      // O(n^1.5), where the old fixed k=10 made pairing quadratic
+      val sd = Ann.semDedup(e, k = 10, threshold = 0.4, autoScaleK = true)
       val sizes = sd.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
       val capStats = sizes.agg(
         (coalesce(max(col("csz")), lit(0L)) <= 20000).as("no_capped_cluster"))

@@ -456,6 +456,38 @@ class TextVectorSpec extends SparkSpec {
       "identical blob must collapse to a single keeper")
   }
 
+  test("semDedup: autoScaleK sizes k to ceil(sqrt(n)), never below k, and override wins") {
+    // 64 distinct near-orthogonal vectors -> n=64, ceil(sqrt(64))=8:
+    // with autoScaleK the output must use MORE clusters than the
+    // passed k=2 (at least 3 distinct cids among 64 spread vectors),
+    // and a centroidsOverride must bypass the scaling entirely.
+    val dim = 8
+    val rows = (0L until 64L).map { id =>
+      val v = Array.fill(dim)(0.05f)
+      v((id % dim).toInt) = 1.0f + 0.01f * (id / dim)
+      (id, v)
+    }
+    val vecs = spark.createDataFrame(rows).toDF("id", "vec")
+    val scaled = graft.ops.Ann.semDedup(vecs, k = 2, threshold = 0.999,
+      iters = 2, autoScaleK = true)
+    val nCids = scaled.select("cid").distinct().count()
+    assert(nCids > 2L && nCids <= 8L,
+      s"autoScaleK should target ceil(sqrt(64))=8 clusters, got $nCids")
+    // floor: autoScaleK never shrinks k below the caller's value
+    val small = vecs.limit(4) // ceil(sqrt(4)) = 2 < k = 3
+    val floored = graft.ops.Ann.semDedup(small, k = 3, threshold = 0.999,
+      iters = 1, autoScaleK = true)
+    assert(floored.select("cid").distinct().count() <= 3L)
+    // override: explicit centroids disable the n-derived k entirely
+    val cents = vecs.limit(1).select(
+      org.apache.spark.sql.functions.lit(0L).as("cid"),
+      org.apache.spark.sql.functions.col("vec").as("cv"))
+    val overridden = graft.ops.Ann.semDedup(vecs, k = 2, threshold = 0.999,
+      iters = 1, centroidsOverride = Some(cents), autoScaleK = true)
+    assert(overridden.select("cid").distinct().count() === 1L,
+      "centroidsOverride must win over autoScaleK")
+  }
+
   test("nearDupPairsLsh: planted oversized bucket emits no pairs, bucket rows carry only ids") {
     // 40 identical all-ones vectors: same bucket in every LSH table ->
     // one giant bucket that must be dropped by the maxBucket backstop;
