@@ -967,20 +967,41 @@ object Ann {
     * ASSIGNMENT quadratic instead. Same move as [[nearDupPairsLsh]]'s
     * `targetOccupancy`, adjusted for SemDeDup's paying an O(n·k)
     * assign that LSH does not. Costs one count() of the corpus;
-    * 100 TB callers who know n can size k directly (and past ~10⁶
-    * clusters should train centroids on a sample — the paper's own
-    * recipe — via `centroidsOverride`). */
+    * 100 TB callers who know n can size k directly.
+    *
+    * Under `autoScaleK` the Lloyd iterations also train on a
+    * deterministic 32·k-row hash-sample of the corpus (the paper's
+    * own recipe — centroids only need the corpus DENSITY, not every
+    * row), so training costs O(k²·d·iters) and the single full-corpus
+    * assignment pass is the only O(n·k·d) term left. Measured at the
+    * ×30 smoke: full-corpus training at k=√n paid 3 extra corpus
+    * passes for centroids whose dedup output the sample reproduces
+    * bit-identically (exact duplicates co-cluster under ANY centroid
+    * set; the invariant suite is centroid-free). */
   def semDedup(vecs: DataFrame, k: Int, threshold: Double, iters: Int = 3,
                maxCluster: Int = 20000,
                centroidsOverride: Option[DataFrame] = None,
                autoScaleK: Boolean = false): DataFrame = {
-    val effK =
-      if (!autoScaleK || centroidsOverride.isDefined) k
+    val (effK, trainVecs) =
+      if (!autoScaleK || centroidsOverride.isDefined) (k, vecs)
       else {
         val n = math.max(1L, vecs.count())
-        math.max(k, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val kk = math.max(k, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val target = 32L * kk
+        val tv =
+          if (target >= n) vecs
+          else {
+            // deterministic Bernoulli sample: keep ids whose salted
+            // xxhash64 lands under target/n of the hash ring — no
+            // shuffle, no order sensitivity, stable across runs
+            val den = 1L << 20
+            val num = math.max(1L, (target * den) / n + 1L)
+            vecs.filter(
+              pmod(xxhash64(col("id"), lit(0x5EEDL)), lit(den)) < num)
+          }
+        (kk, tv)
       }
-    val cents = centroidsOverride.getOrElse(trainCentroids(vecs, effK, iters))
+    val cents = centroidsOverride.getOrElse(trainCentroids(trainVecs, effK, iters))
     val c = cents.select(col("cid"), col("cv"))
     // materialized: four downstream subtrees (cluster sizes, both
     // self-join sides, the final keep join) would otherwise each

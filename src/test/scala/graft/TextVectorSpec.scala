@@ -478,6 +478,16 @@ class TextVectorSpec extends SparkSpec {
     val floored = graft.ops.Ann.semDedup(small, k = 3, threshold = 0.999,
       iters = 1, autoScaleK = true)
     assert(floored.select("cid").distinct().count() <= 3L)
+    // sampled training (active once n > 32*ceil(sqrt(n))): every input
+    // row must still appear exactly once in the OUTPUT — the sample
+    // feeds Lloyd only, never the assignment pass
+    val big = spark.createDataFrame((0L until 2048L).map { id =>
+      val v = Array.fill(dim)(0.05f); v((id % dim).toInt) = 1.0f; (id, v)
+    }).toDF("id", "vec")
+    val sampled = graft.ops.Ann.semDedup(big, k = 2, threshold = 0.999,
+      iters = 1, autoScaleK = true)
+    assert(sampled.count() === 2048L, "sampling must not drop output rows")
+    assert(sampled.select("id").distinct().count() === 2048L)
     // override: explicit centroids disable the n-derived k entirely
     val cents = vecs.limit(1).select(
       org.apache.spark.sql.functions.lit(0L).as("cid"),
