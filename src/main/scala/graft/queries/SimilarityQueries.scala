@@ -79,12 +79,18 @@ object SimilarityQueries {
     }),
 
     // IVF-Flat ANN (the storage-partitioned scale path): 16 coarse
-    // lists trained with 2 Lloyd iterations (DataFrame-native k-means,
-    // VERDICT r2 item 4), 4-probe queries — rows-only; recall
-    // spec-asserted and driver-visible via the _recall twin.
+    // lists from the DETERMINISTIC first-16 seed, 4-probe queries —
+    // VALUE-EXACT: with seeded centroids every stage (top-1 assign,
+    // top-4 probe, probed-cell candidate union, exact cosine rank) is
+    // engine-neutral sequential-double arithmetic the oracle restates
+    // (the q_cluster_sample assignment + q_cosine_topk rank
+    // precedents). Lloyd-TRAINED centroids — whose sum(double)
+    // partition-order FP DuckDB cannot replicate — stay driver-visible
+    // through q_ann_ivf_recall (trainIters=2, engine-neutral constant
+    // output) and q_kmeans_quality.
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, trainIters = 2)
+      Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5)
         .select(col("qid"), col("rank"), col("nid"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -596,16 +602,54 @@ object SimilarityQueries {
 
     // q_ann_lsh: VALUE-EXACT — the hyperplane signs are data-free
     // xxhash64 parities, restated as an embedded ±1 literal matrix
-    // (lshOracleSql). q_ann_ivf stays rows-only by design: its k-means
-    // centroids are Spark sum(double) aggregates whose partition-order
-    // summation DuckDB cannot replicate, and a last-ulp centroid
-    // difference can flip a list assignment and thus the probed
-    // candidate set. The *_recall twins keep quality driver-visible
-    // either way: the oracle produces the fixed qid set and the
-    // expected full-containment counts; Spark computes the real counts
-    // from the ANN output.
+    // (lshOracleSql). q_ann_ivf: VALUE-EXACT under the deterministic
+    // first-16 seed — assignment and probe are the NearestCents
+    // kernel's (cosine DESC, cid) pick, rank is the TopKByScore
+    // (sim DESC, nid) order, all sequential-double arithmetic DuckDB
+    // reproduces bit-for-bit. Lloyd-TRAINED centroids (Spark
+    // sum(double) partition-order FP) remain covered by the _recall
+    // twins' engine-neutral constant outputs.
 
     "q_ann_lsh" -> lshOracleSql(nBits = 4, nTables = 12, dim = 64, k = 5),
+
+    "q_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv,
+         |    sqrt(${dot("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id < 16),
+         |e AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |    sqrt(${dot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |csims AS (
+         |  SELECT e.id, c.cid, e.nrm,
+         |    ${dot("e.v", "c.cv")} / (e.nrm * c.cn) AS sim
+         |  FROM e CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+         |    FROM csims) WHERE rn = 1),
+         |probes AS (
+         |  SELECT id AS qid, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+         |    FROM csims WHERE id < 8) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid
+         |  FROM probes p JOIN assigned a USING (cid)
+         |  WHERE a.id <> p.qid),
+         |sims AS (
+         |  SELECT cand.qid, cand.nid,
+         |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+         |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+         |  FROM cand JOIN e qe ON qe.id = cand.qid JOIN e ce ON ce.id = cand.nid),
+         |ranked AS (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
 
     "q_ann_lsh_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
