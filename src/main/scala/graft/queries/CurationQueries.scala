@@ -16,7 +16,23 @@ import graft.schema.Tables
   */
 object CurationQueries {
 
+  /** The documents fixture is ONE parquet row group, so every per-row
+    * text kernel downstream would otherwise run in a single task
+    * regardless of cores (measured: q_line_clean flat 4.3 s from sf0.1
+    * to ×10 data — parallelism-starved, not data-bound; the map side of
+    * shuffle-first queries is equally starved). Hash repartition by
+    * doc_id: deterministic under task retries (unlike round-robin
+    * repartition(n)) and a ~600 KB shuffle. At production scale the
+    * source supplies splits and this spreads an oversized input split
+    * instead of being a no-op tax. */
   private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").repartition(col("doc_id"))
+
+  /** Unrailed twin for queries whose scan-side work is a fused codegen
+    * kernel or an immediate aggregation (the BPE pair): there the
+    * extra exchange is pure tax — measured +0.4 s on q_bpe_encode —
+    * exactly the TextQueries.docs reasoning. */
+  private def docsRaw(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
   /** Fixture text is single-line word soup, so the line-level operators
@@ -49,7 +65,7 @@ object CurationQueries {
     // no shuffle at any scale.
     "q_hash_split" -> ((s, dir) => {
       val b = Curation.hashBucket(col("text"), 100)
-      docs(s, dir).select(col("doc_id"), b.as("bucket"),
+      docsRaw(s, dir).select(col("doc_id"), b.as("bucket"),
         Curation.splitLabel(b, trainPct = 90, valPct = 5).as("split"))
         .orderBy(col("doc_id"))
     }),
@@ -252,7 +268,7 @@ object CurationQueries {
     // shape booleans are theorems, not tautologies (a greedy-merge or
     // tie-break bug flips them).
     "q_bpe" -> ((s, dir) => {
-      val m = Curation.bpeMerges(docs(s, dir), col("text"), nMerges = 8)
+      val m = Curation.bpeMerges(docsRaw(s, dir), col("text"), nMerges = 8)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
       val shape = m.withColumn("__prev", lag(col("freq"), 1).over(w))
         .agg(count(lit(1)).as("n_merges"),
@@ -411,7 +427,7 @@ object CurationQueries {
     // states both as constants. Exact subword encodings are pinned in
     // BpeEncodeSpec (low/lower classic, overlap, doc-level parity).
     "q_bpe_encode" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsRaw(s, dir)
       val table = Curation.collectMerges(
         Curation.bpeMerges(d, col("text"), nMerges = 8))
       val enc = Curation.bpeEncodeCol(col("text"), table)
@@ -442,7 +458,7 @@ object CurationQueries {
     // own row_number, so the permutation is value-exact cross-engine.
     "q_epoch_shuffle" -> ((s, dir) => {
       graft.ops.Sampling.epochShuffle(
-          docs(s, dir).select(col("doc_id")), "doc_id",
+          docsRaw(s, dir).select(col("doc_id")), "doc_id",
           epoch = 3, nShards = 8)
         .orderBy(col("shard"), col("pos_in_shard"))
     }),
@@ -454,7 +470,7 @@ object CurationQueries {
     // floor(frac(w)·2^53), so the oracle reproduces every boundary
     // decision bit-for-bit.
     "q_weighted_upsample" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val d = docsRaw(s, dir).select(col("doc_id"), col("source"))
         .withColumn("weight", lit(0.25) +
           (substring(col("source"), 4, 10).cast("int") % 4).cast("double")
             * lit(0.75))
@@ -473,7 +489,7 @@ object CurationQueries {
     // epoch-5 shuffle into 4 shards. Every stage deterministic, the
     // whole chain value-exact cross-engine.
     "q_training_mix_e2e" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val d = docsRaw(s, dir).select(col("doc_id"), col("source"))
         .withColumn("weight", lit(0.25) +
           (substring(col("source"), 4, 10).cast("int") % 4).cast("double")
             * lit(0.75))

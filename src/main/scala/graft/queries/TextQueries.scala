@@ -18,6 +18,13 @@ import graft.schema.Tables
   */
 object TextQueries {
 
+  /** NO input-split rail here, deliberately (contrast
+    * CurationQueries.docs): this file's per-row kernels are fused
+    * xxhash/count expressions cheap enough that the single-row-group
+    * fixture scan is NOT the bottleneck — measured: adding the
+    * repartition cost the whole simhash family ~1.7× (extra exchanges
+    * and delayed broadcast builds bought parallelism the kernels don't
+    * need). The rail belongs where per-row work dominates the scan. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
