@@ -509,6 +509,26 @@ object SimilarityQueries {
   private def dot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Shared tail of the value-exact candidate-rank oracles
+    * ([[lshOracleSql]], q_ann_ivf): guarded exact cosine over a
+    * `cand(qid, nid)` CTE against `e(id, v, nrm)`, then the
+    * TopKByScore (sim DESC, nid) order. NULL sims (a zero-norm side)
+    * are EXCLUDED before ranking because TopKByScore skips null
+    * scores — a bare ROW_NUMBER would still number them and shift
+    * every rank below on a degenerate fixture row. */
+  private def simsRankedTail(k: Int): String =
+    s"""sims AS (
+       |  SELECT cand.qid, cand.nid,
+       |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+       |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+       |  FROM cand JOIN e qe ON qe.id = cand.qid JOIN e ce ON ce.id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |  FROM sims WHERE sim IS NOT NULL)
+       |SELECT qid, rank, nid FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+
   /** Value-exact DuckDB restatement of [[Ann.lshTopK]] (the SimHashSql
     * move applied to vectors): the hyperplane weights are DATA-FREE
     * constants — parity of xxhash64 over (plane, elemIndex) — so the
@@ -544,17 +564,7 @@ object SimilarityQueries {
        |  SELECT DISTINCT q.id AS qid, c.id AS nid
        |  FROM bucketed q JOIN bucketed c USING (bucket)
        |  WHERE q.id < 8 AND q.id <> c.id),
-       |sims AS (
-       |  SELECT cand.qid, cand.nid,
-       |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
-       |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
-       |  FROM cand JOIN e qe ON qe.id = cand.qid JOIN e ce ON ce.id = cand.nid),
-       |ranked AS (
-       |  SELECT qid, nid,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-       |  FROM sims)
-       |SELECT qid, rank, nid FROM ranked WHERE rank <= $k
-       |ORDER BY qid, rank""".stripMargin
+       |${simsRankedTail(k)}""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -623,33 +633,26 @@ object SimilarityQueries {
          |  FROM embeddings),
          |csims AS (
          |  SELECT e.id, c.cid, e.nrm,
-         |    ${dot("e.v", "c.cv")} / (e.nrm * c.cn) AS sim
+         |    CASE WHEN c.cn > 0
+         |      THEN ${dot("e.v", "c.cv")} / (e.nrm * c.cn) END AS sim
          |  FROM e CROSS JOIN cents c),
          |assigned AS (
          |  SELECT id, cid FROM (
          |    SELECT id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+         |      ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY sim DESC NULLS LAST, cid) AS rn
          |    FROM csims) WHERE rn = 1),
          |probes AS (
          |  SELECT id AS qid, cid FROM (
          |    SELECT id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rn
+         |      ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY sim DESC NULLS LAST, cid) AS rn
          |    FROM csims WHERE id < 8) WHERE rn <= 4),
          |cand AS (
          |  SELECT p.qid, a.id AS nid
          |  FROM probes p JOIN assigned a USING (cid)
          |  WHERE a.id <> p.qid),
-         |sims AS (
-         |  SELECT cand.qid, cand.nid,
-         |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
-         |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
-         |  FROM cand JOIN e qe ON qe.id = cand.qid JOIN e ce ON ce.id = cand.nid),
-         |ranked AS (
-         |  SELECT qid, nid,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
-         |  FROM sims)
-         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin,
+         |${simsRankedTail(5)}""".stripMargin,
 
     "q_ann_lsh_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,

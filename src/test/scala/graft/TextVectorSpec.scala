@@ -473,11 +473,20 @@ class TextVectorSpec extends SparkSpec {
     val nCids = scaled.select("cid").distinct().count()
     assert(nCids > 2L && nCids <= 8L,
       s"autoScaleK should target ceil(sqrt(64))=8 clusters, got $nCids")
-    // floor: autoScaleK never shrinks k below the caller's value
-    val small = vecs.limit(4) // ceil(sqrt(4)) = 2 < k = 3
+    // floor: autoScaleK never shrinks k below the caller's value.
+    // 4 vectors in 3 orthogonal directions (ids 0,1,2 seed the 3
+    // centroids; id 3 duplicates direction 0): with the k=3 floor
+    // honored, all 3 centroids claim a member — EXACTLY 3 distinct
+    // cids. If the floor regressed to ceil(sqrt(4))=2, at most 2
+    // centroids exist and the count drops.
+    val smallRows = Seq(0L, 1L, 2L, 3L).map { id =>
+      val v = Array.fill(dim)(0.0f); v((id % 3).toInt) = 1.0f; (id, v)
+    }
+    val small = spark.createDataFrame(smallRows).toDF("id", "vec")
     val floored = graft.ops.Ann.semDedup(small, k = 3, threshold = 0.999,
       iters = 1, autoScaleK = true)
-    assert(floored.select("cid").distinct().count() <= 3L)
+    assert(floored.select("cid").distinct().count() === 3L,
+      "k=3 floor must survive autoScaleK at n=4")
     // sampled training (active once n > 32*ceil(sqrt(n))): every input
     // row must still appear exactly once in the OUTPUT — the sample
     // feeds Lloyd only, never the assignment pass
