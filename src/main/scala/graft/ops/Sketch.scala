@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequency sketching: heavy hitters by count-min sketch cross-checked
@@ -73,5 +73,64 @@ object Sketch {
         hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("nd_union"))
       .withColumn("nd_intersect_est",
         greatest(lit(0L), col("nd_a") + col("nd_b") - col("nd_union")))
+  }
+
+  /** Deterministic uniform m-sample per group — the mergeable quantile
+    * sketch: keep the `m` rows whose salted xxhash64 of a UNIQUE row
+    * id is smallest ([[graft.expr.catalyst.MinKByHash]]). A uniform
+    * m-row sample answers any quantile to O(1/√m) rank error, and
+    * unlike reservoir sampling the winners are a pure function of the
+    * ids — any partitioning, any arrival order, any engine picks the
+    * same rows (a DuckDB ROW_NUMBER over the restated hash reproduces
+    * the sample bit-for-bit, so the estimates are value-exact
+    * cross-engine, not assertion-gated).
+    *
+    * Scale shape: map-side partial aggregation ships ≤ m entries per
+    * (partition, group) through the shuffle — a 10^9-row group costs
+    * O(n log m) compute and m rows of network, and persisted samples
+    * merge associatively (min-k of a union == min-k of the min-ks),
+    * the same absorb contract as the Profile/AggState family.
+    *
+    * `idCols` must identify rows UNIQUELY — hashing a non-unique
+    * column silently turns the row sample into a distinct-value sample
+    * and biases every quantile under heavy duplication. Rows with a
+    * null id or value are EXCLUDED from both the sample and `n_rows`
+    * (xxhash64 SKIPS null children rather than returning null, which
+    * would otherwise pile every null-id row onto one constant hash);
+    * append a `lit(salt)` column to redraw the sample.
+    *
+    * Output: (groupCols..., n_rows, sample array<struct<h,v>> in
+    * selection order (h asc, v asc)). */
+  def minKSample(df: DataFrame, groupCols: Seq[String], idCols: Seq[Column],
+                 value: Column, m: Int): DataFrame = {
+    require(idCols.nonEmpty, "minKSample needs at least one id column")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val minK = column(graft.expr.catalyst.MinKByHash(
+      expression(struct(xxhash64(idCols: _*).as("h"),
+        value.cast("double").as("v"))), m).toAggregateExpression())
+    df.filter(idCols.map(_.isNotNull).reduce(_ && _) && value.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), minK.as("sample"))
+  }
+
+  /** Quantile estimate from a [[minKSample]] sample column, running
+    * EXACTLY the arithmetic of Spark's `Percentile` aggregate
+    * (pos = p·(n−1); integral pos returns the value; otherwise the
+    * two-sided weighting (ceil(pos)−pos)·v[floor] +
+    * (pos−floor(pos))·v[ceil] — NOT the algebraically-equal-but-
+    * FP-different lower + (higher−lower)·frac form), so estimates are
+    * bit-identical to `percentile()` over the sampled values and the
+    * oracle can mirror the steps. NULL on an empty sample. */
+  def sampleQuantile(sample: Column, p: Double): Column = {
+    require(p >= 0.0 && p <= 1.0, s"p must be in [0, 1], got $p")
+    val vs = array_sort(transform(sample, s => s.getField("v")))
+    val n = size(vs)
+    val pos = lit(p) * (n - 1).cast("double")
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    when(n === 0, lit(null).cast("double")).otherwise(
+      when(hi === lo, element_at(vs, lo.cast("int") + 1)).otherwise(
+        (hi - pos) * element_at(vs, lo.cast("int") + 1) +
+          (pos - lo) * element_at(vs, hi.cast("int") + 1)))
   }
 }

@@ -122,6 +122,64 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Deterministic min-k quantile sketch (Sketch.minKSample): per
+    // event_type, the 64 rows with the smallest xxhash64(event_id) are
+    // a uniform sample whose winners are a pure function of the ids —
+    // so unlike q_approx_pct's assertion-gated sketch, the ESTIMATES
+    // here are value-exact cross-engine: the oracle restates the XXH64
+    // chain (XxhashSql), the (h, value) selection window, and Spark's
+    // exact-percentile interpolation operation-for-operation. The
+    // at-scale story is the aggregate's: map-side partial min-k ships
+    // ≤ 64 entries per (partition, group), and persisted samples merge
+    // associatively (q_quantile_sketch_merge pins it in-plan).
+    "q_quantile_sketch" -> ((s, dir) => {
+      val sk = graft.ops.Sketch.minKSample(t(s, dir, "events"),
+        Seq("event_type"), Seq(col("event_id")), col("value"), m = 64)
+      sk.select(col("event_type"), col("n_rows"),
+          size(col("sample")).cast("long").as("n_sampled"),
+          round(graft.ops.Sketch.sampleQuantile(col("sample"), 0.5), 4).as("p50_est"),
+          round(graft.ops.Sketch.sampleQuantile(col("sample"), 0.9), 4).as("p90_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Mergeability of the min-k sample, pinned IN-PLAN: the corpus is
+    // split by event_id parity, each half sampled independently (the
+    // "two persisted drops" of the absorb story), the two samples
+    // re-aggregated through the same min-k — and the result must equal
+    // the one-shot sample ENTRY FOR ENTRY, not just in distribution.
+    // The oracle states the one-shot estimate and a TRUE for the
+    // equality, so a merge-order or trim bug goes hash-red.
+    "q_quantile_sketch_merge" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def half(pred: Column) = graft.ops.Sketch.minKSample(e.filter(pred),
+        Seq("event_type"), Seq(col("event_id")), col("value"), m = 64)
+      val halves = half(col("event_id") % 2 === 0)
+        .unionByName(half(col("event_id") % 2 =!= 0))
+      // n_rows summed per HALF (one row each), never per sample entry
+      val nTotal = halves.groupBy(col("event_type"))
+        .agg(sum(col("n_rows")).as("n_rows"))
+      val reagg = {
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        val minK = column(graft.expr.catalyst.MinKByHash(
+          expression(struct(col("e.h").as("h"), col("e.v").as("v"))), 64)
+          .toAggregateExpression())
+        halves.select(col("event_type"), explode(col("sample")).as("e"))
+          .groupBy(col("event_type"))
+          .agg(minK.as("sample"))
+          .join(nTotal, Seq("event_type"))
+      }
+      val oneShot = graft.ops.Sketch.minKSample(e, Seq("event_type"),
+        Seq(col("event_id")), col("value"), m = 64)
+        .select(col("event_type"), col("n_rows").as("n_rows_1"),
+          col("sample").as("sample_1"))
+      reagg.join(oneShot, Seq("event_type"))
+        .select(col("event_type"),
+          (col("n_rows") === col("n_rows_1") &&
+            col("sample") === col("sample_1")).as("merge_equals_oneshot"),
+          round(graft.ops.Sketch.sampleQuantile(col("sample"), 0.5), 4).as("p50_est"))
+        .orderBy(col("event_type"))
+    }),
+
     // Skew-salted dim join, oracle-proven IDENTICAL to the plain join:
     // events are joined to a per-type aggregate on event_type — a
     // pathologically hot key (5 distinct values over the whole fact
@@ -360,6 +418,56 @@ object EventQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Value-exact restatement of the min-k quantile sketch: the XXH64
+    * chain over event_id (XxhashSql — the q_epoch_shuffle precedent),
+    * the (h, value) selection window, and Spark's exact-percentile
+    * interpolation (lower + (higher − lower)·frac over idx = p·(n−1))
+    * mirrored operation-for-operation; both engines run the same IEEE
+    * double steps, rounded 4 dp at the surface. `merge` emits the
+    * q_quantile_sketch_merge shape — associativity makes the merged
+    * sample the one-shot sample, so the oracle is the SAME selection
+    * plus a TRUE for the pinned equality. */
+  private def quantileSketchOracle(m: Int, merge: Boolean): String = {
+    import XxhashSql.{Prog, hashLong, signed, unsigned}
+    val p = new Prog("SELECT event_type, value, " +
+      s"${unsigned("event_id")} AS u FROM events " +
+      "WHERE value IS NOT NULL AND event_id IS NOT NULL")
+    val h = hashLong(p, "u", "42")
+    val hashed = p.render(s"event_type, value, ${signed(h)} AS h")
+    // Spark Percentile's exact steps: pos = p*(n-1); integral pos is
+    // the value itself; else (ceil(pos)-pos)*v[lo] + (pos-lo)*v[hi]
+    def quant(prob: Double, alias: String): String =
+      s"""ROUND(CASE
+         |    WHEN ceil($prob * (len(vals) - 1)) = floor($prob * (len(vals) - 1))
+         |    THEN vals[CAST(floor($prob * (len(vals) - 1)) AS BIGINT) + 1]
+         |    ELSE (ceil($prob * (len(vals) - 1)) - $prob * (len(vals) - 1))
+         |           * vals[CAST(floor($prob * (len(vals) - 1)) AS BIGINT) + 1]
+         |       + ($prob * (len(vals) - 1) - floor($prob * (len(vals) - 1)))
+         |           * vals[CAST(ceil($prob * (len(vals) - 1)) AS BIGINT) + 1]
+         |    END, 4) AS $alias""".stripMargin
+    val tail =
+      if (merge)
+        s"""SELECT event_type, TRUE AS merge_equals_oneshot,
+           |  ${quant(0.5, "p50_est")}
+           |FROM sampled ORDER BY event_type""".stripMargin
+      else
+        s"""SELECT event_type, n_rows,
+           |  CAST(len(vals) AS BIGINT) AS n_sampled,
+           |  ${quant(0.5, "p50_est")},
+           |  ${quant(0.9, "p90_est")}
+           |FROM sampled ORDER BY event_type""".stripMargin
+    s"""WITH hashed AS ($hashed),
+       |ranked AS (
+       |  SELECT event_type, value, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, value) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_rows
+       |  FROM hashed),
+       |sampled AS (
+       |  SELECT event_type, n_rows, list(value ORDER BY value) AS vals
+       |  FROM ranked WHERE rn <= $m GROUP BY event_type, n_rows)
+       |$tail""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_json_extract" ->
@@ -450,6 +558,10 @@ object EventQueries {
         |  TRUE AS p50_ok, TRUE AS p90_ok
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_quantile_sketch" -> quantileSketchOracle(m = 64, merge = false),
+
+    "q_quantile_sketch_merge" -> quantileSketchOracle(m = 64, merge = true),
 
     "q_salted_join" ->
       """WITH t AS (

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketch
+
+/** MinKByHash deterministic-sample aggregate: window equivalence,
+  * mergeability (partitioning invariance), bound/null/NaN contracts,
+  * and the sampleQuantile == Spark percentile formula identity. */
+class MinKSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleOf(df: org.apache.spark.sql.DataFrame, m: Int) =
+    Sketch.minKSample(df, Seq("g"), Seq(col("id")), col("v"), m)
+
+  test("minKSample == (hash, value) window bottom-m, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 4000).map { i =>
+      (i.toLong % 5, i.toLong, rnd.nextDouble() * 100)
+    }
+    val df = rows.toDF("g", "id", "v")
+
+    val win = df.withColumn("h", xxhash64(col("id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"), col("v"))))
+      .filter(col("rn") <= 32)
+      .select(col("g"), col("h"), col("v"))
+
+    for (nPart <- Seq(1, 3, 11)) {
+      val agg = sampleOf(df.repartition(nPart), 32)
+        .select(col("g"), explode(col("sample")).as("e"))
+        .select(col("g"), col("e.h").as("h"), col("e.v").as("v"))
+      assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+        s"sample diverged from the window formulation at $nPart partitions")
+    }
+  }
+
+  test("min-k of a union == min-k of the per-part min-ks (absorb contract)") {
+    val rows = (0 until 3000).map(i => (0L, i.toLong, i.toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val oneShot = sampleOf(df, 16).select(explode(col("sample"))).collect().toSet
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val minK = column(graft.expr.catalyst.MinKByHash(
+      expression(struct(col("e.h").as("h"), col("e.v").as("v"))), 16)
+      .toAggregateExpression())
+    val merged = sampleOf(df.filter(col("id") % 3 === 0), 16)
+      .unionByName(sampleOf(df.filter(col("id") % 3 === 1), 16))
+      .unionByName(sampleOf(df.filter(col("id") % 3 === 2), 16))
+      .select(col("g"), explode(col("sample")).as("e"))
+      .groupBy(col("g")).agg(minK.as("sample"))
+      .select(explode(col("sample"))).collect().toSet
+    assert(merged === oneShot)
+  }
+
+  test("bound, null skipping, and NaN-greatest value order") {
+    val df = Seq[(Long, java.lang.Long, java.lang.Double)](
+      (0L, 1L, 1.0), (0L, 2L, null), (0L, null, 3.0),
+      (0L, 4L, Double.NaN), (0L, 5L, 5.0), (0L, 6L, 6.0))
+      .toDF("g", "id", "v")
+    val out = sampleOf(df, 10).select(col("n_rows"), col("sample")).head()
+    // null id/value rows skipped from BOTH the count and the sample
+    assert(out.getLong(0) === 4L)
+    val entries = out.getSeq[org.apache.spark.sql.Row](1)
+    assert(entries.length === 4)
+    // NaN kept (a real value under the nan-safe order), bound respected
+    assert(entries.exists(r => r.getDouble(1).isNaN))
+    val tiny = sampleOf(df, 2).select(size(col("sample"))).head().getInt(0)
+    assert(tiny === 2)
+  }
+
+  test("sampleQuantile == Spark percentile over the sampled values") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map(i => (i.toLong % 3, i.toLong, rnd.nextGaussian()))
+    val df = rows.toDF("g", "id", "v")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val est = sampleOf(df, 25)
+        .select(col("g"), Sketch.sampleQuantile(col("sample"), p).as("est"))
+      val exact = sampleOf(df, 25)
+        .select(col("g"), explode(col("sample")).as("e"))
+        .groupBy(col("g"))
+        .agg(expr(s"percentile(e.v, $p)").as("pct"))
+      val joined = est.join(exact, Seq("g"))
+        .select((col("est") === col("pct")).as("eq")).collect()
+      assert(joined.forall(_.getBoolean(0)), s"p=$p estimate != percentile")
+    }
+  }
+
+  test("empty sample quantile is null; empty group never emitted") {
+    val df = Seq((0L, 1L, 1.0)).toDF("g", "id", "v").filter(col("id") < 0)
+    assert(sampleOf(df, 4).count() === 0L)
+    val one = Seq((0L, 1L, 42.0)).toDF("g", "id", "v")
+    val q = sampleOf(one, 4)
+      .select(Sketch.sampleQuantile(col("sample"), 0.5)).head().getDouble(0)
+    assert(q === 42.0)
+  }
+}

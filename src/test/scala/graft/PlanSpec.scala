@@ -401,4 +401,13 @@ class PlanSpec extends SparkSpec {
     val hashEx = "hashpartitioning".r.findAllIn(p).size
     assert(hashEx === 1, s"expected 1 shard hash exchange, got $hashEx\n" + p)
   }
+
+  test("q_quantile_sketch: min-k runs a map-side partial; one group exchange") {
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("partial_graft_min_k_by_hash"),
+      "the sample must trim to m per partition BEFORE the shuffle\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected 1 group exchange, got $hashEx\n" + p)
+  }
 }
