@@ -100,4 +100,24 @@ object Text {
     * dedup key (content-defined; whitespace-normalized). */
   def fingerprint64(text: Column): Column =
     xxhash64(array_join(tokens(lower(text)), " "))
+
+  /** zlib-compressed byte size of the text (fused per-row kernel,
+    * [[graft.expr.catalyst.DeflateSize]]). */
+  def deflateSize(text: Column, level: Int = 6): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.DeflateSize(expression(text), level))
+  }
+
+  /** Compression-ratio quality signal (Gopher/RefinedWeb's cheap
+    * repetition + boilerplate detector): compressed/raw UTF-8 bytes.
+    * LOW ratio = heavily repetitive or templated text, HIGH (→ ~1) =
+    * high-entropy noise (base64 blobs, minified code); natural prose
+    * sits in between, so both tails are cut candidates. NULL on empty
+    * text. Embarrassingly parallel — a per-row kernel, no shuffle at
+    * any scale; the exact byte count is zlib-build-specific, so gate
+    * on BANDS (see q_compress_ratio), not exact values. */
+  def compressionRatio(text: Column, level: Int = 6): Column = {
+    val raw = octet_length(text)
+    when(raw > 0, deflateSize(text, level).cast("double") / raw)
+  }
 }

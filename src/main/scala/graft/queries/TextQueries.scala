@@ -471,6 +471,30 @@ object TextQueries {
           (min(col("j")) >= 0.2).as("floor_ok"),
           (count(lit(1)) >= 1).as("has_pairs"))
     }),
+
+    // Compression-ratio quality signal (Text.compressionRatio — the
+    // Gopher/RefinedWeb repetition + boilerplate detector): a fused
+    // per-row deflate kernel, no shuffle. Exact byte counts are
+    // zlib-build-specific, so the driver-visible row is the THEOREM
+    // set: size > 0; size inside zlib's worst-case expansion envelope
+    // (raw + raw/1024 + 32); and doubled text compresses to LESS than
+    // twice the single size — for any doc under zlib's 32 KB LZ77
+    // window the second copy is back-references, so the strict
+    // inequality is a theorem there (every fixture doc is; larger docs
+    // get a TRUE pass-through rather than a silently weakened claim).
+    // Exact planted-string behavior (repetitive ≪ prose < noise) is
+    // pinned in-JVM by DeflateSpec.
+    "q_compress_ratio" -> ((s, dir) => {
+      import graft.expr.Text
+      val len = octet_length(col("text"))
+      val s1 = Text.deflateSize(col("text"))
+      val s2 = Text.deflateSize(concat(col("text"), col("text")))
+      docs(s, dir).select(col("doc_id"),
+          (s1 > 0).as("ratio_positive"),
+          (s1 <= len + (len / 1024) + 32).as("ratio_bounded"),
+          (len > 32700 || s2 < s1 * 2).as("doubling_helps"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private[queries] val norm =
@@ -991,6 +1015,11 @@ object TextQueries {
     // from the emitted pairs.
     "q_simhash_precision" ->
       "SELECT TRUE AS mostly_confirmed, TRUE AS floor_ok, TRUE AS has_pairs",
+
+    "q_compress_ratio" ->
+      """SELECT doc_id, TRUE AS ratio_positive, TRUE AS ratio_bounded,
+        |  TRUE AS doubling_helps
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
 
