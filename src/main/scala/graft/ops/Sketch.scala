@@ -113,6 +113,51 @@ object Sketch {
       .agg(count(lit(1)).as("n_rows"), minK.as("sample"))
   }
 
+  private def sampleStateDir(statePath: String): String = s"$statePath/state"
+
+  /** Seed the persisted min-k sample state at `statePath` (overwrite) —
+    * the quantile member of the mergeable-state family
+    * (Profile/AggState posture): one bounded row per group. */
+  def writeSampleState(df: DataFrame, groupCols: Seq[String],
+                       idCols: Seq[Column], value: Column, m: Int,
+                       statePath: String): Unit =
+    minKSample(df, groupCols, idCols, value, m)
+      .write.mode("overwrite").parquet(sampleStateDir(statePath))
+
+  /** Absorb a batch into the stored sample: one min-k pass over the
+    * BATCH, then a state-sized re-trim (explode the two samples,
+    * re-aggregate through the same min-k — associativity makes the
+    * result the one-shot sample over everything ever absorbed,
+    * bit-for-bit). The sampled corpus is never rescanned. */
+  def absorbSampleState(batch: DataFrame, groupCols: Seq[String],
+                        idCols: Seq[Column], value: Column, m: Int,
+                        statePath: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val spark = batch.sparkSession
+    val unioned = spark.read.parquet(sampleStateDir(statePath))
+      .select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
+      .unionByName(minKSample(batch, groupCols, idCols, value, m))
+    val nTotal = unioned.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"))
+    val minK = column(graft.expr.catalyst.MinKByHash(
+      expression(struct(col("e.h").as("h"), col("e.v").as("v"))), m)
+      .toAggregateExpression())
+    // checkpointed: the plan READS the same path the write overwrites
+    val merged = Reliable.checkpoint(
+      unioned.select((groupCols.map(col) :+ explode(col("sample")).as("e")): _*)
+        .groupBy(groupCols.map(col): _*)
+        .agg(minK.as("sample"))
+        .join(nTotal, groupCols))
+    merged.select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
+      .write.mode("overwrite").parquet(sampleStateDir(statePath))
+  }
+
+  /** Read the persisted sample state back: (groupCols..., n_rows,
+    * sample) — feed [[sampleQuantile]] for estimates. */
+  def readSampleState(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String): DataFrame =
+    spark.read.parquet(sampleStateDir(statePath))
+
   /** Quantile estimate from a [[minKSample]] sample column, running
     * EXACTLY the arithmetic of Spark's `Percentile` aggregate
     * (pos = p·(n−1); integral pos returns the value; otherwise the

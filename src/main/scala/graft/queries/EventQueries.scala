@@ -180,6 +180,32 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The PERSISTED face of the same associativity: seed the sample
+    // state from a third of events, absorb the other two thirds as
+    // batches (each absorb = one min-k pass over the batch + a
+    // state-sized re-trim, never a corpus rescan), then read the state
+    // back — the oracle is the ONE-SHOT selection over all of events
+    // (shared text with q_quantile_sketch), so drift between the
+    // absorb path and the one-shot path goes hash-red.
+    "q_quantile_sketch_incr" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft-qstate").toString
+      def slice(r: Int) = e.filter(col("event_id") % 3 === r)
+      graft.ops.Sketch.writeSampleState(slice(0), Seq("event_type"),
+        Seq(col("event_id")), col("value"), m = 64, statePath)
+      graft.ops.Sketch.absorbSampleState(slice(1), Seq("event_type"),
+        Seq(col("event_id")), col("value"), m = 64, statePath)
+      graft.ops.Sketch.absorbSampleState(slice(2), Seq("event_type"),
+        Seq(col("event_id")), col("value"), m = 64, statePath)
+      graft.ops.Sketch.readSampleState(s, statePath)
+        .select(col("event_type"), col("n_rows"),
+          size(col("sample")).cast("long").as("n_sampled"),
+          round(graft.ops.Sketch.sampleQuantile(col("sample"), 0.5), 4).as("p50_est"),
+          round(graft.ops.Sketch.sampleQuantile(col("sample"), 0.9), 4).as("p90_est"))
+        .orderBy(col("event_type"))
+    }),
+
     // Skew-salted dim join, oracle-proven IDENTICAL to the plain join:
     // events are joined to a per-type aggregate on event_type — a
     // pathologically hot key (5 distinct values over the whole fact
@@ -562,6 +588,9 @@ object EventQueries {
     "q_quantile_sketch" -> quantileSketchOracle(m = 64, merge = false),
 
     "q_quantile_sketch_merge" -> quantileSketchOracle(m = 64, merge = true),
+
+    // associativity: the absorbed state IS the one-shot sample
+    "q_quantile_sketch_incr" -> quantileSketchOracle(m = 64, merge = false),
 
     "q_salted_join" ->
       """WITH t AS (

@@ -87,6 +87,27 @@ class MinKSampleSpec extends SparkSpec {
     }
   }
 
+  test("persisted state absorb == one-shot; late groups and empty batches survive") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-minkstate").toString
+    // group 1 exists ONLY in the second batch; the third batch is EMPTY
+    val b0 = (0 until 500).map(i => (0L, i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val b1 = ((500 until 900).map(i => (0L, i.toLong, i.toDouble)) ++
+      (0 until 200).map(i => (1L, 10000L + i, i * 2.0))).toDF("g", "id", "v")
+    val b2 = b0.filter(col("id") < 0)
+    Sketch.writeSampleState(b0, Seq("g"), Seq(col("id")), col("v"), 16, statePath)
+    Sketch.absorbSampleState(b1, Seq("g"), Seq(col("id")), col("v"), 16, statePath)
+    Sketch.absorbSampleState(b2, Seq("g"), Seq(col("id")), col("v"), 16, statePath)
+    val state = Sketch.readSampleState(spark, statePath)
+      .select(col("g"), col("n_rows"), explode(col("sample")).as("e"))
+      .select(col("g"), col("n_rows"), col("e.h"), col("e.v"))
+    val oneShot = sampleOf(b0.unionByName(b1), 16)
+      .select(col("g"), col("n_rows"), explode(col("sample")).as("e"))
+      .select(col("g"), col("n_rows"), col("e.h"), col("e.v"))
+    assert(state.exceptAll(oneShot).isEmpty && oneShot.exceptAll(state).isEmpty,
+      "absorbed state must equal the one-shot sample entry for entry")
+  }
+
   test("empty sample quantile is null; empty group never emitted") {
     val df = Seq((0L, 1L, 1.0)).toDF("g", "id", "v").filter(col("id") < 0)
     assert(sampleOf(df, 4).count() === 0L)
