@@ -393,6 +393,41 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert-curve distance of two non-negative ints — the 2-D layout
+    * key with strictly better locality than [[zValue]]: consecutive
+    * curve positions are always ADJACENT cells (Z-order teleports at
+    * every power-of-two boundary), so a contiguous d-range is one
+    * connected region and its per-file min/max stats are at least as
+    * tight. Same input contract as zValue (each in [0, 2^bits),
+    * checked loudly per row); fused integer kernel
+    * ([[graft.expr.catalyst.HilbertD]]), codegen-friendly, restated
+    * step-for-step by the q_hilbert oracle. The trade vs Z-order: no
+    * cheap n-ary generalization (zValueN) and range predicates don't
+    * decompose as simply — use it where 2-D point/range locality is
+    * the dominant access pattern. */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.HilbertD(
+      expression(a.cast("long")), expression(b.cast("long")), bits))
+  }
+
+  /** Hilbert-clustered parquet layout (the [[writeZOrderedN]] shape on
+    * the Hilbert key): range-partition into contiguous d-ranges, sort
+    * within, write — each file covers one CONNECTED region of (a, b)
+    * space. File-skipping measured against the Z layout and a plain
+    * sort in q_hilbert_audit / AnalyticsSpec. */
+  def writeHilbertOrdered(df: DataFrame, path: String, colA: String,
+                          colB: String, bits: Int, nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(!df.columns.contains("__h"),
+      "column name __h is reserved by writeHilbertOrdered")
+    df.withColumn("__h", hilbertValue(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Resolve a path string to (FileSystem, fully-qualified Path) via the
     * session's Hadoop conf — the one seam every disk-mutating maintenance
     * op goes through, so none of them can regress to java.io.File. */

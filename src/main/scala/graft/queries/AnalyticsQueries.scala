@@ -41,6 +41,29 @@ object AnalyticsQueries {
   private val zBits = 10
   private val zMod = 1L << zBits
 
+  /** DuckDB restatement of [[graft.expr.catalyst.HilbertKernel.d]]:
+    * the same per-level fold, one derived column per intermediate so
+    * operand duplication stays O(1) (the XxhashSql.Prog pattern). */
+  private def hilbertOracleSql: String = {
+    val p = new XxhashSql.Prog(
+      s"SELECT p_partkey, CAST(p_partkey % $zMod AS BIGINT) AS hx0, " +
+        s"CAST((CAST(p_size AS BIGINT) * 7919) % $zMod AS BIGINT) AS hy0 " +
+        "FROM part")
+    var x = "hx0"; var y = "hy0"; var d = "CAST(0 AS BIGINT)"
+    for (i <- 0 until zBits) {
+      val s = 1L << (zBits - 1 - i)
+      val rx = p.add(s"CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END")
+      val ry = p.add(s"CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END")
+      d = p.add(s"$d + ${s * s} * xor(3 * $rx, $ry)")
+      val tx = p.add(s"CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - $x ELSE $x END")
+      val ty = p.add(s"CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - $y ELSE $y END")
+      val nx = p.add(s"CASE WHEN $ry = 0 THEN $ty ELSE $tx END")
+      val ny = p.add(s"CASE WHEN $ry = 0 THEN $tx ELSE $ty END")
+      x = nx; y = ny
+    }
+    p.render(s"p_partkey, CAST($d AS BIGINT) AS hval") + " ORDER BY p_partkey"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Daily-spine gap-fill with forward fill (ops.TimeSeries): per-user
@@ -308,6 +331,52 @@ object AnalyticsQueries {
             col("c_acctbal")),
           Seq(col("c_nationkey"), col("c_acctbal"), col("c_custkey")), "idx")
         .orderBy(col("c_custkey"))
+    }),
+
+    // Hilbert LAYOUT AUDIT (the q_layout_audit posture on the curve
+    // layout): write the Hilbert-clustered layout and a single-column
+    // sort to scratch, measure per-dim point-filter read fractions
+    // from the file footers. Gates: the curve layout bounds BOTH dims
+    // (connected regions -> tight min/max on each) while the plain
+    // sort reads everything on b.
+    "q_hilbert_audit" -> ((s, dir) => {
+      import graft.ops.Layout
+      val nF = 8
+      val hdf = t(s, dir, "part").select(
+        col("p_partkey"),
+        pmod(col("p_partkey"), lit(zMod)).as("a"),
+        pmod(col("p_size").cast("long") * 7919L, lit(zMod)).as("b"))
+      val base = graft.Scratch.dir("graft-hilbert", dir)
+      Scale.writeHilbertOrdered(hdf, s"$base/h", "a", "b",
+        bits = zBits, nFiles = nF)
+      hdf.repartitionByRange(nF, col("a")).sortWithinPartitions(col("a"))
+        .write.mode("overwrite").parquet(s"$base/plain")
+      val hs = Layout.fileStats(s, s"$base/h", Seq("a", "b"))
+      val ps = Layout.fileStats(s, s"$base/plain", Seq("a", "b"))
+      val probes = Seq(13L, 300L, 517L, 700L, 1000L)
+      def f(st: org.apache.spark.sql.DataFrame, d: String) =
+        Layout.readFraction(st, d, probes)
+      import s.implicits._
+      Seq((hs.count(), ps.count(),
+        f(hs, "a") < 0.9, f(hs, "b") < 0.9,
+        f(hs, "b") < f(ps, "b")))
+        .toDF("n_files_h", "n_files_plain", "h_skips_a", "h_skips_b",
+          "h_beats_plain_b")
+    }),
+
+    // Hilbert-curve layout key (ops.Scale.hilbertValue): the 2-D
+    // space-filling curve with strictly better locality than Z-order
+    // (consecutive positions are ALWAYS adjacent cells — adjacency and
+    // bijection exhaustively pinned in AnalyticsSpec). Fused integer
+    // kernel; the oracle replays the classic xy→d walk step for step
+    // (quadrant fold + frame rotation per level) as derived columns —
+    // value-exact, the q_zorder posture.
+    "q_hilbert" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          Scale.hilbertValue(pmod(col("p_partkey"), lit(zMod)),
+            pmod(col("p_size").cast("long") * 7919L, lit(zMod)), zBits).as("hval"))
+        .orderBy(col("p_partkey"))
     }),
 
     // n-column Z-order key (ops.Scale.zValueN, VERDICT r8 item 7):
@@ -590,6 +659,16 @@ object AnalyticsQueries {
         |  CAST(row_number() OVER (ORDER BY c_nationkey, c_acctbal, c_custkey) - 1
         |    AS BIGINT) AS idx
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the classic xy→d walk replayed as one derived-column chain per
+    // level (quadrant fold + rotation — the XxhashSql.Prog pattern)
+    "q_hilbert" -> hilbertOracleSql,
+
+    "q_hilbert_audit" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files_h,
+        |  CAST(8 AS BIGINT) AS n_files_plain,
+        |  TRUE AS h_skips_a, TRUE AS h_skips_b,
+        |  TRUE AS h_beats_plain_b""".stripMargin,
 
     // identical 3-way bit positions via the shared generator
     "q_zorder3" -> {

@@ -270,6 +270,64 @@ class AnalyticsSpec extends SparkSpec {
         s"3-col z-order must bound $dim per file")
   }
 
+  test("hilbertValue: bijection + unit-step adjacency, exhaustively at bits=4") {
+    // THE Hilbert property Z-order lacks: consecutive curve positions
+    // are Manhattan-adjacent cells. Exhaustive over the 16x16 grid:
+    // d is a bijection onto [0, 256) and walking d in order moves
+    // exactly one cell each step.
+    val bits = 4
+    val side = 1 << bits
+    val cells = for { x <- 0 until side; y <- 0 until side } yield
+      (x.toLong, y.toLong)
+    val d = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.ops.Scale.hilbertValue(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(d.size === side * side, "xy -> d must be a bijection")
+    assert(d.keys.min === 0L && d.keys.max === (side * side - 1).toLong)
+    for (i <- 0L until (side * side - 1).toLong) {
+      val (x1, y1) = d(i); val (x2, y2) = d(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"step $i -> ${i + 1} jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbertValue: loud on out-of-range input; null in, null out") {
+    val ex = intercept[Exception] {
+      Seq((1024L, 1L)).toDF("a", "b")
+        .select(graft.ops.Scale.hilbertValue(col("a"), col("b"), 10)).collect()
+    }
+    assert(ex.getMessage.contains("hilbert input") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("hilbert input"))
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(graft.ops.Scale.hilbertValue(col("a"), col("b"), 10)).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("writeHilbertOrdered: layout skips files on point filters of BOTH dims") {
+    val dir = java.nio.file.Files.createTempDirectory("hilbert2").toString
+    val n = 1 << 14
+    val rnd = new scala.util.Random(23)
+    val df = Seq.fill(n)((rnd.nextInt(1 << 7).toLong, rnd.nextInt(1 << 7).toLong))
+      .toDF("a", "b")
+    val nFiles = 16
+    Scale.writeHilbertOrdered(df, s"$dir/h", "a", "b", bits = 7, nFiles = nFiles)
+    df.repartitionByRange(nFiles, $"a").sortWithinPartitions($"a")
+      .write.parquet(s"$dir/plain")
+    import graft.ops.Layout
+    val probes = Seq(13L, 47L, 90L, 121L)
+    val hs = Layout.fileStats(spark, s"$dir/h", Seq("a", "b"))
+    val ps = Layout.fileStats(spark, s"$dir/plain", Seq("a", "b"))
+    // the single-column sort bounds only a; b reads everything
+    assert(Layout.readFraction(ps, "b", probes) > 0.99)
+    // the hilbert layout bounds BOTH dims (connected regions -> tight
+    // min/max on each); same 0.6 gate the 2-col z layout clears
+    assert(Layout.readFraction(hs, "a", probes) < 0.6,
+      "hilbert layout must bound a per file")
+    assert(Layout.readFraction(hs, "b", probes) < 0.6,
+      "hilbert layout must bound b per file")
+  }
+
   test("Layout.fileStats/readFraction: per-file stats equal hand-derived footers") {
     import graft.ops.Layout
     val dir = java.nio.file.Files.createTempDirectory("layoutfs").toString
