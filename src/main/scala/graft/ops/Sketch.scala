@@ -124,31 +124,40 @@ object Sketch {
     minKSample(df, groupCols, idCols, value, m)
       .write.mode("overwrite").parquet(sampleStateDir(statePath))
 
-  /** Absorb a batch into the stored sample: one min-k pass over the
-    * BATCH, then a state-sized re-trim (explode the two samples,
-    * re-aggregate through the same min-k — associativity makes the
-    * result the one-shot sample over everything ever absorbed,
-    * bit-for-bit). The sampled corpus is never rescanned. */
-  def absorbSampleState(batch: DataFrame, groupCols: Seq[String],
-                        idCols: Seq[Column], value: Column, m: Int,
-                        statePath: String): Unit = {
+  /** Re-trim a frame of per-part samples — (groupCols..., n_rows,
+    * sample) rows, one per (part, group) — back to ONE min-k row per
+    * group: explode the samples, re-aggregate through the same min-k,
+    * sum the counts. Associativity makes the result the one-shot
+    * sample over every contributing part, bit-for-bit. THE single
+    * definition of sample-merge semantics — [[absorbSampleState]] and
+    * the q_quantile_sketch_merge in-plan pin both run this, so a tie
+    * or trim change cannot desynchronize them. */
+  def mergeSamples(parts: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val spark = batch.sparkSession
-    val unioned = spark.read.parquet(sampleStateDir(statePath))
-      .select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
-      .unionByName(minKSample(batch, groupCols, idCols, value, m))
-    val nTotal = unioned.groupBy(groupCols.map(col): _*)
+    val nTotal = parts.groupBy(groupCols.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"))
     val minK = column(graft.expr.catalyst.MinKByHash(
       expression(struct(col("e.h").as("h"), col("e.v").as("v"))), m)
       .toAggregateExpression())
+    parts.select((groupCols.map(col) :+ explode(col("sample")).as("e")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(minK.as("sample"))
+      .join(nTotal, groupCols)
+      .select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
+  }
+
+  /** Absorb a batch into the stored sample: one min-k pass over the
+    * BATCH, then a state-sized [[mergeSamples]] re-trim. The sampled
+    * corpus is never rescanned. */
+  def absorbSampleState(batch: DataFrame, groupCols: Seq[String],
+                        idCols: Seq[Column], value: Column, m: Int,
+                        statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val unioned = spark.read.parquet(sampleStateDir(statePath))
+      .select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
+      .unionByName(minKSample(batch, groupCols, idCols, value, m))
     // checkpointed: the plan READS the same path the write overwrites
-    val merged = Reliable.checkpoint(
-      unioned.select((groupCols.map(col) :+ explode(col("sample")).as("e")): _*)
-        .groupBy(groupCols.map(col): _*)
-        .agg(minK.as("sample"))
-        .join(nTotal, groupCols))
-    merged.select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
+    Reliable.checkpoint(mergeSamples(unioned, groupCols, m))
       .write.mode("overwrite").parquet(sampleStateDir(statePath))
   }
 

@@ -41,6 +41,31 @@ object AnalyticsQueries {
   private val zBits = 10
   private val zMod = 1L << zBits
 
+  // layout-audit measurement shared by q_layout_audit and
+  // q_hilbert_audit — ONE probe set and file count, so the two
+  // layouts stay comparable
+  private val auditProbes = Seq(13L, 300L, 517L, 700L, 1000L)
+  private val auditFiles = 8
+
+  /** Bipartite user↔event-type interaction graph shared by q_degrees
+    * and q_pagerank ("the same bipartite graph" is one definition). */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val uv = t(s, dir, "events")
+      .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
+        concat(lit("t:"), col("event_type")).as("v")).distinct()
+    uv.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(uv.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** The oracle-side twin of [[bipartiteEdges]]: a shared `e` CTE. */
+  private val bipartiteEdgesCte: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+      |    't:' || event_type AS dst FROM events
+      |  UNION
+      |  SELECT DISTINCT 't:' || event_type,
+      |    'u:' || CAST(user_id AS VARCHAR) FROM events)""".stripMargin
+
   /** DuckDB restatement of [[graft.expr.catalyst.HilbertKernel.d]]:
     * the same per-level fold, one derived column per intermediate so
     * operand duplication stays O(1) (the XxhashSql.Prog pattern). */
@@ -103,14 +128,8 @@ object AnalyticsQueries {
     // look before ranking: one aggregate per direction, full-outer
     // merged; symmetric construction makes out_deg == in_deg, which the
     // oracle independently restates.
-    "q_degrees" -> ((s, dir) => {
-      val uv = t(s, dir, "events")
-        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
-          concat(lit("t:"), col("event_type")).as("v")).distinct()
-      val edges = uv.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(uv.select(col("v").as("src"), col("u").as("dst")))
-      graft.ops.Graph.degrees(edges).orderBy(col("node"))
-    }),
+    "q_degrees" -> ((s, dir) =>
+      graft.ops.Graph.degrees(bipartiteEdges(s, dir)).orderBy(col("node"))),
 
     // Robust anomaly report (median/MAD — the baseline the outliers
     // cannot corrupt): events beyond 3.5 robust sigmas of their
@@ -159,12 +178,7 @@ object AnalyticsQueries {
     // dangling redistribution is spec-gated separately. The oracle
     // restates the SAME 3 rounds as unrolled CTEs.
     "q_pagerank" -> ((s, dir) => {
-      val uv = t(s, dir, "events")
-        .select(concat(lit("u:"), col("user_id").cast("string")).as("u"),
-          concat(lit("t:"), col("event_type")).as("v")).distinct()
-      val edges = uv.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(uv.select(col("v").as("src"), col("u").as("dst")))
-      graft.ops.Graph.pageRank(edges, iters = 3)
+      graft.ops.Graph.pageRank(bipartiteEdges(s, dir), iters = 3)
         .select(col("node"), round(col("rank"), 8).as("rank"))
         .orderBy(col("node"))
     }),
@@ -294,7 +308,7 @@ object AnalyticsQueries {
     // flips the booleans and the oracle hash goes red.
     "q_layout_audit" -> ((s, dir) => {
       import graft.ops.Layout
-      val nF = 8
+      val nF = auditFiles
       val zdf = t(s, dir, "part").select(
         col("p_partkey"),
         pmod(col("p_partkey"), lit(zMod)).as("a"),
@@ -308,9 +322,8 @@ object AnalyticsQueries {
         .write.mode("overwrite").parquet(s"$base/plain")
       val zs = Layout.fileStats(s, s"$base/z", Seq("a", "b", "c"))
       val ps = Layout.fileStats(s, s"$base/plain", Seq("a", "b", "c"))
-      val probes = Seq(13L, 300L, 517L, 700L, 1000L)
       def f(st: org.apache.spark.sql.DataFrame, d: String) =
-        Layout.readFraction(st, d, probes)
+        Layout.readFraction(st, d, auditProbes)
       import s.implicits._
       Seq((zs.count(), ps.count(),
         f(zs, "a") < 0.9,
@@ -341,7 +354,7 @@ object AnalyticsQueries {
     // sort reads everything on b.
     "q_hilbert_audit" -> ((s, dir) => {
       import graft.ops.Layout
-      val nF = 8
+      val nF = auditFiles
       val hdf = t(s, dir, "part").select(
         col("p_partkey"),
         pmod(col("p_partkey"), lit(zMod)).as("a"),
@@ -353,9 +366,8 @@ object AnalyticsQueries {
         .write.mode("overwrite").parquet(s"$base/plain")
       val hs = Layout.fileStats(s, s"$base/h", Seq("a", "b"))
       val ps = Layout.fileStats(s, s"$base/plain", Seq("a", "b"))
-      val probes = Seq(13L, 300L, 517L, 700L, 1000L)
       def f(st: org.apache.spark.sql.DataFrame, d: String) =
-        Layout.readFraction(st, d, probes)
+        Layout.readFraction(st, d, auditProbes)
       import s.implicits._
       Seq((hs.count(), ps.count(),
         f(hs, "a") < 0.9, f(hs, "b") < 0.9,
@@ -446,12 +458,7 @@ object AnalyticsQueries {
     "q_pagerank" -> {
       val iters = 3
       val base =
-        """WITH e AS (
-          |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
-          |    't:' || event_type AS dst FROM events
-          |  UNION
-          |  SELECT DISTINCT 't:' || event_type,
-          |    'u:' || CAST(user_id AS VARCHAR) FROM events),
+        s"""$bipartiteEdgesCte,
           |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
           |nodes AS (SELECT DISTINCT src AS node FROM e
           |          UNION SELECT DISTINCT dst FROM e),
@@ -520,12 +527,7 @@ object AnalyticsQueries {
         |FROM a, b, i""".stripMargin,
 
     "q_degrees" ->
-      """WITH e AS (
-        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
-        |    't:' || event_type AS dst FROM events
-        |  UNION
-        |  SELECT DISTINCT 't:' || event_type,
-        |    'u:' || CAST(user_id AS VARCHAR) FROM events),
+      s"""$bipartiteEdgesCte,
         |o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
         |      FROM e GROUP BY 1),
         |i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
@@ -553,14 +555,18 @@ object AnalyticsQueries {
         |WHERE md > 0 AND abs(round((e.value - m) / (1.4826 * md), 4)) > 3.5
         |ORDER BY e.event_id""".stripMargin,
 
-    // same exact quantile bounds, same clamp; null-safe join
+    // same exact quantile bounds, same clamp; null-safe join. The
+    // clamp is NULL-guarded: DuckDB's LEAST/GREATEST SKIP nulls (so a
+    // bare clamp would coerce a NULL value to grp_lo) while the Spark
+    // operator's documented contract keeps null values NULL.
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
         |    quantile_cont(value, 0.99) AS hi
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type,
-        |  round(LEAST(GREATEST(e.value, lo), hi), 4) AS value_wins,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |    ELSE round(LEAST(GREATEST(e.value, lo), hi), 4) END AS value_wins,
         |  round(lo, 4) AS grp_lo, round(hi, 4) AS grp_hi
         |FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
         |ORDER BY e.event_id""".stripMargin,

@@ -26,6 +26,22 @@ object EventQueries {
     * pandas-vs-fetchdf() hash compares identical float64s. */
   private def decd(c: Column): Column = c.cast("double")
 
+  /** Session gap shared by BOTH sessionize queries and their oracle
+    * (sessionizeOracleSql interpolates it) — the funnelHorizonSecs
+    * pattern: one definition, no hard-coded twin to drift. */
+  private val sessionGapSeconds = 6 * 3600
+
+  /** As-of frames shared by q_asof_join / q_asof_fwd — the pairs
+    * differ ONLY in direction, so the projections must stay one
+    * definition. */
+  private def asofFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = t(s, dir, "events")
+    (e.select(col("event_id"), col("user_id"), col("ts")),
+      e.filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("click_value"), col("event_id").as("click_id")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // JSON scalar extraction (get_json_object on events.props) + rollup.
@@ -155,19 +171,10 @@ object EventQueries {
         Seq("event_type"), Seq(col("event_id")), col("value"), m = 64)
       val halves = half(col("event_id") % 2 === 0)
         .unionByName(half(col("event_id") % 2 =!= 0))
-      // n_rows summed per HALF (one row each), never per sample entry
-      val nTotal = halves.groupBy(col("event_type"))
-        .agg(sum(col("n_rows")).as("n_rows"))
-      val reagg = {
-        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-        val minK = column(graft.expr.catalyst.MinKByHash(
-          expression(struct(col("e.h").as("h"), col("e.v").as("v"))), 64)
-          .toAggregateExpression())
-        halves.select(col("event_type"), explode(col("sample")).as("e"))
-          .groupBy(col("event_type"))
-          .agg(minK.as("sample"))
-          .join(nTotal, Seq("event_type"))
-      }
+      // THE library merge (Sketch.mergeSamples — same code the state
+      // absorb runs), so the pin exercises the real semantics, not a
+      // private re-implementation
+      val reagg = graft.ops.Sketch.mergeSamples(halves, Seq("event_type"), 64)
       val oneShot = graft.ops.Sketch.minKSample(e, Seq("event_type"),
         Seq(col("event_id")), col("value"), m = 64)
         .select(col("event_type"), col("n_rows").as("n_rows_1"),
@@ -189,9 +196,8 @@ object EventQueries {
     // absorb path and the one-shot path goes hash-red.
     "q_quantile_sketch_incr" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft-qstate").toString
-      def slice(r: Int) = e.filter(col("event_id") % 3 === r)
+      val statePath = graft.Scratch.dir("graft-qstate", dir)
+      def slice(r: Int) = e.filter(pmod(col("event_id"), lit(3)) === r)
       graft.ops.Sketch.writeSampleState(slice(0), Seq("event_type"),
         Seq(col("event_id")), col("value"), m = 64, statePath)
       graft.ops.Sketch.absorbSampleState(slice(1), Seq("event_type"),
@@ -228,11 +234,7 @@ object EventQueries {
     // user at-or-after it — the "next fill after the order" direction
     // of q_asof_join, same one-shuffle union+window shape.
     "q_asof_fwd" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val left = e.select(col("event_id"), col("user_id"), col("ts"))
-      val right = e.filter(col("event_type") === "click" && col("value").isNotNull)
-        .select(col("user_id"), col("ts").as("click_ts"),
-          col("value").as("click_value"), col("event_id").as("click_id"))
+      val (left, right) = asofFrames(s, dir)
       graft.ops.AsofJoin.asof(left, right, Seq("user_id"),
           leftTs = "ts", rightTs = "click_ts",
           rightCols = Seq("click_value"), tiebreak = col("click_id"),
@@ -265,7 +267,7 @@ object EventQueries {
     "q_sessionize" -> ((s, dir) => {
       graft.streaming.Sessionize.sessionizeBatch(
           t(s, dir, "events").select(col("user_id"), col("ts")),
-          gapSeconds = 6 * 3600)
+          gapSeconds = sessionGapSeconds)
         .orderBy(col("user_id"), col("session_start"))
     }),
 
@@ -277,7 +279,7 @@ object EventQueries {
     "q_sessionize_native" -> ((s, dir) => {
       graft.streaming.Sessionize.sessionizeNative(
           t(s, dir, "events").select(col("user_id"), col("ts")),
-          gapSeconds = 6 * 3600)
+          gapSeconds = sessionGapSeconds)
         .orderBy(col("user_id"), col("session_start"))
     }),
 
@@ -306,11 +308,7 @@ object EventQueries {
     // same user (right.ts <= left.ts) — one shuffle+sort per key, no
     // range explosion (ops.AsofJoin). Oracle: DuckDB's native ASOF JOIN.
     "q_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val left = e.select(col("event_id"), col("user_id"), col("ts"))
-      val right = e.filter(col("event_type") === "click" && col("value").isNotNull)
-        .select(col("user_id"), col("ts").as("click_ts"),
-          col("value").as("click_value"), col("event_id").as("click_id"))
+      val (left, right) = asofFrames(s, dir)
       graft.ops.AsofJoin.asof(left, right, Seq("user_id"),
           leftTs = "ts", rightTs = "click_ts",
           rightCols = Seq("click_value"), tiebreak = col("click_id"))
@@ -427,10 +425,10 @@ object EventQueries {
   )
 
   private val sessionizeOracleSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 21600000
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > ${sessionGapSeconds * 1000L}
       |      THEN 1 ELSE 0 END AS new_s
       |  FROM events WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -464,12 +462,12 @@ object EventQueries {
     // the value itself; else (ceil(pos)-pos)*v[lo] + (pos-lo)*v[hi]
     def quant(prob: Double, alias: String): String =
       s"""ROUND(CASE
-         |    WHEN ceil($prob * (len(vals) - 1)) = floor($prob * (len(vals) - 1))
-         |    THEN vals[CAST(floor($prob * (len(vals) - 1)) AS BIGINT) + 1]
-         |    ELSE (ceil($prob * (len(vals) - 1)) - $prob * (len(vals) - 1))
-         |           * vals[CAST(floor($prob * (len(vals) - 1)) AS BIGINT) + 1]
-         |       + ($prob * (len(vals) - 1) - floor($prob * (len(vals) - 1)))
-         |           * vals[CAST(ceil($prob * (len(vals) - 1)) AS BIGINT) + 1]
+         |    WHEN ceil(${prob}e0 * (len(vals) - 1)) = floor(${prob}e0 * (len(vals) - 1))
+         |    THEN vals[CAST(floor(${prob}e0 * (len(vals) - 1)) AS BIGINT) + 1]
+         |    ELSE (ceil(${prob}e0 * (len(vals) - 1)) - ${prob}e0 * (len(vals) - 1))
+         |           * vals[CAST(floor(${prob}e0 * (len(vals) - 1)) AS BIGINT) + 1]
+         |       + (${prob}e0 * (len(vals) - 1) - floor(${prob}e0 * (len(vals) - 1)))
+         |           * vals[CAST(ceil(${prob}e0 * (len(vals) - 1)) AS BIGINT) + 1]
          |    END, 4) AS $alias""".stripMargin
     val tail =
       if (merge)
