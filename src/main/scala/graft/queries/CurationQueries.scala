@@ -79,8 +79,10 @@ object CurationQueries {
     // corpus and the validator read exactly the export.
     "q_export_manifest" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-export").toString
+      // Scratch.dir, not a fresh createTempDirectory: writeShards is
+      // mode=overwrite, so repeated bench/verify runs REUSE one tracked
+      // dir instead of leaking a corpus copy per invocation
+      val path = graft.Scratch.dir("graft-export", dir)
       graft.ops.Export.writeShards(d, "doc_id", "text", path, nShards = 8)
       // the stored checksum is DECIMAL(38,0); the driver-visible column
       // folds it into BIGINT range (mod 2^62) because the oracle
@@ -126,18 +128,24 @@ object CurationQueries {
     // independently oracled (q_chunk_overlap, q_bm25); this pins their
     // composition end to end.
     "q_passage_bm25" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      // the composite pid is collision-free ONLY while chunk_id < 1000
+      // (a ~56k-token doc would overflow into the next doc's pid space
+      // and merge BM25 stats across documents with the oracle agreeing
+      // — the silent-collision class q_training_mix_e2e rails against
+      // with maxWeight); enforce it loudly per row, assert_true-as-zero
+      // so pruning cannot drop the check
       val chunks = Curation.chunkTokens(docs(s, dir), col("text"),
           maxTokens = 64, overlap = 8)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("pid"),
+        .select((col("doc_id") * 1000 + col("chunk_id") + coalesce(
+            assert_true(col("chunk_id") < 1000,
+              lit("chunk_id >= 1000 would collide composite pids — widen the multiplier")),
+            lit(0L))).as("pid"),
           col("chunk_text"))
-      graft.ops.TextIndex.bm25Scores(chunks, "pid", "chunk_text",
-          Seq("hash", "join", "stream"))
-        .withColumnRenamed("doc_id", "pid")
-        .withColumn("score_r9", round(col("score"), 9))
-        .orderBy(col("score_r9").desc, col("pid")).limit(10)
-        .withColumn("rank", row_number()
-          .over(w.orderBy(col("score_r9").desc, col("pid"))).cast("long"))
+      TextQueries.bm25RankHead(
+          graft.ops.TextIndex.bm25Scores(chunks, "pid", "chunk_text",
+              Seq("hash", "join", "stream"))
+            .withColumnRenamed("doc_id", "pid"),
+          "pid")
         .select(col("rank"),
           ((col("pid") - pmod(col("pid"), lit(1000))) / 1000).cast("long").as("doc_id"),
           pmod(col("pid"), lit(1000)).cast("long").as("chunk_id"),

@@ -28,6 +28,23 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Deterministic BM25 rank head shared by every retrieval query
+    * (q_bm25 / q_bm25_index / q_bm25_append here, q_passage_bm25 in
+    * CurationQueries): 9-dp-rounded score (fixed-order summation
+    * removed partition nondeterminism; the rounding absorbs ln()
+    * last-ulp differences across libm builds so a near-tie at the cut
+    * line cannot flip ranks), (score_r9 DESC, id) order, top-`k`,
+    * dense rank. ONE definition of the ranking contract. */
+  private[queries] def bm25RankHead(scored: DataFrame, idCol: String,
+                                    k: Int = 10): DataFrame =
+    scored
+      .withColumn("score_r9", round(col("score"), 9))
+      .orderBy(col("score_r9").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_r9").desc, col(idCol))).cast("long"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting + quality signals (Text.* are native expressions —
@@ -57,8 +74,9 @@ object TextQueries {
         .limit(20)
     }),
 
-    // Language-ID heuristic (argmax of per-language stopword hits; ties →
-    // lexicographically greatest lang; zero evidence → 'und').
+    // Language-ID heuristic (argmax of per-language stopword hits; a
+    // TIE at the max is ambiguity, not evidence → 'und'; zero evidence
+    // → 'und' — both engines state the same tie rule).
     "q_lang_id" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"), col("lang"),
@@ -341,13 +359,7 @@ object TextQueries {
       // libm builds so a near-tie at the cut line cannot flip ranks,
       // and surfacing score_r9 makes any residual mismatch diagnosable
       // instead of a silent rank swap
-      scored
-        .withColumn("score_r9", round(col("score"), 9))
-        .orderBy(col("score_r9").desc, col("doc_id"))
-        .limit(10)
-        .withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_r9").desc, col("doc_id"))).cast("long"))
+      bm25RankHead(scored, "doc_id")
         .select(col("rank"), col("doc_id"), col("matched_terms"),
           col("matched_tf"), col("score_r9"))
     }),
@@ -363,13 +375,9 @@ object TextQueries {
       val base = graft.Scratch.dir("graft-bm25", dir)
       TextIndex.writeBm25Index(docs(s, dir), "doc_id", "text", base,
         nBuckets = 16)
-      TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream"))
-        .withColumn("score_r9", round(col("score"), 9))
-        .orderBy(col("score_r9").desc, col("doc_id"))
-        .limit(10)
-        .withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_r9").desc, col("doc_id"))).cast("long"))
+      bm25RankHead(
+          TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream")),
+          "doc_id")
         .select(col("rank"), col("doc_id"), col("matched_terms"),
           col("matched_tf"), col("score_r9"))
     }),
@@ -388,13 +396,9 @@ object TextQueries {
         "doc_id", "text", base, nBuckets = 16)
       TextIndex.appendToBm25Index(d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", base)
-      TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream"))
-        .withColumn("score_r9", round(col("score"), 9))
-        .orderBy(col("score_r9").desc, col("doc_id"))
-        .limit(10)
-        .withColumn("rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("score_r9").desc, col("doc_id"))).cast("long"))
+      bm25RankHead(
+          TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream")),
+          "doc_id")
         .select(col("rank"), col("doc_id"), col("matched_terms"),
           col("matched_tf"), col("score_r9"))
     }),
@@ -485,11 +489,14 @@ object TextQueries {
     // Exact planted-string behavior (repetitive ≪ prose < noise) is
     // pinned in-JVM by DeflateSpec.
     "q_compress_ratio" -> ((s, dir) => {
-      import graft.expr.Text
       val len = octet_length(col("text"))
       val s1 = Text.deflateSize(col("text"))
       val s2 = Text.deflateSize(concat(col("text"), col("text")))
-      docs(s, dir).select(col("doc_id"),
+      // the ONE query in this file whose per-row kernel (deflate of
+      // ~3x the corpus bytes) dominates the single-row-group scan —
+      // exactly the criterion the docs() comment sets for the rail, so
+      // it gets a local deterministic repartition
+      docs(s, dir).repartition(col("doc_id")).select(col("doc_id"),
           (s1 > 0).as("ratio_positive"),
           (s1 <= len + (len / 1024) + 32).as("ratio_bounded"),
           (len > 32700 || s2 < s1 * 2).as("doubling_helps"))
@@ -895,34 +902,7 @@ object TextQueries {
            |ORDER BY doc_id, rank""".stripMargin,
 
     "q_bm25" ->
-      raw"""WITH toks AS (
-           |  SELECT doc_id,
-           |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-           |           t -> len(t) > 0)) AS term
-           |  FROM documents),
-           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-           |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-           |tf AS (
-           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-           |  WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
-           |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-           |parts AS (
-           |  SELECT t.doc_id, t.term, t.tf,
-           |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           |      * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS part
-           |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
-           |  CROSS JOIN stats s),
-           |scored AS (
-           |  SELECT doc_id,
-           |    coalesce(SUM(CASE WHEN term = 'hash' THEN part END), 0)
-           |      + coalesce(SUM(CASE WHEN term = 'join' THEN part END), 0)
-           |      + coalesce(SUM(CASE WHEN term = 'stream' THEN part END), 0) AS score,
-           |    COUNT(*) AS matched_terms,
-           |    CAST(SUM(tf) AS BIGINT) AS matched_tf
-           |  FROM parts GROUP BY doc_id)
-           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS BIGINT) AS rank,
-           |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
-           |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin,
+      bm25FullCorpusOracle,
 
     // identical computation to q_bm25 — the INDEXED path must reproduce
     // the ad-hoc numbers bit-for-bit (rounded to 1e-9 at the contract
