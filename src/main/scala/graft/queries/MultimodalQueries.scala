@@ -49,6 +49,21 @@ object MultimodalQueries {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
 
+  /** Solid-fill PNG fixture shared by q_media_decode / q_media_resize
+    * (dims/color pure arithmetic on doc_id; both oracles restate the
+    * same derivation — ONE definition so they cannot drift). */
+  private def solidEncoded(s: SparkSession, dir: String): DataFrame = {
+    val spec = Tables.load(s, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      (lit(16) + col("doc_id") % 32).cast("int").as("w"),
+      (lit(16) + (col("doc_id") * 7) % 32).cast("int").as("h"),
+      (shiftleft(col("doc_id") % 256, 16)
+        .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
+        .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
+    Multimodal.encodePng(par(s, spec), "w", "h", "rgb")
+      .select(col("asset_id"), col("payload"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // decode step: typed metadata projected from binary payloads +
@@ -85,15 +100,7 @@ object MultimodalQueries {
     // payload proves corrupt bytes degrade to null facts, not a crash.
     "q_media_decode" -> ((s, dir) => {
       import s.implicits._
-      val spec = Tables.load(s, dir, "documents").select(
-        col("doc_id").as("asset_id"),
-        (lit(16) + col("doc_id") % 32).cast("int").as("w"),
-        (lit(16) + (col("doc_id") * 7) % 32).cast("int").as("h"),
-        (shiftleft(col("doc_id") % 256, 16)
-          .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
-          .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
-      val encoded = Multimodal.encodePng(par(s, spec), "w", "h", "rgb")
-        .select(col("asset_id"), col("payload"))
+      val encoded = solidEncoded(s, dir)
       val corrupt = Seq((-1L, "not an image")).toDF("asset_id", "txt")
         .select(col("asset_id"), col("txt").cast("binary").as("payload"))
       sortedOnce(Multimodal.decodeImages(encoded.unionByName(corrupt))
@@ -122,7 +129,7 @@ object MultimodalQueries {
         (col("doc_id") % 25).cast("int").as("seed"),
         ((col("doc_id") * 7) % 60).cast("int").as("base"))
       Multimodal.dhashImages(
-          Multimodal.encodePatternPng(spec, "w", "h", "seed", "base"))
+          Multimodal.encodePatternPng(par(s, spec), "w", "h", "seed", "base"))
         .agg(
           countDistinct(col("dhash")).as("n_fingerprints"),
           (countDistinct(col("seed"), col("dhash"))
@@ -217,15 +224,7 @@ object MultimodalQueries {
     // newW·newH·channel and the dims are the documented floor-clamp
     // algebra, all stated by the oracle.
     "q_media_resize" -> ((s, dir) => {
-      val spec = Tables.load(s, dir, "documents").select(
-        col("doc_id").as("asset_id"),
-        (lit(16) + col("doc_id") % 32).cast("int").as("w"),
-        (lit(16) + (col("doc_id") * 7) % 32).cast("int").as("h"),
-        (shiftleft(col("doc_id") % 256, 16)
-          .bitwiseOR(shiftleft((col("doc_id") * 3) % 256, 8))
-          .bitwiseOR((col("doc_id") * 5) % 256)).cast("int").as("rgb"))
-      val encoded = Multimodal.encodePng(par(s, spec), "w", "h", "rgb")
-        .select(col("asset_id"), col("payload"))
+      val encoded = solidEncoded(s, dir)
       sortedOnce(Multimodal.decodeImages(
           Multimodal.resizeImages(encoded, maxDim = 24))
         .select(col("asset_id"),

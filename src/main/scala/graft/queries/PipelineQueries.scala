@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -158,6 +158,28 @@ object PipelineQueries {
         expr("make_interval(0, 0, 0, 0, 0, 0, p_partkey)")).as("created_at"))
   }
 
+  /** SCD-2 fixture shared by q_scd2 / q_scd2_asof (one definition of
+    * the planted change/fresh rules both oracles restate; also one
+    * driver-side max(c_custkey) job instead of two). */
+  private def scd2Fixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Column) = {
+    val (t0, t1) = (lit("2024-01-01 00:00:00").cast("timestamp"),
+      lit("2024-02-01 00:00:00").cast("timestamp"))
+    val cust = Tables.load(s, dir, "customer")
+    val seed = cust.select(col("c_custkey").cast("long").as("id"),
+        col("c_mktsegment").as("seg"))
+      .withColumn("valid_from", t0)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val mx = cust.agg(max(col("c_custkey")).cast("long")).first().getLong(0)
+    val batch = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast("long").as("id"),
+        concat(lit("CHANGED-"), (col("c_custkey") % 2).cast("string")).as("seg"))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + mx + 1).cast("long").as("id"),
+          lit("FRESH").as("seg")))
+    (seed, batch, t1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_bifrost_site" -> ((s, dir) => {
@@ -313,8 +335,7 @@ object PipelineQueries {
     "q_profile_incr" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft-pstate").toString + "/state"
+      val statePath = graft.Scratch.dir("graft-pstate", dir) + "/state"
       graft.ops.Profile.writeProfileState(
         li.filter(col("l_orderkey") % 3 === 0), cols, statePath)
       graft.ops.Profile.appendProfileState(
@@ -344,8 +365,7 @@ object PipelineQueries {
           (col("event_id") % 5 >= 3 && lit(m) === 0))
         .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
           col("value"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-rollup").toString
+      val path = graft.Scratch.dir("graft-rollup", dir)
       graft.ops.AggState.writeAggState(slice(0),
         Seq("event_type", "day"), Seq("value"), path, nBuckets = 16)
       graft.ops.AggState.appendAggState(slice(1), path)
@@ -372,20 +392,7 @@ object PipelineQueries {
     // join of the CURRENT slice against the batch; closed history never
     // joins.
     "q_scd2" -> ((s, dir) => {
-      val (t0, t1) = (lit("2024-01-01 00:00:00").cast("timestamp"),
-        lit("2024-02-01 00:00:00").cast("timestamp"))
-      val cust = Tables.load(s, dir, "customer")
-      val seed = cust.select(col("c_custkey").cast("long").as("id"),
-          col("c_mktsegment").as("seg"))
-        .withColumn("valid_from", t0)
-        .withColumn("valid_to", lit(null).cast("timestamp"))
-      val mx = cust.agg(max(col("c_custkey")).cast("long")).first().getLong(0)
-      val batch = cust.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey").cast("long").as("id"),
-          concat(lit("CHANGED-"), (col("c_custkey") % 2).cast("string")).as("seg"))
-        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
-          .select((col("c_custkey") + mx + 1).cast("long").as("id"),
-            lit("FRESH").as("seg")))
+      val (seed, batch, t1) = scd2Fixture(s, dir)
       graft.ops.Merge.scd2Upsert(seed, batch, Seq("id"), t1)
         .orderBy(col("id"), col("valid_from"))
     }),
@@ -394,20 +401,7 @@ object PipelineQueries {
     // dimension AS OF t1 — changed keys show their new version, the
     // rest their seed version, fresh keys appear.
     "q_scd2_asof" -> ((s, dir) => {
-      val (t0, t1) = (lit("2024-01-01 00:00:00").cast("timestamp"),
-        lit("2024-02-01 00:00:00").cast("timestamp"))
-      val cust = Tables.load(s, dir, "customer")
-      val seed = cust.select(col("c_custkey").cast("long").as("id"),
-          col("c_mktsegment").as("seg"))
-        .withColumn("valid_from", t0)
-        .withColumn("valid_to", lit(null).cast("timestamp"))
-      val mx = cust.agg(max(col("c_custkey")).cast("long")).first().getLong(0)
-      val batch = cust.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey").cast("long").as("id"),
-          concat(lit("CHANGED-"), (col("c_custkey") % 2).cast("string")).as("seg"))
-        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
-          .select((col("c_custkey") + mx + 1).cast("long").as("id"),
-            lit("FRESH").as("seg")))
+      val (seed, batch, t1) = scd2Fixture(s, dir)
       graft.ops.Merge.scd2AsOf(
           graft.ops.Merge.scd2Upsert(seed, batch, Seq("id"), t1), t1)
         .select(col("id"), col("seg"))
@@ -452,8 +446,7 @@ object PipelineQueries {
     // (gated against the exact percentile).
     "q_hist_incr" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events").select(col("event_id"), col("value"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-histst").toString
+      val path = graft.Scratch.dir("graft-histst", dir)
       graft.ops.Profile.writeHistState(ev.filter(col("event_id") % 3 === 0),
         "value", lo = 0.0, hi = 400.0, nBins = 20, path)
       graft.ops.Profile.appendHistState(ev.filter(col("event_id") % 3 === 1), path)
