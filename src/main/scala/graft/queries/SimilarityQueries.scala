@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Vectors
@@ -20,6 +19,11 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** q_semdedup's cap — ONE value shared by the Ann.semDedup call and
+    * the recheck filters below (a drifted copy would recompute the
+    * invariants over clusters the operator never deduped). */
+  private val semMaxCluster = 20000
 
   private def scratchDir(prefix: String, dir: String): String =
     graft.Scratch.dir(prefix, dir)
@@ -59,8 +63,12 @@ object SimilarityQueries {
     "q_hard_negatives" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = e.filter(col("id") < 8)
-      val pos = Ann.bruteTopK(qs, e, k = 1)
-        .select(col("qid"), col("nid").as("pos_id"))
+      // checkpointed: the positive set feeds an eager bound check plus
+      // two anti-join subtrees — without this the brute top-1 corpus
+      // scan re-runs up to 4x per invocation
+      val pos = graft.ops.Reliable.checkpoint(
+        Ann.bruteTopK(qs, e, k = 1)
+          .select(col("qid"), col("nid").as("pos_id")))
       Ann.hardNegatives(qs, pos, e, k = 10)
         .orderBy(col("qid"), col("neg_rank"))
     }),
@@ -240,16 +248,7 @@ object SimilarityQueries {
       Ann.writeIvfIndex(e, p, nLists = 16, trainIters = 2)
       Ann.deleteFromIvfIndex(
         e.filter(col("id") % 5 === 0).select(col("id").as("nid")), p)
-      val ann = Ann.probeIvfIndex(e.filter(col("id") < 8), p, k = 5, nProbe = 4)
-      val rest = e.filter(col("id") % 5 =!= 0)
-      val kth = Ann.bruteTopK(e.filter(col("id") < 8), rest, k = 20)
-        .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
-      ann.join(kth, Seq("qid"))
-        .groupBy(col("qid"))
-        .agg(count(lit(1)).as("n_returned"),
-          sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L)).as("n_in_true20"),
-          (sum(when(col("nid") % 5 === 0, 1).otherwise(0)) === 0).as("no_deleted"))
-        .orderBy(col("qid"))
+      deletedRecallGate(e, p)
     }),
 
     // ANN-SERVED hard-negative mining (the indexed twin of
@@ -269,8 +268,12 @@ object SimilarityQueries {
     "q_hard_negatives_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = e.filter(col("id") < 8)
-      val pos = Ann.bruteTopK(qs, e, k = 1)
-        .select(col("qid"), col("nid").as("pos_id"))
+      // checkpointed: the positive set feeds an eager bound check plus
+      // two anti-join subtrees — without this the brute top-1 corpus
+      // scan re-runs up to 4x per invocation
+      val pos = graft.ops.Reliable.checkpoint(
+        Ann.bruteTopK(qs, e, k = 1)
+          .select(col("qid"), col("nid").as("pos_id")))
       val path = scratchDir("graft-ivf-hn", dir)
       Ann.writeIvfIndex(e, path, nLists = 16, trainIters = 2)
       val mined = Ann.hardNegativesIndexed(qs, pos, path, k = 10, nProbe = 12,
@@ -298,16 +301,7 @@ object SimilarityQueries {
       Ann.deleteFromIvfIndex(
         e.filter(col("id") % 5 === 0).select(col("id").as("nid")), p)
       Ann.purgeIvfTombstones(s, p)
-      val ann = Ann.probeIvfIndex(e.filter(col("id") < 8), p, k = 5, nProbe = 4)
-      val rest = e.filter(col("id") % 5 =!= 0)
-      val kth = Ann.bruteTopK(e.filter(col("id") < 8), rest, k = 20)
-        .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
-      ann.join(kth, Seq("qid"))
-        .groupBy(col("qid"))
-        .agg(count(lit(1)).as("n_returned"),
-          sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L)).as("n_in_true20"),
-          (sum(when(col("nid") % 5 === 0, 1).otherwise(0)) === 0).as("no_deleted"))
-        .orderBy(col("qid"))
+      deletedRecallGate(e, p)
     }),
 
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
@@ -315,16 +309,8 @@ object SimilarityQueries {
     // (correctness surface); the LSH/IVF candidate pruning above is the
     // 100 TB path for the same predicate.
     "q_embed_neardup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        Vectors.l2Norm(col("embedding")).as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        Vectors.l2Norm(col("embedding")).as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          when(col("na") > 0 && col("nb") > 0,
-            Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-        .filter(col("sim") > 0.4)
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      brutePairs(e, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -338,14 +324,7 @@ object SimilarityQueries {
     // recall regression (kernel or banding bug) flips a boolean.
     "q_embed_neardup_lsh" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val a = e.select(col("id").as("id_a"), col("vec").as("va"),
-        Vectors.l2Norm(col("vec")).as("na"))
-      val b = e.select(col("id").as("id_b"), col("vec").as("vb"),
-        Vectors.l2Norm(col("vec")).as("nb"))
-      val brute = a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-        .filter(col("sim") > 0.4)
+      val brute = brutePairs(e, threshold = 0.4)
         .select(col("id_a"), col("id_b"), lit(1).as("in_brute"))
       val lsh = Ann.nearDupPairsLsh(e, threshold = 0.4)
         .select(col("id_a"), col("id_b"), lit(1).as("in_lsh"))
@@ -408,12 +387,13 @@ object SimilarityQueries {
       // autoScaleK sizes k ≈ √n so the scale smoke exercises the
       // BALANCED path: assignment O(n·k) and pairing O(n²/k) both stay
       // O(n^1.5), where the old fixed k=10 made pairing quadratic
-      val sd = Ann.semDedup(e, k = 10, threshold = 0.4, autoScaleK = true)
+      val sd = Ann.semDedup(e, k = 10, threshold = 0.4,
+        maxCluster = semMaxCluster, autoScaleK = true)
       val sizes = sd.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
       val capStats = sizes.agg(
-        (coalesce(max(col("csz")), lit(0L)) <= 20000).as("no_capped_cluster"))
+        (coalesce(max(col("csz")), lit(0L)) <= semMaxCluster).as("no_capped_cluster"))
       val v = sd.join(e, Seq("id"))
-        .join(sizes.filter(col("csz") <= 20000).select(col("cid")),
+        .join(sizes.filter(col("csz") <= semMaxCluster).select(col("cid")),
           Seq("cid"), "left_semi")
         .select(col("cid"), col("id"), col("vec"), col("keep"),
           Vectors.l2Norm(col("vec")).as("nrm"))
@@ -492,9 +472,50 @@ object SimilarityQueries {
     * brute-force depth-th-best cosine per query. Sims on both sides come
     * from the same fused dot-product kernel, so the >= compare is
     * bit-exact at the boundary. */
+  /** Brute all-pairs cosine above `threshold` over an (id, vec) frame
+    * — the truth side shared by q_embed_neardup and the LSH gate (ONE
+    * definition; the norm guard keeps a zero-norm row a null sim —
+    * dropped by the filter — instead of an ANSI divide-by-zero killing
+    * the whole gate). */
+  private def brutePairs(e: DataFrame, threshold: Double): DataFrame = {
+    val a = e.select(col("id").as("id_a"), col("vec").as("va"),
+      Vectors.l2Norm(col("vec")).as("na"))
+    val b = e.select(col("id").as("id_b"), col("vec").as("vb"),
+      Vectors.l2Norm(col("vec")).as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
+  /** Deleted-index recall gate shared by q_ann_ivf_delete and the
+    * post-purge twin: probe top-5 of the (logically or physically)
+    * deleted index vs the REMAINING corpus' brute top-20 band, plus
+    * the no-deleted-id assertion — one definition, so the two gates
+    * cannot assert different invariants. */
+  private def deletedRecallGate(e: DataFrame, indexPath: String): DataFrame = {
+    val ann = Ann.probeIvfIndex(e.filter(col("id") < 8), indexPath,
+      k = 5, nProbe = 4)
+    val rest = e.filter(col("id") % 5 =!= 0)
+    val kth = Ann.bruteTopK(e.filter(col("id") < 8), rest, k = 20)
+      .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
+    ann.join(kth, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("sim") >= col("kth_sim"), 1L).otherwise(0L)).as("n_in_true20"),
+        (sum(when(col("nid") % 5 === 0, 1).otherwise(0)) === 0).as("no_deleted"))
+      .orderBy(col("qid"))
+  }
+
+  /** `queries` defaults to the id<8 fixture set every current twin
+    * probes — pass the real query frame when a twin probes a different
+    * subset, or the truth side silently gates the wrong queries. */
   private def annRecallCheck(ann: DataFrame, e: DataFrame,
-                             trueDepth: Int = 20): DataFrame = {
-    val kth = Ann.bruteTopK(e.filter(col("id") < 8), e, k = trueDepth)
+                             trueDepth: Int = 20,
+                             queries: Option[DataFrame] = None): DataFrame = {
+    val kth = Ann.bruteTopK(queries.getOrElse(e.filter(col("id") < 8)),
+        e, k = trueDepth)
       .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
     ann.join(kth, Seq("qid"))
       .groupBy(col("qid"))
@@ -566,6 +587,13 @@ object SimilarityQueries {
        |  WHERE q.id < 8 AND q.id <> c.id),
        |${simsRankedTail(k)}""".stripMargin
   }
+
+  /** The constant recall-gate oracle every value-stable twin shares:
+    * full containment (k of k) at the declared truth depth. */
+  private def recallConstOracle(k: Int, depth: Int): String =
+    s"""SELECT vec_id AS qid, CAST($k AS BIGINT) AS n_returned,
+       |  CAST($k AS BIGINT) AS n_in_true$depth
+       |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -655,47 +683,31 @@ object SimilarityQueries {
          |${simsRankedTail(5)}""".stripMargin,
 
     "q_ann_lsh_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_ann_ivf_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_ann_int8_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_rp_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true100
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 100),
 
     "q_ann_pq_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_ann_ivf_pq_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_ann_ivf_sq8_recall" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_ann_ivf_index" ->
       "SELECT CAST(40 AS BIGINT) AS n_results, TRUE AS index_matches_memory",
 
     "q_ann_ivf_append" ->
-      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
-        |  CAST(5 AS BIGINT) AS n_in_true20
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+recallConstOracle(k = 5, depth = 20),
 
     "q_embed_neardup_lsh" ->
       "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",
@@ -729,10 +741,13 @@ object SimilarityQueries {
          |  SELECT vec_id, embedding,
          |    sqrt(${dot("embedding", "embedding")}) AS nrm
          |  FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
-         |FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |WHERE ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN a.nrm > 0 AND b.nrm > 0
+         |      THEN ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |    END AS sim
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |WHERE sim > 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cluster_sample" ->
