@@ -76,7 +76,12 @@ object ScaleSmoke {
     // incremental rollup, sharded export + fixity validation, SCD-2
     // history, skew diagnosis
     "q_media_video", "q_record_linkage", "q_incr_rollup",
-    "q_export_manifest", "q_scd2", "q_skew_report")
+    "q_export_manifest", "q_scd2", "q_skew_report",
+    // round-9 additions: packed-broadcast semantic decontam, the
+    // composed training-order chain, the per-row deflate kernel, the
+    // min-k quantile sketch
+    "q_semantic_decontam", "q_training_mix_e2e", "q_compress_ratio",
+    "q_quantile_sketch")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)

@@ -356,7 +356,12 @@ object CurationQueries {
     // candidate pairs only; text never shuffles — every shuffle payload
     // is (id, 16-byte band key) or (id, id).
     "q_incr_curation" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // docsRaw: the scan feeds FOUR subtrees (batch gate, corpus
+      // index build, disposition probe, token-count join) and each
+      // repeated the rail exchange — measured 6.4s railed vs 3.9s raw
+      // in the same conditions; the per-row work here is the fused
+      // minhash/gopher kernel family the rail reasoning excludes
+      val d = docsRaw(s, dir)
       val batch = d.filter(col("doc_id") % 3 === 0)
       val corpus = d.filter(col("doc_id") % 3 =!= 0)
       val gated = Curation.gopherFlags(batch, col("text"), minWords = 30)
