@@ -94,7 +94,9 @@ object Sketch {
     * `idCols` must identify rows UNIQUELY — hashing a non-unique
     * column silently turns the row sample into a distinct-value sample
     * and biases every quantile under heavy duplication. Rows with a
-    * null id or value are EXCLUDED from both the sample and `n_rows`
+    * null id, or whose value is null AFTER the double cast (e.g. a
+    * caller-supplied try_cast; under ANSI a malformed value fails the
+    * cast loudly), are EXCLUDED from both the sample and `n_rows`
     * (xxhash64 SKIPS null children rather than returning null, which
     * would otherwise pile every null-id row onto one constant hash);
     * append a `lit(salt)` column to redraw the sample.
@@ -105,10 +107,14 @@ object Sketch {
                  value: Column, m: Int): DataFrame = {
     require(idCols.nonEmpty, "minKSample needs at least one id column")
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // filter on the CAST value: a value that is non-null but casts to
+    // null double (a non-numeric string) must be excluded from n_rows
+    // AND the sample together, or the two desync
+    val v = value.cast("double")
     val minK = column(graft.expr.catalyst.MinKByHash(
-      expression(struct(xxhash64(idCols: _*).as("h"),
-        value.cast("double").as("v"))), m).toAggregateExpression())
-    df.filter(idCols.map(_.isNotNull).reduce(_ && _) && value.isNotNull)
+      expression(struct(xxhash64(idCols: _*).as("h"), v.as("v"))), m)
+      .toAggregateExpression())
+    df.filter(idCols.map(_.isNotNull).reduce(_ && _) && v.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), minK.as("sample"))
   }
@@ -139,7 +145,11 @@ object Sketch {
     val minK = column(graft.expr.catalyst.MinKByHash(
       expression(struct(col("e.h").as("h"), col("e.v").as("v"))), m)
       .toAggregateExpression())
-    parts.select((groupCols.map(col) :+ explode(col("sample")).as("e")): _*)
+    // explode_outer: a part row with an EMPTY sample still names its
+    // group (the null entry is skipped by the aggregate's null
+    // contract) — a plain explode would drop the group and the merge
+    // would delete its n_rows from the state
+    parts.select((groupCols.map(col) :+ explode_outer(col("sample")).as("e")): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(minK.as("sample"))
       .join(nTotal, groupCols)

@@ -444,9 +444,11 @@ object EventQueries {
 
   /** Value-exact restatement of the min-k quantile sketch: the XXH64
     * chain over event_id (XxhashSql — the q_epoch_shuffle precedent),
-    * the (h, value) selection window, and Spark's exact-percentile
-    * interpolation (lower + (higher − lower)·frac over idx = p·(n−1))
-    * mirrored operation-for-operation; both engines run the same IEEE
+    * the (h, value) selection window, and Spark Percentile's TWO-SIDED
+    * interpolation ((ceil(pos)−pos)·v[lo] + (pos−lo)·v[hi] over
+    * pos = p·(n−1) — NOT the algebraically equal lower+(hi−lo)·frac
+    * form, which differs in the last ulp) mirrored
+    * operation-for-operation; both engines run the same IEEE
     * double steps, rounded 4 dp at the surface. `merge` emits the
     * q_quantile_sketch_merge shape — associativity makes the merged
     * sample the one-shot sample, so the oracle is the SAME selection

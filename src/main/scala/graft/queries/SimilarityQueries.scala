@@ -468,10 +468,6 @@ object SimilarityQueries {
     }),
   )
 
-  /** (qid, n_returned, n_in_true<depth>): ANN output joined against the
-    * brute-force depth-th-best cosine per query. Sims on both sides come
-    * from the same fused dot-product kernel, so the >= compare is
-    * bit-exact at the boundary. */
   /** Brute all-pairs cosine above `threshold` over an (id, vec) frame
     * — the truth side shared by q_embed_neardup and the LSH gate (ONE
     * definition; the norm guard keeps a zero-norm row a null sim —
@@ -508,14 +504,16 @@ object SimilarityQueries {
       .orderBy(col("qid"))
   }
 
-  /** `queries` defaults to the id<8 fixture set every current twin
-    * probes — pass the real query frame when a twin probes a different
-    * subset, or the truth side silently gates the wrong queries. */
+  /** (qid, n_returned, n_in_true<depth>): ANN output joined against
+    * the brute-force depth-th-best cosine of the id<8 fixture query
+    * set (the set EVERY twin probes — a twin probing a different
+    * subset must grow this signature, or the truth side silently
+    * gates the wrong queries). Sims on both sides come from the same
+    * fused dot-product kernel, so the >= compare is bit-exact at the
+    * boundary. */
   private def annRecallCheck(ann: DataFrame, e: DataFrame,
-                             trueDepth: Int = 20,
-                             queries: Option[DataFrame] = None): DataFrame = {
-    val kth = Ann.bruteTopK(queries.getOrElse(e.filter(col("id") < 8)),
-        e, k = trueDepth)
+                             trueDepth: Int = 20): DataFrame = {
+    val kth = Ann.bruteTopK(e.filter(col("id") < 8), e, k = trueDepth)
       .groupBy(col("qid")).agg(min(col("sim")).as("kth_sim"))
     ann.join(kth, Seq("qid"))
       .groupBy(col("qid"))

@@ -108,6 +108,33 @@ class MinKSampleSpec extends SparkSpec {
       "absorbed state must equal the one-shot sample entry for entry")
   }
 
+  test("cast-null values and empty-sample parts stay consistent") {
+    // under ANSI a malformed string FAILS the cast loudly (no silent
+    // desync channel) ...
+    val df = Seq((0L, 1L, "1.5"), (0L, 2L, "abc"), (0L, 3L, "2.5"))
+      .toDF("g", "id", "v")
+    intercept[Exception] {
+      Sketch.minKSample(df, Seq("g"), Seq(col("id")), col("v"), 10).collect()
+    }
+    // ... and a caller opting into try_cast gets the null-after-cast
+    // row excluded from BOTH n_rows and the sample (never a desync)
+    val out = Sketch.minKSample(df, Seq("g"), Seq(col("id")),
+        expr("try_cast(v as double)"), 10)
+      .select(col("n_rows"), size(col("sample"))).head()
+    assert(out.getLong(0) === 2L && out.getInt(1) === 2)
+    // mergeSamples: a part row with an EMPTY sample must still carry
+    // its group (and n_rows) into the merged state
+    val parts = Seq((0L, 5L, Seq((1L, 1.0))), (1L, 3L, Seq.empty[(Long, Double)]))
+      .toDF("g", "n_rows", "raw")
+      .select(col("g"), col("n_rows"),
+        expr("transform(raw, x -> named_struct('h', x._1, 'v', x._2))").as("sample"))
+    val merged = Sketch.mergeSamples(parts, Seq("g"), 4)
+      .select(col("g"), col("n_rows"), size(col("sample")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(merged(0L) === ((5L, 1)) && merged(1L) === ((3L, 0)),
+      s"empty-sample group must survive the merge: $merged")
+  }
+
   test("empty sample quantile is null; empty group never emitted") {
     val df = Seq((0L, 1L, 1.0)).toDF("g", "id", "v").filter(col("id") < 0)
     assert(sampleOf(df, 4).count() === 0L)
