@@ -200,10 +200,14 @@ object Bench {
       s""""pass1":${toJson(pass1)},"pass2":${toJson(pass2)},""" +
       s""""gc_ms":${toJsonL(gcByQuery)},"heap_mb":${toJsonL(heapByQuery)},""" +
       s""""total_sf0.01":$smallTotal,"queries_sf0.01":${toJson(small)}$prevSf1}"""
-    try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(detail) finally w.close()
-    } catch { case _: Throwable => () }
+    // only a FULL run owns the diagnostics artifact: a dev-loop subset
+    // run (query-name args) would otherwise replace the full maps with
+    // one-entry stubs and destroy the round's recorded detail
+    if (args.isEmpty)
+      try {
+        val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+        try w.println(detail) finally w.close()
+      } catch { case _: Throwable => () }
     println(detail)
 
     // per-query regression gate (VERDICT r2 item 7): compare the
@@ -211,14 +215,25 @@ object Bench {
     // >1.5x its reference AND >0.5 s absolute (so sub-second noise
     // can't trip it) is flagged in the headline. Best-of-2 already
     // re-ran it once, so a flag is a real regression, not contention.
+    // parse defensively: a malformed line (header, typo) must not
+    // crash AFTER both timed passes and cost the headline JSON line;
+    // the optional "# sf=<dir>" comment keys the reference to the SF
+    // it was recorded at — comparing another SF's times against it
+    // would flag every query as a bogus regression
     val refFile = new java.io.File("BENCH_REF.txt")
-    val ref: Map[String, Double] =
+    val refLines: Seq[String] =
       if (refFile.isFile) {
         val src = scala.io.Source.fromFile(refFile)
-        try src.getLines().map(_.trim.split("\\s+"))
-          .collect { case Array(n, v) => n -> v.toDouble }.toMap
-        finally src.close()
-      } else Map.empty
+        try src.getLines().toList finally src.close()
+      } else Nil
+    val refSf = refLines.collectFirst {
+      case l if l.trim.startsWith("# sf=") => l.trim.stripPrefix("# sf=")
+    }
+    val ref: Map[String, Double] =
+      if (refSf.exists(_ != sfDir)) Map.empty
+      else refLines.iterator.map(_.trim.split("\\s+"))
+        .collect { case Array(n, v) => v.toDoubleOption.map(n -> _) }
+        .flatten.toMap
     val regressions = results.collect {
       case (n, t) if t >= 0 && ref.get(n).exists(r => t > r * 1.5 && t - r > 0.5) =>
         f"$n:${t / ref(n)}%.1fx"

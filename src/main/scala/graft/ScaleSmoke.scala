@@ -166,6 +166,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    require(mult >= 1 && mult <= 36,
+      s"SPARK_GRAFT_SCALE_MULT must be in [1, 36], got $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.builder(appName = "graft-scale-smoke",
@@ -211,8 +213,12 @@ object ScaleSmoke {
     val outliers = names.filter(n =>
       ratios(n) > mult * 2.0 && base(n) > 0.2)
 
+    // Locale.ROOT: f"%.3f" on a comma-decimal default locale would
+    // emit 0,423 — invalid JSON (Bench's toJson is locale-free too)
     def jmap(m: Map[String, Double]): String = names
-      .map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+      .map(n => "\"" + n + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(m(n))))
+      .mkString("{", ",", "}")
     // section name follows the amplified scale: mult 10 -> sf1_smoke
     // (the historical key), mult 30 -> sf3_smoke, …
     val key = if (mult % 10 == 0) s"sf${mult / 10}_smoke" else s"sfx${mult}_smoke"
@@ -224,23 +230,33 @@ object ScaleSmoke {
     // the file (Bench re-appends them on its own rewrites); rewrite
     // only THIS mult's section, preserving the other scales' results
     val f = new java.io.File("BENCH_DETAIL.json")
-    val body = if (f.isFile) {
-      val src = scala.io.Source.fromFile(f)
-      val s = try src.mkString.trim finally src.close()
-      val hits = Bench.smokeSectionPattern.findAllMatchIn(s).map(_.start).toList
-      def rstrip(x: String) =
-        x.reverse.dropWhile(c => c == ',' || c.isWhitespace).reverse
-      val head =
-        if (hits.nonEmpty) rstrip(s.substring(0, hits.head))
-        else rstrip(s.substring(0, s.lastIndexOf('}')).trim)
-      val tail = if (hits.nonEmpty) s.substring(hits.head, s.lastIndexOf('}')) else ""
-      val starts = Bench.smokeSectionPattern.findAllMatchIn(tail).map(_.start).toList
-      val sections = starts.zip(starts.drop(1) :+ tail.length).map {
-        case (a, b) => rstrip(tail.substring(a, b).trim)
+    // the splice must NEVER lose the run's section: a corrupt/empty
+    // existing file (or one holding only smoke sections, whose head is
+    // a bare '{') falls back to a fresh file instead of throwing at
+    // the end of a multi-hour amplified run
+    val body = (try {
+      if (!f.isFile) None else {
+        val src = scala.io.Source.fromFile(f)
+        val s = try src.mkString.trim finally src.close()
+        if (s.lastIndexOf('}') < 0) None else {
+          val hits = Bench.smokeSectionPattern.findAllMatchIn(s).map(_.start).toList
+          def rstrip(x: String) =
+            x.reverse.dropWhile(c => c == ',' || c.isWhitespace).reverse
+          val head =
+            if (hits.nonEmpty) rstrip(s.substring(0, hits.head))
+            else rstrip(s.substring(0, s.lastIndexOf('}')).trim)
+          val tail = if (hits.nonEmpty) s.substring(hits.head, s.lastIndexOf('}')) else ""
+          val starts = Bench.smokeSectionPattern.findAllMatchIn(tail).map(_.start).toList
+          val sections = starts.zip(starts.drop(1) :+ tail.length).map {
+            case (a, b) => rstrip(tail.substring(a, b).trim)
+          }
+          val kept = sections.filterNot(_.startsWith("\"" + key + "\""))
+          val sep = if (head == "{") "" else ","
+          Some(head + sep + (kept :+ section).mkString(",") + "}")
+        }
       }
-      val kept = sections.filterNot(_.startsWith("\"" + key + "\""))
-      head + "," + (kept :+ section).mkString(",") + "}"
-    } else "{" + section + "}"
+    } catch { case _: Throwable => None })
+      .getOrElse("{" + section + "}")
     val w = new java.io.PrintWriter(f)
     try w.println(body) finally w.close()
     println("{" + section + "}")
