@@ -20,7 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object DeflateKernel {
   // one Deflater per (thread, level): Deflater wraps native zlib state
   // whose alloc/free per ROW would dominate the kernel; reset() reuses
-  // the native stream. Levels are tiny ints -> a 10-slot array.
+  // the native stream. Levels are tiny ints -> a 10-slot array. On an
+  // executor the slot registers a task-completion listener that end()s
+  // the native stream and clears the slot (ADVICE r9: ThreadLocal-only
+  // pooling held zlib state until thread death) — one alloc per
+  // (task, level), amortized over the task's rows. Driver-side eval
+  // (constant folding, no TaskContext) keeps the bounded thread pool.
   private val pool = new ThreadLocal[Array[Deflater]] {
     override def initialValue(): Array[Deflater] = new Array[Deflater](10)
   }
@@ -30,7 +35,16 @@ object DeflateKernel {
     val input = s.getBytes
     val ds = pool.get()
     var d = ds(level)
-    if (d == null) { d = new Deflater(level, false); ds(level) = d }
+    if (d == null) {
+      d = new Deflater(level, false); ds(level) = d
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        // runs on the task's own thread: same ThreadLocal array
+        val arr = pool.get()
+        val dd = arr(level)
+        if (dd != null) { arr(level) = null; dd.end() }
+      }
+    }
     d.reset()
     d.setInput(input)
     d.finish()

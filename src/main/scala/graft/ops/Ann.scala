@@ -282,6 +282,58 @@ object Ann {
     rank(cand, k)
   }
 
+  /** Recall-vs-nprobe sweep for an IVF configuration — the tuning
+    * diagnostic that catches probe-count regressions the fixed-nprobe
+    * recall gates cannot see (q_ann_ivf_sweep, VERDICT r9 item 5): one
+    * row per probed depth with (nprobe, n_returned, n_hits, recall)
+    * where hits are returned (qid, nid) pairs inside the EXACT
+    * brute-force top-k and recall = n_hits / |truth pairs|.
+    *
+    * Cost shape: the corpus is assigned ONCE (checkpointed — the sweep
+    * must not pay one assignment per probed depth) and the exact truth
+    * is one brute top-k of the query batch; each sweep point then
+    * re-probes only the tiny query side and joins the materialized
+    * assignment. A monotone curve is guaranteed by construction
+    * (probed cells are prefixes of one centroid ranking), so a
+    * non-monotone committed artifact means the ranking itself
+    * regressed. */
+  def ivfNprobeSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nLists: Int = 16,
+                     nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                     trainIters: Int = 0,
+                     centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nLists),
+      s"nProbes must be within [1, nLists=$nLists], got $nProbes")
+    val cents = centroidsOverride.getOrElse(
+      if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
+      else seedCentroids(corpus, nLists))
+    val assigned = Reliable.checkpoint(
+      nearestLists(cents,
+          corpus.select(col("id").as("nid"), col("vec").as("nv")),
+          "nid", "nv", 1)
+        .select(col("nid"), col("nv"), Vectors.l2Norm(col("nv")).as("nn"),
+          col("cid")))
+    val truth = Reliable.checkpoint(
+      bruteTopK(queries, corpus, k).select(col("qid"), col("nid")))
+    val nTruth = truth.count()
+    nProbes.map { p =>
+      val probes = nearestLists(cents,
+        queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", p)
+      val cand = broadcast(probes.select(col("qid"), col("qv"),
+          Vectors.l2Norm(col("qv")).as("qn"), col("cid")))
+        .join(assigned, Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
+        .dropDuplicates("qid", "nid")
+      rank(cand, k)
+        .join(truth.withColumn("__hit", lit(1L)), Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(lit(p).cast("long").as("nprobe"), col("n_returned"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall", col("n_hits").cast("double") / lit(nTruth.toDouble))
+  }
+
   /** Two-stage int8-quantized top-k: scan the corpus in its QUANTIZED
     * form (4× less I/O and memory bandwidth than float32 — the scan is
     * the dominant cost of brute-force similarity at 100 TB), keep the
@@ -996,8 +1048,17 @@ object Ann {
             // shuffle, no order sensitivity, stable across runs
             val den = 1L << 20
             val num = math.max(1L, (target * den) / n + 1L)
-            vecs.filter(
+            val drawn = vecs.filter(
               pmod(xxhash64(col("id"), lit(0x5EEDL)), lit(den)) < num)
+            // min-rows guard (ADVICE r9): the draw is binomial with no
+            // floor — an unlucky sample on a small corpus could train
+            // kk centroids on fewer than kk points. Under half the
+            // target (or under kk rows), train on the full corpus;
+            // costs one count of the SAMPLE, and the dedup invariant
+            // is centroid-free either way (exact duplicates co-cluster
+            // under any centroids), so this only removes variance.
+            if (drawn.count() < math.max(kk.toLong, target / 2)) vecs
+            else drawn
           }
         (kk, tv)
       }

@@ -922,4 +922,51 @@ object Curation {
       .drop(quasiCols.map(c => s"__ka_$c"): _*)
       .filter(col("group_size") >= k)
   }
+
+  /** l-diversity suppression (public recipe: Machanavajjhala et al.
+    * 2007, "l-Diversity: Privacy Beyond k-Anonymity") — the check the
+    * privacy literature pairs with [[kAnonymize]]: a k-sized quasi
+    * group whose SENSITIVE value is constant still discloses it to
+    * anyone who can place a person in the group (the homogeneity
+    * attack k-anonymity cannot see). Keeps only rows whose
+    * quasi-identifier group contains at least `l` DISTINCT non-null
+    * values of `sensitiveCol`; survivors carry (group_size,
+    * n_sensitive) for the release manifest. NULL sensitive values do
+    * not count toward diversity (an absent attribute protects nobody
+    * — counting it would let a group of k nulls plus one real value
+    * pass as "diverse" while disclosing that value for every
+    * identified member).
+    *
+    * Scale shape identical to kAnonymize: one hash aggregate over the
+    * quasi columns (count + distinct-count payload) joined back
+    * NULL-SAFELY — a missing quasi attribute is the common case, and a
+    * plain equi-join would silently exempt null-key rows from
+    * suppression. Run it AFTER kAnonymize (or with l ≤ expected group
+    * size) — the two filters compose. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require((quasiCols :+ sensitiveCol).forall(df.columns.contains),
+      s"columns ${(quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+        .mkString(", ")} absent")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi column — " +
+        "each group would have exactly one sensitive value by construction")
+    Seq("group_size", "n_sensitive").foreach(c => require(!df.columns.contains(c),
+      s"column $c is produced by lDiversify — rename the input's"))
+    val clashes = quasiCols.map(c => s"__ld_$c").filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"columns ${clashes.mkString(", ")} are reserved by lDiversify's " +
+        "count join — rename the input's")
+    val counts = quasiCols.foldLeft(
+        df.groupBy(quasiCols.map(col): _*)
+          .agg(count(lit(1)).as("group_size"),
+            countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      )((d, c) => d.withColumnRenamed(c, s"__ld_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__ld_$c")).reduce(_ && _)
+    df.join(counts, cond)
+      .drop(quasiCols.map(c => s"__ld_$c"): _*)
+      .filter(col("n_sensitive") >= l)
+  }
 }

@@ -136,18 +136,37 @@ object Dedup {
   }
 
   /** Bucket sizing pass shared by the capped candidate generators:
-    * (bucket keys, n_ids, sample_ids) with a BOUNDED 20-smallest-id
-    * sample via the argmax-k aggregate — only a count and ≤ 20 ids per
-    * bucket cross the shuffle, never the membership. */
+    * (bucket keys, n_ids, sample_ids) with a BOUNDED sample — only a
+    * count and a few ids per bucket cross the shuffle, never the
+    * membership. Integral ids get the 20-smallest via the argmax-k
+    * aggregate; other id types (string/UUID linkage keys) get the
+    * bounded {min, max} witness pair — min/max are plain partial
+    * aggregates for ANY orderable type, so the flood-safety contract
+    * (no membership ever buffers) holds type-agnostically, at a
+    * smaller sample. Pre-r10 this REFUSED non-integral ids outright
+    * (ADVICE r9: a capability regression vs the slice sample it
+    * replaced — and a full collect_set sample would reintroduce the
+    * exact buffer the sizing pass exists to prevent). */
   private def sizedBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val sample20 = column(graft.expr.catalyst.TopKByScore(
-      expression(struct(-col("id").cast("double"), col("id").cast("long"))), 20)
-      .toAggregateExpression())
-    rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
-      .select(keys.map(col) ++ Seq(col("n_ids"),
-        transform(col("__top"), e => e.getField("id")).as("sample_ids")): _*)
+    import org.apache.spark.sql.types._
+    val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(rows.schema("id").dataType)
+    if (integral) {
+      val sample20 = column(graft.expr.catalyst.TopKByScore(
+        expression(struct(-col("id").cast("double"), col("id").cast("long"))), 20)
+        .toAggregateExpression())
+      rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
+        .select(keys.map(col) ++ Seq(col("n_ids"),
+          transform(col("__top"), e => e.getField("id")).as("sample_ids")): _*)
+    } else {
+      rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_ids"),
+          min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+        .select(keys.map(col) ++ Seq(col("n_ids"),
+          array_distinct(array(col("__mn"), col("__mx"))).as("sample_ids")): _*)
+    }
   }
 
   /** SIZE buckets BEFORE collecting, then divert oversized ones (the
@@ -159,24 +178,13 @@ object Dedup {
     * definition for every capped generator so a cap fix can never
     * silently miss a copy.
     *
-    * The bounded sample requires an INTEGRAL `id` column (the argmax-k
-    * aggregate's contract) — enforced loudly, because the silent
-    * alternatives are empty sample_ids (null-skipping) under default
-    * config or a mid-job cast failure under ANSI: string-id callers
-    * should map ids first (Scale.zipWithOrderedIndex, or
-    * Text.fingerprint64 when collision-tolerant). */
+    * sample_ids is the 20-smallest for integral ids and the bounded
+    * {min, max} witness pair otherwise — see [[sizedBuckets]]. */
   private[ops] def divertOversized(rows: DataFrame, keys: Seq[String],
                               maxBucket: Int): (DataFrame, DataFrame) = {
     if (maxBucket == Int.MaxValue)
       (rows, sizedBuckets(rows, keys).filter(lit(false)))
     else {
-      import org.apache.spark.sql.types._
-      val idType = rows.schema("id").dataType
-      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-          .contains(idType),
-        s"bucket-cap diversion requires an integral id column for its " +
-          s"bounded flood sample, got ${idType.simpleString} — map ids " +
-          "to longs first (Scale.zipWithOrderedIndex or Text.fingerprint64)")
       val over = sizedBuckets(rows, keys).filter(col("n_ids") > maxBucket)
       (rows.join(over.select(keys.map(col): _*), keys, "left_anti"), over)
     }
@@ -379,31 +387,29 @@ object Dedup {
     * the text never moves. Labels are localCheckpointed per round: the
     * convergence check needs an action anyway, and an uncheckpointed
     * loop would re-execute every prior round's joins each iteration
-    * (lineage grows quadratically). For graphs with genuinely large
-    * diameters, the large-star/small-star variant (Kiveris et al.)
-    * halves round count; near-dup graphs do not need it.
+    * (lineage grows quadratically). For graphs with genuinely LARGE
+    * diameters — substring/chain-shaped duplicate graphs, linkage
+    * paths — a diameter-k chain costs k shuffles here; pass
+    * `lowDiameter = false` to run the alternating large-star /
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public) instead, which converges
+    * in ~O(log n) rounds regardless of diameter at a higher per-round
+    * cost (spec-pinned: a diameter-1000 string-id path converges in
+    * ≤ 2·log₂(n) + 2 rounds with components identical to this path's
+    * output).
     *
     * Fault tolerance: per-round materialization routes through
     * [[Reliable.checkpoint]] — set the SparkContext checkpoint dir on a
     * real cluster and each round is a replicated reliable checkpoint
     * (an executor loss mid-propagation recovers); unset, it stays the
     * fast executor-local variant. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          lowDiameter: Boolean = true): DataFrame = {
+    if (!lowDiameter) return starComponents(pairs, maxIter)
     val sc = pairs.sparkSession.sparkContext
-    // eager checkpoints materialize each round; track the RDD ids each
-    // LOCAL checkpoint persists so superseded rounds can be freed
-    // immediately (the leak class that degraded BENCH_r03/r04) instead
-    // of waiting for context-cleaner GC. Reliable checkpoints (dir
-    // configured) persist nothing — their files GC via
-    // spark.cleaner.referenceTracking.cleanCheckpoints or dir cleanup,
-    // so the delta set is empty and free() is a no-op.
-    def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = Reliable.checkpoint(df)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) =
+      Dedup.trackedCheckpoint(sc, df)
+    def free(ids: Set[Int]): Unit = Dedup.freePersisted(sc, ids)
 
     // edges are re-joined every round: checkpoint ONCE so the (possibly
     // expensive) pair-generation lineage upstream runs once, not
@@ -452,6 +458,97 @@ object Dedup {
           s"graph diameter exceeds maxIter; raise maxIter")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("rep")).select(col("id"), col("rep"), col("cluster_size"))
+  }
+
+  /** Eager checkpoints materialize each round of an iterative graph
+    * algorithm; track the RDD ids each LOCAL checkpoint persists so
+    * superseded rounds can be freed immediately (the leak class that
+    * degraded BENCH_r03/r04) instead of waiting for context-cleaner
+    * GC. Reliable checkpoints (dir configured) persist nothing — their
+    * files GC via spark.cleaner.referenceTracking.cleanCheckpoints or
+    * dir cleanup, so the delta set is empty and free() is a no-op. */
+  private def trackedCheckpoint(sc: org.apache.spark.SparkContext,
+                                df: DataFrame): (DataFrame, Set[Int]) = {
+    val before = sc.getPersistentRDDs.keySet
+    val out = Reliable.checkpoint(df)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+  private def freePersisted(sc: org.apache.spark.SparkContext,
+                            ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., SoCC'14) — the [[connectedComponents]] variant for graphs
+    * whose DIAMETER is not small: round count is ~O(log n) in the node
+    * count regardless of diameter, where min-label propagation pays one
+    * round (one shuffle) per unit of diameter. Per round:
+    *
+    *  - LARGE-STAR: every node u links each STRICTLY LARGER neighbor to
+    *    the minimum of its closed neighborhood min(Γ(u) ∪ {u}) —
+    *    long chains collapse toward minima in halving strides (the
+    *    pointer-doubling effect);
+    *  - SMALL-STAR: edges orient toward the smaller endpoint, and every
+    *    node links its smaller neighbors AND ITSELF to their minimum —
+    *    consolidating the partial stars.
+    *
+    * Both steps are groupBy-min + join — per-node neighbor MINIMA, not
+    * collected neighbor lists, so a high-degree hub costs a partial
+    * aggregate, never an agg buffer. The edge set is checkpointed per
+    * round (superseded rounds freed), and convergence is edge-set
+    * fixpoint — two bounded anti-join emptiness probes. At the
+    * fixpoint the edges ARE the component stars (u → component min),
+    * proven terminal in the paper; output contract is identical to
+    * [[connectedComponents]] (spec-pinned equal on random graphs and
+    * on a diameter-1000 string-id path, the case min-label pays 1000
+    * rounds for and this finishes in ≤ 2·log₂(n) + 2). */
+  private def starComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    var (edges, edgeIds) = trackedCheckpoint(sc,
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .filter(not(col("u") <=> col("v"))).distinct())
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the bidirectional neighborhood
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val afterLarge = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the toward-smaller orientation
+      val oriented = afterLarge.select(
+          greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withMin = oriented.join(mins2, Seq("u"))
+      val afterSmall = withMin.select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val (next, nextIds) = trackedCheckpoint(sc, afterSmall)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      freePersisted(sc, edgeIds)
+      edges = next; edgeIds = nextIds
+      iter += 1
+    }
+    if (!converged) {
+      freePersisted(sc, edgeIds)
+      throw new IllegalStateException(
+        s"starComponents did not converge in $maxIter rounds — raise maxIter")
+    }
+    // fixpoint edges are stars (u -> component min): non-min nodes read
+    // their rep off their star edge, minima are their own rep
+    val labels = edges.select(col("u").as("id"), col("v").as("rep"))
+      .union(edges.select(col("v").as("id"), col("v").as("rep")))
+      .distinct()
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("rep"))
+      .select(col("id"), col("rep"), col("cluster_size"))
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of each

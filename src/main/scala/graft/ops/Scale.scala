@@ -401,14 +401,43 @@ object Scale {
     * tight. Same input contract as zValue (each in [0, 2^bits),
     * checked loudly per row); fused integer kernel
     * ([[graft.expr.catalyst.HilbertD]]), codegen-friendly, restated
-    * step-for-step by the q_hilbert oracle. The trade vs Z-order: no
-    * cheap n-ary generalization (zValueN) and range predicates don't
-    * decompose as simply — use it where 2-D point/range locality is
-    * the dominant access pattern. */
+    * step-for-step by the q_hilbert oracle. Range predicates don't
+    * decompose as simply as Z-order's — use it where 2-D point/range
+    * locality is the dominant access pattern; for 3+ clustered columns
+    * see [[hilbertValueN]]. */
   def hilbertValue(a: Column, b: Column, bits: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     column(graft.expr.catalyst.HilbertD(
       expression(a.cast("long")), expression(b.cast("long")), bits))
+  }
+
+  /** n-column Hilbert index (Skilling's transpose walk,
+    * [[graft.expr.catalyst.HilbertKernel.dN]]) — the [[zValueN]]
+    * counterpart with true curve locality: consecutive indices are
+    * Manhattan-adjacent n-D cells, so a contiguous index range is one
+    * connected region and per-file min/max stats stay at least as
+    * tight as Z-order's on every clustered column (footer-measured
+    * against zValueN in q_hilbert3_audit). Same input contract as
+    * zValueN: each coordinate in [0, 2^bits), n·bits ≤ 62, loud on
+    * range violations. */
+  def hilbertValueN(inputs: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.HilbertDN(
+      inputs.map(c => expression(c.cast("long"))), bits))
+  }
+
+  /** n-column Hilbert-clustered parquet layout — [[writeZOrderedN]] on
+    * the [[hilbertValueN]] key. */
+  def writeHilbertOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                           bits: Int, nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    require(!df.columns.contains("__h"),
+      "column name __h is reserved by writeHilbertOrderedN")
+    df.withColumn("__h", hilbertValueN(cols.map(col), bits))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Hilbert-clustered parquet layout (the [[writeZOrderedN]] shape on

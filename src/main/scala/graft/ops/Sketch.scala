@@ -78,7 +78,14 @@ object Sketch {
   /** Deterministic uniform m-sample per group — the mergeable quantile
     * sketch: keep the `m` rows whose salted xxhash64 of a UNIQUE row
     * id is smallest ([[graft.expr.catalyst.MinKByHash]]). A uniform
-    * m-row sample answers any quantile to O(1/√m) rank error, and
+    * m-row sample answers any quantile to O(1/√m) rank error —
+    * quantitatively, by Dvoretzky–Kiefer–Wolfowitz the sample CDF
+    * satisfies P(sup|F_m − F| > ε) ≤ 2·exp(−2mε²), so the estimate's
+    * TRUE rank stays within ε = 3/√m of the requested p except with
+    * probability ≤ 2e⁻¹⁸ per draw (the hash sample is deterministic,
+    * so a given corpus either holds the bound forever or never —
+    * spec-pinned at m = 1024 against the exact CDF of the 600k-row
+    * sf0.1 lineitem fixture across seven p values) — and
     * unlike reservoir sampling the winners are a pure function of the
     * ids — any partitioning, any arrival order, any engine picks the
     * same rows (a DuckDB ROW_NUMBER over the restated hash reproduces

@@ -535,6 +535,23 @@ object CurationQueries {
       Curation.kAnonymize(d, Seq("lang", "source", "len_bucket"), k = 5)
         .orderBy(col("doc_id"))
     }),
+
+    // l-diversity (Curation.lDiversify) — k-anonymity's companion
+    // check: quasi groups (source, len_bucket) must hold >= 3 DISTINCT
+    // sensitive values (lang) or every row in them drops. The same
+    // fr->null injection as the sibling exercises BOTH null contracts:
+    // null quasi keys still group and suppress (null-safe join), null
+    // sensitive values do not count toward diversity (countDistinct
+    // skips them in both engines).
+    "q_l_diversity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("lang") === "fr", lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        col("source"),
+        (col("n_chars") / 200).cast("long").as("len_bucket"))
+      Curation.lDiversify(d, Seq("source", "len_bucket"), "lang", l = 3)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val toks =
@@ -1176,6 +1193,23 @@ object CurationQueries {
         |  FROM d)
         |SELECT doc_id, lang, source, len_bucket, group_size
         |FROM g WHERE group_size >= 5 ORDER BY doc_id""".stripMargin,
+
+    // group-then-join (not a window): DuckDB can't window
+    // COUNT(DISTINCT); IS NOT DISTINCT FROM mirrors the null-safe <=>
+    "q_l_diversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, NULLIF(lang, 'fr') AS lang, source,
+        |    CAST(n_chars // 200 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |g AS (
+        |  SELECT source AS gsource, len_bucket AS glen,
+        |    COUNT(*) AS group_size, COUNT(DISTINCT lang) AS n_sensitive
+        |  FROM d GROUP BY gsource, glen)
+        |SELECT d.doc_id, d.lang, d.source, d.len_bucket,
+        |  g.group_size, g.n_sensitive
+        |FROM d JOIN g ON d.source IS NOT DISTINCT FROM g.gsource
+        |  AND d.len_bucket IS NOT DISTINCT FROM g.glen
+        |WHERE g.n_sensitive >= 3 ORDER BY doc_id""".stripMargin,
   )
 }
 

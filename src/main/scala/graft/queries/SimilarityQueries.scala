@@ -120,6 +120,18 @@ object SimilarityQueries {
       annRecallCheck(Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, trainIters = 2), e)
     }),
 
+    // Recall-vs-nprobe curve on the deterministic first-16 seed (the
+    // q_ann_ivf configuration swept across probe depths 1..16): the
+    // driver-visible tuning gate — a probe-ranking or assignment
+    // regression shifts hit counts at SOME depth even when the fixed
+    // nprobe=4 gates still pass. Value-exact: every stage is the same
+    // engine-neutral arithmetic as q_ann_ivf, restated per depth.
+    "q_ann_ivf_sweep" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.ivfNprobeSweep(e.filter(col("id") < 8), e, k = 5)
+        .orderBy(col("nprobe"))
+    }),
+
     // int8-quantized two-stage scan (approximate candidate stage over
     // 4×-smaller vectors, exact float rerank) — same driver-visible
     // recall gate as the LSH/IVF twins.
@@ -586,6 +598,89 @@ object SimilarityQueries {
        |${simsRankedTail(k)}""".stripMargin
   }
 
+  /** Shared staged CTEs of the DETERMINISTIC-seed IVF oracles
+    * (q_ann_ivf, q_ann_ivf_sweep): first-16 centroids, guarded corpus
+    * cosines against them, the top-1 assignment, and the full centroid
+    * ranking per query (`cranked` — a probe depth p reads rn <= p).
+    * One definition so the sweep and the fixed-probe query cannot
+    * drift. */
+  private def ivfStagedCtes: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS cv,
+       |    sqrt(${dot("embedding", "embedding")}) AS cn
+       |  FROM embeddings WHERE vec_id < 16),
+       |e AS (
+       |  SELECT vec_id AS id, embedding AS v,
+       |    sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |csims AS (
+       |  SELECT e.id, c.cid, e.nrm,
+       |    CASE WHEN c.cn > 0
+       |      THEN ${dot("e.v", "c.cv")} / (e.nrm * c.cn) END AS sim
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id
+       |        ORDER BY sim DESC NULLS LAST, cid) AS rn
+       |    FROM csims) WHERE rn = 1),
+       |cranked AS (
+       |  SELECT id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY sim DESC NULLS LAST, cid) AS rn
+       |  FROM csims WHERE id < 8)""".stripMargin
+
+  /** Value-exact restatement of [[Ann.ivfNprobeSweep]] under the
+    * deterministic first-16 seed: the staged CTEs above give the
+    * assignment and the per-query centroid ranking; each probed depth
+    * p re-ranks the rn <= p candidate union with the exact guarded
+    * cosine and counts hits against the brute-force top-k (`truth` —
+    * the q_cosine_topk restatement). The per-depth blocks differ only
+    * in the literal p, so a Spark/oracle mismatch at any single depth
+    * flags the exact sweep point that regressed. */
+  private def ivfSweepOracleSql(k: Int, probes: Seq[Int]): String = {
+    val perP = probes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  COUNT(*) AS n_returned,
+         |  COALESCE(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hits
+         |FROM (
+         |  SELECT qid, nid FROM (
+         |    SELECT s.qid, s.nid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.qid
+         |        ORDER BY s.sim DESC, s.nid) AS rank
+         |    FROM (
+         |      SELECT c.qid, c.nid,
+         |        CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+         |          THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+         |      FROM (
+         |        SELECT pr.id AS qid, a.id AS nid
+         |        FROM cranked pr JOIN assigned a USING (cid)
+         |        WHERE pr.rn <= $p AND a.id <> pr.id
+         |        GROUP BY pr.id, a.id) c
+         |      JOIN e qe ON qe.id = c.qid JOIN e ce ON ce.id = c.nid) s
+         |    WHERE s.sim IS NOT NULL) WHERE rank <= $k) r
+         |LEFT JOIN truth t ON t.qid = r.qid AND t.nid = r.nid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfStagedCtes,
+       |tsims AS (
+       |  SELECT qe.id AS qid, ce.id AS nid,
+       |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+       |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+       |  FROM e qe JOIN e ce ON qe.id < 8 AND qe.id <> ce.id),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, nid) AS rank
+       |    FROM tsims WHERE sim IS NOT NULL) WHERE rank <= $k)
+       |SELECT nprobe, n_returned, n_hits,
+       |  CAST(n_hits AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth)
+       |    AS recall
+       |FROM (
+       |$perP
+       |) ORDER BY nprobe""".stripMargin
+  }
+
   /** The constant recall-gate oracle every value-stable twin shares:
     * full containment (k of k) at the declared truth depth. */
   private def recallConstOracle(k: Int, depth: Int): String =
@@ -649,36 +744,16 @@ object SimilarityQueries {
     "q_ann_lsh" -> lshOracleSql(nBits = 4, nTables = 12, dim = 64, k = 5),
 
     "q_ann_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding AS cv,
-         |    sqrt(${dot("embedding", "embedding")}) AS cn
-         |  FROM embeddings WHERE vec_id < 16),
-         |e AS (
-         |  SELECT vec_id AS id, embedding AS v,
-         |    sqrt(${dot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |csims AS (
-         |  SELECT e.id, c.cid, e.nrm,
-         |    CASE WHEN c.cn > 0
-         |      THEN ${dot("e.v", "c.cv")} / (e.nrm * c.cn) END AS sim
-         |  FROM e CROSS JOIN cents c),
-         |assigned AS (
-         |  SELECT id, cid FROM (
-         |    SELECT id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id
-         |        ORDER BY sim DESC NULLS LAST, cid) AS rn
-         |    FROM csims) WHERE rn = 1),
+      s"""WITH $ivfStagedCtes,
          |probes AS (
-         |  SELECT id AS qid, cid FROM (
-         |    SELECT id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id
-         |        ORDER BY sim DESC NULLS LAST, cid) AS rn
-         |    FROM csims WHERE id < 8) WHERE rn <= 4),
+         |  SELECT id AS qid, cid FROM cranked WHERE rn <= 4),
          |cand AS (
          |  SELECT p.qid, a.id AS nid
          |  FROM probes p JOIN assigned a USING (cid)
          |  WHERE a.id <> p.qid),
          |${simsRankedTail(5)}""".stripMargin,
+
+    "q_ann_ivf_sweep" -> ivfSweepOracleSql(k = 5, probes = Seq(1, 2, 4, 8, 16)),
 
     "q_ann_lsh_recall" ->
 recallConstOracle(k = 5, depth = 20),

@@ -10,9 +10,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * KeyValueGroupedDataset custom-state exemplar (SURVEY §2.10 absent
   * row): gap-based user sessions over the events stream.
   *
-  * State per user is O(1) (running session bounds), emitted when the
-  * gap elapses — in streaming mode via event-time timeout against the
-  * watermark; the batch path (`sessionizeBatch`) computes identical
+  * State per user is a bounded interval list (open session bounds,
+  * capped at `maxOpenIntervals`), each interval emitted once the gap
+  * elapses past the watermark — in streaming mode via event-time
+  * timeout; the batch path (`sessionizeBatch`) computes identical
   * sessions declaratively with a gap-flag window cumulative sum, which
   * is the 100 TB-friendly formulation (one shuffle+sort per user, no
   * state store).
@@ -21,6 +22,7 @@ object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Int)
+  case class SessionListState(intervals: List[SessionState])
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Int)
 
@@ -77,71 +79,90 @@ object Sessionize {
         count(lit(1)).cast("int").as("n_events"))
       .drop("session_window")
 
-  /** Streaming sessionization with custom state: sessions are emitted
-    * once the event-time timeout (gap) fires past the watermark.
+  /** Streaming sessionization with custom state: a BOUNDED per-user
+    * list of open intervals, each emitted only once no in-watermark
+    * event can still touch it.
     *
     * Out-of-order arrivals within the lateness window are merged by
-    * INTERVAL arithmetic, not append-only: an event EARLIER than the
-    * open session's start extends the session backward (min-start, the
-    * same session_start the batch twin computes), an event within the
-    * gap on either side merges, and a within-batch event that bridges
-    * two intervals fuses them. Documented limitation of the O(1)
-    * per-user state: only the LATEST interval survives a batch —
-    * older intervals emit at batch end, so a bridge event arriving in
-    * a LATER batch (two out-of-order stragglers split across batches)
-    * cannot re-open them; the batch twin over the same kept rows would
-    * merge. FunnelStream escapes this by buffering raw events; here
-    * the O(1) state is the point. */
+    * INTERVAL arithmetic, not append-only: an event EARLIER than an
+    * open interval's start extends it backward (min-start, the same
+    * session_start the batch twin computes), an event within the gap
+    * on either side merges, and a bridge event fuses the two intervals
+    * it lands between — INCLUDING a bridge arriving in a LATER
+    * micro-batch than the intervals it fuses (the pre-r10 O(1) state
+    * kept only the newest interval and broke stream==batch parity on
+    * exactly that case; spec-pinned now). The close rule is the merge
+    * rule inverted: an event t merges with [s, e] iff
+    * s − gap ≤ t ≤ e + gap, and events below the watermark are
+    * dropped, so an interval with e + gap < watermark can never change
+    * again and emits.
+    *
+    * State is bounded by `maxOpenIntervals` (open intervals per user —
+    * each a 3-field struct, NOT raw events; FunnelStream buffers raw
+    * events where that is the need). A user exceeding the cap —
+    * pathological out-of-order depth — force-emits its OLDEST
+    * intervals early, degrading to the pre-r10 semantics for that user
+    * rather than growing state without bound. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
-                       lateness: String): Dataset[Session] = {
+                       lateness: String,
+                       maxOpenIntervals: Int = 64): Dataset[Session] = {
+    require(maxOpenIntervals >= 1,
+      s"maxOpenIntervals must be >= 1, got $maxOpenIntervals")
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionListState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n))
-          } else {
-            // fold sorted points into a SORTED interval list (existing
-            // state included): merge within gap on either side, fusing
-            // a bridged successor interval
-            var intervals = state.getOption.toList
-            rows.toSeq.map(_.ts.getTime).sorted.foreach { t =>
-              val (before, rest) = intervals.span(iv => iv.end + gapMs < t)
-              intervals = rest match {
-                case Nil => before :+ SessionState(t, t, 1)
-                case head :: tail if t < head.start - gapMs =>
-                  before ++ (SessionState(t, t, 1) :: head :: tail)
-                case head :: tail =>
-                  var merged = SessionState(math.min(head.start, t),
-                    math.max(head.end, t), head.n + 1)
-                  var remaining = tail
-                  while (remaining.nonEmpty &&
-                      remaining.head.start - merged.end <= gapMs) {
-                    val nxt = remaining.head
-                    merged = SessionState(math.min(merged.start, nxt.start),
-                      math.max(merged.end, nxt.end), merged.n + nxt.n)
-                    remaining = remaining.tail
-                  }
-                  before ++ (merged :: remaining)
-              }
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionListState]) =>
+          // fold sorted points into a SORTED interval list (existing
+          // state included): merge within gap on either side, fusing
+          // a bridged successor interval. On a timeout invocation the
+          // iterator is empty and this is a no-op re-partition.
+          var intervals = state.getOption.map(_.intervals).getOrElse(Nil)
+          rows.toSeq.map(_.ts.getTime).sorted.foreach { t =>
+            val (before, rest) = intervals.span(iv => iv.end + gapMs < t)
+            intervals = rest match {
+              case Nil => before :+ SessionState(t, t, 1)
+              case head :: tail if t < head.start - gapMs =>
+                before ++ (SessionState(t, t, 1) :: head :: tail)
+              case head :: tail =>
+                var merged = SessionState(math.min(head.start, t),
+                  math.max(head.end, t), head.n + 1)
+                var remaining = tail
+                while (remaining.nonEmpty &&
+                    remaining.head.start - merged.end <= gapMs) {
+                  val nxt = remaining.head
+                  merged = SessionState(math.min(merged.start, nxt.start),
+                    math.max(merged.end, nxt.end), merged.n + nxt.n)
+                  remaining = remaining.tail
+                }
+                before ++ (merged :: remaining)
             }
-            // all but the newest interval emit now (gap-closed within
-            // this batch, modulo the cross-batch bridge limitation);
-            // the newest stays open in state
-            intervals.lastOption.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            intervals.dropRight(1).iterator.map(s =>
-              Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
           }
+          // close every interval no future in-watermark event can
+          // touch (merge needs t <= end + gap; events below the
+          // watermark drop), newest stays open
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, openAll) = intervals.partition(_.end + gapMs < wm)
+          // state-size rail: beyond the cap the OLDEST intervals emit
+          // early (bounded state beats unbounded parity)
+          val excess = openAll.length - maxOpenIntervals
+          val (forced, open) =
+            if (excess > 0) openAll.splitAt(excess) else (Nil, openAll)
+          if (open.nonEmpty) {
+            state.update(SessionListState(open))
+            // wake when the earliest-closing open interval passes the
+            // watermark (must be strictly ahead of the current one)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end).min + gapMs, wm + 1))
+          } else if (state.exists) {
+            state.remove()
+          }
+          (closed ++ forced).iterator.map(s =>
+            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
       }
   }
 }

@@ -292,6 +292,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("hilbertValueN: 3-D bijection + unit-step adjacency, exhaustively at bits=3") {
+    // Skilling's n-D transpose walk must keep THE Hilbert property in
+    // 3-D: exhaustive over the 8x8x8 cube, d bijects onto [0, 512) and
+    // consecutive d values are Manhattan-adjacent cells
+    val bits = 3
+    val side = 1 << bits
+    val cells = for { x <- 0 until side; y <- 0 until side; z <- 0 until side }
+      yield (x.toLong, y.toLong, z.toLong)
+    val d = cells.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        graft.ops.Scale.hilbertValueN(Seq(col("x"), col("y"), col("z")), bits)
+          .as("d"))
+      .collect()
+      .map(r => r.getLong(3) -> (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toMap
+    val total = side * side * side
+    assert(d.size === total, "xyz -> d must be a bijection")
+    assert(d.keys.min === 0L && d.keys.max === (total - 1).toLong)
+    for (i <- 0L until (total - 1).toLong) {
+      val (x1, y1, z1) = d(i); val (x2, y2, z2) = d(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) === 1L,
+        s"step $i -> ${i + 1} jumps from ($x1,$y1,$z1) to ($x2,$y2,$z2)")
+    }
+  }
+
+  test("hilbertValueN: 2-D variant also holds bijection + adjacency (orientation may differ from hilbertValue)") {
+    val bits = 4
+    val side = 1 << bits
+    val cells = for { x <- 0 until side; y <- 0 until side } yield
+      (x.toLong, y.toLong)
+    val d = cells.toDF("x", "y")
+      .select(graft.ops.Scale.hilbertValueN(Seq(col("x"), col("y")), bits).as("d"),
+        col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d.size === side * side)
+    for (i <- 0L until (side * side - 1).toLong) {
+      val (x1, y1) = d(i); val (x2, y2) = d(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+  }
+
   test("hilbertValue: loud on out-of-range input; null in, null out") {
     val ex = intercept[Exception] {
       Seq((1024L, 1L)).toDF("a", "b")

@@ -499,4 +499,39 @@ class CurationSpec extends SparkSpec {
       Curation.kAnonymize(df, Seq("nope"), k = 2)
     }
   }
+
+  test("lDiversify: homogeneous groups suppress even when k-large; null sensitive values don't count; null quasi keys group") {
+    val df = Seq(
+      // group (web): 3 distinct sensitive diseases -> kept at l=3
+      (1L, "web", Some("flu")), (2L, "web", Some("cold")), (3L, "web", Some("covid")),
+      // group (wiki): 4 rows but ONE sensitive value -> the homogeneity
+      // attack k-anonymity misses; suppressed at l >= 2
+      (4L, "wiki", Some("flu")), (5L, "wiki", Some("flu")),
+      (6L, "wiki", Some("flu")), (7L, "wiki", Some("flu")),
+      // group (books): 2 real values + nulls — nulls must not count, so
+      // it fails l=3 (n_sensitive = 2)
+      (8L, "books", Some("flu")), (9L, "books", Some("cold")),
+      (10L, "books", None), (11L, "books", None),
+      // NULL quasi key: 3 distinct sensitive values -> the null group
+      // must still group (null-safe join) and pass
+      (12L, null, Some("flu")), (13L, null, Some("cold")), (14L, null, Some("covid")))
+      .toDF("id", "src", "disease")
+    val out = Curation.lDiversify(df, Seq("src"), "disease", l = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 12L, 13L, 14L),
+      s"homogeneous/under-diverse groups must suppress, got ${out.keySet}")
+    assert(out(1L) === ((3L, 3L)) && out(12L) === ((3L, 3L)),
+      "survivors carry (group_size, n_sensitive)")
+    // the homogeneous wiki group and the under-diverse books group both
+    // PASS the k-anonymity sibling at k=4 — the two checks are
+    // genuinely different rails (l-diversity suppressed both above)
+    assert(Curation.kAnonymize(df, Seq("src"), k = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+      === Set(4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    // l=1 keeps every row whose group has ANY non-null sensitive value
+    assert(Curation.lDiversify(df, Seq("src"), "disease", l = 1).count() === 14L)
+    intercept[IllegalArgumentException] {
+      Curation.lDiversify(df, Seq("disease"), "disease", l = 2)
+    }
+  }
 }

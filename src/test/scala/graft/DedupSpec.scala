@@ -131,21 +131,32 @@ class DedupSpec extends SparkSpec {
     assert(e3.getMessage.contains("__rn"), e3.getMessage)
   }
 
-  test("capped candidate generation refuses non-integral ids loudly; uncapped still works") {
-    val strDocs = Seq(("a", "alpha beta gamma delta epsilon"),
-      ("b", "alpha beta gamma delta zeta")).toDF("doc_id", "text")
-    // uncapped string-id callers keep the single-pass shape
-    assert(Dedup.minhashLshPairs(strDocs, "doc_id", "text").count() >= 0L)
-    // capped needs the bounded integral-id flood sample — loud, because
-    // the silent alternative is empty sample_ids or an ANSI cast crash
-    val e = intercept[IllegalArgumentException] {
-      Dedup.minhashLshCandidates(strDocs, "doc_id", "text", maxBucket = 5)
-    }
-    assert(e.getMessage.contains("integral id"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      Dedup.simhashCandidates(strDocs, "doc_id", "text", maxBucket = 5)
-    }
-    assert(e2.getMessage.contains("integral id"), e2.getMessage)
+  test("capped candidate generation with STRING ids: cap works, flood sample is the bounded {min,max} witness") {
+    val near = Seq(("a", "alpha beta gamma delta epsilon"),
+      ("b", "alpha beta gamma delta zeta"))
+    // 30 identical string-id docs share every band; cap at 10 — the
+    // flood must divert (no pairs) with a bounded min/max id sample,
+    // not refuse (the pre-r10 capability regression, ADVICE r9) and
+    // not buffer the membership
+    val boiler = (100 until 130).map(i => (f"doc$i%03d", "same boilerplate text here"))
+    val df = (near ++ boiler).toDF("doc_id", "text")
+    val res = Dedup.minhashLshCandidates(df, "doc_id", "text", maxBucket = 10)
+    val pairs = res.pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("a", "b"))), s"flood must not pair: $pairs")
+    val flagged = res.flaggedBuckets
+      .select("n_ids", "sample_ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(flagged.nonEmpty)
+    assert(flagged.forall { case (n, s) =>
+      n === 30L && s === Seq("doc100", "doc129") },
+      s"expected {min,max} witness pair, got ${flagged.toSeq}")
+    // simhash path shares the same sizing pass: the flood must divert
+    // (never pair) under string ids too
+    val sim = Dedup.simhashCandidates(df, "doc_id", "text", maxBucket = 10)
+    val simPairs = sim.pairs.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!simPairs.exists { case (a, b) =>
+      a.startsWith("doc") && b.startsWith("doc") }, s"flood paired: ${simPairs.toSeq}")
+    assert(sim.flaggedBuckets.count() > 0)
   }
 
   test("simhashCandidates: flood bucket diverts with a bounded sample, never pairs") {
@@ -253,6 +264,48 @@ class DedupSpec extends SparkSpec {
       assert(got === truth.map { case (id, r) => id -> (r, sizes(r)) },
         s"seed $s, edges $edges")
     }
+  }
+
+  test("starComponents: diameter-1000 STRING-id path converges in <= 2*log2(n)+2 rounds, components identical to min-label's contract") {
+    // a 1001-node path with string ids — the shape min-label pays one
+    // shuffle round per diameter unit for (1000 rounds here); the
+    // alternating large-star/small-star variant must converge within
+    // the log bound and produce the same (id, rep, size) rows
+    val n = 1000
+    val ids = (0 to n).map(i => f"doc$i%04d")
+    val pairs = (0 until n).map(i => (ids(i), ids(i + 1))).toDF("id_a", "id_b")
+    val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n.toLong)) + 2
+    val out = Dedup.connectedComponents(pairs, maxIter = logBound,
+        lowDiameter = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length === n + 1)
+    assert(out.forall { case (_, rep, size) =>
+      rep === "doc0000" && size === (n + 1).toLong })
+  }
+
+  test("starComponents == min-label == driver union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 40L); d <- Gen.chooseNum(1L, 40L)
+    } yield { val b = (a + d) % 41; if (a < b) (a, b) else (b, a) }
+    val graphGen = Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, edgeGen))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (0 until 4).foreach { s =>
+      val edges = sample(graphGen, 100 + s.toLong).distinct
+      val stars = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          lowDiameter = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val label = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stars === label, s"seed $s, edges $edges")
+    }
+  }
+
+  test("starComponents: empty pair frame returns empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, lowDiameter = false).count() === 0)
   }
 
   test("incrementalCandidates: batch probes corpus index; no corpus-corpus pairs") {

@@ -135,6 +135,37 @@ class MinKSampleSpec extends SparkSpec {
       s"empty-sample group must survive the merge: $merged")
   }
 
+  test("rank-error bound: |F(est) - p| <= 3/sqrt(m) at m=1024 over the sf0.1 lineitem fixture (DKW)") {
+    // the statistical accuracy claim behind the sketch (VERDICT r9
+    // item 6): estimates from the m-row hash sample must land within
+    // eps = 3/sqrt(m) TRUE rank of the requested p — DKW puts the
+    // failure probability of that envelope at 2*exp(-2*m*eps^2) =
+    // 2e-18 per draw, and the hash sample is deterministic, so this
+    // either holds forever or flags a real sampler bias. F(est) is
+    // the exact CDF (fraction of corpus values <= est) over the
+    // 600k-row fixture; seven p values cover both tails.
+    val dir = new java.io.File("/root/testdata/sf0.1")
+    assume(dir.isDirectory, "sf0.1 fixtures not present")
+    val li = graft.schema.Tables.load(spark, dir.getAbsolutePath, "lineitem")
+      .select(lit(0L).as("g"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_extendedprice").as("v"))
+    val m = 1024
+    val sample = Sketch.minKSample(li, Seq("g"), Seq(col("id")), col("v"), m)
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val ests = sample.select(
+        ps.map(p => Sketch.sampleQuantile(col("sample"), p).as(s"q$p")): _*)
+      .head()
+    val eps = 3.0 / math.sqrt(m.toDouble)
+    val n = li.count().toDouble
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val est = ests.getDouble(i)
+      val rank = li.filter(col("v") <= est).count() / n
+      assert(math.abs(rank - p) <= eps,
+        f"p=$p est=$est trueRank=$rank%.4f off by ${math.abs(rank - p)}%.4f > eps=$eps%.4f")
+    }
+  }
+
   test("empty sample quantile is null; empty group never emitted") {
     val df = Seq((0L, 1L, 1.0)).toDF("g", "id", "v").filter(col("id") < 0)
     assert(sampleOf(df, 4).count() === 0L)

@@ -201,6 +201,83 @@ class TopKSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: a bridge event arriving one batch AFTER the two intervals it fuses merges them (stream == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(mem.toDS(), gapSeconds = 1800,
+        lateness = "2 hours")
+      .writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode("append").start()
+    try {
+      // batch A: TWO intervals 40 min apart (> 30 min gap); with the
+      // 2 h lateness both stay open in state — the pre-r10 one-
+      // interval state emitted the 10:00 interval here, making the
+      // later bridge unmergeable
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 10:00:00")),
+        Sessionize.Event(1L, ts("2025-05-01 10:40:00")))
+      q.processAllAvailable()
+      // batch B: the bridge — within gap of BOTH intervals; must fuse
+      // them into one session exactly like the batch twin
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 10:20:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-02 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-05-03 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions_bridge").filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getInt(2)))
+      val batch = Sessionize.sessionizeBatch(
+          Seq((1L, ts("2025-05-01 10:00:00")), (1L, ts("2025-05-01 10:40:00")),
+            (1L, ts("2025-05-01 10:20:00"))).toDF("user_id", "ts"), 1800)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getInt(2)))
+      assert(got.toSeq === batch.toSeq)
+      assert(got.toSeq === Seq(("2025-05-01 10:00:00.0",
+        "2025-05-01 10:40:00.0", 3)))
+    } finally q.stop()
+  }
+
+  test("sessionization state rail: beyond maxOpenIntervals the OLDEST intervals emit early, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Sessionize.Event]
+    // cap at 2 open intervals; lateness huge so nothing watermark-closes
+    val q = Sessionize.sessionizeStream(mem.toDS(), gapSeconds = 1800,
+        lateness = "10 days", maxOpenIntervals = 2)
+      .writeStream.format("memory").queryName("sessions_rail")
+      .outputMode("append").start()
+    try {
+      // four disjoint intervals (1 h apart, 30 min gap) in one batch
+      mem.addData(Sessionize.Event(1L, ts("2025-05-01 08:00:00")),
+        Sessionize.Event(1L, ts("2025-05-01 09:00:00")),
+        Sessionize.Event(1L, ts("2025-05-01 10:00:00")),
+        Sessionize.Event(1L, ts("2025-05-01 11:00:00")))
+      q.processAllAvailable()
+      // the two OLDEST forced out immediately (bounded state), the two
+      // newest held open despite the 10-day lateness
+      val early = spark.table("sessions_rail").filter(col("user_id") === 1L)
+        .select("session_start").collect()
+        .map(_.getTimestamp(0).toString).sorted
+      assert(early.toSeq === Seq("2025-05-01 08:00:00.0",
+        "2025-05-01 09:00:00.0"))
+      // advance the watermark far enough to close the rest
+      mem.addData(Sessionize.Event(99L, ts("2025-06-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(99L, ts("2025-07-01 12:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("sessions_rail").filter(col("user_id") === 1L)
+        .select("session_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1))).sorted
+      assert(all.toSeq === Seq(("2025-05-01 08:00:00.0", 1),
+        ("2025-05-01 09:00:00.0", 1), ("2025-05-01 10:00:00.0", 1),
+        ("2025-05-01 11:00:00.0", 1)))
+    } finally q.stop()
+  }
+
   test("native session_window == gap-flag batch, boundary INCLUDED (inclusive merge)") {
     def ts(s: String) = Timestamp.valueOf(s)
     val events = Seq(
