@@ -56,7 +56,19 @@ def values_equal(a, b) -> bool:
 
 
 def main():
+    # optional 3rd arg: a path to ALSO write a driver-shaped JSON record
+    # ({query: {rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err}}) — the committed CORRECTNESS artifact format
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
+
+    def rec(name, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -68,14 +80,20 @@ def main():
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
             print(f"FAIL {name}: load/exec error: {e}")
+            rec(name, err=f"load/exec error: {e}")
             n_fail += 1
             continue
         if list(expected.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(expected.columns)}")
+            rec(name, rows_match=len(expected) == len(got),
+                spark_rows=len(got), oracle_rows=len(expected),
+                err="schema mismatch")
             n_fail += 1
             continue
         if len(expected) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(expected)}")
+            rec(name, schema_match=True, spark_rows=len(got),
+                oracle_rows=len(expected), err="row count mismatch")
             n_fail += 1
             continue
         bad = None
@@ -90,6 +108,9 @@ def main():
             i, c, e, g = bad
             print(f"FAIL {name}: row {i} col {c}: oracle={e!r} ({type(e).__name__}) "
                   f"got={g!r} ({type(g).__name__})")
+            rec(name, rows_match=True, schema_match=True,
+                spark_rows=len(got), oracle_rows=len(expected),
+                err=f"value mismatch at row {i} col {c}")
             n_fail += 1
             continue
         # strict hash-style check (mirrors the driver's hash_match): cell
@@ -114,11 +135,19 @@ def main():
             i, c, e, g = strict_bad
             print(f"HASHFAIL {name}: row {i} col {c}: oracle={e!r} ({type(e).__name__}) "
                   f"got={g!r} ({type(g).__name__})")
+            rec(name, rows_match=True, schema_match=True,
+                spark_rows=len(got), oracle_rows=len(expected),
+                err=f"hash mismatch at row {i} col {c}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(expected)} rows)")
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(got), oracle_rows=len(expected))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
