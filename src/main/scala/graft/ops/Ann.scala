@@ -334,6 +334,32 @@ object Ann {
       .withColumn("recall", col("n_hits").cast("double") / lit(nTruth.toDouble))
   }
 
+  /** The tuning decision [[ivfNprobeSweep]] exists to drive: the
+    * SMALLEST probed depth whose measured recall meets `targetRecall`
+    * — one row (target_recall, nprobe, n_returned, n_hits, recall), or
+    * EMPTY when no swept depth reaches the target (an explicit
+    * "re-size nLists or deepen the sweep" signal, not a silent
+    * best-effort pick). Probed cells are prefixes of one centroid
+    * ranking, so recall is monotone in nprobe and the minimum is the
+    * unique frontier point. */
+  def recommendNprobe(queries: DataFrame, corpus: DataFrame, k: Int,
+                      targetRecall: Double,
+                      nLists: Int = 16,
+                      nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                      trainIters: Int = 0,
+                      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val sweep = Reliable.checkpoint(ivfNprobeSweep(queries, corpus, k,
+      nLists, nProbes, trainIters, centroidsOverride))
+    sweep.filter(col("recall") >= targetRecall)
+      .agg(min(col("nprobe")).as("nprobe"))
+      .filter(col("nprobe").isNotNull)
+      .join(sweep, Seq("nprobe"))
+      .select(lit(targetRecall).as("target_recall"), col("nprobe"),
+        col("n_returned"), col("n_hits"), col("recall"))
+  }
+
   /** Two-stage int8-quantized top-k: scan the corpus in its QUANTIZED
     * form (4× less I/O and memory bandwidth than float32 — the scan is
     * the dominant cost of brute-force similarity at 100 TB), keep the

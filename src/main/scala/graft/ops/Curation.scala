@@ -969,4 +969,90 @@ object Curation {
       .drop(quasiCols.map(c => s"__ld_$c"): _*)
       .filter(col("n_sensitive") >= l)
   }
+
+  /** t-closeness suppression (public recipe: Li, Li & Venkatasubramanian
+    * 2007, "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity") —
+    * the third privacy rail: a quasi group can be large (k-anonymous)
+    * and diverse (l-diverse) and STILL leak via its sensitive-value
+    * DISTRIBUTION (a group that is 90% one disease in a 10% corpus
+    * discloses strong probabilistic information — the skewness attack).
+    * Keeps only rows whose group's sensitive distribution sits within
+    * `t` of the global distribution, measured as total variation
+    * distance ½·Σ|p_i − q_i| — the paper's EMD with the uniform ground
+    * distance, the standard form for CATEGORICAL sensitive attributes
+    * (ordered attributes want the ordered-EMD variant). Survivors carry
+    * (group_size, tv_dist).
+    *
+    * NULL handling follows [[lDiversify]]: null sensitive values join
+    * neither distribution (they disclose nothing; rows with a null
+    * sensitive value in a KEPT group survive with it), null quasi keys
+    * group and suppress null-safely, and a group whose sensitive
+    * values are ALL null has no distribution to certify — it
+    * suppresses entirely (the conservative reading). Determinism: the per-group
+    * distance folds |p−q| over a SORTED category list (sequential
+    * double accumulation — the NearestCents precedent), then rounds to
+    * 9 dp, so the kept row set is bit-stable across partitionings and
+    * engines even for groups near the threshold.
+    *
+    * Scale shape: two hash aggregates (global category counts — a
+    * category-sized frame, broadcast; per-(group, category) counts) and
+    * one distinct-combination × category expansion for the
+    * absent-category |0 − q_i| terms — all fixed-width count rows, the
+    * corpus never shuffles twice. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require((quasiCols :+ sensitiveCol).forall(df.columns.contains),
+      s"columns ${(quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+        .mkString(", ")} absent")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi column")
+    Seq("group_size", "tv_dist").foreach(c => require(!df.columns.contains(c),
+      s"column $c is produced by tCloseness — rename the input's"))
+    val clashes = quasiCols.map(c => s"__tc_$c").filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"columns ${clashes.mkString(", ")} are reserved by tCloseness's " +
+        "stats join — rename the input's")
+    val s = col(sensitiveCol)
+    // global categorical distribution over non-null sensitive values
+    val nonNull = df.filter(s.isNotNull)
+    val global = nonNull.groupBy(s.as("__cat"))
+      .agg(count(lit(1)).as("__gc"))
+    val globalTot = global.agg(sum(col("__gc")).as("__gt"))
+    val q = global.crossJoin(broadcast(globalTot))
+      .select(col("__cat"), (col("__gc").cast("double") / col("__gt")).as("__q"))
+    // per-(group, category) counts + per-group totals over non-nulls
+    val byGroupCat = nonNull
+      .groupBy((quasiCols.map(col) :+ s.as("__cat")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groupTot = nonNull.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // expand every group to the FULL category list (absent categories
+    // contribute |0 - q_i|), then fold |p - q| in sorted-category order
+    val expanded = groupTot.crossJoin(broadcast(q))
+      .join(byGroupCat,
+        quasiCols.map(c => groupTot(c) <=> byGroupCat(c))
+          .reduce(_ && _) && q("__cat") === byGroupCat("__cat"),
+        "left")
+      .select((quasiCols.map(groupTot(_)) ++ Seq(
+        groupTot("__n"), q("__cat"), q("__q"),
+        (coalesce(byGroupCat("__c"), lit(0L)).cast("double") / groupTot("__n"))
+          .as("__p"))): _*)
+    val dists = expanded
+      .groupBy(quasiCols.map(col): _*)
+      .agg(first(col("__n")).as("group_size"),
+        sort_array(collect_list(struct(col("__cat"), col("__p"), col("__q"))))
+          .as("__terms"))
+      .select((quasiCols.map(col) :+ col("group_size") :+
+        round(aggregate(col("__terms"), lit(0.0d),
+          (acc, e) => acc + abs(e.getField("__p") - e.getField("__q"))) / 2.0, 9)
+          .as("tv_dist")): _*)
+    val stats = quasiCols.foldLeft(dists)(
+      (d, c) => d.withColumnRenamed(c, s"__tc_$c"))
+    val cond = quasiCols.map(c => col(c) <=> col(s"__tc_$c")).reduce(_ && _)
+    df.join(stats, cond)
+      .drop(quasiCols.map(c => s"__tc_$c"): _*)
+      .filter(col("tv_dist") <= t)
+  }
 }

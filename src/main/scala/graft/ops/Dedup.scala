@@ -81,6 +81,65 @@ object Dedup {
     column(graft.expr.catalyst.MinHashSignature(expression(text), shingleSize, k))
   }
 
+  /** P(two docs become LSH candidates | Jaccard = s) for a (bandRows,
+    * nBands) banding: 1 − (1 − s^r)^b — the S-curve every MinHash-LSH
+    * textbook derives (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets", public). Computed as LEFT-ASSOCIATED multiplication
+    * chains, NOT pow(): IEEE multiplication is bit-identical across
+    * engines where pow is only ~1-ulp-accurate, so the q_lsh_plan
+    * oracle restates this exactly. */
+  def lshCandidateProb(s: Column, bandRows: Int, nBands: Int): Column = {
+    require(bandRows >= 1 && nBands >= 1, "bandRows and nBands must be >= 1")
+    val sr = (1 to bandRows).map(_ => s).reduce(_ * _)
+    val miss = (1 to nBands).map(_ => lit(1.0) - sr).reduce(_ * _)
+    lit(1.0) - miss
+  }
+
+  /** Banding planner for a k-hash MinHash signature: one row per
+    * divisor pair (bandRows r, nBands b = k/r) with the S-curve
+    * evaluated at the caller's target (true near-dup) and noise
+    * (unrelated pair) similarities, the separation margin
+    * P(target) − P(noise), and `chosen` marking the margin-maximal
+    * config (ties to the smaller r — cheaper bands). The margin
+    * criterion is the operational trade: recall at the similarity you
+    * must catch minus the candidate-flood rate at the similarity you
+    * must ignore — and unlike the classic (1/b)^(1/r) threshold
+    * formula it needs no pow(), so the whole plan is engine-exact.
+    * Driver-sized output (≤ d(k) rows); run it before sizing
+    * [[minhashLshCandidates]] at a new corpus similarity profile. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+              targetSim: Double, noiseSim: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(targetSim > noiseSim && noiseSim >= 0.0 && targetSim <= 1.0,
+      s"need 0 <= noiseSim < targetSim <= 1, got ($noiseSim, $targetSim)")
+    import spark.implicits._
+    val configs = (1 to k).filter(k % _ == 0).map(r => (r, k / r))
+      .toDF("band_rows", "n_bands")
+    val pT = lshCandidateProbInt(lit(targetSim), col("band_rows"), col("n_bands"), k)
+    val pN = lshCandidateProbInt(lit(noiseSim), col("band_rows"), col("n_bands"), k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      (col("p_target") - col("p_noise")).desc, col("band_rows"))
+    configs
+      .select(col("band_rows"), col("n_bands"),
+        pT.as("p_target"), pN.as("p_noise"))
+      .withColumn("margin", col("p_target") - col("p_noise"))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .orderBy(col("band_rows"))
+  }
+
+  /** [[lshCandidateProb]] with COLUMN r/b (bounded by k): the same
+    * left-associated chains selected by a CASE over the k's divisors —
+    * per-divisor literal expansion keeps the arithmetic identical to
+    * the scalar form. */
+  private def lshCandidateProbInt(s: Column, r: Column, b: Column,
+                                  k: Int): Column = {
+    val divisors = (1 to k).filter(k % _ == 0)
+    divisors.foldLeft(lit(Double.NaN)) { (acc, rr) =>
+      when(r === rr && b === k / rr, lshCandidateProb(s, rr, k / rr))
+        .otherwise(acc)
+    }
+  }
+
   /** LSH banding: split a k-signature into bands of `rows` hashes; docs
     * sharing any full band are candidate near-dups. Returns (band_id,
     * band_key) pairs to explode + self-join on — the join key is a short
@@ -458,6 +517,61 @@ object Dedup {
           s"graph diameter exceeds maxIter; raise maxIter")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("rep")).select(col("id"), col("rep"), col("cluster_size"))
+  }
+
+  /** Incremental connected components: absorb a batch of NEW pairs
+    * into an existing (id, rep[, cluster_size]) component state WITHOUT
+    * rescanning the corpus pair graph — the components face of the
+    * sign-once incremental near-dup lifecycle ([[bandIndex]] persists
+    * signatures once, [[incrementalCandidates]] probes them per batch,
+    * and this folds the resulting pairs into the cluster state).
+    * Output is the full new state (id, rep, cluster_size), equal —
+    * spec-pinned, min-reps included — to
+    * `connectedComponents(oldPairs ∪ newPairs)` run from scratch.
+    *
+    * Why contraction is sound: every stored rep is the MINIMUM of its
+    * component, and collapsing a connected component to a single node
+    * preserves the connectivity of everything outside it, so running
+    * components over only the rep-CONTRACTED new edges finds exactly
+    * the merges, and the merged rep (min over old reps and new ids)
+    * is the true global min.
+    *
+    * Scale shape: the batch endpoints join the state on id (bucket the
+    * persisted state by id and these are index probes, not scans); the
+    * iterative part runs on the CONTRACTED graph only — batch-sized,
+    * never corpus-sized; and the state relabel is one BROADCAST map of
+    * changed reps (the contracted output) applied in a single pass.
+    * Unseen ids enter as their own reps. Sizes recompute with one
+    * count over the new labels. */
+  def absorbComponents(state: DataFrame, newPairs: DataFrame,
+                       maxIter: Int = 50,
+                       lowDiameter: Boolean = true): DataFrame = {
+    val st = Reliable.checkpoint(state.select(col("id"), col("rep")))
+    val endpoints = newPairs.select(col("id_a").as("id"))
+      .union(newPairs.select(col("id_b").as("id"))).distinct()
+    // each endpoint's current label: its stored rep, itself when unseen
+    val labels = Reliable.checkpoint(
+      endpoints.join(st, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("lab")))
+    val contracted = newPairs
+      .join(labels.select(col("id").as("id_a"), col("lab").as("__la")), Seq("id_a"))
+      .join(labels.select(col("id").as("id_b"), col("lab").as("__lb")), Seq("id_b"))
+      .select(col("__la").as("id_a"), col("__lb").as("id_b"))
+      .filter(not(col("id_a") <=> col("id_b"))).distinct()
+    // the changed-rep map: old label -> merged component min. Batch-
+    // sized by construction — broadcast it onto the state.
+    val merged = connectedComponents(contracted, maxIter, lowDiameter)
+      .select(col("id").as("__old"), col("rep").as("__new"))
+    val relabeled = st
+      .join(broadcast(merged), st("rep") === col("__old"), "left")
+      .select(st("id"), coalesce(col("__new"), st("rep")).as("rep"))
+    val newcomers = labels
+      .join(st.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(merged), col("lab") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("lab")).as("rep"))
+    val out = relabeled.unionByName(newcomers)
+    val sizes = out.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    out.join(sizes, Seq("rep")).select(col("id"), col("rep"), col("cluster_size"))
   }
 
   /** Eager checkpoints materialize each round of an iterative graph

@@ -552,6 +552,26 @@ object CurationQueries {
       Curation.lDiversify(d, Seq("source", "len_bucket"), "lang", l = 3)
         .orderBy(col("doc_id"))
     }),
+
+    // t-closeness (Curation.tCloseness) — the third privacy rail: a
+    // group can be k-large and l-diverse and still leak by SKEW (90%
+    // one language in a uniform corpus). Total variation distance of
+    // each (source, len_bucket) group's lang distribution vs the
+    // global one, suppress above t = 0.15 (fixture-measured: splits
+    // the 60 groups at every SF — sf0.01 keeps ~¼, sf0.1 keeps most
+    // but drops the skewed tail). VALUE-EXACT: both engines fold
+    // |p − q| over the sorted category list (sequential double — the
+    // dot-product precedent) and round to 9 dp before the inclusive
+    // boundary compare, so the kept row set is bit-stable.
+    "q_t_closeness" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("lang") === "fr", lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        col("source"),
+        (col("n_chars") / 200).cast("long").as("len_bucket"))
+      Curation.tCloseness(d, Seq("source", "len_bucket"), "lang", t = 0.15)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val toks =
@@ -1210,6 +1230,44 @@ object CurationQueries {
         |FROM d JOIN g ON d.source IS NOT DISTINCT FROM g.gsource
         |  AND d.len_bucket IS NOT DISTINCT FROM g.glen
         |WHERE g.n_sensitive >= 3 ORDER BY doc_id""".stripMargin,
+
+    // the TV fold runs over the cat-sorted term list in BOTH engines
+    // (list(... ORDER BY cat) == Spark's sort_array + aggregate fold;
+    // the sequential-double dot-product precedent), rounded to 9 dp
+    // before the inclusive <= t compare
+    "q_t_closeness" ->
+      """WITH d AS (
+        |  SELECT doc_id, NULLIF(lang, 'fr') AS lang, source,
+        |    CAST(n_chars // 200 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |nn AS (SELECT * FROM d WHERE lang IS NOT NULL),
+        |q AS (
+        |  SELECT lang AS cat,
+        |    CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM nn) AS qp
+        |  FROM nn GROUP BY lang),
+        |gn AS (
+        |  SELECT source, len_bucket, COUNT(*) AS n
+        |  FROM nn GROUP BY source, len_bucket),
+        |gc AS (
+        |  SELECT source, len_bucket, lang AS cat, COUNT(*) AS c
+        |  FROM nn GROUP BY source, len_bucket, lang),
+        |terms AS (
+        |  SELECT gn.source, gn.len_bucket, gn.n, q.cat, q.qp,
+        |    CAST(COALESCE(gc.c, 0) AS DOUBLE) / gn.n AS pp
+        |  FROM gn CROSS JOIN q
+        |  LEFT JOIN gc ON gc.source IS NOT DISTINCT FROM gn.source
+        |    AND gc.len_bucket IS NOT DISTINCT FROM gn.len_bucket
+        |    AND gc.cat = q.cat),
+        |dist AS (
+        |  SELECT source AS gsource, len_bucket AS glen,
+        |    MIN(n) AS group_size,
+        |    round(list_sum(list(abs(pp - qp) ORDER BY cat)) / 2.0, 9) AS tv_dist
+        |  FROM terms GROUP BY gsource, glen)
+        |SELECT d.doc_id, d.lang, d.source, d.len_bucket,
+        |  dist.group_size, dist.tv_dist
+        |FROM d JOIN dist ON d.source IS NOT DISTINCT FROM dist.gsource
+        |  AND d.len_bucket IS NOT DISTINCT FROM dist.glen
+        |WHERE dist.tv_dist <= 0.15 ORDER BY doc_id""".stripMargin,
   )
 }
 

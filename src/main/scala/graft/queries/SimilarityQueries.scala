@@ -132,6 +132,16 @@ object SimilarityQueries {
         .orderBy(col("nprobe"))
     }),
 
+    // the decision the sweep drives: smallest nprobe whose measured
+    // recall meets 0.95 (empty when unreachable — loud, not a silent
+    // best-effort). Same deterministic-seed restatement, so the oracle
+    // picks the identical frontier point.
+    "q_ann_ivf_autoprobe" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.recommendNprobe(e.filter(col("id") < 8), e, k = 5,
+        targetRecall = 0.95)
+    }),
+
     // int8-quantized two-stage scan (approximate candidate stage over
     // 4×-smaller vectors, exact float rerank) — same driver-visible
     // recall gate as the LSH/IVF twins.
@@ -754,6 +764,19 @@ object SimilarityQueries {
          |${simsRankedTail(5)}""".stripMargin,
 
     "q_ann_ivf_sweep" -> ivfSweepOracleSql(k = 5, probes = Seq(1, 2, 4, 8, 16)),
+
+    // the sweep wrapped as a frontier pick: min nprobe with
+    // recall >= target (both engines compute recall as the identical
+    // double division, so the >= frontier agrees bit-for-bit)
+    "q_ann_ivf_autoprobe" ->
+      s"""WITH sw AS (
+         |  SELECT * FROM (
+         |${ivfSweepOracleSql(k = 5, probes = Seq(1, 2, 4, 8, 16))}
+         |  ))
+         |SELECT CAST(0.95 AS DOUBLE) AS target_recall, nprobe,
+         |  n_returned, n_hits, recall
+         |FROM sw
+         |WHERE nprobe = (SELECT MIN(nprobe) FROM sw WHERE recall >= 0.95)""".stripMargin,
 
     "q_ann_lsh_recall" ->
 recallConstOracle(k = 5, depth = 20),

@@ -166,12 +166,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH banding planner (Dedup.lshPlan): the S-curve
+    // P(candidate | J=s) = 1 − (1 − s^r)^b per divisor pair of the
+    // k=12 signature, evaluated at the target (0.8) and noise (0.3)
+    // similarities, margin-maximal config flagged. ENGINE-EXACT: both
+    // sides expand the powers as left-associated multiplication chains
+    // (IEEE multiplication is bit-identical where pow() is only
+    // 1-ulp-accurate), so probabilities, margins, and the chosen flag
+    // all hash-match. Run before sizing the band queries below when
+    // the corpus similarity profile moves.
+    "q_lsh_plan" -> ((s, dir) => {
+      Dedup.lshPlan(s, k = 12, targetSim = 0.8, noiseSim = 0.3)
+    }),
+
     // MinHash-LSH near-dup candidate pairs (k=12, 6 bands × 2 rows): the
     // banding self-join shuffles (band_key, id) only.
     "q_lsh_pairs" -> ((s, dir) => {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
           shingleSize = 3, k = 12, bandRows = 2)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Incremental components: the cluster state from two-thirds of the
+    // LSH pair graph absorbs the remaining third as a batch
+    // (Dedup.absorbComponents — rep-contracted merge, batch-sized
+    // iteration, broadcast relabel) and must equal the one-shot
+    // components over ALL pairs — the oracle IS q_dedup_clusters'
+    // recursive-CTE closure, shared verbatim, so the equality is
+    // value-checked, not asserted.
+    "q_incr_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        shingleSize = 3, k = 12, bandRows = 2)
+      val split = pmod(col("id_a") + col("id_b"), lit(3)) === 0
+      val state = Dedup.connectedComponents(pairs.filter(!split))
+      Dedup.absorbComponents(state, pairs.filter(split)).orderBy(col("id"))
     }),
 
     // Near-dup CLUSTER resolution (the step after pair generation):
@@ -555,6 +583,64 @@ object TextQueries {
          |  doc_id, matched_terms, matched_tf, round(score, 9) AS score_r9
          |FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10""".stripMargin
 
+  /** S-curve restatement for [[graft.ops.Dedup.lshPlan]]: the same
+    * left-associated multiplication chains the Spark columns reduce to
+    * (no pow() on either side — IEEE multiplication is bit-identical
+    * across engines), one UNION ALL row per divisor pair. */
+  private def lshPlanOracleSql(k: Int, target: Double, noise: Double): String = {
+    // e-notation literals: a bare 0.8 parses as DECIMAL in DuckDB and
+    // the whole constant chain would fold in exact decimal arithmetic,
+    // diverging from Spark's doubles at the last ulp (the q_temperature
+    // _mix lesson) — 8e-1 forces DOUBLE
+    def prob(sLit: String, r: Int, b: Int): String = {
+      val sr = Seq.fill(r)(sLit).mkString("(", " * ", ")")
+      val miss = Seq.fill(b)(s"(1e0 - $sr)").mkString("(", " * ", ")")
+      s"(1e0 - $miss)"
+    }
+    val rows = (1 to k).filter(k % _ == 0).map { r =>
+      val b = k / r
+      s"SELECT CAST($r AS INT) AS band_rows, CAST($b AS INT) AS n_bands, " +
+        s"${prob(s"${target}e0", r, b)} AS p_target, " +
+        s"${prob(s"${noise}e0", r, b)} AS p_noise"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cfg AS (
+       |$rows)
+       |SELECT band_rows, n_bands, p_target, p_noise,
+       |  p_target - p_noise AS margin,
+       |  ROW_NUMBER() OVER (ORDER BY p_target - p_noise DESC, band_rows) = 1
+       |    AS chosen
+       |FROM cfg ORDER BY band_rows""".stripMargin
+  }
+
+  /** One-shot components over the full LSH pair graph (recursive-CTE
+    * transitive closure) — shared VERBATIM by q_dedup_clusters and
+    * q_incr_components: the incremental absorb's contract is equality
+    * with this. */
+  private lazy val dedupClustersOracle: String =
+    raw"""${toksCte.replaceFirst("WITH", "WITH RECURSIVE")},
+         |sig AS (
+         |  SELECT doc_id, $sig12 AS sig
+         |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
+         |banded AS (
+         |  SELECT doc_id, b,
+         |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+         |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep)
+         |SELECT lab.id, lab.rep, sz.cluster_size
+         |FROM lab JOIN sz USING (rep) ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // chr(769)/chr(776) are the combining acute/diaeresis the Spark
@@ -701,6 +787,8 @@ object TextQueries {
            |  list_min(list_transform($shingles3, s -> md5('3:' || s))) AS mh3
            |FROM __tok ORDER BY doc_id""".stripMargin,
 
+    "q_lsh_plan" -> lshPlanOracleSql(k = 12, target = 0.8, noise = 0.3),
+
     "q_lsh_pairs" ->
       raw"""$toksCte,
            |sig AS (
@@ -718,30 +806,11 @@ object TextQueries {
     // same pair derivation as q_lsh_pairs, then components via a
     // recursive CTE: reach(id, r) = all labels reachable from id;
     // min(r) per id == the min-label fixpoint Spark computes.
-    "q_dedup_clusters" ->
-      raw"""${toksCte.replaceFirst("WITH", "WITH RECURSIVE")},
-           |sig AS (
-           |  SELECT doc_id, $sig12 AS sig
-           |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
-           |banded AS (
-           |  SELECT doc_id, b,
-           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
-           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b
-           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |reach(id, r) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-           |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
-           |sz AS (SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep)
-           |SELECT lab.id, lab.rep, sz.cluster_size
-           |FROM lab JOIN sz USING (rep) ORDER BY id""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersOracle,
+
+    // the incremental absorb must equal the one-shot closure over the
+    // FULL pair graph — literally the same oracle text
+    "q_incr_components" -> dedupClustersOracle,
 
     // the oracle RECOMPUTES the linkage semantics end-to-end: same
     // dirty table, same suffix blocking, DuckDB's own levenshtein,

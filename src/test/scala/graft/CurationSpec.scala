@@ -534,4 +534,57 @@ class CurationSpec extends SparkSpec {
       Curation.lDiversify(df, Seq("disease"), "disease", l = 2)
     }
   }
+
+  test("tCloseness: skewed-but-diverse groups suppress; distances are the exact hand-computed TV; all-null group suppresses") {
+    // global distribution over 16 non-null rows: flu 8/16, cold 8/16.
+    // group A (web): 4 flu + 4 cold -> p == q, tv = 0 -> kept at any t.
+    // group B (wiki): 4 flu, 0 cold -> DIVERSE ENOUGH for l=1, even
+    //   k-anonymous at k=4, but maximally skewed: tv = 0.5 -> dropped
+    //   at t = 0.25 (the skewness attack the other two rails miss).
+    // group C (books): 3 cold + 1 flu -> tv = |0.75-0.5|/1... compute:
+    //   ½(|0.25-0.5| + |0.75-0.5|) = 0.25 -> kept at exactly t = 0.25
+    //   (boundary inclusive).
+    // group D (null src): 1 flu + 3 null-sensitive -> distribution over
+    //   non-nulls is all-flu: tv = 0.5 -> dropped; its null-sensitive
+    //   rows drop WITH it (group membership, not value presence).
+    // group E (tv): all-null sensitive -> no distribution -> suppressed.
+    val df = Seq(
+      (1L, Some("web"), Some("flu")), (2L, Some("web"), Some("flu")),
+      (3L, Some("web"), Some("flu")), (4L, Some("web"), Some("flu")),
+      (5L, Some("web"), Some("cold")), (6L, Some("web"), Some("cold")),
+      (7L, Some("web"), Some("cold")), (8L, Some("web"), Some("cold")),
+      (9L, Some("wiki"), Some("flu")), (10L, Some("wiki"), Some("flu")),
+      (11L, Some("wiki"), Some("flu")), (12L, Some("wiki"), Some("flu")),
+      (13L, Some("books"), Some("cold")), (14L, Some("books"), Some("cold")),
+      (15L, Some("books"), Some("cold")), (16L, Some("books"), Some("flu")),
+      (17L, None, Some("flu")), (18L, None, None), (19L, None, None),
+      (20L, Some("tv"), None))
+      .toDF("id", "src", "disease")
+    // global: flu 9/17? count: flu ids 1-4,9-12,16,17 = 10; cold 5-8,13-15 = 7
+    // -> q(flu)=10/17, q(cold)=7/17
+    // web: p(flu)=.5 -> tv=½(|.5-10/17|+|.5-7/17|)=½(3/34+3/34)... compute
+    // in the assertions from first principles instead of the comment.
+    val qFlu = 10.0 / 17.0; val qCold = 7.0 / 17.0
+    def tv(pFlu: Double, pCold: Double) =
+      (math.abs(pFlu - qFlu) + math.abs(pCold - qCold)) / 2.0
+    val out = Curation.tCloseness(df, Seq("src"), "disease", t = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val webTv = BigDecimal(tv(0.5, 0.5)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val booksTv = BigDecimal(tv(0.25, 0.75)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // web tv ≈ 0.088, books tv ≈ 0.25, wiki tv ≈ 0.41, null-src tv ≈ 0.41
+    assert(webTv < 0.2 && booksTv > 0.2, s"fixture sanity: $webTv $booksTv")
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      s"only the globally-representative group survives t=0.2, got ${out.keySet}")
+    assert(out(1L) === webTv, s"tv_dist must be the exact TV distance, got ${out(1L)}")
+    // boundary is inclusive: at t = books' own distance the group returns
+    val out2 = Curation.tCloseness(df, Seq("src"), "disease", t = booksTv)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 13L, 14L, 15L, 16L))
+    // a huge t keeps every group WITH a distribution; the all-null
+    // group (id 20) and the skewed ones return, id 20 never does
+    val out3 = Curation.tCloseness(df, Seq("src"), "disease", t = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(out3 === (1L to 19L).toSet,
+      s"all-null-sensitive group must suppress even at t=1, got $out3")
+  }
 }

@@ -303,6 +303,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("absorbComponents: batch absorb == one-shot components (random splits)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 30L); d <- Gen.chooseNum(1L, 30L)
+    } yield { val b = (a + d) % 31; if (a < b) (a, b) else (b, a) }
+    val graphGen = Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n, edgeGen))
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    (0 until 4).foreach { s =>
+      val edges = sample(graphGen, 500 + s.toLong).distinct
+      val (e1, e2) = edges.partition { case (a, b) => (a + b) % 3 != 0 }
+      // either half may be empty — both directions must still hold
+      val state = Dedup.connectedComponents(e1.toDF("id_a", "id_b"))
+      val got = Dedup.absorbComponents(state, e2.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val oneShot = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === oneShot, s"seed $s, e1=$e1 e2=$e2")
+    }
+  }
+
+  test("absorbComponents: a new bridge node merges two stored components; reps stay global minima") {
+    // state: components {1,2} (rep 1) and {10,11} (rep 10); the batch
+    // adds node 5 bridging both -> one component of 5 ids, rep 1
+    val state = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"))
+    val got = Dedup.absorbComponents(state,
+        Seq((5L, 2L), (5L, 11L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(1L, 2L, 5L, 10L, 11L).map(id => (id, 1L, 5L)))
+    // an absorb that touches NOTHING leaves the state identical
+    val untouched = Dedup.absorbComponents(state,
+        Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(untouched === Set((1L, 1L, 2L), (2L, 1L, 2L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   test("starComponents: empty pair frame returns empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, lowDiameter = false).count() === 0)
