@@ -1000,7 +1000,28 @@ object Curation {
     * absent-category |0 − q_i| terms — all fixed-width count rows, the
     * corpus never shuffles twice. */
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
-                 sensitiveCol: String, t: Double): DataFrame = {
+                 sensitiveCol: String, t: Double): DataFrame =
+    tClosenessImpl(df, quasiCols, sensitiveCol, t, ordered = false)
+
+  /** [[tCloseness]] for ORDERED sensitive attributes (income bands,
+    * length buckets, severity grades): the distance is the paper's
+    * ordered EMD — mass must TRAVEL across the value order, so
+    * dist = Σᵢ|Σ_{j≤i}(p_j − q_j)| / (m − 1) over the m categories in
+    * sorted order. The categorical TV distance would call a group
+    * skewed toward ADJACENT buckets exactly as leaky as one skewed to
+    * the far tail; the ordered form charges by displacement, which is
+    * the actual disclosure for ordinal attributes. Cumulative sums and
+    * the outer fold both run as slice-prefix sequential folds over the
+    * sorted category list — the structure the oracle mirrors term for
+    * term, so the distance is bit-stable cross-engine. Same null and
+    * grouping contracts as [[tCloseness]]. */
+  def tClosenessOrdered(df: DataFrame, quasiCols: Seq[String],
+                        sensitiveCol: String, t: Double): DataFrame =
+    tClosenessImpl(df, quasiCols, sensitiveCol, t, ordered = true)
+
+  private def tClosenessImpl(df: DataFrame, quasiCols: Seq[String],
+                             sensitiveCol: String, t: Double,
+                             ordered: Boolean): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require((quasiCols :+ sensitiveCol).forall(df.columns.contains),
@@ -1008,8 +1029,9 @@ object Curation {
         .mkString(", ")} absent")
     require(!quasiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi column")
-    Seq("group_size", "tv_dist").foreach(c => require(!df.columns.contains(c),
-      s"column $c is produced by tCloseness — rename the input's"))
+    Seq("group_size", if (ordered) "emd_dist" else "tv_dist")
+      .foreach(c => require(!df.columns.contains(c),
+        s"column $c is produced by tCloseness — rename the input's"))
     val clashes = quasiCols.map(c => s"__tc_$c").filter(df.columns.contains)
     require(clashes.isEmpty,
       s"columns ${clashes.mkString(", ")} are reserved by tCloseness's " +
@@ -1039,20 +1061,40 @@ object Curation {
         groupTot("__n"), q("__cat"), q("__q"),
         (coalesce(byGroupCat("__c"), lit(0L)).cast("double") / groupTot("__n"))
           .as("__p"))): _*)
+    val distExpr: Column = {
+      val terms = col("__terms")
+      if (!ordered)
+        round(aggregate(terms, lit(0.0d),
+          (acc, e) => acc + abs(e.getField("__p") - e.getField("__q"))) / 2.0, 9)
+      else {
+        // ordered EMD: prefix sums of (p - q) in sorted-category order,
+        // each prefix a slice fold (left-fold prefix == running sum),
+        // |prefix| folded and normalized by (m - 1). The i = m prefix
+        // is mathematically zero; its FP residue is kept — both engines
+        // compute the identical fold
+        val diffs = transform(terms,
+          e => e.getField("__p") - e.getField("__q"))
+        val m = size(terms)
+        val cums = transform(sequence(lit(1), m),
+          i => aggregate(slice(diffs, lit(1), i), lit(0.0d), (a, x) => a + x))
+        when(m === 1, lit(0.0d)).otherwise(
+          round(aggregate(cums, lit(0.0d), (a, c) => a + abs(c)) /
+            (m - 1).cast("double"), 9))
+      }
+    }
+    val distCol = if (ordered) "emd_dist" else "tv_dist"
     val dists = expanded
       .groupBy(quasiCols.map(col): _*)
       .agg(first(col("__n")).as("group_size"),
         sort_array(collect_list(struct(col("__cat"), col("__p"), col("__q"))))
           .as("__terms"))
       .select((quasiCols.map(col) :+ col("group_size") :+
-        round(aggregate(col("__terms"), lit(0.0d),
-          (acc, e) => acc + abs(e.getField("__p") - e.getField("__q"))) / 2.0, 9)
-          .as("tv_dist")): _*)
+        distExpr.as(distCol)): _*)
     val stats = quasiCols.foldLeft(dists)(
       (d, c) => d.withColumnRenamed(c, s"__tc_$c"))
     val cond = quasiCols.map(c => col(c) <=> col(s"__tc_$c")).reduce(_ && _)
     df.join(stats, cond)
       .drop(quasiCols.map(c => s"__tc_$c"): _*)
-      .filter(col("tv_dist") <= t)
+      .filter(col(distCol) <= t)
   }
 }

@@ -572,6 +572,23 @@ object CurationQueries {
       Curation.tCloseness(d, Seq("source", "len_bucket"), "lang", t = 0.15)
         .orderBy(col("doc_id"))
     }),
+
+    // ordered t-closeness (Curation.tClosenessOrdered) — the paper's
+    // EMD form for ORDINAL sensitive attributes: length buckets as the
+    // sensitive column, (source, lang) as the quasi group; mass is
+    // charged by how far it travels across the bucket ORDER (a group
+    // skewed one bucket over leaks less than one skewed to the far
+    // tail — TV distance cannot tell them apart; spec-pinned). Both
+    // engines run the identical slice-prefix folds over the sorted
+    // bucket list, so the distances and the t = 0.12 cut (fixture-
+    // measured split at every SF) hash-match.
+    "q_t_closeness_ord" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 200).cast("long").as("len_bucket"))
+      Curation.tClosenessOrdered(d, Seq("source", "lang"), "len_bucket",
+          t = 0.12)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val toks =
@@ -1268,6 +1285,50 @@ object CurationQueries {
         |FROM d JOIN dist ON d.source IS NOT DISTINCT FROM dist.gsource
         |  AND d.len_bucket IS NOT DISTINCT FROM dist.glen
         |WHERE dist.tv_dist <= 0.15 ORDER BY doc_id""".stripMargin,
+
+    // ordered EMD: prefix sums over the cat-sorted diff list as slice
+    // folds (lst[1:i] is a sequential left fold — the same structure
+    // Spark's aggregate-over-slice runs), |prefix| folded in list
+    // order, /(m-1), round 9
+    "q_t_closeness_ord" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 200 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |nn AS (SELECT * FROM d WHERE len_bucket IS NOT NULL),
+        |q AS (
+        |  SELECT len_bucket AS cat,
+        |    CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM nn) AS qp
+        |  FROM nn GROUP BY len_bucket),
+        |gn AS (
+        |  SELECT source, lang, COUNT(*) AS n
+        |  FROM nn GROUP BY source, lang),
+        |gc AS (
+        |  SELECT source, lang, len_bucket AS cat, COUNT(*) AS c
+        |  FROM nn GROUP BY source, lang, len_bucket),
+        |terms AS (
+        |  SELECT gn.source, gn.lang, gn.n, q.cat, q.qp,
+        |    CAST(COALESCE(gc.c, 0) AS DOUBLE) / gn.n AS pp
+        |  FROM gn CROSS JOIN q
+        |  LEFT JOIN gc ON gc.source IS NOT DISTINCT FROM gn.source
+        |    AND gc.lang IS NOT DISTINCT FROM gn.lang
+        |    AND gc.cat = q.cat),
+        |agg AS (
+        |  SELECT source AS gsource, lang AS glang, MIN(n) AS group_size,
+        |    list(pp - qp ORDER BY cat) AS lst
+        |  FROM terms GROUP BY gsource, glang),
+        |dist AS (
+        |  SELECT gsource, glang, group_size,
+        |    CASE WHEN len(lst) = 1 THEN 0.0 ELSE
+        |      round(list_sum(list_transform(
+        |        list_transform(range(1, len(lst) + 1), i -> list_sum(lst[1:i])),
+        |        c -> abs(c))) / CAST(len(lst) - 1 AS DOUBLE), 9) END AS emd_dist
+        |  FROM agg)
+        |SELECT d.doc_id, d.lang, d.source, d.len_bucket,
+        |  dist.group_size, dist.emd_dist
+        |FROM d JOIN dist ON d.source IS NOT DISTINCT FROM dist.gsource
+        |  AND d.lang IS NOT DISTINCT FROM dist.glang
+        |WHERE dist.emd_dist <= 0.12 ORDER BY doc_id""".stripMargin,
   )
 }
 

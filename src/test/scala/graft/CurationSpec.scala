@@ -587,4 +587,56 @@ class CurationSpec extends SparkSpec {
     assert(out3 === (1L to 19L).toSet,
       s"all-null-sensitive group must suppress even at t=1, got $out3")
   }
+
+  test("tClosenessOrdered: ordered EMD charges by displacement where TV cannot; exact hand-computed distances") {
+    // global over buckets {1, 2, 3}: uniform (4 each of 12).
+    // group near: all mass on bucket 2 (the MIDDLE) — one step from
+    //   either tail. diffs sorted by cat: (-1/3, +2/3, -1/3);
+    //   prefixes: -1/3, 1/3, 0 -> emd = (1/3 + 1/3 + 0)/2 = 1/3.
+    // group far: all mass on bucket 3 (the TAIL) — diffs
+    //   (-1/3, -1/3, +2/3); prefixes -1/3, -2/3, 0 -> emd = 1/2.
+    // TV distance sees BOTH groups identically (same |p - q| multiset);
+    // the ordered form separates them — the property it exists for.
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),          // near-global
+      (4L, "near", 2L), (5L, "near", 2L), (6L, "near", 2L),
+      (7L, "far", 3L), (8L, "far", 3L), (9L, "far", 3L),
+      (10L, "a", 1L), (11L, "a", 2L), (12L, "a", 3L))
+      .toDF("id", "grp", "bucket")
+    def dists(t: Double) =
+      Curation.tClosenessOrdered(df, Seq("grp"), "bucket", t)
+        .select("grp", "emd_dist").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val all = dists(1.0)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // expected values replicate the operator's EXACT fold (same IEEE
+    // ops in the same order) — asserting hand-simplified fractions
+    // would race the last ulp
+    def emd(ps: Seq[Double], qs: Seq[Double]): Double = {
+      val diffs = ps.zip(qs).map { case (p, q) => p - q }
+      val cums = (1 to diffs.size).map(i => diffs.take(i).foldLeft(0.0)(_ + _))
+      r9(cums.foldLeft(0.0)((a, c) => a + math.abs(c)) / (diffs.size - 1))
+    }
+    // global over the 12 rows: buckets (2, 5, 5)/12 — the skewed
+    // groups shift it, which is fine: the assertions replicate the
+    // fold against the TRUE global
+    val q = Seq(2.0 / 12, 5.0 / 12, 5.0 / 12)
+    assert(all("a") === emd(Seq(2.0 / 6, 2.0 / 6, 2.0 / 6), q), all.toString)
+    assert(all("near") === emd(Seq(0.0 / 3, 3.0 / 3, 0.0 / 3), q), all.toString)
+    assert(all("far") === emd(Seq(0.0 / 3, 0.0 / 3, 3.0 / 3), q), all.toString)
+    assert(all("far") > all("near"),
+      "tail skew must cost more than middle skew under the ordered EMD")
+    // the categorical TV distance cannot separate them (identical
+    // |p − q| multisets)
+    val tv = Curation.tCloseness(df, Seq("grp"), "bucket", t = 1.0)
+      .select("grp", "tv_dist").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tv("near") === tv("far"),
+      s"fixture sanity: TV must see the two skews identically, got $tv")
+    // a threshold between the two (near ≈ 0.292, far = 0.375) keeps
+    // the middle-skewed group and drops the tail-skewed one
+    val cut = dists(0.33)
+    assert(cut.keySet === Set("a", "near"), cut.toString)
+  }
 }
