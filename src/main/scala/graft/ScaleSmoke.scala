@@ -81,7 +81,11 @@ object ScaleSmoke {
     // composed training-order chain, the per-row deflate kernel, the
     // min-k quantile sketch
     "q_semantic_decontam", "q_training_mix_e2e", "q_compress_ratio",
-    "q_quantile_sketch")
+    "q_quantile_sketch",
+    // round-10 additions: the incremental components absorb (CC-shaped
+    // — both the seed and the contracted iteration must stay sub-
+    // linear) and the distribution-privacy pair
+    "q_incr_components", "q_t_closeness", "q_t_closeness_ord")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
