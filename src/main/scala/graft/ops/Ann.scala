@@ -316,6 +316,10 @@ object Ann {
     val truth = Reliable.checkpoint(
       bruteTopK(queries, corpus, k).select(col("qid"), col("nid")))
     val nTruth = truth.count()
+    require(nTruth > 0,
+      s"ivfNprobeSweep: brute-force truth is empty (query batch empty or " +
+        s"corpus degenerate) — recall would be 0/0; fix the inputs instead " +
+        s"of propagating NaN into the tuning decision")
     nProbes.map { p =>
       val probes = nearestLists(cents,
         queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", p)
@@ -331,7 +335,13 @@ object Ann {
           coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
         .select(lit(p).cast("long").as("nprobe"), col("n_returned"), col("n_hits"))
     }.reduce(_ unionByName _)
-      .withColumn("recall", col("n_hits").cast("double") / lit(nTruth.toDouble))
+      // round(x, 9): the committed sweep row must be reproducible across
+      // comparison stacks — nprobe/n_returned/n_hits are integer-exact and
+      // recall is the only double, so it follows the same 9-dp rounding
+      // discipline as tv_dist/emd_dist (a raw n_hits/nTruth division can
+      // differ in the last ulp between engines' formatting paths).
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(nTruth.toDouble), 9))
   }
 
   /** The tuning decision [[ivfNprobeSweep]] exists to drive: the

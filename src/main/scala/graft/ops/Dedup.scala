@@ -542,10 +542,23 @@ object Dedup {
     * never corpus-sized; and the state relabel is one BROADCAST map of
     * changed reps (the contracted output) applied in a single pass.
     * Unseen ids enter as their own reps. Sizes recompute with one
-    * count over the new labels. */
+    * count over the new labels.
+    *
+    * The broadcast is GUARDED, not assumed: "batch-sized by
+    * construction" holds for steady-state absorbs, but a backfill-sized
+    * batch that merges a large fraction of stored components makes the
+    * changed-rep map corpus-scale — the exact class of silent
+    * forced-broadcast OOM [[graft.ops]] rails elsewhere (the
+    * purgeIvfTombstones precedent). An oversize map fails loudly at
+    * `maxBroadcastRows`; the remediation path is
+    * `broadcastReps = false`, which relabels via a plain shuffle join
+    * (AQE still broadcasts it when actually small) with identical
+    * output. */
   def absorbComponents(state: DataFrame, newPairs: DataFrame,
                        maxIter: Int = 50,
-                       lowDiameter: Boolean = true): DataFrame = {
+                       lowDiameter: Boolean = true,
+                       broadcastReps: Boolean = true,
+                       maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
     val st = Reliable.checkpoint(state.select(col("id"), col("rep")))
     val endpoints = newPairs.select(col("id_a").as("id"))
       .union(newPairs.select(col("id_b").as("id"))).distinct()
@@ -558,16 +571,26 @@ object Dedup {
       .join(labels.select(col("id").as("id_b"), col("lab").as("__lb")), Seq("id_b"))
       .select(col("__la").as("id_a"), col("__lb").as("id_b"))
       .filter(not(col("id_a") <=> col("id_b"))).distinct()
-    // the changed-rep map: old label -> merged component min. Batch-
-    // sized by construction — broadcast it onto the state.
-    val merged = connectedComponents(contracted, maxIter, lowDiameter)
-      .select(col("id").as("__old"), col("rep").as("__new"))
+    // the changed-rep map: old label -> merged component min.
+    // Checkpointed so the size guard and BOTH relabel joins read one
+    // computed copy of the contracted-CC output.
+    val merged = Reliable.checkpoint(
+      connectedComponents(contracted, maxIter, lowDiameter)
+        .select(col("id").as("__old"), col("rep").as("__new")))
+    val repMap =
+      if (broadcastReps)
+        broadcast(Guard.broadcastSmall(merged,
+          "absorbComponents changed-rep map (batch-sized in steady state; " +
+            "a backfill merging a large share of stored components makes " +
+            "it corpus-scale — rerun with broadcastReps = false)",
+          maxBroadcastRows))
+      else merged
     val relabeled = st
-      .join(broadcast(merged), st("rep") === col("__old"), "left")
+      .join(repMap, st("rep") === col("__old"), "left")
       .select(st("id"), coalesce(col("__new"), st("rep")).as("rep"))
     val newcomers = labels
       .join(st.select(col("id")), Seq("id"), "left_anti")
-      .join(broadcast(merged), col("lab") === col("__old"), "left")
+      .join(repMap, col("lab") === col("__old"), "left")
       .select(col("id"), coalesce(col("__new"), col("lab")).as("rep"))
     val out = relabeled.unionByName(newcomers)
     val sizes = out.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))

@@ -684,8 +684,8 @@ object SimilarityQueries {
        |        ORDER BY sim DESC, nid) AS rank
        |    FROM tsims WHERE sim IS NOT NULL) WHERE rank <= $k)
        |SELECT nprobe, n_returned, n_hits,
-       |  CAST(n_hits AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth)
-       |    AS recall
+       |  ROUND(CAST(n_hits AS DOUBLE)
+       |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth), 9) AS recall
        |FROM (
        |$perP
        |) ORDER BY nprobe""".stripMargin
@@ -766,8 +766,8 @@ object SimilarityQueries {
     "q_ann_ivf_sweep" -> ivfSweepOracleSql(k = 5, probes = Seq(1, 2, 4, 8, 16)),
 
     // the sweep wrapped as a frontier pick: min nprobe with
-    // recall >= target (both engines compute recall as the identical
-    // double division, so the >= frontier agrees bit-for-bit)
+    // recall >= target (both engines emit the 9-dp-rounded recall the
+    // sweep oracle defines, so the >= frontier agrees exactly)
     "q_ann_ivf_autoprobe" ->
       s"""WITH sw AS (
          |  SELECT * FROM (

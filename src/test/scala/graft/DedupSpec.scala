@@ -342,6 +342,31 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("absorbComponents: oversize changed-rep map fails loudly; broadcastReps=false is the identical remediation") {
+    // a backfill-shaped batch: every merge changes a stored rep, so the
+    // changed-rep map is as large as the contracted graph. With a cap of
+    // 2 the guarded broadcast must refuse BEFORE materializing on the
+    // driver, naming the remediation flag…
+    val state = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L)).toDF("id_a", "id_b"))
+    val bigBatch = Seq((2L, 10L), (11L, 20L), (21L, 30L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.absorbComponents(state, bigBatch, maxBroadcastRows = 2).collect()
+    }
+    assert(ex.getMessage.contains("absorbComponents changed-rep map"))
+    assert(ex.getMessage.contains("broadcastReps = false"))
+    // …and the non-broadcast path produces exactly the guarded path's
+    // answer (the same cap, no longer consulted)
+    val viaShuffle = Dedup.absorbComponents(state, bigBatch,
+        broadcastReps = false, maxBroadcastRows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = Dedup.absorbComponents(state, bigBatch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle === Set(1L, 2L, 10L, 11L, 20L, 21L, 30L, 31L)
+      .map(id => (id, 1L, 8L)))
+  }
+
   test("starComponents: empty pair frame returns empty result") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, lowDiameter = false).count() === 0)
