@@ -201,6 +201,12 @@ object ScaleSmoke {
       }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) names.foreach(runOne(_, warmDir))
+    // fixture setup out of the clock, same as Bench: materialize the
+    // scratch-encoded GIF payloads for BOTH measured dirs so neither
+    // best-of-2 pass times the encoder (the r9 4.6–17× smoke variance)
+    if (names.contains("q_media_video"))
+      Seq(srcDir, ampDir).foreach(
+        graft.queries.MultimodalQueries.prewarmFixtures(spark, _))
     def bestOf2(dir: String): Map[String, Double] =
       names.map { n =>
         val (a, b) = (runOne(n, dir), runOne(n, dir))

@@ -89,6 +89,17 @@ object MultimodalQueries {
     s.read.parquet(path)
   }
 
+  /** Materialize this fixture dir's scratch-encoded payloads NOW —
+    * Bench calls this in its untimed warmup so the first MEASURED pass
+    * of q_media_video never times fixture setup (VERDICT r10 item 3:
+    * the per-(JVM, dir) scratch key meant a fresh driver JVM paid the
+    * GIF encode inside measured pass 1, flagging a 2.5× "regression"
+    * on an unchanged operator). Cheap no-op when already materialized. */
+  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    gifEncoded(s, dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // decode step: typed metadata projected from binary payloads +
