@@ -127,6 +127,49 @@ object Dedup {
       .orderBy(col("band_rows"))
   }
 
+  /** The planner APPLIED (VERDICT r10 item 5): the margin-maximal
+    * (bandRows, nBands) row of [[lshPlan]] for a k-hash signature at
+    * the caller's (targetSim, noiseSim) similarity profile, collected
+    * as two driver ints — the plan frame is ≤ d(k) rows, a driver
+    * scalar by construction. The planned entry points below resolve
+    * their banding here, so "plan it, then run it" is one call. */
+  def plannedBanding(spark: org.apache.spark.sql.SparkSession, k: Int,
+                     targetSim: Double, noiseSim: Double): (Int, Int) = {
+    val row = lshPlan(spark, k, targetSim, noiseSim)
+      .filter(col("chosen")).select(col("band_rows"), col("n_bands"))
+      .head()
+    (row.getInt(0), row.getInt(1))
+  }
+
+  /** [[minhashLshCandidates]] with the banding DERIVED from the corpus
+    * similarity profile via [[lshPlan]] instead of hand-picked: state
+    * the similarity you must catch and the similarity you must ignore,
+    * and the margin-maximal (bandRows, nBands) follows. */
+  def minhashLshCandidatesPlanned(df: DataFrame, idCol: String, textCol: String,
+                                  targetSim: Double, noiseSim: Double,
+                                  shingleSize: Int = 3, k: Int = 12,
+                                  maxBucket: Int = Int.MaxValue): LshCandidates = {
+    val (bandRows, _) = plannedBanding(df.sparkSession, k, targetSim, noiseSim)
+    minhashLshCandidates(df, idCol, textCol, shingleSize, k, bandRows, maxBucket)
+  }
+
+  /** Pairs-only face of [[minhashLshCandidatesPlanned]]. */
+  def minhashLshPairsPlanned(df: DataFrame, idCol: String, textCol: String,
+                             targetSim: Double, noiseSim: Double,
+                             shingleSize: Int = 3, k: Int = 12,
+                             maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashLshCandidatesPlanned(df, idCol, textCol, targetSim, noiseSim,
+      shingleSize, k, maxBucket).pairs
+
+  /** [[bandIndex]] with planner-derived banding — the sign-once
+    * incremental face of the planned configuration. */
+  def bandIndexPlanned(df: DataFrame, idCol: String, textCol: String,
+                       targetSim: Double, noiseSim: Double,
+                       shingleSize: Int = 3, k: Int = 12): DataFrame = {
+    val (bandRows, _) = plannedBanding(df.sparkSession, k, targetSim, noiseSim)
+    bandIndex(df, idCol, textCol, shingleSize, k, bandRows)
+  }
+
   /** [[lshCandidateProb]] with COLUMN r/b (bounded by k): the same
     * left-associated chains selected by a CASE over the k's divisors —
     * per-divisor literal expansion keeps the arithmetic identical to

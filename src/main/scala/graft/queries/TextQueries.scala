@@ -187,6 +187,23 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The planner APPLIED ("plan it, then run it"): candidate pairs
+    // under the banding lshPlan picks for a (0.8 target, 0.3 noise)
+    // similarity profile — r=3 × 4 bands, STRICTER than q_lsh_pairs'
+    // hand-picked r=2 (every r=3 band contains a whole r=2 band, so
+    // the planned pairs are provably a subset — spec-pinned). The
+    // band_rows/n_bands columns carry the RUNTIME planner's choice, so
+    // a planner regression flips them against the oracle's literals
+    // even before the pair set drifts.
+    "q_lsh_plan_applied" -> ((s, dir) => {
+      val (r, b) = Dedup.plannedBanding(s, k = 12, targetSim = 0.8, noiseSim = 0.3)
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, k = 12, bandRows = r)
+        .select(lit(r).as("band_rows"), lit(b).as("n_bands"),
+          col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Incremental components: the cluster state from two-thirds of the
     // LSH pair graph absorbs the remaining third as a batch
     // (Dedup.absorbComponents — rep-contracted merge, batch-sized
@@ -808,6 +825,24 @@ object TextQueries {
            |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
            |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b))
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM banded a JOIN banded b
+           |  ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
+
+    // the banding the planner picks for (0.8, 0.3) at k=12 is r=3 × 4
+    // bands (the q_lsh_plan oracle's margin-maximal row, restated here
+    // as literals): same signature CTEs as q_lsh_pairs, 3-hash slices
+    "q_lsh_plan_applied" ->
+      raw"""$toksCte,
+           |sig AS (
+           |  SELECT doc_id, $sig12 AS sig
+           |  FROM (SELECT doc_id, $shingles3 AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3]) AS u(b))
+           |SELECT DISTINCT CAST(3 AS INT) AS band_rows, CAST(4 AS INT) AS n_bands,
+           |  a.doc_id AS id_a, b.doc_id AS id_b
            |FROM banded a JOIN banded b
            |  ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
            |ORDER BY id_a, id_b""".stripMargin,

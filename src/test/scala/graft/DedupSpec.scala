@@ -63,6 +63,42 @@ class DedupSpec extends SparkSpec {
     assert((pairs -- planted).size <= 5, s"too many false pairs: ${pairs -- planted}")
   }
 
+  test("plannedBanding picks the margin-maximal divisor pair (brute-force ground truth)") {
+    // independent scalar restatement of the S-curve margin over every
+    // divisor pair — the planner must agree for several (k, profile)s
+    def prob(s: Double, r: Int, b: Int): Double = {
+      val sr = (1 to r).map(_ => s).reduce(_ * _)
+      1.0 - (1 to b).map(_ => 1.0 - sr).reduce(_ * _)
+    }
+    for ((k, t, n) <- Seq((12, 0.8, 0.3), (12, 0.95, 0.6), (16, 0.7, 0.2),
+                          (24, 0.85, 0.4), (8, 0.9, 0.1))) {
+      val expected = (1 to k).filter(k % _ == 0)
+        .map(r => (r, k / r))
+        .maxBy { case (r, b) => (prob(t, r, b) - prob(n, r, b), -r) }
+      assert(Dedup.plannedBanding(spark, k, t, n) === expected,
+        s"k=$k target=$t noise=$n")
+    }
+    // the q_lsh_plan_applied configuration specifically: (r=3, b=4)
+    assert(Dedup.plannedBanding(spark, 12, 0.8, 0.3) === ((3, 4)))
+  }
+
+  test("minhashLshPairsPlanned: planner config's pairs are a subset of the hand-picked r=2 pairs and keep planted recall") {
+    // r=3 bands each CONTAIN a whole r=2 band ([1-3]⊇[1-2], [4-6]⊇[5-6],
+    // [7-9]⊇[7-8], [10-12]⊇[11-12]), so the stricter planned config can
+    // only drop pairs, never invent them
+    val df = corpus().toDF("doc_id", "text")
+    val planned = Dedup.minhashLshPairsPlanned(df, "doc_id", "text",
+        targetSim = 0.8, noiseSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hand = Dedup.minhashLshPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planned.subsetOf(hand),
+      s"planned pairs not a subset: ${planned -- hand}")
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val recall = planted.count(planned.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"planned-config recall $recall")
+  }
+
   test("minhashLshCandidates: boilerplate cluster is flagged, not paired") {
     // 30 identical boilerplate docs + the normal corpus with planted dups
     val boiler = (500 until 530).map(i =>
