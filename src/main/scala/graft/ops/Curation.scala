@@ -981,7 +981,11 @@ object Curation {
     * distance ½·Σ|p_i − q_i| — the paper's EMD with the uniform ground
     * distance, the standard form for CATEGORICAL sensitive attributes
     * (ordered attributes want the ordered-EMD variant). Survivors carry
-    * (group_size, tv_dist).
+    * (group_size, tv_dist); group_size is the TOTAL row count of the
+    * quasi group — the same meaning as [[kAnonymize]]/[[lDiversify]],
+    * so a release manifest reads one group-size semantics across the
+    * rails (the non-null-sensitive count is the internal distribution
+    * denominator only).
     *
     * NULL handling follows [[lDiversify]]: null sensitive values join
     * neither distribution (they disclose nothing; rows with a null
@@ -1000,8 +1004,10 @@ object Curation {
     * absent-category |0 − q_i| terms — all fixed-width count rows, the
     * corpus never shuffles twice. */
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
-                 sensitiveCol: String, t: Double): DataFrame =
-    tClosenessImpl(df, quasiCols, sensitiveCol, t, ordered = false)
+                 sensitiveCol: String, t: Double,
+                 maxCategories: Int = DefaultMaxCategories): DataFrame =
+    tClosenessImpl(df, quasiCols, sensitiveCol, t, ordered = false,
+      maxCategories)
 
   /** [[tCloseness]] for ORDERED sensitive attributes (income bands,
     * length buckets, severity grades): the distance is the paper's
@@ -1016,13 +1022,26 @@ object Curation {
     * term, so the distance is bit-stable cross-engine. Same null and
     * grouping contracts as [[tCloseness]]. */
   def tClosenessOrdered(df: DataFrame, quasiCols: Seq[String],
-                        sensitiveCol: String, t: Double): DataFrame =
-    tClosenessImpl(df, quasiCols, sensitiveCol, t, ordered = true)
+                        sensitiveCol: String, t: Double,
+                        maxCategories: Int = DefaultMaxCategories): DataFrame =
+    tClosenessImpl(df, quasiCols, sensitiveCol, t, ordered = true,
+      maxCategories)
+
+  /** Cap on the sensitive attribute's category cardinality for both
+    * t-closeness forms. The plan expands every quasi group to the FULL
+    * category list (the absent-category |0 − q| terms) and folds the
+    * per-group distance over an m-element array — t-closeness is
+    * defined for CATEGORICAL/ordinal attributes (Li et al. 2007), and
+    * a high-cardinality column fed here (an id, a free-text field)
+    * would silently turn the expansion into groups × corpus work. */
+  val DefaultMaxCategories: Int = 10000
 
   private def tClosenessImpl(df: DataFrame, quasiCols: Seq[String],
                              sensitiveCol: String, t: Double,
-                             ordered: Boolean): DataFrame = {
+                             ordered: Boolean,
+                             maxCategories: Int): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
+    require(maxCategories >= 1, "maxCategories must be >= 1")
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require((quasiCols :+ sensitiveCol).forall(df.columns.contains),
       s"columns ${(quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
@@ -1041,15 +1060,30 @@ object Curation {
     val nonNull = df.filter(s.isNotNull)
     val global = nonNull.groupBy(s.as("__cat"))
       .agg(count(lit(1)).as("__gc"))
+    // loud cardinality rail BEFORE the groups × categories expansion
+    // executes: a limit+count, never a full count of a runaway column
+    val nCats = global.limit(maxCategories + 1).count()
+    require(nCats <= maxCategories,
+      s"tCloseness sensitive column $sensitiveCol has > $maxCategories " +
+        "distinct values — t-closeness is a categorical/ordinal rail and " +
+        "the plan expands every quasi group to the full category list; " +
+        "bucket the column first or raise maxCategories explicitly")
     val globalTot = global.agg(sum(col("__gc")).as("__gt"))
     val q = global.crossJoin(broadcast(globalTot))
       .select(col("__cat"), (col("__gc").cast("double") / col("__gt")).as("__q"))
-    // per-(group, category) counts + per-group totals over non-nulls
+    // per-(group, category) counts + per-group totals. __n (non-null
+    // sensitive rows) is the distribution denominator; __nt (ALL rows
+    // of the quasi group) is the emitted group_size — the same
+    // semantics as kAnonymize/lDiversify, so a release manifest reads
+    // one group-size meaning across the three rails (ADVICE r10).
+    // count(s) skips nulls, so one aggregate produces both; all-null
+    // groups (__n = 0) have no distribution and suppress entirely.
     val byGroupCat = nonNull
       .groupBy((quasiCols.map(col) :+ s.as("__cat")): _*)
       .agg(count(lit(1)).as("__c"))
-    val groupTot = nonNull.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
+    val groupTot = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(s).as("__n"), count(lit(1)).as("__nt"))
+      .filter(col("__n") > 0)
     // expand every group to the FULL category list (absent categories
     // contribute |0 - q_i|), then fold |p - q| in sorted-category order
     val expanded = groupTot.crossJoin(broadcast(q))
@@ -1058,7 +1092,7 @@ object Curation {
           .reduce(_ && _) && q("__cat") === byGroupCat("__cat"),
         "left")
       .select((quasiCols.map(groupTot(_)) ++ Seq(
-        groupTot("__n"), q("__cat"), q("__q"),
+        groupTot("__n"), groupTot("__nt"), q("__cat"), q("__q"),
         (coalesce(byGroupCat("__c"), lit(0L)).cast("double") / groupTot("__n"))
           .as("__p"))): _*)
     val distExpr: Column = {
@@ -1067,25 +1101,32 @@ object Curation {
         round(aggregate(terms, lit(0.0d),
           (acc, e) => acc + abs(e.getField("__p") - e.getField("__q"))) / 2.0, 9)
       else {
-        // ordered EMD: prefix sums of (p - q) in sorted-category order,
-        // each prefix a slice fold (left-fold prefix == running sum),
-        // |prefix| folded and normalized by (m - 1). The i = m prefix
-        // is mathematically zero; its FP residue is kept — both engines
-        // compute the identical fold
+        // ordered EMD: |prefix sums of (p - q)| in sorted-category
+        // order, normalized by (m - 1). ONE O(m) pass with a
+        // (running, acc) accumulator — running_i = running_{i-1} + d_i
+        // is the identical IEEE addition sequence the O(m²)
+        // slice-prefix form folded (left-fold prefix == running sum),
+        // so the emitted distance is bit-equal to it and to the
+        // oracle's slice restatement. The i = m prefix is
+        // mathematically zero; its FP residue is kept — both engines
+        // compute the identical fold.
         val diffs = transform(terms,
           e => e.getField("__p") - e.getField("__q"))
         val m = size(terms)
-        val cums = transform(sequence(lit(1), m),
-          i => aggregate(slice(diffs, lit(1), i), lit(0.0d), (a, x) => a + x))
+        val folded = aggregate(diffs,
+          struct(lit(0.0d).as("run"), lit(0.0d).as("acc")),
+          (st, x) => struct(
+            (st.getField("run") + x).as("run"),
+            (st.getField("acc") + abs(st.getField("run") + x)).as("acc")),
+          st => st.getField("acc"))
         when(m === 1, lit(0.0d)).otherwise(
-          round(aggregate(cums, lit(0.0d), (a, c) => a + abs(c)) /
-            (m - 1).cast("double"), 9))
+          round(folded / (m - 1).cast("double"), 9))
       }
     }
     val distCol = if (ordered) "emd_dist" else "tv_dist"
     val dists = expanded
       .groupBy(quasiCols.map(col): _*)
-      .agg(first(col("__n")).as("group_size"),
+      .agg(first(col("__nt")).as("group_size"),
         sort_array(collect_list(struct(col("__cat"), col("__p"), col("__q"))))
           .as("__terms"))
       .select((quasiCols.map(col) :+ col("group_size") :+

@@ -573,6 +573,33 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The privacy rails COMPOSED on one release (VERDICT r10 item 7):
+    // k-anonymity (groups of >= 5) -> l-diversity (>= 3 distinct
+    // langs) -> t-closeness (TV <= 0.15 against the RELEASE's own
+    // global distribution — each stage certifies the frame the
+    // previous stage actually kept, which is what a release pipeline
+    // publishes). Stage outputs rename their group_size so the next
+    // rail's clash guards pass — the documented composition contract,
+    // proven end-to-end here. The three per-stage sizes are emitted
+    // side by side; whole-group filtering makes them EQUAL for
+    // surviving groups, an invariant the oracle must reproduce.
+    "q_privacy_e2e" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("lang") === "fr", lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        col("source"),
+        (col("n_chars") / 200).cast("long").as("len_bucket"))
+      val quasi = Seq("source", "len_bucket")
+      val ka = Curation.kAnonymize(d, quasi, k = 5)
+        .withColumnRenamed("group_size", "k_size")
+      val ld = Curation.lDiversify(ka, quasi, "lang", l = 3)
+        .withColumnRenamed("group_size", "l_size")
+        .withColumnRenamed("n_sensitive", "l_distinct")
+      Curation.tCloseness(ld, quasi, "lang", t = 0.15)
+        .withColumnRenamed("group_size", "t_size")
+        .orderBy(col("doc_id"))
+    }),
+
     // ordered t-closeness (Curation.tClosenessOrdered) — the paper's
     // EMD form for ORDINAL sensitive attributes: length buckets as the
     // sensitive column, (source, lang) as the quasi group; mass is
@@ -1263,13 +1290,14 @@ object CurationQueries {
         |    CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM nn) AS qp
         |  FROM nn GROUP BY lang),
         |gn AS (
-        |  SELECT source, len_bucket, COUNT(*) AS n
-        |  FROM nn GROUP BY source, len_bucket),
+        |  SELECT source, len_bucket, COUNT(lang) AS n, COUNT(*) AS nt
+        |  FROM d GROUP BY source, len_bucket
+        |  HAVING COUNT(lang) > 0),
         |gc AS (
         |  SELECT source, len_bucket, lang AS cat, COUNT(*) AS c
         |  FROM nn GROUP BY source, len_bucket, lang),
         |terms AS (
-        |  SELECT gn.source, gn.len_bucket, gn.n, q.cat, q.qp,
+        |  SELECT gn.source, gn.len_bucket, gn.nt, q.cat, q.qp,
         |    CAST(COALESCE(gc.c, 0) AS DOUBLE) / gn.n AS pp
         |  FROM gn CROSS JOIN q
         |  LEFT JOIN gc ON gc.source IS NOT DISTINCT FROM gn.source
@@ -1277,13 +1305,66 @@ object CurationQueries {
         |    AND gc.cat = q.cat),
         |dist AS (
         |  SELECT source AS gsource, len_bucket AS glen,
-        |    MIN(n) AS group_size,
+        |    MIN(nt) AS group_size,
         |    round(list_sum(list(abs(pp - qp) ORDER BY cat)) / 2.0, 9) AS tv_dist
         |  FROM terms GROUP BY gsource, glen)
         |SELECT d.doc_id, d.lang, d.source, d.len_bucket,
         |  dist.group_size, dist.tv_dist
         |FROM d JOIN dist ON d.source IS NOT DISTINCT FROM dist.gsource
         |  AND d.len_bucket IS NOT DISTINCT FROM dist.glen
+        |WHERE dist.tv_dist <= 0.15 ORDER BY doc_id""".stripMargin,
+
+    // the three rails chained as CTEs: window k-filter, group-join
+    // l-filter, then the q_t_closeness TV derivation over the
+    // l-SURVIVING release (its own global distribution — the frame a
+    // pipeline would publish)
+    "q_privacy_e2e" ->
+      """WITH d AS (
+        |  SELECT doc_id, NULLIF(lang, 'fr') AS lang, source,
+        |    CAST(n_chars // 200 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |ka AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER
+        |      (PARTITION BY source, len_bucket) AS k_size
+        |    FROM d) WHERE k_size >= 5),
+        |ldg AS (
+        |  SELECT source AS gs, len_bucket AS gl,
+        |    COUNT(*) AS l_size, COUNT(DISTINCT lang) AS l_distinct
+        |  FROM ka GROUP BY gs, gl),
+        |ld AS (
+        |  SELECT ka.*, g.l_size, g.l_distinct
+        |  FROM ka JOIN ldg g ON ka.source IS NOT DISTINCT FROM g.gs
+        |    AND ka.len_bucket IS NOT DISTINCT FROM g.gl
+        |  WHERE g.l_distinct >= 3),
+        |nn AS (SELECT * FROM ld WHERE lang IS NOT NULL),
+        |q AS (
+        |  SELECT lang AS cat,
+        |    CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM nn) AS qp
+        |  FROM nn GROUP BY lang),
+        |gn AS (
+        |  SELECT source, len_bucket, COUNT(lang) AS n, COUNT(*) AS nt
+        |  FROM ld GROUP BY source, len_bucket
+        |  HAVING COUNT(lang) > 0),
+        |gc AS (
+        |  SELECT source, len_bucket, lang AS cat, COUNT(*) AS c
+        |  FROM nn GROUP BY source, len_bucket, lang),
+        |terms AS (
+        |  SELECT gn.source, gn.len_bucket, gn.nt, q.cat, q.qp,
+        |    CAST(COALESCE(gc.c, 0) AS DOUBLE) / gn.n AS pp
+        |  FROM gn CROSS JOIN q
+        |  LEFT JOIN gc ON gc.source IS NOT DISTINCT FROM gn.source
+        |    AND gc.len_bucket IS NOT DISTINCT FROM gn.len_bucket
+        |    AND gc.cat = q.cat),
+        |dist AS (
+        |  SELECT source AS gsource, len_bucket AS glen,
+        |    MIN(nt) AS t_size,
+        |    round(list_sum(list(abs(pp - qp) ORDER BY cat)) / 2.0, 9) AS tv_dist
+        |  FROM terms GROUP BY gsource, glen)
+        |SELECT ld.doc_id, ld.lang, ld.source, ld.len_bucket, ld.k_size,
+        |  ld.l_size, ld.l_distinct, dist.t_size, dist.tv_dist
+        |FROM ld JOIN dist ON ld.source IS NOT DISTINCT FROM dist.gsource
+        |  AND ld.len_bucket IS NOT DISTINCT FROM dist.glen
         |WHERE dist.tv_dist <= 0.15 ORDER BY doc_id""".stripMargin,
 
     // ordered EMD: prefix sums over the cat-sorted diff list as slice
@@ -1301,20 +1382,21 @@ object CurationQueries {
         |    CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM nn) AS qp
         |  FROM nn GROUP BY len_bucket),
         |gn AS (
-        |  SELECT source, lang, COUNT(*) AS n
-        |  FROM nn GROUP BY source, lang),
+        |  SELECT source, lang, COUNT(len_bucket) AS n, COUNT(*) AS nt
+        |  FROM d GROUP BY source, lang
+        |  HAVING COUNT(len_bucket) > 0),
         |gc AS (
         |  SELECT source, lang, len_bucket AS cat, COUNT(*) AS c
         |  FROM nn GROUP BY source, lang, len_bucket),
         |terms AS (
-        |  SELECT gn.source, gn.lang, gn.n, q.cat, q.qp,
+        |  SELECT gn.source, gn.lang, gn.nt, q.cat, q.qp,
         |    CAST(COALESCE(gc.c, 0) AS DOUBLE) / gn.n AS pp
         |  FROM gn CROSS JOIN q
         |  LEFT JOIN gc ON gc.source IS NOT DISTINCT FROM gn.source
         |    AND gc.lang IS NOT DISTINCT FROM gn.lang
         |    AND gc.cat = q.cat),
         |agg AS (
-        |  SELECT source AS gsource, lang AS glang, MIN(n) AS group_size,
+        |  SELECT source AS gsource, lang AS glang, MIN(nt) AS group_size,
         |    list(pp - qp ORDER BY cat) AS lst
         |  FROM terms GROUP BY gsource, glang),
         |dist AS (

@@ -588,6 +588,37 @@ class CurationSpec extends SparkSpec {
       s"all-null-sensitive group must suppress even at t=1, got $out3")
   }
 
+  test("tCloseness: group_size is the TOTAL quasi-group row count (kAnonymize semantics); cardinality guard fires loudly") {
+    // 4-row group, 2 non-null sensitive: group_size must read 4 (the
+    // k-anonymity size a release manifest expects), not 2 (the internal
+    // distribution denominator) — ADVICE r10
+    val df = Seq(
+      (1L, "g", Some("a")), (2L, "g", Some("b")),
+      (3L, "g", None), (4L, "g", None),
+      (5L, "h", Some("a")), (6L, "h", Some("b"))).toDF("id", "grp", "v")
+    val sizes = Curation.tCloseness(df, Seq("grp"), "v", t = 1.0)
+      .select("grp", "group_size").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("g" -> 4L, "h" -> 2L))
+    val odf = df.withColumn("v", length(col("v")) + col("id") % 2)
+    val osizes = Curation.tClosenessOrdered(odf, Seq("grp"), "v", t = 1.0)
+      .select("grp", "group_size").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(osizes === Map("g" -> 4L, "h" -> 2L))
+    // a high-cardinality sensitive column fails BEFORE the groups ×
+    // categories expansion, naming the fix
+    val wide = (1 to 50).map(i => (i.toLong, "g", s"cat$i")).toDF("id", "grp", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.tCloseness(wide, Seq("grp"), "v", t = 1.0, maxCategories = 10)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Curation.tClosenessOrdered(wide.withColumn("v", col("id")),
+        Seq("grp"), "v", t = 1.0, maxCategories = 10)
+    }
+    assert(ex2.getMessage.contains("maxCategories"))
+  }
+
   test("tClosenessOrdered: ordered EMD charges by displacement where TV cannot; exact hand-computed distances") {
     // global over buckets {1, 2, 3}: uniform (4 each of 12).
     // group near: all mass on bucket 2 (the MIDDLE) — one step from
