@@ -248,7 +248,12 @@ object Dedup {
     * smaller sample. Pre-r10 this REFUSED non-integral ids outright
     * (ADVICE r9: a capability regression vs the slice sample it
     * replaced — and a full collect_set sample would reintroduce the
-    * exact buffer the sizing pass exists to prevent). */
+    * exact buffer the sizing pass exists to prevent).
+    *
+    * sample_ids is array<string> in BOTH branches (ADVICE r10): the
+    * witnesses are diagnostic, never joined on, and a type-dependent
+    * schema would break consumers persisting or unioning flagged
+    * frames across pipelines with different id types. */
   private def sizedBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import org.apache.spark.sql.types._
@@ -261,13 +266,15 @@ object Dedup {
       rows.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n_ids"), sample20.as("__top"))
         .select(keys.map(col) ++ Seq(col("n_ids"),
-          transform(col("__top"), e => e.getField("id")).as("sample_ids")): _*)
+          transform(col("__top"), e => e.getField("id").cast("string"))
+            .as("sample_ids")): _*)
     } else {
       rows.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n_ids"),
           min(col("id")).as("__mn"), max(col("id")).as("__mx"))
         .select(keys.map(col) ++ Seq(col("n_ids"),
-          array_distinct(array(col("__mn"), col("__mx"))).as("sample_ids")): _*)
+          array_distinct(array(col("__mn").cast("string"),
+            col("__mx").cast("string"))).as("sample_ids")): _*)
     }
   }
 

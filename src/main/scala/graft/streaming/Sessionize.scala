@@ -23,8 +23,18 @@ object Sessionize {
   case class Event(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Int)
   case class SessionListState(intervals: List[SessionState])
+
+  /** `forced = true` marks a DEGRADED early emission: the interval was
+    * pushed out by the `maxOpenIntervals` state cap, not closed by the
+    * watermark, so a later in-watermark event may re-create (part of)
+    * its time range and emit again — downstream consumers assuming
+    * disjoint per-user sessions must filter or reconcile on this flag
+    * (ADVICE r10: the degradation was documented but invisible in the
+    * data). Watermark-closed sessions are always `forced = false` and
+    * keep the disjointness guarantee. */
   case class Session(user_id: Long, session_start: Timestamp,
-                     session_end: Timestamp, n_events: Int)
+                     session_end: Timestamp, n_events: Int,
+                     forced: Boolean = false)
 
   /** Declarative batch sessionization: a new session starts when the
     * gap to the previous event exceeds `gapSeconds`; session id is the
@@ -102,7 +112,9 @@ object Sessionize {
     * events where that is the need). A user exceeding the cap —
     * pathological out-of-order depth — force-emits its OLDEST
     * intervals early, degrading to the pre-r10 semantics for that user
-    * rather than growing state without bound. */
+    * rather than growing state without bound; those rows carry
+    * `forced = true` (see [[Session]]) so the degradation is visible
+    * in the data, not just this doc. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long,
                        lateness: String,
                        maxOpenIntervals: Int = 64): Dataset[Session] = {
@@ -161,8 +173,11 @@ object Sessionize {
           } else if (state.exists) {
             state.remove()
           }
-          (closed ++ forced).iterator.map(s =>
-            Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          (closed.map((_, false)) ++ forced.map((_, true))).iterator.map {
+            case (s, wasForced) =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+                s.n, wasForced)
+          }
       }
   }
 }

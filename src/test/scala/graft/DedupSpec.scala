@@ -113,10 +113,10 @@ class DedupSpec extends SparkSpec {
     val flagged = res.flaggedBuckets.collect()
     assert(flagged.nonEmpty, "expected flagged oversized buckets")
     assert(flagged.forall(r => r.getAs[Long]("n_ids") === 30L))
-    assert(flagged.forall(r => r.getAs[Seq[Long]]("sample_ids").size <= 20))
+    assert(flagged.forall(r => r.getAs[Seq[String]]("sample_ids").size <= 20))
     // the bounded sample is the 20 SMALLEST member ids, ascending
     assert(flagged.forall(r =>
-      r.getAs[Seq[Long]]("sample_ids") == (500L until 520L)))
+      r.getAs[Seq[String]]("sample_ids") == (500 until 520).map(_.toString)))
     // normal near-dups still found
     val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
     assert(planted.count(pairs.contains) >= 8)
@@ -209,7 +209,7 @@ class DedupSpec extends SparkSpec {
     val flagged = res.flaggedBuckets.collect()
     assert(flagged.nonEmpty)
     assert(flagged.forall(r => r.getAs[Long]("n_ids") === 40L))
-    assert(flagged.forall(r => r.getAs[Seq[Long]]("sample_ids") == (900L until 920L)))
+    assert(flagged.forall(r => r.getAs[Seq[String]]("sample_ids") == (900 until 920).map(_.toString)))
     // flood-free input: capped == uncapped pair-for-pair
     val clean = normal.toDF("doc_id", "text")
     def ps(cap: Int) = Dedup.simhashPairs(clean, "doc_id", "text", maxBucket = cap)
@@ -444,7 +444,7 @@ class DedupSpec extends SparkSpec {
     assert(flagged.nonEmpty)
     flagged.foreach { r =>
       assert(r.getAs[Long]("n_ids") === 40)
-      assert(r.getAs[Seq[Long]]("sample_ids").size === 20)
+      assert(r.getAs[Seq[String]]("sample_ids").size === 20)
     }
     // flood ids carry no rows in the pruned index; normal docs unaffected
     val prunedIds = PrunedBands.pruned.select("id").distinct()

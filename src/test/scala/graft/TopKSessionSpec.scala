@@ -260,21 +260,25 @@ class TopKSessionSpec extends SparkSpec {
       // the two OLDEST forced out immediately (bounded state), the two
       // newest held open despite the 10-day lateness
       val early = spark.table("sessions_rail").filter(col("user_id") === 1L)
-        .select("session_start").collect()
-        .map(_.getTimestamp(0).toString).sorted
-      assert(early.toSeq === Seq("2025-05-01 08:00:00.0",
-        "2025-05-01 09:00:00.0"))
+        .select("session_start", "forced").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getBoolean(1))).sorted
+      assert(early.toSeq === Seq(("2025-05-01 08:00:00.0", true),
+        ("2025-05-01 09:00:00.0", true)),
+        "cap-forced emissions must carry forced = true")
       // advance the watermark far enough to close the rest
       mem.addData(Sessionize.Event(99L, ts("2025-06-01 12:00:00")))
       q.processAllAvailable()
       mem.addData(Sessionize.Event(99L, ts("2025-07-01 12:00:00")))
       q.processAllAvailable()
       val all = spark.table("sessions_rail").filter(col("user_id") === 1L)
-        .select("session_start", "n_events").collect()
-        .map(r => (r.getTimestamp(0).toString, r.getInt(1))).sorted
-      assert(all.toSeq === Seq(("2025-05-01 08:00:00.0", 1),
-        ("2025-05-01 09:00:00.0", 1), ("2025-05-01 10:00:00.0", 1),
-        ("2025-05-01 11:00:00.0", 1)))
+        .select("session_start", "n_events", "forced").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getBoolean(2)))
+        .sorted
+      // watermark-closed rows stay forced = false — the flag separates
+      // the degraded emissions from the disjointness-guaranteed ones
+      assert(all.toSeq === Seq(("2025-05-01 08:00:00.0", 1, true),
+        ("2025-05-01 09:00:00.0", 1, true), ("2025-05-01 10:00:00.0", 1, false),
+        ("2025-05-01 11:00:00.0", 1, false)))
     } finally q.stop()
   }
 
