@@ -20,6 +20,9 @@ libraryDependencies ++= Seq(
 //                                              (round 8 attempt: "Not
 //                                               found" from the offline
 //                                               coursier cache)
+// Re-checked round 11 (2026-08-15): no delta/iceberg artifact in
+// /root/.cache/coursier or /opt, and Maven Central DNS does not
+// resolve (curl rc=6) — the blocker is environmental, unchanged.
 // SqlMergeSink itself compiles with zero format deps (MERGE INTO is
 // Spark-parser-owned SQL); MergeSinkSqlSpec verifies statement
 // construction offline and self-gates its live test. On a connected
