@@ -205,8 +205,12 @@ object ScaleSmoke {
     // scratch-encoded GIF payloads for BOTH measured dirs so neither
     // best-of-2 pass times the encoder (the r9 4.6–17× smoke variance)
     if (names.contains("q_media_video"))
-      Seq(srcDir, ampDir).foreach(
-        graft.queries.MultimodalQueries.prewarmFixtures(spark, _))
+      Seq(srcDir, ampDir).foreach { d =>
+        // best-effort: a prewarm failure surfaces as the query's own
+        // -1.0 marker in the measured pass, not a dead smoke run
+        try graft.queries.MultimodalQueries.prewarmFixtures(spark, d)
+        catch { case _: Throwable => () }
+      }
     def bestOf2(dir: String): Map[String, Double] =
       names.map { n =>
         val (a, b) = (runOne(n, dir), runOne(n, dir))

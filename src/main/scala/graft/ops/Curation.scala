@@ -1056,13 +1056,23 @@ object Curation {
       s"columns ${clashes.mkString(", ")} are reserved by tCloseness's " +
         "stats join — rename the input's")
     val s = col(sensitiveCol)
-    // global categorical distribution over non-null sensitive values
+    // global categorical distribution over non-null sensitive values,
+    // CHECKPOINTED: the cardinality rail below executes it eagerly, and
+    // without materialization the guard would pay the full upstream
+    // lineage once at plan-build time and the real plan again at
+    // execution (the Guard.broadcastSmall discipline — guard and
+    // consumers read one computed, category-sized copy)
     val nonNull = df.filter(s.isNotNull)
-    val global = nonNull.groupBy(s.as("__cat"))
-      .agg(count(lit(1)).as("__gc"))
+    val global = Reliable.checkpoint(
+      nonNull.groupBy(s.as("__cat")).agg(count(lit(1)).as("__gc")))
     // loud cardinality rail BEFORE the groups × categories expansion
-    // executes: a limit+count, never a full count of a runaway column
-    val nCats = global.limit(maxCategories + 1).count()
+    // executes: a limit+count, never a full count of a runaway column.
+    // limit is overflow-safe: maxCategories = Int.MaxValue (the
+    // documented no-cap idiom elsewhere in this API) must disable the
+    // rail, not crash on Int.MaxValue + 1.
+    val lim = if (maxCategories == Int.MaxValue) maxCategories
+              else maxCategories + 1
+    val nCats = global.limit(lim).count()
     require(nCats <= maxCategories,
       s"tCloseness sensitive column $sensitiveCol has > $maxCategories " +
         "distinct values — t-closeness is a categorical/ordinal rail and " +

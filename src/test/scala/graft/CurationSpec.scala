@@ -617,6 +617,10 @@ class CurationSpec extends SparkSpec {
         Seq("grp"), "v", t = 1.0, maxCategories = 10)
     }
     assert(ex2.getMessage.contains("maxCategories"))
+    // Int.MaxValue is the no-cap idiom (the maxBucket convention) and
+    // must DISABLE the rail, not overflow limit(maxCategories + 1)
+    assert(Curation.tCloseness(wide, Seq("grp"), "v", t = 1.0,
+      maxCategories = Int.MaxValue).count() === 50L)
   }
 
   test("tClosenessOrdered: ordered EMD charges by displacement where TV cannot; exact hand-computed distances") {
