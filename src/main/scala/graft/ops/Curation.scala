@@ -200,6 +200,92 @@ object Curation {
       .drop("__src", "__ppm")
   }
 
+  /** RFC-3986-shaped URL splitter regex shared by [[normalizeUrl]] and
+    * its oracle restatements: (scheme)://(authority)(path)[?(query)][#…].
+    * RE2-compatible (no lookaround), so DuckDB evaluates it
+    * identically. */
+  val UrlPattern: String =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** URL canonicalization — the dedup key a web-scale corpus needs
+    * BEFORE content dedup (the same page crawled via tracking links,
+    * mixed-case hosts, default ports, or param reordering is the
+    * cheapest duplicate class to kill, and killing it by URL costs no
+    * text shuffle at all). Rules, each engine-portable:
+    *
+    *  - scheme and host lowercase (path/query case is significant and
+    *    kept);
+    *  - fragment stripped (never sent to the server);
+    *  - default ports dropped (:80 for http, :443 for https);
+    *  - tracking params removed (utm_*, fbclid, gclid, ref);
+    *  - remaining query params sorted lexicographically (binary
+    *    string order — identical in Spark's array_sort and DuckDB's
+    *    list_sort for the ASCII param strings a URL can contain);
+    *  - empty path canonicalized to "/"; an all-tracking query drops
+    *    its "?" entirely.
+    *
+    * Non-URLs (no scheme://authority) canonicalize to NULL — loud in
+    * the data, not a silent passthrough of garbage keys. Pure column
+    * expression (regexp + HOF filter + sort), no UDF, no shuffle. */
+  def normalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, UrlPattern, 1))
+    val auth = lower(regexp_extract(u, UrlPattern, 2))
+    val path = regexp_extract(u, UrlPattern, 3)
+    val query = regexp_extract(u, UrlPattern, 4)
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)"))
+    val sortedQ = array_join(array_sort(params), "&")
+    when(scheme === "" || auth === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(path === "", lit("/")).otherwise(path),
+        when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
+  /** Registered-domain heuristic from a CANONICAL url ([[normalizeUrl]]
+    * output): the last two host labels, port ignored. A real pipeline
+    * swaps in the public-suffix list (co.uk et al.); offline, the
+    * two-label form is the documented approximation — state it at the
+    * consumer, don't pretend PSL semantics. NULL for NULL urls. */
+  def registeredDomain(canonicalUrl: Column): Column = {
+    val host = regexp_extract(canonicalUrl, UrlPattern, 2)
+    val noPort = regexp_replace(host, ":[0-9]+$", "")
+    nullif(regexp_extract(noPort, "([^.]+\\.[^.]+)$", 1), lit(""))
+  }
+
+  /** Per-key quota — domain caps, per-source ceilings: keep at most
+    * `n` rows per key, preferring HIGHER `score`, ties broken by LOWER
+    * `id` (the TopKByScore contract); rows with a NULL score or id
+    * cannot be ranked and never survive. Scale shape: the argmax-k
+    * aggregate ships at most n (score, id) pairs per key through the
+    * shuffle — never a per-key sort of the full membership, which is
+    * what the row_number window formulation (the oracle) pays — and
+    * survivors rejoin on (key, id) null-safely. `idCol` must be a
+    * unique-per-row integral id. */
+  def quotaCap(df: DataFrame, keyCols: Seq[String], n: Int,
+               scoreCol: Column, idCol: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.filterNot(df.columns.contains).mkString(", ")} absent")
+    val topN = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(scoreCol.cast("double"), idCol.cast("long"))), n)
+      .toAggregateExpression())
+    val kept = df.groupBy(keyCols.map(col): _*)
+      .agg(topN.as("__top"))
+      .select((keyCols.map(c => col(c).as(s"__qc_$c")) :+
+        explode(col("__top")).as("__e")): _*)
+      .select((keyCols.map(c => col(s"__qc_$c")) :+
+        col("__e.id").as("__qc_id")): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__qc_$c"))
+      .reduce(_ && _) && (idCol.cast("long") === col("__qc_id"))
+    df.join(kept, cond, "left_semi")
+  }
+
   /** train/val/test label from a percentage bucket. */
   def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
     when(bucket < trainPct, lit("train"))

@@ -32,6 +32,33 @@ object CurationQueries {
     * kernel or an immediate aggregation (the BPE pair): there the
     * extra exchange is pure tax — measured +0.4 s on q_bpe_encode —
     * exactly the TextQueries.docs reasoning. */
+  /** Deterministic dirty-URL fixture shared by the q_url_* family:
+    * mixed-case scheme and host, default ports, tracking params,
+    * out-of-order params, fragments — every rule [[graft.ops.Curation
+    * .normalizeUrl]] owns, derived from (source, doc_id) so the oracle
+    * builds the byte-identical string. Path is doc_id % 100, so
+    * canonical URLs COLLIDE within a source (real dups at every SF);
+    * the host is a 3-label cdn.<source>.com so the two-label
+    * registered-domain heuristic has a label to strip and yields one
+    * domain PER SOURCE (20 of them — q_domain_cap actually caps). */
+  private def urls(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+      concat(
+        when(d % 3 === 0, lit("HTTPS"))
+          .when(d % 3 === 1, lit("http")).otherwise(lit("https")),
+        lit("://CdN."),
+        when(d % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".CoM"),
+        when(d % 2 === 0,
+          when(d % 3 === 1, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")),
+        lit("/Docs/"), (d % 100).cast("string"),
+        lit("?utm_source=rss&b=2&a=1"),
+        when(d % 4 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+        when(d % 4 === 2, lit("#frag")).otherwise(lit(""))).as("url"))
+  }
+
   private def docsRaw(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -573,6 +600,51 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization (Curation.normalizeUrl + registeredDomain):
+    // the dedup key a crawl corpus normalizes BEFORE content dedup.
+    // The dirty URLs derive deterministically from (source, doc_id) —
+    // mixed-case scheme/host, default ports, tracking params, unsorted
+    // params, fragments — and both engines build the IDENTICAL string
+    // then canonicalize it with the same regex/filter/sort rules, so
+    // url_norm and the two-label registered domain hash-match.
+    "q_url_normalize" -> ((s, dir) => {
+      urls(s, dir).select(col("doc_id"), col("url"),
+        Curation.normalizeUrl(col("url")).as("url_norm"))
+        .withColumn("domain", Curation.registeredDomain(col("url_norm")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL-level dedup — kill the cheapest duplicate class (the same
+    // page via tracking links / case / port variants) by canonical-URL
+    // first-seen, BEFORE any text shuffles: the canonical key above
+    // collides on (source, doc_id % 100), so every SF has real dups
+    // (400 of 500 rows drop at sf0.01).
+    "q_url_dedup" -> ((s, dir) => {
+      val d = urls(s, dir)
+        .withColumn("url_norm", Curation.normalizeUrl(col("url")))
+      graft.ops.Dedup.firstSeen(d.select(col("doc_id"), col("url_norm")),
+          Seq("url_norm"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("url_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain quota (Curation.quotaCap): keep at most 15 docs per
+    // registered domain, preferring LONGER docs (n_chars), ties to the
+    // smaller doc_id — the domain-ceiling step a crawl corpus runs so
+    // one boilerplate-heavy site cannot dominate a training mix. The
+    // argmax-k aggregate ships 15 (score, id) pairs per domain through
+    // the shuffle; the oracle pays the row_number window sort to prove
+    // identical survivors.
+    "q_domain_cap" -> ((s, dir) => {
+      val d = urls(s, dir)
+        .withColumn("domain",
+          Curation.registeredDomain(Curation.normalizeUrl(col("url"))))
+      Curation.quotaCap(d, Seq("domain"), n = 15,
+          scoreCol = col("n_chars"), idCol = col("doc_id"))
+        .select(col("doc_id"), col("domain"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The privacy rails COMPOSED on one release (VERDICT r10 item 7):
     // k-anonymity (groups of >= 5) -> l-diversity (>= 3 distinct
     // langs) -> t-closeness (TV <= 0.15 against the RELEASE's own
@@ -617,6 +689,63 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** Shared dirty-URL + canonicalization CTEs for the q_url_* oracles:
+    * the byte-identical URL derivation, then the SAME regex (the
+    * spliced [[graft.ops.Curation.UrlPattern]]), tracking-param filter,
+    * and lexicographic param sort `normalizeUrl` runs — DuckDB's RE2
+    * and list_sort match Spark's Java regex and array_sort on these
+    * ASCII inputs by construction (the pattern avoids lookaround). */
+  private val urlCtes: String = {
+    val pat = graft.ops.Curation.UrlPattern
+    // NB: concat('||') sits at END of line — a leading '||' would lose
+    // one pipe to stripMargin and bind as DuckDB's bitwise-or
+    raw"""u AS (
+         |  SELECT doc_id, n_chars,
+         |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'https' END) ||
+         |    '://CdN.' ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+         |    '.CoM' ||
+         |    (CASE WHEN doc_id % 2 = 0
+         |       THEN (CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE ':443' END)
+         |       ELSE '' END) ||
+         |    '/Docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+         |    '?utm_source=rss&b=2&a=1' ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=abc' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END) AS url
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_chars, url,
+         |    lower(regexp_extract(url, '$pat', 1)) AS scheme,
+         |    lower(regexp_extract(url, '$pat', 2)) AS auth,
+         |    regexp_extract(url, '$pat', 3) AS path,
+         |    regexp_extract(url, '$pat', 4) AS query
+         |  FROM u),
+         |n AS (
+         |  SELECT doc_id, n_chars, url,
+         |    CASE WHEN scheme = '' OR auth = '' THEN NULL ELSE
+         |      scheme || '://' ||
+         |      (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+         |            WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+         |            ELSE auth END) ||
+         |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         |      (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+         |    END AS url_norm
+         |  FROM (SELECT *,
+         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |      x -> x <> '' AND NOT regexp_matches(x,
+         |        '^(utm_[^=]*|fbclid|gclid|ref)(=|$$)'))), '&') AS q
+         |    FROM p))""".stripMargin
+  }
+
+  /** Two-label registered-domain restatement over `url_norm` — the
+    * [[graft.ops.Curation.registeredDomain]] heuristic. */
+  private val domainSql: String = {
+    val pat = graft.ops.Curation.UrlPattern
+    raw"""nullif(regexp_extract(regexp_replace(
+         |  regexp_extract(url_norm, '$pat', 2), ':[0-9]+$$', ''),
+         |  '([^.]+\.[^.]+)$$', 1), '')""".stripMargin
+  }
 
   private val toks =
     raw"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)"
@@ -1313,6 +1442,28 @@ object CurationQueries {
         |FROM d JOIN dist ON d.source IS NOT DISTINCT FROM dist.gsource
         |  AND d.len_bucket IS NOT DISTINCT FROM dist.glen
         |WHERE dist.tv_dist <= 0.15 ORDER BY doc_id""".stripMargin,
+
+    "q_url_normalize" ->
+      raw"""WITH $urlCtes
+           |SELECT doc_id, url, url_norm, $domainSql AS domain
+           |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      raw"""WITH $urlCtes
+           |SELECT doc_id, url_norm FROM n
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+           |ORDER BY doc_id""".stripMargin,
+
+    // the oracle pays the full per-domain window sort the operator's
+    // argmax-k aggregate avoids — identical survivors prove the
+    // aggregate's (score DESC, id ASC) contract
+    "q_domain_cap" ->
+      raw"""WITH $urlCtes,
+           |d AS (SELECT doc_id, n_chars, $domainSql AS domain FROM n)
+           |SELECT doc_id, domain, n_chars FROM d
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY domain
+           |  ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) <= 15
+           |ORDER BY doc_id""".stripMargin,
 
     // the three rails chained as CTEs: window k-filter, group-join
     // l-filter, then the q_t_closeness TV derivation over the

@@ -674,4 +674,70 @@ class CurationSpec extends SparkSpec {
     val cut = dists(0.33)
     assert(cut.keySet === Set("a", "near"), cut.toString)
   }
+
+  test("normalizeUrl: case, default ports, tracking params, param order, fragments all canonicalize; non-URLs go NULL") {
+    val cases = Seq(
+      // mixed-case scheme/host, default https port, tracking + unsorted
+      // params, fragment — everything at once
+      ("HTTPS://CdN.Src1.CoM:443/Docs/7?utm_source=rss&b=2&a=1&fbclid=x#f",
+       "https://cdn.src1.com/Docs/7?a=1&b=2"),
+      // http default port strips; path case KEPT
+      ("http://Host.Org:80/A/B?z=1&y=2", "http://host.org/A/B?y=2&z=1"),
+      // NON-default port survives
+      ("https://h.io:8443/x", "https://h.io:8443/x"),
+      // empty path -> "/"; all-tracking query drops its "?"
+      ("https://h.io?utm_campaign=c&gclid=g&ref=r", "https://h.io/"),
+      // bare param without "=" sorts too; "ref" only matches whole name
+      ("https://h.io/p?beta&refresh=1&alpha", "https://h.io/p?alpha&beta&refresh=1"),
+      // no scheme -> NULL (loud, not a garbage passthrough)
+      ("not a url", null),
+      ("://missing.scheme/x", null))
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.normalizeUrl(col("url"))).collect().map(_.getString(0))
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("registeredDomain: two-label heuristic strips subdomains and ports; degenerate hosts go NULL") {
+    val cases = Seq(
+      ("https://cdn.src1.com/Docs/7?a=1", "src1.com"),
+      ("https://a.b.c.deep.example.org/", "example.org"),
+      ("https://h.io:8443/x", "h.io"),
+      ("https://localhost/x", null),           // no dot -> no 2-label domain
+      (null, null))
+    val out = cases.map(c => Tuple1(c._1)).toDF("u")
+      .select(Curation.registeredDomain(col("u"))).collect().map(_.getString(0))
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("quotaCap keeps the n highest-score rows per key (ties to lower id); null scores never survive") {
+    val df = Seq(
+      ("d1", 1L, 10.0), ("d1", 2L, 30.0), ("d1", 3L, 20.0),
+      ("d1", 4L, 30.0),                        // score tie with id 2 -> lower id wins
+      ("d2", 5L, 1.0),                         // under-quota key keeps all
+      ("d3", 6L, Double.NaN),                  // NaN ranks ABOVE numbers (IEEE >)
+      ("d3", 7L, 5.0), ("d3", 8L, 4.0))
+      .toDF("domain", "id", "score")
+    val kept = Curation.quotaCap(df, Seq("domain"), n = 2,
+        scoreCol = col("score"), idCol = col("id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(kept === Set(2L, 4L, 5L, 6L, 7L))
+    // null score rows cannot be ranked and never survive
+    val withNull = Seq(("d", 1L, Some(1.0)), ("d", 2L, Option.empty[Double]))
+      .toDF("domain", "id", "score")
+    val k2 = Curation.quotaCap(withNull, Seq("domain"), n = 2,
+        scoreCol = col("score"), idCol = col("id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(k2 === Set(1L))
+    // null KEYS group null-safely (one quota bucket, not dropped rows)
+    val nullKey = Seq((Option.empty[String], 1L, 2.0),
+      (Option.empty[String], 2L, 1.0), (Option.empty[String], 3L, 3.0))
+      .toDF("domain", "id", "score")
+    val k3 = Curation.quotaCap(nullKey, Seq("domain"), n = 2,
+        scoreCol = col("score"), idCol = col("id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(k3 === Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Curation.quotaCap(df, Seq("absent"), 2, col("score"), col("id"))
+    }
+  }
 }
