@@ -151,8 +151,87 @@ object TextIndex {
     * the same corpus (spec + oracle-asserted). The probed term buckets
     * are collected to the driver (≤ |qTerms| ints — bounded-scalar
     * posture) and pushed as a literal partition filter. */
+  /** Logical delete from a [[writeBm25Index]] layout — the
+    * right-to-erasure maintenance op for the text index, mirroring
+    * [[Ann.deleteFromIvfIndex]]: ids append to a tombstone table and
+    * the probe path anti-joins them, so a deleted document can never
+    * be RETURNED again, immediately and O(batch). Corpus statistics
+    * (df, n_docs, avgdl) stay STALE until [[purgeBm25Tombstones]] —
+    * the Lucene contract (deleted docs leave results at once; doc-freq
+    * decay waits for segment merge), stated here rather than silently
+    * approximated: scores of the SURVIVING docs are exact again after
+    * purge. Deleting ids not in the index is a no-op. */
+  def deleteFromBm25Index(ids: DataFrame, path: String): Unit =
+    ids.select(col("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def hasBm25Tombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Physically apply accumulated tombstones: one (doc_id, tb)
+    * columnar scan finds the touched TERM buckets (bounded collect —
+    * ≤ nBuckets ints), ONLY those postings buckets rewrite with the
+    * tombstoned rows dropped, df recomputes for the same buckets from
+    * the kept rows (a term in an untouched bucket cannot occur in any
+    * deleted doc — that occurrence would have made its bucket
+    * touched), doclen rewrites tombstone-free, stats recompute, and
+    * the tombstone table resets. After purge, probe scores equal a
+    * from-scratch rebuild over the surviving corpus (spec + oracle
+    * asserted). Returns the number of postings buckets rewritten.
+    *
+    * ATOMICITY: same multi-step contract as [[appendToBm25Index]] — a
+    * crash mid-purge leaves the directories inconsistent; re-running
+    * the purge is SAFE here (anti-joins and recomputes are idempotent)
+    * but interleaving it with a concurrent append is not. */
+  def purgeBm25Tombstones(spark: SparkSession, path: String): Int = {
+    if (!hasBm25Tombstones(spark, path)) return 0
+    val tomb = Reliable.checkpoint(
+      spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct())
+    val touched = spark.read.parquet(s"$path/postings")
+      .join(tomb, Seq("doc_id"), "left_semi")
+      .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val kept = Reliable.checkpoint(
+        spark.read.parquet(s"$path/postings")
+          .filter(col("tb").isin(touched: _*))
+          .join(tomb, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("term"), col("tf"), col("tb")))
+      Scale.withDynamicOverwrite(spark) {
+        kept.repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      }
+      // df from the KEPT rows (already materialized — never re-read the
+      // directory the overwrite above just rewrote)
+      val mergedTerms = Reliable.checkpoint(
+        kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")))
+      Scale.withDynamicOverwrite(spark) {
+        mergedTerms.select(col("term"), col("df"), col("tb"))
+          .repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+      }
+    }
+    // doclen: materialize the survivors before overwriting their source
+    // dir (narrow (id, long) rows — reliable-checkpointed to disk, not
+    // memory, so a billion-doc index still purges)
+    val dlKept = Reliable.checkpoint(
+      spark.read.parquet(s"$path/doclen").join(tomb, Seq("doc_id"), "left_anti"))
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).first().getInt(0)
+    dlKept.write.mode("overwrite").parquet(s"$path/doclen")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    touched.length
+  }
+
   def probeBm25Index(spark: SparkSession, path: String, qTerms0: Seq[String],
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
     require(qTerms0.nonEmpty, "empty query")
     // the index stores tokens of LOWERCASED text — an unnormalized
     // query term with an uppercase letter would silently match zero
@@ -169,7 +248,21 @@ object TextIndex {
       .distinct().collect().map(_.getInt(0)).toSeq
     def pruned(sub: String) = spark.read.parquet(s"$path/$sub")
       .filter(col("tb").isin(tbs: _*) && col("term").isin(qTerms: _*))
-    val postings = pruned("postings").select(col("doc_id"), col("term"), col("tf"))
+    // tombstoned docs must never be RETURNED (the deleteFromBm25Index
+    // contract — df/n_docs/avgdl stay stale until purge, Lucene-style);
+    // the broadcastSmall rail turns an over-accumulated delete set into
+    // a named failure pointing at the purge, not a driver OOM
+    val tombAnti: DataFrame => DataFrame =
+      if (hasBm25Tombstones(spark, path)) {
+        val tomb = broadcast(Guard.broadcastSmall(
+          spark.read.parquet(s"$path/tombstones").select(col("doc_id")),
+          s"BM25 tombstone set at $path/tombstones (run purgeBm25Tombstones " +
+            "to compact accumulated deletes)",
+          maxTombstoneRows))
+        df => df.join(tomb, Seq("doc_id"), "left_anti")
+      } else identity
+    val postings = tombAnti(
+      pruned("postings").select(col("doc_id"), col("term"), col("tf")))
     val termDf = pruned("terms").select(col("term"), col("df"))
     val dl = spark.read.parquet(s"$path/doclen")
     val scored = postings

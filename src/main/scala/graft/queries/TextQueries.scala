@@ -457,6 +457,28 @@ object TextQueries {
           col("matched_tf"), col("score_r9"))
     }),
 
+    // Right-to-erasure on the text index (TextIndex.deleteFromBm25Index
+    // + purgeBm25Tombstones — the q_ann_ivf_delete posture for the
+    // lexical side): build over the full corpus, tombstone every 5th
+    // doc, PURGE (only the touched term buckets rewrite; df recomputes
+    // from the kept postings; doclen/stats refresh), then probe. The
+    // oracle computes ad-hoc BM25 over the SURVIVING corpus only — the
+    // purged index must reproduce it exactly, idf/avgdl shifts
+    // included.
+    "q_bm25_delete" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft-bm25-del", dir)
+      val d = docs(s, dir)
+      TextIndex.writeBm25Index(d, "doc_id", "text", base, nBuckets = 16)
+      TextIndex.deleteFromBm25Index(
+        d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), base)
+      TextIndex.purgeBm25Tombstones(s, base)
+      bm25RankHead(
+          TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream")),
+          "doc_id")
+        .select(col("rank"), col("doc_id"), col("matched_terms"),
+          col("matched_tf"), col("score_r9"))
+    }),
+
     // HYBRID retrieval — sparse BM25 + dense cosine fused by
     // reciprocal-rank fusion (TextIndex.rrfFuse; Cormack et al. 2009):
     // the production RAG retrieval shape. Both lists are top-20
@@ -576,15 +598,17 @@ object TextQueries {
     raw"""list_transform(range(0, 12), seed ->
          |  list_min(list_transform(__sh, s -> md5(CAST(seed AS VARCHAR) || ':' || s))))""".stripMargin
 
-  /** Full-corpus ad-hoc BM25 top-10 — the shared oracle for every
-    * index-served path (q_bm25_index, q_bm25_append): identical math
-    * to q_bm25's oracle, ranked at the 1e-9 rounding contract. */
-  private val bm25FullCorpusOracle: String =
+  /** Ad-hoc BM25 top-10 over `documents` restricted by `where` — the
+    * shared oracle for every index-served path (q_bm25_index,
+    * q_bm25_append over the full corpus; q_bm25_delete over the
+    * survivors): identical math to q_bm25's oracle, ranked at the
+    * 1e-9 rounding contract. */
+  private def bm25CorpusOracle(where: String): String =
     raw"""WITH toks AS (
          |  SELECT doc_id,
          |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
          |           t -> len(t) > 0)) AS term
-         |  FROM documents),
+         |  FROM documents $where),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
          |stats AS (SELECT COUNT(*) AS n_docs, avg(dl) AS avgdl FROM dl),
          |tf AS (
@@ -1015,16 +1039,20 @@ object TextQueries {
            |ORDER BY doc_id, rank""".stripMargin,
 
     "q_bm25" ->
-      bm25FullCorpusOracle,
+      bm25CorpusOracle(""),
 
     // identical computation to q_bm25 — the INDEXED path must reproduce
     // the ad-hoc numbers bit-for-bit (rounded to 1e-9 at the contract
     // boundary like q_bm25)
-    "q_bm25_index" -> bm25FullCorpusOracle,
+    "q_bm25_index" -> bm25CorpusOracle(""),
 
     // identical oracle again: an APPENDED index must answer exactly
     // like the full-corpus computation — the whole point of the op
-    "q_bm25_append" -> bm25FullCorpusOracle,
+    "q_bm25_append" -> bm25CorpusOracle(""),
+
+    // after delete + purge, the index must answer EXACTLY like a
+    // rebuild over the surviving corpus — same math, survivors only
+    "q_bm25_delete" -> bm25CorpusOracle("WHERE doc_id % 5 <> 0"),
 
     // hybrid RRF: the BM25 CTEs of q_bm25 (top-20) + the exact-cosine
     // CTEs of q_cosine_topk pinned to query vector 0 (top-20), fused

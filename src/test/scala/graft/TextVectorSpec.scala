@@ -704,6 +704,46 @@ class TextVectorSpec extends SparkSpec {
       (3L, 1L, r9(1.0 / 62))))
   }
 
+  test("BM25 delete: tombstoned docs leave results at once; purge == rebuild over survivors; oversize set fails loudly") {
+    import spark.implicits._
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val terms = Seq("hash", "join", "stream")
+    val pDel = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    val pSurv = java.nio.file.Files.createTempDirectory("graft-bm25-srv").toString
+    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", pDel, nBuckets = 16)
+    val doomed = d.filter($"doc_id" % 5 === 0).select($"doc_id")
+    graft.ops.TextIndex.deleteFromBm25Index(doomed, pDel)
+    def probeRows(p: String) = graft.ops.TextIndex.probeBm25Index(spark, p, terms)
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        round(col("score"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // PRE-purge: deletion is immediate for RESULTS (no tombstoned id
+    // returns) even though df/n_docs/avgdl are stale by contract
+    val prePurge = probeRows(pDel)
+    assert(prePurge.nonEmpty && prePurge.forall(_._1 % 5 != 0),
+      "tombstoned doc returned before purge")
+    // an over-accumulated tombstone set refuses with the purge hint
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.TextIndex.probeBm25Index(spark, pDel, terms,
+        maxTombstoneRows = 3).collect()
+    }
+    assert(ex.getMessage.contains("purgeBm25Tombstones"))
+    // POST-purge: exact equality with a from-scratch rebuild over the
+    // survivors — idf/avgdl shifts included (1e-9 contract on avgdl)
+    val rewritten = graft.ops.TextIndex.purgeBm25Tombstones(spark, pDel)
+    assert(rewritten > 0)
+    graft.ops.TextIndex.writeBm25Index(d.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", pSurv, nBuckets = 16)
+    assert(probeRows(pDel).toSet === probeRows(pSurv).toSet)
+    // purge is idempotent and a no-op with no tombstones
+    assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, pDel) === 0)
+    // deleting ids absent from the index is a no-op
+    graft.ops.TextIndex.deleteFromBm25Index(
+      Seq(999999L).toDF("doc_id"), pDel)
+    graft.ops.TextIndex.purgeBm25Tombstones(spark, pDel)
+    assert(probeRows(pDel).toSet === probeRows(pSurv).toSet)
+  }
+
   test("BM25 index append: probes == full rebuild; untouched buckets keep their files") {
     import spark.implicits._
     val d = schema.Tables.load(spark, sfDir, "documents")
