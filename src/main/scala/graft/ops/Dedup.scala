@@ -421,6 +421,32 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT for candidate pairs — the asymmetric
+    * measure Jaccard cannot express (Broder 1997 distinguishes
+    * resemblance from containment): c(a→b) = |A ∩ B| / |A| is high
+    * when a is a QUOTE/SUBSET of b even when b is much larger and the
+    * Jaccard is tiny — the partial-duplicate and quotation detector a
+    * training corpus needs beside whole-document near-dup. One pass
+    * emits both directions AND the Jaccard, so a single candidate join
+    * serves both policies. Divisions are int/int — bit-identical
+    * cross-engine with no rounding step; the shingle kernel's
+    * short-text fallback (one whole-text shingle) keeps |A| >= 1. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("contain_a_in_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_b"))).as("contain_b_in_a"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
   // ---- SimHash near-dup ----
 
   /** Pairs + skew side-output of the SimHash candidate generation —

@@ -335,6 +335,25 @@ object TextQueries {
         .orderBy(col("id_a"))
     }),
 
+    // Asymmetric n-gram CONTAINMENT (Dedup.ngramContainment — Broder's
+    // containment beside the resemblance q_ngram_jaccard measures):
+    // each doc pairs with its own 15-token SNIPPET — a planted quote.
+    // contain_a_in_b must be 1.0 (every snippet shingle occurs in the
+    // full doc) while the Jaccard is small — exactly the partial-dup
+    // signal whole-document similarity misses. int/int divisions,
+    // bit-identical cross-engine.
+    "q_ngram_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val snippet = array_join(
+        slice(split(trim(lower(col("text"))), "\\s+"), 1, 15), " ")
+      val corp = d.select((col("doc_id") * 2).as("id"), snippet.as("text"))
+        .unionByName(d.select((col("doc_id") * 2 + 1).as("id"), col("text")))
+      val pairs = d.select((col("doc_id") * 2).as("id_a"),
+        (col("doc_id") * 2 + 1).as("id_b"))
+      Dedup.ngramContainment(corp, "id", "text", pairs, 3)
+        .orderBy(col("id_a"))
+    }),
+
     // TF-IDF top terms per document: explode tokens → document
     // frequency → idf join → top-3 terms per doc by tf·idf. The df table
     // is tiny relative to the corpus (vocabulary-sized) and broadcasts;
@@ -1021,6 +1040,35 @@ object TextQueries {
            |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
            |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
            |ORDER BY id_a""".stripMargin,
+
+    // same shingle algebra over the snippet⊂doc corpus; the planted
+    // containment (== 1.0) and the small jaccard come out of the same
+    // intersect/size arithmetic
+    "q_ngram_containment" ->
+      raw"""WITH base AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),
+           |corp AS (
+           |  SELECT doc_id * 2 AS id,
+           |    array_to_string((regexp_split_to_array(lt, '\s+'))[1:15], ' ') AS text
+           |  FROM base
+           |  UNION ALL
+           |  SELECT doc_id * 2 + 1, lt FROM base),
+           |tok AS (SELECT id,
+           |  regexp_split_to_array(trim(lower(text)), '\s+') AS __t FROM corp),
+           |sh AS (SELECT id, $shingles3 AS sh FROM tok)
+           |SELECT p.id_a, p.id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(a.sh) AS contain_a_in_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(b.sh) AS contain_b_in_a,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           |FROM (SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b
+           |      FROM documents) p
+           |JOIN sh a ON a.id = p.id_a
+           |JOIN sh b ON b.id = p.id_b
+           |ORDER BY id_a""".stripMargin,
+
     "q_tfidf_top_terms" ->
       raw"""WITH toks AS (
            |  SELECT doc_id,

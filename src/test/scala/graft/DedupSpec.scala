@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpec {
     assert(cap === noCap)
   }
 
+  test("ngramContainment: a quote inside a larger doc scores containment 1.0 with small jaccard; directions are asymmetric") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d e q r s t u v w"),
+      (3L, "totally different words entirely")).toDF("id", "text")
+    val out = Dedup.ngramContainment(docs, "id", "text",
+        Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._2)
+    // doc 1 has 3 shingles, all inside doc 2 (12 shingles): full
+    // containment one way, 3/12 the other, jaccard 3/12
+    assert(out(0) === ((1L, 2L, 3L, 1.0, 3.0 / 12, 3.0 / 12)))
+    // disjoint docs: zero everywhere
+    assert(out(1)._3 === 0L && out(1)._4 === 0.0 && out(1)._6 === 0.0)
+  }
+
   test("connectedComponents: STRING ids converge exactly (type-agnostic convergence test)") {
     // a diameter-3 chain a-b-c-d: the old sum(rep cast decimal)
     // convergence test cast string reps to NULL, saw ZERO every round,
