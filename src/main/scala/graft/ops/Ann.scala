@@ -647,20 +647,14 @@ object Ann {
     // a named failure pointing at purgeIvfTombstones instead of a
     // driver OOM deep inside the probe job.
     val lists =
-      if (hasTombstones(spark, path))
+      if (Tombstones.exists(spark, path))
         raw.join(broadcast(Guard.broadcastSmall(
-          spark.read.parquet(s"$path/tombstones").select(col("nid")),
+          Tombstones.read(spark, path, "nid"),
           s"IVF tombstone set at $path/tombstones (run purgeIvfTombstones " +
             "to compact accumulated deletes)",
           maxTombstoneRows)), Seq("nid"), "left_anti")
       else raw
     (probes, lists)
-  }
-
-  private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Logical delete from a persisted IVF/SQ8/PQ layout — the
@@ -673,8 +667,7 @@ object Ann {
     * not present in the index is a no-op (the anti join simply never
     * matches). */
   def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
-    ids.select(col("nid"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    Tombstones.append(ids, "nid", path)
 
   /** Physically apply accumulated tombstones: one columnar (nid, cid)
     * scan over the lists finds the touched partitions (bounded cid
@@ -685,13 +678,13 @@ object Ann {
     * slate. Returns the number of partitions rewritten. */
   def purgeIvfTombstones(spark: org.apache.spark.sql.SparkSession,
                          path: String): Int = {
-    if (!hasTombstones(spark, path)) return 0
+    if (!Tombstones.exists(spark, path)) return 0
     // NO broadcast hint: this is the remediation path for an
     // over-accumulated tombstone set — the one input guaranteed to be
     // large exactly when this function is needed most; a forced
     // broadcast would die on the size cap while probes refuse. AQE
     // broadcasts it when actually small.
-    val tomb = spark.read.parquet(s"$path/tombstones").select(col("nid"))
+    val tomb = Tombstones.read(spark, path, "nid")
     val touched = spark.read.parquet(s"$path/lists")
       .join(tomb, Seq("nid"), "left_semi")
       .select(col("cid").cast("long")).distinct().collect().map(_.getLong(0))
@@ -710,14 +703,10 @@ object Ann {
       // drop those explicitly
       val keptCids = kept.select(col("cid").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(s"$path/lists")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(keptCids).foreach { cid =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/lists/cid=$cid"), true)
-      }
+      Tombstones.dropPartitionDirs(spark, s"$path/lists",
+        touched.filterNot(keptCids).map(cid => s"cid=$cid"))
     }
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Tombstones.clear(spark, path)
     touched.length
   }
 

@@ -246,14 +246,20 @@ object Curation {
   }
 
   /** Registered-domain heuristic from a CANONICAL url ([[normalizeUrl]]
-    * output): the last two host labels, port ignored. A real pipeline
-    * swaps in the public-suffix list (co.uk et al.); offline, the
-    * two-label form is the documented approximation — state it at the
-    * consumer, don't pretend PSL semantics. NULL for NULL urls. */
+    * output): the last two host labels, with userinfo ("alice@") and
+    * port stripped off the authority first — without the userinfo
+    * strip, "https://alice@example.com/" would yield
+    * "alice@example.com" and the same page fetched with and without
+    * credentials would land in different quota buckets. A real
+    * pipeline swaps in the public-suffix list (co.uk et al.); offline,
+    * the two-label form is the documented approximation — state it at
+    * the consumer, don't pretend PSL semantics. NULL for NULL urls and
+    * dot-less hosts. */
   def registeredDomain(canonicalUrl: Column): Column = {
-    val host = regexp_extract(canonicalUrl, UrlPattern, 2)
-    val noPort = regexp_replace(host, ":[0-9]+$", "")
-    nullif(regexp_extract(noPort, "([^.]+\\.[^.]+)$", 1), lit(""))
+    val auth = regexp_extract(canonicalUrl, UrlPattern, 2)
+    val host = regexp_replace(regexp_replace(auth, "^[^@]*@", ""),
+      ":[0-9]+$", "")
+    nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
   }
 
   /** Per-key quota — domain caps, per-source ceilings: keep at most
@@ -272,6 +278,11 @@ object Curation {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(keyCols.forall(df.columns.contains),
       s"key columns ${keyCols.filterNot(df.columns.contains).mkString(", ")} absent")
+    val reserved = keyCols.map(c => s"__qc_$c") :+ "__qc_id"
+    val clashes = reserved.filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"columns ${clashes.mkString(", ")} are reserved by quotaCap's " +
+        "survivor join — rename the input's")
     val topN = column(graft.expr.catalyst.TopKByScore(
       expression(struct(scoreCol.cast("double"), idCol.cast("long"))), n)
       .toAggregateExpression())

@@ -145,12 +145,6 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** BM25-score `qTerms` against the stored index: returns
-    * (doc_id, matched_terms, matched_tf, score) for every doc matching
-    * at least one term — identical numbers to the ad-hoc computation on
-    * the same corpus (spec + oracle-asserted). The probed term buckets
-    * are collected to the driver (≤ |qTerms| ints — bounded-scalar
-    * posture) and pushed as a literal partition filter. */
   /** Logical delete from a [[writeBm25Index]] layout — the
     * right-to-erasure maintenance op for the text index, mirroring
     * [[Ann.deleteFromIvfIndex]]: ids append to a tombstone table and
@@ -162,13 +156,7 @@ object TextIndex {
     * approximated: scores of the SURVIVING docs are exact again after
     * purge. Deleting ids not in the index is a no-op. */
   def deleteFromBm25Index(ids: DataFrame, path: String): Unit =
-    ids.select(col("doc_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
-
-  private def hasBm25Tombstones(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+    Tombstones.append(ids, "doc_id", path)
 
   /** Physically apply accumulated tombstones: one (doc_id, tb)
     * columnar scan finds the touched TERM buckets (bounded collect —
@@ -186,32 +174,47 @@ object TextIndex {
     * the purge is SAFE here (anti-joins and recomputes are idempotent)
     * but interleaving it with a concurrent append is not. */
   def purgeBm25Tombstones(spark: SparkSession, path: String): Int = {
-    if (!hasBm25Tombstones(spark, path)) return 0
+    if (!Tombstones.exists(spark, path)) return 0
     val tomb = Reliable.checkpoint(
-      spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct())
+      Tombstones.read(spark, path, "doc_id").distinct())
     val touched = spark.read.parquet(s"$path/postings")
       .join(tomb, Seq("doc_id"), "left_semi")
       .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
-      val kept = Reliable.checkpoint(
-        spark.read.parquet(s"$path/postings")
-          .filter(col("tb").isin(touched: _*))
-          .join(tomb, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("term"), col("tf"), col("tb")))
-      Scale.withDynamicOverwrite(spark) {
-        kept.repartition(col("tb"))
-          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-      }
-      // df from the KEPT rows (already materialized — never re-read the
-      // directory the overwrite above just rewrote)
-      val mergedTerms = Reliable.checkpoint(
-        kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")))
-      Scale.withDynamicOverwrite(spark) {
-        mergedTerms.select(col("term"), col("df"), col("tb"))
-          .repartition(col("tb"))
-          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
-      }
+    if (touched.isEmpty) {
+      // no tombstoned id is in the index (doclen derives from postings,
+      // so it cannot hold orphans either): the purge is a pure no-op —
+      // reset the table without paying the corpus-sized doclen rewrite
+      Tombstones.clear(spark, path)
+      return 0
     }
+    val kept = Reliable.checkpoint(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(touched: _*))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("term"), col("tf"), col("tb")))
+    Scale.withDynamicOverwrite(spark) {
+      kept.repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    }
+    // df from the KEPT rows (already materialized — never re-read the
+    // directory the overwrite above just rewrote)
+    val mergedTerms = Reliable.checkpoint(
+      kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")))
+    Scale.withDynamicOverwrite(spark) {
+      mergedTerms.select(col("term"), col("df"), col("tb"))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+    }
+    // a FULLY-tombstoned bucket has no kept rows, so the dynamic
+    // overwrite above never replaces its directory — drop those
+    // explicitly in BOTH layouts, or the deleted docs' rows would
+    // outlive the tombstone table (the purgeIvfTombstones precedent;
+    // right-to-erasure violated silently otherwise)
+    val keptTbs = kept.select(col("tb").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(keptTbs).map(tb => s"tb=$tb")
+    Tombstones.dropPartitionDirs(spark, s"$path/postings", emptied)
+    Tombstones.dropPartitionDirs(spark, s"$path/terms", emptied)
     // doclen: materialize the survivors before overwriting their source
     // dir (narrow (id, long) rows — reliable-checkpointed to disk, not
     // memory, so a billion-doc index still purges)
@@ -224,11 +227,16 @@ object TextIndex {
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    Tombstones.clear(spark, path)
     touched.length
   }
 
+  /** BM25-score `qTerms` against the stored index: returns
+    * (doc_id, matched_terms, matched_tf, score) for every doc matching
+    * at least one term — identical numbers to the ad-hoc computation on
+    * the same corpus (spec + oracle-asserted). The probed term buckets
+    * are collected to the driver (≤ |qTerms| ints — bounded-scalar
+    * posture) and pushed as a literal partition filter. */
   def probeBm25Index(spark: SparkSession, path: String, qTerms0: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75,
                      maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
@@ -253,9 +261,9 @@ object TextIndex {
     // the broadcastSmall rail turns an over-accumulated delete set into
     // a named failure pointing at the purge, not a driver OOM
     val tombAnti: DataFrame => DataFrame =
-      if (hasBm25Tombstones(spark, path)) {
+      if (Tombstones.exists(spark, path)) {
         val tomb = broadcast(Guard.broadcastSmall(
-          spark.read.parquet(s"$path/tombstones").select(col("doc_id")),
+          Tombstones.read(spark, path, "doc_id"),
           s"BM25 tombstone set at $path/tombstones (run purgeBm25Tombstones " +
             "to compact accumulated deletes)",
           maxTombstoneRows))

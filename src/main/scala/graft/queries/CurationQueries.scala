@@ -28,10 +28,6 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").repartition(col("doc_id"))
 
-  /** Unrailed twin for queries whose scan-side work is a fused codegen
-    * kernel or an immediate aggregation (the BPE pair): there the
-    * extra exchange is pure tax — measured +0.4 s on q_bpe_encode —
-    * exactly the TextQueries.docs reasoning. */
   /** Deterministic dirty-URL fixture shared by the q_url_* family:
     * mixed-case scheme and host, default ports, tracking params,
     * out-of-order params, fragments — every rule [[graft.ops.Curation
@@ -59,6 +55,10 @@ object CurationQueries {
         when(d % 4 === 2, lit("#frag")).otherwise(lit(""))).as("url"))
   }
 
+  /** Unrailed twin for queries whose scan-side work is a fused codegen
+    * kernel or an immediate aggregation (the BPE pair): there the
+    * extra exchange is pure tax — measured +0.4 s on q_bpe_encode —
+    * exactly the TextQueries.docs reasoning. */
   private def docsRaw(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -742,9 +742,9 @@ object CurationQueries {
     * [[graft.ops.Curation.registeredDomain]] heuristic. */
   private val domainSql: String = {
     val pat = graft.ops.Curation.UrlPattern
-    raw"""nullif(regexp_extract(regexp_replace(
-         |  regexp_extract(url_norm, '$pat', 2), ':[0-9]+$$', ''),
-         |  '([^.]+\.[^.]+)$$', 1), '')""".stripMargin
+    raw"""nullif(regexp_extract(regexp_replace(regexp_replace(
+         |  regexp_extract(url_norm, '$pat', 2), '^[^@]*@', ''),
+         |  ':[0-9]+$$', ''), '([^.]+\.[^.]+)$$', 1), '')""".stripMargin
   }
 
   private val toks =

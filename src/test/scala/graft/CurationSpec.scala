@@ -702,6 +702,10 @@ class CurationSpec extends SparkSpec {
       ("https://cdn.src1.com/Docs/7?a=1", "src1.com"),
       ("https://a.b.c.deep.example.org/", "example.org"),
       ("https://h.io:8443/x", "h.io"),
+      // userinfo strips BEFORE label extraction: the same page fetched
+      // with and without credentials must share a quota bucket
+      ("https://alice@example.com/x", "example.com"),
+      ("https://alice.smith@sub.example.com/x", "example.com"),
       ("https://localhost/x", null),           // no dot -> no 2-label domain
       (null, null))
     val out = cases.map(c => Tuple1(c._1)).toDF("u")

@@ -742,6 +742,22 @@ class TextVectorSpec extends SparkSpec {
       Seq(999999L).toDF("doc_id"), pDel)
     graft.ops.TextIndex.purgeBm25Tombstones(spark, pDel)
     assert(probeRows(pDel).toSet === probeRows(pSurv).toSet)
+
+    // fully-tombstoned bucket: dynamic overwrite cannot replace a
+    // partition with zero kept rows, so purge must DROP the emptied
+    // tb dirs explicitly — otherwise the deleted docs' postings/terms
+    // rows outlive the tombstone table (right-to-erasure violated)
+    val pAll = java.nio.file.Files.createTempDirectory("graft-bm25-all").toString
+    val tiny = Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text")
+    graft.ops.TextIndex.writeBm25Index(tiny, "doc_id", "text", pAll, nBuckets = 4)
+    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L, 2L).toDF("doc_id"), pAll)
+    assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, pAll) > 0)
+    def rowsIn(sub: String): Long =
+      try spark.read.parquet(s"$pAll/$sub").count() catch { case _: Throwable => 0L }
+    assert(rowsIn("postings") === 0L,
+      "fully-tombstoned postings rows survived purge")
+    assert(rowsIn("terms") === 0L, "fully-tombstoned df rows survived purge")
+    assert(rowsIn("doclen") === 0L)
   }
 
   test("BM25 index append: probes == full rebuild; untouched buckets keep their files") {
