@@ -85,7 +85,11 @@ object ScaleSmoke {
     // round-10 additions: the incremental components absorb (CC-shaped
     // — both the seed and the contracted iteration must stay sub-
     // linear) and the distribution-privacy pair
-    "q_incr_components", "q_t_closeness", "q_t_closeness_ord")
+    "q_incr_components", "q_t_closeness", "q_t_closeness_ord",
+    // round-11 additions: the composed privacy release, the BM25
+    // delete+purge lifecycle (touched-bucket rewrite must stay
+    // bounded), and the URL/domain curation pair
+    "q_privacy_e2e", "q_bm25_delete", "q_url_dedup", "q_domain_cap")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
