@@ -171,8 +171,13 @@ object TextIndex {
     *
     * ATOMICITY: same multi-step contract as [[appendToBm25Index]] — a
     * crash mid-purge leaves the directories inconsistent; re-running
-    * the purge is SAFE here (anti-joins and recomputes are idempotent)
-    * but interleaving it with a concurrent append is not. */
+    * the purge is SAFE here (anti-joins and recomputes are idempotent,
+    * and a re-run whose tombstones no longer match any postings still
+    * performs the doclen/stats recovery when doclen holds tombstoned
+    * ids — spec-pinned) but interleaving it with a concurrent append
+    * is not. A purge that deletes the LAST document removes the index
+    * layout entirely (an empty partitioned parquet table cannot exist
+    * on disk); rebuild with [[writeBm25Index]]. */
   def purgeBm25Tombstones(spark: SparkSession, path: String): Int = {
     if (!Tombstones.exists(spark, path)) return 0
     val tomb = Reliable.checkpoint(
@@ -181,11 +186,18 @@ object TextIndex {
       .join(tomb, Seq("doc_id"), "left_semi")
       .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) {
-      // no tombstoned id is in the index (doclen derives from postings,
-      // so it cannot hold orphans either): the purge is a pure no-op —
-      // reset the table without paying the corpus-sized doclen rewrite
-      Tombstones.clear(spark, path)
-      return 0
+      // no tombstoned id has postings — either a genuine no-op (ids
+      // never indexed) or the RE-RUN of a purge that crashed after the
+      // postings/terms rewrites but before the doclen/stats steps (the
+      // window the scaladoc promises is safe to re-run). Only skip the
+      // corpus-sized doclen rewrite when doclen holds no tombstoned id
+      // either; otherwise fall through to the recovery below.
+      val doclenDirty = spark.read.parquet(s"$path/doclen")
+        .join(tomb, Seq("doc_id"), "left_semi").limit(1).count() > 0
+      if (!doclenDirty) {
+        Tombstones.clear(spark, path)
+        return 0
+      }
     }
     val kept = Reliable.checkpoint(
       spark.read.parquet(s"$path/postings")
@@ -215,6 +227,23 @@ object TextIndex {
     val emptied = touched.filterNot(keptTbs).map(tb => s"tb=$tb")
     Tombstones.dropPartitionDirs(spark, s"$path/postings", emptied)
     Tombstones.dropPartitionDirs(spark, s"$path/terms", emptied)
+    // a purge that erased the LAST partition would leave a parquet dir
+    // with no data files — unreadable by schema inference and
+    // un-appendable (an empty PARTITIONED table cannot be represented
+    // on disk). An all-deleted index is indistinguishable from one
+    // never built, so the layout itself is removed; rebuild with
+    // [[writeBm25Index]] when documents arrive again. Checked on the
+    // filesystem, not via keptTbs: untouched buckets may still hold
+    // surviving docs.
+    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val pfs = postingsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyPartitionLeft = pfs.exists(postingsDir) &&
+      pfs.listStatus(postingsDir).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("tb="))
+    if (!anyPartitionLeft) {
+      pfs.delete(new org.apache.hadoop.fs.Path(path), true)
+      return touched.length
+    }
     // doclen: materialize the survivors before overwriting their source
     // dir (narrow (id, long) rows — reliable-checkpointed to disk, not
     // memory, so a billion-doc index still purges)

@@ -743,21 +743,48 @@ class TextVectorSpec extends SparkSpec {
     graft.ops.TextIndex.purgeBm25Tombstones(spark, pDel)
     assert(probeRows(pDel).toSet === probeRows(pSurv).toSet)
 
-    // fully-tombstoned bucket: dynamic overwrite cannot replace a
-    // partition with zero kept rows, so purge must DROP the emptied
-    // tb dirs explicitly — otherwise the deleted docs' postings/terms
-    // rows outlive the tombstone table (right-to-erasure violated)
+    // fully-tombstoned bucket with SURVIVORS elsewhere: the emptied tb
+    // dirs must drop (or the deleted docs' rows outlive the tombstone
+    // table — right-to-erasure violated) while untouched buckets keep
+    // serving; probe proves both at once
     val pAll = java.nio.file.Files.createTempDirectory("graft-bm25-all").toString
     val tiny = Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text")
     graft.ops.TextIndex.writeBm25Index(tiny, "doc_id", "text", pAll, nBuckets = 4)
-    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L, 2L).toDF("doc_id"), pAll)
+    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), pAll)
     assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, pAll) > 0)
-    def rowsIn(sub: String): Long =
-      try spark.read.parquet(s"$pAll/$sub").count() catch { case _: Throwable => 0L }
-    assert(rowsIn("postings") === 0L,
-      "fully-tombstoned postings rows survived purge")
-    assert(rowsIn("terms") === 0L, "fully-tombstoned df rows survived purge")
-    assert(rowsIn("doclen") === 0L)
+    val afterOne = spark.read.parquet(s"$pAll/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(afterOne === Set(2L), s"doc 1 rows must be physically gone: $afterOne")
+    assert(spark.read.parquet(s"$pAll/doclen").count() === 1L)
+    // deleting the LAST document removes the layout entirely — an
+    // empty PARTITIONED parquet table cannot exist on disk, and a
+    // dir of bare _SUCCESS files would brick probe and append
+    graft.ops.TextIndex.deleteFromBm25Index(Seq(2L).toDF("doc_id"), pAll)
+    assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, pAll) > 0)
+    assert(!new java.io.File(pAll, "postings").exists(),
+      "an all-deleted index must remove its layout, not strand unreadable dirs")
+
+    // crash-recovery re-run: simulate a purge that died AFTER the
+    // postings/terms rewrites (doc 1's postings already gone) but
+    // BEFORE the doclen/stats steps — the re-run's tombstones match no
+    // postings row, yet it must still scrub doclen and stats
+    val pCr = java.nio.file.Files.createTempDirectory("graft-bm25-cr").toString
+    graft.ops.TextIndex.writeBm25Index(
+      Seq((1L, "aaa bbb"), (2L, "ccc ddd eee")).toDF("doc_id", "text"),
+      "doc_id", "text", pCr, nBuckets = 4)
+    val survivorRows = spark.read.parquet(s"$pCr/postings")
+      .filter($"doc_id" =!= 1L).collect()
+    val postingsSchema = spark.read.parquet(s"$pCr/postings").schema
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(survivorRows: _*)),
+        postingsSchema)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$pCr/postings")
+    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), pCr)
+    graft.ops.TextIndex.purgeBm25Tombstones(spark, pCr)
+    assert(spark.read.parquet(s"$pCr/doclen")
+      .filter($"doc_id" === 1L).count() === 0L,
+      "re-run purge must scrub the crashed run's stranded doclen rows")
+    assert(spark.read.parquet(s"$pCr/stats").select("n_docs").first().getLong(0) === 1L)
   }
 
   test("BM25 index append: probes == full rebuild; untouched buckets keep their files") {
