@@ -647,12 +647,15 @@ object SimilarityQueries {
     * cosine and counts hits against the brute-force top-k (`truth` —
     * the q_cosine_topk restatement). The per-depth blocks differ only
     * in the literal p, so a Spark/oracle mismatch at any single depth
-    * flags the exact sweep point that regressed. */
+    * flags the exact sweep point that regressed. `n_hits` must be cast
+    * to BIGINT: DuckDB types SUM(int) as HUGEINT, which downstream
+    * readers materialize as float64 (`38.0` vs Spark's `38`). */
   private def ivfSweepOracleSql(k: Int, probes: Seq[Int]): String = {
     val perP = probes.map { p =>
       s"""SELECT CAST($p AS BIGINT) AS nprobe,
          |  COUNT(*) AS n_returned,
-         |  COALESCE(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hits
+         |  CAST(COALESCE(SUM(CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_hits
          |FROM (
          |  SELECT qid, nid FROM (
          |    SELECT s.qid, s.nid,

@@ -25,6 +25,50 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_family(df: pd.DataFrame, c: str) -> str:
+    """Coarse per-column type family for the driver-predictive dtype gate.
+    The driver's hash is type-sensitive (DuckDB HUGEINT reaches pandas as
+    float64, Spark BIGINT as int64 — same values, different hash), so an
+    int-vs-float column divergence must FAIL here even when every value
+    compares equal numerically."""
+    dt = df[c].dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    # object column: classify by the first non-null python value
+    s = df[c]
+    for v in s:
+        try:
+            if v is None or (not isinstance(v, (list, tuple, dict)) and pd.isna(v)):
+                continue
+        except (TypeError, ValueError):
+            pass
+        import decimal
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        if isinstance(v, dict):
+            return "struct"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "array"
+        return type(v).__name__
+    return "null"  # entirely-null column: compatible with anything
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -96,11 +140,32 @@ def main():
                 oracle_rows=len(expected), err="row count mismatch")
             n_fail += 1
             continue
+        # driver-predictive dtype-family gate: the driver hashes typed
+        # values, so int-vs-float (HUGEINT!) or decimal-vs-double columns
+        # diverge there even when numerically equal here.
+        fam_bad = None
+        for c in expected.columns:
+            fe, fg = dtype_family(expected, c), dtype_family(got, c)
+            if fe != fg and "null" not in (fe, fg):
+                fam_bad = (c, fe, fg)
+                break
+        if fam_bad:
+            c, fe, fg = fam_bad
+            print(f"FAIL {name}: col {c} dtype family: oracle={fe} got={fg}")
+            rec(name, rows_match=True, schema_match=True,
+                spark_rows=len(got), oracle_rows=len(expected),
+                err=f"dtype family mismatch col {c}: oracle={fe} spark={fg}")
+            n_fail += 1
+            continue
+        # NB: column-first indexing (df[c].iloc[i]) everywhere below —
+        # row-first (df.iloc[i][c]) builds a row Series that upcasts
+        # mixed int/float rows to a common dtype, erasing exactly the
+        # per-column type divergence the strict checks exist to catch.
         bad = None
         for i in range(len(expected)):
             for c in expected.columns:
-                if not values_equal(expected.iloc[i][c], got.iloc[i][c]):
-                    bad = (i, c, expected.iloc[i][c], got.iloc[i][c])
+                if not values_equal(expected[c].iloc[i], got[c].iloc[i]):
+                    bad = (i, c, expected[c].iloc[i], got[c].iloc[i])
                     break
             if bad:
                 break
@@ -116,10 +181,23 @@ def main():
         # strict hash-style check (mirrors the driver's hash_match): cell
         # repr AND python type must agree — Decimal('1.00') vs 1.0 fails
         # here even though values_equal accepts it.
+        # Integer WIDTH is driver-neutral (Spark INT vs DuckDB BIGINT both
+        # hash as the integer value) — canonicalize numpy ints/bools to
+        # python natives so only genuine type-family or value divergence
+        # (int-vs-float, Decimal-vs-float, repr drift) fails.
+        def canon(x):
+            import numpy as np
+            if isinstance(x, np.bool_):
+                return bool(x)
+            if isinstance(x, np.integer):
+                return int(x)
+            if isinstance(x, np.float64):
+                return float(x)
+            return x
         strict_bad = None
         for i in range(len(expected)):
             for c in expected.columns:
-                e, g = expected.iloc[i][c], got.iloc[i][c]
+                e, g = canon(expected[c].iloc[i]), canon(got[c].iloc[i])
                 try:
                     both_na = pd.isna(e) and pd.isna(g)
                 except (TypeError, ValueError):
