@@ -613,14 +613,19 @@ object Ann {
                              trainIters: Int,
                              centroidsOverride: Option[DataFrame])(
       project: DataFrame => DataFrame): Unit = {
-    val cents = centroidsOverride.getOrElse(
-      if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
-      else seedCentroids(corpus, nLists))
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    project(nearestLists(cents,
-        corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // the full rebuild is the documented crash-remediation path: a
+    // stale lock left by a crashed append/delete/purge must not block it
+    IndexLock.clearStale(corpus.sparkSession, path)
+    IndexLock.withLock(corpus.sparkSession, path, "writeIvfIndex") {
+      val cents = centroidsOverride.getOrElse(
+        if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
+        else seedCentroids(corpus, nLists))
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      project(nearestLists(cents,
+          corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    }
   }
 
   /** Shared probe front half: assign queries to their nProbe nearest
@@ -667,7 +672,9 @@ object Ann {
     * not present in the index is a no-op (the anti join simply never
     * matches). */
   def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
-    Tombstones.append(ids, "nid", path)
+    IndexLock.withLock(ids.sparkSession, path, "deleteFromIvfIndex") {
+      Tombstones.append(ids, "nid", path)
+    }
 
   /** Physically apply accumulated tombstones: one columnar (nid, cid)
     * scan over the lists finds the touched partitions (bounded cid
@@ -677,7 +684,13 @@ object Ann {
     * purge trades a bounded rewrite for smaller probes and a clean
     * slate. Returns the number of partitions rewritten. */
   def purgeIvfTombstones(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Int = {
+                         path: String): Int =
+    IndexLock.withLock(spark, path, "purgeIvfTombstones") {
+      purgeIvfLocked(spark, path)
+    }
+
+  private def purgeIvfLocked(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Int = {
     if (!Tombstones.exists(spark, path)) return 0
     // NO broadcast hint: this is the remediation path for an
     // over-accumulated tombstone set — the one input guaranteed to be
@@ -907,13 +920,14 @@ object Ann {
     * assignment + mode=append partitioned write (new files land only in
     * the batch's cid directories; existing files are never rewritten). */
   private def appendToIvfLayout(batch: DataFrame, path: String)(
-      project: DataFrame => DataFrame): Unit = {
-    val cents = batch.sparkSession.read.parquet(s"$path/centroids")
-    project(nearestLists(cents,
-        batch.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
-      .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
-  }
+      project: DataFrame => DataFrame): Unit =
+    IndexLock.withLock(batch.sparkSession, path, "appendToIvfIndex") {
+      val cents = batch.sparkSession.read.parquet(s"$path/centroids")
+      project(nearestLists(cents,
+          batch.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+    }
 
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the
     * all-pairs cosine-threshold baseline (q_embed_neardup): candidates

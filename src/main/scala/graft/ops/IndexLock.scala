@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Exclusive-writer sentinel for the persisted index layouts (IVF
+  * vector lists, BM25 postings): append / delete / purge are multi-step
+  * directory rewrites with no cross-directory transaction, so two of
+  * them interleaved corrupt df / stats / tombstones SILENTLY (e.g. a
+  * delete appended between a purge's tombstone read and its clear is
+  * simply lost). The scaladocs have always stated the ops are not safe
+  * to interleave; this marker turns that prose contract into a loud
+  * runtime failure.
+  *
+  * Protocol: a `.graft.index.lock` marker file is created atomically
+  * under the layout root (`FileSystem.create(overwrite = false)` — the
+  * same primitive Hadoop's own output committers rely on, atomic on
+  * HDFS and POSIX; on S3-style stores it is best-effort, like every
+  * rename in this layer). Create-fail means a concurrent op holds the
+  * layout → [[IllegalStateException]] naming the holder. The lock is
+  * always released on completion OR exception; only a JVM crash can
+  * leave it behind, and the remediation path is the one the crash
+  * contracts already prescribe: a full `write*Index` rebuild, which
+  * clears any stale lock before re-locking for itself.
+  */
+private[ops] object IndexLock {
+
+  private def lockPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/.graft.index.lock")
+
+  /** Run `body` holding the layout's writer lock; loud failure if a
+    * concurrent maintenance op already holds it. */
+  def withLock[T](spark: SparkSession, path: String, op: String)(body: => T): T = {
+    val lock = lockPath(path)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in).mkString finally in.close()
+            } catch { case _: Exception => "unknown" }
+          throw new IllegalStateException(
+            s"index layout at $path is locked by concurrent maintenance op [$holder] — " +
+              "append/delete/purge are exclusive-writer by contract (interleaving " +
+              s"corrupts df/stats silently). If the holder crashed, remove $lock " +
+              "after confirming nothing is running, or rebuild the layout " +
+              "(writeBm25Index/writeIvfIndex clear stale locks).")
+      }
+    try out.write(s"$op@${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    try body
+    finally {
+      // the all-deleted purge removes the layout root (lock included):
+      // a missing lock here is success, not an error
+      try fs.delete(lock, false) catch { case _: Exception => () }
+    }
+  }
+
+  /** Remove a stale lock left by a crashed op — called ONLY by the full
+    * `write*Index` builders, whose mode=overwrite rewrites invalidate
+    * every prior state anyway (the documented crash remediation). */
+  def clearStale(spark: SparkSession, path: String): Unit = {
+    val lock = lockPath(path)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lock)) fs.delete(lock, false)
+  }
+}

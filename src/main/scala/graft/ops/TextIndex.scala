@@ -45,6 +45,17 @@ object TextIndex {
                      path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0)
     val spark = docs.sparkSession
+    // the full rebuild is the documented crash-remediation path: a
+    // stale lock left by a crashed op must not block it
+    IndexLock.clearStale(spark, path)
+    IndexLock.withLock(spark, path, "writeBm25Index") {
+      writeBm25Locked(docs, idCol, textCol, path, nBuckets)
+    }
+  }
+
+  private def writeBm25Locked(docs: DataFrame, idCol: String, textCol: String,
+                              path: String, nBuckets: Int): Unit = {
+    val spark = docs.sparkSession
     val t = termRows(docs, idCol, textCol)
     // one shuffle on (doc_id, term); doc lengths ride the same pass
     val postings = t.groupBy(col("doc_id"), col("term"))
@@ -101,7 +112,13 @@ object TextIndex {
     * per-batch started/committed markers, so a replay of a partial
     * append fails loudly instead of double-counting. */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                        path: String): Unit = {
+                        path: String): Unit =
+    IndexLock.withLock(docs.sparkSession, path, "appendToBm25Index") {
+      appendToBm25Locked(docs, idCol, textCol, path)
+    }
+
+  private def appendToBm25Locked(docs: DataFrame, idCol: String, textCol: String,
+                                 path: String): Unit = {
     val spark = docs.sparkSession
     val nBuckets = spark.read.parquet(s"$path/stats")
       .select(col("n_buckets")).first().getInt(0)
@@ -154,9 +171,13 @@ object TextIndex {
     * the Lucene contract (deleted docs leave results at once; doc-freq
     * decay waits for segment merge), stated here rather than silently
     * approximated: scores of the SURVIVING docs are exact again after
-    * purge. Deleting ids not in the index is a no-op. */
+    * purge. Deleting ids not in the index is a no-op. Holds the layout
+    * lock: a delete racing a purge would append its ids between the
+    * purge's tombstone read and its clear — and be silently LOST. */
   def deleteFromBm25Index(ids: DataFrame, path: String): Unit =
-    Tombstones.append(ids, "doc_id", path)
+    IndexLock.withLock(ids.sparkSession, path, "deleteFromBm25Index") {
+      Tombstones.append(ids, "doc_id", path)
+    }
 
   /** Physically apply accumulated tombstones: one (doc_id, tb)
     * columnar scan finds the touched TERM buckets (bounded collect —
@@ -171,33 +192,80 @@ object TextIndex {
     *
     * ATOMICITY: same multi-step contract as [[appendToBm25Index]] — a
     * crash mid-purge leaves the directories inconsistent; re-running
-    * the purge is SAFE here (anti-joins and recomputes are idempotent,
-    * and a re-run whose tombstones no longer match any postings still
-    * performs the doclen/stats recovery when doclen holds tombstoned
-    * ids — spec-pinned) but interleaving it with a concurrent append
-    * is not. A purge that deletes the LAST document removes the index
-    * layout entirely (an empty partitioned parquet table cannot exist
-    * on disk); rebuild with [[writeBm25Index]]. */
-  def purgeBm25Tombstones(spark: SparkSession, path: String): Int = {
+    * the purge is SAFE here: every crash window is detected and
+    * recovered on the re-run (spec-pinned per window) —
+    *  - postings rewritten, terms/doclen/stats stale → tombstones no
+    *    longer match postings but still match doclen: terms recompute
+    *    from the FULL current postings (the crashed run's touched-bucket
+    *    list is gone, so no subset can be trusted), doclen and stats
+    *    recover;
+    *  - doclen rewritten, stats stale → nothing matches anywhere, but
+    *    the stored n_docs disagrees with the doclen row count: stats
+    *    recompute;
+    *  - all partitions dropped, layout removal missed → postings root
+    *    holds no tb= dirs: the layout removal completes.
+    * Interleaving with a concurrent append/delete is refused loudly
+    * ([[IndexLock]]). A purge that deletes the LAST document removes
+    * the index layout entirely (an empty partitioned parquet table
+    * cannot exist on disk); rebuild with [[writeBm25Index]]. */
+  def purgeBm25Tombstones(spark: SparkSession, path: String): Int =
+    IndexLock.withLock(spark, path, "purgeBm25Tombstones") {
+      purgeBm25Locked(spark, path)
+    }
+
+  private def purgeBm25Locked(spark: SparkSession, path: String): Int = {
     if (!Tombstones.exists(spark, path)) return 0
-    val tomb = Reliable.checkpoint(
-      Tombstones.read(spark, path, "doc_id").distinct())
+    // crash window: every partition dropped but the layout removal
+    // missed — a postings root with no tb= dirs is unreadable (schema
+    // inference has no files); complete the removal instead of crashing
+    if (!hasPartitionDirs(spark, s"$path/postings")) {
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      return 0
+    }
+    val tomb = Reliable.checkpoint(Tombstones.read(spark, path, "doc_id"))
     val touched = spark.read.parquet(s"$path/postings")
       .join(tomb, Seq("doc_id"), "left_semi")
       .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) {
-      // no tombstoned id has postings — either a genuine no-op (ids
-      // never indexed) or the RE-RUN of a purge that crashed after the
-      // postings/terms rewrites but before the doclen/stats steps (the
-      // window the scaladoc promises is safe to re-run). Only skip the
-      // corpus-sized doclen rewrite when doclen holds no tombstoned id
-      // either; otherwise fall through to the recovery below.
+      // no tombstoned id has postings — a genuine no-op (ids never
+      // indexed) or the RE-RUN of a purge that crashed after the
+      // postings rewrite (terms/doclen/stats in unknown state).
       val doclenDirty = spark.read.parquet(s"$path/doclen")
         .join(tomb, Seq("doc_id"), "left_semi").limit(1).count() > 0
       if (!doclenDirty) {
+        // doclen clean ⟹ the crashed run (if any) got past the doclen
+        // rewrite, so only stats/ can still be stale — detectable as a
+        // stored n_docs that disagrees with the doclen row count
+        // (purge only ever REMOVES doclen rows). Recompute exactly
+        // when they disagree, so a genuine no-op stays byte-identical.
+        val nDocsStored = spark.read.parquet(s"$path/stats")
+          .select(col("n_docs")).first().getLong(0)
+        val nDocsNow = spark.read.parquet(s"$path/doclen").count()
+        if (nDocsStored != nDocsNow) recomputeStats(spark, path)
         Tombstones.clear(spark, path)
         return 0
       }
+      // CRASH RECOVERY (postings rewritten, the rest stale): the
+      // crashed run's touched-bucket list is unrecoverable, so terms/
+      // recomputes from the FULL current postings — one scan; terms is
+      // vocab-bounded, tiny next to postings — with a FULL (non-
+      // dynamic) overwrite, which also clears any orphaned
+      // fully-tombstoned bucket dirs the crashed run left in terms/.
+      val allKept = Reliable.checkpoint(
+        spark.read.parquet(s"$path/postings")
+          .select(col("doc_id"), col("term"), col("tf"), col("tb")))
+      allKept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
+      val dlRecovered = Reliable.checkpoint(
+        spark.read.parquet(s"$path/doclen")
+          .join(tomb, Seq("doc_id"), "left_anti"))
+      dlRecovered.write.mode("overwrite").parquet(s"$path/doclen")
+      recomputeStats(spark, path)
+      Tombstones.clear(spark, path)
+      return 0
     }
     val kept = Reliable.checkpoint(
       spark.read.parquet(s"$path/postings")
@@ -235,13 +303,10 @@ object TextIndex {
     // [[writeBm25Index]] when documents arrive again. Checked on the
     // filesystem, not via keptTbs: untouched buckets may still hold
     // surviving docs.
-    val postingsDir = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val pfs = postingsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyPartitionLeft = pfs.exists(postingsDir) &&
-      pfs.listStatus(postingsDir).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("tb="))
-    if (!anyPartitionLeft) {
-      pfs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!hasPartitionDirs(spark, s"$path/postings")) {
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
       return touched.length
     }
     // doclen: materialize the survivors before overwriting their source
@@ -249,15 +314,31 @@ object TextIndex {
     // memory, so a billion-doc index still purges)
     val dlKept = Reliable.checkpoint(
       spark.read.parquet(s"$path/doclen").join(tomb, Seq("doc_id"), "left_anti"))
+    dlKept.write.mode("overwrite").parquet(s"$path/doclen")
+    recomputeStats(spark, path)
+    Tombstones.clear(spark, path)
+    touched.length
+  }
+
+  /** True iff the partitioned parquet root at `tablePath` holds at
+    * least one `tb=` partition directory (an empty partitioned table
+    * cannot be represented on disk — see the purge contract). */
+  private def hasPartitionDirs(spark: SparkSession, tablePath: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("tb="))
+  }
+
+  /** Recompute `stats/` from the current `doclen/` (one narrow columnar
+    * scan), preserving the stored bucketing fan-out. */
+  private def recomputeStats(spark: SparkSession, path: String): Unit = {
     val nBuckets = spark.read.parquet(s"$path/stats")
       .select(col("n_buckets")).first().getInt(0)
-    dlKept.write.mode("overwrite").parquet(s"$path/doclen")
     spark.read.parquet(s"$path/doclen")
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         lit(nBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    Tombstones.clear(spark, path)
-    touched.length
   }
 
   /** BM25-score `qTerms` against the stored index: returns

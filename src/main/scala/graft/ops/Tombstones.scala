@@ -24,8 +24,13 @@ private[ops] object Tombstones {
     ids.select(col(idCol))
       .write.mode("append").parquet(s"$path/tombstones")
 
+  /** The LOGICAL delete set — deduped at the read seam: erasure
+    * requests are routinely re-issued (retries, idempotent upstream
+    * jobs), and every consumer treats the table as a set (anti/semi
+    * joins), so raw row count must never inflate the probe paths'
+    * broadcastSmall rail or the broadcast itself. */
   def read(spark: SparkSession, path: String, idCol: String): DataFrame =
-    spark.read.parquet(s"$path/tombstones").select(col(idCol))
+    spark.read.parquet(s"$path/tombstones").select(col(idCol)).distinct()
 
   def clear(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")

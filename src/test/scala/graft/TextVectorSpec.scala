@@ -765,12 +765,18 @@ class TextVectorSpec extends SparkSpec {
       "an all-deleted index must remove its layout, not strand unreadable dirs")
 
     // crash-recovery re-run: simulate a purge that died AFTER the
-    // postings/terms rewrites (doc 1's postings already gone) but
-    // BEFORE the doclen/stats steps — the re-run's tombstones match no
-    // postings row, yet it must still scrub doclen and stats
+    // postings rewrite (doc 1's postings already gone) but BEFORE the
+    // terms/doclen/stats steps — the re-run's tombstones match no
+    // postings row, yet it must recover ALL THREE: terms/ df would
+    // otherwise stay stale forever (the kept frame is empty, so a
+    // dynamic overwrite is a no-op — r11 ADVICE), and surviving docs'
+    // idf would diverge from a rebuild. Docs SHARE the term "aaa" so
+    // its df actually changes (2 → 1) and a stale terms table is
+    // score-visible, not just structurally wrong.
     val pCr = java.nio.file.Files.createTempDirectory("graft-bm25-cr").toString
+    val pCrRef = java.nio.file.Files.createTempDirectory("graft-bm25-crr").toString
     graft.ops.TextIndex.writeBm25Index(
-      Seq((1L, "aaa bbb"), (2L, "ccc ddd eee")).toDF("doc_id", "text"),
+      Seq((1L, "aaa bbb"), (2L, "aaa ccc ddd")).toDF("doc_id", "text"),
       "doc_id", "text", pCr, nBuckets = 4)
     val survivorRows = spark.read.parquet(s"$pCr/postings")
       .filter($"doc_id" =!= 1L).collect()
@@ -785,6 +791,148 @@ class TextVectorSpec extends SparkSpec {
       .filter($"doc_id" === 1L).count() === 0L,
       "re-run purge must scrub the crashed run's stranded doclen rows")
     assert(spark.read.parquet(s"$pCr/stats").select("n_docs").first().getLong(0) === 1L)
+    // terms/ recovered: df("aaa") back to the survivor count, doc 1's
+    // private terms gone, and probe scores equal a from-scratch rebuild
+    val dfAaa = spark.read.parquet(s"$pCr/terms")
+      .filter($"term" === "aaa").select("df").collect().map(_.getLong(0))
+    assert(dfAaa.toSeq === Seq(1L),
+      s"recovered df for the shared term must be the survivor count: ${dfAaa.toSeq}")
+    assert(spark.read.parquet(s"$pCr/terms")
+      .filter($"term" === "bbb").count() === 0L,
+      "the crashed run's stale terms rows must not survive recovery")
+    graft.ops.TextIndex.writeBm25Index(
+      Seq((2L, "aaa ccc ddd")).toDF("doc_id", "text"),
+      "doc_id", "text", pCrRef, nBuckets = 4)
+    def crProbe(p: String) = graft.ops.TextIndex
+      .probeBm25Index(spark, p, Seq("aaa", "ccc"))
+      .select(col("doc_id"), round(col("score"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(crProbe(pCr) === crProbe(pCrRef),
+      "post-recovery probe must equal a from-scratch rebuild over survivors")
+
+    // crash window between the doclen rewrite and the stats overwrite:
+    // tombstones match NOTHING (postings and doclen both clean), but
+    // the stored n_docs disagrees with doclen — the re-run must
+    // recompute stats instead of clearing tombstones over a stale file
+    val pCs = java.nio.file.Files.createTempDirectory("graft-bm25-cs").toString
+    graft.ops.TextIndex.writeBm25Index(
+      Seq((1L, "aaa bbb"), (2L, "aaa ccc ddd")).toDF("doc_id", "text"),
+      "doc_id", "text", pCs, nBuckets = 4)
+    // simulate: doc 1 fully purged from postings+terms+doclen; stats/
+    // stays the build-time file (n_docs=2) — exactly the stale state
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          spark.read.parquet(s"$pCs/postings").filter($"doc_id" =!= 1L)
+            .collect(): _*)), postingsSchema)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$pCs/postings")
+    val termsSchema = spark.read.parquet(s"$pCs/terms").schema
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          spark.read.parquet(s"$pCs/postings").filter($"doc_id" =!= 1L)
+            .groupBy($"term", $"tb").agg(count(lit(1)).as("df"))
+            .select($"term", $"df", $"tb").collect(): _*)), termsSchema)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$pCs/terms")
+    val dlSchema = spark.read.parquet(s"$pCs/doclen").schema
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          spark.read.parquet(s"$pCs/doclen").filter($"doc_id" =!= 1L)
+            .collect(): _*)), dlSchema)
+      .write.mode("overwrite").parquet(s"$pCs/doclen")
+    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), pCs)
+    graft.ops.TextIndex.purgeBm25Tombstones(spark, pCs)
+    assert(spark.read.parquet(s"$pCs/stats").select("n_docs").first().getLong(0) === 1L,
+      "re-run purge must recompute stats when n_docs disagrees with doclen")
+  }
+
+  test("BM25 compact with pending tombstones: no resurrection, purge-after == rebuild") {
+    import spark.implicits._
+    // build → delete → compact a postings bucket leaf → purge → probe:
+    // compaction is row-preserving, so tombstoned rows survive the file
+    // rewrite (still logically deleted), the later purge must still
+    // drop them, and nothing double-counts — equals a from-scratch
+    // rebuild over the survivors
+    val p = java.nio.file.Files.createTempDirectory("graft-bm25-cmp").toString
+    val pRef = java.nio.file.Files.createTempDirectory("graft-bm25-cmpr").toString
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val terms = Seq("hash", "join", "stream")
+    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", p, nBuckets = 8)
+    graft.ops.TextIndex.deleteFromBm25Index(
+      d.filter($"doc_id" % 5 === 0).select($"doc_id"), p)
+    // compact EVERY postings bucket leaf while the tombstones are
+    // pending (the maintenance-cadence interleave the contract allows:
+    // compact is read-only w.r.t. row content)
+    val tbDirs = new java.io.File(s"$p/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+    assert(tbDirs.nonEmpty)
+    tbDirs.foreach(dir => graft.ops.Scale.compact(spark, dir.toString))
+    def probeRows(px: String) = graft.ops.TextIndex.probeBm25Index(spark, px, terms)
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        round(col("score"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // tombstoned docs still excluded right after compact
+    assert(probeRows(p).nonEmpty && probeRows(p).forall(_._1 % 5 != 0),
+      "compact resurrected a tombstoned doc")
+    assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, p) > 0)
+    graft.ops.TextIndex.writeBm25Index(d.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", pRef, nBuckets = 8)
+    assert(probeRows(p).toSet === probeRows(pRef).toSet,
+      "compact-then-purge must equal a from-scratch rebuild over survivors")
+  }
+
+  test("index write-op lock: concurrent maintenance fails loudly; rebuild clears a stale lock") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-bm25-lock").toString
+    graft.ops.TextIndex.writeBm25Index(tiny, "doc_id", "text", p, nBuckets = 4)
+    // every completed op releases the lock
+    assert(!new java.io.File(p, ".graft.index.lock").exists())
+    // a held lock (concurrent op / crashed JVM) refuses append, delete
+    // AND purge — the silent-corruption interleaves the scaladocs ban
+    val lock = new java.io.File(p, ".graft.index.lock")
+    assert(lock.createNewFile())
+    val exA = intercept[IllegalStateException] {
+      graft.ops.TextIndex.appendToBm25Index(
+        Seq((3L, "ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    }
+    assert(exA.getMessage.contains("locked"))
+    intercept[IllegalStateException] {
+      graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), p)
+    }
+    intercept[IllegalStateException] {
+      graft.ops.TextIndex.purgeBm25Tombstones(spark, p)
+    }
+    // the refused caller must NOT have deleted the holder's lock
+    assert(lock.exists(), "a refused op must leave the holder's lock in place")
+    // full rebuild is the documented remediation: clears the stale lock,
+    // completes, and releases its own
+    graft.ops.TextIndex.writeBm25Index(tiny, "doc_id", "text", p, nBuckets = 4)
+    assert(!lock.exists())
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    assert(!lock.exists())
+
+    // same sentinel on the IVF layouts (shared IndexLock seam)
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 13 - 6).toFloat)))
+      .toDF("id", "vec")
+    val pv = java.nio.file.Files.createTempDirectory("graft-ivf-lock").toString
+    graft.ops.Ann.writeIvfIndex(vecs, pv, nLists = 4)
+    assert(!new java.io.File(pv, ".graft.index.lock").exists())
+    val vLock = new java.io.File(pv, ".graft.index.lock")
+    assert(vLock.createNewFile())
+    intercept[IllegalStateException] {
+      graft.ops.Ann.appendToIvfIndex(
+        Seq((100L, Array.fill(8)(1.0f))).toDF("id", "vec"), pv)
+    }
+    intercept[IllegalStateException] {
+      graft.ops.Ann.deleteFromIvfIndex(Seq(1L).toDF("nid"), pv)
+    }
+    intercept[IllegalStateException] {
+      graft.ops.Ann.purgeIvfTombstones(spark, pv)
+    }
+    assert(vLock.exists())
+    graft.ops.Ann.writeIvfIndex(vecs, pv, nLists = 4) // rebuild clears stale
+    assert(!vLock.exists())
   }
 
   test("BM25 index append: probes == full rebuild; untouched buckets keep their files") {
