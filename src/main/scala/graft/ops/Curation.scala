@@ -245,21 +245,64 @@ object Curation {
         when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
   }
 
+  /** Well-known MULTI-LABEL public suffixes (a static, embedded subset
+    * of the public-suffix list — the ccTLDs that register under a
+    * second level, public knowledge): when a host ends in one of
+    * these, the registrable domain is THREE labels, not two. Without
+    * this, every `*.co.uk` / `*.com.au` publisher merges into one
+    * "co.uk" quota bucket and [[quotaCap]] over-caps distinct sites
+    * (r11 VERDICT item 6). Shared verbatim with the DuckDB oracle
+    * restatement, so keep it a plain lowercase literal list. */
+  val MultiLabelTlds: Seq[String] = Seq(
+    // uk / au / nz
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "ltd.uk", "plc.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    // jp / kr / cn / hk / tw / sg / in
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    // br / mx / ar / za / il / tr / id / my / th / vn / ph / pl / ua
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "com.ar", "org.ar", "net.ar", "edu.ar", "gob.ar",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.tr", "org.tr", "net.tr", "edu.tr", "gov.tr",
+    "co.id", "or.id", "net.id", "ac.id", "go.id", "web.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.pl", "net.pl", "org.pl", "edu.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua")
+
   /** Registered-domain heuristic from a CANONICAL url ([[normalizeUrl]]
-    * output): the last two host labels, with userinfo ("alice@") and
-    * port stripped off the authority first — without the userinfo
-    * strip, "https://alice@example.com/" would yield
-    * "alice@example.com" and the same page fetched with and without
-    * credentials would land in different quota buckets. A real
-    * pipeline swaps in the public-suffix list (co.uk et al.); offline,
-    * the two-label form is the documented approximation — state it at
-    * the consumer, don't pretend PSL semantics. NULL for NULL urls and
-    * dot-less hosts. */
+    * output): the last two host labels — or the last THREE when the
+    * last two form a known multi-label public suffix
+    * ([[MultiLabelTlds]]) — with userinfo ("alice@") and port stripped
+    * off the authority first. Without the userinfo strip,
+    * "https://alice@example.com/" would yield "alice@example.com" and
+    * the same page fetched with and without credentials would land in
+    * different quota buckets. The embedded suffix set is a documented
+    * static subset of the full public-suffix list (no wildcard rules,
+    * no fetch — zero-egress); swap in a live PSL snapshot where exact
+    * coverage matters. NULL for NULL urls, dot-less hosts, and hosts
+    * that ARE a bare public suffix ("https://co.uk/" has no registrable
+    * part). */
   def registeredDomain(canonicalUrl: Column): Column = {
     val auth = regexp_extract(canonicalUrl, UrlPattern, 2)
     val host = regexp_replace(regexp_replace(auth, "^[^@]*@", ""),
       ":[0-9]+$", "")
-    nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit(""))
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(last2.isin(MultiLabelTlds: _*), nullif(last3, lit("")))
+      .otherwise(nullif(last2, lit("")))
   }
 
   /** Per-key quota — domain caps, per-source ceilings: keep at most

@@ -45,7 +45,12 @@ object CurationQueries {
           .when(d % 3 === 1, lit("http")).otherwise(lit("https")),
         lit("://CdN."),
         when(d % 2 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".CoM"),
+        // TLD varies so the multi-label public-suffix branch of
+        // registeredDomain is exercised at every SF: without it, all
+        // the .co.uk publishers would merge into one "co.uk" bucket
+        when(d % 5 === 3, lit(".Co.Uk"))
+          .when(d % 5 === 4, lit(".CoM.Au"))
+          .otherwise(lit(".CoM")),
         when(d % 2 === 0,
           when(d % 3 === 1, lit(":80")).otherwise(lit(":443")))
           .otherwise(lit("")),
@@ -617,8 +622,8 @@ object CurationQueries {
     // URL-level dedup — kill the cheapest duplicate class (the same
     // page via tracking links / case / port variants) by canonical-URL
     // first-seen, BEFORE any text shuffles: the canonical key above
-    // collides on (source, doc_id % 100), so every SF has real dups
-    // (400 of 500 rows drop at sf0.01).
+    // collides on (source, doc_id % 100, tld bucket), so every SF has
+    // real dups (300 of 500 rows drop at sf0.01).
     "q_url_dedup" -> ((s, dir) => {
       val d = urls(s, dir)
         .withColumn("url_norm", Curation.normalizeUrl(col("url")))
@@ -705,7 +710,8 @@ object CurationQueries {
          |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'https' END) ||
          |    '://CdN.' ||
          |    (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
-         |    '.CoM' ||
+         |    (CASE doc_id % 5 WHEN 3 THEN '.Co.Uk' WHEN 4 THEN '.CoM.Au'
+         |          ELSE '.CoM' END) ||
          |    (CASE WHEN doc_id % 2 = 0
          |       THEN (CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE ':443' END)
          |       ELSE '' END) ||
@@ -738,13 +744,22 @@ object CurationQueries {
          |    FROM p))""".stripMargin
   }
 
-  /** Two-label registered-domain restatement over `url_norm` — the
-    * [[graft.ops.Curation.registeredDomain]] heuristic. */
+  /** Registered-domain restatement over `url_norm` — the
+    * [[graft.ops.Curation.registeredDomain]] heuristic: last two host
+    * labels, or three when the last two are a known multi-label public
+    * suffix (the SAME spliced [[graft.ops.Curation.MultiLabelTlds]]
+    * literal set, so the engines cannot drift). */
   private val domainSql: String = {
     val pat = graft.ops.Curation.UrlPattern
-    raw"""nullif(regexp_extract(regexp_replace(regexp_replace(
+    val suffixes = graft.ops.Curation.MultiLabelTlds
+      .map(s => s"'$s'").mkString(", ")
+    raw"""(SELECT CASE
+         |  WHEN regexp_extract(h, '([^.]+\.[^.]+)$$', 1) IN ($suffixes)
+         |  THEN nullif(regexp_extract(h, '([^.]+\.[^.]+\.[^.]+)$$', 1), '')
+         |  ELSE nullif(regexp_extract(h, '([^.]+\.[^.]+)$$', 1), '') END
+         |FROM (SELECT regexp_replace(regexp_replace(
          |  regexp_extract(url_norm, '$pat', 2), '^[^@]*@', ''),
-         |  ':[0-9]+$$', ''), '([^.]+\.[^.]+)$$', 1), '')""".stripMargin
+         |  ':[0-9]+$$', '') AS h))""".stripMargin
   }
 
   private val toks =

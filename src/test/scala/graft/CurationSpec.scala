@@ -706,6 +706,20 @@ class CurationSpec extends SparkSpec {
       // with and without credentials must share a quota bucket
       ("https://alice@example.com/x", "example.com"),
       ("https://alice.smith@sub.example.com/x", "example.com"),
+      // multi-label public suffixes register at the THIRD label: two
+      // different .co.uk publishers must NOT merge into one "co.uk"
+      // quota bucket (r11 VERDICT item 6)
+      ("https://www.bbc.co.uk/news", "bbc.co.uk"),
+      ("https://cdn.img.bbc.co.uk/x", "bbc.co.uk"),
+      ("https://guardian.co.uk/", "guardian.co.uk"),
+      ("https://shop.example.com.au/item?id=1", "example.com.au"),
+      ("https://alice@sub.site.gov.uk:8443/x", "site.gov.uk"),
+      // a BARE public suffix has no registrable part
+      ("https://co.uk/x", null),
+      // ...but a two-label host whose suffix is NOT multi-label keeps
+      // its two labels even when the TLD also appears in the set's
+      // country codes ("uk.com" is not in the set)
+      ("https://example.uk/x", "example.uk"),
       ("https://localhost/x", null),           // no dot -> no 2-label domain
       (null, null))
     val out = cases.map(c => Tuple1(c._1)).toDF("u")
