@@ -60,7 +60,7 @@ object Bench {
     * BENCH_DETAIL.json (`"sf1_smoke":`, `"sf3_smoke":`, …) — shared by
     * Bench's preserve and ScaleSmoke's splice so the two can never
     * disagree about where the smoke tail begins. */
-  private[graft] val smokeSectionPattern = "\"sf[0-9x.]+_smoke\":".r
+  private[graft] val smokeSectionPattern = "\"sf[0-9a-z.]+_smoke\":".r
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

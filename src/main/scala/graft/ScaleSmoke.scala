@@ -171,6 +171,56 @@ object ScaleSmoke {
     }), "embeddings")
   }
 
+  /** The URL-family queries scale-checked by the `--url` mode. */
+  val urlFamily: Seq[String] = Seq("q_url_normalize", "q_url_dedup", "q_domain_cap")
+
+  /** ×10/×30/×100 documents-only amplification CURVE for the URL
+    * family (VERDICT r11 item 8): the full ×30 smoke flagged
+    * q_url_dedup at 8.99× — adjudicated as fixed-overhead
+    * amplification on a 0.28 s base, and this mode proves it instead
+    * of asserting it. A sub-linear family's time-ratio : data-ratio
+    * quotient FALLS as the multiplier grows (overhead amortizes); a
+    * hidden cliff's rises. Only `documents` is amplified (the family
+    * reads nothing else), so the ×100 point stays cheap — the whole
+    * curve runs in one JVM with the standard measurement hygiene. */
+  private def urlSmoke(spark: SparkSession, srcDir: String,
+                       runOne: (String, String) => Double): String = {
+    def bestOf2(dir: String): Map[String, Double] =
+      urlFamily.map { n =>
+        val (a, b) = (runOne(n, dir), runOne(n, dir))
+        val ok = Seq(a, b).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }.toMap
+    def jmap(m: Map[String, Double]): String = urlFamily
+      .map(n => "\"" + n + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(m(n))))
+      .mkString("{", ",", "}")
+
+    val base = bestOf2(srcDir)
+    val mults = Seq(10, 30, 100)
+    val points = mults.map { m =>
+      val dir = Scratch.dir(s"graft-url$m", srcDir)
+      val docs = schema.Tables.load(spark, srcDir, "documents")
+      val md = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+      (0 until m).map(i => docs.withColumn("doc_id", col("doc_id") + i * md))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t = bestOf2(dir)
+      val ratio = urlFamily.map(n =>
+        n -> (if (base(n) > 0 && t(n) > 0) t(n) / base(n) else -1.0)).toMap
+      m -> (t, ratio)
+    }
+    val outliers = urlFamily.filter(n =>
+      points.last._2._2(n) > mults.last * 2.0 && base(n) > 0.2)
+    val pointsJson = points.map { case (m, (t, r)) =>
+      s""""$m":{"time":${jmap(t)},"ratio":${jmap(r)}}"""
+    }.mkString("{", ",", "}")
+    s""""sfurl_smoke":{"sf_base":"$srcDir",""" +
+      s""""queries":${urlFamily.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""base":${jmap(base)},"points":$pointsJson,""" +
+      s""""outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
@@ -184,10 +234,6 @@ object ScaleSmoke {
       .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val names = if (args.isEmpty) heavy else heavy.filter(args.contains)
-    val ampDir = Scratch.dir("graft-sf1", srcDir)
-    amplify(spark, srcDir, ampDir, mult)
 
     // same measurement hygiene as Bench: noop sink (materialize every
     // column), per-query block/plan cleanup, warmup pass, best-of-2
@@ -204,6 +250,21 @@ object ScaleSmoke {
           .foreach(_.unpersist(blocking = false))
       }
     val warmDir = "/root/testdata/sf0.001"
+
+    if (args.contains("--url")) {
+      // URL-family ratio curve (documents-only amplification); its
+      // section lives beside the full-smoke ones in BENCH_DETAIL.json
+      if (new java.io.File(warmDir).isDirectory)
+        urlFamily.foreach(runOne(_, warmDir))
+      val section = urlSmoke(spark, srcDir, runOne)
+      spliceSection("sfurl_smoke", section)
+      println("{" + section + "}")
+      return
+    }
+
+    val names = if (args.isEmpty) heavy else heavy.filter(args.contains)
+    val ampDir = Scratch.dir("graft-sf1", srcDir)
+    amplify(spark, srcDir, ampDir, mult)
     if (new java.io.File(warmDir).isDirectory) names.foreach(runOne(_, warmDir))
     // fixture setup out of the clock, same as Bench: materialize the
     // scratch-encoded GIF payloads for BOTH measured dirs so neither
@@ -244,9 +305,15 @@ object ScaleSmoke {
       s""""base":${jmap(base)},"sf1":${jmap(big)},"ratio":${jmap(ratios)},""" +
       s""""outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
 
-    // splice into BENCH_DETAIL.json: all smoke sections live LAST in
-    // the file (Bench re-appends them on its own rewrites); rewrite
-    // only THIS mult's section, preserving the other scales' results
+    spliceSection(key, section)
+    println("{" + section + "}")
+  }
+
+  /** Splice a smoke section into BENCH_DETAIL.json: all smoke sections
+    * live LAST in the file (Bench re-appends them on its own
+    * rewrites); rewrite only THIS key's section, preserving the other
+    * scales' results. */
+  private def spliceSection(key: String, section: String): Unit = {
     val f = new java.io.File("BENCH_DETAIL.json")
     // the splice must NEVER lose the run's section: a corrupt/empty
     // existing file (or one holding only smoke sections, whose head is
@@ -277,6 +344,5 @@ object ScaleSmoke {
       .getOrElse("{" + section + "}")
     val w = new java.io.PrintWriter(f)
     try w.println(body) finally w.close()
-    println("{" + section + "}")
   }
 }
