@@ -204,4 +204,80 @@ object Sketch {
         (hi - pos) * element_at(vs, lo.cast("int") + 1) +
           (pos - lo) * element_at(vs, hi.cast("int") + 1)))
   }
+
+  /** Normalization constants of the KMV sketch: a signed xxhash64 word
+    * maps to u = (h + 2^63) / 2^64 ∈ [0, 1). Spliced as the SAME
+    * double literals into the DuckDB oracle (`Double.toString` is the
+    * shortest round-trip form), so the estimate arithmetic is
+    * bit-identical cross-engine. */
+  val KmvShift: Double = java.lang.Math.scalb(1.0, 63)
+  val KmvScale: Double = java.lang.Math.scalb(1.0, 64)
+
+  private def kmvU(h: Column): Column =
+    (h.cast("double") + lit(KmvShift)) / lit(KmvScale)
+
+  /** One-row KMV retained set for `key`: the k smallest DISTINCT
+    * xxhash64 values ([[graft.expr.catalyst.MinKDistinctHashes]] —
+    * map-side partials ship ≤ k longs per partition; a hot key
+    * occupies ONE slot no matter how often it arrives). Null keys are
+    * excluded (xxhash64 SKIPS null children — they would otherwise
+    * collapse onto the seed hash as a phantom value). */
+  private def kmvRetained(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val minK = column(graft.expr.catalyst.MinKDistinctHashes(
+      expression(xxhash64(col(keyCol))), k).toAggregateExpression())
+    df.filter(col(keyCol).isNotNull).agg(minK.as("retained"))
+  }
+
+  /** KMV (k-minimum-values / theta) distinct set-operation estimates —
+    * the sketch that answers what HLL cannot: |A ∩ B| and |A \ B|
+    * DIRECTLY (one sided-error estimator each), not via
+    * inclusion-exclusion whose errors compound, and DETERMINISTICALLY
+    * — the retained sets are a pure function of the key sets, so the
+    * estimates hash-match across engines (the DuckDB oracle reproduces
+    * them bit-for-bit through the restated xxhash64), where HLL
+    * register estimates can only be assertion-gated.
+    *
+    * Estimators (Beyer et al. 2007 / theta-sketch set ops): with
+    * θ = u(k-th smallest hash) when saturated else 1,
+    *   n̂(S)    = (k−1)/θ_S           (exact count when unsaturated)
+    *   n̂(A∪B)  = same formula over the k smallest of the merged
+    *             retained sets (every union value below the merged
+    *             k-th is present in one of the inputs by construction)
+    *   n̂(A∩B)  = |{h ∈ R_A ∩ R_B : u(h) < θ}| / θ,  θ = min(θ_A, θ_B)
+    *   n̂(A\B)  = |{h ∈ R_A \ R_B : u(h) < θ}| / θ
+    * Relative error ~ 1/√(k−2) per estimate. Scale shape: one agg per
+    * side (≤ k longs shipped), a 1×1 cross join, pure array math —
+    * nothing joins the corpora. The retained arrays are mergeable
+    * state (min-k of unions), so persisted sketches absorb new batches
+    * without rescanning — the Profile/AggState posture.
+    *
+    * Returns ONE row: (k, nd_a_est, nd_b_est, nd_union_est,
+    * nd_intersect_est, nd_a_only_est), estimates rounded to 9 dp. */
+  def kmvSetOps(a: DataFrame, aCol: String,
+                b: DataFrame, bCol: String, k: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for the (k-1)/theta estimator, got $k")
+    val ra = kmvRetained(a, aCol, k).withColumnRenamed("retained", "ra")
+    val rb = kmvRetained(b, bCol, k).withColumnRenamed("retained", "rb")
+    def theta(arr: Column): Column =
+      when(size(arr) >= k, kmvU(element_at(arr, k))).otherwise(lit(1.0))
+    def est(arr: Column): Column =
+      when(size(arr) >= k, lit((k - 1).toDouble) / kmvU(element_at(arr, k)))
+        .otherwise(size(arr).cast("double"))
+    ra.crossJoin(rb)
+      .withColumn("rm",
+        slice(array_sort(array_distinct(concat(col("ra"), col("rb")))), 1, k))
+      .withColumn("th", least(theta(col("ra")), theta(col("rb"))))
+      .select(
+        lit(k).as("k"),
+        round(est(col("ra")), 9).as("nd_a_est"),
+        round(est(col("rb")), 9).as("nd_b_est"),
+        round(est(col("rm")), 9).as("nd_union_est"),
+        round(size(filter(array_intersect(col("ra"), col("rb")),
+            h => kmvU(h) < col("th"))).cast("double") / col("th"), 9)
+          .as("nd_intersect_est"),
+        round(size(filter(array_except(col("ra"), col("rb")),
+            h => kmvU(h) < col("th"))).cast("double") / col("th"), 9)
+          .as("nd_a_only_est"))
+  }
 }

@@ -66,6 +66,63 @@ object AnalyticsQueries {
       |  SELECT DISTINCT 't:' || event_type,
       |    'u:' || CAST(user_id AS VARCHAR) FROM events)""".stripMargin
 
+  /** Value-exact DuckDB restatement of [[graft.ops.Sketch.kmvSetOps]]
+    * over the finished/open order custkey sets: the same xxhash64 (the
+    * XxhashSql pipeline) over each DISTINCT key set, min-k retained
+    * arrays via list_sort + slice, and the estimator arithmetic with
+    * the Scala-rendered normalization literals — every double is
+    * computed through the identical operation sequence. */
+  private def kmvOverlapOracleSql(k: Int): String = {
+    val c1 = graft.ops.Sketch.KmvShift.toString
+    val c2 = graft.ops.Sketch.KmvScale.toString
+    def hashes(st: String): String = {
+      val p = new XxhashSql.Prog(
+        s"SELECT DISTINCT o_custkey AS uid FROM orders WHERE o_orderstatus = '$st'")
+      val h = XxhashSql.hashLong(p, XxhashSql.unsigned("uid"), "42")
+      p.render(s"${XxhashSql.signed(h)} AS h")
+    }
+    def u(x: String) = s"((CAST($x AS DOUBLE) + $c1) / $c2)"
+    def theta(arr: String) =
+      s"(CASE WHEN len($arr) >= $k THEN ${u(s"($arr)[$k]")} ELSE 1.0 END)"
+    def est(arr: String) =
+      s"(CASE WHEN len($arr) >= $k THEN ${(k - 1).toDouble} / ${u(s"($arr)[$k]")}" +
+        s" ELSE CAST(len($arr) AS DOUBLE) END)"
+    s"""WITH ha AS (${hashes("F")}),
+       |hb AS (${hashes("O")}),
+       |r AS (
+       |  SELECT (SELECT list_sort(list(h)) FROM ha)[1:$k] AS ra,
+       |         (SELECT list_sort(list(h)) FROM hb)[1:$k] AS rb),
+       |m AS (
+       |  SELECT ra, rb,
+       |    list_sort(list_distinct(list_concat(ra, rb)))[1:$k] AS rm,
+       |    LEAST(${theta("ra")}, ${theta("rb")}) AS th
+       |  FROM r),
+       |ex AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM ha) AS exact_a,
+       |    (SELECT COUNT(*) FROM hb) AS exact_b,
+       |    (SELECT COUNT(*) FROM (
+       |       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       |       INTERSECT
+       |       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+       |      AS exact_intersect)
+       |SELECT CAST($k AS INTEGER) AS k,
+       |  ROUND(${est("ra")}, 9) AS nd_a_est,
+       |  ROUND(${est("rb")}, 9) AS nd_b_est,
+       |  ROUND(${est("rm")}, 9) AS nd_union_est,
+       |  ROUND(CAST(len(list_filter(ra,
+       |      x -> list_contains(rb, x) AND ${u("x")} < th)) AS DOUBLE) / th, 9)
+       |    AS nd_intersect_est,
+       |  ROUND(CAST(len(list_filter(ra,
+       |      x -> NOT list_contains(rb, x) AND ${u("x")} < th)) AS DOUBLE) / th, 9)
+       |    AS nd_a_only_est,
+       |  CAST(exact_a AS BIGINT) AS exact_a,
+       |  CAST(exact_b AS BIGINT) AS exact_b,
+       |  CAST(exact_intersect AS BIGINT) AS exact_intersect,
+       |  CAST(exact_a - exact_intersect AS BIGINT) AS exact_a_only
+       |FROM m, ex""".stripMargin
+  }
+
   /** DuckDB restatement of [[graft.expr.catalyst.HilbertKernel.d]]:
     * the same per-level fold, one derived column per intermediate so
     * operand duplication stays O(1) (the XxhashSql.Prog pattern). */
@@ -276,6 +333,36 @@ object AnalyticsQueries {
           .as("b_within_10pct"),
         (abs(col("nd_intersect_est") - col("exact_intersect")) * 10
           <= col("exact_intersect")).as("intersect_within_10pct"))
+    }),
+
+    // KMV / theta-sketch set operations (ops.Sketch.kmvSetOps): the
+    // audience-overlap question answered with DIRECT intersection and
+    // difference estimators (HLL's inclusion-exclusion compounds error
+    // and cannot do A\B at all), and — because the retained hash sets
+    // are a pure function of the key sets — the ESTIMATES themselves
+    // are value-exact cross-engine: the oracle reproduces them through
+    // the restated xxhash64 pipeline, bit for bit. Exact counts ride
+    // along as the accuracy context (the q_distinct_overlap posture).
+    "q_kmv_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // partially-overlapping key sets (≈4% symmetric difference at
+      // sf0.01): customers with finished vs open orders
+      def keys(st: String) =
+        o.filter(col("o_orderstatus") === st).select(col("o_custkey"))
+      val est = graft.ops.Sketch.kmvSetOps(
+        keys("F"), "o_custkey", keys("O"), "o_custkey", k = 64)
+      val exact = keys("F").distinct()
+        .join(keys("O").distinct(), Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersect"))
+        .crossJoin(broadcast(keys("F")
+          .agg(countDistinct(col("o_custkey")).as("exact_a"))))
+        .crossJoin(broadcast(keys("O")
+          .agg(countDistinct(col("o_custkey")).as("exact_b"))))
+      est.crossJoin(broadcast(exact)).select(
+        col("k"), col("nd_a_est"), col("nd_b_est"), col("nd_union_est"),
+        col("nd_intersect_est"), col("nd_a_only_est"),
+        col("exact_a"), col("exact_b"), col("exact_intersect"),
+        (col("exact_a") - col("exact_intersect")).as("exact_a_only"))
     }),
 
     // Cohort retention: customers grouped by first-order month; how many
@@ -616,6 +703,14 @@ object AnalyticsQueries {
         |  ROUND(max_key_rows / (CAST(n_rows AS DOUBLE) / n_keys), 4)
         |    AS skew_factor
         |FROM t, s WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // KMV estimates restated VALUE-EXACTLY: the same xxhash64 over the
+    // distinct key sets (XxhashSql pipeline), the same min-k retained
+    // arrays (list_sort + slice), and the same normalization /
+    // estimator double arithmetic with identical spliced literals —
+    // DuckDB reproduces every estimate bit for bit, the property that
+    // distinguishes KMV from the assertion-gated HLL twin below.
+    "q_kmv_overlap" -> kmvOverlapOracleSql(k = 64),
 
     // the oracle states the exact overlap; the estimates are
     // engine-internal and gated by the within-10% booleans

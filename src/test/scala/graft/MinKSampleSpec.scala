@@ -174,4 +174,64 @@ class MinKSampleSpec extends SparkSpec {
       .select(Sketch.sampleQuantile(col("sample"), 0.5)).head().getDouble(0)
     assert(q === 42.0)
   }
+
+  // ---- KMV (MinKDistinctHashes + kmvSetOps) ----
+
+  private def kmvArr(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    df.agg(column(graft.expr.catalyst.MinKDistinctHashes(
+        expression(xxhash64(col("id"))), k).toAggregateExpression()).as("r"))
+      .head().getSeq[Long](0)
+  }
+
+  test("MinKDistinctHashes: duplicates occupy one slot; == window bottom-k over DISTINCT hashes; partitioning-invariant") {
+    // every id arrives 7 times — a sample WITHOUT dedup would fill
+    // slots with repeats and the retained set would shrink
+    val rows = (0 until 2000).flatMap(i => Seq.fill(7)(Tuple1(i.toLong)))
+    val df = rows.toDF("id")
+    val expect = df.select(xxhash64(col("id")).as("h")).distinct()
+      .orderBy(col("h")).limit(64).collect().map(_.getLong(0)).toSeq
+    for (nPart <- Seq(1, 3, 11))
+      assert(kmvArr(df.repartition(nPart), 64) === expect,
+        s"retained set diverged at $nPart partitions")
+    // unsaturated: all distinct hashes retained, sorted
+    val few = (0 until 10).map(i => Tuple1(i.toLong)).toDF("id")
+    assert(kmvArr(few, 64).length === 10)
+    // eviction then re-arrival of the evicted value stays exact: the
+    // min-k over the distinct set is order-independent by construction
+    val shuffled = new scala.util.Random(3).shuffle(rows).toDF("id")
+    assert(kmvArr(shuffled, 64) === expect)
+  }
+
+  test("kmvSetOps: exact when unsaturated; error bound when saturated; difference consistent") {
+    // A = 0..999, B = 500..1499 -> |A|=|B|=1000, |A∩B|=500, |A\B|=500
+    val a = (0L until 1000L).map(Tuple1(_)).toDF("k")
+    val b = (500L until 1500L).map(Tuple1(_)).toDF("k")
+
+    // k above the cardinalities: every estimate is EXACT
+    val ex = Sketch.kmvSetOps(a, "k", b, "k", k = 4096).head()
+    assert(ex.getDouble(1) === 1000.0 && ex.getDouble(2) === 1000.0)
+    assert(ex.getDouble(3) === 1500.0, "exact union")
+    assert(ex.getDouble(4) === 500.0, "exact intersect")
+    assert(ex.getDouble(5) === 500.0, "exact difference")
+
+    // saturated: relative error within 4/sqrt(k-2) per estimate
+    // (~4 sigma of the KMV estimator; deterministic for the fixture)
+    val k = 256
+    val bound = 4.0 / math.sqrt(k - 2.0)
+    val est = Sketch.kmvSetOps(a, "k", b, "k", k = k).head()
+    def rel(got: Double, want: Double) = math.abs(got - want) / want
+    assert(rel(est.getDouble(1), 1000) < bound, s"nd_a ${est.getDouble(1)}")
+    assert(rel(est.getDouble(2), 1000) < bound, s"nd_b ${est.getDouble(2)}")
+    assert(rel(est.getDouble(3), 1500) < bound, s"union ${est.getDouble(3)}")
+    assert(rel(est.getDouble(4), 500) < 2 * bound, s"intersect ${est.getDouble(4)}")
+    assert(rel(est.getDouble(5), 500) < 2 * bound, s"a_only ${est.getDouble(5)}")
+
+    // a hot key arriving a million-to-one skewed: estimates unchanged
+    // (the sketch summarizes the SET; the buffer dedups, not samples)
+    val hot = a.unionAll(Seq.fill(5000)(Tuple1(7L)).toDF("k"))
+    val est2 = Sketch.kmvSetOps(hot, "k", b, "k", k = k).head()
+    assert(est2.getDouble(1) === est.getDouble(1), "hot key changed nd_a")
+    assert(est2.getDouble(4) === est.getDouble(4), "hot key changed intersect")
+  }
 }
