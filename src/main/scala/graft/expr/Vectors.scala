@@ -69,6 +69,28 @@ object Vectors {
           .otherwise(lit(0.0)).cast("tinyint")).as("q"))
   }
 
+  /** Pack coordinate signs into ceil(dim/64) longs (fused kernel,
+    * [[catalyst.SignPack]]): bit j of word w is set iff
+    * v[w·64+j] > 0. The 1-bit point of the quantization matrix — 32×
+    * smaller than float32; pair comparison drops to dim/64 word ops
+    * via [[hamming]]. */
+  def signPack(v: Column): Column = column(catalyst.SignPack(expression(v)))
+
+  /** Declarative reference formulation (kernel parity test only). */
+  def signPackDeclarative(v: Column): Column =
+    transform(sequence(lit(0), ((size(v) + 63) / 64).cast("int") - 1), w =>
+      aggregate(
+        sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
+        lit(0L),
+        (acc, i) => acc + when(element_at(v, i.cast("int") + 1) > 0,
+          call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
+          .otherwise(lit(0L))))
+
+  /** Hamming distance between two [[signPack]] word arrays:
+    * Σ popcount(xor) — fused kernel ([[catalyst.HammingDistance]]). */
+  def hamming(a: Column, b: Column): Column =
+    column(catalyst.HammingDistance(expression(a), expression(b)))
+
   /** Sign bit of the projection onto a deterministic pseudo-random
     * hyperplane (seeded per plane from the element index) — the building
     * block for LSH bucketing of embeddings. plane(i) uses a fixed integer

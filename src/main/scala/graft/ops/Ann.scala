@@ -409,6 +409,44 @@ object Ann {
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
+  /** Two-stage BINARY-quantized top-k — the 1-bit extreme of the
+    * quantization family ([[quantizedTopK]] is the int8 point): pack
+    * each vector's coordinate signs into dim/64 longs once
+    * ([[graft.expr.Vectors.signPack]]), shortlist per query by sign
+    * Hamming distance (xor + popcount — 64 coordinates per word op,
+    * and a corpus 32× smaller than float32 on disk and the wire, the
+    * first-stage bandwidth lever at 100 TB), then rerank only the
+    * k·rerankFactor shortlist with exact float cosine. Sign-mismatch
+    * count is a monotone angular-distance proxy (Charikar 2002), so
+    * the shortlist ranks by NEGATED Hamming distance, ties to the
+    * smaller nid. Output contract matches [[bruteTopK]]: (qid, rank,
+    * nid, sim) with EXACT sims — quantization affects which candidates
+    * are considered, never the reported similarity. Binary is the
+    * lossiest stage of the family, so its recall gate (q_ann_binary_
+    * recall) declares a deeper truth horizon than int8's. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 rerankFactor: Int = 8,
+                 maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val qg = Guard.broadcastSmall(queries, "binaryTopK query batch", maxBroadcastRows)
+    val qb = qg.select(col("id").as("qid"), Vectors.signPack(col("vec")).as("qbits"))
+    val cb = corpus.select(col("id").as("nid"), Vectors.signPack(col("vec")).as("nbits"))
+    val approxTop = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("simb"), col("nid"))), k * rerankFactor)
+      .toAggregateExpression())
+    val cand = broadcast(qb).join(cb, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (-Vectors.hamming(col("qbits"), col("nbits")).cast("double")).as("simb"))
+      .groupBy(col("qid")).agg(approxTop.as("top"))
+      .select(col("qid"), explode(col("top")).as("entry"))
+      .select(col("qid"), col("entry.id").as("nid"))
+    val qv = queries.select(col("id").as("qid"), col("vec").as("qv"),
+      Vectors.l2Norm(col("vec")).as("qn"))
+    val cv = corpus.select(col("id").as("nid"), col("vec").as("nv"),
+      Vectors.l2Norm(col("vec")).as("nn"))
+    rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
+  }
+
   /** Random-projection two-stage top-k: Johnson–Lindenstrauss the
     * corpus to `outDim` dims (Achlioptas ±1 signs derived from the seed
     * on every executor — no matrix ships), rank candidates by projected

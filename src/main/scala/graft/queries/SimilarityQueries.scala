@@ -162,6 +162,17 @@ object SimilarityQueries {
         outDim = 32, rerankFactor = 6), e, trueDepth = 100)
     }),
 
+    // 1-bit sign quantization + Hamming shortlist (Ann.binaryTopK) —
+    // the lossiest, cheapest-scan point of the quantization matrix
+    // (32× less bandwidth than float32, 64 coordinates per word op),
+    // so its measured-deterministic gate declares the deepest truth
+    // horizon of the family: full containment in the true top-100.
+    "q_ann_binary_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(Ann.binaryTopK(e.filter(col("id") < 8), e, k = 5,
+        rerankFactor = 8), e, trueDepth = 100)
+    }),
+
     // Product-quantized two-stage scan (PQ/ADC: corpus scanned as
     // m=8 byte codes, 32× less candidate-stage bandwidth than float64
     // vectors; per-query distance-table lookups; exact cosine rerank)
@@ -791,6 +802,9 @@ recallConstOracle(k = 5, depth = 20),
 recallConstOracle(k = 5, depth = 20),
 
     "q_rp_recall" ->
+recallConstOracle(k = 5, depth = 100),
+
+    "q_ann_binary_recall" ->
 recallConstOracle(k = 5, depth = 100),
 
     "q_ann_pq_recall" ->

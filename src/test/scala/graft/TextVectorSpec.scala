@@ -166,6 +166,52 @@ class TextVectorSpec extends SparkSpec {
     assert(quant === brute)
   }
 
+  test("signPack kernel == declarative HOF twin; hamming counts sign mismatches") {
+    import graft.expr.Vectors
+    // 70 dims forces a 2-word packing (the word-boundary path); values
+    // cross zero so both strict-positive branches are exercised
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(70)(j =>
+        if ((i + j) % 7 == 0) 0.0f else (rnd.nextFloat() - 0.5f))))
+    val df = vecs.toDF("id", "vec")
+    val packed = df.select($"id", Vectors.signPack($"vec").as("k"),
+        Vectors.signPackDeclarative($"vec").as("d"))
+      .collect()
+    packed.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"kernel/declarative divergence at id ${r.getLong(0)}")
+    }
+    // hamming == per-coordinate sign-mismatch count (zero packs as 0)
+    val hd = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.id" < 3 && $"b.id" < 3)
+      .select($"a.id", $"b.id",
+        Vectors.hamming(Vectors.signPack($"a.vec"), Vectors.signPack($"b.vec"))
+          .as("hd"),
+        size(filter(zip_with($"a.vec", $"b.vec",
+          (x, y) => (x > 0) =!= (y > 0)), p => p)).cast("long").as("want"))
+      .collect()
+    hd.foreach(r => assert(r.getLong(2) === r.getLong(3)))
+    // self-distance 0; null element -> null pack (the family contract)
+    assert(hd.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getLong(2) == 0L))
+    val withNull = Seq((1L, Array(1.0f, Float.NaN))).toDF("id", "vec")
+      .select(Vectors.signPack(transform($"vec",
+        x => when(isnan(x), lit(null)).otherwise(x))).as("p"))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("binaryTopK with exhaustive rerank == bruteTopK exactly") {
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val n = e.count().toInt
+    val brute = graft.ops.Ann.bruteTopK(e.filter($"id" < 8), e, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bin = graft.ops.Ann.binaryTopK(e.filter($"id" < 8), e, 5,
+        rerankFactor = n / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bin === brute)
+  }
+
   test("quantizedTopK at rerankFactor=4: high recall vs brute force") {
     val (e, brute) = annGround(5)
     val got = graft.ops.Ann.quantizedTopK(e.filter($"id" < 20), e, 5)
