@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality evaluation for retrieval training data — the gate a
+  * dual-encoder / reranker pipeline runs after every index or model
+  * change: given a ranked candidate list and graded relevance
+  * judgments, score each query with the standard IR metrics
+  * (Järvelin & Kekäläinen 2002 for NDCG; TREC conventions for the
+  * rest). Pure column math over top-k-sized frames — the corpus never
+  * appears; at 100 TB the expensive part is producing `ranked`, and
+  * this op costs |queries|·k regardless.
+  */
+object Retrieval {
+
+  /** Per-query metrics at cutoff `k`.
+    *
+    * `ranked`: (qid, rank, nid), rank 1-based — the contract every
+    * top-k op in this engine emits ([[Ann.bruteTopK]],
+    * [[TextIndex.probeBm25Index]] after ranking, …). `qrels`:
+    * (qid, nid, grade) graded judgments; grade > 0 means relevant,
+    * missing pairs are grade 0. Emits per qid:
+    *
+    *  - `mrr`        — 1/rank of the first relevant retrieved doc
+    *                   (0 when none in the top k);
+    *  - `ndcg`       — Σ (2^grade − 1)/log2(rank+1) over the retrieved
+    *                   list, normalized by the ideal DCG of the k best
+    *                   judgments (ties on grade broken by nid, so the
+    *                   ideal ordering — and the metric — is
+    *                   deterministic and engine-reproducible);
+    *  - `precision`  — relevant-retrieved / k;
+    *  - `recall`     — relevant-retrieved / total relevant (0 when the
+    *                   query has no relevant docs).
+    *
+    * Every sum folds in EXPLICIT rank order (sorted-array aggregate —
+    * the BM25 score-parts contract), so the doubles are
+    * associativity-deterministic; divisions round to 9 dp. Queries
+    * present in `ranked` but absent from `qrels` score 0 across the
+    * board rather than dropping out — a silent drop would inflate the
+    * macro average exactly for the worst queries. */
+  def rankedEval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val graded = ranked.filter(col("rank") <= k)
+      .join(qrels.select(col("qid"), col("nid"),
+          col("grade").cast("double").as("__g")),
+        Seq("qid", "nid"), "left")
+      .select(col("qid"), col("rank"),
+        coalesce(col("__g"), lit(0.0)).as("g"))
+    val perQ = graded.groupBy(col("qid"))
+      .agg(collect_list(struct(col("rank"), col("g"))).as("es"))
+      .select(col("qid"),
+        // rank-ordered fold: array_sort on (rank, g) sorts by rank
+        aggregate(array_sort(col("es")), lit(0.0), (acc, e) =>
+          acc + (pow(lit(2.0), e.getField("g")) - 1.0) /
+            log2(e.getField("rank").cast("double") + 1.0)).as("dcg"),
+        array_min(filter(
+          transform(col("es"), e =>
+            when(e.getField("g") > 0, e.getField("rank"))),
+          x => x.isNotNull)).as("first_rel"),
+        size(filter(col("es"), e => e.getField("g") > 0))
+          .cast("double").as("n_rel_ret"))
+    // ideal DCG: the k best judgments in (grade desc, nid asc) order
+    val ideal = qrels.filter(col("grade") > 0)
+      .groupBy(col("qid"))
+      .agg(collect_list(struct((-col("grade").cast("double")).as("ng"),
+          col("nid"))).as("gl"),
+        count(lit(1)).cast("double").as("n_rel"))
+      .select(col("qid"), col("n_rel"),
+        aggregate(
+          zip_with(
+            slice(array_sort(col("gl")), 1, k),
+            sequence(lit(1), least(size(col("gl")), lit(k))),
+            (e, i) => struct(i.as("rank"), (-e.getField("ng")).as("g"))),
+          lit(0.0), (acc, e) =>
+            acc + (pow(lit(2.0), e.getField("g")) - 1.0) /
+              log2(e.getField("rank").cast("double") + 1.0)).as("idcg"))
+    def r9(c: Column): Column = round(c, 9)
+    perQ.join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        r9(when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel").cast("double")).otherwise(0.0)).as("mrr"),
+        r9(when(coalesce(col("idcg"), lit(0.0)) > 0, col("dcg") / col("idcg"))
+          .otherwise(0.0)).as("ndcg"),
+        r9(col("n_rel_ret") / k).as("precision"),
+        r9(when(coalesce(col("n_rel"), lit(0.0)) > 0,
+          col("n_rel_ret") / col("n_rel")).otherwise(0.0)).as("recall"))
+  }
+}

@@ -162,6 +162,23 @@ object SimilarityQueries {
         outDim = 32, rerankFactor = 6), e, trueDepth = 100)
     }),
 
+    // Ranking-quality evaluation (ops.Retrieval.rankedEval): MRR,
+    // NDCG@5, precision@5, recall against graded judgments — the gate a
+    // retrieval-training pipeline runs after every index/model change.
+    // The ranked list is the LSH ANN (value-exact restatable), the
+    // qrels grade the brute-force top-10 by position (11 − rank), so
+    // BOTH inputs and therefore every metric are engine-reproducible.
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.filter(col("id") < 8)
+      val ranked = Ann.lshTopK(q, e, k = 5)
+        .select(col("qid"), col("rank"), col("nid"))
+      val qrels = Ann.bruteTopK(q, e, 10)
+        .select(col("qid"), col("nid"), (lit(11) - col("rank")).as("grade"))
+      graft.ops.Retrieval.rankedEval(ranked, qrels, k = 5)
+        .orderBy(col("qid"))
+    }),
+
     // 1-bit sign quantization + Hamming shortlist (Ann.binaryTopK) —
     // the lossiest, cheapest-scan point of the quantization matrix
     // (32× less bandwidth than float32, 64 coordinates per word op),
@@ -806,6 +823,64 @@ recallConstOracle(k = 5, depth = 100),
 
     "q_ann_binary_recall" ->
 recallConstOracle(k = 5, depth = 100),
+
+    // the rankedEval arithmetic restated step for step: the LSH ranked
+    // list (the q_ann_lsh value-exact restatement) left-joined to the
+    // positionally-graded brute top-10, DCG/IDCG as RANK-ORDERED list
+    // sums (the fixed-fold contract), one division per metric, 9 dp
+    "q_retrieval_metrics" ->
+      s"""WITH ranked AS (
+         |  SELECT qid, rank, nid FROM (
+         |${lshOracleSql(nBits = 4, nTables = 12, dim = 64, k = 5)})),
+         |tsims AS (
+         |  SELECT qe.vec_id AS qid, ce.vec_id AS nid,
+         |    CASE WHEN sqrt(${dot("qe.embedding", "qe.embedding")}) > 0
+         |           AND sqrt(${dot("ce.embedding", "ce.embedding")}) > 0
+         |      THEN ${dot("qe.embedding", "ce.embedding")}
+         |        / (sqrt(${dot("qe.embedding", "qe.embedding")})
+         |           * sqrt(${dot("ce.embedding", "ce.embedding")})) END AS sim
+         |  FROM embeddings qe JOIN embeddings ce
+         |    ON qe.vec_id < 8 AND qe.vec_id <> ce.vec_id),
+         |qrels AS (
+         |  SELECT qid, nid, CAST(11 - rank AS DOUBLE) AS g FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY sim DESC, nid) AS rank
+         |    FROM tsims WHERE sim IS NOT NULL) WHERE rank <= 10),
+         |graded AS (
+         |  SELECT r.qid, r.rank, COALESCE(q.g, 0.0) AS g
+         |  FROM ranked r LEFT JOIN qrels q
+         |    ON r.qid = q.qid AND r.nid = q.nid),
+         |perq AS (
+         |  SELECT qid,
+         |    list_aggregate(list((pow(2.0, g) - 1.0)
+         |      / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank), 'sum') AS dcg,
+         |    MIN(CASE WHEN g > 0 THEN rank END) AS first_rel,
+         |    CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_rel_ret
+         |  FROM graded GROUP BY qid),
+         |rel AS (
+         |  SELECT qid, g,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY g DESC, nid) AS rnk
+         |  FROM qrels WHERE g > 0),
+         |nrel AS (
+         |  SELECT qid, CAST(COUNT(*) AS DOUBLE) AS n_rel
+         |  FROM qrels WHERE g > 0 GROUP BY qid),
+         |icdg AS (
+         |  SELECT qid,
+         |    list_aggregate(list((pow(2.0, g) - 1.0)
+         |      / log2(CAST(rnk AS DOUBLE) + 1.0) ORDER BY rnk), 'sum') AS idcg
+         |  FROM rel WHERE rnk <= 5 GROUP BY qid)
+         |SELECT p.qid,
+         |  ROUND(CASE WHEN first_rel IS NOT NULL
+         |    THEN 1.0 / CAST(first_rel AS DOUBLE) ELSE 0.0 END, 9) AS mrr,
+         |  ROUND(CASE WHEN COALESCE(idcg, 0.0) > 0
+         |    THEN dcg / idcg ELSE 0.0 END, 9) AS ndcg,
+         |  ROUND(n_rel_ret / 5, 9) AS precision,
+         |  ROUND(CASE WHEN COALESCE(n_rel, 0.0) > 0
+         |    THEN n_rel_ret / n_rel ELSE 0.0 END, 9) AS recall
+         |FROM perq p
+         |LEFT JOIN nrel USING (qid) LEFT JOIN icdg USING (qid)
+         |ORDER BY p.qid""".stripMargin,
 
     "q_ann_pq_recall" ->
 recallConstOracle(k = 5, depth = 20),

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Retrieval
+
+/** [[graft.ops.Retrieval.rankedEval]] — hand-computed metric values and
+  * the edge contracts (no relevant docs, unjudged query, cutoff,
+  * graded ideal ordering). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r9(x: Double) = math.round(x * 1e9) / 1e9
+
+  test("rankedEval: hand-computed MRR/NDCG/precision/recall at k=3") {
+    // q1: retrieved (d1, d2, d3); judged d2=3, d3=1, d9=2 (d9 missed)
+    val ranked = Seq(
+      (1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      // q2: nothing relevant retrieved
+      (2L, 1, 201L), (2L, 2, 202L), (2L, 3, 203L),
+      // q3: perfect ordering of its two judged docs
+      (3L, 1, 301L), (3L, 2, 302L), (3L, 3, 303L),
+      // rank 4 exists but is beyond the cutoff: must not count
+      (1L, 4, 109L)).toDF("qid", "rank", "nid")
+    val qrels = Seq(
+      (1L, 102L, 3.0), (1L, 103L, 1.0), (1L, 109L, 2.0),
+      (2L, 299L, 1.0),
+      (3L, 301L, 2.0), (3L, 302L, 1.0)).toDF("qid", "nid", "grade")
+
+    val got = Retrieval.rankedEval(ranked, qrels, k = 3)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+
+    def dcgTerm(g: Double, rank: Int) =
+      (math.pow(2.0, g) - 1.0) / (math.log(rank + 1.0) / math.log(2.0))
+    // q1 dcg: rank1 g=0, rank2 g=3, rank3 g=1; ideal = grades (3,2,1)
+    val dcg1 = dcgTerm(0, 1) + dcgTerm(3, 2) + dcgTerm(1, 3)
+    val idcg1 = dcgTerm(3, 1) + dcgTerm(2, 2) + dcgTerm(1, 3)
+    assert(got(0)._1 === 1L)
+    assert(got(0)._2 === r9(1.0 / 2))                 // first relevant at rank 2
+    assert(got(0)._3 === r9(dcg1 / idcg1))
+    assert(got(0)._4 === r9(2.0 / 3))                 // 2 relevant of k=3
+    assert(got(0)._5 === r9(2.0 / 3))                 // 2 of 3 relevant found
+
+    // q2: judged but nothing relevant retrieved -> all zeros except
+    // the denominators' semantics (recall 0 of 1)
+    assert(got(1) === ((2L, 0.0, 0.0, 0.0, 0.0)))
+
+    // q3: both judged docs retrieved in ideal order -> ndcg exactly 1
+    assert(got(2)._2 === 1.0)
+    assert(got(2)._3 === 1.0)
+    assert(got(2)._4 === r9(2.0 / 3))
+    assert(got(2)._5 === 1.0)
+  }
+
+  test("rankedEval: unjudged query scores zero instead of dropping; grade ties break on nid") {
+    val ranked = Seq((7L, 1, 1L), (7L, 2, 2L)).toDF("qid", "rank", "nid")
+    val out = Retrieval.rankedEval(ranked, Seq.empty[(Long, Long, Double)]
+        .toDF("qid", "nid", "grade"), k = 2)
+      .collect()
+    assert(out.length === 1, "unjudged query must still be emitted")
+    assert(out(0).getDouble(1) === 0.0 && out(0).getDouble(2) === 0.0)
+
+    // two docs with EQUAL grades: the ideal ordering must be
+    // deterministic (nid asc), so a retrieval in (2, 1) order still
+    // scores ndcg 1 — equal grades are interchangeable
+    val r2 = Seq((8L, 1, 2L), (8L, 2, 1L)).toDF("qid", "rank", "nid")
+    val q2 = Seq((8L, 1L, 2.0), (8L, 2L, 2.0)).toDF("qid", "nid", "grade")
+    val m = Retrieval.rankedEval(r2, q2, k = 2).head()
+    assert(m.getDouble(2) === 1.0, s"tied grades must give ndcg 1, got $m")
+  }
+}
