@@ -196,6 +196,63 @@ object Profile {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 
+  /** Distribution drift between two corpus snapshots — the data-quality
+    * gate a continuously-ingested training corpus runs beside
+    * [[schemaDrift]]: bin BOTH sides with the SAME fixed bounds
+    * (comparable bins are the whole point — per-side min/max binning
+    * would hide exactly the shift being measured; out-of-range mass
+    * lands in the −1 / nBins overflow bins and PARTICIPATES, so drift
+    * beyond the bounds is counted, not clamped away), Laplace-smooth
+    * the bin masses, and emit the two standard divergences:
+    *
+    *  - `psi` — population stability index,
+    *    Σ (p_i − q_i)·ln(p_i/q_i): the monitoring-industry convention
+    *    (< 0.1 stable, 0.1–0.25 moderate, > 0.25 action);
+    *  - `jsd` — Jensen–Shannon divergence (natural log, so bounded by
+    *    ln 2): symmetric and defined even under disjoint support.
+    *
+    * Smoothing is add-½ over nBins + 2 cells (p_i = (n_i + 0.5) /
+    * (N + 0.5·(nBins+2))), so empty bins never produce ±∞ and the
+    * result is a pure deterministic function of the counts. Terms fold
+    * in EXPLICIT bin order (the fixed-fold contract) — engine-
+    * reproducible to the last bit before the 9 dp rounding.
+    *
+    * Scale shape: one map-side-combined groupBy per side (≤ nBins + 2
+    * rows out), a bin-count join, one fold — the snapshots are scanned
+    * once each and nothing else moves. Returns ONE row:
+    * (n_bins, n_a, n_b, psi, jsd). */
+  def distributionDrift(a: DataFrame, b: DataFrame, colName: String,
+                        lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val binned = histBins(a, colName, lo, hi, nBins)
+      .withColumnRenamed("n_rows", "na")
+      .join(histBins(b, colName, lo, hi, nBins)
+        .withColumnRenamed("n_rows", "nb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val cells = nBins + 2 // in-range bins plus the two overflow bins
+    binned.agg(
+        sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        collect_list(struct(col("bin"), col("na"), col("nb"))).as("es"))
+      .select(lit(nBins).as("n_bins"), col("n_a"), col("n_b"),
+        round(aggregate(array_sort(col("es")), lit(0.0), (acc, e) => {
+          val pa = (e.getField("na").cast("double") + 0.5) /
+            (col("n_a").cast("double") + 0.5 * cells)
+          val pb = (e.getField("nb").cast("double") + 0.5) /
+            (col("n_b").cast("double") + 0.5 * cells)
+          acc + (pa - pb) * log(pa / pb)
+        }), 9).as("psi"),
+        round(aggregate(array_sort(col("es")), lit(0.0), (acc, e) => {
+          val pa = (e.getField("na").cast("double") + 0.5) /
+            (col("n_a").cast("double") + 0.5 * cells)
+          val pb = (e.getField("nb").cast("double") + 0.5) /
+            (col("n_b").cast("double") + 0.5 * cells)
+          val m = (pa + pb) / 2
+          acc + (pa * log(pa / m) + pb * log(pb / m)) / 2
+        }), 9).as("jsd"))
+  }
+
   /** Schema drift between an expected contract and an arriving batch:
     * (column, status ∈ added | removed | retyped, expected_type,
     * actual_type), empty when the schemas agree. Pure metadata — zero

@@ -317,6 +317,30 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Distribution drift between corpus snapshots
+    // (Profile.distributionDrift): PSI + Jensen–Shannon over a FIXED
+    // shared binning of documents.n_chars, overflow bins counted. Two
+    // labeled comparisons prove the metric discriminates: an even/odd
+    // doc_id split (same distribution → near-zero PSI) against
+    // all-docs-vs-long-docs (a real shift → PSI above the 0.25 action
+    // threshold). Value-exact: binning, add-half smoothing, and the
+    // bin-ordered term folds restate one for one in the oracle.
+    "q_dist_drift" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def drift(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame, pair: String) =
+        graft.ops.Profile.distributionDrift(a, b, "n_chars",
+            lo = 50.0, hi = 500.0, nBins = 9)
+          .withColumn("pair", lit(pair))
+      drift(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 =!= 0), "even_vs_odd")
+        .unionByName(
+          drift(d, d.filter(col("n_chars") >= 300), "all_vs_long"))
+        .select(col("pair"), col("n_bins"), col("n_a"), col("n_b"),
+          col("psi"), col("jsd"))
+        .orderBy(col("pair"))
+    }),
+
     // One-pass column profiler over lineitem (exact distinct mode for
     // the oracle; the library default is the HLL sketch single-pass).
     "q_profile" -> ((s, dir) => {
@@ -521,6 +545,53 @@ object PipelineQueries {
       |keyed AS (
       |  SELECT d.token_id, f.* FROM firstseen f JOIN dim d ON d.address = f.address)
       |""".stripMargin
+
+  /** DuckDB restatement of [[graft.ops.Profile.distributionDrift]] for
+    * the q_dist_drift pairs: identical binning/smoothing constants
+    * rendered from the same Scala doubles, bin-ordered term sums. */
+  private def distDriftOracleSql: String = {
+    val (lo, hi, nBins) = (50.0, 500.0, 9)
+    val w = (hi - lo) / nBins
+    val halfCells = 0.5 * (nBins + 2)
+    val binExpr = s"CASE WHEN v < $lo THEN -1 WHEN v >= $hi THEN $nBins " +
+      s"ELSE CAST(LEAST(FLOOR((v - $lo) / $w), ${nBins - 1}) AS INT) END"
+    def pairBlock(label: String, filtA: String, filtB: String): String =
+      s"""SELECT '$label' AS pair, $nBins AS n_bins,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  ROUND(psi, 9) AS psi, ROUND(jsd, 9) AS jsd
+         |FROM (
+         |  WITH ha AS (
+         |    SELECT $binExpr AS bin, COUNT(*) AS na
+         |    FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+         |          WHERE n_chars IS NOT NULL AND ($filtA)) GROUP BY 1),
+         |  hb AS (
+         |    SELECT $binExpr AS bin, COUNT(*) AS nb
+         |    FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+         |          WHERE n_chars IS NOT NULL AND ($filtB)) GROUP BY 1),
+         |  j AS (
+         |    SELECT bin, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+         |    FROM ha FULL JOIN hb USING (bin)),
+         |  tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM j),
+         |  terms AS (
+         |    SELECT bin,
+         |      (pa - pb) * ln(pa / pb) AS psi_term,
+         |      (pa * ln(pa / ((pa + pb) / 2))
+         |        + pb * ln(pb / ((pa + pb) / 2))) / 2 AS jsd_term
+         |    FROM (SELECT bin,
+         |        (CAST(na AS DOUBLE) + 0.5) / (CAST(n_a AS DOUBLE) + $halfCells) AS pa,
+         |        (CAST(nb AS DOUBLE) + 0.5) / (CAST(n_b AS DOUBLE) + $halfCells) AS pb
+         |      FROM j, tot))
+         |  SELECT n_a, n_b,
+         |    (SELECT list_aggregate(list(psi_term ORDER BY bin), 'sum') FROM terms)
+         |      AS psi,
+         |    (SELECT list_aggregate(list(jsd_term ORDER BY bin), 'sum') FROM terms)
+         |      AS jsd
+         |  FROM tot)""".stripMargin
+    pairBlock("even_vs_odd", "doc_id % 2 = 0", "doc_id % 2 <> 0") +
+      "\nUNION ALL\n" +
+      pairBlock("all_vs_long", "TRUE", "n_chars >= 300") +
+      "\nORDER BY pair"
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -902,6 +973,13 @@ object PipelineQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
         |  min(value) AS value_min, max(value) AS value_max
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the drift arithmetic restated one for one: same fixed binning
+    // (overflow bins -1 and nBins included), same add-half smoothing
+    // over nBins+2 cells, PSI/JSD terms summed in bin order
+    // (list_aggregate over an ORDER BY bin list — the fixed-fold
+    // contract), ln (NOT DuckDB's log, which is log10), 9 dp
+    "q_dist_drift" -> distDriftOracleSql,
 
     "q_histogram" ->
       """WITH b AS (

@@ -145,6 +145,34 @@ class SnapshotDiffSpec extends SparkSpec {
       .isEmpty, "empty input yields an empty histogram")
   }
 
+  test("distributionDrift: identical snapshots score exactly zero; shifts and overflow mass register") {
+    val a = (0 until 400).map(i => Tuple1((i % 100).toDouble)).toDF("x")
+    // identical frames: pa == pb in every cell -> PSI and JSD are 0.0
+    // EXACTLY (each term is algebraically zero, no accumulation)
+    val same = Profile.distributionDrift(a, a, "x", 0.0, 100.0, 10).head()
+    assert(same.getDouble(3) === 0.0 && same.getDouble(4) === 0.0)
+    assert(same.getLong(1) === 400L && same.getLong(2) === 400L)
+
+    // disjoint support: JSD approaches its ln 2 bound, PSI explodes
+    val b = (0 until 400).map(i => Tuple1(100.0 + (i % 100))).toDF("x")
+    val far = Profile.distributionDrift(a, b, "x", 0.0, 200.0, 10).head()
+    assert(far.getDouble(4) > 0.6 && far.getDouble(4) <= math.log(2.0) + 1e-9,
+      s"disjoint JSD ${far.getDouble(4)}")
+    assert(far.getDouble(3) > 1.0, s"disjoint PSI ${far.getDouble(3)}")
+
+    // mass BEYOND the bounds must register (overflow bins participate):
+    // b2 == a inside the range but adds out-of-range rows -> drift > 0
+    val b2 = a.unionAll((0 until 200).map(_ => Tuple1(999.0)).toDF("x"))
+    val ov = Profile.distributionDrift(a, b2, "x", 0.0, 100.0, 10).head()
+    assert(ov.getDouble(3) > 0.1,
+      s"out-of-range drift must be counted, got PSI ${ov.getDouble(3)}")
+
+    // smoothing: empty-vs-nonempty bins never produce infinities
+    val c = Seq(Tuple1(5.0)).toDF("x")
+    val sm = Profile.distributionDrift(a, c, "x", 0.0, 100.0, 10).head()
+    assert(!sm.getDouble(3).isInfinite && !sm.getDouble(4).isNaN)
+  }
+
   test("schemaDrift: added/removed/retyped classified; agreement is empty") {
     import org.apache.spark.sql.types._
     val expected = StructType(Seq(StructField("a", LongType),
