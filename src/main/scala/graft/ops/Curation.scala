@@ -340,6 +340,36 @@ object Curation {
     df.join(kept, cond, "left_semi")
   }
 
+  /** Leakage-safe train/val/test split: assign every document its
+    * NEAR-DUP CLUSTER representative (connected components over the
+    * candidate-pair graph; documents in no pair are their own rep) and
+    * split by a content hash OF THE REP — so every member of a near-dup
+    * cluster lands in the SAME split by construction. Splitting per-doc
+    * ([[hashBucket]] over the text) only protects EXACT duplicates;
+    * near-duplicates straddle the train/test boundary and leak test
+    * content into training — the contamination class eval suites are
+    * most often burned by. The zero-cross-pair guarantee is
+    * spec-pinned, and q_leakage_safe_split emits the naive split
+    * alongside so the leak it prevents is visible in the data.
+    *
+    * Scale shape: components over the PAIR graph (log-round,
+    * id-and-label shuffles only), one broadcast-size left join of reps
+    * onto ids, and a per-row md5 — the text is never shuffled. Returns
+    * (idCol, rep, bucket, split) with the standard 100-percent-bucket
+    * [[splitLabel]] semantics. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need 0 < trainPct and trainPct + valPct <= 100, got $trainPct/$valPct")
+    val rep = Dedup.connectedComponents(pairs).select(col("id"), col("rep"))
+    val withRep = docs.select(col(idCol))
+      .join(rep, col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+    val b = hashBucket(col("rep").cast("string"), 100)
+    withRep.select(col(idCol), col("rep"), b.as("bucket"),
+      splitLabel(b, trainPct, valPct).as("split"))
+  }
+
   /** train/val/test label from a percentage bucket. */
   def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
     when(bucket < trainPct, lit("train"))

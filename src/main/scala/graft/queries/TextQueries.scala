@@ -239,6 +239,27 @@ object TextQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
 
+    // Leakage-safe splits (Curation.leakageSafeSplit): split by the
+    // near-dup CLUSTER representative so no LSH pair straddles the
+    // train/test boundary — the per-doc content-hash split (emitted
+    // alongside as naive_split) only protects exact duplicates, and a
+    // near-dup of a test doc inside train is eval contamination. The
+    // zero-cross-pair theorem is spec-pinned; here the full per-doc
+    // assignment is hash-checked against the closure-derived oracle.
+    "q_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleSize = 3, k = 12, bandRows = 2)
+      val safe = graft.ops.Curation.leakageSafeSplit(
+        d, "doc_id", pairs, trainPct = 90, valPct = 5)
+      val naiveB = graft.ops.Curation.hashBucket(col("text"), 100)
+      safe.join(d.select(col("doc_id"),
+          graft.ops.Curation.splitLabel(naiveB, trainPct = 90, valPct = 5)
+            .as("naive_split")), Seq("doc_id"))
+        .select(col("doc_id"), col("rep"), col("split"), col("naive_split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The dedup END PRODUCT: pairs → clusters → keep the single
     // highest-quality doc per near-dup cluster (quality desc, id asc
     // tiebreak) — the keep-list a training pipeline actually consumes.
@@ -894,6 +915,31 @@ object TextQueries {
     // recursive CTE: reach(id, r) = all labels reachable from id;
     // min(r) per id == the min-label fixpoint Spark computes.
     "q_dedup_clusters" -> dedupClustersOracle,
+
+    // rep from the same recursive closure (docs outside every pair are
+    // their own rep), the split from md5 of the rep rendered as text —
+    // the q_hash_split bucket arithmetic — and the naive split from
+    // md5 of the document text
+    "q_leakage_safe_split" ->
+      s"""WITH comp AS (
+         |  SELECT id, rep FROM (
+         |$dedupClustersOracle)),
+         |j AS (
+         |  SELECT d.doc_id, d.text, COALESCE(c.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, rep,
+         |    CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 AS sb,
+         |    CAST(('0x' || substring(md5(text), 1, 8))
+         |      AS BIGINT) % 100 AS nb
+         |  FROM j)
+         |SELECT doc_id, rep,
+         |  CASE WHEN sb < 90 THEN 'train'
+         |       WHEN sb < 95 THEN 'val' ELSE 'test' END AS split,
+         |  CASE WHEN nb < 90 THEN 'train'
+         |       WHEN nb < 95 THEN 'val' ELSE 'test' END AS naive_split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // the incremental absorb must equal the one-shot closure over the
     // FULL pair graph — literally the same oracle text

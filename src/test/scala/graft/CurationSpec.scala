@@ -758,4 +758,50 @@ class CurationSpec extends SparkSpec {
       Curation.quotaCap(df, Seq("absent"), 2, col("score"), col("id"))
     }
   }
+
+  test("leakageSafeSplit: NO candidate pair straddles a split; naive per-doc split leaks") {
+    import graft.ops.Dedup
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      shingleSize = 3, k = 12, bandRows = 2)
+    assert(pairs.limit(1).count() === 1L, "fixture must yield near-dup pairs")
+    val safe = Curation.leakageSafeSplit(d, "doc_id", pairs,
+      trainPct = 90, valPct = 5)
+
+    def crossPairs(assign: org.apache.spark.sql.DataFrame): Long =
+      pairs.join(assign.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+        .join(assign.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+        .filter($"sa" =!= $"sb").count()
+
+    // THE theorem: cluster members share a rep, the rep picks the
+    // split, so zero pairs cross — eval contamination through near-dup
+    // leakage is impossible by construction
+    assert(crossPairs(safe) === 0L)
+
+    // the per-doc content-hash split protects only EXACT dups: on the
+    // same pair graph it leaks (near-dup texts hash to different
+    // buckets) — the failure mode this operator exists to close
+    val naive = d.select($"doc_id",
+      Curation.splitLabel(Curation.hashBucket($"text", 100), 90, 5).as("split"))
+    assert(crossPairs(naive) > 0L,
+      "fixture pairs must expose the naive split's leakage")
+
+    // docs outside every pair are their own rep and still get a split
+    assert(safe.count() === d.count())
+    assert(safe.filter($"split".isNull).count() === 0L)
+
+    // exact duplicates (same text, both in the pair graph via identical
+    // shingles) always share a split in BOTH schemes; near-dup safety
+    // is the delta — spot-check one planted pair end to end
+    val planted = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9002L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val pp = Dedup.minhashLshPairs(planted, "doc_id", "text",
+      shingleSize = 3, k = 12, bandRows = 2)
+    assert(pp.count() >= 1L, "planted near-dups must pair")
+    val ps = Curation.leakageSafeSplit(planted, "doc_id", pp, 90, 5)
+      .select($"split").distinct().count()
+    assert(ps === 1L, "planted near-dup pair must share one split")
+  }
 }
