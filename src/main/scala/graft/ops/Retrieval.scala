@@ -86,4 +86,51 @@ object Retrieval {
         r9(when(coalesce(col("n_rel"), lit(0.0)) > 0,
           col("n_rel_ret") / col("n_rel")).otherwise(0.0)).as("recall"))
   }
+
+  /** Classifier calibration report — the other standing eval gate of a
+    * curation pipeline: quality/toxicity/language filters are threshold
+    * consumers, and a mis-CALIBRATED score (accurate ranking, wrong
+    * probabilities) silently shifts every threshold's true cut rate.
+    * Bins `confidence` (∈ [0,1]; out-of-range or null rows and null
+    * labels are excluded) into `nBins` equal-width bins — conf 1.0
+    * closes into the top bin — and emits the reliability diagram plus
+    * the expected calibration error (Naeini et al. 2015):
+    *
+    *   ECE = Σ_b (n_b / N) · |frac_pos_b − avg_conf_b|
+    *
+    * Per-bin rows: (bin, n, avg_conf, frac_pos, gap, n_total, ece) —
+    * the scalar columns repeat per row (one frame is the whole report).
+    * Empty bins are omitted (they carry no mass and contribute nothing
+    * to ECE). avg/frac round to 9 dp BEFORE the ECE fold, so the fold
+    * consumes bit-identical inputs on every engine, and the fold itself
+    * runs in explicit bin order over the ≤ nBins summary rows — never
+    * the corpus (scale shape: one map-side-combined groupBy, then
+    * arithmetic over nBins rows). */
+  def calibrationReport(df: DataFrame, confidence: Column, label: Column,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val c = confidence.cast("double")
+    val binned = df
+      .filter(c.isNotNull && c >= 0.0 && c <= 1.0 && label.isNotNull)
+      .select(least(floor(c * nBins), lit(nBins - 1L)).cast("long").as("bin"),
+        c.as("conf"), label.cast("boolean").cast("double").as("y"))
+    val per = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("conf")), 9).as("avg_conf"),
+      round(avg(col("y")), 9).as("frac_pos"))
+    val tot = per.agg(sum(col("n")).as("n_total"),
+        collect_list(struct(col("bin"), col("n"), col("avg_conf"),
+          col("frac_pos"))).as("es"))
+      .select(col("n_total"),
+        round(
+          aggregate(array_sort(col("es")), lit(0.0), (acc, e) =>
+            acc + e.getField("n").cast("double") *
+              abs(e.getField("frac_pos") - e.getField("avg_conf")))
+            / col("n_total").cast("double"), 9).as("ece"))
+    per
+      .withColumn("gap", round(abs(col("frac_pos") - col("avg_conf")), 9))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("avg_conf"), col("frac_pos"),
+        col("gap"), col("n_total"), col("ece"))
+  }
 }

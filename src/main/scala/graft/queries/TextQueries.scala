@@ -86,6 +86,17 @@ object TextQueries {
 
     // Composite quality score (unrounded double — deterministic across
     // engines; rounding policy belongs to callers).
+    // Calibration gate (Retrieval.calibrationReport): is the quality
+    // score a trustworthy PROBABILITY, not just a ranking? The label is
+    // (lang = 'en') — independent of the score's features, so the
+    // report shows real miscalibration, and every number (bins,
+    // averages, gaps, ECE) hash-matches the oracle.
+    "q_calibration" -> ((s, dir) => {
+      graft.ops.Retrieval.calibrationReport(docs(s, dir),
+          Text.qualityScore(col("text")), col("lang") === "en", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -702,6 +713,30 @@ object TextQueries {
        |FROM cfg ORDER BY band_rows""".stripMargin
   }
 
+  /** [[graft.expr.Text.qualityScore]] restated — shared by
+    * q_quality_score and q_calibration (the calibration report bins
+    * exactly these doubles, so one definition keeps the bin boundaries
+    * engine-identical). */
+  private val qualityCte: String =
+    raw"""WITH __qc AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+         |    CASE WHEN len(text) > 0
+         |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
+         |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
+         |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
+         |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
+         |      ELSE 0.0 END AS stop_ratio
+         |  FROM documents),
+         |__q AS (
+         |  SELECT doc_id,
+         |    (len_score + greatest(1.0 - punct_ratio * 5, 0.0)
+         |      + least(stop_ratio * 4, 1.0)) / 3 AS quality
+         |  FROM __qc)""".stripMargin
+
   /** One-shot components over the full LSH pair graph (recursive-CTE
     * transitive closure) — shared VERBATIM by q_dedup_clusters and
     * q_incr_components: the incremental absorb's contract is equality
@@ -795,22 +830,37 @@ object TextQueries {
            |FROM hits ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
-      raw"""WITH c AS (
-           |  SELECT doc_id,
-           |    least(CAST(len(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
-           |    CASE WHEN len(text) > 0
-           |      THEN CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / len(text)
-           |      ELSE 0.0 END AS punct_ratio,
-           |    CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) > 0
-           |      THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-           |             t -> t IN ('the','and','of','to','a','in','is','it','that','for',
-           |                        'on','with','as','was','at','by','an','be','this','are'))) AS DOUBLE)
-           |           / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0))
-           |      ELSE 0.0 END AS stop_ratio
-           |  FROM documents)
-           |SELECT doc_id,
-           |  (len_score + greatest(1.0 - punct_ratio * 5, 0.0) + least(stop_ratio * 4, 1.0)) / 3 AS quality
-           |FROM c ORDER BY doc_id""".stripMargin,
+      s"""$qualityCte
+         |SELECT doc_id, quality FROM __q ORDER BY doc_id""".stripMargin,
+
+    // reliability diagram + ECE over the SAME quality doubles (shared
+    // qualityCte — bit-identical bin boundaries), label = (lang = 'en'),
+    // per-bin averages rounded to 9 dp BEFORE the bin-ordered ECE fold
+    // so the fold consumes identical inputs on both engines
+    "q_calibration" ->
+      s"""$qualityCte,
+         |l AS (
+         |  SELECT q.quality, CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS yv
+         |  FROM documents d JOIN __q q USING (doc_id)
+         |  WHERE d.lang IS NOT NULL),
+         |b AS (
+         |  SELECT CAST(LEAST(FLOOR(quality * 10), 9) AS BIGINT) AS bin,
+         |    quality, yv
+         |  FROM l WHERE quality IS NOT NULL AND quality >= 0 AND quality <= 1),
+         |per AS (
+         |  SELECT bin, COUNT(*) AS n, ROUND(AVG(quality), 9) AS avg_conf,
+         |    ROUND(AVG(yv), 9) AS frac_pos
+         |  FROM b GROUP BY bin),
+         |tot AS (
+         |  SELECT SUM(n) AS n_total,
+         |    list_aggregate(list(CAST(n AS DOUBLE) * ABS(frac_pos - avg_conf)
+         |      ORDER BY bin), 'sum') AS s
+         |  FROM per)
+         |SELECT bin, CAST(n AS BIGINT) AS n, avg_conf, frac_pos,
+         |  ROUND(ABS(frac_pos - avg_conf), 9) AS gap,
+         |  CAST(n_total AS BIGINT) AS n_total,
+         |  ROUND(s / CAST(n_total AS DOUBLE), 9) AS ece
+         |FROM per, tot ORDER BY bin""".stripMargin,
 
     "q_exact_dedup" ->
       raw"""SELECT doc_id, lang, source FROM documents

@@ -70,4 +70,28 @@ class RetrievalSpec extends SparkSpec {
     val m = Retrieval.rankedEval(r2, q2, k = 2).head()
     assert(m.getDouble(2) === 1.0, s"tied grades must give ndcg 1, got $m")
   }
+
+  test("calibrationReport: hand-computed bins and ECE; boundary, out-of-range and null contracts") {
+    // bin 2 [0.2,0.3): conf (0.20, 0.25), labels (T, F)
+    // bin 9 [0.9,1.0]: conf (0.95, 1.00), labels (T, T) — conf 1.0
+    //                  closes into the TOP bin, no phantom bin 10
+    // excluded: conf 1.5 / -0.1 / null, and a null label
+    val rows = Seq(
+      (Option(0.20), Option(true)), (Option(0.25), Option(false)),
+      (Option(0.95), Option(true)), (Option(1.00), Option(true)),
+      (Option(1.50), Option(true)), (Option(-0.1), Option(true)),
+      (Option.empty[Double], Option(true)), (Option(0.5), Option.empty[Boolean]))
+      .toDF("conf", "y")
+    val got = Retrieval.calibrationReport(rows, col("conf"), col("y"), nBins = 10)
+      .orderBy("bin").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L, 9L))
+    val b2 = got(0); val b9 = got(1)
+    assert(b2.getLong(1) === 2L && b9.getLong(1) === 2L)
+    assert(b2.getDouble(2) === 0.225 && b2.getDouble(3) === 0.5)
+    assert(b9.getDouble(2) === 0.975 && b9.getDouble(3) === 1.0)
+    // ECE = (2/4)*|0.5-0.225| + (2/4)*|1.0-0.975| = 0.1375 + 0.0125
+    assert(b2.getLong(5) === 4L)
+    assert(b2.getDouble(6) === 0.15 && b9.getDouble(6) === 0.15)
+    assert(b2.getDouble(4) === 0.275 && b9.getDouble(4) === 0.025)
+  }
 }
