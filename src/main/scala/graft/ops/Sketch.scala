@@ -222,12 +222,29 @@ object Sketch {
     * occupies ONE slot no matter how often it arrives). Null keys are
     * excluded (xxhash64 SKIPS null children — they would otherwise
     * collapse onto the seed hash as a phantom value). */
-  private def kmvRetained(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+  private def kmvRetained(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    kmvOverHashes(
+      df.filter(col(keyCol).isNotNull).select(xxhash64(col(keyCol)).as("__h")),
+      col("__h"), k)
+
+  /** Min-k distinct aggregation over an ALREADY-HASHED long column —
+    * the re-trim primitive state absorption shares with the first
+    * pass (the [[mergeSamples]] posture: min-k of a union == min-k of
+    * the min-ks, bit for bit). */
+  private def kmvOverHashes(df: DataFrame, h: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val minK = column(graft.expr.catalyst.MinKDistinctHashes(
-      expression(xxhash64(col(keyCol))), k).toAggregateExpression())
-    df.filter(col(keyCol).isNotNull).agg(minK.as("retained"))
+      expression(h), k).toAggregateExpression())
+    df.agg(minK.as("retained"))
   }
+
+  /** The KMV distinct estimate from a retained array (shared by
+    * [[kmvSetOps]] and the persisted-state reader): exact count when
+    * unsaturated, (k−1)/θ otherwise. */
+  def kmvEstimate(retained: Column, k: Int): Column =
+    when(size(retained) >= k,
+      lit((k - 1).toDouble) / kmvU(element_at(retained, k)))
+      .otherwise(size(retained).cast("double"))
 
   /** KMV (k-minimum-values / theta) distinct set-operation estimates —
     * the sketch that answers what HLL cannot: |A ∩ B| and |A \ B|
@@ -261,9 +278,7 @@ object Sketch {
     val rb = kmvRetained(b, bCol, k).withColumnRenamed("retained", "rb")
     def theta(arr: Column): Column =
       when(size(arr) >= k, kmvU(element_at(arr, k))).otherwise(lit(1.0))
-    def est(arr: Column): Column =
-      when(size(arr) >= k, lit((k - 1).toDouble) / kmvU(element_at(arr, k)))
-        .otherwise(size(arr).cast("double"))
+    def est(arr: Column): Column = kmvEstimate(arr, k)
     ra.crossJoin(rb)
       .withColumn("rm",
         slice(array_sort(array_distinct(concat(col("ra"), col("rb")))), 1, k))
@@ -279,5 +294,49 @@ object Sketch {
         round(size(filter(array_except(col("ra"), col("rb")),
             h => kmvU(h) < col("th"))).cast("double") / col("th"), 9)
           .as("nd_a_only_est"))
+  }
+
+  private def kmvStateDir(statePath: String): String = s"$statePath/state"
+
+  /** Seed the persisted KMV sketch state (overwrite): one row of
+    * (k, retained). The distinct-count member of the mergeable-state
+    * family (Profile / AggState / min-k sample posture) — a 100 TB
+    * corpus is hashed ONCE, and every later overlap / growth question
+    * is answered from ≤ k longs. */
+  def writeKmvState(df: DataFrame, keyCol: String, k: Int,
+                    statePath: String): Unit = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    kmvRetained(df, keyCol, k).select(lit(k).as("k"), col("retained"))
+      .coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
+  }
+
+  /** Absorb a batch into the stored sketch: one min-k pass over the
+    * BATCH, then a ≤ 2k re-trim of the union — min-k over a distinct
+    * set is associative, so the absorbed state is BIT-IDENTICAL to the
+    * one-shot sketch over everything seen (spec-pinned and
+    * driver-checked by q_kmv_incr); the sketched corpus is never
+    * rescanned. */
+  def absorbKmvState(batch: DataFrame, keyCol: String,
+                     statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(kmvStateDir(statePath))
+    val k = st.select(col("k")).first().getInt(0)
+    val unioned = st.select(explode(col("retained")).as("__h"))
+      .unionByName(batch.filter(col(keyCol).isNotNull)
+        .select(xxhash64(col(keyCol)).as("__h")))
+    val merged = Reliable.checkpoint(
+      kmvOverHashes(unioned, col("__h"), k)
+        .select(lit(k).as("k"), col("retained")))
+    merged.coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
+  }
+
+  /** Read the state back with its distinct estimate:
+    * (k, n_kept, nd_est). */
+  def readKmvState(spark: org.apache.spark.sql.SparkSession,
+                   statePath: String): DataFrame = {
+    val st = spark.read.parquet(kmvStateDir(statePath))
+    val k = st.select(col("k")).first().getInt(0)
+    st.select(col("k"), size(col("retained")).as("n_kept"),
+      round(kmvEstimate(col("retained"), k), 9).as("nd_est"))
   }
 }

@@ -365,6 +365,25 @@ object AnalyticsQueries {
         (col("exact_a") - col("exact_intersect")).as("exact_a_only"))
     }),
 
+    // Persisted KMV sketch state (Sketch.writeKmvState / absorbKmvState):
+    // the distinct-count member of the mergeable-state family. Seeded
+    // from one third of orders, two batches absorbed — the absorbed
+    // state must be BIT-IDENTICAL to the one-shot sketch over all
+    // orders (min-k over a distinct set is associative), which is
+    // exactly what the oracle computes: a hash mismatch here means the
+    // absorb path diverged from the one-shot path.
+    "q_kmv_incr" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val statePath = graft.Scratch.dir("graft-kmvstate", dir)
+      graft.ops.Sketch.writeKmvState(
+        o.filter(col("o_orderkey") % 3 === 0), "o_custkey", k = 64, statePath)
+      graft.ops.Sketch.absorbKmvState(
+        o.filter(col("o_orderkey") % 3 === 1), "o_custkey", statePath)
+      graft.ops.Sketch.absorbKmvState(
+        o.filter(col("o_orderkey") % 3 === 2), "o_custkey", statePath)
+      graft.ops.Sketch.readKmvState(s, statePath)
+    }),
+
     // Cohort retention: customers grouped by first-order month; how many
     // ordered again k months later (k ≤ 12). The classic retention
     // triangle — two shuffles (first-order agg, cohort-offset agg).
@@ -711,6 +730,25 @@ object AnalyticsQueries {
     // DuckDB reproduces every estimate bit for bit, the property that
     // distinguishes KMV from the assertion-gated HLL twin below.
     "q_kmv_overlap" -> kmvOverlapOracleSql(k = 64),
+
+    // the one-shot sketch over ALL orders — absorb associativity makes
+    // the incremental state equal it bit for bit
+    "q_kmv_incr" -> {
+      val c1 = graft.ops.Sketch.KmvShift.toString
+      val c2 = graft.ops.Sketch.KmvScale.toString
+      val p = new XxhashSql.Prog(
+        "SELECT DISTINCT o_custkey AS uid FROM orders")
+      val h = XxhashSql.hashLong(p, XxhashSql.unsigned("uid"), "42")
+      val hs = p.render(s"${XxhashSql.signed(h)} AS h")
+      s"""WITH hs AS ($hs),
+         |r AS (SELECT (SELECT list_sort(list(h)) FROM hs)[1:64] AS arr)
+         |SELECT CAST(64 AS INTEGER) AS k,
+         |  CAST(len(arr) AS INTEGER) AS n_kept,
+         |  ROUND(CASE WHEN len(arr) >= 64
+         |    THEN 63.0 / ((CAST((arr)[64] AS DOUBLE) + $c1) / $c2)
+         |    ELSE CAST(len(arr) AS DOUBLE) END, 9) AS nd_est
+         |FROM r""".stripMargin
+    },
 
     // the oracle states the exact overlap; the estimates are
     // engine-internal and gated by the within-10% booleans

@@ -234,4 +234,36 @@ class MinKSampleSpec extends SparkSpec {
     assert(est2.getDouble(1) === est.getDouble(1), "hot key changed nd_a")
     assert(est2.getDouble(4) === est.getDouble(4), "hot key changed intersect")
   }
+
+  test("persisted KMV state: 3-batch absorb == one-shot bit for bit; overlapping batches never double-count") {
+    val all = (0L until 2000L).map(Tuple1(_)).toDF("k")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-kmv1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-kmv2").toString
+
+    // one-shot reference
+    Sketch.writeKmvState(all, "k", k = 128, p1)
+    val oneShot = Sketch.readKmvState(spark, p1).head()
+
+    // seed + 2 absorbs with OVERLAPPING key ranges: re-seen keys must
+    // not perturb the retained set (distinct semantics through the
+    // state path too)
+    Sketch.writeKmvState(all.filter($"k" < 900), "k", k = 128, p2)
+    Sketch.absorbKmvState(all.filter($"k" >= 600 && $"k" < 1500), "k", p2)
+    Sketch.absorbKmvState(all.filter($"k" >= 1200), "k", p2)
+    val absorbed = Sketch.readKmvState(spark, p2).head()
+
+    assert(absorbed.getInt(0) === oneShot.getInt(0))
+    assert(absorbed.getInt(1) === oneShot.getInt(1))
+    assert(absorbed.getDouble(2) === oneShot.getDouble(2),
+      s"absorbed estimate ${absorbed.getDouble(2)} != one-shot ${oneShot.getDouble(2)}")
+    // the retained ARRAYS are identical, not just the estimates
+    val ra = spark.read.parquet(s"$p1/state").head().getSeq[Long](1)
+    val rb = spark.read.parquet(s"$p2/state").head().getSeq[Long](1)
+    assert(ra === rb, "absorbed retained set diverged from one-shot")
+    // unsaturated exact path: estimate == true distinct count
+    val pSmall = java.nio.file.Files.createTempDirectory("graft-kmv3").toString
+    Sketch.writeKmvState(all.filter($"k" < 50), "k", k = 128, pSmall)
+    Sketch.absorbKmvState(all.filter($"k" < 50), "k", pSmall) // pure re-see
+    assert(Sketch.readKmvState(spark, pSmall).head().getDouble(2) === 50.0)
+  }
 }
