@@ -340,6 +340,49 @@ object Curation {
     df.join(kept, cond, "left_semi")
   }
 
+  /** HTML → text extraction — the step BEFORE every text operator in a
+    * crawl pipeline (tokenize/dedup/quality all assume prose, and raw
+    * markup poisons each of them): drop non-content elements (script /
+    * style / comments, tags AND bodies), turn block-closing tags into
+    * newlines so paragraph structure survives, strip remaining tags,
+    * decode the common entities, and normalize whitespace. Pure
+    * regexp_replace / replace column chain — per-row, no shuffle, no
+    * UDF; every pattern is RE2-safe (non-greedy dotall, no lookaround)
+    * so the DuckDB oracle runs the IDENTICAL chain. This is the
+    * deterministic markup core, deliberately NOT a content heuristic:
+    * link-density boilerplate pruning (readability/trafilatura class)
+    * sits above this as scoring, the same layering as
+    * [[graft.expr.Text.qualityScore]] over clean text. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val entities = decodeEntities(noTags)
+    val oneSpace = regexp_replace(entities, "[ \\t]+", " ")
+    val tidyLines = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    trim(regexp_replace(tidyLines, "\\n{2,}", "\n"), " \n")
+  }
+
+  /** The six universal entities, decoded in fixed order (nbsp first:
+    * decoding &amp; earlier would double-decode '&amp;nbsp;'). */
+  private def decodeEntities(c: Column): Column =
+    Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(c) { case (x, (e, r)) => replace(x, lit(e), lit(r)) }
+
+  /** The document title from raw HTML (first <title> element, tags
+    * inside stripped, entities decoded, whitespace collapsed); NULL
+    * when absent. */
+  def htmlTitle(html: Column): Column = {
+    val t = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+    val clean = trim(regexp_replace(decodeEntities(
+      regexp_replace(t, "(?s)<[^>]*>", " ")), "\\s+", " "))
+    nullif(clean, lit(""))
+  }
+
   /** Leakage-safe train/val/test split: assign every document its
     * NEAR-DUP CLUSTER representative (connected components over the
     * candidate-pair graph; documents in no pair are their own rep) and

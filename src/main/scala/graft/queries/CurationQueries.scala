@@ -605,6 +605,32 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML → text extraction (Curation.extractHtmlText/htmlTitle): the
+    // step before every text operator in a crawl pipeline. The HTML
+    // derives deterministically from (doc_id, text) — script bodies
+    // containing '<' and a stray '</div>' (non-greedy dotall removal
+    // must eat them BEFORE block handling), comments, nav boilerplate,
+    // block tags, and the six common entities — and both engines build
+    // the identical string then run the identical regexp chain, so
+    // title and extracted text hash-match.
+    "q_html_extract" -> ((s, dir) => {
+      val first12 = array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title><style>body { color: red; }</style>"),
+        lit("<script>var x = 1 < 2 && \"</div>\";</script></head><body>"),
+        lit("<!-- boilerplate --><nav>Home | "),
+        lit("<a href=\"/x?a=1&amp;b=2\">About</a></nav><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), first12,
+        lit("</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+        lit("</p></body></html>"))
+      docsRaw(s, dir).select(col("doc_id"),
+          Curation.htmlTitle(html).as("title"),
+          Curation.extractHtmlText(html).as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization (Curation.normalizeUrl + registeredDomain):
     // the dedup key a crawl corpus normalizes BEFORE content dedup.
     // The dirty URLs derive deterministically from (source, doc_id) —
@@ -780,6 +806,56 @@ object CurationQueries {
        |  ELSE [array_to_string($tokExpr, ' ')] END)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // the identical derivation + regexp chain (all 'g' — DuckDB
+    // replaces first-match-only by default, Spark replaces all);
+    // entity replaces in the SAME order, newlines injected via chr(10)
+    "q_html_extract" ->
+      raw"""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           |    ' &amp; friends</title><style>body { color: red; }</style>' ||
+           |    '<script>var x = 1 < 2 && "</div>";</script></head><body>' ||
+           |    '<!-- boilerplate --><nav>Home | ' ||
+           |    '<a href="/x?a=1&amp;b=2">About</a></nav><h1>Doc ' ||
+           |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+           |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') ||
+           |    '</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
+           |    '</p></body></html>' AS html
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, html,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+           |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           |      '(?s)<!--.*?-->', ' ', 'g'),
+           |      '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)[^>]*>',
+           |      chr(10), 'g') AS t1
+           |  FROM h),
+           |d AS (
+           |  SELECT doc_id, html,
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(t1, '(?s)<[^>]*>', ' ', 'g'),
+           |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           |      '&quot;', '"'), '&#39;', '''') AS t2
+           |  FROM c),
+           |e AS (
+           |  SELECT doc_id, html,
+           |    trim(regexp_replace(regexp_replace(regexp_replace(t2,
+           |      '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+           |      '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS text_clean
+           |  FROM d)
+           |SELECT doc_id,
+           |  nullif(trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(
+           |        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+           |        '(?s)<[^>]*>', ' ', 'g'),
+           |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           |      '&quot;', '"'), '&#39;', ''''),
+           |    '\s+', ' ', 'g')), '') AS title,
+           |  text_clean, CAST(len(text_clean) AS INTEGER) AS n_chars_clean
+           |FROM e ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
       """WITH b AS (

@@ -759,6 +759,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("extractHtmlText/htmlTitle: scripts with markup inside, entities, blocks, titles") {
+    val cases = Seq(
+      // script body containing '<' and a stray closing tag: non-greedy
+      // dotall removal must eat the WHOLE script before block handling
+      ("<p>a</p><script>if (1 < 2) { x = \"</div>\"; }</script><p>b</p>",
+        "a\nb"),
+      ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+      // entity decode order: '&amp;nbsp;' is an ESCAPED '&nbsp;' —
+      // nbsp-first decoding must leave the literal text '&nbsp;'
+      ("x &amp;nbsp; y", "x &nbsp; y"),
+      ("&lt;b&gt;not&lt;/b&gt; a tag", "<b>not</b> a tag"),
+      ("<div>  lots   of\t space </div>", "lots of space"),
+      ("plain text, no markup", "plain text, no markup"),
+      ("<style>p { a: 1 }</style><!-- gone -->kept", "kept"))
+    val out = cases.map(_._1).toDF("h")
+      .select(graft.ops.Curation.extractHtmlText(col("h"))).collect()
+      .map(_.getString(0))
+    assert(out.toSeq === cases.map(_._2))
+
+    val titles = Seq(
+      ("<title>A &amp; B</title>", "A & B"),
+      ("<head><title>Sp<b>an</b>ned   title</title></head>", "Sp an ned title"),
+      ("<p>no title here</p>", null),
+      ("<title></title>", null))
+    val t = titles.map(_._1).toDF("h")
+      .select(graft.ops.Curation.htmlTitle(col("h"))).collect()
+      .map(_.getString(0))
+    assert(t.toSeq === titles.map(_._2))
+  }
+
   test("leakageSafeSplit: NO candidate pair straddles a split; naive per-doc split leaks") {
     import graft.ops.Dedup
     val d = schema.Tables.load(spark, sfDir, "documents")
