@@ -89,7 +89,12 @@ object ScaleSmoke {
     // round-11 additions: the composed privacy release, the BM25
     // delete+purge lifecycle (touched-bucket rewrite must stay
     // bounded), and the URL/domain curation pair
-    "q_privacy_e2e", "q_bm25_delete", "q_url_dedup", "q_domain_cap")
+    "q_privacy_e2e", "q_bm25_delete", "q_url_dedup", "q_domain_cap",
+    // round-12 additions: the components-shaped split assignment, the
+    // KMV state lifecycle, the 1-bit shortlist scan, and the per-row
+    // regexp extraction chain (corpus-width text work)
+    "q_leakage_safe_split", "q_kmv_incr", "q_ann_binary_recall",
+    "q_html_extract")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)
