@@ -76,15 +76,22 @@ object Vectors {
     * via [[hamming]]. */
   def signPack(v: Column): Column = column(catalyst.SignPack(expression(v)))
 
-  /** Declarative reference formulation (kernel parity test only). */
+  /** Declarative reference formulation (kernel parity test only) —
+    * including the kernel's edges: an EMPTY vector packs to an empty
+    * word array (Spark's sequence(0, −1) would otherwise generate the
+    * DESCENDING [0, −1] and fabricate two words), and a null element
+    * nulls the whole pack. */
   def signPackDeclarative(v: Column): Column =
-    transform(sequence(lit(0), ((size(v) + 63) / 64).cast("int") - 1), w =>
-      aggregate(
-        sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
-        lit(0L),
-        (acc, i) => acc + when(element_at(v, i.cast("int") + 1) > 0,
-          call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
-          .otherwise(lit(0L))))
+    when(v.isNull || exists(v, x => x.isNull), lit(null).cast("array<bigint>"))
+      .when(size(v) === 0, array().cast("array<bigint>"))
+      .otherwise(
+        transform(sequence(lit(0), ((size(v) + 63) / 64).cast("int") - 1), w =>
+          aggregate(
+            sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
+            lit(0L),
+            (acc, i) => acc + when(element_at(v, i.cast("int") + 1) > 0,
+              call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
+              .otherwise(lit(0L)))))
 
   /** Hamming distance between two [[signPack]] word arrays:
     * Σ popcount(xor) — fused kernel ([[catalyst.HammingDistance]]). */

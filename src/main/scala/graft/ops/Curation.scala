@@ -366,11 +366,15 @@ object Curation {
     trim(regexp_replace(tidyLines, "\\n{2,}", "\n"), " \n")
   }
 
-  /** The six universal entities, decoded in fixed order (nbsp first:
-    * decoding &amp; earlier would double-decode '&amp;nbsp;'). */
+  /** The six universal entities, decoded in fixed order with `&amp;`
+    * strictly LAST: decoding it earlier manufactures new entity
+    * spellings out of ESCAPED ones ('&amp;lt;' — the literal text
+    * '&lt;' a page shows its readers — would double-decode to '<'),
+    * and with amp last no earlier replace can match an escaped form
+    * (no other entity's spelling survives inside '&amp;…'). */
   private def decodeEntities(c: Column): Column =
-    Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(c) { case (x, (e, r)) => replace(x, lit(e), lit(r)) }
 
   /** The document title from raw HTML (first <title> element, tags
@@ -404,10 +408,16 @@ object Curation {
                        trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"need 0 < trainPct and trainPct + valPct <= 100, got $trainPct/$valPct")
-    val rep = Dedup.connectedComponents(pairs).select(col("id"), col("rep"))
+    require(!Seq("rep", "bucket", "split").contains(idCol),
+      s"idCol '$idCol' collides with an output column of leakageSafeSplit")
+    // components emit (id, rep): rename BEFORE joining so an input
+    // whose key column is itself named "id" or "rep" (the embedding
+    // convention elsewhere in this engine) cannot collide
+    val rep = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("rep").as("__cc_rep"))
     val withRep = docs.select(col(idCol))
-      .join(rep, col(idCol) === col("id"), "left")
-      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+      .join(rep, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__cc_rep"), col(idCol)).as("rep"))
     val b = hashBucket(col("rep").cast("string"), 100)
     withRep.select(col(idCol), col("rep"), b.as("bucket"),
       splitLabel(b, trainPct, valPct).as("split"))

@@ -28,10 +28,19 @@ private[ops] object IndexLock {
     new org.apache.hadoop.fs.Path(s"$path/.graft.index.lock")
 
   /** Run `body` holding the layout's writer lock; loud failure if a
-    * concurrent maintenance op already holds it. */
+    * concurrent maintenance op already holds it. The lock carries a
+    * unique token and release verifies OWNERSHIP: if a rebuild's
+    * [[clearStale]] replaced this op's lock mid-flight, the finally
+    * must not delete the REBUILD's lock (that would reopen the layout
+    * to a third op interleaving with the rebuild's multi-step
+    * overwrite). The verify-then-delete window is best-effort, like
+    * every rename in this storage layer — the guarantee is loud
+    * refusal of the common interleaves, not a distributed lease. */
   def withLock[T](spark: SparkSession, path: String, op: String)(body: => T): T = {
     val lock = lockPath(path)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token =
+      s"$op@${System.currentTimeMillis()}@${java.util.UUID.randomUUID()}"
     val out =
       try fs.create(lock, false)
       catch {
@@ -48,19 +57,41 @@ private[ops] object IndexLock {
               "after confirming nothing is running, or rebuild the layout " +
               "(writeBm25Index/writeIvfIndex clear stale locks).")
       }
-    try out.write(s"$op@${System.currentTimeMillis()}".getBytes("UTF-8"))
-    finally out.close()
+    try {
+      out.write(token.getBytes("UTF-8"))
+      out.close()
+    } catch {
+      case e: Exception =>
+        // we created the lock but could not stamp it: nothing has run,
+        // so remove it rather than leak a permanent orphan
+        try out.close() catch { case _: Exception => () }
+        try fs.delete(lock, false) catch { case _: Exception => () }
+        throw e
+    }
     try body
     finally {
-      // the all-deleted purge removes the layout root (lock included):
-      // a missing lock here is success, not an error
-      try fs.delete(lock, false) catch { case _: Exception => () }
+      // delete ONLY if the lock is still OURS; a missing lock (the
+      // all-deleted purge removes the layout root, lock included) or a
+      // replaced one is left alone
+      try {
+        val mine =
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in).mkString == token
+            finally in.close()
+          } catch { case _: Exception => false }
+        if (mine) fs.delete(lock, false)
+      } catch { case _: Exception => () }
     }
   }
 
-  /** Remove a stale lock left by a crashed op — called ONLY by the full
+  /** Remove a stale lock left by a CRASHED op — called ONLY by the full
     * `write*Index` builders, whose mode=overwrite rewrites invalidate
-    * every prior state anyway (the documented crash remediation). */
+    * every prior state anyway (the documented crash remediation).
+    * Starting a rebuild while a maintenance op is genuinely RUNNING is
+    * operator error this layer cannot distinguish from a crash; the
+    * ownership check in [[withLock]]'s release bounds the blast radius
+    * (the superseded op can no longer delete the rebuild's lock). */
   def clearStale(spark: SparkSession, path: String): Unit = {
     val lock = lockPath(path)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)

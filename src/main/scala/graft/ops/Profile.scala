@@ -225,10 +225,18 @@ object Profile {
                         lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
-    val binned = histBins(a, colName, lo, hi, nBins)
-      .withColumnRenamed("n_rows", "na")
+    // DENSE cell range −1..nBins: a cell empty on BOTH sides still
+    // carries its smoothed masses, and (pa − pb)·ln(pa/pb) ≠ 0 there
+    // whenever N_a ≠ N_b — dropping such cells (histBins emits only
+    // observed bins) would silently underestimate the documented
+    // add-half-over-(nBins+2)-cells formula
+    val allBins = a.sparkSession.range(nBins + 2)
+      .select((col("id") - 1).cast("int").as("bin"))
+    val binned = allBins
+      .join(histBins(a, colName, lo, hi, nBins)
+        .withColumnRenamed("n_rows", "na"), Seq("bin"), "left")
       .join(histBins(b, colName, lo, hi, nBins)
-        .withColumnRenamed("n_rows", "nb"), Seq("bin"), "full_outer")
+        .withColumnRenamed("n_rows", "nb"), Seq("bin"), "left")
       .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
     val cells = nBins + 2 // in-range bins plus the two overflow bins

@@ -110,10 +110,15 @@ object Retrieval {
                         nBins: Int = 10): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     val c = confidence.cast("double")
+    // filter on the CASTED label: a non-null value that casts to null
+    // boolean (e.g. a 'yes'/'no' string column) must leave the row out
+    // of n AND the averages together, or frac_pos silently averages
+    // over a different denominator than the ECE weights
+    val y = label.cast("boolean").cast("double")
     val binned = df
-      .filter(c.isNotNull && c >= 0.0 && c <= 1.0 && label.isNotNull)
+      .filter(c.isNotNull && c >= 0.0 && c <= 1.0 && y.isNotNull)
       .select(least(floor(c * nBins), lit(nBins - 1L)).cast("long").as("bin"),
-        c.as("conf"), label.cast("boolean").cast("double").as("y"))
+        c.as("conf"), y.as("y"))
     val per = binned.groupBy(col("bin")).agg(
       count(lit(1)).as("n"),
       round(avg(col("conf")), 9).as("avg_conf"),

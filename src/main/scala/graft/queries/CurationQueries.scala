@@ -623,7 +623,9 @@ object CurationQueries {
         lit("<a href=\"/x?a=1&amp;b=2\">About</a></nav><h1>Doc "),
         col("doc_id").cast("string"), lit("</h1><p>"), first12,
         lit("</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
-        lit("</p></body></html>"))
+        // ESCAPED entity — literal '&lt;i&gt;' shown to readers; a
+        // wrong decode order would double-decode it to '<i>'
+        lit(" esc: &amp;lt;i&amp;gt;</p></body></html>"))
       docsRaw(s, dir).select(col("doc_id"),
           Curation.htmlTitle(html).as("title"),
           Curation.extractHtmlText(html).as("text_clean"))
@@ -821,7 +823,7 @@ object CurationQueries {
            |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
            |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') ||
            |    '</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
-           |    '</p></body></html>' AS html
+           |    ' esc: &amp;lt;i&amp;gt;</p></body></html>' AS html
            |  FROM documents),
            |c AS (
            |  SELECT doc_id, html,
@@ -836,8 +838,8 @@ object CurationQueries {
            |  SELECT doc_id, html,
            |    replace(replace(replace(replace(replace(replace(
            |      regexp_replace(t1, '(?s)<[^>]*>', ' ', 'g'),
-           |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           |      '&quot;', '"'), '&#39;', '''') AS t2
+           |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t2
            |  FROM c),
            |e AS (
            |  SELECT doc_id, html,
@@ -851,8 +853,8 @@ object CurationQueries {
            |      regexp_replace(
            |        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
            |        '(?s)<[^>]*>', ' ', 'g'),
-           |      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           |      '&quot;', '"'), '&#39;', ''''),
+           |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
            |    '\s+', ' ', 'g')), '') AS title,
            |  text_clean, CAST(len(text_clean) AS INTEGER) AS n_chars_clean
            |FROM e ORDER BY doc_id""".stripMargin,

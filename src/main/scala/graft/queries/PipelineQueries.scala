@@ -568,9 +568,11 @@ object PipelineQueries {
          |    SELECT $binExpr AS bin, COUNT(*) AS nb
          |    FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
          |          WHERE n_chars IS NOT NULL AND ($filtB)) GROUP BY 1),
+         |  g AS (SELECT unnest(generate_series(-1, $nBins)) AS bin),
          |  j AS (
-         |    SELECT bin, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
-         |    FROM ha FULL JOIN hb USING (bin)),
+         |    SELECT g.bin, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+         |    FROM g LEFT JOIN ha ON g.bin = ha.bin
+         |           LEFT JOIN hb ON g.bin = hb.bin),
          |  tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM j),
          |  terms AS (
          |    SELECT bin,

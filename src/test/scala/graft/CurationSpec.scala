@@ -766,9 +766,11 @@ class CurationSpec extends SparkSpec {
       ("<p>a</p><script>if (1 < 2) { x = \"</div>\"; }</script><p>b</p>",
         "a\nb"),
       ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
-      // entity decode order: '&amp;nbsp;' is an ESCAPED '&nbsp;' —
-      // nbsp-first decoding must leave the literal text '&nbsp;'
+      // entity decode order: escaped entities ('&amp;X;' — the literal
+      // text '&X;' a page shows its readers) must decode exactly ONE
+      // level; '&amp;' decoding anywhere but last would double-decode
       ("x &amp;nbsp; y", "x &nbsp; y"),
+      ("&amp;lt;b&amp;gt; stays escaped", "&lt;b&gt; stays escaped"),
       ("&lt;b&gt;not&lt;/b&gt; a tag", "<b>not</b> a tag"),
       ("<div>  lots   of\t space </div>", "lots of space"),
       ("plain text, no markup", "plain text, no markup"),

@@ -192,12 +192,19 @@ class TextVectorSpec extends SparkSpec {
           (x, y) => (x > 0) =!= (y > 0)), p => p)).cast("long").as("want"))
       .collect()
     hd.foreach(r => assert(r.getLong(2) === r.getLong(3)))
-    // self-distance 0; null element -> null pack (the family contract)
+    // self-distance 0; null element -> null pack IN BOTH FORMS
     assert(hd.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getLong(2) == 0L))
+    val nulled = transform($"vec", x => when(isnan(x), lit(null)).otherwise(x))
     val withNull = Seq((1L, Array(1.0f, Float.NaN))).toDF("id", "vec")
-      .select(Vectors.signPack(transform($"vec",
-        x => when(isnan(x), lit(null)).otherwise(x))).as("p"))
-    assert(withNull.head().isNullAt(0))
+      .select(Vectors.signPack(nulled).as("p"),
+        Vectors.signPackDeclarative(nulled).as("d")).head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    // empty vector -> EMPTY word array in both forms (the declarative
+    // twin must not let sequence(0, -1) fabricate a descending range)
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("vec")
+      .select(Vectors.signPack($"vec").as("p"),
+        Vectors.signPackDeclarative($"vec").as("d")).head()
+    assert(empty.getSeq[Long](0).isEmpty && empty.getSeq[Long](1).isEmpty)
   }
 
   test("binaryTopK with exhaustive rerank == bruteTopK exactly") {
