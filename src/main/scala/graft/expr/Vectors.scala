@@ -89,7 +89,11 @@ object Vectors {
           aggregate(
             sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
             lit(0L),
-            (acc, i) => acc + when(element_at(v, i.cast("int") + 1) > 0,
+            // !isnan: Catalyst '>' ranks NaN ABOVE every number while
+            // the kernel's Java compare is false for NaN — a NaN
+            // coordinate packs as 0 in both forms
+            (acc, i) => acc + when(!isnan(element_at(v, i.cast("int") + 1)) &&
+                element_at(v, i.cast("int") + 1) > 0,
               call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
               .otherwise(lit(0L)))))
 

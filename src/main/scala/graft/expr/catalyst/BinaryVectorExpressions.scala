@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   */
 
 /** Pack coordinate signs into ceil(dim/64) longs: word w bit j is set
-  * iff v[w·64+j] > 0 (strict — zero packs as 0). Null array or null
-  * element → null (the [[VectorBinaryExpression]] contract). Matches
-  * the declarative HOF twin bit-for-bit (parity-tested). */
+  * iff v[w·64+j] > 0 (strict — zero packs as 0, and NaN packs as 0
+  * too: the Java compare is false for NaN, a corrupt coordinate must
+  * not become a phantom positive sign). Null array or null element →
+  * null (the [[VectorBinaryExpression]] contract). Matches the
+  * declarative HOF twin bit-for-bit (parity-tested incl. the NaN,
+  * empty, and null-element edges). */
 case class SignPack(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_sign_pack"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -408,8 +408,8 @@ object Curation {
                        trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"need 0 < trainPct and trainPct + valPct <= 100, got $trainPct/$valPct")
-    require(!Seq("rep", "bucket", "split").contains(idCol),
-      s"idCol '$idCol' collides with an output column of leakageSafeSplit")
+    require(!Seq("rep", "bucket", "split", "__cc_id", "__cc_rep").contains(idCol),
+      s"idCol '$idCol' collides with an output or internal column of leakageSafeSplit")
     // components emit (id, rep): rename BEFORE joining so an input
     // whose key column is itself named "id" or "rep" (the embedding
     // convention elsewhere in this engine) cannot collide

@@ -57,29 +57,50 @@ private[ops] object IndexLock {
               "after confirming nothing is running, or rebuild the layout " +
               "(writeBm25Index/writeIvfIndex clear stale locks).")
       }
+    def readLock(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in).mkString)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
     try {
       out.write(token.getBytes("UTF-8"))
       out.close()
     } catch {
       case e: Exception =>
-        // we created the lock but could not stamp it: nothing has run,
-        // so remove it rather than leak a permanent orphan
+        // we created the lock but could not stamp it: remove it rather
+        // than leak a permanent orphan — but only while it is still
+        // the UNSTAMPED file we created (empty/partial, never a full
+        // token): if a rebuild's clearStale already replaced it, its
+        // stamped lock must survive. A read failure here leaves the
+        // file (tiny leak window, removable via the documented
+        // remediation) instead of risking the rebuild's lock.
         try out.close() catch { case _: Exception => () }
-        try fs.delete(lock, false) catch { case _: Exception => () }
+        try {
+          val stillOurs = readLock() match {
+            case None => false
+            case Some(content) => !content.contains("@") // unstamped
+          }
+          if (stillOurs) fs.delete(lock, false)
+        } catch { case _: Exception => () }
         throw e
     }
     try body
     finally {
-      // delete ONLY if the lock is still OURS; a missing lock (the
-      // all-deleted purge removes the layout root, lock included) or a
-      // replaced one is left alone
+      // delete ONLY if the lock is still OURS: a MISSING lock (the
+      // all-deleted purge removes the layout root, lock included) or
+      // one REPLACED by a rebuild's clearStale is left alone. A read
+      // that fails with anything other than not-found defaults to
+      // "ours" — we stamped this file, and a transient read error must
+      // not leak our own lock and wedge the layout (the replaced-lock
+      // case additionally needs the clearStale race, which is already
+      // operator error).
       try {
         val mine =
-          try {
-            val in = fs.open(lock)
-            try scala.io.Source.fromInputStream(in).mkString == token
-            finally in.close()
-          } catch { case _: Exception => false }
+          try readLock() match {
+            case None => false
+            case Some(content) => content == token
+          } catch { case _: Exception => true }
         if (mine) fs.delete(lock, false)
       } catch { case _: Exception => () }
     }

@@ -110,10 +110,12 @@ object Retrieval {
                         nBins: Int = 10): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     val c = confidence.cast("double")
-    // filter on the CASTED label: a non-null value that casts to null
-    // boolean (e.g. a 'yes'/'no' string column) must leave the row out
-    // of n AND the averages together, or frac_pos silently averages
-    // over a different denominator than the ECE weights
+    // filter on the CASTED label: a label whose cast is null (a
+    // try_cast the caller passed for malformed-tolerant input, or any
+    // non-ANSI deployment's silent null — under ANSI a malformed
+    // string fails loudly at the cast, spec-pinned) must leave the row
+    // out of n AND the averages together, or frac_pos silently
+    // averages over a different denominator than the ECE weights
     val y = label.cast("boolean").cast("double")
     val binned = df
       .filter(c.isNotNull && c >= 0.0 && c <= 1.0 && y.isNotNull)

@@ -93,5 +93,22 @@ class RetrievalSpec extends SparkSpec {
     assert(b2.getLong(5) === 4L)
     assert(b2.getDouble(6) === 0.15 && b9.getDouble(6) === 0.15)
     assert(b2.getDouble(4) === 0.275 && b9.getDouble(4) === 0.025)
+
+    // string labels under ANSI: a malformed value fails LOUDLY (the
+    // engine-wide contract — no silent nulling), and a tolerant caller
+    // passes try_cast, whose nulls must leave the row out of n AND the
+    // averages together — filtering on the pre-cast label would count
+    // the row in n while avg skips it, splitting the ECE denominator
+    val strRows = Seq(("0.25", "yes"), ("0.25", "no"), ("0.25", "maybe"))
+      .toDF("conf", "y")
+    intercept[Exception] {
+      Retrieval.calibrationReport(strRows,
+        col("conf").cast("double"), col("y"), nBins = 10).collect()
+    }
+    val sb = Retrieval.calibrationReport(strRows,
+      col("conf").cast("double"), expr("try_cast(y AS boolean)"),
+      nBins = 10).head()
+    assert(sb.getLong(1) === 2L, s"null-cast label must not count in n: $sb")
+    assert(sb.getDouble(3) === 0.5 && sb.getLong(5) === 2L)
   }
 }

@@ -205,6 +205,14 @@ class TextVectorSpec extends SparkSpec {
       .select(Vectors.signPack($"vec").as("p"),
         Vectors.signPackDeclarative($"vec").as("d")).head()
     assert(empty.getSeq[Long](0).isEmpty && empty.getSeq[Long](1).isEmpty)
+    // NaN packs as 0 in BOTH forms (Catalyst '>' ranks NaN above every
+    // number; the kernel's Java compare is false for NaN — the twin
+    // must not set a phantom sign bit)
+    val nan = Seq(Tuple1(Array(Float.NaN, 1.0f, -1.0f))).toDF("vec")
+      .select(Vectors.signPack($"vec").as("p"),
+        Vectors.signPackDeclarative($"vec").as("d")).head()
+    assert(nan.getSeq[Long](0) === Seq(2L), s"kernel NaN pack: $nan")
+    assert(nan.getSeq[Long](1) === Seq(2L), s"declarative NaN pack: $nan")
   }
 
   test("binaryTopK with exhaustive rerank == bruteTopK exactly") {
