@@ -625,13 +625,20 @@ object Ann {
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
-  /** Persist an IVF-Flat index as a parquet layout: inverted lists
-    * under `path/lists` PARTITIONED BY list id (one directory per
-    * coarse cell) and the centroid table under `path/centroids`. This
-    * is the claim "at 100 TB the lists are the storage partitioning"
-    * made real: a probe that touches nProbe of nLists cells reads
-    * nProbe directories from disk — partition pruning, not a scan —
-    * and the corpus shuffles exactly once, at build time.
+  /** Persist an IVF-Flat index as a manifest-versioned parquet layout
+    * ([[graft.ops.IndexManifest]]): inverted-list segments PARTITIONED
+    * BY list id (one directory per coarse cell) and a centroid table,
+    * published by one atomic manifest commit. This is the claim "at
+    * 100 TB the lists are the storage partitioning" made real: a probe
+    * that touches nProbe of nLists cells reads nProbe directories from
+    * disk — partition pruning, not a scan — and the corpus shuffles
+    * exactly once, at build time.
+    *
+    * Probes PIN the manifest current when they open, so a concurrent
+    * append/delete/purge (which only ever adds new segments plus a new
+    * manifest) can never mix states mid-probe; crashes before a commit
+    * change nothing, making every maintenance op blind-retry-safe.
+    * Reclaim superseded segments with [[vacuumIvfIndex]].
     *
     * The expensive step (assigning every corpus vector to its nearest
     * centroid) runs here, once; `probeIvfIndex` then serves any number
@@ -644,43 +651,64 @@ object Ann {
     writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride)(
       _.select(col("nid"), col("nv"), col("cid")))
 
-  /** Shared layout builder for the float and SQ8 index variants —
-    * centroid resolution, list assignment, and the partitioned write
-    * exist ONCE; `project` picks the per-list payload. */
+  /** Shared layout builder for the float, SQ8 and PQ index variants —
+    * centroid resolution, list assignment, the partitioned write and
+    * the manifest commit exist ONCE; `project` picks the per-list
+    * payload and `extra` carries variant-specific single-directory
+    * components (the PQ codebooks) into the same atomic commit. */
   private def writeIvfLayout(corpus: DataFrame, path: String, nLists: Int,
                              trainIters: Int,
-                             centroidsOverride: Option[DataFrame])(
+                             centroidsOverride: Option[DataFrame],
+                             extra: Map[String, Seq[IndexManifest.Segment]] = Map.empty)(
       project: DataFrame => DataFrame): Unit = {
+    val spark = corpus.sparkSession
     // the full rebuild is the documented crash-remediation path: a
     // stale lock left by a crashed append/delete/purge must not block it
-    IndexLock.clearStale(corpus.sparkSession, path)
-    IndexLock.withLock(corpus.sparkSession, path, "writeIvfIndex") {
+    IndexLock.clearStale(spark, path)
+    IndexLock.withLock(spark, path, "writeIvfIndex") {
+      val base = if (IndexManifest.exists(spark, path))
+        Some(IndexManifest.pin(spark, path)) else None
+      val centSeg = IndexManifest.newSegment("centroids")
+      val listSeg = IndexManifest.newSegment("lists")
       val cents = centroidsOverride.getOrElse(
         if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
         else seedCentroids(corpus, nLists))
-      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/$centSeg")
       project(nearestLists(cents,
           corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
         .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$listSeg")
+      IndexManifest.commit(spark, path, base, Map(
+        "centroids" -> Seq(IndexManifest.Segment(centSeg)),
+        "lists" -> Seq(IndexManifest.Segment(listSeg)),
+        "tombstones" -> Seq.empty[IndexManifest.Segment]) ++ extra)
     }
   }
 
-  /** Shared probe front half: assign queries to their nProbe nearest
-    * stored centroids (materialized once — the cid collect and the
-    * candidate join would otherwise run the assignment twice), push the
-    * probed list ids as a LITERAL partition filter, and return
-    * (probes, pruned lists). */
-  private def prunedProbe(queries: DataFrame, path: String, nProbe: Int,
+  /** The stored centroid table of a persisted IVF layout (current
+    * manifest version) — the public face of the layout internals for
+    * callers that re-run in-memory assignment against the same
+    * geometry (q_ann_ivf_index's index==memory identity gate). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(IndexManifest.pin(spark, path).single("centroids"))
+
+  /** Shared probe front half over a PINNED snapshot: assign queries to
+    * their nProbe nearest stored centroids (materialized once — the cid
+    * collect and the candidate join would otherwise run the assignment
+    * twice), push the probed list ids as a LITERAL partition filter
+    * into every list segment, and return (probes, pruned lists). */
+  private def prunedProbe(queries: DataFrame, snap: IndexManifest.Snapshot,
+                          nProbe: Int,
                           maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows)
       : (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(snap.single("centroids"))
     val probes = Reliable.checkpoint(nearestLists(cents,
       queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe))
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val raw = spark.read.parquet(s"$path/lists")
-      .filter(col("cid").cast("long").isin(cids: _*))
+    val raw = snap.read(spark, "lists", Some("cid")).get
+      .filter(col("cid").isin(cids: _*))
     // logical deletes: rows tombstoned by deleteFromIvfIndex never
     // reach a probe — the anti join broadcasts the tombstone set
     // against only the probed partitions. The set is small BETWEEN
@@ -689,20 +717,21 @@ object Ann {
     // rail: a caller streaming daily deletes without maintenance gets
     // a named failure pointing at purgeIvfTombstones instead of a
     // driver OOM deep inside the probe job.
-    val lists =
-      if (Tombstones.exists(spark, path))
-        raw.join(broadcast(Guard.broadcastSmall(
-          Tombstones.read(spark, path, "nid"),
-          s"IVF tombstone set at $path/tombstones (run purgeIvfTombstones " +
+    val lists = snap.tombstones(spark, "nid") match {
+      case Some(t) =>
+        raw.join(broadcast(Guard.broadcastSmall(t,
+          s"IVF tombstone set at ${snap.root} (run purgeIvfTombstones " +
             "to compact accumulated deletes)",
           maxTombstoneRows)), Seq("nid"), "left_anti")
-      else raw
+      case None => raw
+    }
     (probes, lists)
   }
 
   /** Logical delete from a persisted IVF/SQ8/PQ layout — the
-    * right-to-erasure maintenance op: the ids append to a tombstone
-    * table and every probe path anti-joins them (single seam —
+    * right-to-erasure maintenance op: the ids land as a tombstone
+    * segment in the next manifest version and every probe path
+    * anti-joins the pinned tombstone set (single seam —
     * [[probeIvfIndex]], the SQ8 and PQ probes all read through it), so
     * deletion is immediate and O(batch) regardless of index size; no
     * list partition is touched. Run [[purgeIvfTombstones]] on a
@@ -711,16 +740,26 @@ object Ann {
     * matches). */
   def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
     IndexLock.withLock(ids.sparkSession, path, "deleteFromIvfIndex") {
-      Tombstones.append(ids, "nid", path)
+      val spark = ids.sparkSession
+      val snap = IndexManifest.pin(spark, path)
+      val seg = IndexManifest.newSegment("tombstones")
+      ids.select(col("nid")).write.mode("overwrite").parquet(s"$path/$seg")
+      IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+        "tombstones" ->
+          (snap.segments("tombstones") :+ IndexManifest.Segment(seg))))
     }
 
   /** Physically apply accumulated tombstones: one columnar (nid, cid)
-    * scan over the lists finds the touched partitions (bounded cid
-    * collect), ONLY those rewrite via dynamic partition overwrite with
-    * the tombstoned rows dropped, and the tombstone table resets.
-    * Probe answers are identical before and after (spec-asserted) —
-    * purge trades a bounded rewrite for smaller probes and a clean
-    * slate. Returns the number of partitions rewritten. */
+    * scan over the lists finds the touched cells (bounded cid collect),
+    * the kept rows of those cells land in ONE new list segment while
+    * the old segments merely gain excluded-cell annotations in the next
+    * manifest (cell-local: no stored file moves), and the tombstone
+    * component empties — all published by one atomic commit, so a crash
+    * at any earlier step changes nothing and the purge is blind-retry-
+    * safe. Probe answers are identical before and after (spec-asserted)
+    * — purge trades a bounded rewrite for smaller probes and a clean
+    * slate. Returns the number of cells rewritten; reclaim superseded
+    * segments with [[vacuumIvfIndex]]. */
   def purgeIvfTombstones(spark: org.apache.spark.sql.SparkSession,
                          path: String): Int =
     IndexLock.withLock(spark, path, "purgeIvfTombstones") {
@@ -729,37 +768,78 @@ object Ann {
 
   private def purgeIvfLocked(spark: org.apache.spark.sql.SparkSession,
                              path: String): Int = {
-    if (!Tombstones.exists(spark, path)) return 0
-    // NO broadcast hint: this is the remediation path for an
+    val snap = IndexManifest.pin(spark, path)
+    if (snap.segments("tombstones").isEmpty) return 0
+    // checkpointed, not broadcast: this is the remediation path for an
     // over-accumulated tombstone set — the one input guaranteed to be
     // large exactly when this function is needed most; a forced
     // broadcast would die on the size cap while probes refuse. AQE
     // broadcasts it when actually small.
-    val tomb = Tombstones.read(spark, path, "nid")
-    val touched = spark.read.parquet(s"$path/lists")
-      .join(tomb, Seq("nid"), "left_semi")
-      .select(col("cid").cast("long")).distinct().collect().map(_.getLong(0))
-    if (touched.nonEmpty) {
-      val kept = Reliable.checkpoint(
-        spark.read.parquet(s"$path/lists")
-          .filter(col("cid").cast("long").isin(touched: _*))
-          .join(tomb, Seq("nid"), "left_anti"))
-      Scale.withDynamicOverwrite(spark) {
-        kept.withColumn("cid", col("cid").cast("long"))
-          .repartition(col("cid"))
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
-      }
-      // dynamic overwrite only replaces partitions PRESENT in the
-      // write — a fully-tombstoned cell keeps its stale directory;
-      // drop those explicitly
-      val keptCids = kept.select(col("cid").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      Tombstones.dropPartitionDirs(spark, s"$path/lists",
-        touched.filterNot(keptCids).map(cid => s"cid=$cid"))
+    val tomb = Reliable.checkpoint(snap.tombstones(spark, "nid").get)
+    val lists = snap.read(spark, "lists", Some("cid")).get
+    val touched = lists.join(tomb, Seq("nid"), "left_semi")
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) {
+      // tombstoned ids were never indexed: manifest-only commit
+      IndexManifest.commit(spark, path, Some(snap), snap.components ++
+        Map("tombstones" -> Seq.empty[IndexManifest.Segment]))
+      return 0
     }
-    Tombstones.clear(spark, path)
+    val listSeg = IndexManifest.newSegment("lists")
+    val kept = Reliable.checkpoint(
+      lists.filter(col("cid").isin(touched: _*))
+        .join(tomb, Seq("nid"), "left_anti"))
+    IndexManifest.writeBucketed(kept, s"$path/$listSeg", "cid")
+    val touchedSet = touched.toSet
+    // annotate old segments with the rewritten cells; a segment whose
+    // on-disk cells are now all excluded drops from the manifest
+    // entirely so vacuum can reclaim it
+    val oldSegs = snap.segments("lists")
+      .map(s => s.copy(exclude = s.exclude ++ touchedSet))
+      .filter { s =>
+        val onDisk = IndexManifest.bucketsOnDisk(spark, path, s, "cid")
+        onDisk.nonEmpty && (onDisk -- s.exclude).nonEmpty
+      }
+    IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+      "lists" -> (oldSegs :+ IndexManifest.Segment(listSeg)),
+      "tombstones" -> Seq.empty[IndexManifest.Segment]))
     touched.length
   }
+
+  /** Consolidate the accumulated append/purge segments of a persisted
+    * IVF layout into one list segment — the segment-merge half of the
+    * lifecycle: probes fan in over every segment, so a layout absorbing
+    * many appends should compact on a maintenance cadence. Logical
+    * state — pending tombstones included — is preserved verbatim.
+    * Returns the number of segments consolidated away. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int =
+    IndexLock.withLock(spark, path, "compactIvfIndex") {
+      compactIvfLocked(spark, path)
+    }
+
+  private def compactIvfLocked(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Int = {
+    val snap = IndexManifest.pin(spark, path)
+    val nSegs = snap.segments("lists").size
+    if (nSegs <= 1) return 0
+    val listSeg = IndexManifest.newSegment("lists")
+    IndexManifest.writeBucketed(
+      snap.read(spark, "lists", Some("cid")).get, s"$path/$listSeg", "cid")
+    IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+      "lists" -> Seq(IndexManifest.Segment(listSeg))))
+    nSegs - 1
+  }
+
+  /** Reclaim segments superseded by rebuilds/appends/purges/compacts
+    * plus old manifest versions ([[IndexManifest.vacuum]]). Holds the
+    * writer lock; callers own the reader-grace contract — probes pinned
+    * to versions older than the current one lose their directories. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[String] =
+    IndexLock.withLock(spark, path, "vacuumIvfIndex") {
+      IndexManifest.vacuum(spark, path)
+    }
 
   /** Top-k probe against a persisted [[writeIvfIndex]] layout. The
     * probed list ids are collected to the driver (≤ |queries|·nProbe
@@ -771,12 +851,13 @@ object Ann {
   def probeIvfIndex(queries: DataFrame, path: String, k: Int,
                     nProbe: Int = 4,
                     maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
-    val (probes, lists) = prunedProbe(queries, path, nProbe, maxTombstoneRows)
+    val snap = IndexManifest.pin(queries.sparkSession, path)
+    val (probes, lists) = prunedProbe(queries, snap, nProbe, maxTombstoneRows)
     val cand = broadcast(
         probes.select(col("qid"), col("qv"),
           Vectors.l2Norm(col("qv")).as("qn"), col("cid")))
       .join(lists.select(col("nid"), col("nv"),
-          Vectors.l2Norm(col("nv")).as("nn"), col("cid").cast("long").as("cid")),
+          Vectors.l2Norm(col("nv")).as("nn"), col("cid")),
         Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
@@ -805,7 +886,8 @@ object Ann {
     * (query side quantized symmetrically). */
   def probeIvfIndexSq8(queries: DataFrame, path: String, k: Int,
                        nProbe: Int = 4): DataFrame = {
-    val (probes, lists) = prunedProbe(queries, path, nProbe)
+    val snap = IndexManifest.pin(queries.sparkSession, path)
+    val (probes, lists) = prunedProbe(queries, snap, nProbe)
     // quantize each query ONCE (probes carries nProbe rows per qid);
     // the per-cid probe rows join the quantized form back by qid
     val q8 = probes.select(col("qid"), col("qv")).dropDuplicates("qid")
@@ -813,8 +895,7 @@ object Ann {
         Vectors.quantizeInt8(col("qv")).getField("q").as("qv8"))
       .withColumn("qn", Vectors.l2Norm(col("qv8")))
     val cand = broadcast(probes.select(col("qid"), col("cid")).join(q8, Seq("qid")))
-      .join(lists.select(col("nid"), col("nq").as("nv8"),
-          col("cid").cast("long").as("cid"))
+      .join(lists.select(col("nid"), col("nq").as("nv8"), col("cid"))
           .withColumn("nn", Vectors.l2Norm(col("nv8"))),
         Seq("cid"))
       .filter(col("qid") =!= col("nid"))
@@ -848,9 +929,13 @@ object Ann {
       m, nCodes, pqIters)
     val cbRows = for (s <- cbs.indices; c <- cbs(s).indices)
       yield (s, c, cbs(s)(c).toSeq)
+    // the codebook segment rides the SAME atomic manifest commit as the
+    // centroid/list segments — a crash anywhere leaves only orphans
+    val cbSeg = IndexManifest.newSegment("codebooks")
     spark.createDataFrame(cbRows).toDF("s", "c", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride) { assigned =>
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$cbSeg")
+    writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride,
+      Map("codebooks" -> Seq(IndexManifest.Segment(cbSeg)))) { assigned =>
       unitNormalized(assigned.withColumn("__nvu", col("nv")), "__nvu")
         .select(col("nid"),
           column(graft.expr.catalyst.PqEncode(expression(col("__nvu")), cbs))
@@ -862,9 +947,10 @@ object Ann {
   /** Read persisted PQ codebooks back into the kernel shape (bounded:
     * m·nCodes rows). */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[Array[Array[Float]]] =
+                            snap: IndexManifest.Snapshot): Array[Array[Array[Float]]] =
     reshapeCodebooks(
-      spark.read.parquet(s"$path/codebooks").orderBy(col("s"), col("c")).collect(),
+      spark.read.parquet(snap.single("codebooks"))
+        .orderBy(col("s"), col("c")).collect(),
       _.getInt(1).toLong)
 
   /** Top-k probe of a [[writeIvfIndexPq]] layout: literal-partition-
@@ -875,8 +961,12 @@ object Ann {
   def probeIvfIndexPq(queries: DataFrame, path: String, k: Int,
                       nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val (probes, lists) = prunedProbe(queries, path, nProbe)
-    val cbs = readCodebooks(queries.sparkSession, path)
+    // ONE pin: lists, tombstones AND codebooks come from the same
+    // snapshot — a rebuild committing between reads cannot mismatch
+    // codes and codebooks
+    val snap = IndexManifest.pin(queries.sparkSession, path)
+    val (probes, lists) = prunedProbe(queries, snap, nProbe)
+    val cbs = readCodebooks(queries.sparkSession, snap)
     val nCodes = cbs(0).length
 
     val qt = unitNormalized(
@@ -892,8 +982,7 @@ object Ann {
     // candidate stage: codes column ONLY out of the pruned lists
     val shortlist = broadcast(
         probes.select(col("qid"), col("cid")).join(qt, Seq("qid")))
-      .join(lists.select(col("nid"), col("codes"),
-        col("cid").cast("long").as("cid")), Seq("cid"))
+      .join(lists.select(col("nid"), col("codes"), col("cid")), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), adist.as("adist"))
       .dropDuplicates("qid", "nid")
@@ -911,31 +1000,33 @@ object Ann {
   /** Append a batch of new vectors to a persisted IVF layout WITHOUT
     * touching the stored corpus: assign the batch against the index's
     * stored (immutable-after-build) centroids — broadcast assignment,
-    * no corpus read, no corpus shuffle — and append files only under
-    * the touched cid partitions. This is the daily-arrivals posture for
-    * a 100 TB embedding corpus: ingest cost is |batch| assignment plus
-    * nTouched partition appends, and the index never rebuilds — the
-    * vector twin of [[Dedup.incrementalCandidates]] over the stored
-    * band index.
+    * no corpus read, no corpus shuffle — into a NEW list segment
+    * published by one atomic manifest commit. This is the
+    * daily-arrivals posture for a 100 TB embedding corpus: ingest cost
+    * is |batch| assignment plus one segment write, the index never
+    * rebuilds, stored segments are never touched (probes pinned
+    * mid-append are unaffected), and a failed append is safe to retry
+    * blindly — the vector twin of [[Dedup.incrementalCandidates]] over
+    * the stored band index.
     *
     * Because assignment depends only on the stored centroids, the
-    * appended layout is IDENTICAL (not approximately — row for row) to
-    * rebuilding from scratch over corpus ∪ batch with the same
-    * centroids; TextVectorSpec asserts probe-triple equality against a
-    * rebuild and pins that untouched partitions keep their exact file
-    * sets (q_ann_ivf_append benches the production build+append+probe
-    * cycle with a recall gate). Callers own id-uniqueness across
-    * appends (same contract as the build). */
+    * appended layout answers probes IDENTICALLY (not approximately —
+    * row for row) to rebuilding from scratch over corpus ∪ batch with
+    * the same centroids; TextVectorSpec asserts probe-triple equality
+    * against a rebuild and pins that stored segment directories keep
+    * their exact file sets (q_ann_ivf_append benches the production
+    * build+append+probe cycle with a recall gate). Callers own
+    * id-uniqueness across appends (same contract as the build). */
   def appendToIvfIndex(batch: DataFrame, path: String): Unit =
     appendToIvfLayout(batch, path)(
-      _.select(col("nid"), col("nv"), col("cid")))
+      (_, a) => a.select(col("nid"), col("nv"), col("cid")))
 
   /** [[appendToIvfIndex]] for the int8-quantized [[writeIvfIndexSq8]]
     * layout: the batch quantizes exactly as the build does, so appended
     * and rebuilt lists are byte-identical. */
   def appendToIvfIndexSq8(batch: DataFrame, path: String): Unit =
     appendToIvfLayout(batch, path)(
-      _.select(col("nid"),
+      (_, a) => a.select(col("nid"),
         Vectors.quantizeInt8(col("nv")).getField("q").as("nq"), col("cid")))
 
   /** [[appendToIvfIndex]] for the [[writeIvfIndexPq]] layout: codes are
@@ -944,8 +1035,8 @@ object Ann {
     * property that makes incremental ingest safe for PQ. */
   def appendToIvfIndexPq(batch: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val cbs = readCodebooks(batch.sparkSession, path)
-    appendToIvfLayout(batch, path) { assigned =>
+    appendToIvfLayout(batch, path) { (snap, assigned) =>
+      val cbs = readCodebooks(batch.sparkSession, snap)
       unitNormalized(assigned.withColumn("__nvu", col("nv")), "__nvu")
         .select(col("nid"),
           column(graft.expr.catalyst.PqEncode(expression(col("__nvu")), cbs))
@@ -955,16 +1046,23 @@ object Ann {
   }
 
   /** Shared append half of [[writeIvfLayout]]: stored-centroid
-    * assignment + mode=append partitioned write (new files land only in
-    * the batch's cid directories; existing files are never rewritten). */
+    * assignment into a NEW list segment (existing segments untouched —
+    * probes pinned mid-append are unaffected) published by one atomic
+    * manifest commit, so a failed append is safe to retry blindly. */
   private def appendToIvfLayout(batch: DataFrame, path: String)(
-      project: DataFrame => DataFrame): Unit =
+      project: (IndexManifest.Snapshot, DataFrame) => DataFrame): Unit =
     IndexLock.withLock(batch.sparkSession, path, "appendToIvfIndex") {
-      val cents = batch.sparkSession.read.parquet(s"$path/centroids")
-      project(nearestLists(cents,
-          batch.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
-        .repartition(col("cid"))
-        .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+      val spark = batch.sparkSession
+      val snap = IndexManifest.pin(spark, path)
+      val cents = spark.read.parquet(snap.single("centroids"))
+      val listSeg = IndexManifest.newSegment("lists")
+      IndexManifest.writeBucketed(
+        project(snap, nearestLists(cents,
+          batch.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1)),
+        s"$path/$listSeg", "cid")
+      IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+        "lists" ->
+          (snap.segments("lists") :+ IndexManifest.Segment(listSeg))))
     }
 
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the

@@ -41,9 +41,20 @@ private[ops] object IndexLock {
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token =
       s"$op@${System.currentTimeMillis()}@${java.util.UUID.randomUUID()}"
+    // held-vs-broken discrimination (r12 ADVICE): a create(overwrite =
+    // false) failure is "locked by a concurrent op" only when the lock
+    // file actually EXISTS — a transient or permission IO error must
+    // surface as itself, not as remediation advice telling the operator
+    // to delete a lock that isn't there. Hadoop signals the held case
+    // as FileAlreadyExistsException on most stores; for a plain
+    // IOException the existence check decides.
     val out =
       try fs.create(lock, false)
       catch {
+        case e: java.io.IOException
+            if !e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] &&
+              !(try fs.exists(lock) catch { case _: Exception => false }) =>
+          throw e
         case _: java.io.IOException =>
           val holder =
             try {

@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Manifest-versioned storage for the persisted index layouts (BM25
+  * postings, IVF vector lists) — the snapshot-isolation seam the
+  * in-place layouts could not provide (VERDICT r12 item 1).
+  *
+  * The design is the public Iceberg/Delta snapshot idea re-expressed at
+  * directory granularity: every maintenance op writes ONLY NEW
+  * immutable segment directories under the layout root and then commits
+  * ONE manifest file atomically; nothing referenced by an earlier
+  * manifest is ever mutated. Consequences:
+  *
+  *  - **Reader isolation**: a probe pins the manifest current when it
+  *    opened and resolves every read through it. A concurrent append/
+  *    delete/purge writes new directories and a new manifest — the
+  *    pinned directories are untouched, so the probe sees fully-old
+  *    state, never a half-rewritten mix (the silent-wrongness window
+  *    the r12 verdict flagged).
+  *  - **Crash atomicity**: the commit is a single
+  *    `FileSystem.create(overwrite = false)` of the next version file
+  *    (the same atomic primitive [[IndexLock]] builds on). A crash at
+  *    ANY earlier step leaves only unreferenced orphan directories —
+  *    "manifest not swapped = nothing happened" — so every maintenance
+  *    op is safe to re-run blindly, collapsing the per-window recovery
+  *    code the pre-manifest purge carried.
+  *  - **Space reclamation** is an explicit, separate op ([[vacuum]]):
+  *    directories unreferenced by the CURRENT manifest are deleted
+  *    under the writer lock. Run it when no probes opened before the
+  *    latest commit are still executing — the documented reader-grace
+  *    contract (Iceberg's expire-snapshots posture).
+  *
+  * Manifest files live under `root/_manifests/` as `v%012d` text files;
+  * the current snapshot is the highest version present. Each component
+  * (postings, terms, doclen, lists, …) maps to an ordered list of
+  * SEGMENTS: immutable parquet directories, optionally annotated with
+  * an excluded-bucket set. Excludes are what keep a purge bucket-local:
+  * rewritten buckets land in one new segment while the old segments
+  * merely gain `!bucket` annotations in the next manifest — no data in
+  * the old directories moves.
+  *
+  * Format (one line per component; `;` separates segments, `!` starts
+  * the excluded-bucket list, `,` separates bucket ids — none of which
+  * can appear in segment names, which this layer generates):
+  * {{{
+  * graft-index-manifest 1
+  * postings=postings-ab12cd34;postings-99ffe001!3,5
+  * terms=terms-ab12cd34
+  * stats=stats-77aa0b2c
+  * tombstones=
+  * }}}
+  */
+private[graft] object IndexManifest {
+
+  /** One immutable segment directory (relative to the layout root) with
+    * the bucket ids a later purge logically removed from it. */
+  final case class Segment(dir: String, exclude: Set[Long] = Set.empty)
+
+  private val Header = "graft-index-manifest 1"
+  private val ManifestDir = "_manifests"
+  /** Root entries never touched by [[vacuum]] regardless of manifest
+    * references: the manifest store itself, the streaming exactly-once
+    * markers, and the writer lock file. */
+  private val Protected = Set(ManifestDir, "_stream_batches")
+
+  /** A pinned, immutable view of one committed manifest version. */
+  final case class Snapshot(root: String, version: Long,
+                            components: Map[String, Seq[Segment]]) {
+
+    def segments(name: String): Seq[Segment] =
+      components.getOrElse(name, Seq.empty)
+
+    /** Absolute path of a single-directory component (centroids, stats,
+      * codebooks) — loud if the manifest disagrees with that shape. */
+    def single(name: String): String = segments(name) match {
+      case Seq(Segment(dir, ex)) if ex.isEmpty => s"$root/$dir"
+      case other => throw new IllegalStateException(
+        s"component '$name' of index at $root must be a single segment, " +
+          s"found ${other.size} — manifest v$version is corrupt or the " +
+          "layout was built by an incompatible version")
+    }
+
+    /** Union of all segments of `name`, with each segment's excluded
+      * buckets filtered out against `bucketCol` (cast to long — the
+      * partition-type inference may give int). Returns None when the
+      * component has no segments (an all-deleted index). Partition
+      * pruning and predicate pushdown apply per segment: callers'
+      * bucket/term filters sit ABOVE this union and Catalyst pushes
+      * them into every branch. */
+    def read(spark: SparkSession, name: String,
+             bucketCol: Option[String] = None): Option[DataFrame] = {
+      val frames = segments(name).map { seg =>
+        val df = spark.read.parquet(s"$root/${seg.dir}")
+        bucketCol match {
+          case Some(b) =>
+            val norm = df.withColumn(b, col(b).cast("long"))
+            if (seg.exclude.isEmpty) norm
+            else norm.filter(!col(b).isin(seg.exclude.toSeq.sorted: _*))
+          case None => df
+        }
+      }
+      frames.reduceOption(_ unionByName _)
+    }
+
+    /** The logical tombstone set (deduped — erasure requests are
+      * routinely re-issued), or None when no deletes are pending. */
+    def tombstones(spark: SparkSession, idCol: String): Option[DataFrame] =
+      read(spark, "tombstones").map(_.select(col(idCol)).distinct())
+  }
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && latestVersion(fs, dir) > 0
+  }
+
+  /** Pin the CURRENT snapshot: the highest committed manifest version.
+    * Probes call this once and resolve every read through the result —
+    * that single read is the isolation boundary. */
+  def pin(spark: SparkSession, root: String): Snapshot = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, dir)
+    if (v <= 0) throw new IllegalStateException(
+      s"no index manifest at $root — not a manifest-versioned layout " +
+        "(build it with writeBm25Index/writeIvfIndex)")
+    val in = fs.open(new Path(dir, versionFile(v)))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    Snapshot(root, v, parse(text, s"$root/$ManifestDir/${versionFile(v)}"))
+  }
+
+  /** Commit `components` as the next manifest version after `base`
+    * (None for the first commit of a fresh layout — an existing layout
+    * continues its version sequence so pinned readers stay valid).
+    * Atomic: `create(overwrite = false)` either publishes the whole
+    * snapshot or fails without effect. Writers are serialized by
+    * [[IndexLock]]; a version collision here therefore means the lock
+    * was bypassed and fails loudly rather than clobbering. */
+  def commit(spark: SparkSession, root: String, base: Option[Snapshot],
+             components: Map[String, Seq[Segment]]): Long = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    // optimistic concurrency: the layout must not have advanced past
+    // the snapshot this op pinned — if it has, a concurrent writer
+    // bypassed the index lock and committing would publish state
+    // derived from superseded segments
+    val current = latestVersion(fs, dir)
+    base.foreach { b =>
+      if (current != b.version) throw new IllegalStateException(
+        s"manifest commit collision at $root: layout advanced to v$current " +
+          s"since this op pinned v${b.version} — a concurrent writer bypassed " +
+          "the index lock; no state was changed")
+    }
+    val next = current + 1
+    val body = new StringBuilder(Header).append('\n')
+    components.toSeq.sortBy(_._1).foreach { case (name, segs) =>
+      require(!name.contains('=') && !name.contains('\n'), s"bad component name $name")
+      body.append(name).append('=')
+        .append(segs.map(renderSegment).mkString(";")).append('\n')
+    }
+    val file = new Path(dir, versionFile(next))
+    val out =
+      try fs.create(file, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"manifest commit collision at $file — a concurrent writer bypassed " +
+            "the index lock; no state was changed", e)
+      }
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    next
+  }
+
+  /** Generate a fresh segment directory name: `prefix-<8 hex>`. Never
+    * collides with a live dir in practice; the atomic manifest commit,
+    * not the name, is the correctness boundary. */
+  def newSegment(prefix: String): String =
+    s"$prefix-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** Delete every root entry unreferenced by the CURRENT manifest, all
+    * superseded manifest files, AND the excluded bucket directories
+    * still sitting inside live segments (a purge only annotates them
+    * out of the logical view — physical right-to-erasure completes
+    * here). Returns the deleted entry names. Callers MUST hold the
+    * layout's writer lock (a concurrent writer's not-yet-committed
+    * segments look exactly like orphans) and own the reader-grace
+    * contract: probes pinned to older versions lose their
+    * directories. */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val snap = pin(spark, root)
+    val keep = snap.components.values.flatten.map(_.dir).toSet
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val droppedDirs = fs.listStatus(rootPath).toSeq.collect {
+      case st if st.isDirectory &&
+          !Protected(st.getPath.getName) && !keep(st.getPath.getName) =>
+        fs.delete(st.getPath, true)
+        st.getPath.getName
+    }
+    // excluded buckets of LIVE segments: logically invisible since the
+    // excluding commit, physically reclaimed here (the only partition
+    // column is the bucket, so any `col=value` subdir with an excluded
+    // value goes)
+    val droppedBuckets = snap.components.values.flatten.toSeq
+      .filter(_.exclude.nonEmpty).flatMap { seg =>
+        val dir = new Path(s"$root/${seg.dir}")
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.collect {
+          case st if st.isDirectory && {
+            val n = st.getPath.getName
+            val eq = n.indexOf('=')
+            eq > 0 && scala.util.Try(n.substring(eq + 1).toLong).toOption
+              .exists(seg.exclude)
+          } =>
+            fs.delete(st.getPath, true)
+            s"${seg.dir}/${st.getPath.getName}"
+        }
+      }
+    val mDir = new Path(s"$root/$ManifestDir")
+    val droppedManifests = fs.listStatus(mDir).toSeq.collect {
+      case st if parseVersion(st.getPath.getName).exists(_ < snap.version) =>
+        fs.delete(st.getPath, false)
+        st.getPath.getName
+    }
+    droppedDirs ++ droppedBuckets ++ droppedManifests
+  }
+
+  /** The tb=/cid= partition values physically present under a segment
+    * directory — used by purge to drop a fully-excluded segment from
+    * the next manifest (so vacuum can reclaim it). One cheap listing;
+    * an unpartitioned (empty-write) segment reports no buckets. */
+  def bucketsOnDisk(spark: SparkSession, root: String, seg: Segment,
+                    bucketCol: String): Set[Long] = {
+    val dir = new Path(s"$root/${seg.dir}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(s"$bucketCol="))
+        scala.util.Try(n.stripPrefix(s"$bucketCol=").toLong).toOption
+      else None
+    }.toSet
+  }
+
+  /** Write `df` as a segment partitioned by `bucketCol`; an EMPTY frame
+    * writes unpartitioned (a zero-row partitionBy write leaves a
+    * directory with no data files — unreadable by schema inference),
+    * preserving the schema so probes and appends keep working on an
+    * all-deleted index. Call with materialized (checkpointed) or cheap
+    * frames only — the emptiness probe runs a job. */
+  def writeBucketed(df: DataFrame, absDir: String, bucketCol: String): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(absDir)
+    else df.repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(absDir)
+
+  private def renderSegment(s: Segment): String = {
+    require(!s.dir.exists(c => c == ';' || c == '!' || c == ',' ||
+      c == '=' || c == '\n'), s"bad segment dir name ${s.dir}")
+    if (s.exclude.isEmpty) s.dir
+    else s"${s.dir}!${s.exclude.toSeq.sorted.mkString(",")}"
+  }
+
+  private def parse(text: String, at: String): Map[String, Seq[Segment]] = {
+    val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (lines.headOption.forall(_ != Header))
+      throw new IllegalStateException(s"unrecognized manifest header in $at")
+    lines.tail.map { line =>
+      val eq = line.indexOf('=')
+      if (eq < 0) throw new IllegalStateException(s"bad manifest line '$line' in $at")
+      val name = line.substring(0, eq)
+      val segs = line.substring(eq + 1).split(';').toSeq
+        .filter(_.nonEmpty).map { part =>
+          part.split('!') match {
+            case Array(dir) => Segment(dir)
+            case Array(dir, ex) =>
+              Segment(dir, ex.split(',').filter(_.nonEmpty).map(_.toLong).toSet)
+            case _ => throw new IllegalStateException(
+              s"bad segment '$part' in $at")
+          }
+        }
+      name -> segs
+    }.toMap
+  }
+
+  private def versionFile(v: Long): String = f"v$v%012d"
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.length == 13 && name.startsWith("v") && name.tail.forall(_.isDigit))
+      Some(name.tail.toLong)
+    else None
+
+  private def latestVersion(fs: FileSystem, dir: Path): Long =
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName)).sorted.lastOption.getOrElse(0L)
+}

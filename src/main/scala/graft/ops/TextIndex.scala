@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.IndexManifest.Segment
+
 /** Persisted inverted text index for BM25 ranked retrieval — the
   * lexical twin of the persisted ANN layouts ([[Ann.writeIvfIndex]])
   * and the MinHash band index ([[Dedup.bandIndex]]): tokenize and
@@ -11,17 +13,30 @@ import org.apache.spark.sql.functions._
   * again. At 100 TB the corpus tokenization dominates everything; this
   * amortizes it to once per corpus version.
   *
-  * Layout under `path`:
-  *  - `postings/` — (term, doc_id, tf), PARTITIONED BY `tb` =
+  * The layout is MANIFEST-VERSIONED ([[IndexManifest]]): every
+  * maintenance op writes only new immutable segment directories under
+  * `path` and commits one atomic manifest; probes pin the manifest
+  * current when they open. That gives
+  *  - reader isolation (a probe racing an append/delete/purge sees
+  *    fully-old state, never a half-rewritten mix),
+  *  - crash atomicity (a crash before the commit leaves only orphan
+  *    directories — every op here is safe to re-run blindly), and
+  *  - explicit space reclamation ([[vacuumBm25Index]]).
+  *
+  * Components in the manifest:
+  *  - `postings` — segments of (doc_id, term, tf) PARTITIONED BY `tb` =
   *    pmod(hash(term), nBuckets): a probe for a handful of query terms
   *    reads only their buckets (literal partition filter, pruned at
   *    planning time — the same pruned-probe shape as
   *    [[Ann.probeIvfIndex]]), with the `term IN (…)` predicate pushed
   *    into the parquet scan within each bucket;
-  *  - `terms/` — (term, df) document frequencies, same tb partitioning;
-  *  - `doclen/` — (doc_id, dl) document lengths;
-  *  - `stats/` — one row (n_docs, avgdl, n_buckets): the corpus scalars
-  *    plus the bucketing fan-out the probe must reuse.
+  *  - `terms` — segments of (term, df, tb): document frequencies are
+  *    ADDITIVE across doc-disjoint segments, so probes sum `df` across
+  *    segments — an append never rewrites stored term buckets;
+  *  - `doclen` — segments of (doc_id, dl) document lengths;
+  *  - `stats` — single directory, one row (n_docs, avgdl, n_buckets):
+  *    the corpus scalars plus the bucketing fan-out probes must reuse;
+  *  - `tombstones` — segments of pending delete ids (doc_id).
   *
   * Scoring matches the ad-hoc q_bm25 formula exactly (k1=1.2, b=0.75,
   * Lucene-style idf = ln((N − df + 0.5)/(df + 0.5) + 1)); per-doc score
@@ -38,9 +53,14 @@ object TextIndex {
     docs.select(col(idCol).as("doc_id"),
       explode(graft.expr.Text.tokens(lower(col(textCol)))).as("term"))
 
+  private def writeBucketed(df: DataFrame, absDir: String, bucketCol: String): Unit =
+    IndexManifest.writeBucketed(df, absDir, bucketCol)
+
   /** Build and persist the index. One tokenization pass; the df table
     * derives from the WRITTEN postings (read back from disk), so the
-    * corpus text is scanned exactly once. */
+    * corpus text is scanned exactly once. Rebuilding over an existing
+    * layout commits the next manifest version (pinned readers stay on
+    * theirs); reclaim superseded segments with [[vacuumBm25Index]]. */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0)
@@ -49,48 +69,60 @@ object TextIndex {
     // stale lock left by a crashed op must not block it
     IndexLock.clearStale(spark, path)
     IndexLock.withLock(spark, path, "writeBm25Index") {
-      writeBm25Locked(docs, idCol, textCol, path, nBuckets)
+      val base = if (IndexManifest.exists(spark, path))
+        Some(IndexManifest.pin(spark, path)) else None
+      val postSeg = IndexManifest.newSegment("postings")
+      val termSeg = IndexManifest.newSegment("terms")
+      val dlSeg = IndexManifest.newSegment("doclen")
+      val statSeg = IndexManifest.newSegment("stats")
+
+      val t = termRows(docs, idCol, textCol)
+      // one shuffle on (doc_id, term); doc lengths ride the same pass.
+      // Direct partitioned write (no emptiness probe — that would
+      // tokenize the corpus twice); building over an empty corpus is
+      // caller error, as before.
+      t.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/$postSeg")
+
+      val written = spark.read.parquet(s"$path/$postSeg")
+      writeBucketed(
+        written.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))),
+        s"$path/$termSeg", "tb")
+      val dl = written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      dl.write.mode("overwrite").parquet(s"$path/$dlSeg")
+      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+          lit(nBuckets).as("n_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
+
+      IndexManifest.commit(spark, path, base, Map(
+        "postings" -> Seq(Segment(postSeg)),
+        "terms" -> Seq(Segment(termSeg)),
+        "doclen" -> Seq(Segment(dlSeg)),
+        "stats" -> Seq(Segment(statSeg)),
+        "tombstones" -> Seq.empty))
     }
-  }
-
-  private def writeBm25Locked(docs: DataFrame, idCol: String, textCol: String,
-                              path: String, nBuckets: Int): Unit = {
-    val spark = docs.sparkSession
-    val t = termRows(docs, idCol, textCol)
-    // one shuffle on (doc_id, term); doc lengths ride the same pass
-    val postings = t.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
-    postings.repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-
-    val written = spark.read.parquet(s"$path/postings")
-    written.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
-    val dl = written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Incremental ingest for a [[writeBm25Index]] layout — the
     * daily-arrivals posture of [[Ann.appendToIvfIndex]] for the text
     * index: the CORPUS is never re-tokenized; only the batch is.
     *
-    *  - `postings/`: batch (doc_id, term, tf) rows APPEND as new files
-    *    into their term-hash buckets — existing files untouched;
-    *  - `terms/`: document frequencies are ADDITIVE across disjoint doc
+    *  - `postings`: batch (doc_id, term, tf) rows become a NEW segment
+    *    (existing segments untouched — probes pinned mid-append are
+    *    unaffected);
+    *  - `terms`: document frequencies are ADDITIVE across disjoint doc
     *    sets (callers own id-uniqueness across appends, the same
     *    contract as the IVF append), so the batch's per-term doc counts
-    *    merge into the stored df table with one sum; only the buckets
-    *    the batch touches are rewritten (dynamic partition overwrite —
-    *    term frames are vocab-bounded, tiny next to postings);
-    *  - `doclen/`: batch doc lengths append;
-    *  - `stats/`: recomputed from the post-append doclen table (one
-    *    narrow columnar scan — n_docs rows of (id, long)).
+    *    land as a new segment and probes sum df across segments —
+    *    NOTHING stored is rewritten;
+    *  - `doclen`: batch doc lengths land as a new segment;
+    *  - `stats`: recomputed over all doclen segments into a new
+    *    directory (one narrow columnar scan — n_docs rows of
+    *    (id, long)).
     *
     * An appended index answers probes identically to a from-scratch
     * rebuild over corpus ∪ batch up to double-addition order in `avgdl`
@@ -99,18 +131,13 @@ object TextIndex {
     * driver-visible via q_bm25_append (appended-index probe vs the
     * oracle's full-corpus ad-hoc BM25).
     *
-    * ATOMICITY CONTRACT (same class as the [[MergeSink]] parquet
-    * caveat): the append is a multi-step metadata update — postings
-    * append, then terms/doclen rewrites, then the stats overwrite —
-    * with no cross-directory transaction. A crash mid-append leaves
-    * df/stats inconsistent with postings, and a BLIND RETRY
-    * DOUBLE-APPENDS the batch's postings and doclen rows (tf/df
-    * double-count). Do not retry a failed append: rebuild via
-    * [[writeBm25Index]], or restore the index directory from the
-    * pre-append snapshot. Streaming callers get this detection for
-    * free — [[graft.streaming.IndexStream.bm25AppendBatch]] stages
-    * per-batch started/committed markers, so a replay of a partial
-    * append fails loudly instead of double-counting. */
+    * CRASH SAFETY: the append publishes atomically via the manifest
+    * commit — a crash at any earlier step changes nothing (orphan
+    * segments only), so a failed append is SAFE TO RETRY BLINDLY. This
+    * replaces the pre-manifest "never retry" contract; streaming
+    * callers ([[graft.streaming.IndexStream.bm25AppendBatch]]) still
+    * stage per-batch committed markers so a REDELIVERED batch that did
+    * commit is skipped, not double-applied. */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit =
     IndexLock.withLock(docs.sparkSession, path, "appendToBm25Index") {
@@ -120,233 +147,205 @@ object TextIndex {
   private def appendToBm25Locked(docs: DataFrame, idCol: String, textCol: String,
                                  path: String): Unit = {
     val spark = docs.sparkSession
-    val nBuckets = spark.read.parquet(s"$path/stats")
+    val snap = IndexManifest.pin(spark, path)
+    val nBuckets = spark.read.parquet(snap.single("stats"))
       .select(col("n_buckets")).first().getInt(0)
     // one tokenization pass over the BATCH; materialized once — the
-    // postings write, the df merge, and the doclen append all read it
+    // postings write, the df segment, and the doclen segment all read it
     val batch = Reliable.checkpoint(
       termRows(docs, idCol, textCol)
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))))
-    batch.repartition(col("tb"))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
 
-    // df merge: old + batch counts, only the touched buckets rewritten.
-    // Touched bucket ids collect to the driver (<= nBuckets ints — the
-    // bounded-scalar posture) and push as a LITERAL partition filter on
-    // the stored terms table, so the merge reads only those buckets.
-    val batchDf = batch.groupBy(col("term"), col("tb"))
-      .agg(count(lit(1)).as("df"))
-    val touched = batchDf.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val merged = spark.read.parquet(s"$path/terms")
-      .filter(col("tb").isin(touched: _*))
-      .select(col("term"), col("df"), col("tb"))
-      .unionByName(batchDf.select(col("term"), col("df"), col("tb")))
-      .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df"))
-      .transform(Reliable.checkpoint) // materialize BEFORE overwriting its input
-    Scale.withDynamicOverwrite(spark) {
-      merged.select(col("term"), col("df"), col("tb"))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
-    }
-
+    val postSeg = IndexManifest.newSegment("postings")
+    val termSeg = IndexManifest.newSegment("terms")
+    val dlSeg = IndexManifest.newSegment("doclen")
+    val statSeg = IndexManifest.newSegment("stats")
+    writeBucketed(batch, s"$path/$postSeg", "tb")
+    writeBucketed(
+      batch.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
+      s"$path/$termSeg", "tb")
     batch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .write.mode("append").parquet(s"$path/doclen")
-    // stats recompute reads doclen/ and overwrites stats/ — disjoint
-    // dirs, so no pre-materialization is needed (and doclen is
-    // corpus-sized: never checkpoint it)
-    spark.read.parquet(s"$path/doclen")
+      .write.mode("overwrite").parquet(s"$path/$dlSeg")
+    // stats over ALL doclen segments (stored ones + the one just
+    // written — read from disk, never from the lazy plan)
+    snap.segments("doclen").map(s => spark.read.parquet(s"$path/${s.dir}"))
+      .foldLeft(spark.read.parquet(s"$path/$dlSeg"))(_ unionByName _)
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
+
+    IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+      "postings" -> (snap.segments("postings") :+ Segment(postSeg)),
+      "terms" -> (snap.segments("terms") :+ Segment(termSeg)),
+      "doclen" -> (snap.segments("doclen") :+ Segment(dlSeg)),
+      "stats" -> Seq(Segment(statSeg))))
   }
 
   /** Logical delete from a [[writeBm25Index]] layout — the
     * right-to-erasure maintenance op for the text index, mirroring
-    * [[Ann.deleteFromIvfIndex]]: ids append to a tombstone table and
-    * the probe path anti-joins them, so a deleted document can never
-    * be RETURNED again, immediately and O(batch). Corpus statistics
-    * (df, n_docs, avgdl) stay STALE until [[purgeBm25Tombstones]] —
-    * the Lucene contract (deleted docs leave results at once; doc-freq
-    * decay waits for segment merge), stated here rather than silently
-    * approximated: scores of the SURVIVING docs are exact again after
-    * purge. Deleting ids not in the index is a no-op. Holds the layout
-    * lock: a delete racing a purge would append its ids between the
-    * purge's tombstone read and its clear — and be silently LOST. */
+    * [[Ann.deleteFromIvfIndex]]: ids land as a tombstone segment in the
+    * next manifest version and the probe path anti-joins the pinned
+    * tombstone set, so a deleted document can never be RETURNED again,
+    * immediately and O(batch). Corpus statistics (df, n_docs, avgdl)
+    * stay STALE until [[purgeBm25Tombstones]] — the Lucene contract
+    * (deleted docs leave results at once; doc-freq decay waits for
+    * segment merge), stated here rather than silently approximated:
+    * scores of the SURVIVING docs are exact again after purge.
+    * Deleting ids not in the index is a no-op. */
   def deleteFromBm25Index(ids: DataFrame, path: String): Unit =
     IndexLock.withLock(ids.sparkSession, path, "deleteFromBm25Index") {
-      Tombstones.append(ids, "doc_id", path)
+      val spark = ids.sparkSession
+      val snap = IndexManifest.pin(spark, path)
+      val seg = IndexManifest.newSegment("tombstones")
+      ids.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/$seg")
+      IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+        "tombstones" -> (snap.segments("tombstones") :+ Segment(seg))))
     }
 
   /** Physically apply accumulated tombstones: one (doc_id, tb)
     * columnar scan finds the touched TERM buckets (bounded collect —
-    * ≤ nBuckets ints), ONLY those postings buckets rewrite with the
-    * tombstoned rows dropped, df recomputes for the same buckets from
-    * the kept rows (a term in an untouched bucket cannot occur in any
-    * deleted doc — that occurrence would have made its bucket
-    * touched), doclen rewrites tombstone-free, stats recompute, and
-    * the tombstone table resets. After purge, probe scores equal a
-    * from-scratch rebuild over the surviving corpus (spec + oracle
-    * asserted). Returns the number of postings buckets rewritten.
+    * ≤ nBuckets longs), the kept rows of those buckets land in ONE new
+    * postings segment while the old segments merely gain excluded-
+    * bucket annotations in the next manifest (bucket-local: no stored
+    * file moves), df recomputes for the same buckets from the kept rows
+    * (a term in an untouched bucket cannot occur in any deleted doc —
+    * that occurrence would have made its bucket touched), doclen
+    * consolidates tombstone-free, stats recompute, and the tombstone
+    * component empties. After purge, probe scores equal a from-scratch
+    * rebuild over the surviving corpus (spec + oracle asserted).
+    * Returns the number of postings buckets rewritten.
     *
-    * ATOMICITY: same multi-step contract as [[appendToBm25Index]] — a
-    * crash mid-purge leaves the directories inconsistent; re-running
-    * the purge is SAFE here: every crash window is detected and
-    * recovered on the re-run (spec-pinned per window) —
-    *  - postings rewritten, terms/doclen/stats stale → tombstones no
-    *    longer match postings but still match doclen: terms recompute
-    *    from the FULL current postings (the crashed run's touched-bucket
-    *    list is gone, so no subset can be trusted), doclen and stats
-    *    recover;
-    *  - doclen rewritten, stats stale → nothing matches anywhere, but
-    *    the stored n_docs disagrees with the doclen row count: stats
-    *    recompute;
-    *  - all partitions dropped, layout removal missed → postings root
-    *    holds no tb= dirs: the layout removal completes.
-    * Interleaving with a concurrent append/delete is refused loudly
-    * ([[IndexLock]]). A purge that deletes the LAST document removes
-    * the index layout entirely (an empty partitioned parquet table
-    * cannot exist on disk); rebuild with [[writeBm25Index]]. */
+    * CRASH SAFETY: everything above publishes in ONE atomic manifest
+    * commit — a crash at any earlier step changes nothing and the purge
+    * is safe to re-run blindly (the pre-manifest per-window recovery
+    * code is gone by construction). A purge that deletes the LAST
+    * document leaves a serving, appendable EMPTY index (empty segments
+    * preserve schemas; stats keep the bucketing fan-out). Superseded
+    * segments are reclaimed by [[vacuumBm25Index]]. */
   def purgeBm25Tombstones(spark: SparkSession, path: String): Int =
     IndexLock.withLock(spark, path, "purgeBm25Tombstones") {
       purgeBm25Locked(spark, path)
     }
 
   private def purgeBm25Locked(spark: SparkSession, path: String): Int = {
-    if (!Tombstones.exists(spark, path)) return 0
-    // crash window: every partition dropped but the layout removal
-    // missed — a postings root with no tb= dirs is unreadable (schema
-    // inference has no files); complete the removal instead of crashing
-    if (!hasPartitionDirs(spark, s"$path/postings")) {
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(path), true)
-      return 0
-    }
-    val tomb = Reliable.checkpoint(Tombstones.read(spark, path, "doc_id"))
-    val touched = spark.read.parquet(s"$path/postings")
-      .join(tomb, Seq("doc_id"), "left_semi")
-      .select(col("tb").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) {
-      // no tombstoned id has postings — a genuine no-op (ids never
-      // indexed) or the RE-RUN of a purge that crashed after the
-      // postings rewrite (terms/doclen/stats in unknown state).
-      val doclenDirty = spark.read.parquet(s"$path/doclen")
-        .join(tomb, Seq("doc_id"), "left_semi").limit(1).count() > 0
-      if (!doclenDirty) {
-        // doclen clean ⟹ the crashed run (if any) got past the doclen
-        // rewrite, so only stats/ can still be stale — detectable as a
-        // stored n_docs that disagrees with the doclen row count
-        // (purge only ever REMOVES doclen rows). Recompute exactly
-        // when they disagree, so a genuine no-op stays byte-identical.
-        val nDocsStored = spark.read.parquet(s"$path/stats")
-          .select(col("n_docs")).first().getLong(0)
-        val nDocsNow = spark.read.parquet(s"$path/doclen").count()
-        if (nDocsStored != nDocsNow) recomputeStats(spark, path)
-        Tombstones.clear(spark, path)
-        return 0
-      }
-      // CRASH RECOVERY (postings rewritten, the rest stale): the
-      // crashed run's touched-bucket list is unrecoverable, so terms/
-      // recomputes from the FULL current postings — one scan; terms is
-      // vocab-bounded, tiny next to postings — with a FULL (non-
-      // dynamic) overwrite, which also clears any orphaned
-      // fully-tombstoned bucket dirs the crashed run left in terms/.
-      val allKept = Reliable.checkpoint(
-        spark.read.parquet(s"$path/postings")
-          .select(col("doc_id"), col("term"), col("tf"), col("tb")))
-      allKept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
-      val dlRecovered = Reliable.checkpoint(
-        spark.read.parquet(s"$path/doclen")
-          .join(tomb, Seq("doc_id"), "left_anti"))
-      dlRecovered.write.mode("overwrite").parquet(s"$path/doclen")
-      recomputeStats(spark, path)
-      Tombstones.clear(spark, path)
-      return 0
-    }
+    val snap = IndexManifest.pin(spark, path)
+    if (snap.segments("tombstones").isEmpty) return 0
+    val tomb = Reliable.checkpoint(snap.tombstones(spark, "doc_id").get)
+    val postings = snap.read(spark, "postings", Some("tb")).get
+    val touched = postings.join(tomb, Seq("doc_id"), "left_semi")
+      .select(col("tb")).distinct().collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) return clearTombstonesOnly(spark, path, snap)
+
+    val postSeg = IndexManifest.newSegment("postings")
+    val termSeg = IndexManifest.newSegment("terms")
+    val dlSeg = IndexManifest.newSegment("doclen")
+    val statSeg = IndexManifest.newSegment("stats")
     val kept = Reliable.checkpoint(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(touched: _*))
+      postings.filter(col("tb").isin(touched: _*))
         .join(tomb, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("term"), col("tf"), col("tb")))
-    Scale.withDynamicOverwrite(spark) {
-      kept.repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    }
-    // df from the KEPT rows (already materialized — never re-read the
-    // directory the overwrite above just rewrote)
-    val mergedTerms = Reliable.checkpoint(
-      kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")))
-    Scale.withDynamicOverwrite(spark) {
-      mergedTerms.select(col("term"), col("df"), col("tb"))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/terms")
-    }
-    // a FULLY-tombstoned bucket has no kept rows, so the dynamic
-    // overwrite above never replaces its directory — drop those
-    // explicitly in BOTH layouts, or the deleted docs' rows would
-    // outlive the tombstone table (the purgeIvfTombstones precedent;
-    // right-to-erasure violated silently otherwise)
-    val keptTbs = kept.select(col("tb").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val emptied = touched.filterNot(keptTbs).map(tb => s"tb=$tb")
-    Tombstones.dropPartitionDirs(spark, s"$path/postings", emptied)
-    Tombstones.dropPartitionDirs(spark, s"$path/terms", emptied)
-    // a purge that erased the LAST partition would leave a parquet dir
-    // with no data files — unreadable by schema inference and
-    // un-appendable (an empty PARTITIONED table cannot be represented
-    // on disk). An all-deleted index is indistinguishable from one
-    // never built, so the layout itself is removed; rebuild with
-    // [[writeBm25Index]] when documents arrive again. Checked on the
-    // filesystem, not via keptTbs: untouched buckets may still hold
-    // surviving docs.
-    if (!hasPartitionDirs(spark, s"$path/postings")) {
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(path), true)
-      return touched.length
-    }
-    // doclen: materialize the survivors before overwriting their source
-    // dir (narrow (id, long) rows — reliable-checkpointed to disk, not
-    // memory, so a billion-doc index still purges)
+    writeBucketed(kept, s"$path/$postSeg", "tb")
+    // df from the KEPT rows of the touched buckets; untouched buckets'
+    // df segments stay valid (their terms occur in no deleted doc)
+    writeBucketed(
+      kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
+      s"$path/$termSeg", "tb")
+    // doclen consolidates into one tombstone-free segment (narrow
+    // (id, long) rows — reliable-checkpointed to disk, not memory, so a
+    // billion-doc index still purges)
     val dlKept = Reliable.checkpoint(
-      spark.read.parquet(s"$path/doclen").join(tomb, Seq("doc_id"), "left_anti"))
-    dlKept.write.mode("overwrite").parquet(s"$path/doclen")
-    recomputeStats(spark, path)
-    Tombstones.clear(spark, path)
+      snap.read(spark, "doclen").get.join(tomb, Seq("doc_id"), "left_anti"))
+    dlKept.write.mode("overwrite").parquet(s"$path/$dlSeg")
+    val nBuckets = spark.read.parquet(snap.single("stats"))
+      .select(col("n_buckets")).first().getInt(0)
+    spark.read.parquet(s"$path/$dlSeg")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
+
+    val touchedSet = touched.toSet
+    // annotate old segments with the rewritten buckets; a segment whose
+    // on-disk buckets are now all excluded drops from the manifest
+    // entirely so vacuum can reclaim it
+    def excluded(name: String): Seq[Segment] =
+      snap.segments(name).map(s => s.copy(exclude = s.exclude ++ touchedSet))
+        .filter { s =>
+          val onDisk = IndexManifest.bucketsOnDisk(spark, path, s, "tb")
+          onDisk.nonEmpty && (onDisk -- s.exclude).nonEmpty
+        }
+    IndexManifest.commit(spark, path, Some(snap), Map(
+      "postings" -> (excluded("postings") :+ Segment(postSeg)),
+      "terms" -> (excluded("terms") :+ Segment(termSeg)),
+      "doclen" -> Seq(Segment(dlSeg)),
+      "stats" -> Seq(Segment(statSeg)),
+      "tombstones" -> Seq.empty))
     touched.length
   }
 
-  /** True iff the partitioned parquet root at `tablePath` holds at
-    * least one `tb=` partition directory (an empty partitioned table
-    * cannot be represented on disk — see the purge contract). */
-  private def hasPartitionDirs(spark: SparkSession, tablePath: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(dir) && fs.listStatus(dir).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("tb="))
+  /** Tombstoned ids were never indexed: the purge is a manifest-only
+    * commit emptying the tombstone component. */
+  private def clearTombstonesOnly(spark: SparkSession, path: String,
+                                  snap: IndexManifest.Snapshot): Int = {
+    IndexManifest.commit(spark, path, Some(snap),
+      snap.components ++ Map("tombstones" -> Seq.empty[Segment]))
+    0
   }
 
-  /** Recompute `stats/` from the current `doclen/` (one narrow columnar
-    * scan), preserving the stored bucketing fan-out. */
-  private def recomputeStats(spark: SparkSession, path: String): Unit = {
-    val nBuckets = spark.read.parquet(s"$path/stats")
-      .select(col("n_buckets")).first().getInt(0)
-    spark.read.parquet(s"$path/doclen")
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  /** Consolidate the accumulated append segments into one segment per
+    * component (postings/terms/doclen) — the segment-merge half of the
+    * Lucene lifecycle: probes fan in over every segment, so a layout
+    * absorbing many appends should compact on a maintenance cadence.
+    * Reads the INDEX, never the corpus text (cheaper than a rebuild);
+    * logical state — pending tombstones included — is preserved
+    * verbatim. Returns the number of segments consolidated away. */
+  def compactBm25Index(spark: SparkSession, path: String): Int =
+    IndexLock.withLock(spark, path, "compactBm25Index") {
+      compactBm25Locked(spark, path)
+    }
+
+  private def compactBm25Locked(spark: SparkSession, path: String): Int = {
+    val snap = IndexManifest.pin(spark, path)
+    val nData = Seq("postings", "terms", "doclen").map(snap.segments(_).size).sum
+    if (nData <= 3) return 0 // already one segment per component
+    val postSeg = IndexManifest.newSegment("postings")
+    val termSeg = IndexManifest.newSegment("terms")
+    val dlSeg = IndexManifest.newSegment("doclen")
+    writeBucketed(snap.read(spark, "postings", Some("tb")).get
+        .select(col("doc_id"), col("term"), col("tf"), col("tb")),
+      s"$path/$postSeg", "tb")
+    // df segments are additive by contract — the consolidated segment
+    // carries the summed counts
+    writeBucketed(snap.read(spark, "terms", Some("tb")).get
+        .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df")),
+      s"$path/$termSeg", "tb")
+    snap.read(spark, "doclen").get
+      .write.mode("overwrite").parquet(s"$path/$dlSeg")
+    IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
+      "postings" -> Seq(Segment(postSeg)),
+      "terms" -> Seq(Segment(termSeg)),
+      "doclen" -> Seq(Segment(dlSeg))))
+    nData - 3
   }
+
+  /** Reclaim segments superseded by rebuilds/appends/purges/compacts
+    * plus old manifest versions ([[IndexManifest.vacuum]]). Holds the
+    * writer lock; callers own the reader-grace contract — probes pinned
+    * to versions older than the current one lose their directories. */
+  def vacuumBm25Index(spark: SparkSession, path: String): Seq[String] =
+    IndexLock.withLock(spark, path, "vacuumBm25Index") {
+      IndexManifest.vacuum(spark, path)
+    }
 
   /** BM25-score `qTerms` against the stored index: returns
     * (doc_id, matched_terms, matched_tf, score) for every doc matching
     * at least one term — identical numbers to the ad-hoc computation on
-    * the same corpus (spec + oracle-asserted). The probed term buckets
-    * are collected to the driver (≤ |qTerms| ints — bounded-scalar
-    * posture) and pushed as a literal partition filter. */
+    * the same corpus (spec + oracle-asserted). PINS the current
+    * manifest: everything the probe reads comes from that snapshot, so
+    * a concurrent maintenance op can never mix states mid-probe. The
+    * probed term buckets are collected to the driver (≤ |qTerms| longs
+    * — bounded-scalar posture) and pushed as a literal partition
+    * filter into every postings segment. */
   def probeBm25Index(spark: SparkSession, path: String, qTerms0: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75,
                      maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
@@ -357,32 +356,37 @@ object TextIndex {
     // build and probe share one tokenizer contract
     val qTerms = qTerms0.map(_.toLowerCase)
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats")
+    val snap = IndexManifest.pin(spark, path)
+    val stats = spark.read.parquet(snap.single("stats"))
     val nBuckets = stats.select(col("n_buckets")).first().getInt(0)
     // same hash function the build used — evaluated through Spark, not
     // reimplemented on the driver
     val tbs = qTerms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    def pruned(sub: String) = spark.read.parquet(s"$path/$sub")
-      .filter(col("tb").isin(tbs: _*) && col("term").isin(qTerms: _*))
+      .select(pmod(hash(col("term")), lit(nBuckets)).cast("long").as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def pruned(name: String) = snap.read(spark, name, Some("tb")).map(
+      _.filter(col("tb").isin(tbs: _*) && col("term").isin(qTerms: _*)))
     // tombstoned docs must never be RETURNED (the deleteFromBm25Index
     // contract — df/n_docs/avgdl stay stale until purge, Lucene-style);
     // the broadcastSmall rail turns an over-accumulated delete set into
     // a named failure pointing at the purge, not a driver OOM
     val tombAnti: DataFrame => DataFrame =
-      if (Tombstones.exists(spark, path)) {
-        val tomb = broadcast(Guard.broadcastSmall(
-          Tombstones.read(spark, path, "doc_id"),
-          s"BM25 tombstone set at $path/tombstones (run purgeBm25Tombstones " +
-            "to compact accumulated deletes)",
-          maxTombstoneRows))
-        df => df.join(tomb, Seq("doc_id"), "left_anti")
-      } else identity
-    val postings = tombAnti(
-      pruned("postings").select(col("doc_id"), col("term"), col("tf")))
-    val termDf = pruned("terms").select(col("term"), col("df"))
-    val dl = spark.read.parquet(s"$path/doclen")
+      snap.tombstones(spark, "doc_id") match {
+        case Some(t) =>
+          val tomb = broadcast(Guard.broadcastSmall(t,
+            s"BM25 tombstone set at $path (run purgeBm25Tombstones " +
+              "to compact accumulated deletes)",
+            maxTombstoneRows))
+          df => df.join(tomb, Seq("doc_id"), "left_anti")
+        case None => identity
+      }
+    val postings = tombAnti(pruned("postings").get
+      .select(col("doc_id"), col("term"), col("tf")))
+    // df is additive across doc-disjoint segments — sum at the seam
+    // (≤ |qTerms| · nSegments rows reach this aggregate)
+    val termDf = pruned("terms").get
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val dl = snap.read(spark, "doclen").get
     val scored = postings
       .join(broadcast(termDf), Seq("term"))
       .join(dl, Seq("doc_id"))

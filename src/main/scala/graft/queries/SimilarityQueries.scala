@@ -251,7 +251,7 @@ object SimilarityQueries {
       val path = scratchDir("graft-ivf-q", dir)
       Ann.writeIvfIndex(e, path, nLists = 16, trainIters = 2)
       val probed = Ann.probeIvfIndex(e.filter(col("id") < 8), path, k = 5, nProbe = 4)
-      val cents = s.read.parquet(s"$path/centroids")
+      val cents = Ann.readIvfCentroids(s, path)
       val mem = Ann.ivfTopK(e.filter(col("id") < 8), e, k = 5, nProbe = 4,
         centroidsOverride = Some(cents))
       probed.select(col("qid"), col("rank"), col("nid"), lit(1).as("in_idx"))

@@ -90,20 +90,30 @@ object StreamOnce {
     fs.exists(new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId.committed"))
   }
 
+  /** `retrySafe = true` is for sinks whose apply publishes ATOMICALLY
+    * (the manifest-versioned index layouts: a crash before the manifest
+    * commit changed nothing): a stale started-without-committed marker
+    * from a crashed attempt is then cleared and the batch re-applied,
+    * instead of the loud partial-failure refusal non-atomic sinks
+    * need. */
   def appliedOnce(spark: SparkSession, path: String,
-                  batchId: Long, what: String)(apply: => Unit): Unit = {
+                  batchId: Long, what: String,
+                  retrySafe: Boolean = false)(apply: => Unit): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/_stream_batches")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val started = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId.started")
     val committed = new org.apache.hadoop.fs.Path(dir, s"batch_id=$batchId.committed")
     if (fs.exists(committed)) return
-    if (fs.exists(started))
-      throw new IllegalStateException(
-        s"$what state at $path holds a PARTIAL apply of stream batch " +
-          s"$batchId (started marker without committed) — a previous attempt " +
-          "died mid-write and the layout may be inconsistent; do not retry: " +
-          "rebuild the state (or restore it from a snapshot), clear " +
-          "_stream_batches, and restart the stream")
+    if (fs.exists(started)) {
+      if (!retrySafe)
+        throw new IllegalStateException(
+          s"$what state at $path holds a PARTIAL apply of stream batch " +
+            s"$batchId (started marker without committed) — a previous attempt " +
+            "died mid-write and the layout may be inconsistent; do not retry: " +
+            "rebuild the state (or restore it from a snapshot), clear " +
+            "_stream_batches, and restart the stream")
+      fs.delete(started, false) // crashed attempt published nothing
+    }
     fs.mkdirs(dir)
     fs.create(started, false).close()
     apply

@@ -13,16 +13,15 @@ import graft.ops.{Ann, TextIndex}
   * [[CurationStream.refreshBatch]]'s corpus refresh.
   *
   * Exactly-once posture: `foreachBatch` delivery is at-least-once and
-  * both appends are NON-IDEMPOTENT (postings/lists append files; BM25
-  * df counts merge additively), so each writer stages the shared
+  * both appends are NON-IDEMPOTENT (a re-applied batch adds its
+  * postings/lists segment twice), so each writer stages the shared
   * [[StreamOnce]] per-batch markers under `indexPath/_stream_batches` —
-  * committed replays skip, a started-without-committed marker fails
-  * loudly naming the rebuild remedy (the append ops' documented
-  * no-retry contract — multi-directory parquet writes have no
-  * cross-directory transaction to roll back). State across restarts
-  * rides the stream checkpoint (offsets) plus the markers
-  * (applied-batch set); both live outside the executors, so a new
-  * cluster resumes correctly.
+  * committed replays skip; a started-without-committed marker retries
+  * SAFELY, because the manifest-versioned appends publish atomically
+  * (a crashed attempt left only orphan segments, never half-applied
+  * state). State across restarts rides the stream checkpoint (offsets)
+  * plus the markers (applied-batch set); both live outside the
+  * executors, so a new cluster resumes correctly.
   */
 object IndexStream {
 
@@ -51,7 +50,7 @@ object IndexStream {
 
   /** foreachBatch writer appending each (idCol, textCol) document
     * micro-batch to a persisted [[TextIndex.writeBm25Index]] layout:
-    * only the batch tokenizes, only touched term buckets rewrite. */
+    * only the batch tokenizes; stored segments are never rewritten. */
   def bm25AppendBatch(indexPath: String, idCol: String,
                       textCol: String): (DataFrame, Long) => Unit =
     (batchDf, batchId) =>
@@ -61,9 +60,12 @@ object IndexStream {
       }
 
   /** Run `append` exactly once per (indexPath, batchId): skip committed
-    * replays, loudly refuse started-but-uncommitted ones (shared
-    * [[StreamOnce]] marker contract). */
+    * replays; a started-but-uncommitted marker retries safely, because
+    * the manifest-versioned index appends publish atomically — a
+    * crashed attempt changed nothing (shared [[StreamOnce]] marker
+    * contract, retrySafe mode). */
   private def appliedOnce(spark: SparkSession, indexPath: String,
                           batchId: Long, what: String)(append: => Unit): Unit =
-    StreamOnce.appliedOnce(spark, indexPath, batchId, s"$what index")(append)
+    StreamOnce.appliedOnce(spark, indexPath, batchId, s"$what index",
+      retrySafe = true)(append)
 }

@@ -46,7 +46,7 @@ class StreamingIndexSpec extends SparkSpec {
 
     // probe equality vs a from-scratch rebuild over seed ∪ arrivals
     // with the SAME stored centroids
-    val cents = spark.read.parquet(s"$p/centroids")
+    val cents = Ann.readIvfCentroids(spark, p)
     val pRef = java.nio.file.Files.createTempDirectory("graft-sivf-ref").toString
     Ann.writeIvfIndex(all.toDF("id", "vec"), pRef, nLists = 8,
       centroidsOverride = Some(cents))
@@ -56,16 +56,23 @@ class StreamingIndexSpec extends SparkSpec {
     assert(triples(p) === triples(pRef),
       "streamed index diverges from the batch rebuild")
     // every arrival landed exactly once
-    assert(spark.read.parquet(s"$p/lists").count() === all.size.toLong)
+    def listCount(path: String): Long = graft.ops.IndexManifest
+      .pin(spark, path).read(spark, "lists", Some("cid")).get.count()
+    assert(listCount(p) === all.size.toLong)
 
     // a committed batch redelivered out-of-band is SKIPPED
     fn(arrivals.slice(0, 20).toDF("id", "vec"), 0L)
-    assert(spark.read.parquet(s"$p/lists").count() === all.size.toLong,
+    assert(listCount(p) === all.size.toLong,
       "replay of a committed batch must be a no-op")
     assert(triples(p) === triples(pRef))
   }
 
-  test("partial append (started without committed) fails loudly, never double-counts") {
+  test("partial append (started without committed) retries safely, never double-counts") {
+    // the manifest-versioned appends publish atomically, so a stale
+    // started-marker from a crashed attempt (which by construction
+    // changed nothing) is cleared and the batch re-applied — the
+    // pre-manifest loud refusal survives only for non-atomic sinks
+    // (StreamOnce's default mode, spec'd in StreamingCdcSpec)
     val p = java.nio.file.Files.createTempDirectory("graft-sivf-part").toString
     Ann.writeIvfIndex(vecRows(0 until 30).toDF("id", "vec"), p, nLists = 4)
     val fs = new org.apache.hadoop.fs.Path(p)
@@ -73,16 +80,16 @@ class StreamingIndexSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/_stream_batches"))
     fs.create(new org.apache.hadoop.fs.Path(
       s"$p/_stream_batches/batch_id=7.started"), false).close()
-    val e = intercept[IllegalStateException] {
-      IndexStream.ivfAppendBatch(p)(vecRows(100 until 110).toDF("id", "vec"), 7L)
-    }
-    assert(e.getMessage.contains("PARTIAL apply"))
-    assert(e.getMessage.contains("rebuild"))
-    // the refused batch wrote nothing
-    assert(spark.read.parquet(s"$p/lists").count() === 30L)
+    def listCount(): Long = graft.ops.IndexManifest
+      .pin(spark, p).read(spark, "lists", Some("cid")).get.count()
+    IndexStream.ivfAppendBatch(p)(vecRows(100 until 110).toDF("id", "vec"), 7L)
+    assert(listCount() === 40L, "the retried batch must apply exactly once")
+    // the retry committed: a replay of batch 7 is now a no-op
+    IndexStream.ivfAppendBatch(p)(vecRows(100 until 110).toDF("id", "vec"), 7L)
+    assert(listCount() === 40L, "replay after the retry double-counted")
     // other batch ids are unaffected
-    IndexStream.ivfAppendBatch(p)(vecRows(100 until 110).toDF("id", "vec"), 8L)
-    assert(spark.read.parquet(s"$p/lists").count() === 40L)
+    IndexStream.ivfAppendBatch(p)(vecRows(200 until 210).toDF("id", "vec"), 8L)
+    assert(listCount() === 50L)
   }
 
   test("streamed BM25 appends across 3 micro-batches + restart == batch rebuild") {

@@ -8,6 +8,23 @@ import graft.expr.{Text, Vectors}
 class TextVectorSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Manifest-resolved absolute segment dirs of one layout component. */
+  private def segDirs(p: String, comp: String): Seq[String] =
+    graft.ops.IndexManifest.pin(spark, p).segments(comp).map(s => s"$p/${s.dir}")
+
+  /** The component's logical frame (segments unioned, excludes applied). */
+  private def compDf(p: String, comp: String,
+                     bucket: String = null): org.apache.spark.sql.DataFrame =
+    graft.ops.IndexManifest.pin(spark, p).read(spark, comp, Option(bucket)).get
+
+  /** parquet file names per bucket dir under one segment directory. */
+  private def bucketFiles(segDir: String): Map[String, Set[String]] =
+    new java.io.File(segDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+
   test("tokens/tokenCount: whitespace runs, empty string") {
     val df = Seq("one two  three", "", "  padded  ", "a\tb\nc").map(Tuple1(_)).toDF("t")
     val got = df.select(Text.tokenCount($"t")).collect().map(_.getInt(0))
@@ -245,8 +262,9 @@ class TextVectorSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
     graft.ops.Ann.writeIvfIndex(e, path, nLists = 16)
 
-    // one directory per list on disk
-    val listDirs = new java.io.File(s"$path/lists").listFiles()
+    // one directory per list on disk, inside the manifest's live segment
+    val listSeg = segDirs(path, "lists") match { case Seq(one) => one }
+    val listDirs = new java.io.File(listSeg).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cid="))
     assert(listDirs.length == 16, s"expected 16 list dirs, got ${listDirs.length}")
 
@@ -271,7 +289,7 @@ class TextVectorSpec extends SparkSpec {
     assert(prunedParts < 16, s"probe read $prunedParts of 16 partitions — no pruning")
 
     // identical answers to the in-memory path with the same centroids
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = graft.ops.Ann.readIvfCentroids(spark, path)
     val mem = graft.ops.Ann.ivfTopK(queries, e, k = 5, nProbe = 4,
         centroidsOverride = Some(cents))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
@@ -279,7 +297,7 @@ class TextVectorSpec extends SparkSpec {
     assert(got === mem)
   }
 
-  test("IVF index append: equals rebuild; untouched partitions keep their exact files") {
+  test("IVF index append: equals rebuild; stored segment keeps its exact files") {
     val e = schema.Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
     val corpus = e.filter($"id" % 5 =!= 0)
@@ -288,35 +306,25 @@ class TextVectorSpec extends SparkSpec {
     val pFull = java.nio.file.Files.createTempDirectory("graft-ivf-appf").toString
     graft.ops.Ann.writeIvfIndex(corpus, pApp, nLists = 16, trainIters = 2)
 
-    def fileSets(p: String): Map[String, Set[String]] =
-      new java.io.File(s"$p/lists").listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
-        .map(d => d.getName ->
-          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
-        .toMap
-    val before = fileSets(pApp)
+    // the append lands in a NEW segment — the stored segment's files
+    // are byte-stable (probes pinned mid-append are unaffected)
+    val storedSeg = segDirs(pApp, "lists") match { case Seq(one) => one }
+    val before = bucketFiles(storedSeg)
     graft.ops.Ann.appendToIvfIndex(batch, pApp)
-    val after = fileSets(pApp)
+    assert(bucketFiles(storedSeg) === before,
+      "append must never rewrite a stored segment")
+    val segsAfter = segDirs(pApp, "lists")
+    assert(segsAfter.size === 2 && segsAfter.head === storedSeg,
+      s"append must add exactly one new list segment: $segsAfter")
+    // the new segment holds exactly the batch rows
+    assert(spark.read.parquet(segsAfter(1)).count() === batch.count())
 
-    // the touched partitions are exactly the batch's assigned lists —
-    // computed independently via stored-centroid assignment
-    val cents = spark.read.parquet(s"$pApp/centroids")
-    val touched = graft.ops.Ann.kmeansAssign(batch, 16,
-        centroidsOverride = Some(cents))
-      .select($"cid").distinct().collect().map("cid=" + _.getLong(0)).toSet
-    before.foreach { case (cid, files) =>
-      if (touched.contains(cid))
-        assert(files.subsetOf(after(cid)) && after(cid) != files,
-          s"touched $cid should gain files and keep its old ones")
-      else
-        assert(after(cid) === files, s"untouched $cid was rewritten")
-    }
-
-    // every corpus+batch row is in the lists exactly once
-    assert(spark.read.parquet(s"$pApp/lists").count() === e.count())
+    // every corpus+batch row is in the logical lists exactly once
+    assert(compDf(pApp, "lists", "cid").count() === e.count())
 
     // probes against the appended layout == a from-scratch rebuild over
     // corpus ∪ batch with the same centroids, triple for triple
+    val cents = graft.ops.Ann.readIvfCentroids(spark, pApp)
     graft.ops.Ann.writeIvfIndex(e, pFull, nLists = 16,
       centroidsOverride = Some(cents))
     val qs = e.filter($"id" < 8)
@@ -324,13 +332,22 @@ class TextVectorSpec extends SparkSpec {
       graft.ops.Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(triples(pApp) === triples(pFull))
+
+    // compaction consolidates the two segments into one; probe answers
+    // are unchanged and a second compact is a no-op
+    assert(graft.ops.Ann.compactIvfIndex(spark, pApp) === 1)
+    assert(segDirs(pApp, "lists").size === 1)
+    assert(triples(pApp) === triples(pFull),
+      "compaction must not change probe answers")
+    assert(graft.ops.Ann.compactIvfIndex(spark, pApp) === 0)
   }
 
   test("persisted BM25 index: partition-pruned probe == ad-hoc scoring bit-for-bit") {
     val d = schema.Tables.load(spark, sfDir, "documents")
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
     graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", path, nBuckets = 16)
-    val tbDirs = new java.io.File(s"$path/postings").listFiles()
+    val postSeg = segDirs(path, "postings") match { case Seq(one) => one }
+    val tbDirs = new java.io.File(postSeg).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("tb="))
     assert(tbDirs.nonEmpty && tbDirs.length <= 16)
 
@@ -371,7 +388,7 @@ class TextVectorSpec extends SparkSpec {
     graft.ops.Ann.writeIvfIndexSq8(e, dirQ, nLists = 16)
 
     // the stored list vectors are int8
-    val listSchema = spark.read.parquet(s"$dirQ/lists").schema
+    val listSchema = compDf(dirQ, "lists", "cid").schema
     assert(listSchema("nq").dataType ===
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.ByteType, containsNull = true))
@@ -380,7 +397,8 @@ class TextVectorSpec extends SparkSpec {
         if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
       walk(new java.io.File(p))
     }
-    val (fb, qb) = (bytesUnder(s"$dirF/lists"), bytesUnder(s"$dirQ/lists"))
+    val (fb, qb) = (bytesUnder(segDirs(dirF, "lists").head),
+      bytesUnder(segDirs(dirQ, "lists").head))
     assert(qb < fb * 0.6, s"sq8 lists $qb bytes vs float $fb — expected a real shrink")
 
     // quantized-probe recall vs brute force on the fixture
@@ -646,47 +664,56 @@ class TextVectorSpec extends SparkSpec {
     val logical = probeIds()
     assert(logical.forall(_._3 % 5 != 0), "tombstoned ids surfaced in a probe")
 
-    // purge: same probe answers, tombstone table gone, per-list rows
-    // physically reduced
-    val nBefore = spark.read.parquet(s"$p/lists").count()
+    // purge: same probe answers, tombstone component emptied, logical
+    // list rows reduced by exactly the tombstoned set
+    val nBefore = compDf(p, "lists", "cid").count()
     val touched = graft.ops.Ann.purgeIvfTombstones(spark, p)
     assert(touched > 0)
-    assert(!new java.io.File(s"$p/tombstones").exists)
+    assert(segDirs(p, "tombstones").isEmpty,
+      "purge must empty the tombstone component")
     assert(probeIds() === logical, "purge changed probe answers")
-    val nAfter = spark.read.parquet(s"$p/lists").count()
+    val nAfter = compDf(p, "lists", "cid").count()
     assert(nAfter === nBefore - e.filter($"id" % 5 === 0).count(),
       "purge must drop exactly the tombstoned rows")
     // purging again is a no-op
     assert(graft.ops.Ann.purgeIvfTombstones(spark, p) === 0)
+    // vacuum reclaims the superseded segments; probes stay correct
+    val dropped = graft.ops.Ann.vacuumIvfIndex(spark, p)
+    assert(dropped.nonEmpty, "purge must leave something for vacuum")
+    assert(probeIds() === logical, "vacuum changed probe answers")
   }
 
-  test("purge that empties a cell: directory dropped, probe == rebuild over survivors") {
+  test("purge that empties a cell: cell logically gone, probe == rebuild over survivors") {
     import spark.implicits._
     val e = schema.Tables.load(spark, sfDir, "embeddings")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
     val p = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
     graft.ops.Ann.writeIvfIndex(e, p, nLists = 16, trainIters = 2)
     // tombstone EVERY member of one occupied cell (plus nothing else),
-    // so the purge must drop that cid directory outright
-    val lists = spark.read.parquet(s"$p/lists")
-    val victim = lists.select($"cid".cast("long")).distinct()
+    // so the purge must erase that cell from the logical view
+    val lists = compDf(p, "lists", "cid")
+    val victim = lists.select($"cid").distinct()
       .orderBy($"cid").limit(1).head().getLong(0)
-    // materialize the victim ids BEFORE the purge rewrites the lists —
-    // a lazy frame over the pre-purge files would dangle afterwards
-    val victimIds = lists.filter($"cid".cast("long") === victim)
+    // materialize the victim ids BEFORE the purge commits a new
+    // manifest — a lazy frame over the pre-purge snapshot would read
+    // stale state afterwards
+    val victimIds = lists.filter($"cid" === victim)
       .select($"nid").collect().map(_.getLong(0)).toSeq
     assert(victimIds.nonEmpty)
     val victims = victimIds.map(Tuple1(_)).toDF("nid")
     graft.ops.Ann.deleteFromIvfIndex(victims, p)
     assert(graft.ops.Ann.purgeIvfTombstones(spark, p) >= 1)
-    assert(!new java.io.File(s"$p/lists/cid=$victim").exists,
-      "fully-tombstoned cell kept its directory")
+    assert(compDf(p, "lists", "cid").filter($"cid" === victim).count() === 0L,
+      "fully-tombstoned cell still has logical rows")
+    assert(compDf(p, "lists", "cid")
+      .filter($"nid".isin(victimIds: _*)).count() === 0L,
+      "tombstoned rows outlived the purge")
 
     // probe-triple equality against a FROM-SCRATCH rebuild over the
     // surviving corpus with the same stored centroids — the purged
     // layout must be indistinguishable from never having indexed the
     // deleted rows
-    val cents = spark.read.parquet(s"$p/centroids")
+    val cents = graft.ops.Ann.readIvfCentroids(spark, p)
     val pRef = java.nio.file.Files.createTempDirectory("graft-ivf-emptyref").toString
     val survivors = e.join(victims.withColumnRenamed("nid", "id"), Seq("id"), "left_anti")
     graft.ops.Ann.writeIvfIndex(survivors, pRef, nLists = 16,
@@ -804,128 +831,159 @@ class TextVectorSpec extends SparkSpec {
     graft.ops.TextIndex.purgeBm25Tombstones(spark, pDel)
     assert(probeRows(pDel).toSet === probeRows(pSurv).toSet)
 
-    // fully-tombstoned bucket with SURVIVORS elsewhere: the emptied tb
-    // dirs must drop (or the deleted docs' rows outlive the tombstone
-    // table — right-to-erasure violated) while untouched buckets keep
-    // serving; probe proves both at once
+    // fully-tombstoned bucket with SURVIVORS elsewhere: the purged
+    // logical view must hold no doc-1 row anywhere (right-to-erasure)
+    // while untouched buckets keep serving; probe proves both at once
     val pAll = java.nio.file.Files.createTempDirectory("graft-bm25-all").toString
     val tiny = Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text")
     graft.ops.TextIndex.writeBm25Index(tiny, "doc_id", "text", pAll, nBuckets = 4)
     graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), pAll)
     assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, pAll) > 0)
-    val afterOne = spark.read.parquet(s"$pAll/postings")
+    val afterOne = compDf(pAll, "postings", "tb")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(afterOne === Set(2L), s"doc 1 rows must be physically gone: $afterOne")
-    assert(spark.read.parquet(s"$pAll/doclen").count() === 1L)
-    // deleting the LAST document removes the layout entirely — an
-    // empty PARTITIONED parquet table cannot exist on disk, and a
-    // dir of bare _SUCCESS files would brick probe and append
+    assert(afterOne === Set(2L), s"doc 1 rows must be logically gone: $afterOne")
+    assert(compDf(pAll, "doclen").count() === 1L)
+    // right-to-erasure is PHYSICAL after purge + vacuum: no live
+    // segment file holds a doc-1 row (vacuum reclaims the pre-purge
+    // postings/doclen segments the manifest no longer references)
+    graft.ops.TextIndex.vacuumBm25Index(spark, pAll)
+    segDirs(pAll, "postings").foreach { seg =>
+      assert(spark.read.parquet(seg).filter($"doc_id" === 1L).count() === 0L,
+        s"doc 1 rows physically survive in $seg after purge+vacuum")
+    }
+    // deleting the LAST document leaves a serving, APPENDABLE empty
+    // index (empty segments preserve schemas; stats keep the bucketing
+    // fan-out) — probe answers empty, and a later append revives it
     graft.ops.TextIndex.deleteFromBm25Index(Seq(2L).toDF("doc_id"), pAll)
     assert(graft.ops.TextIndex.purgeBm25Tombstones(spark, pAll) > 0)
-    assert(!new java.io.File(pAll, "postings").exists(),
-      "an all-deleted index must remove its layout, not strand unreadable dirs")
+    assert(graft.ops.TextIndex.probeBm25Index(spark, pAll, Seq("aaa"))
+      .count() === 0L, "an all-deleted index must probe empty, not crash")
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "aaa eee")).toDF("doc_id", "text"), "doc_id", "text", pAll)
+    val revived = graft.ops.TextIndex.probeBm25Index(spark, pAll, Seq("aaa"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(revived === Set(3L),
+      s"an all-deleted index must accept appends and serve them: $revived")
+  }
 
-    // crash-recovery re-run: simulate a purge that died AFTER the
-    // postings rewrite (doc 1's postings already gone) but BEFORE the
-    // terms/doclen/stats steps — the re-run's tombstones match no
-    // postings row, yet it must recover ALL THREE: terms/ df would
-    // otherwise stay stale forever (the kept frame is empty, so a
-    // dynamic overwrite is a no-op — r11 ADVICE), and surviving docs'
-    // idf would diverge from a rebuild. Docs SHARE the term "aaa" so
-    // its df actually changes (2 → 1) and a stale terms table is
-    // score-visible, not just structurally wrong.
-    val pCr = java.nio.file.Files.createTempDirectory("graft-bm25-cr").toString
-    val pCrRef = java.nio.file.Files.createTempDirectory("graft-bm25-crr").toString
+  test("manifest crash atomicity: uncommitted orphans are invisible; re-run and vacuum recover") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-bm25-crash").toString
     graft.ops.TextIndex.writeBm25Index(
       Seq((1L, "aaa bbb"), (2L, "aaa ccc ddd")).toDF("doc_id", "text"),
-      "doc_id", "text", pCr, nBuckets = 4)
-    val survivorRows = spark.read.parquet(s"$pCr/postings")
-      .filter($"doc_id" =!= 1L).collect()
-    val postingsSchema = spark.read.parquet(s"$pCr/postings").schema
-    spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(survivorRows: _*)),
-        postingsSchema)
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$pCr/postings")
-    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), pCr)
-    graft.ops.TextIndex.purgeBm25Tombstones(spark, pCr)
-    assert(spark.read.parquet(s"$pCr/doclen")
-      .filter($"doc_id" === 1L).count() === 0L,
-      "re-run purge must scrub the crashed run's stranded doclen rows")
-    assert(spark.read.parquet(s"$pCr/stats").select("n_docs").first().getLong(0) === 1L)
-    // terms/ recovered: df("aaa") back to the survivor count, doc 1's
-    // private terms gone, and probe scores equal a from-scratch rebuild
-    val dfAaa = spark.read.parquet(s"$pCr/terms")
-      .filter($"term" === "aaa").select("df").collect().map(_.getLong(0))
-    assert(dfAaa.toSeq === Seq(1L),
-      s"recovered df for the shared term must be the survivor count: ${dfAaa.toSeq}")
-    assert(spark.read.parquet(s"$pCr/terms")
-      .filter($"term" === "bbb").count() === 0L,
-      "the crashed run's stale terms rows must not survive recovery")
-    graft.ops.TextIndex.writeBm25Index(
-      Seq((2L, "aaa ccc ddd")).toDF("doc_id", "text"),
-      "doc_id", "text", pCrRef, nBuckets = 4)
-    def crProbe(p: String) = graft.ops.TextIndex
-      .probeBm25Index(spark, p, Seq("aaa", "ccc"))
+      "doc_id", "text", p, nBuckets = 4)
+    def probe() = graft.ops.TextIndex.probeBm25Index(spark, p, Seq("aaa", "ccc"))
       .select(col("doc_id"), round(col("score"), 9).as("s9"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-    assert(crProbe(pCr) === crProbe(pCrRef),
-      "post-recovery probe must equal a from-scratch rebuild over survivors")
+    val healthy = probe()
 
-    // crash window between the doclen rewrite and the stats overwrite:
-    // tombstones match NOTHING (postings and doclen both clean), but
-    // the stored n_docs disagrees with doclen — the re-run must
-    // recompute stats instead of clearing tombstones over a stale file
-    val pCs = java.nio.file.Files.createTempDirectory("graft-bm25-cs").toString
-    graft.ops.TextIndex.writeBm25Index(
-      Seq((1L, "aaa bbb"), (2L, "aaa ccc ddd")).toDF("doc_id", "text"),
-      "doc_id", "text", pCs, nBuckets = 4)
-    // simulate: doc 1 fully purged from postings+terms+doclen; stats/
-    // stays the build-time file (n_docs=2) — exactly the stale state
-    spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(
-          spark.read.parquet(s"$pCs/postings").filter($"doc_id" =!= 1L)
-            .collect(): _*)), postingsSchema)
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$pCs/postings")
-    val termsSchema = spark.read.parquet(s"$pCs/terms").schema
-    spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(
-          spark.read.parquet(s"$pCs/postings").filter($"doc_id" =!= 1L)
-            .groupBy($"term", $"tb").agg(count(lit(1)).as("df"))
-            .select($"term", $"df", $"tb").collect(): _*)), termsSchema)
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$pCs/terms")
-    val dlSchema = spark.read.parquet(s"$pCs/doclen").schema
-    spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(
-          spark.read.parquet(s"$pCs/doclen").filter($"doc_id" =!= 1L)
-            .collect(): _*)), dlSchema)
-      .write.mode("overwrite").parquet(s"$pCs/doclen")
-    graft.ops.TextIndex.deleteFromBm25Index(Seq(1L).toDF("doc_id"), pCs)
-    graft.ops.TextIndex.purgeBm25Tombstones(spark, pCs)
-    assert(spark.read.parquet(s"$pCs/stats").select("n_docs").first().getLong(0) === 1L,
-      "re-run purge must recompute stats when n_docs disagrees with doclen")
+    // simulate a maintenance op that CRASHED mid-flight: it wrote new
+    // segment directories (with wrong/partial content — here garbage
+    // postings) but never committed a manifest. The layout must behave
+    // as if nothing happened.
+    Seq((99L, "zzz", 1L, 0))
+      .toDF("doc_id", "term", "tf", "tb")
+      .write.parquet(s"$p/postings-deadbeef0001")
+    Seq((99L, 1L)).toDF("doc_id", "dl")
+      .write.parquet(s"$p/doclen-deadbeef0001")
+    assert(probe() === healthy, "orphan segments leaked into a probe")
+    assert(compDf(p, "doclen").count() === 2L)
+
+    // the crashed op's blind RE-RUN is safe (manifest not swapped =
+    // nothing happened): an append of the same batch applies once
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "aaa zzz")).toDF("doc_id", "text"), "doc_id", "text", p)
+    assert(compDf(p, "doclen").count() === 3L)
+
+    // vacuum reclaims the orphans (and superseded stats) but keeps
+    // every live segment; probes unchanged
+    val dropped = graft.ops.TextIndex.vacuumBm25Index(spark, p)
+    assert(dropped.exists(_.contains("deadbeef")),
+      s"vacuum must reclaim the crashed op's orphans: $dropped")
+    assert(!new java.io.File(s"$p/postings-deadbeef0001").exists())
+    val after = probe()
+    assert(after.map(_._1) === Set(1L, 2L, 3L))
+
+    // a bypassed-lock commit collision fails loudly without clobbering
+    val snapNow = graft.ops.IndexManifest.pin(spark, p)
+    graft.ops.IndexManifest.commit(spark, p, Some(snapNow), snapNow.components)
+    val ex = intercept[IllegalStateException] {
+      graft.ops.IndexManifest.commit(spark, p, Some(snapNow), snapNow.components)
+    }
+    assert(ex.getMessage.contains("collision"))
+  }
+
+  test("snapshot isolation: a probe pinned before a purge sees fully-old state; a new probe sees fully-new") {
+    import spark.implicits._
+    val d = schema.Tables.load(spark, sfDir, "documents")
+    val terms = Seq("hash", "join", "stream")
+    val p = java.nio.file.Files.createTempDirectory("graft-bm25-iso").toString
+    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", p, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
+        round(col("score"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // pin a probe on the FULL corpus, then run the whole delete+purge
+    // lifecycle underneath it before executing it
+    val pinnedProbe = graft.ops.TextIndex.probeBm25Index(spark, p, terms)
+    val fullCorpus = rows(graft.ops.TextIndex.probeBm25Index(spark, p, terms))
+    graft.ops.TextIndex.deleteFromBm25Index(
+      d.filter($"doc_id" % 5 === 0).select($"doc_id"), p)
+    graft.ops.TextIndex.purgeBm25Tombstones(spark, p)
+    assert(rows(pinnedProbe) === fullCorpus,
+      "a probe pinned before the purge must see the full pre-purge state " +
+        "(fully-old), never a mix")
+    val fresh = rows(graft.ops.TextIndex.probeBm25Index(spark, p, terms))
+    assert(fresh.nonEmpty && fresh.forall(_._1 % 5 != 0),
+      "a probe opened after the purge must see only survivors (fully-new)")
+    assert(fresh !== fullCorpus)
+
+    // same contract on the IVF layouts
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val pv = java.nio.file.Files.createTempDirectory("graft-ivf-iso").toString
+    graft.ops.Ann.writeIvfIndex(e, pv, nLists = 16, trainIters = 2)
+    val qs = e.filter($"id" < 8)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pinnedIvf = graft.ops.Ann.probeIvfIndex(qs, pv, k = 5, nProbe = 4)
+    val ivfFull = triples(graft.ops.Ann.probeIvfIndex(qs, pv, k = 5, nProbe = 4))
+    graft.ops.Ann.deleteFromIvfIndex(
+      e.filter($"id" % 5 === 0).select($"id".as("nid")), pv)
+    graft.ops.Ann.purgeIvfTombstones(spark, pv)
+    assert(triples(pinnedIvf) === ivfFull,
+      "IVF probe pinned before the purge must see fully-old state")
+    val ivfFresh = triples(graft.ops.Ann.probeIvfIndex(qs, pv, k = 5, nProbe = 4))
+    assert(ivfFresh.forall(_._3 % 5 != 0))
+    assert(ivfFresh !== ivfFull)
   }
 
   test("BM25 compact with pending tombstones: no resurrection, purge-after == rebuild") {
     import spark.implicits._
-    // build → delete → compact a postings bucket leaf → purge → probe:
-    // compaction is row-preserving, so tombstoned rows survive the file
-    // rewrite (still logically deleted), the later purge must still
-    // drop them, and nothing double-counts — equals a from-scratch
-    // rebuild over the survivors
+    // build → append → delete → COMPACT (segments consolidate while the
+    // tombstones are pending) → purge → probe: compaction preserves the
+    // logical state verbatim, so tombstoned rows survive the segment
+    // merge (still logically deleted), the later purge must still drop
+    // them, and nothing double-counts — equals a from-scratch rebuild
+    // over the survivors
     val p = java.nio.file.Files.createTempDirectory("graft-bm25-cmp").toString
     val pRef = java.nio.file.Files.createTempDirectory("graft-bm25-cmpr").toString
     val d = schema.Tables.load(spark, sfDir, "documents")
     val terms = Seq("hash", "join", "stream")
-    graft.ops.TextIndex.writeBm25Index(d, "doc_id", "text", p, nBuckets = 8)
+    graft.ops.TextIndex.writeBm25Index(d.filter($"doc_id" % 3 =!= 0),
+      "doc_id", "text", p, nBuckets = 8)
+    graft.ops.TextIndex.appendToBm25Index(d.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", p)
     graft.ops.TextIndex.deleteFromBm25Index(
       d.filter($"doc_id" % 5 === 0).select($"doc_id"), p)
-    // compact EVERY postings bucket leaf while the tombstones are
-    // pending (the maintenance-cadence interleave the contract allows:
-    // compact is read-only w.r.t. row content)
-    val tbDirs = new java.io.File(s"$p/postings").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
-    assert(tbDirs.nonEmpty)
-    tbDirs.foreach(dir => graft.ops.Scale.compact(spark, dir.toString))
+    assert(segDirs(p, "postings").size === 2, "append must add a segment")
+    assert(graft.ops.TextIndex.compactBm25Index(spark, p) === 3,
+      "compact must consolidate the appended postings/terms/doclen segments")
+    assert(Seq("postings", "terms", "doclen")
+      .forall(segDirs(p, _).size === 1))
+    assert(segDirs(p, "tombstones").nonEmpty,
+      "compact must carry pending tombstones verbatim")
     def probeRows(px: String) = graft.ops.TextIndex.probeBm25Index(spark, px, terms)
       .select(col("doc_id"), col("matched_terms"), col("matched_tf"),
         round(col("score"), 9).as("s9"))
@@ -938,6 +996,8 @@ class TextVectorSpec extends SparkSpec {
       "doc_id", "text", pRef, nBuckets = 8)
     assert(probeRows(p).toSet === probeRows(pRef).toSet,
       "compact-then-purge must equal a from-scratch rebuild over survivors")
+    // a second compact over the already-consolidated layout is a no-op
+    assert(graft.ops.TextIndex.compactBm25Index(spark, p) === 0)
   }
 
   test("index write-op lock: concurrent maintenance fails loudly; rebuild clears a stale lock") {
@@ -1016,44 +1076,36 @@ class TextVectorSpec extends SparkSpec {
     // (avgdl is a double avg — addition order may differ in the last ulp)
     assert(probeRows(pApp) === probeRows(pFull))
 
-    // untouched-bucket pinning needs a batch with a KNOWN tiny term
-    // footprint — hand corpus: the batch term maps to one bucket
+    // stored-segment pinning: the append writes ONLY new segment dirs —
+    // every stored postings/terms file is byte-stable
     val p2 = java.nio.file.Files.createTempDirectory("graft-bm25-pin").toString
     val train = Seq((1L, "beta beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
     graft.ops.TextIndex.writeBm25Index(train, "doc_id", "text", p2, nBuckets = 16)
-    def fileSets(sub: String): Map[String, Set[String]] =
-      new java.io.File(s"$p2/$sub").listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("tb="))
-        .map(dd => dd.getName ->
-          dd.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
-        .toMap
-    val (postBefore, termsBefore) = (fileSets("postings"), fileSets("terms"))
+    val (postSeg0, termSeg0) =
+      (segDirs(p2, "postings").head, segDirs(p2, "terms").head)
+    val (postBefore, termsBefore) = (bucketFiles(postSeg0), bucketFiles(termSeg0))
     graft.ops.TextIndex.appendToBm25Index(
       Seq((3L, "zeta")).toDF("doc_id", "text"), "doc_id", "text", p2)
-    val zetaTb = "tb=" + spark.range(1)
-      .select(pmod(hash(lit("zeta")), lit(16))).first().getInt(0)
-    val (postAfter, termsAfter) = (fileSets("postings"), fileSets("terms"))
-    postBefore.foreach { case (tb, files) =>
-      if (tb == zetaTb)
-        assert(files.subsetOf(postAfter(tb)) && postAfter(tb) != files,
-          s"touched $tb should gain posting files and keep its old ones")
-      else assert(postAfter(tb) === files, s"untouched postings $tb was rewritten")
-    }
-    termsBefore.foreach { case (tb, files) =>
-      if (tb != zetaTb)
-        assert(termsAfter(tb) === files, s"untouched terms $tb was rewritten")
-    }
-    // df additivity: every stored term's df equals its true doc count
-    val dfs = spark.read.parquet(s"$p2/terms")
-      .select("term", "df").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bucketFiles(postSeg0) === postBefore,
+      "append rewrote a stored postings segment")
+    assert(bucketFiles(termSeg0) === termsBefore,
+      "append rewrote a stored terms segment")
+    assert(segDirs(p2, "postings").size === 2 &&
+      segDirs(p2, "terms").size === 2,
+      "append must add one postings and one terms segment")
+    // df additivity: every term's summed df equals its true doc count
+    val dfs = compDf(p2, "terms", "tb")
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dfs === Map("beta" -> 1L, "gamma" -> 1L, "delta" -> 1L,
       "epsilon" -> 1L, "zeta" -> 1L))
   }
 
-  test("appended postings bucket compacts in place; probe answers unchanged") {
+  test("appended layout compacts to one segment per component; probe answers unchanged") {
     // the maintenance story for the incremental index: appends leave
-    // extra small files in touched buckets; Scale.compact restores the
-    // file count without changing a single probe answer
+    // extra segments the probe must fan in over; compactBm25Index
+    // restores one segment per component without changing a single
+    // probe answer, and vacuum reclaims the superseded directories
     import spark.implicits._
     val d = schema.Tables.load(spark, sfDir, "documents")
     val terms = Seq("hash", "join", "stream")
@@ -1067,18 +1119,14 @@ class TextVectorSpec extends SparkSpec {
         round(col("score"), 9))
       .collect().map(_.toSeq).toSet
     val before = probeRows()
-    // compact every appended (multi-file) bucket
-    val multi = new java.io.File(s"$p/postings").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
-      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
-    assert(multi.nonEmpty, "append should leave at least one multi-file bucket")
-    multi.foreach(dir => graft.ops.Scale.compact(spark, dir.getAbsolutePath))
-    multi.foreach { dir =>
-      val n = new java.io.File(dir.getAbsolutePath)
-        .listFiles().count(_.getName.endsWith(".parquet"))
-      assert(n === 1, s"bucket ${dir.getName} still has $n files")
-    }
+    assert(graft.ops.TextIndex.compactBm25Index(spark, p) === 3)
+    assert(Seq("postings", "terms", "doclen").forall(segDirs(p, _).size === 1))
     assert(probeRows() === before, "compaction must not change probe answers")
+    val live = Seq("postings", "terms", "doclen", "stats").flatMap(segDirs(p, _))
+    graft.ops.TextIndex.vacuumBm25Index(spark, p)
+    live.foreach(dir => assert(new java.io.File(dir).exists(),
+      s"vacuum deleted a live segment $dir"))
+    assert(probeRows() === before, "vacuum must not change probe answers")
   }
 
   test("bm25Scores (ad-hoc) == probeBm25Index (persisted) on the fixture corpus") {
