@@ -905,6 +905,67 @@ object Ann {
     rank(cand, k)
   }
 
+  /** IVF-BIN: the [[writeIvfIndex]] layout with the 1-bit sign
+    * quantization of [[binaryTopK]] INSIDE the persisted lists —
+    * completing the quantization matrix (float / SQ8 / PQ / BIN) in the
+    * production layout (VERDICT r12 item 2). Lists store
+    * (nid, bits, nv, cid): the candidate stage reads ONLY the packed
+    * sign words out of the pruned partitions (parquet columnar
+    * projection — 32× less bandwidth than float32, plan-asserted in
+    * PqSpec), Hamming-shortlists per query, and the exact cosine rerank
+    * reads the float column for the shortlist join alone. */
+  def writeIvfIndexBin(corpus: DataFrame, path: String, nLists: Int = 16,
+                       trainIters: Int = 0,
+                       centroidsOverride: Option[DataFrame] = None): Unit =
+    writeIvfLayout(corpus, path, nLists, trainIters, centroidsOverride)(
+      _.select(col("nid"), Vectors.signPack(col("nv")).as("bits"),
+        col("nv"), col("cid")))
+
+  /** [[appendToIvfIndex]] for the [[writeIvfIndexBin]] layout: the
+    * batch sign-packs exactly as the build does, so appended and
+    * rebuilt lists answer probes identically. */
+  def appendToIvfIndexBin(batch: DataFrame, path: String): Unit =
+    appendToIvfLayout(batch, path)(
+      (_, a) => a.select(col("nid"), Vectors.signPack(col("nv")).as("bits"),
+        col("nv"), col("cid")))
+
+  /** Top-k probe of a [[writeIvfIndexBin]] layout: literal-partition-
+    * filter pruning (as [[probeIvfIndex]]), xor+popcount Hamming
+    * shortlist over the bits column only (fused
+    * [[graft.expr.catalyst.HammingDistance]] kernel), exact cosine
+    * rerank of the top k·rerankFactor against the lists' float column.
+    * Output contract matches [[bruteTopK]]: (qid, rank, nid, sim) with
+    * EXACT sims. rerankFactor defaults deeper than the PQ probe's —
+    * 1-bit quantization is the lossiest point of the matrix. */
+  def probeIvfIndexBin(queries: DataFrame, path: String, k: Int,
+                       nProbe: Int = 4, rerankFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val snap = IndexManifest.pin(queries.sparkSession, path)
+    val (probes, lists) = prunedProbe(queries, snap, nProbe)
+    val qb = probes.select(col("qid"), col("qv")).dropDuplicates("qid")
+      .select(col("qid"), Vectors.signPack(col("qv")).as("qbits"))
+    val approxTop = column(graft.expr.catalyst.TopKByScore(
+      expression(struct(col("simb"), col("nid"))), k * rerankFactor)
+      .toAggregateExpression())
+    // candidate stage: bits column ONLY out of the pruned lists
+    val shortlist = broadcast(
+        probes.select(col("qid"), col("cid")).join(qb, Seq("qid")))
+      .join(lists.select(col("nid"), col("bits"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (-Vectors.hamming(col("qbits"), col("bits")).cast("double")).as("simb"))
+      .dropDuplicates("qid", "nid")
+      .groupBy(col("qid")).agg(approxTop.as("top"))
+      .select(col("qid"), explode(col("top")).as("entry"))
+      .select(col("qid"), col("entry.id").as("nid"))
+    // exact rerank: float vectors for candidate rows only
+    val qv = probes.select(col("qid"), col("qv")).dropDuplicates("qid")
+      .withColumn("qn", Vectors.l2Norm(col("qv")))
+    val cv = lists.select(col("nid"), col("nv"))
+      .withColumn("nn", Vectors.l2Norm(col("nv")))
+    rank(broadcast(shortlist.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
+  }
+
   /** IVF-PQ: the production 100 TB ANN layout — coarse partition
     * pruning AND product-quantized candidate payloads. Lists store
     * (nid, codes, nv) per coarse cell: the candidate stage projects

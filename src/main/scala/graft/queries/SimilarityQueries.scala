@@ -223,6 +223,25 @@ object SimilarityQueries {
       annRecallCheck(exact, e)
     }),
 
+    // IVF-BIN (persisted, partition-pruned lists whose candidate stage
+    // reads ONLY the packed 1-bit sign words — 32× less bandwidth than
+    // float32; xor+popcount Hamming shortlist; exact cosine rerank from
+    // the lists' float column) — the binary point of the quantization
+    // matrix inside the production layout (VERDICT r12 item 2), gated
+    // at the same deep truth horizon as the flat binary scan
+    // (q_ann_binary_recall): full containment in the true top-100.
+    // nProbe=8: the 1-bit Hamming ordering is the lossiest of the
+    // matrix, so the coarse stage keeps more cells in play before the
+    // shortlist prunes (same dial the PQ twin turns).
+    "q_ann_ivf_bin_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = scratchDir("graft-ivf-bin", dir)
+      Ann.writeIvfIndexBin(e, path, nLists = 16, trainIters = 2)
+      annRecallCheck(
+        Ann.probeIvfIndexBin(e.filter(col("id") < 8), path, k = 5,
+          nProbe = 8, rerankFactor = 8), e, trueDepth = 100)
+    }),
+
     // IVF-PQ (persisted, partition-pruned lists whose candidate stage
     // reads ONLY the m-byte PQ codes column; exact cosine rerank from
     // the lists' float column) — the production 100 TB ANN layout,
@@ -884,6 +903,9 @@ recallConstOracle(k = 5, depth = 100),
 
     "q_ann_pq_recall" ->
 recallConstOracle(k = 5, depth = 20),
+
+    "q_ann_ivf_bin_recall" ->
+recallConstOracle(k = 5, depth = 100),
 
     "q_ann_ivf_pq_recall" ->
 recallConstOracle(k = 5, depth = 20),

@@ -164,6 +164,58 @@ class PqSpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("persisted IVF-BIN: pruned partitions, bits-only candidate scan, exhaustive == brute, append == rebuild") {
+    val emb = e
+    val queries = emb.filter($"id" < 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-bin-idx").toString
+    Ann.writeIvfIndexBin(emb, path, nLists = 16)
+
+    val n = emb.count().toInt
+    val probed = Ann.probeIvfIndexBin(queries, path, k = 5, nProbe = 4)
+
+    // 1) the lists scan prunes to the probed partitions at planning time
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(scans.nonEmpty)
+    val staticFilters = scans.head.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    assert(staticFilters.nonEmpty, s"no static partition filter:\n${scans.head}")
+    val prunedParts = scans.map(_.relation.location
+      .listFiles(staticFilters, Nil).length).max
+    assert(prunedParts < 16, s"probe read $prunedParts of 16 partitions")
+
+    // 2) the candidate stage projects the packed sign words, never the
+    // float vectors — the 32x-bandwidth claim is columnar projection,
+    // so it must be visible in a scan's required schema
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.exists(f => f.contains("bits") && !f.contains("nv")),
+      s"no bits-only scan found: $schemas")
+
+    // 3) probing every list with an exhaustive rerank reproduces brute
+    // force exactly (nothing can be dropped)
+    val brute = Ann.bruteTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Ann.probeIvfIndexBin(queries, path, k = 5, nProbe = 16,
+        rerankFactor = n / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === brute)
+
+    // 4) append == rebuild: the batch sign-packs exactly as the build
+    // does, so probe triples match row for row
+    val pApp = java.nio.file.Files.createTempDirectory("graft-ivf-bin-app").toString
+    val cents = Ann.readIvfCentroids(spark, path)
+    Ann.writeIvfIndexBin(emb.filter($"id" % 5 =!= 0), pApp, nLists = 16,
+      centroidsOverride = Some(cents))
+    Ann.appendToIvfIndexBin(emb.filter($"id" % 5 === 0), pApp)
+    def triples(p: String) =
+      Ann.probeIvfIndexBin(queries, p, k = 5, nProbe = 16,
+          rerankFactor = n / 5 + 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(triples(pApp) === triples(path))
+  }
+
   test("kernels return null on dimension mismatch (never read out of bounds)") {
     val cbs = randCbs(4, 8, 4) // expects 16-dim vectors
     val out = Seq(Tuple1(randVec(12).toSeq), Tuple1(randVec(16).toSeq))
