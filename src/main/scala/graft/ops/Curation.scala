@@ -357,8 +357,13 @@ object Curation {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // tag names are anchored by a non-alphanumeric follower (r12
+    // ADVICE: the unanchored form turned '<brand>'/'</pre>' into
+    // paragraph breaks) — RE2-safe via a negated char class, no
+    // lookaround
     val blocks = regexp_replace(noComment,
-      "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)[^>]*>", "\n")
+      "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)" +
+        "(?:[^a-zA-Z0-9>][^>]*)?>", "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
     val entities = decodeEntities(noTags)
     val oneSpace = regexp_replace(entities, "[ \\t]+", " ")
@@ -366,16 +371,65 @@ object Curation {
     trim(regexp_replace(tidyLines, "\\n{2,}", "\n"), " \n")
   }
 
-  /** The six universal entities, decoded in fixed order with `&amp;`
-    * strictly LAST: decoding it earlier manufactures new entity
-    * spellings out of ESCAPED ones ('&amp;lt;' — the literal text
-    * '&lt;' a page shows its readers — would double-decode to '<'),
-    * and with amp last no earlier replace can match an escaped form
-    * (no other entity's spelling survives inside '&amp;…'). */
-  private def decodeEntities(c: Column): Column =
-    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(c) { case (x, (e, r)) => replace(x, lit(e), lit(r)) }
+  /** The named entities decoded at a piece head, most-common tier of
+    * real crawl HTML; `&#NNNN;`/`&#xHHHH;` numeric references are
+    * handled structurally below. Shared with the oracle generator
+    * ([[graft.queries.CurationQueries]]) so both engines decode the
+    * identical set in the identical order. */
+  private[graft] val NamedEntities: Seq[(String, String)] = Seq(
+    "amp;" -> "&", "lt;" -> "<", "gt;" -> ">", "quot;" -> "\"",
+    "apos;" -> "'", "nbsp;" -> " ",
+    "ndash;" -> "–", "mdash;" -> "—",
+    "lsquo;" -> "‘", "rsquo;" -> "’",
+    "ldquo;" -> "“", "rdquo;" -> "”", "hellip;" -> "…")
+
+  /** Single-pass entity decoding: split on the literal '&' and decode
+    * each piece's HEAD — named entities ([[NamedEntities]]) or a
+    * numeric character reference (`&#NNNN;` decimal / `&#xHHHH;` hex,
+    * BMP excluding surrogates — r12 VERDICT item 3: '&#8217;' and
+    * '&#x2019;' are among the most frequent tokens in real crawl
+    * HTML); anything else keeps its literal '&'. Decoded output is
+    * never rescanned, so the decode cannot double ('&amp;lt;' — the
+    * literal '&lt;' a page shows its readers — yields '&lt;', and
+    * '&#38;amp;' yields '&amp;'), which the old fixed-replace-order
+    * chain could only approximate. Pure split/transform/concat column
+    * math — per-row, no UDF, RE2-safe (the DuckDB oracle runs the
+    * identical chain; the BMP codepoint materializes as chr() there
+    * and as a constructed UTF-8 byte sequence here). */
+  private[graft] def decodeEntities(c: Column): Column = {
+    def hexByte(b: Column): Column = lpad(conv(b, 10, 16), 2, "0")
+    def decodePiece(p: Column): Column = {
+      val dec = regexp_extract(p, "^#([0-9]{1,6});", 1)
+      val hex = regexp_extract(p, "^#[xX]([0-9a-fA-F]{1,5});", 1)
+      val cp = when(dec =!= "", dec.cast("long"))
+        .when(hex =!= "", conv(hex, 16, 10).cast("long"))
+      val cpOk = cp.isNotNull && cp >= 1 && cp <= 0xFFFF &&
+        !(cp >= 0xD800 && cp <= 0xDFFF)
+      // '#' + digits + ';'  |  '#x' + hex + ';'
+      val skip = when(dec =!= "", length(dec) + 2).otherwise(length(hex) + 3)
+      val utf8 = when(cp < 0x80, hexByte(cp))
+        .when(cp < 0x800, concat(
+          hexByte(shiftright(cp, 6) + 0xC0),
+          hexByte(cp.bitwiseAND(lit(0x3FL)) + 0x80)))
+        .otherwise(concat(
+          hexByte(shiftright(cp, 12) + 0xE0),
+          hexByte(shiftright(cp, 6).bitwiseAND(lit(0x3FL)) + 0x80),
+          hexByte(cp.bitwiseAND(lit(0x3FL)) + 0x80)))
+      val numeric = when(cpOk,
+        concat(decode(unhex(utf8), "UTF-8"), p.substr(skip + 1, length(p))))
+        .otherwise(concat(lit("&"), p))
+      NamedEntities.foldRight(numeric) { case ((ent, repl), els) =>
+        when(p.startsWith(ent),
+          concat(lit(repl), p.substr(lit(ent.length + 1), length(p))))
+          .otherwise(els)
+      }
+    }
+    val pieces = split(c, "&")
+    concat(element_at(pieces, 1),
+      array_join(transform(
+        slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+        decodePiece(_)), ""))
+  }
 
   /** The document title from raw HTML (first <title> element, tags
     * inside stripped, entities decoded, whitespace collapsed); NULL

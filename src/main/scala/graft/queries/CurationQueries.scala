@@ -610,9 +610,14 @@ object CurationQueries {
     // derives deterministically from (doc_id, text) — script bodies
     // containing '<' and a stray '</div>' (non-greedy dotall removal
     // must eat them BEFORE block handling), comments, nav boilerplate,
-    // block tags, and the six common entities — and both engines build
-    // the identical string then run the identical regexp chain, so
-    // title and extracted text hash-match.
+    // block tags, named entities, numeric character references
+    // (decimal, hex, an unpaired surrogate and a malformed ref that
+    // must stay literal — r12 VERDICT item 3), an escaped entity the
+    // single-pass decoder must not double-decode, a lone '&', and a
+    // '</pre>' tag whose 'p'-prefixed name must NOT become a paragraph
+    // break (r12 ADVICE anchoring) — both engines build the identical
+    // string then run the identical chain, so title and extracted
+    // text hash-match.
     "q_html_extract" -> ((s, dir) => {
       val first12 = array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
       val html = concat(
@@ -623,9 +628,12 @@ object CurationQueries {
         lit("<a href=\"/x?a=1&amp;b=2\">About</a></nav><h1>Doc "),
         col("doc_id").cast("string"), lit("</h1><p>"), first12,
         lit("</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
-        // ESCAPED entity — literal '&lt;i&gt;' shown to readers; a
-        // wrong decode order would double-decode it to '<i>'
-        lit(" esc: &amp;lt;i&amp;gt;</p></body></html>"))
+        // ESCAPED entity — literal '&lt;i&gt;' shown to readers; the
+        // single-pass decoder yields exactly that, never '<i>'
+        lit(" esc: &amp;lt;i&amp;gt;</p>"),
+        lit("<p>nums: it&#8217;s &#x2019;curly&#x2019; &mdash; gap &hellip;"),
+        lit(" amp-ref: &#38;amp; bad: &#55296; &#xZZZZ; lone & end</p>"),
+        lit("<pre>inline code block</pre></body></html>"))
       docsRaw(s, dir).select(col("doc_id"),
           Curation.htmlTitle(html).as("title"),
           Curation.extractHtmlText(html).as("text_clean"))
@@ -807,11 +815,47 @@ object CurationQueries {
        |         i -> array_to_string(($tokExpr)[i:i+${n - 1}], ' '))
        |  ELSE [array_to_string($tokExpr, ' ')] END)""".stripMargin
 
+  /** DuckDB restatement of [[graft.ops.Curation.decodeEntities]]'s
+    * single-pass head decode, applied to a column named `p` inside a
+    * list_transform lambda: the SAME named-entity order
+    * ([[graft.ops.Curation.NamedEntities]]), then decimal/hex numeric
+    * references (BMP, surrogates and malformed left literal via the
+    * identical regexes), else the literal '&' piece. */
+  private def decodePieceSql: String = {
+    val named = graft.ops.Curation.NamedEntities.map { case (ent, repl) =>
+      val r = repl.replace("'", "''")
+      s"WHEN starts_with(p, '$ent') THEN '$r' || p[${ent.length + 1}:]"
+    }.mkString("\n        ")
+    val dec = raw"""regexp_extract(p, '^#([0-9]{1,6});', 1)"""
+    val hex = raw"""regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,5});', 1)"""
+    raw"""CASE
+        |        $named
+        |        WHEN $dec <> '' THEN
+        |          CASE WHEN CAST($dec AS BIGINT) BETWEEN 1 AND 65535
+        |                AND CAST($dec AS BIGINT) NOT BETWEEN 55296 AND 57343
+        |            THEN chr(CAST($dec AS INTEGER)) || p[len($dec) + 3:]
+        |            ELSE '&' || p END
+        |        WHEN $hex <> '' THEN
+        |          CASE WHEN CAST('0x' || $hex AS BIGINT) BETWEEN 1 AND 65535
+        |                AND CAST('0x' || $hex AS BIGINT) NOT BETWEEN 55296 AND 57343
+        |            THEN chr(CAST(('0x' || $hex) AS INTEGER)) || p[len($hex) + 4:]
+        |            ELSE '&' || p END
+        |        ELSE '&' || p END""".stripMargin
+  }
+
+  /** The full decode over an expression: split on '&', pass piece 1
+    * through, head-decode the rest, rejoin. */
+  private def decodeEntitiesSql(e: String): String =
+    s"""(string_split($e, '&'))[1] || array_to_string(
+       |      list_transform((string_split($e, '&'))[2:],
+       |        p -> $decodePieceSql), '')""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // the identical derivation + regexp chain (all 'g' — DuckDB
     // replaces first-match-only by default, Spark replaces all);
-    // entity replaces in the SAME order, newlines injected via chr(10)
+    // the single-pass entity decode via decodeEntitiesSql, newlines
+    // injected via chr(10)
     "q_html_extract" ->
       raw"""WITH h AS (
            |  SELECT doc_id,
@@ -823,7 +867,10 @@ object CurationQueries {
            |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
            |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') ||
            |    '</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
-           |    ' esc: &amp;lt;i&amp;gt;</p></body></html>' AS html
+           |    ' esc: &amp;lt;i&amp;gt;</p>' ||
+           |    '<p>nums: it&#8217;s &#x2019;curly&#x2019; &mdash; gap &hellip;' ||
+           |    ' amp-ref: &#38;amp; bad: &#55296; &#xZZZZ; lone & end</p>' ||
+           |    '<pre>inline code block</pre></body></html>' AS html
            |  FROM documents),
            |c AS (
            |  SELECT doc_id, html,
@@ -831,33 +878,34 @@ object CurationQueries {
            |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
            |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
            |      '(?s)<!--.*?-->', ' ', 'g'),
-           |      '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)[^>]*>',
+           |      '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)(?:[^a-zA-Z0-9>][^>]*)?>',
            |      chr(10), 'g') AS t1
            |  FROM h),
+           |d0 AS (
+           |  SELECT doc_id, html,
+           |    regexp_replace(t1, '(?s)<[^>]*>', ' ', 'g') AS t15
+           |  FROM c),
            |d AS (
            |  SELECT doc_id, html,
-           |    replace(replace(replace(replace(replace(replace(
-           |      regexp_replace(t1, '(?s)<[^>]*>', ' ', 'g'),
-           |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-           |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t2
-           |  FROM c),
+           |    ${decodeEntitiesSql("t15")} AS t2
+           |  FROM d0),
            |e AS (
            |  SELECT doc_id, html,
            |    trim(regexp_replace(regexp_replace(regexp_replace(t2,
            |      '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
            |      '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS text_clean
-           |  FROM d)
+           |  FROM d),
+           |t0 AS (
+           |  SELECT doc_id, text_clean,
+           |    regexp_replace(
+           |      regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+           |      '(?s)<[^>]*>', ' ', 'g') AS rawt
+           |  FROM e)
            |SELECT doc_id,
-           |  nullif(trim(regexp_replace(
-           |    replace(replace(replace(replace(replace(replace(
-           |      regexp_replace(
-           |        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
-           |        '(?s)<[^>]*>', ' ', 'g'),
-           |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-           |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           |  nullif(trim(regexp_replace(${decodeEntitiesSql("rawt")},
            |    '\s+', ' ', 'g')), '') AS title,
            |  text_clean, CAST(len(text_clean) AS INTEGER) AS n_chars_clean
-           |FROM e ORDER BY doc_id""".stripMargin,
+           |FROM t0 ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
       """WITH b AS (

@@ -774,7 +774,25 @@ class CurationSpec extends SparkSpec {
       ("&lt;b&gt;not&lt;/b&gt; a tag", "<b>not</b> a tag"),
       ("<div>  lots   of\t space </div>", "lots of space"),
       ("plain text, no markup", "plain text, no markup"),
-      ("<style>p { a: 1 }</style><!-- gone -->kept", "kept"))
+      ("<style>p { a: 1 }</style><!-- gone -->kept", "kept"),
+      // numeric character references (r12 VERDICT item 3): decimal,
+      // hex, the next named tier; unpaired surrogates, out-of-BMP and
+      // malformed refs stay LITERAL
+      ("it&#8217;s &#x2019;ok&#x2019;", "it’s ’ok’"),
+      ("a &mdash; b &hellip; c &ndash; d", "a — b … c – d"),
+      ("&ldquo;q&rdquo; &lsquo;s&rsquo; &apos;a&apos;", "“q” ‘s’ 'a'"),
+      ("bad &#55296; &#70000; &#xZZZZ; &#; &bogus; lone & end",
+        "bad &#55296; &#70000; &#xZZZZ; &#; &bogus; lone & end"),
+      // one-level decode of escaped NUMERIC refs: '&#38;amp;' shows
+      // its readers '&amp;' — never '&'
+      ("&#38;amp; once", "&amp; once"),
+      // decoded newline/tab participate in whitespace tidying exactly
+      // like literal ones
+      ("a&#10;&#10;b c&#9;d", "a\nb c d"),
+      // tag-name anchoring (r12 ADVICE): '<brand>'/'</pre>' are NOT
+      // block tags — spaces, not paragraph breaks; real '<br/>' still is
+      ("x<brand>y</brand>z<br/>w", "x y z\nw"),
+      ("<pre>code body</pre>after", "code body after"))
     val out = cases.map(_._1).toDF("h")
       .select(graft.ops.Curation.extractHtmlText(col("h"))).collect()
       .map(_.getString(0))
