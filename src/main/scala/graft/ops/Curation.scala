@@ -354,21 +354,98 @@ object Curation {
     * sits above this as scoring, the same layering as
     * [[graft.expr.Text.qualityScore]] over clean text. */
   def extractHtmlText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     // tag names are anchored by a non-alphanumeric follower (r12
     // ADVICE: the unanchored form turned '<brand>'/'</pre>' into
     // paragraph breaks) — RE2-safe via a negated char class, no
     // lookaround
-    val blocks = regexp_replace(noComment,
-      "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote)" +
-        "(?:[^a-zA-Z0-9>][^>]*)?>", "\n")
+    val blocks = regexp_replace(stripNonContent(html),
+      blockPattern(BlockTags), "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
     val entities = decodeEntities(noTags)
     val oneSpace = regexp_replace(entities, "[ \\t]+", " ")
     val tidyLines = regexp_replace(oneSpace, " ?\\n ?", "\n")
     trim(regexp_replace(tidyLines, "\\n{2,}", "\n"), " \n")
+  }
+
+  /** Paragraph-level tags whose closers become newlines in
+    * [[extractHtmlText]]; [[SegmentTags]] extends them with the page-
+    * structure containers boilerplate scoring segments on. Shared with
+    * the oracle generator so both engines split identically. */
+  private[graft] val BlockTags =
+    "br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote"
+  private[graft] val SegmentTags = BlockTags +
+    "|/nav|/header|/footer|/aside|/section|/article|/main|/td|/title|/head"
+  private[graft] def blockPattern(tags: String): String =
+    s"(?i)<(?:$tags)(?:[^a-zA-Z0-9>][^>]*)?>"
+
+  /** Script / style / comment elements removed, tags AND bodies. */
+  private def stripNonContent(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Tag-stripped, whitespace-collapsed, trimmed text of a raw HTML
+    * fragment — the per-block text boilerplate scoring measures
+    * (entities deliberately NOT decoded here: lengths are a density
+    * signal, and the decode belongs to the extraction output). */
+  private def blockText(raw: Column): Column =
+    trim(regexp_replace(regexp_replace(raw, "(?s)<[^>]*>", " "), "\\s+", " "))
+
+  /** Total characters of anchor-element inner text in a fragment. */
+  private def anchorChars(raw: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(raw, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        a => length(blockText(a))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Per-block boilerplate scoring — the readability-class layer the
+    * [[extractHtmlText]] scaladoc names, sitting ABOVE the
+    * deterministic markup core: segment the page on block/container
+    * closers ([[SegmentTags]]), and score each non-empty block by its
+    * LINK DENSITY (anchor-text chars / text chars — the single
+    * strongest boilerplate signal in the readability/boilerpipe
+    * lineage: navs, footers and related-link rails are mostly anchor
+    * text, prose is mostly not). A block is `content` when it carries
+    * at least `minChars` of text at link density ≤ `maxLinkDensity`.
+    * Pure per-row column math (split/transform/aggregate — no UDF, no
+    * shuffle), RE2-safe, oracle-gated via q_boilerplate. */
+  def boilerplateBlocks(docs: DataFrame, idCol: String, htmlCol: String,
+                        maxLinkDensity: Double = 0.33,
+                        minChars: Int = 15): DataFrame = {
+    require(maxLinkDensity >= 0 && minChars >= 1)
+    val blocks = split(stripNonContent(col(htmlCol)), blockPattern(SegmentTags))
+    docs.select(col(idCol), posexplode(blocks).as(Seq("__bi", "__raw")))
+      .select(col(idCol), (col("__bi") + 1).as("block_idx"),
+        blockText(col("__raw")).as("block_text"),
+        anchorChars(col("__raw")).as("n_anchor_chars"))
+      .withColumn("n_chars", length(col("block_text")))
+      .filter(col("n_chars") > 0)
+      .withColumn("link_density",
+        round(col("n_anchor_chars").cast("double") / col("n_chars"), 9))
+      .withColumn("content",
+        col("n_chars") >= minChars && col("link_density") <= maxLinkDensity)
+  }
+
+  /** Boilerplate-pruned extraction: [[extractHtmlText]]'s markup core
+    * with [[boilerplateBlocks]]' content gate fused in as a per-row
+    * filter — segment, keep blocks passing the density/length gate,
+    * join survivors with newlines, decode entities. The crawl-pipeline
+    * front (q_crawl_e2e) runs THIS, so navigation rails and footer
+    * link farms never reach tokenize/dedup/quality. Same purity
+    * contract as the rest of the chain: column math only, identical in
+    * the oracle. */
+  def extractContentText(html: Column, maxLinkDensity: Double = 0.33,
+                         minChars: Int = 15): Column = {
+    val blocks = split(stripNonContent(html), blockPattern(SegmentTags))
+    val scored = transform(blocks, b =>
+      struct(blockText(b).as("t"), anchorChars(b).as("a")))
+    val content = filter(scored, s =>
+      length(s.getField("t")) >= minChars &&
+        s.getField("a").cast("double") / length(s.getField("t"))
+          <= maxLinkDensity)
+    decodeEntities(
+      array_join(transform(content, _.getField("t")), "\n"))
   }
 
   /** The named entities decoded at a piece head, most-common tier of

@@ -619,26 +619,27 @@ object CurationQueries {
     // string then run the identical chain, so title and extracted
     // text hash-match.
     "q_html_extract" -> ((s, dir) => {
-      val first12 = array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" &amp; friends</title><style>body { color: red; }</style>"),
-        lit("<script>var x = 1 < 2 && \"</div>\";</script></head><body>"),
-        lit("<!-- boilerplate --><nav>Home | "),
-        lit("<a href=\"/x?a=1&amp;b=2\">About</a></nav><h1>Doc "),
-        col("doc_id").cast("string"), lit("</h1><p>"), first12,
-        lit("</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
-        // ESCAPED entity — literal '&lt;i&gt;' shown to readers; the
-        // single-pass decoder yields exactly that, never '<i>'
-        lit(" esc: &amp;lt;i&amp;gt;</p>"),
-        lit("<p>nums: it&#8217;s &#x2019;curly&#x2019; &mdash; gap &hellip;"),
-        lit(" amp-ref: &#38;amp; bad: &#55296; &#xZZZZ; lone & end</p>"),
-        lit("<pre>inline code block</pre></body></html>"))
       docsRaw(s, dir).select(col("doc_id"),
-          Curation.htmlTitle(html).as("title"),
-          Curation.extractHtmlText(html).as("text_clean"))
+          Curation.htmlTitle(syntheticHtml).as("title"),
+          Curation.extractHtmlText(syntheticHtml).as("text_clean"))
         .withColumn("n_chars_clean", length(col("text_clean")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-block boilerplate scoring (Curation.boilerplateBlocks): the
+    // readability-class link-density layer above the markup core —
+    // navs and link rails are mostly anchor text, prose is mostly not.
+    // Over the same synthetic page as q_html_extract: the nav block
+    // (link-dense) and the short h1 must score non-content, the prose
+    // paragraphs content; both engines segment on the identical
+    // pattern and compute the identical integer ratio, so every
+    // per-block row hash-matches.
+    "q_boilerplate" -> ((s, dir) => {
+      Curation.boilerplateBlocks(
+          docsRaw(s, dir).select(col("doc_id"),
+            syntheticHtml.as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"), col("block_idx"))
     }),
 
     // URL canonicalization (Curation.normalizeUrl + registeredDomain):
@@ -815,6 +816,45 @@ object CurationQueries {
        |         i -> array_to_string(($tokExpr)[i:i+${n - 1}], ' '))
        |  ELSE [array_to_string($tokExpr, ' ')] END)""".stripMargin
 
+  /** The synthetic crawl page q_html_extract / q_boilerplate derive
+    * deterministically from (doc_id, text): title with an entity,
+    * style/script bodies (the script holds '<' and a stray '</div>'),
+    * a comment, a link-dense nav, heading + prose paragraphs, named /
+    * numeric / escaped / malformed entities, and a '<pre>' block whose
+    * 'p'-prefixed name must not split paragraphs. The SQL twin below
+    * builds the IDENTICAL string. */
+  private def syntheticHtml: Column = {
+    val first12 = array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; friends</title><style>body { color: red; }</style>"),
+      lit("<script>var x = 1 < 2 && \"</div>\";</script></head><body>"),
+      lit("<!-- boilerplate --><nav>Home | "),
+      lit("<a href=\"/x?a=1&amp;b=2\">About</a></nav><h1>Doc "),
+      col("doc_id").cast("string"), lit("</h1><p>"), first12,
+      lit("</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      // ESCAPED entity — literal '&lt;i&gt;' shown to readers; the
+      // single-pass decoder yields exactly that, never '<i>'
+      lit(" esc: &amp;lt;i&amp;gt;</p>"),
+      lit("<p>nums: it&#8217;s &#x2019;curly&#x2019; &mdash; gap &hellip;"),
+      lit(" amp-ref: &#38;amp; bad: &#55296; &#xZZZZ; lone & end</p>"),
+      lit("<pre>inline code block</pre></body></html>"))
+  }
+
+  private val syntheticHtmlSql: String =
+    raw"""'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |    ' &amp; friends</title><style>body { color: red; }</style>' ||
+         |    '<script>var x = 1 < 2 && "</div>";</script></head><body>' ||
+         |    '<!-- boilerplate --><nav>Home | ' ||
+         |    '<a href="/x?a=1&amp;b=2">About</a></nav><h1>Doc ' ||
+         |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+         |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') ||
+         |    '</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
+         |    ' esc: &amp;lt;i&amp;gt;</p>' ||
+         |    '<p>nums: it&#8217;s &#x2019;curly&#x2019; &mdash; gap &hellip;' ||
+         |    ' amp-ref: &#38;amp; bad: &#55296; &#xZZZZ; lone & end</p>' ||
+         |    '<pre>inline code block</pre></body></html>'""".stripMargin
+
   /** DuckDB restatement of [[graft.ops.Curation.decodeEntities]]'s
     * single-pass head decode, applied to a column named `p` inside a
     * list_transform lambda: the SAME named-entity order
@@ -859,18 +899,7 @@ object CurationQueries {
     "q_html_extract" ->
       raw"""WITH h AS (
            |  SELECT doc_id,
-           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-           |    ' &amp; friends</title><style>body { color: red; }</style>' ||
-           |    '<script>var x = 1 < 2 && "</div>";</script></head><body>' ||
-           |    '<!-- boilerplate --><nav>Home | ' ||
-           |    '<a href="/x?a=1&amp;b=2">About</a></nav><h1>Doc ' ||
-           |    CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-           |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') ||
-           |    '</p><p>entities: &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
-           |    ' esc: &amp;lt;i&amp;gt;</p>' ||
-           |    '<p>nums: it&#8217;s &#x2019;curly&#x2019; &mdash; gap &hellip;' ||
-           |    ' amp-ref: &#38;amp; bad: &#55296; &#xZZZZ; lone & end</p>' ||
-           |    '<pre>inline code block</pre></body></html>' AS html
+           |    $syntheticHtmlSql AS html
            |  FROM documents),
            |c AS (
            |  SELECT doc_id, html,
@@ -906,6 +935,51 @@ object CurationQueries {
            |    '\s+', ' ', 'g')), '') AS title,
            |  text_clean, CAST(len(text_clean) AS INTEGER) AS n_chars_clean
            |FROM t0 ORDER BY doc_id""".stripMargin,
+
+    // identical segmentation (regex split on the anchored container
+    // pattern), identical per-block text/anchor-char arithmetic;
+    // block_idx zips positionally via lockstep unnest
+    "q_boilerplate" ->
+      raw"""WITH h AS (
+           |  SELECT doc_id,
+           |    $syntheticHtmlSql AS html
+           |  FROM documents),
+           |pre AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           |      '(?s)<!--.*?-->', ' ', 'g') AS p
+           |  FROM h),
+           |bl AS (
+           |  SELECT doc_id,
+           |    regexp_split_to_array(p,
+           |      '(?i)<(?:${graft.ops.Curation.SegmentTags})(?:[^a-zA-Z0-9>][^>]*)?>') AS b
+           |  FROM pre),
+           |x AS (
+           |  SELECT doc_id,
+           |    CAST(unnest(generate_series(1, len(b))) AS INTEGER) AS block_idx,
+           |    unnest(b) AS raw
+           |  FROM bl),
+           |scored AS (
+           |  SELECT doc_id, block_idx,
+           |    trim(regexp_replace(regexp_replace(raw,
+           |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS block_text,
+           |    CAST(COALESCE(list_aggregate(list_transform(
+           |      regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+           |      a -> len(trim(regexp_replace(regexp_replace(a,
+           |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+           |      'sum'), 0) AS INTEGER) AS n_anchor_chars
+           |  FROM x),
+           |m AS (
+           |  SELECT doc_id, block_idx, block_text, n_anchor_chars,
+           |    CAST(len(block_text) AS INTEGER) AS n_chars
+           |  FROM scored WHERE len(block_text) > 0)
+           |SELECT doc_id, block_idx, block_text, n_anchor_chars, n_chars,
+           |  round(CAST(n_anchor_chars AS DOUBLE) / n_chars, 9) AS link_density,
+           |  (n_chars >= 15 AND
+           |   round(CAST(n_anchor_chars AS DOUBLE) / n_chars, 9) <= 0.33) AS content
+           |FROM m ORDER BY doc_id, block_idx""".stripMargin,
 
     "q_hash_split" ->
       """WITH b AS (

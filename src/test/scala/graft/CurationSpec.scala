@@ -809,6 +809,39 @@ class CurationSpec extends SparkSpec {
     assert(t.toSeq === titles.map(_._2))
   }
 
+  test("boilerplateBlocks/extractContentText: link-dense rails drop, prose survives") {
+    val html =
+      "<html><head><title>T</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> | <a href=\"/a\">About</a> | " +
+        "<a href=\"/c\">Contact us</a></nav>" +
+        "<p>This paragraph carries genuine prose content with " +
+        "<a href=\"/ref\">one link</a> inside a lot of plain text.</p>" +
+        "<footer><a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></footer>" +
+        "</body></html>"
+    val df = Seq((1L, html)).toDF("id", "html")
+    val blocks = Curation.boilerplateBlocks(df, "id", "html")
+      .orderBy("block_idx").collect()
+      .map(r => (r.getString(2), r.getInt(3), r.getInt(4), r.getBoolean(6)))
+    // nav: all anchor text -> boilerplate; prose: long, low density ->
+    // content; footer: all anchor text -> boilerplate
+    val nav = blocks.find(_._1.startsWith("Home")).get
+    assert(!nav._4 && nav._2 === "Home".length + "About".length +
+      "Contact us".length,
+      s"nav must be non-content, anchor chars summed per anchor: $nav")
+    val prose = blocks.find(_._1.startsWith("This paragraph")).get
+    assert(prose._4 && prose._2 === "one link".length, s"prose: $prose")
+    val footer = blocks.find(_._1.startsWith("Terms")).get
+    assert(!footer._4, s"footer: $footer")
+    // the fused extractor keeps exactly the content blocks
+    val text = df.select(Curation.extractContentText($"html")).head().getString(0)
+    assert(text.startsWith("This paragraph") && !text.contains("Home") &&
+      !text.contains("Terms"), text)
+    // empty-after-pruning pages yield the empty string, not null
+    val none = Seq(Tuple1("<nav><a href='/'>x y z long enough</a></nav>"))
+      .toDF("html").select(Curation.extractContentText($"html")).head()
+    assert(none.getString(0) === "")
+  }
+
   test("leakageSafeSplit: NO candidate pair straddles a split; naive per-doc split leaks") {
     import graft.ops.Dedup
     val d = schema.Tables.load(spark, sfDir, "documents")
