@@ -94,7 +94,12 @@ object ScaleSmoke {
     // KMV state lifecycle, the 1-bit shortlist scan, and the per-row
     // regexp extraction chain (corpus-width text work)
     "q_leakage_safe_split", "q_kmv_incr", "q_ann_binary_recall",
-    "q_html_extract")
+    "q_html_extract",
+    // round-13 additions: the crawl-front e2e (extraction + density
+    // gate + dedup + split + pack over corpus-width text), the
+    // per-block boilerplate scorer, and the binary stage inside the
+    // persisted IVF layout
+    "q_crawl_e2e", "q_boilerplate", "q_ann_ivf_bin_recall")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)

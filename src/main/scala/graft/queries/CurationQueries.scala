@@ -642,6 +642,46 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("block_idx"))
     }),
 
+    // CRAWL-FRONT end-to-end (VERDICT r12 item 4) — the HTML-in analog
+    // of q_curation_e2e, proving the round-12/13 front (extraction +
+    // boilerplate pruning) composes with the established back: raw
+    // pages (constant title/nav/footer rails, prose from the doc's
+    // first 12 words) → extractContentText (rails pruned by link
+    // density, entities decoded) → EXACT dedup by content hash
+    // (first-seen; 23 first-12-word collisions exist at every SF) →
+    // MinHash-LSH near-dup pairs over the survivors →
+    // leakageSafeSplit (no pair straddles train/test) → packBins.
+    // Every stage is the operator the standalone query gates; the
+    // oracle replays the identical chain including the recursive-CTE
+    // closure.
+    "q_crawl_e2e" -> ((s, dir) => {
+      val first12 = array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+      val html = concat(
+        lit("<html><head><title>Crawl</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav><p>"),
+        first12,
+        lit(".</p><footer><a href=\"/terms\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      val extracted = docsRaw(s, dir).select(col("doc_id"), col("source"),
+        Curation.extractContentText(html).as("text"))
+      val exact = graft.ops.Dedup.firstSeen(
+          extracted.withColumn("__h", md5(col("text"))),
+          Seq("__h"), Seq(col("doc_id")))
+        .drop("__h")
+      val pairs = graft.ops.Dedup.minhashLshPairs(exact, "doc_id", "text",
+        shingleSize = 3, k = 12, bandRows = 2)
+      val safe = Curation.leakageSafeSplit(exact, "doc_id", pairs,
+        trainPct = 90, valPct = 5)
+      val withTok = exact.join(safe, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("rep"), col("split"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Curation.packBins(withTok, col("split"), Seq(col("doc_id")),
+          col("n_tokens"), budget = 256)
+        .select(col("doc_id"), col("source"), col("rep"), col("split"),
+          col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization (Curation.normalizeUrl + registeredDomain):
     // the dedup key a crawl corpus normalizes BEFORE content dedup.
     // The dirty URLs derive deterministically from (source, doc_id) —
@@ -886,9 +926,11 @@ object CurationQueries {
   /** The full decode over an expression: split on '&', pass piece 1
     * through, head-decode the rest, rejoin. */
   private def decodeEntitiesSql(e: String): String =
-    s"""(string_split($e, '&'))[1] || array_to_string(
+    // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
+    // Spark's array_join is '' — normalize to Spark's semantics
+    s"""(string_split($e, '&'))[1] || COALESCE(array_to_string(
        |      list_transform((string_split($e, '&'))[2:],
-       |        p -> $decodePieceSql), '')""".stripMargin
+       |        p -> $decodePieceSql), ''), '')""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -935,6 +977,94 @@ object CurationQueries {
            |    '\s+', ' ', 'g')), '') AS title,
            |  text_clean, CAST(len(text_clean) AS INTEGER) AS n_chars_clean
            |FROM t0 ORDER BY doc_id""".stripMargin,
+
+    // the full crawl front replayed: identical page derivation,
+    // identical content extraction (segmentation + density gate +
+    // entity decode), exact dedup via ROW_NUMBER over md5(text),
+    // the q_lsh_pairs signature CTEs, the recursive-CTE closure, the
+    // rep-keyed split and the cumulative-sum pack arithmetic
+    "q_crawl_e2e" -> {
+      val bt = raw"""trim(regexp_replace(regexp_replace(b,
+                    |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))""".stripMargin
+      val anch = raw"""CAST(COALESCE(list_aggregate(list_transform(
+                      |        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+                      |        a -> len(trim(regexp_replace(regexp_replace(a,
+                      |          '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+                      |        'sum'), 0) AS DOUBLE)""".stripMargin
+      raw"""WITH RECURSIVE h AS (
+           |  SELECT doc_id, source,
+           |    '<html><head><title>Crawl</title></head><body>' ||
+           |    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav><p>' ||
+           |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:12], ' ') ||
+           |    '.</p><footer><a href="/terms">Terms</a> ' ||
+           |    '<a href="/privacy">Privacy</a></footer></body></html>' AS html
+           |  FROM documents),
+           |pre AS (
+           |  SELECT doc_id, source,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           |      '(?s)<!--.*?-->', ' ', 'g') AS p
+           |  FROM h),
+           |joined AS (
+           |  SELECT doc_id, source,
+           |    COALESCE(array_to_string(list_transform(list_filter(
+           |      regexp_split_to_array(p,
+           |        '(?i)<(?:${graft.ops.Curation.SegmentTags})(?:[^a-zA-Z0-9>][^>]*)?>'),
+           |      b -> len($bt) >= 15 AND $anch / len($bt) <= 0.33),
+           |      b -> $bt), chr(10)), '') AS jt
+           |  FROM pre),
+           |cont AS (
+           |  SELECT doc_id, source, ${decodeEntitiesSql("jt")} AS text
+           |  FROM joined),
+           |ex AS (
+           |  SELECT doc_id, source, text FROM (
+           |    SELECT doc_id, source, text,
+           |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM cont) WHERE rn = 1),
+           |__tok AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS __t
+           |  FROM ex),
+           |sig AS (
+           |  SELECT doc_id, ${TextQueries.sig12} AS sig
+           |  FROM (SELECT doc_id, ${TextQueries.shingles3} AS __sh FROM __tok)),
+           |banded AS (
+           |  SELECT doc_id, b,
+           |    md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS band_key
+           |  FROM sig, unnest([0,1,2,3,4,5]) AS u(b)),
+           |prs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM prs
+           |  UNION SELECT id_b, id_a FROM prs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+           |j AS (
+           |  SELECT e.doc_id, e.source, e.text, COALESCE(lab.rep, e.doc_id) AS rep
+           |  FROM ex e LEFT JOIN lab ON lab.id = e.doc_id),
+           |spl AS (
+           |  SELECT doc_id, source, rep,
+           |    CASE WHEN sb < 90 THEN 'train'
+           |         WHEN sb < 95 THEN 'val' ELSE 'test' END AS split,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM (SELECT *,
+           |    CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))
+           |      AS BIGINT) % 100 AS sb
+           |    FROM j)),
+           |c AS (
+           |  SELECT doc_id, source, rep, split, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM spl)
+           |SELECT doc_id, source, rep, split, n_tokens,
+           |  CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS pack_id
+           |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     // identical segmentation (regex split on the anchored container
     // pattern), identical per-block text/anchor-char arithmetic;
