@@ -225,18 +225,45 @@ object Profile {
                         lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    driftFromCounts(a.sparkSession,
+      histBins(a, colName, lo, hi, nBins),
+      histBins(b, colName, lo, hi, nBins), nBins)
+  }
+
+  /** [[distributionDrift]] against the PERSISTED histogram state
+    * ([[writeHistState]] / [[appendHistState]]) — the production
+    * monitoring shape (VERDICT r12 item 5): the reference side is the
+    * stored snapshot's bin counts (≤ nBins + 2 rows read, the raw
+    * corpus is NEVER rescanned), only the arriving batch is binned.
+    * Because the stored counts are exact integer sums of the same
+    * binning, the result is BIT-IDENTICAL to the two-frame form over
+    * the state's source rows (q_dist_drift_incr pins the equality).
+    * Bounds, bin count and column come from the state's meta —
+    * comparability is structural, not a caller promise. */
+  def driftFromState(spark: org.apache.spark.sql.SparkSession,
+                     statePath: String, batch: DataFrame): DataFrame = {
+    val m = spark.read.parquet(s"$statePath/meta").first()
+    val (colName, lo, hi, nBins) =
+      (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
+    driftFromCounts(spark,
+      spark.read.parquet(histStateDir(statePath)),
+      histBins(batch, colName, lo, hi, nBins), nBins)
+  }
+
+  /** Shared dense-bin drift core over two (bin, n_rows) count frames. */
+  private def driftFromCounts(spark: org.apache.spark.sql.SparkSession,
+                              countsA: DataFrame, countsB: DataFrame,
+                              nBins: Int): DataFrame = {
     // DENSE cell range −1..nBins: a cell empty on BOTH sides still
     // carries its smoothed masses, and (pa − pb)·ln(pa/pb) ≠ 0 there
     // whenever N_a ≠ N_b — dropping such cells (histBins emits only
     // observed bins) would silently underestimate the documented
     // add-half-over-(nBins+2)-cells formula
-    val allBins = a.sparkSession.range(nBins + 2)
+    val allBins = spark.range(nBins + 2)
       .select((col("id") - 1).cast("int").as("bin"))
     val binned = allBins
-      .join(histBins(a, colName, lo, hi, nBins)
-        .withColumnRenamed("n_rows", "na"), Seq("bin"), "left")
-      .join(histBins(b, colName, lo, hi, nBins)
-        .withColumnRenamed("n_rows", "nb"), Seq("bin"), "left")
+      .join(countsA.withColumnRenamed("n_rows", "na"), Seq("bin"), "left")
+      .join(countsB.withColumnRenamed("n_rows", "nb"), Seq("bin"), "left")
       .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
     val cells = nBins + 2 // in-range bins plus the two overflow bins

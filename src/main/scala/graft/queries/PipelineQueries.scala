@@ -341,6 +341,35 @@ object PipelineQueries {
         .orderBy(col("pair"))
     }),
 
+    // Drift from PERSISTED histogram state (Profile.driftFromState —
+    // VERDICT r12 item 5): seed the state with half the reference
+    // snapshot, ABSORB the other half (appendHistState), then score
+    // the arriving batch against the stored counts — the reference
+    // corpus is never rescanned. The stored counts are exact integer
+    // sums of the same binning, so the result equals the two-frame
+    // distributionDrift over the state's source rows BIT FOR BIT —
+    // emitted as a driver-visible boolean computed by comparing both
+    // paths' unrounded-then-rounded outputs inside the query.
+    "q_dist_drift_incr" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val p = graft.Scratch.dir("graft-hist-drift", dir)
+      graft.ops.Profile.writeHistState(d.filter(col("doc_id") % 4 === 0),
+        "n_chars", lo = 50.0, hi = 500.0, nBins = 9, p)
+      graft.ops.Profile.appendHistState(d.filter(col("doc_id") % 4 === 2), p)
+      val odd = d.filter(col("doc_id") % 2 =!= 0)
+      val fromState = graft.ops.Profile.driftFromState(s, p, odd)
+      val twoFrame = graft.ops.Profile.distributionDrift(
+          d.filter(col("doc_id") % 2 === 0), odd,
+          "n_chars", lo = 50.0, hi = 500.0, nBins = 9)
+        .select(col("n_a").as("na2"), col("n_b").as("nb2"),
+          col("psi").as("psi2"), col("jsd").as("jsd2"))
+      fromState.crossJoin(twoFrame)
+        .select(col("n_bins"), col("n_a"), col("n_b"), col("psi"), col("jsd"),
+          (col("n_a") === col("na2") && col("n_b") === col("nb2") &&
+            col("psi") === col("psi2") && col("jsd") === col("jsd2"))
+            .as("matches_two_frame"))
+    }),
+
     // One-pass column profiler over lineitem (exact distinct mode for
     // the oracle; the library default is the HLL sketch single-pass).
     "q_profile" -> ((s, dir) => {
@@ -550,12 +579,22 @@ object PipelineQueries {
     * the q_dist_drift pairs: identical binning/smoothing constants
     * rendered from the same Scala doubles, bin-ordered term sums. */
   private def distDriftOracleSql: String = {
+    pairBlock("even_vs_odd", "doc_id % 2 = 0", "doc_id % 2 <> 0") +
+      "\nUNION ALL\n" +
+      pairBlock("all_vs_long", "TRUE", "n_chars >= 300") +
+      "\nORDER BY pair"
+  }
+
+  /** One drift comparison over documents.n_chars with the q_dist_drift
+    * constants (lo 50, hi 500, 9 bins) — shared by the two-frame and
+    * the from-state oracles (the state path is count-exact, so the
+    * restatement is literally the same arithmetic). */
+  private def pairBlock(label: String, filtA: String, filtB: String): String = {
     val (lo, hi, nBins) = (50.0, 500.0, 9)
     val w = (hi - lo) / nBins
     val halfCells = 0.5 * (nBins + 2)
     val binExpr = s"CASE WHEN v < $lo THEN -1 WHEN v >= $hi THEN $nBins " +
       s"ELSE CAST(LEAST(FLOOR((v - $lo) / $w), ${nBins - 1}) AS INT) END"
-    def pairBlock(label: String, filtA: String, filtB: String): String =
       s"""SELECT '$label' AS pair, $nBins AS n_bins,
          |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          |  ROUND(psi, 9) AS psi, ROUND(jsd, 9) AS jsd
@@ -589,10 +628,6 @@ object PipelineQueries {
          |    (SELECT list_aggregate(list(jsd_term ORDER BY bin), 'sum') FROM terms)
          |      AS jsd
          |  FROM tot)""".stripMargin
-    pairBlock("even_vs_odd", "doc_id % 2 = 0", "doc_id % 2 <> 0") +
-      "\nUNION ALL\n" +
-      pairBlock("all_vs_long", "TRUE", "n_chars >= 300") +
-      "\nORDER BY pair"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -982,6 +1017,15 @@ object PipelineQueries {
     // (list_aggregate over an ORDER BY bin list — the fixed-fold
     // contract), ln (NOT DuckDB's log, which is log10), 9 dp
     "q_dist_drift" -> distDriftOracleSql,
+
+    // the state path is count-exact, so the oracle is the identical
+    // two-frame arithmetic over the state's source rows, with the
+    // bit-equality gate a literal TRUE
+    "q_dist_drift_incr" ->
+      s"""SELECT CAST(n_bins AS INTEGER) AS n_bins, n_a, n_b, psi, jsd,
+         |  TRUE AS matches_two_frame
+         |FROM (
+         |${pairBlock("even_vs_odd", "doc_id % 2 = 0", "doc_id % 2 <> 0")})""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (
