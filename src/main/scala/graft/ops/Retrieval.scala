@@ -29,16 +29,22 @@ object Retrieval {
     *                   judgments (ties on grade broken by nid, so the
     *                   ideal ordering — and the metric — is
     *                   deterministic and engine-reproducible);
+    *  - `map`        — average precision: Σ over relevant retrieved
+    *                   ranks r of (relevant-so-far / r), divided by
+    *                   TOTAL relevant (the trec_eval convention; 0
+    *                   when the query has no relevant docs);
     *  - `precision`  — relevant-retrieved / k;
     *  - `recall`     — relevant-retrieved / total relevant (0 when the
     *                   query has no relevant docs).
     *
     * Every sum folds in EXPLICIT rank order (sorted-array aggregate —
     * the BM25 score-parts contract), so the doubles are
-    * associativity-deterministic; divisions round to 9 dp. Queries
-    * present in `ranked` but absent from `qrels` score 0 across the
-    * board rather than dropping out — a silent drop would inflate the
-    * macro average exactly for the worst queries. */
+    * associativity-deterministic; divisions round to 9 dp. NO query in
+    * `ranked` is silently dropped: queries absent from `qrels` — and
+    * queries whose ranked rows all sit beyond `k` (reachable only with
+    * non-contiguous rank inputs; r12 ADVICE) — score 0 across the
+    * board, because a silent drop would inflate the macro average
+    * exactly for the worst queries. */
   def rankedEval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val graded = ranked.filter(col("rank") <= k)
@@ -54,6 +60,21 @@ object Retrieval {
         aggregate(array_sort(col("es")), lit(0.0), (acc, e) =>
           acc + (pow(lit(2.0), e.getField("g")) - 1.0) /
             log2(e.getField("rank").cast("double") + 1.0)).as("dcg"),
+        // AP numerator: precision-at-r summed at each relevant rank —
+        // a (relevant-so-far, sum) struct accumulator folded in rank
+        // order; non-relevant ranks contribute an explicit +0.0 so
+        // the addition sequence is engine-reproducible
+        aggregate(array_sort(col("es")),
+          struct(lit(0.0).as("nrel"), lit(0.0).as("s")),
+          (acc, e) => struct(
+            (acc.getField("nrel") +
+              when(e.getField("g") > 0, 1.0).otherwise(0.0)).as("nrel"),
+            (acc.getField("s") +
+              when(e.getField("g") > 0,
+                (acc.getField("nrel") + 1.0) /
+                  e.getField("rank").cast("double"))
+                .otherwise(0.0)).as("s")),
+          acc => acc.getField("s")).as("ap_sum"),
         array_min(filter(
           transform(col("es"), e =>
             when(e.getField("g") > 0, e.getField("rank"))),
@@ -76,15 +97,45 @@ object Retrieval {
             acc + (pow(lit(2.0), e.getField("g")) - 1.0) /
               log2(e.getField("rank").cast("double") + 1.0)).as("idcg"))
     def r9(c: Column): Column = round(c, 9)
-    perQ.join(ideal, Seq("qid"), "left")
+    // left-join back onto the FULL ranked qid set: a qid whose ranked
+    // rows all exceed k must zero-fill, never vanish (r12 ADVICE)
+    ranked.select(col("qid")).distinct()
+      .join(perQ, Seq("qid"), "left")
+      .join(ideal, Seq("qid"), "left")
       .select(col("qid"),
         r9(when(col("first_rel").isNotNull,
           lit(1.0) / col("first_rel").cast("double")).otherwise(0.0)).as("mrr"),
-        r9(when(coalesce(col("idcg"), lit(0.0)) > 0, col("dcg") / col("idcg"))
-          .otherwise(0.0)).as("ndcg"),
-        r9(col("n_rel_ret") / k).as("precision"),
         r9(when(coalesce(col("n_rel"), lit(0.0)) > 0,
-          col("n_rel_ret") / col("n_rel")).otherwise(0.0)).as("recall"))
+          coalesce(col("ap_sum"), lit(0.0)) / col("n_rel")).otherwise(0.0))
+          .as("map"),
+        r9(when(coalesce(col("idcg"), lit(0.0)) > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).otherwise(0.0))
+          .as("ndcg"),
+        r9(coalesce(col("n_rel_ret"), lit(0.0)) / k).as("precision"),
+        r9(when(coalesce(col("n_rel"), lit(0.0)) > 0,
+          coalesce(col("n_rel_ret"), lit(0.0)) / col("n_rel")).otherwise(0.0))
+          .as("recall"))
+  }
+
+  /** Macro summary over [[rankedEval]]'s per-query frame — the
+    * leaderboard-standard scalar set: query count plus the macro
+    * (unweighted per-query) average of every metric. ONE aggregate
+    * over |queries| rows; the per-metric sums fold in explicit qid
+    * order (sorted-array aggregate), so the scalars are bit-stable
+    * across engines before the 9 dp rounding. */
+  def rankedEvalSummary(perQuery: DataFrame): DataFrame = {
+    val metrics = Seq("mrr", "map", "ndcg", "precision", "recall")
+    def mean(name: String): Column =
+      when(col("n_queries") > 0,
+        round(aggregate(array_sort(col("es")), lit(0.0),
+            (acc, e) => acc + e.getField(name)) /
+          col("n_queries").cast("double"), 9))
+        .as(s"macro_$name")
+    perQuery
+      .agg(count(lit(1)).as("n_queries"),
+        collect_list(struct(
+          (col("qid") +: metrics.map(col)): _*)).as("es"))
+      .select((col("n_queries") +: metrics.map(mean)): _*)
   }
 
   /** Classifier calibration report — the other standing eval gate of a

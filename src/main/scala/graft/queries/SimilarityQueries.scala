@@ -179,6 +179,20 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     }),
 
+    // the leaderboard scalar row (Retrieval.rankedEvalSummary — r12
+    // VERDICT item 8): one aggregate over the per-query frame, macro
+    // averages folded in qid order, bit-stable before the 9 dp round.
+    "q_retrieval_summary" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.filter(col("id") < 8)
+      val ranked = Ann.lshTopK(q, e, k = 5)
+        .select(col("qid"), col("rank"), col("nid"))
+      val qrels = Ann.bruteTopK(q, e, 10)
+        .select(col("qid"), col("nid"), (lit(11) - col("rank")).as("grade"))
+      graft.ops.Retrieval.rankedEvalSummary(
+        graft.ops.Retrieval.rankedEval(ranked, qrels, k = 5))
+    }),
+
     // 1-bit sign quantization + Hamming shortlist (Ann.binaryTopK) —
     // the lossiest, cheapest-scan point of the quantization matrix
     // (32× less bandwidth than float32, 64 coordinates per word op),
@@ -845,9 +859,31 @@ recallConstOracle(k = 5, depth = 100),
 
     // the rankedEval arithmetic restated step for step: the LSH ranked
     // list (the q_ann_lsh value-exact restatement) left-joined to the
-    // positionally-graded brute top-10, DCG/IDCG as RANK-ORDERED list
-    // sums (the fixed-fold contract), one division per metric, 9 dp
-    "q_retrieval_metrics" ->
+    // positionally-graded brute top-10, DCG/IDCG/AP as RANK-ORDERED
+    // list sums (the fixed-fold contract), one division per metric,
+    // 9 dp
+    "q_retrieval_metrics" -> retrievalMetricsOracle,
+
+    // one aggregate over the per-query frame: macro averages folded in
+    // qid order
+    "q_retrieval_summary" ->
+      s"""WITH pq AS (
+         |$retrievalMetricsOracle)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  ROUND(list_aggregate(list(mrr ORDER BY qid), 'sum')
+         |    / COUNT(*), 9) AS macro_mrr,
+         |  ROUND(list_aggregate(list(map ORDER BY qid), 'sum')
+         |    / COUNT(*), 9) AS macro_map,
+         |  ROUND(list_aggregate(list(ndcg ORDER BY qid), 'sum')
+         |    / COUNT(*), 9) AS macro_ndcg,
+         |  ROUND(list_aggregate(list(precision ORDER BY qid), 'sum')
+         |    / COUNT(*), 9) AS macro_precision,
+         |  ROUND(list_aggregate(list(recall ORDER BY qid), 'sum')
+         |    / COUNT(*), 9) AS macro_recall
+         |FROM pq""".stripMargin,
+  ) ++ restOracles
+
+  private lazy val retrievalMetricsOracle: String =
       s"""WITH ranked AS (
          |  SELECT qid, rank, nid FROM (
          |${lshOracleSql(nBits = 4, nTables = 12, dim = 64, k = 5)})),
@@ -870,13 +906,21 @@ recallConstOracle(k = 5, depth = 100),
          |  SELECT r.qid, r.rank, COALESCE(q.g, 0.0) AS g
          |  FROM ranked r LEFT JOIN qrels q
          |    ON r.qid = q.qid AND r.nid = q.nid),
+         |gcum AS (
+         |  SELECT qid, rank, g,
+         |    CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY qid ORDER BY rank) AS DOUBLE) AS cumrel
+         |  FROM graded),
          |perq AS (
          |  SELECT qid,
          |    list_aggregate(list((pow(2.0, g) - 1.0)
          |      / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank), 'sum') AS dcg,
+         |    list_aggregate(list(CASE WHEN g > 0
+         |      THEN cumrel / CAST(rank AS DOUBLE) ELSE 0.0 END
+         |      ORDER BY rank), 'sum') AS ap_sum,
          |    MIN(CASE WHEN g > 0 THEN rank END) AS first_rel,
          |    CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_rel_ret
-         |  FROM graded GROUP BY qid),
+         |  FROM gcum GROUP BY qid),
          |rel AS (
          |  SELECT qid, g,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY g DESC, nid) AS rnk
@@ -892,6 +936,8 @@ recallConstOracle(k = 5, depth = 100),
          |SELECT p.qid,
          |  ROUND(CASE WHEN first_rel IS NOT NULL
          |    THEN 1.0 / CAST(first_rel AS DOUBLE) ELSE 0.0 END, 9) AS mrr,
+         |  ROUND(CASE WHEN COALESCE(n_rel, 0.0) > 0
+         |    THEN COALESCE(ap_sum, 0.0) / n_rel ELSE 0.0 END, 9) AS map,
          |  ROUND(CASE WHEN COALESCE(idcg, 0.0) > 0
          |    THEN dcg / idcg ELSE 0.0 END, 9) AS ndcg,
          |  ROUND(n_rel_ret / 5, 9) AS precision,
@@ -899,7 +945,9 @@ recallConstOracle(k = 5, depth = 100),
          |    THEN n_rel_ret / n_rel ELSE 0.0 END, 9) AS recall
          |FROM perq p
          |LEFT JOIN nrel USING (qid) LEFT JOIN icdg USING (qid)
-         |ORDER BY p.qid""".stripMargin,
+         |ORDER BY p.qid""".stripMargin
+
+  private lazy val restOracles: Map[String, String] = Map(
 
     "q_ann_pq_recall" ->
 recallConstOracle(k = 5, depth = 20),

@@ -30,7 +30,7 @@ class RetrievalSpec extends SparkSpec {
     val got = Retrieval.rankedEval(ranked, qrels, k = 3)
       .orderBy("qid").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4)))
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
 
     def dcgTerm(g: Double, rank: Int) =
       (math.pow(2.0, g) - 1.0) / (math.log(rank + 1.0) / math.log(2.0))
@@ -39,19 +39,31 @@ class RetrievalSpec extends SparkSpec {
     val idcg1 = dcgTerm(3, 1) + dcgTerm(2, 2) + dcgTerm(1, 3)
     assert(got(0)._1 === 1L)
     assert(got(0)._2 === r9(1.0 / 2))                 // first relevant at rank 2
-    assert(got(0)._3 === r9(dcg1 / idcg1))
-    assert(got(0)._4 === r9(2.0 / 3))                 // 2 relevant of k=3
-    assert(got(0)._5 === r9(2.0 / 3))                 // 2 of 3 relevant found
+    // AP: P@2 = 1/2 at the first relevant, P@3 = 2/3 at the second,
+    // over n_rel = 3 judged relevant (trec_eval denominator)
+    assert(got(0)._3 === r9((1.0 / 2 + 2.0 / 3) / 3))
+    assert(got(0)._4 === r9(dcg1 / idcg1))
+    assert(got(0)._5 === r9(2.0 / 3))                 // 2 relevant of k=3
+    assert(got(0)._6 === r9(2.0 / 3))                 // 2 of 3 relevant found
 
     // q2: judged but nothing relevant retrieved -> all zeros except
     // the denominators' semantics (recall 0 of 1)
-    assert(got(1) === ((2L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(1) === ((2L, 0.0, 0.0, 0.0, 0.0, 0.0)))
 
-    // q3: both judged docs retrieved in ideal order -> ndcg exactly 1
+    // q3: both judged docs retrieved in ideal order -> map and ndcg
+    // exactly 1
     assert(got(2)._2 === 1.0)
     assert(got(2)._3 === 1.0)
-    assert(got(2)._4 === r9(2.0 / 3))
-    assert(got(2)._5 === 1.0)
+    assert(got(2)._4 === 1.0)
+    assert(got(2)._5 === r9(2.0 / 3))
+    assert(got(2)._6 === 1.0)
+
+    // macro summary: one row, metric means folded in qid order
+    val s = Retrieval.rankedEvalSummary(
+      Retrieval.rankedEval(ranked, qrels, k = 3)).head()
+    assert(s.getLong(0) === 3L)
+    assert(s.getDouble(1) === r9((0.5 + 0.0 + 1.0) / 3))          // macro mrr
+    assert(s.getDouble(2) === r9(((0.5 + 2.0 / 3) / 3 + 1.0) / 3)) // macro map
   }
 
   test("rankedEval: unjudged query scores zero instead of dropping; grade ties break on nid") {
@@ -68,7 +80,17 @@ class RetrievalSpec extends SparkSpec {
     val r2 = Seq((8L, 1, 2L), (8L, 2, 1L)).toDF("qid", "rank", "nid")
     val q2 = Seq((8L, 1L, 2.0), (8L, 2L, 2.0)).toDF("qid", "nid", "grade")
     val m = Retrieval.rankedEval(r2, q2, k = 2).head()
-    assert(m.getDouble(2) === 1.0, s"tied grades must give ndcg 1, got $m")
+    assert(m.getDouble(3) === 1.0, s"tied grades must give ndcg 1, got $m")
+
+    // ADVICE r12: a qid whose ranked rows ALL sit beyond k zero-fills
+    // instead of vanishing
+    val beyond = Seq((9L, 5, 1L), (7L, 1, 1L)).toDF("qid", "rank", "nid")
+    val z = Retrieval.rankedEval(beyond,
+        Seq((9L, 1L, 1.0)).toDF("qid", "nid", "grade"), k = 2)
+      .orderBy("qid").collect()
+    assert(z.map(_.getLong(0)).toSeq === Seq(7L, 9L),
+      "rank-beyond-k query must still be emitted")
+    assert((1 to 5).forall(i => z(1).getDouble(i) === 0.0), z(1).toString)
   }
 
   test("calibrationReport: hand-computed bins and ECE; boundary, out-of-range and null contracts") {
