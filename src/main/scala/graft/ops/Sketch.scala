@@ -306,8 +306,13 @@ object Sketch {
   def writeKmvState(df: DataFrame, keyCol: String, k: Int,
                     statePath: String): Unit = {
     require(k >= 3, s"k must be >= 3, got $k")
-    kmvRetained(df, keyCol, k).select(lit(k).as("k"), col("retained"))
-      .coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
+    // the seed is the documented crash remediation — clear a stale
+    // lock, then hold it (the IndexLock posture of the index layouts)
+    IndexLock.clearStale(df.sparkSession, statePath)
+    IndexLock.withLock(df.sparkSession, statePath, "writeKmvState") {
+      kmvRetained(df, keyCol, k).select(lit(k).as("k"), col("retained"))
+        .coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
+    }
   }
 
   /** Absorb a batch into the stored sketch: one min-k pass over the
@@ -315,20 +320,26 @@ object Sketch {
     * set is associative, so the absorbed state is BIT-IDENTICAL to the
     * one-shot sketch over everything seen (spec-pinned and
     * driver-checked by q_kmv_incr); the sketched corpus is never
-    * rescanned. */
+    * rescanned.
+    *
+    * Holds the state's writer lock ([[IndexLock]] — r12 ADVICE): the
+    * absorb is a read-modify-overwrite, so two concurrent absorbs (or
+    * an absorb racing a reseed) would silently lose a batch; the
+    * second op now refuses loudly instead. */
   def absorbKmvState(batch: DataFrame, keyCol: String,
-                     statePath: String): Unit = {
-    val spark = batch.sparkSession
-    val st = spark.read.parquet(kmvStateDir(statePath))
-    val k = st.select(col("k")).first().getInt(0)
-    val unioned = st.select(explode(col("retained")).as("__h"))
-      .unionByName(batch.filter(col(keyCol).isNotNull)
-        .select(xxhash64(col(keyCol)).as("__h")))
-    val merged = Reliable.checkpoint(
-      kmvOverHashes(unioned, col("__h"), k)
-        .select(lit(k).as("k"), col("retained")))
-    merged.coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
-  }
+                     statePath: String): Unit =
+    IndexLock.withLock(batch.sparkSession, statePath, "absorbKmvState") {
+      val spark = batch.sparkSession
+      val st = spark.read.parquet(kmvStateDir(statePath))
+      val k = st.select(col("k")).first().getInt(0)
+      val unioned = st.select(explode(col("retained")).as("__h"))
+        .unionByName(batch.filter(col(keyCol).isNotNull)
+          .select(xxhash64(col(keyCol)).as("__h")))
+      val merged = Reliable.checkpoint(
+        kmvOverHashes(unioned, col("__h"), k)
+          .select(lit(k).as("k"), col("retained")))
+      merged.coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
+    }
 
   /** Read the state back with its distinct estimate:
     * (k, n_kept, nd_est). */

@@ -265,5 +265,21 @@ class MinKSampleSpec extends SparkSpec {
     Sketch.writeKmvState(all.filter($"k" < 50), "k", k = 128, pSmall)
     Sketch.absorbKmvState(all.filter($"k" < 50), "k", pSmall) // pure re-see
     assert(Sketch.readKmvState(spark, pSmall).head().getDouble(2) === 50.0)
+
+    // r12 ADVICE: the state is lock-guarded like the index layouts — a
+    // held lock refuses a concurrent absorb LOUDLY (an unguarded
+    // read-modify-overwrite would silently lose the batch); the reseed
+    // clears a stale lock (the documented crash remediation)
+    val lock = new java.io.File(pSmall, ".graft.index.lock")
+    assert(!lock.exists(), "completed ops must release the lock")
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      Sketch.absorbKmvState(all.filter($"k" < 10), "k", pSmall)
+    }
+    assert(ex.getMessage.contains("locked"))
+    assert(Sketch.readKmvState(spark, pSmall).head().getDouble(2) === 50.0,
+      "refused absorb must not have touched the state")
+    Sketch.writeKmvState(all.filter($"k" < 50), "k", k = 128, pSmall)
+    assert(!lock.exists(), "reseed must clear the stale lock and release its own")
   }
 }
