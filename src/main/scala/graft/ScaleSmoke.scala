@@ -261,6 +261,18 @@ object ScaleSmoke {
       }
     val warmDir = "/root/testdata/sf0.001"
 
+    // materialize-only mode (r12 VERDICT item 6): write the amplified
+    // fixture to the given dir and exit — the full-suite Verify +
+    // DuckDB oracle then run against the SAME parquet on both engines
+    args.indexOf("--amplify") match {
+      case i if i >= 0 =>
+        val outDir = args(i + 1)
+        amplify(spark, srcDir, outDir, mult)
+        println(s"""{"amplified":"$outDir","mult":$mult,"src":"$srcDir"}""")
+        return
+      case _ =>
+    }
+
     if (args.contains("--url")) {
       // URL-family ratio curve (documents-only amplification); its
       // section lives beside the full-smoke ones in BENCH_DETAIL.json

@@ -10,6 +10,7 @@ NOT part of the shipped library — the Scala engine has no Python deps.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -115,7 +116,11 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; amplified fixtures
+        # (ScaleSmoke --amplify) are Spark-written directories
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
