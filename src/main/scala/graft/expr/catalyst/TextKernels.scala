@@ -37,6 +37,74 @@ object TextKernelFunctions {
     new GenericArrayData(out)
   }
 
+  /** Named HTML entities decoded at a piece head by [[decodeEntities]]
+    * — the canonical table (graft.ops.Curation re-exports it for the
+    * declarative twin and the oracle generator). */
+  val NamedEntities: Seq[(String, String)] = Seq(
+    "amp;" -> "&", "lt;" -> "<", "gt;" -> ">", "quot;" -> "\"",
+    "apos;" -> "'", "nbsp;" -> " ",
+    "ndash;" -> "–", "mdash;" -> "—",
+    "lsquo;" -> "‘", "rsquo;" -> "’",
+    "ldquo;" -> "“", "rdquo;" -> "”", "hellip;" -> "…")
+
+  /** Single-pass HTML entity decode — split on '&', decode each piece
+    * HEAD (named entity or BMP numeric character reference, surrogates
+    * and malformed refs stay literal), never rescan decoded output.
+    * Bit-identical to the declarative split/transform twin in
+    * graft.ops.Curation (parity-tested in KernelParitySpec); fused
+    * because interpreted-HOF evaluation made the declarative form the
+    * q_html_extract hot spot. Fast path: no '&' returns the input. */
+  def decodeEntities(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (s.indexOf('&') < 0) return t
+    val pieces = s.split("&", -1)
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(pieces(0))
+    var i = 1
+    while (i < pieces.length) {
+      appendDecodedPiece(sb, pieces(i))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def appendDecodedPiece(sb: java.lang.StringBuilder, p: String): Unit = {
+    // named head (table order; prefixes are mutually exclusive)
+    val it = NamedEntities.iterator
+    while (it.hasNext) {
+      val (ent, repl) = it.next()
+      if (p.startsWith(ent)) {
+        sb.append(repl).append(p, ent.length, p.length)
+        return
+      }
+    }
+    // numeric head: '#' + 1..6 digits + ';'  |  '#' + [xX] + 1..5 hex + ';'
+    // (the regex `{1,m}` + ';' anchor only matches when the MAXIMAL
+    // run is <= m and immediately ';'-terminated — replicated here)
+    if (p.startsWith("#")) {
+      val isHex = p.length > 1 && (p.charAt(1) == 'x' || p.charAt(1) == 'X')
+      val start = if (isHex) 2 else 1
+      var end = start
+      while (end < p.length && isDigitOf(p.charAt(end), isHex)) end += 1
+      val runLen = end - start
+      val maxLen = if (isHex) 5 else 6
+      if (runLen >= 1 && runLen <= maxLen &&
+          end < p.length && p.charAt(end) == ';') {
+        val cp = java.lang.Integer.parseInt(p.substring(start, end),
+          if (isHex) 16 else 10)
+        if (cp >= 1 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+          sb.appendCodePoint(cp).append(p, end + 1, p.length)
+          return
+        }
+      }
+    }
+    sb.append('&').append(p)
+  }
+
+  private def isDigitOf(c: Char, hex: Boolean): Boolean =
+    (c >= '0' && c <= '9') ||
+      (hex && ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+
   /** 64-bit SimHash — matches the declarative formulation in
     * Dedup.simhash64: tokens = split(trim(lower(text)), "\\s+") (NO
     * empty-token filter), per-token xxhash64 (seed 42), per-bit majority
@@ -140,6 +208,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.catalyst.TextKernelFunctions.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-pass HTML entity decode (fused) — see
+  * [[TextKernelFunctions.decodeEntities]]. */
+case class DecodeEntities(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_decode_entities"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernelFunctions.decodeEntities(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.catalyst.TextKernelFunctions.decodeEntities($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -450,15 +450,12 @@ object Curation {
 
   /** The named entities decoded at a piece head, most-common tier of
     * real crawl HTML; `&#NNNN;`/`&#xHHHH;` numeric references are
-    * handled structurally below. Shared with the oracle generator
+    * handled structurally beside them. Canonical table lives with the
+    * kernel; shared with the oracle generator
     * ([[graft.queries.CurationQueries]]) so both engines decode the
     * identical set in the identical order. */
-  private[graft] val NamedEntities: Seq[(String, String)] = Seq(
-    "amp;" -> "&", "lt;" -> "<", "gt;" -> ">", "quot;" -> "\"",
-    "apos;" -> "'", "nbsp;" -> " ",
-    "ndash;" -> "–", "mdash;" -> "—",
-    "lsquo;" -> "‘", "rsquo;" -> "’",
-    "ldquo;" -> "“", "rdquo;" -> "”", "hellip;" -> "…")
+  private[graft] val NamedEntities: Seq[(String, String)] =
+    graft.expr.catalyst.TextKernelFunctions.NamedEntities
 
   /** Single-pass entity decoding: split on the literal '&' and decode
     * each piece's HEAD — named entities ([[NamedEntities]]) or a
@@ -469,21 +466,49 @@ object Curation {
     * never rescanned, so the decode cannot double ('&amp;lt;' — the
     * literal '&lt;' a page shows its readers — yields '&lt;', and
     * '&#38;amp;' yields '&amp;'), which the old fixed-replace-order
-    * chain could only approximate. Pure split/transform/concat column
-    * math — per-row, no UDF, RE2-safe (the DuckDB oracle runs the
-    * identical chain; the BMP codepoint materializes as chr() there
-    * and as a constructed UTF-8 byte sequence here). */
+    * chain could only approximate.
+    *
+    * Fused kernel ([[graft.expr.catalyst.DecodeEntities]]) — the
+    * declarative split/transform twin below is parity-pinned in
+    * KernelParitySpec and restated by the DuckDB oracle (chr() there,
+    * the same single-pass head decode). */
   private[graft] def decodeEntities(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.DecodeEntities(expression(c)))
+  }
+
+  /** The declarative twin of [[decodeEntities]] — pure
+    * split/transform/concat column math, bit-identical to the kernel
+    * (KernelParitySpec). Kept as the executable spec of the decode:
+    * interpreted-HOF evaluation makes it ~4× slower on the extraction
+    * bench, so the chain runs the kernel. */
+  private[graft] def decodeEntitiesDeclarative(c: Column): Column = {
     def hexByte(b: Column): Column = lpad(conv(b, 10, 16), 2, "0")
-    def decodePiece(p: Column): Column = {
-      val dec = regexp_extract(p, "^#([0-9]{1,6});", 1)
-      val hex = regexp_extract(p, "^#[xX]([0-9a-fA-F]{1,5});", 1)
-      val cp = when(dec =!= "", dec.cast("long"))
-        .when(hex =!= "", conv(hex, 16, 10).cast("long"))
+    // STAGE 1 — per-piece scalars computed ONCE into a materialized
+    // struct array: higher-order-function lambdas evaluate interpreted
+    // (no codegen, no common-subexpression elimination), so a shared
+    // regexp_extract subtree re-RUNS at every reference; staging the
+    // codepoint and skip length through a struct turns stage 2's many
+    // references into field reads (the 3.6× q_html_extract bench
+    // regression of the naive one-stage form). The regexes themselves
+    // only run for '#'-headed pieces.
+    val staged = transform(split(c, "&"), p => {
+      val dec = when(p.startsWith("#"),
+        regexp_extract(p, "^#([0-9]{1,6});", 1)).otherwise("")
+      val hex = when(p.startsWith("#"),
+        regexp_extract(p, "^#[xX]([0-9a-fA-F]{1,5});", 1)).otherwise("")
+      struct(p.as("p"),
+        when(dec =!= "", dec.cast("long"))
+          .when(hex =!= "", conv(hex, 16, 10).cast("long")).as("cp"),
+        // '#' + digits + ';'  |  '#x' + hex + ';'
+        when(dec =!= "", length(dec) + 2)
+          .when(hex =!= "", length(hex) + 3).as("skip"))
+    })
+    def decodePiece(s: Column): Column = {
+      val p = s.getField("p")
+      val cp = s.getField("cp")
       val cpOk = cp.isNotNull && cp >= 1 && cp <= 0xFFFF &&
         !(cp >= 0xD800 && cp <= 0xDFFF)
-      // '#' + digits + ';'  |  '#x' + hex + ';'
-      val skip = when(dec =!= "", length(dec) + 2).otherwise(length(hex) + 3)
       val utf8 = when(cp < 0x80, hexByte(cp))
         .when(cp < 0x800, concat(
           hexByte(shiftright(cp, 6) + 0xC0),
@@ -493,7 +518,8 @@ object Curation {
           hexByte(shiftright(cp, 6).bitwiseAND(lit(0x3FL)) + 0x80),
           hexByte(cp.bitwiseAND(lit(0x3FL)) + 0x80)))
       val numeric = when(cpOk,
-        concat(decode(unhex(utf8), "UTF-8"), p.substr(skip + 1, length(p))))
+        concat(decode(unhex(utf8), "UTF-8"),
+          p.substr(s.getField("skip") + 1, length(p))))
         .otherwise(concat(lit("&"), p))
       NamedEntities.foldRight(numeric) { case ((ent, repl), els) =>
         when(p.startsWith(ent),
@@ -501,10 +527,9 @@ object Curation {
           .otherwise(els)
       }
     }
-    val pieces = split(c, "&")
-    concat(element_at(pieces, 1),
+    concat(element_at(staged, 1).getField("p"),
       array_join(transform(
-        slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+        slice(staged, lit(2), greatest(size(staged) - 1, lit(0))),
         decodePiece(_)), ""))
   }
 

@@ -292,4 +292,32 @@ class KernelParitySpec extends SparkSpec {
       .filter(not($"fast" <=> $"slow")).count()
     assert(bad === 0)
   }
+
+  test("DecodeEntities kernel == declarative single-pass decode (incl. numeric refs, edge pieces)") {
+    // every decode shape in one fixture set: named tiers, decimal/hex
+    // refs, escaped forms, surrogates/overflow/malformed (stay
+    // literal), boundary run lengths (6 digits ok / 7 not; 5 hex ok /
+    // 6 not), lone and trailing '&', consecutive '&&', empty string,
+    // and the synthetic q_html_extract page itself
+    val cases = Seq(
+      "", "&", "a&", "&&", "a&&b", "plain text",
+      "it&#8217;s &#x2019;ok&#x2019;",
+      "a &mdash; b &hellip; c &ndash; d &lsquo;s&rsquo; &ldquo;q&rdquo;",
+      "&amp;lt;b&amp;gt; &#38;amp; &apos;x&apos; &nbsp;end",
+      "&#65535; &#65536; &#0; &#55296; &#57343; &#57344;",
+      "&#999999; &#1000000; &#x20; &#xfffff; &#x10000; &#xD800;",
+      "&#; &#x; &#xZ; &bogus; &ampx; &lt &lt;",
+      "a&#10;b&#9;c &#039; &#x0041;")
+    val d = schema.Tables.load(spark, sfDir, "documents").limit(50)
+      .select(concat(lit("<p>doc "), $"doc_id",
+        lit(" &amp; &#8217; body</p><nav>x</nav>"), $"text").as("s"))
+      .unionByName(cases.toDF("s"))
+      .unionByName(Seq(Tuple1(null: String)).toDF("s"))
+    val bad = d.select(
+        graft.ops.Curation.decodeEntities($"s").as("fast"),
+        graft.ops.Curation.decodeEntitiesDeclarative($"s").as("slow"))
+      .filter(not($"fast" <=> $"slow"))
+    assert(bad.count() === 0, bad.collect().mkString("\n"))
+  }
+
 }
