@@ -850,8 +850,11 @@ object Ann {
     * identical to the in-memory `ivfTopK` with the same centroids. */
   def probeIvfIndex(queries: DataFrame, path: String, k: Int,
                     nProbe: Int = 4,
-                    maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
-    val snap = IndexManifest.pin(queries.sparkSession, path)
+                    maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows,
+                    asOfVersion: Option[Long] = None): DataFrame = {
+    // asOfVersion: TIME-TRAVEL — probe an earlier committed snapshot
+    // (valid until vacuumed); see IndexManifest.pin
+    val snap = IndexManifest.pin(queries.sparkSession, path, asOfVersion)
     val (probes, lists) = prunedProbe(queries, snap, nProbe, maxTombstoneRows)
     val cand = broadcast(
         probes.select(col("qid"), col("qv"),

@@ -118,20 +118,38 @@ private[graft] object IndexManifest {
     fs.exists(dir) && latestVersion(fs, dir) > 0
   }
 
-  /** Pin the CURRENT snapshot: the highest committed manifest version.
+  /** Pin a snapshot: the highest committed manifest version, or — the
+    * TIME-TRAVEL read the versioned layout gives for free — an
+    * explicit earlier `version` (valid until [[vacuum]] reclaims its
+    * directories; a vacuumed or never-committed version fails loudly).
     * Probes call this once and resolve every read through the result —
     * that single read is the isolation boundary. */
-  def pin(spark: SparkSession, root: String): Snapshot = {
+  def pin(spark: SparkSession, root: String,
+          version: Option[Long] = None): Snapshot = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, dir)
+    val v = version.getOrElse(latestVersion(fs, dir))
     if (v <= 0) throw new IllegalStateException(
       s"no index manifest at $root — not a manifest-versioned layout " +
         "(build it with writeBm25Index/writeIvfIndex)")
-    val in = fs.open(new Path(dir, versionFile(v)))
+    val file = new Path(dir, versionFile(v))
+    if (version.isDefined && !fs.exists(file))
+      throw new IllegalStateException(
+        s"no manifest v$v at $root — never committed, or reclaimed by " +
+          "vacuum (time-travel reads only reach unvacuumed versions)")
+    val in = fs.open(file)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     Snapshot(root, v, parse(text, s"$root/$ManifestDir/${versionFile(v)}"))
+  }
+
+  /** Committed manifest versions currently on disk (ascending). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName)).sorted
   }
 
   /** Commit `components` as the next manifest version after `base`

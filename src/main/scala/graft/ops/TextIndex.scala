@@ -348,7 +348,8 @@ object TextIndex {
     * filter into every postings segment. */
   def probeBm25Index(spark: SparkSession, path: String, qTerms0: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75,
-                     maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+                     maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows,
+                     asOfVersion: Option[Long] = None): DataFrame = {
     require(qTerms0.nonEmpty, "empty query")
     // the index stores tokens of LOWERCASED text — an unnormalized
     // query term with an uppercase letter would silently match zero
@@ -356,7 +357,11 @@ object TextIndex {
     // build and probe share one tokenizer contract
     val qTerms = qTerms0.map(_.toLowerCase)
     import spark.implicits._
-    val snap = IndexManifest.pin(spark, path)
+    // asOfVersion: TIME-TRAVEL — score against an earlier committed
+    // snapshot (valid until vacuumed): the reproducibility primitive
+    // the manifest layout gives for free (re-run yesterday's eval
+    // against yesterday's index, byte-identical)
+    val snap = IndexManifest.pin(spark, path, asOfVersion)
     val stats = spark.read.parquet(snap.single("stats"))
     val nBuckets = stats.select(col("n_buckets")).first().getInt(0)
     // same hash function the build used — evaluated through Spark, not

@@ -508,6 +508,29 @@ object TextQueries {
           col("matched_tf"), col("score_r9"))
     }),
 
+    // TIME-TRAVEL probe (the manifest layout's free Iceberg-class
+    // read): build the index over the 80% corpus (manifest v1), APPEND
+    // the 20% batch (v2), then probe AS OF v1 — the answer must be the
+    // ad-hoc BM25 over the 80% corpus alone, bit-for-bit, proving a
+    // pinned earlier snapshot is a complete, consistent index even
+    // after later commits. The reproducibility primitive: re-run
+    // yesterday's eval against yesterday's index.
+    "q_bm25_time_travel" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft-bm25-tt", dir)
+      val d = docs(s, dir)
+      TextIndex.writeBm25Index(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", base, nBuckets = 16)
+      val v1 = graft.ops.IndexManifest.pin(s, base).version
+      TextIndex.appendToBm25Index(d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", base)
+      bm25RankHead(
+          TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream"),
+            asOfVersion = Some(v1)),
+          "doc_id")
+        .select(col("rank"), col("doc_id"), col("matched_terms"),
+          col("matched_tf"), col("score_r9"))
+    }),
+
     // Right-to-erasure on the text index (TextIndex.deleteFromBm25Index
     // + purgeBm25Tombstones — the q_ann_ivf_delete posture for the
     // lexical side): build over the full corpus, tombstone every 5th
@@ -1193,6 +1216,10 @@ object TextQueries {
     // identical oracle again: an APPENDED index must answer exactly
     // like the full-corpus computation — the whole point of the op
     "q_bm25_append" -> bm25CorpusOracle(""),
+
+    // probing AS OF the pre-append version answers over the 80% build
+    // corpus alone — later commits invisible to the pinned snapshot
+    "q_bm25_time_travel" -> bm25CorpusOracle("WHERE doc_id % 5 <> 0"),
 
     // after delete + purge, the index must answer EXACTLY like a
     // rebuild over the surviving corpus — same math, survivors only

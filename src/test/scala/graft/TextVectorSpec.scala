@@ -866,6 +866,42 @@ class TextVectorSpec extends SparkSpec {
       s"an all-deleted index must accept appends and serve them: $revived")
   }
 
+  test("time travel: an explicit earlier version answers as of that commit; vacuumed versions refuse loudly") {
+    import spark.implicits._
+    val e = schema.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-tt").toString
+    graft.ops.Ann.writeIvfIndex(e.filter($"id" % 5 =!= 0), p,
+      nLists = 16, trainIters = 2)
+    val v1 = graft.ops.IndexManifest.pin(spark, p).version
+    val qs = e.filter($"id" < 8)
+    def triples(asOf: Option[Long]) =
+      graft.ops.Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4, asOfVersion = asOf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val preAppend = triples(None)
+    graft.ops.Ann.appendToIvfIndex(e.filter($"id" % 5 === 0), p)
+    assert(graft.ops.IndexManifest.versions(spark, p) === Seq(v1, v1 + 1))
+    // as-of the pre-append commit: exactly the pre-append answers,
+    // even though the current snapshot has absorbed the batch
+    assert(triples(Some(v1)) === preAppend,
+      "time-travel probe diverged from the pre-append snapshot")
+    assert(triples(None) !== preAppend,
+      "fixture must make the append change some probe answer")
+    // a version that never existed refuses loudly
+    val exMissing = intercept[IllegalStateException] {
+      graft.ops.Ann.probeIvfIndex(qs, p, k = 5, asOfVersion = Some(99L))
+    }
+    assert(exMissing.getMessage.contains("never committed"))
+    // vacuum reclaims v1's manifest and superseded dirs: the
+    // time-travel read now refuses loudly instead of dangling
+    graft.ops.Ann.vacuumIvfIndex(spark, p)
+    val exVac = intercept[IllegalStateException] {
+      graft.ops.Ann.probeIvfIndex(qs, p, k = 5, asOfVersion = Some(v1))
+    }
+    assert(exVac.getMessage.contains("vacuum"))
+    assert(triples(None) !== preAppend, "current reads survive vacuum")
+  }
+
   test("manifest crash atomicity: uncommitted orphans are invisible; re-run and vacuum recover") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("graft-bm25-crash").toString
