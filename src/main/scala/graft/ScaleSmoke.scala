@@ -99,7 +99,8 @@ object ScaleSmoke {
     // gate + dedup + split + pack over corpus-width text), the
     // per-block boilerplate scorer, and the binary stage inside the
     // persisted IVF layout
-    "q_crawl_e2e", "q_boilerplate", "q_ann_ivf_bin_recall")
+    "q_crawl_e2e", "q_boilerplate", "q_ann_ivf_bin_recall",
+    "q_bm25_time_travel", "q_dist_drift_incr")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)

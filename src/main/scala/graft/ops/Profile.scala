@@ -288,6 +288,70 @@ object Profile {
         }), 9).as("jsd"))
   }
 
+  /** N-gram corpus drift — the TEXT-level member of the drift family
+    * ([[distributionDrift]] covers numeric columns): did the LANGUAGE
+    * of the corpus shift between snapshots (new domain mix, a scraper
+    * regression, a template flood), measured as PSI + Jensen–Shannon
+    * over the shared top-`k` n-gram vocabulary plus an out-of-vocab
+    * mass cell.
+    *
+    * Per side, each document contributes its DISTINCT word n-grams
+    * ([[Dedup.shingles]] — document frequency, so repetition spam
+    * cannot dominate); the vocabulary is the top-k grams by COMBINED
+    * doc frequency (ties on the gram string — deterministic), taken
+    * with a distributed partial top-k (TakeOrderedAndProject; the gram
+    * table is map-side combined and never fully sorted). Shares are
+    * add-½ Laplace-smoothed over n_vocab+1 cells (the OOV cell
+    * participates, so drift INTO unseen vocabulary is counted), and
+    * both divergences fold in explicit (combined df desc, gram) order
+    * with the OOV cell LAST — engine-reproducible to the bit before
+    * the 9 dp rounding, the [[distributionDrift]] contract.
+    *
+    * Returns ONE row: (n, k, n_vocab, n_a, n_b, oov_a, oov_b, psi,
+    * jsd) where n_a/n_b are total gram-doc incidences and oov_* the
+    * incidences outside the shared vocabulary. */
+  def ngramDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 n: Int = 2, k: Int = 200): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dfCounts(d: DataFrame, out: String): DataFrame =
+      d.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as(out))
+    val joined = dfCounts(a, "df_a").join(dfCounts(b, "df_b"),
+        Seq("gram"), "full_outer")
+      .select(col("gram"), coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"))
+    val top = joined
+      .orderBy((col("df_a") + col("df_b")).desc, col("gram")).limit(k)
+    val tot = joined.agg(sum(col("df_a")).as("ta"), sum(col("df_b")).as("tb"))
+    val agg = top.agg(
+        collect_list(struct((lit(0L) - col("df_a") - col("df_b")).as("negc"),
+          col("gram"), col("df_a"), col("df_b"))).as("es"),
+        sum(col("df_a")).as("va"), sum(col("df_b")).as("vb"),
+        count(lit(1)).as("n_vocab"))
+      .crossJoin(tot)
+    val cells = col("n_vocab").cast("double") + 1.0
+    def share(cnt: Column, t: Column): Column =
+      (cnt.cast("double") + 0.5) / (t.cast("double") + lit(0.5) * cells)
+    def psiTerm(pa: Column, pb: Column): Column = (pa - pb) * log(pa / pb)
+    def jsdTerm(pa: Column, pb: Column): Column =
+      (pa * log(pa / ((pa + pb) / 2)) + pb * log(pb / ((pa + pb) / 2))) / 2
+    def folded(term: (Column, Column) => Column): Column = {
+      val vocabSum = aggregate(array_sort(col("es")), lit(0.0), (acc, e) =>
+        acc + term(share(e.getField("df_a"), col("ta")),
+          share(e.getField("df_b"), col("tb"))))
+      vocabSum + term(share(col("ta") - col("va"), col("ta")),
+        share(col("tb") - col("vb"), col("tb")))
+    }
+    agg.select(lit(n).as("n"), lit(k).as("k"),
+      col("n_vocab").cast("int").as("n_vocab"),
+      col("ta").as("n_a"), col("tb").as("n_b"),
+      (col("ta") - col("va")).as("oov_a"),
+      (col("tb") - col("vb")).as("oov_b"),
+      round(folded(psiTerm), 9).as("psi"),
+      round(folded(jsdTerm), 9).as("jsd"))
+  }
+
   /** Schema drift between an expected contract and an arriving batch:
     * (column, status ∈ added | removed | retyped, expected_type,
     * actual_type), empty when the schemas agree. Pure metadata — zero

@@ -642,6 +642,37 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("block_idx"))
     }),
 
+    // N-GRAM corpus drift (Profile.ngramDrift) — the text-level member
+    // of the drift family: PSI + JSD over the shared top-400 bigram
+    // vocabulary (combined doc frequency, deterministic ties) plus an
+    // OOV mass cell, add-half smoothed, folds in explicit (combined
+    // desc, gram) order with OOV last. Two labeled pairs prove the
+    // metric discriminates: even/odd doc_id (same language →
+    // near-zero) vs all-docs-against-a-rot13-half (a genuine
+    // vocabulary replacement — the scraper-regression / wrong-language
+    // shape, PSI orders of magnitude higher). VALUE-EXACT: both
+    // engines restate the identical vocab pick, smoothing and ordered
+    // folds.
+    "q_ngram_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def drift(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame, pair: String) =
+        graft.ops.Profile.ngramDrift(a, b, "text", n = 2, k = 400)
+          .withColumn("pair", lit(pair))
+      val rot13 = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+            "nopqrstuvwxyzabcdefghijklm"))
+          .otherwise(col("text")).as("text"))
+      drift(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 =!= 0), "even_vs_odd")
+        .unionByName(drift(d, rot13, "all_vs_rot13"))
+        .select(col("pair"), col("n"), col("k"), col("n_vocab"),
+          col("n_a"), col("n_b"), col("oov_a"), col("oov_b"),
+          col("psi"), col("jsd"))
+        .orderBy(col("pair"))
+    }),
+
     // CRAWL-FRONT end-to-end (VERDICT r12 item 4) — the HTML-in analog
     // of q_curation_e2e, proving the round-12/13 front (extraction +
     // boilerplate pruning) composes with the established back: raw
@@ -977,6 +1008,81 @@ object CurationQueries {
            |    '\s+', ' ', 'g')), '') AS title,
            |  text_clean, CAST(len(text_clean) AS INTEGER) AS n_chars_clean
            |FROM t0 ORDER BY doc_id""".stripMargin,
+
+    // identical vocab pick (combined-df top-50, gram ties), add-half
+    // smoothing over nv+1 cells, ordered folds with the OOV cell last
+    "q_ngram_drift" -> {
+      def block(sfx: String, pair: String): String =
+        raw"""SELECT '$pair' AS pair, 2 AS n, 400 AS k,
+             |  CAST(nv AS INTEGER) AS n_vocab,
+             |  CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+             |  CAST(ta - va AS BIGINT) AS oov_a,
+             |  CAST(tb - vb AS BIGINT) AS oov_b,
+             |  ROUND((SELECT list_aggregate(list(psi_term ORDER BY negc, gram),
+             |      'sum') FROM terms_$sfx)
+             |    + (SELECT psi_term FROM oov_$sfx), 9) AS psi,
+             |  ROUND((SELECT list_aggregate(list(jsd_term ORDER BY negc, gram),
+             |      'sum') FROM terms_$sfx)
+             |    + (SELECT jsd_term FROM oov_$sfx), 9) AS jsd
+             |FROM tot_$sfx, vg_$sfx""".stripMargin
+      def ctes(label: String, srcA: String, srcB: String): String =
+        raw"""ga_$label AS (
+             |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_a FROM (
+             |    SELECT doc_id, unnest(${grams(toksLower, 2)}) AS gram
+             |    FROM ($srcA)) GROUP BY 1),
+             |gb_$label AS (
+             |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df_b FROM (
+             |    SELECT doc_id, unnest(${grams(toksLower, 2)}) AS gram
+             |    FROM ($srcB)) GROUP BY 1),
+             |j_$label AS (
+             |  SELECT COALESCE(ga_$label.gram, gb_$label.gram) AS gram,
+             |    COALESCE(df_a, 0) AS df_a, COALESCE(df_b, 0) AS df_b
+             |  FROM ga_$label FULL OUTER JOIN gb_$label
+             |    ON ga_$label.gram = gb_$label.gram),
+             |top_$label AS (
+             |  SELECT * FROM j_$label ORDER BY (df_a + df_b) DESC, gram LIMIT 400),
+             |tot_$label AS (
+             |  SELECT CAST(SUM(df_a) AS BIGINT) AS ta,
+             |    CAST(SUM(df_b) AS BIGINT) AS tb FROM j_$label),
+             |vg_$label AS (
+             |  SELECT CAST(SUM(df_a) AS BIGINT) AS va,
+             |    CAST(SUM(df_b) AS BIGINT) AS vb, COUNT(*) AS nv FROM top_$label),
+             |terms_$label AS (
+             |  SELECT negc, gram,
+             |    (pa - pb) * ln(pa / pb) AS psi_term,
+             |    (pa * ln(pa / ((pa + pb) / 2))
+             |      + pb * ln(pb / ((pa + pb) / 2))) / 2 AS jsd_term
+             |  FROM (SELECT -(df_a + df_b) AS negc, gram,
+             |      (CAST(df_a AS DOUBLE) + 0.5)
+             |        / (CAST(ta AS DOUBLE) + 0.5 * (nv + 1)) AS pa,
+             |      (CAST(df_b AS DOUBLE) + 0.5)
+             |        / (CAST(tb AS DOUBLE) + 0.5 * (nv + 1)) AS pb
+             |    FROM top_$label, tot_$label, vg_$label)),
+             |oov_$label AS (
+             |  SELECT (pa - pb) * ln(pa / pb) AS psi_term,
+             |    (pa * ln(pa / ((pa + pb) / 2))
+             |      + pb * ln(pb / ((pa + pb) / 2))) / 2 AS jsd_term
+             |  FROM (SELECT
+             |      (CAST(ta - va AS DOUBLE) + 0.5)
+             |        / (CAST(ta AS DOUBLE) + 0.5 * (nv + 1)) AS pa,
+             |      (CAST(tb - vb AS DOUBLE) + 0.5)
+             |        / (CAST(tb AS DOUBLE) + 0.5 * (nv + 1)) AS pb
+             |    FROM tot_$label, vg_$label))""".stripMargin
+      val docsSel = "SELECT doc_id, text FROM documents"
+      val rot13 = """SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+          THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                         'nopqrstuvwxyzabcdefghijklm')
+          ELSE text END AS text FROM documents"""
+      s"""WITH ${ctes("eo", s"$docsSel WHERE doc_id % 2 = 0",
+                      s"$docsSel WHERE doc_id % 2 <> 0")},
+         |${ctes("ar", docsSel, rot13)}
+         |SELECT * FROM (
+         |${block("eo", "even_vs_odd")}
+         |UNION ALL
+         |${block("ar", "all_vs_rot13")})
+         |ORDER BY pair""".stripMargin
+    },
 
     // the full crawl front replayed: identical page derivation,
     // identical content extraction (segmentation + density gate +

@@ -173,6 +173,33 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(!sm.getDouble(3).isInfinite && !sm.getDouble(4).isNaN)
   }
 
+  test("ngramDrift: identical corpora score zero; vocabulary replacement explodes; OOV mass counted") {
+    val mk = (texts: Seq[String]) =>
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val a = mk(Seq.fill(20)("the quick brown fox jumps") ++
+      Seq.fill(10)("lazy dogs sleep all day"))
+    // identical corpora: every cell's shares agree -> exactly zero
+    val same = Profile.ngramDrift(a, a, "text", n = 2, k = 10).head()
+    assert(same.getDouble(7) === 0.0 && same.getDouble(8) === 0.0)
+    assert(same.getInt(2) <= 10, "vocab capped at k")
+    // disjoint vocabulary (the rot13/scraper-regression shape): large
+    // PSI, JSD pushed toward its bound
+    val b = mk(Seq.fill(20)("zzz yyy xxx www vvv") ++
+      Seq.fill(10)("uuu ttt sss rrr qqq"))
+    val far = Profile.ngramDrift(a, b, "text", n = 2, k = 10).head()
+    assert(far.getDouble(7) > 1.0, s"disjoint PSI ${far.getDouble(7)}")
+    assert(far.getDouble(8) > 0.3, s"disjoint JSD ${far.getDouble(8)}")
+    // OOV accounting: every incidence outside the top-k vocab counts
+    val oov = Profile.ngramDrift(a, b, "text", n = 2, k = 3).head()
+    assert(oov.getLong(5) + 3 >= oov.getLong(3) - oov.getLong(5),
+      "vocab of 3 must leave most incidences OOV")
+    assert(oov.getLong(3) === same.getLong(3), "n_a is corpus-invariant")
+    // k larger than the vocabulary: n_vocab reports the real size
+    val tiny = mk(Seq("aa bb"))
+    val small = Profile.ngramDrift(tiny, tiny, "text", n = 2, k = 100).head()
+    assert(small.getInt(2) === 1 && small.getDouble(7) === 0.0)
+  }
+
   test("schemaDrift: added/removed/retyped classified; agreement is empty") {
     import org.apache.spark.sql.types._
     val expected = StructType(Seq(StructField("a", LongType),
