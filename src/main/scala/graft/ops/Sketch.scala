@@ -296,6 +296,60 @@ object Sketch {
           .as("nd_a_only_est"))
   }
 
+  /** Pairwise corpus-overlap matrix — "how much does source A's key
+    * set overlap source B's?", the question a training-mix curator
+    * asks of every source pair before weighting them (double-counted
+    * mass skews a mixture silently). ONE pass over the corpus builds a
+    * KMV sketch PER GROUP (groupBy + the bounded
+    * [[graft.expr.catalyst.MinKDistinctHashes]] aggregate — map-side
+    * partials ship ≤ k longs per partition per group); every group
+    * PAIR's estimates then come from the k-sized retained sets alone —
+    * an all-pairs join over nGroups sketch rows, never the corpus.
+    * nGroups is railed by `maxGroups` through [[Guard.broadcastSmall]]
+    * (a high-cardinality group column would otherwise quietly schedule
+    * nGroups² pair rows).
+    *
+    * Output per (group_a < group_b) pair: the [[kmvSetOps]] estimator
+    * set plus `jaccard_est` = intersect / union computed from the
+    * 9-dp-rounded estimates (so the division consumes bit-identical
+    * inputs cross-engine — the calibration-report rounding contract).
+    * Like kmvSetOps, every estimate is a pure function of the key
+    * sets: value-exact cross-engine through the restated xxhash64
+    * pipeline (q_kmv_matrix). */
+  def kmvOverlapMatrix(df: DataFrame, keyCol: String, groupCol: String,
+                      k: Int,
+                      maxGroups: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(k >= 3, s"k must be >= 3 for the (k-1)/theta estimator, got $k")
+    val minK = column(graft.expr.catalyst.MinKDistinctHashes(
+      expression(col("__h")), k).toAggregateExpression())
+    val sketches = Guard.broadcastSmall(
+      df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("__g"),
+          xxhash64(col(keyCol)).as("__h"))
+        .groupBy(col("__g")).agg(minK.as("retained")),
+      s"kmvOverlapMatrix sketches over group column '$groupCol'", maxGroups)
+    def theta(arr: Column): Column =
+      when(size(arr) >= k, kmvU(element_at(arr, k))).otherwise(lit(1.0))
+    sketches.select(col("__g").as("group_a"), col("retained").as("ra"))
+      .join(sketches.select(col("__g").as("group_b"), col("retained").as("rb")),
+        col("group_a") < col("group_b"))
+      .withColumn("rm",
+        slice(array_sort(array_distinct(concat(col("ra"), col("rb")))), 1, k))
+      .withColumn("th", least(theta(col("ra")), theta(col("rb"))))
+      .withColumn("nd_union_est", round(kmvEstimate(col("rm"), k), 9))
+      .withColumn("nd_intersect_est",
+        round(size(filter(array_intersect(col("ra"), col("rb")),
+          h => kmvU(h) < col("th"))).cast("double") / col("th"), 9))
+      .select(col("group_a"), col("group_b"), lit(k).as("k"),
+        round(kmvEstimate(col("ra"), k), 9).as("nd_a_est"),
+        round(kmvEstimate(col("rb"), k), 9).as("nd_b_est"),
+        col("nd_union_est"), col("nd_intersect_est"),
+        round(when(col("nd_union_est") > 0,
+            col("nd_intersect_est") / col("nd_union_est")).otherwise(0.0), 9)
+          .as("jaccard_est"))
+  }
+
   private def kmvStateDir(statePath: String): String = s"$statePath/state"
 
   /** Seed the persisted KMV sketch state (overwrite): one row of

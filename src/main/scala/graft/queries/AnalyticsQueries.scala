@@ -123,6 +123,57 @@ object AnalyticsQueries {
        |FROM m, ex""".stripMargin
   }
 
+  /** [[kmvOverlapOracleSql]] generalized to the q_kmv_matrix pairs:
+    * one retained-set CTE per order status, one estimator block per
+    * (a < b) status pair, jaccard from the rounded estimates. */
+  private def kmvMatrixOracleSql(k: Int): String = {
+    val c1 = graft.ops.Sketch.KmvShift.toString
+    val c2 = graft.ops.Sketch.KmvScale.toString
+    def hashes(st: String): String = {
+      val p = new XxhashSql.Prog(
+        s"SELECT DISTINCT o_custkey AS uid FROM orders WHERE o_orderstatus = '$st'")
+      val h = XxhashSql.hashLong(p, XxhashSql.unsigned("uid"), "42")
+      p.render(s"${XxhashSql.signed(h)} AS h")
+    }
+    def u(x: String) = s"((CAST($x AS DOUBLE) + $c1) / $c2)"
+    def theta(arr: String) =
+      s"(CASE WHEN len($arr) >= $k THEN ${u(s"($arr)[$k]")} ELSE 1.0 END)"
+    def est(arr: String) =
+      s"(CASE WHEN len($arr) >= $k THEN ${(k - 1).toDouble} / ${u(s"($arr)[$k]")}" +
+        s" ELSE CAST(len($arr) AS DOUBLE) END)"
+    val statuses = Seq("F", "O", "P")
+    val hashCtes = statuses.map(st =>
+      s"h$st AS (${hashes(st)}),\n" +
+        s"r$st AS (SELECT (SELECT list_sort(list(h)) FROM h$st)[1:$k] AS ret)")
+      .mkString(",\n")
+    def pair(a: String, b: String): String =
+      s"""SELECT '$a' AS group_a, '$b' AS group_b, CAST($k AS INTEGER) AS k,
+         |  ROUND(${est("ra")}, 9) AS nd_a_est,
+         |  ROUND(${est("rb")}, 9) AS nd_b_est,
+         |  ROUND(${est("rm")}, 9) AS nd_union_est,
+         |  ROUND(CAST(len(list_filter(ra,
+         |      x -> list_contains(rb, x) AND ${u("x")} < th)) AS DOUBLE) / th, 9)
+         |    AS nd_intersect_est,
+         |  CASE WHEN ROUND(${est("rm")}, 9) > 0
+         |    THEN ROUND(ROUND(CAST(len(list_filter(ra,
+         |        x -> list_contains(rb, x) AND ${u("x")} < th)) AS DOUBLE) / th, 9)
+         |      / ROUND(${est("rm")}, 9), 9)
+         |    ELSE 0.0 END AS jaccard_est
+         |FROM (
+         |  SELECT ra, rb,
+         |    list_sort(list_distinct(list_concat(ra, rb)))[1:$k] AS rm,
+         |    LEAST(${theta("ra")}, ${theta("rb")}) AS th
+         |  FROM (SELECT (SELECT ret FROM r$a) AS ra,
+         |               (SELECT ret FROM r$b) AS rb))""".stripMargin
+    val pairs = for {
+      i <- statuses.indices; j <- statuses.indices if i < j
+    } yield pair(statuses(i), statuses(j))
+    s"""WITH $hashCtes
+       |SELECT * FROM (
+       |${pairs.mkString("\nUNION ALL\n")})
+       |ORDER BY group_a, group_b""".stripMargin
+  }
+
   /** DuckDB restatement of [[graft.expr.catalyst.HilbertKernel.d]]:
     * the same per-level fold, one derived column per intermediate so
     * operand duplication stays O(1) (the XxhashSql.Prog pattern). */
@@ -363,6 +414,20 @@ object AnalyticsQueries {
         col("nd_intersect_est"), col("nd_a_only_est"),
         col("exact_a"), col("exact_b"), col("exact_intersect"),
         (col("exact_a") - col("exact_intersect")).as("exact_a_only"))
+    }),
+
+    // Pairwise KMV overlap MATRIX (Sketch.kmvOverlapMatrix): one corpus
+    // pass builds a bounded sketch per order-status group, every status
+    // pair's overlap/jaccard estimates come from the k-long retained
+    // sets alone — the source-overlap audit a training-mix curator runs
+    // before weighting sources. Same value-exact contract as
+    // q_kmv_overlap: retained sets are pure functions of the key sets,
+    // so the estimates reproduce bit-for-bit through the oracle's
+    // restated xxhash64 pipeline.
+    "q_kmv_matrix" -> ((s, dir) => {
+      graft.ops.Sketch.kmvOverlapMatrix(
+          t(s, dir, "orders"), "o_custkey", "o_orderstatus", k = 64)
+        .orderBy(col("group_a"), col("group_b"))
     }),
 
     // Persisted KMV sketch state (Sketch.writeKmvState / absorbKmvState):
@@ -730,6 +795,8 @@ object AnalyticsQueries {
     // DuckDB reproduces every estimate bit for bit, the property that
     // distinguishes KMV from the assertion-gated HLL twin below.
     "q_kmv_overlap" -> kmvOverlapOracleSql(k = 64),
+
+    "q_kmv_matrix" -> kmvMatrixOracleSql(k = 64),
 
     // the one-shot sketch over ALL orders — absorb associativity makes
     // the incremental state equal it bit for bit

@@ -282,4 +282,41 @@ class MinKSampleSpec extends SparkSpec {
     Sketch.writeKmvState(all.filter($"k" < 50), "k", k = 128, pSmall)
     assert(!lock.exists(), "reseed must clear the stale lock and release its own")
   }
+
+  test("kmvOverlapMatrix == pairwise kmvSetOps; group-cardinality rail fires") {
+    // three overlapping key sets with known structure
+    val rows = (0L until 900L).map { i =>
+      val g = if (i < 400) "a" else if (i < 700) "b" else "c"
+      (g, i % 500) // a: 0..399, b spans the wrap, c overlaps a's head
+    }
+    val df = rows.toDF("grp", "key")
+    val m = Sketch.kmvOverlapMatrix(df, "key", "grp", k = 64)
+      .orderBy("group_a", "group_b").collect()
+    assert(m.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")), "all (a<b) pairs, ordered")
+    // each pair must equal the two-frame kmvSetOps on the same sides —
+    // the matrix is the same estimator over the same retained sets
+    m.foreach { r =>
+      val (ga, gb) = (r.getString(0), r.getString(1))
+      val two = Sketch.kmvSetOps(
+        df.filter($"grp" === ga).select($"key"), "key",
+        df.filter($"grp" === gb).select($"key"), "key", k = 64).head()
+      assert(r.getDouble(3) === two.getDouble(1), s"$ga/$gb nd_a")
+      assert(r.getDouble(4) === two.getDouble(2), s"$ga/$gb nd_b")
+      assert(r.getDouble(5) === two.getDouble(3), s"$ga/$gb union")
+      assert(r.getDouble(6) === two.getDouble(4), s"$ga/$gb intersect")
+    }
+    // sanity: a and c share keys 0..199 -> jaccard well above zero;
+    // every key occurs once per group, so nothing saturates oddly
+    val ac = m.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getDouble(7) > 0.1, s"a/c jaccard ${ac.getDouble(7)}")
+    // the group-cardinality rail refuses loudly instead of scheduling
+    // nGroups^2 pair rows
+    val wide = (0L until 50L).map(i => (s"g$i", i)).toDF("grp", "key")
+    val ex = intercept[IllegalArgumentException] {
+      Sketch.kmvOverlapMatrix(wide, "key", "grp", k = 8, maxGroups = 10)
+        .collect()
+    }
+    assert(ex.getMessage.contains("kmvOverlapMatrix"))
+  }
 }
