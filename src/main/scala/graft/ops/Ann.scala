@@ -685,6 +685,15 @@ object Ann {
     }
   }
 
+  /** Observability for a persisted IVF layout: the manifest's
+    * per-component segment/exclusion counts (the
+    * [[graft.ops.TextIndex.describeBm25Index]] twin — n_segments
+    * growing is the [[compactIvfIndex]] signal, exclusions the
+    * [[vacuumIvfIndex]] signal). Pure metadata. */
+  def describeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    IndexManifest.describe(spark, path)
+
   /** The stored centroid table of a persisted IVF layout (current
     * manifest version) — the public face of the layout internals for
     * callers that re-run in-memory assignment against the same

@@ -143,6 +143,20 @@ private[graft] object IndexManifest {
     Snapshot(root, v, parse(text, s"$root/$ManifestDir/${versionFile(v)}"))
   }
 
+  /** Observability frame for a layout: one row per component of the
+    * CURRENT manifest — (component, n_segments, n_excluded_buckets,
+    * version). Pure metadata (one manifest read, nothing scanned);
+    * the public faces are TextIndex.describeBm25Index /
+    * Ann.describeIvfIndex, which add layout-specific scalars. */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    val snap = pin(spark, root)
+    val rows = snap.components.toSeq.sortBy(_._1).map { case (name, segs) =>
+      (name, segs.size, segs.map(_.exclude.size).sum) }
+    spark.createDataFrame(rows)
+      .toDF("component", "n_segments", "n_excluded_buckets")
+      .withColumn("version", lit(snap.version))
+  }
+
   /** Committed manifest versions currently on disk (ascending). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$ManifestDir")

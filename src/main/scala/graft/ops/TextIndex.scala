@@ -337,6 +337,21 @@ object TextIndex {
       IndexManifest.vacuum(spark, path)
     }
 
+  /** Observability for a [[writeBm25Index]] layout: the manifest's
+    * per-component segment/exclusion counts plus the layout scalars
+    * probes run on (n_docs, avgdl repeated per row — the one-frame
+    * report convention of calibrationReport). Pure metadata plus one
+    * single-row stats read; the maintenance-cadence dashboard —
+    * n_segments growing past the probe fan-in you want is the signal
+    * to [[compactBm25Index]], exclusions accumulating the signal to
+    * [[vacuumBm25Index]]. */
+  def describeBm25Index(spark: SparkSession, path: String): DataFrame = {
+    val snap = IndexManifest.pin(spark, path)
+    val stats = spark.read.parquet(snap.single("stats"))
+      .select(col("n_docs"), col("n_buckets"))
+    IndexManifest.describe(spark, path).crossJoin(broadcast(stats))
+  }
+
   /** BM25-score `qTerms` against the stored index: returns
     * (doc_id, matched_terms, matched_tf, score) for every doc matching
     * at least one term — identical numbers to the ad-hoc computation on

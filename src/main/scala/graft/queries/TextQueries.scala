@@ -508,6 +508,24 @@ object TextQueries {
           col("matched_tf"), col("score_r9"))
     }),
 
+    // Index observability (TextIndex.describeBm25Index): the
+    // maintenance dashboard of the manifest-versioned layout — build
+    // (v1) + append (v2) then describe: per-component segment counts
+    // (the compact signal), exclusion counts (the vacuum signal),
+    // manifest version, and the probe scalars. A fresh sub-dir per
+    // invocation keeps the version deterministic under best-of-2
+    // bench passes.
+    "q_index_describe" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft-bm25-desc", dir) + "/" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val d = docs(s, dir)
+      TextIndex.writeBm25Index(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", base, nBuckets = 16)
+      TextIndex.appendToBm25Index(d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", base)
+      TextIndex.describeBm25Index(s, base).orderBy(col("component"))
+    }),
+
     // TIME-TRAVEL probe (the manifest layout's free Iceberg-class
     // read): build the index over the 80% corpus (manifest v1), APPEND
     // the 20% batch (v2), then probe AS OF v1 — the answer must be the
@@ -1220,6 +1238,20 @@ object TextQueries {
     // probing AS OF the pre-append version answers over the 80% build
     // corpus alone — later commits invisible to the pinned snapshot
     "q_bm25_time_travel" -> bm25CorpusOracle("WHERE doc_id % 5 <> 0"),
+
+    // the layout shape after build+append is structural: one segment
+    // per component from the build plus one per data component from
+    // the append, zero exclusions (no purge ran), manifest v2; n_docs
+    // is the full corpus
+    "q_index_describe" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT component, CAST(n_segments AS INTEGER) AS n_segments,
+        |  CAST(0 AS INTEGER) AS n_excluded_buckets,
+        |  CAST(2 AS BIGINT) AS version, n_docs,
+        |  CAST(16 AS INTEGER) AS n_buckets
+        |FROM (VALUES ('doclen', 2), ('postings', 2), ('stats', 1),
+        |  ('terms', 2), ('tombstones', 0)) AS t(component, n_segments), n
+        |ORDER BY component""".stripMargin,
 
     // after delete + purge, the index must answer EXACTLY like a
     // rebuild over the surviving corpus — same math, survivors only
