@@ -267,6 +267,8 @@ object ScaleSmoke {
     // DuckDB oracle then run against the SAME parquet on both engines
     args.indexOf("--amplify") match {
       case i if i >= 0 =>
+        require(i + 1 < args.length,
+          "--amplify requires an output directory operand")
         val outDir = args(i + 1)
         amplify(spark, srcDir, outDir, mult)
         println(s"""{"amplified":"$outDir","mult":$mult,"src":"$srcDir"}""")

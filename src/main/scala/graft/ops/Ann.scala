@@ -749,13 +749,7 @@ object Ann {
     * matches). */
   def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
     IndexLock.withLock(ids.sparkSession, path, "deleteFromIvfIndex") {
-      val spark = ids.sparkSession
-      val snap = IndexManifest.pin(spark, path)
-      val seg = IndexManifest.newSegment("tombstones")
-      ids.select(col("nid")).write.mode("overwrite").parquet(s"$path/$seg")
-      IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
-        "tombstones" ->
-          (snap.segments("tombstones") :+ IndexManifest.Segment(seg))))
+      IndexManifest.appendTombstones(ids.sparkSession, path, ids, "nid")
     }
 
   /** Physically apply accumulated tombstones: one columnar (nid, cid)
@@ -800,15 +794,10 @@ object Ann {
         .join(tomb, Seq("nid"), "left_anti"))
     IndexManifest.writeBucketed(kept, s"$path/$listSeg", "cid")
     val touchedSet = touched.toSet
-    // annotate old segments with the rewritten cells; a segment whose
-    // on-disk cells are now all excluded drops from the manifest
-    // entirely so vacuum can reclaim it
-    val oldSegs = snap.segments("lists")
-      .map(s => s.copy(exclude = s.exclude ++ touchedSet))
-      .filter { s =>
-        val onDisk = IndexManifest.bucketsOnDisk(spark, path, s, "cid")
-        onDisk.nonEmpty && (onDisk -- s.exclude).nonEmpty
-      }
+    // annotate old segments with the rewritten cells; fully-excluded
+    // segments drop so vacuum can reclaim them (shared erasure seam)
+    val oldSegs = IndexManifest.excludeTouched(spark, path, snap,
+      "lists", "cid", touchedSet)
     IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
       "lists" -> (oldSegs :+ IndexManifest.Segment(listSeg)),
       "tombstones" -> Seq.empty[IndexManifest.Segment]))

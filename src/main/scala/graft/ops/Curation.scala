@@ -392,10 +392,15 @@ object Curation {
   private def blockText(raw: Column): Column =
     trim(regexp_replace(regexp_replace(raw, "(?s)<[^>]*>", " "), "\\s+", " "))
 
-  /** Total characters of anchor-element inner text in a fragment. */
+  /** Total characters of anchor-element inner text in a fragment. The
+    * opener's tag name is anchored by a non-alphanumeric follower
+    * (same RE2-safe shape as [[blockPattern]]): '<article>'/'<aside>'
+    * prose must not count as anchor text. Shared with the oracle
+    * generator so both engines measure identically. */
+  private[graft] val AnchorPattern = "(?is)<a(?:[^a-zA-Z0-9>][^>]*)?>(.*?)</a>"
   private def anchorChars(raw: Column): Column =
     aggregate(
-      transform(regexp_extract_all(raw, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      transform(regexp_extract_all(raw, lit(AnchorPattern), lit(1)),
         a => length(blockText(a))),
       lit(0), (acc, x) => acc + x)
 

@@ -143,6 +143,35 @@ private[graft] object IndexManifest {
     Snapshot(root, v, parse(text, s"$root/$ManifestDir/${versionFile(v)}"))
   }
 
+  /** Append `ids` as a tombstone segment in the next manifest version —
+    * the logical-delete half shared by BOTH erasure paths (BM25 keys
+    * on doc_id, IVF on nid). ONE definition on purpose: the r11 review
+    * caught the hand-copied tombstone plumbing diverging between the
+    * two indexes, and the module that then unified it was deleted by
+    * the manifest rewrite — this is its successor seam. Caller holds
+    * the layout's writer lock. */
+  def appendTombstones(spark: SparkSession, root: String,
+                       ids: DataFrame, idCol: String): Unit = {
+    val snap = pin(spark, root)
+    val seg = newSegment("tombstones")
+    ids.select(col(idCol)).write.mode("overwrite").parquet(s"$root/$seg")
+    commit(spark, root, Some(snap), snap.components ++ Map(
+      "tombstones" -> (snap.segments("tombstones") :+ Segment(seg))))
+  }
+
+  /** The purge's exclude-annotation step, shared by both erasure
+    * paths: annotate every segment of `component` with the rewritten
+    * `touched` buckets and DROP a segment whose on-disk buckets are
+    * then fully excluded (so vacuum can reclaim it). */
+  def excludeTouched(spark: SparkSession, root: String, snap: Snapshot,
+                     component: String, bucketCol: String,
+                     touched: Set[Long]): Seq[Segment] =
+    snap.segments(component).map(s => s.copy(exclude = s.exclude ++ touched))
+      .filter { s =>
+        val onDisk = bucketsOnDisk(spark, root, s, bucketCol)
+        onDisk.nonEmpty && (onDisk -- s.exclude).nonEmpty
+      }
+
   /** Observability frame for a layout: one row per component of the
     * CURRENT manifest — (component, n_segments, n_excluded_buckets,
     * version). Pure metadata (one manifest read, nothing scanned);
@@ -197,12 +226,19 @@ private[graft] object IndexManifest {
         .append(segs.map(renderSegment).mkString(";")).append('\n')
     }
     val file = new Path(dir, versionFile(next))
+    // held-vs-broken discrimination (the IndexLock posture): a create
+    // failure is a COLLISION only when the version file actually
+    // exists — a transient or permission IO error must surface as
+    // itself, not as concurrency advice
     val out =
       try fs.create(file, false)
       catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"manifest commit collision at $file — a concurrent writer bypassed " +
-            "the index lock; no state was changed", e)
+        case e: java.io.IOException
+            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              (try fs.exists(file) catch { case _: Exception => false }) =>
+          throw new IllegalStateException(
+            s"manifest commit collision at $file — a concurrent writer bypassed " +
+              "the index lock; no state was changed", e)
       }
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     next

@@ -317,10 +317,14 @@ object Profile {
     def dfCounts(d: DataFrame, out: String): DataFrame =
       d.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as(out))
-    val joined = dfCounts(a, "df_a").join(dfCounts(b, "df_b"),
-        Seq("gram"), "full_outer")
-      .select(col("gram"), coalesce(col("df_a"), lit(0L)).as("df_a"),
-        coalesce(col("df_b"), lit(0L)).as("df_b"))
+    // checkpointed: `top` and `tot` both derive from the joined gram
+    // table — without this the two corpus-wide shingle scans and the
+    // full-outer join run twice
+    val joined = Reliable.checkpoint(
+      dfCounts(a, "df_a").join(dfCounts(b, "df_b"),
+          Seq("gram"), "full_outer")
+        .select(col("gram"), coalesce(col("df_a"), lit(0L)).as("df_a"),
+          coalesce(col("df_b"), lit(0L)).as("df_b")))
     val top = joined
       .orderBy((col("df_a") + col("df_b")).desc, col("gram")).limit(k)
     val tot = joined.agg(sum(col("df_a")).as("ta"), sum(col("df_b")).as("tb"))

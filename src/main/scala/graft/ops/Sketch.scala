@@ -323,11 +323,15 @@ object Sketch {
     require(k >= 3, s"k must be >= 3 for the (k-1)/theta estimator, got $k")
     val minK = column(graft.expr.catalyst.MinKDistinctHashes(
       expression(col("__h")), k).toAggregateExpression())
+    // checkpoint the ≤ maxGroups sketch rows BEFORE the rail and the
+    // self-join: the corpus-wide sketch aggregate (the expensive step)
+    // must run once, not once per consumer
     val sketches = Guard.broadcastSmall(
-      df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
-        .select(col(groupCol).cast("string").as("__g"),
-          xxhash64(col(keyCol)).as("__h"))
-        .groupBy(col("__g")).agg(minK.as("retained")),
+      Reliable.checkpoint(
+        df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+          .select(col(groupCol).cast("string").as("__g"),
+            xxhash64(col(keyCol)).as("__h"))
+          .groupBy(col("__g")).agg(minK.as("retained"))),
       s"kmvOverlapMatrix sketches over group column '$groupCol'", maxGroups)
     def theta(arr: Column): Column =
       when(size(arr) >= k, kmvU(element_at(arr, k))).otherwise(lit(1.0))

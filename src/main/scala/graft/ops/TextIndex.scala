@@ -195,12 +195,7 @@ object TextIndex {
     * Deleting ids not in the index is a no-op. */
   def deleteFromBm25Index(ids: DataFrame, path: String): Unit =
     IndexLock.withLock(ids.sparkSession, path, "deleteFromBm25Index") {
-      val spark = ids.sparkSession
-      val snap = IndexManifest.pin(spark, path)
-      val seg = IndexManifest.newSegment("tombstones")
-      ids.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/$seg")
-      IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
-        "tombstones" -> (snap.segments("tombstones") :+ Segment(seg))))
+      IndexManifest.appendTombstones(ids.sparkSession, path, ids, "doc_id")
     }
 
   /** Physically apply accumulated tombstones: one (doc_id, tb)
@@ -265,15 +260,10 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
 
     val touchedSet = touched.toSet
-    // annotate old segments with the rewritten buckets; a segment whose
-    // on-disk buckets are now all excluded drops from the manifest
-    // entirely so vacuum can reclaim it
+    // annotate old segments with the rewritten buckets; fully-excluded
+    // segments drop so vacuum can reclaim them (shared erasure seam)
     def excluded(name: String): Seq[Segment] =
-      snap.segments(name).map(s => s.copy(exclude = s.exclude ++ touchedSet))
-        .filter { s =>
-          val onDisk = IndexManifest.bucketsOnDisk(spark, path, s, "tb")
-          onDisk.nonEmpty && (onDisk -- s.exclude).nonEmpty
-        }
+      IndexManifest.excludeTouched(spark, path, snap, name, "tb", touchedSet)
     IndexManifest.commit(spark, path, Some(snap), Map(
       "postings" -> (excluded("postings") :+ Segment(postSeg)),
       "terms" -> (excluded("terms") :+ Segment(termSeg)),
@@ -339,8 +329,8 @@ object TextIndex {
 
   /** Observability for a [[writeBm25Index]] layout: the manifest's
     * per-component segment/exclusion counts plus the layout scalars
-    * probes run on (n_docs, avgdl repeated per row — the one-frame
-    * report convention of calibrationReport). Pure metadata plus one
+    * (n_docs, n_buckets repeated per row — the one-frame report
+    * convention of calibrationReport). Pure metadata plus one
     * single-row stats read; the maintenance-cadence dashboard —
     * n_segments growing past the probe fan-in you want is the signal
     * to [[compactBm25Index]], exclusions accumulating the signal to

@@ -1093,7 +1093,7 @@ object CurationQueries {
       val bt = raw"""trim(regexp_replace(regexp_replace(b,
                     |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))""".stripMargin
       val anch = raw"""CAST(COALESCE(list_aggregate(list_transform(
-                      |        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+                      |        regexp_extract_all(b, '${graft.ops.Curation.AnchorPattern}', 1),
                       |        a -> len(trim(regexp_replace(regexp_replace(a,
                       |          '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
                       |        'sum'), 0) AS DOUBLE)""".stripMargin
@@ -1202,7 +1202,7 @@ object CurationQueries {
            |    trim(regexp_replace(regexp_replace(raw,
            |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS block_text,
            |    CAST(COALESCE(list_aggregate(list_transform(
-           |      regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+           |      regexp_extract_all(raw, '${graft.ops.Curation.AnchorPattern}', 1),
            |      a -> len(trim(regexp_replace(regexp_replace(a,
            |        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
            |      'sum'), 0) AS INTEGER) AS n_anchor_chars

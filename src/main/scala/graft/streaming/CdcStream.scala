@@ -95,7 +95,14 @@ object StreamOnce {
     * commit changed nothing): a stale started-without-committed marker
     * from a crashed attempt is then cleared and the batch re-applied,
     * instead of the loud partial-failure refusal non-atomic sinks
-    * need. */
+    * need. The retry RE-CHECKS the committed marker after clearing the
+    * stale one, so a ZOMBIE attempt (partitioned, not crashed) that
+    * finishes while we decide is skipped, not double-applied; the
+    * residual window — zombie committed its manifest but has not yet
+    * written its committed marker at our re-check — is bounded by the
+    * index writer lock serializing the applies themselves and
+    * surfaces, if ever hit, as the zombie's own committed-marker
+    * create failing loudly (create-if-absent). */
   def appliedOnce(spark: SparkSession, path: String,
                   batchId: Long, what: String,
                   retrySafe: Boolean = false)(apply: => Unit): Unit = {
@@ -113,6 +120,7 @@ object StreamOnce {
             "rebuild the state (or restore it from a snapshot), clear " +
             "_stream_batches, and restart the stream")
       fs.delete(started, false) // crashed attempt published nothing
+      if (fs.exists(committed)) return // a zombie attempt just finished
     }
     fs.mkdirs(dir)
     fs.create(started, false).close()

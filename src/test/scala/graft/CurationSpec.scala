@@ -832,6 +832,15 @@ class CurationSpec extends SparkSpec {
     assert(prose._4 && prose._2 === "one link".length, s"prose: $prose")
     val footer = blocks.find(_._1.startsWith("Terms")).get
     assert(!footer._4, s"footer: $footer")
+    // anchor-tag-name anchoring (review finding): '<article>'/'<aside>'
+    // prose must NOT count as anchor text — only real '<a ...>' elements
+    val art = Seq((1L, "<article>Plain article prose long enough to " +
+        "pass the gate with <a href=\"/r\">one ref</a> in it.</article>"))
+      .toDF("id", "html")
+    val ab = Curation.boilerplateBlocks(art, "id", "html").head()
+    assert(ab.getInt(3) === "one ref".length,
+      s"only the real anchor's text counts: $ab")
+    assert(ab.getBoolean(6), "article prose must stay content")
     // the fused extractor keeps exactly the content blocks
     val text = df.select(Curation.extractContentText($"html")).head().getString(0)
     assert(text.startsWith("This paragraph") && !text.contains("Home") &&
