@@ -21,13 +21,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    pinned directories are untouched, so the probe sees fully-old
   *    state, never a half-rewritten mix (the silent-wrongness window
   *    the r12 verdict flagged).
-  *  - **Crash atomicity**: the commit is a single
-  *    `FileSystem.create(overwrite = false)` of the next version file
-  *    (the same atomic primitive [[IndexLock]] builds on). A crash at
-  *    ANY earlier step leaves only unreferenced orphan directories —
-  *    "manifest not swapped = nothing happened" — so every maintenance
-  *    op is safe to re-run blindly, collapsing the per-window recovery
-  *    code the pre-manifest purge carried.
+  *  - **Crash atomicity**: the commit writes the complete manifest
+  *    under a temp name and publishes it with one `FileSystem.rename`
+  *    into the version slot (atomic namespace op on HDFS and POSIX),
+  *    and every manifest carries a required end-marker line so torn
+  *    content is unparseable and skipped by readers. A crash at ANY
+  *    earlier step leaves only unreferenced orphan directories or an
+  *    invisible temp file — "manifest not swapped = nothing happened"
+  *    — so every maintenance op is safe to re-run blindly, collapsing
+  *    the per-window recovery code the pre-manifest purge carried.
   *  - **Space reclamation** is an explicit, separate op ([[vacuum]]):
   *    directories unreferenced by the CURRENT manifest are deleted
   *    under the writer lock. Run it when no probes opened before the
@@ -61,6 +63,15 @@ private[graft] object IndexManifest {
   final case class Segment(dir: String, exclude: Set[Long] = Set.empty)
 
   private val Header = "graft-index-manifest 1"
+  /** Required LAST line of every manifest. A file missing it is, by
+    * construction, not a committed manifest — it is an in-flight write
+    * another process has created but not finished, or the debris of a
+    * crash mid-write. Readers skip such files (falling back to the
+    * previous version) instead of failing, and [[commit]] quarantines
+    * one blocking its slot — so a torn write can never brick the
+    * layout, honoring the "crash at any earlier step changes nothing"
+    * contract for the commit step itself. */
+  private val Footer = "graft-index-manifest end"
   private val ManifestDir = "_manifests"
   /** Root entries never touched by [[vacuum]] regardless of manifest
     * references: the manifest store itself, the streaming exactly-once
@@ -115,7 +126,7 @@ private[graft] object IndexManifest {
   def exists(spark: SparkSession, root: String): Boolean = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(dir) && latestVersion(fs, dir) > 0
+    fs.exists(dir) && latestValid(fs, dir).isDefined
   }
 
   /** Pin a snapshot: the highest committed manifest version, or — the
@@ -128,19 +139,28 @@ private[graft] object IndexManifest {
           version: Option[Long] = None): Snapshot = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(latestVersion(fs, dir))
-    if (v <= 0) throw new IllegalStateException(
-      s"no index manifest at $root — not a manifest-versioned layout " +
-        "(build it with writeBm25Index/writeIvfIndex)")
-    val file = new Path(dir, versionFile(v))
-    if (version.isDefined && !fs.exists(file))
-      throw new IllegalStateException(
-        s"no manifest v$v at $root — never committed, or reclaimed by " +
-          "vacuum (time-travel reads only reach unvacuumed versions)")
-    val in = fs.open(file)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    Snapshot(root, v, parse(text, s"$root/$ManifestDir/${versionFile(v)}"))
+    version match {
+      case None =>
+        // latest = highest PARSEABLE version, not highest file name: a
+        // concurrent commit's in-flight file (created, not yet fully
+        // written) and a crash-truncated file both lack the footer and
+        // are skipped, so the reader lands on the last real snapshot
+        latestValid(fs, dir) match {
+          case Some((v, comps)) => Snapshot(root, v, comps)
+          case None => throw new IllegalStateException(
+            s"no index manifest at $root — not a manifest-versioned layout " +
+              "(build it with writeBm25Index/writeIvfIndex)")
+        }
+      case Some(v) =>
+        // explicit time-travel: the caller named a version, so a
+        // missing or unparseable file is THEIR error and stays loud
+        val file = new Path(dir, versionFile(v))
+        if (v <= 0 || !fs.exists(file))
+          throw new IllegalStateException(
+            s"no manifest v$v at $root — never committed, or reclaimed by " +
+              "vacuum (time-travel reads only reach unvacuumed versions)")
+        Snapshot(root, v, readManifest(fs, file))
+    }
   }
 
   /** Append `ids` as a tombstone segment in the next manifest version —
@@ -186,22 +206,37 @@ private[graft] object IndexManifest {
       .withColumn("version", lit(snap.version))
   }
 
-  /** Committed manifest versions currently on disk (ascending). */
+  /** Committed manifest versions currently on disk (ascending).
+    * "Committed" means parseable: an in-flight or crash-truncated
+    * version file is not a snapshot and is not listed. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName)).sorted
+      .flatMap(st => parseVersion(st.getPath.getName))
+      .filter(v => tryReadComponents(fs, new Path(dir, versionFile(v))).isDefined)
+      .sorted
   }
 
   /** Commit `components` as the next manifest version after `base`
     * (None for the first commit of a fresh layout — an existing layout
     * continues its version sequence so pinned readers stay valid).
-    * Atomic: `create(overwrite = false)` either publishes the whole
-    * snapshot or fails without effect. Writers are serialized by
-    * [[IndexLock]]; a version collision here therefore means the lock
-    * was bypassed and fails loudly rather than clobbering. */
+    *
+    * Publication is write-then-rename: the body (header, components,
+    * footer) is fully written and closed under a temp name that no
+    * reader recognizes, then renamed into the version slot — a single
+    * namespace op on HDFS and POSIX, so a concurrent [[pin]] sees
+    * either no file or the complete file, never a prefix. Belt and
+    * braces for filesystems with weaker rename semantics: the footer
+    * makes any torn content unparseable, and readers skip unparseable
+    * versions. A crash mid-write leaves only the temp file (or a
+    * footerless version file on a non-atomic FS) — invisible to
+    * readers, quarantined by the next commit, reclaimed by [[vacuum]].
+    *
+    * Writers are serialized by [[IndexLock]]; a VALID manifest already
+    * in the next slot therefore means the lock was bypassed and fails
+    * loudly rather than clobbering. */
   def commit(spark: SparkSession, root: String, base: Option[Snapshot],
              components: Map[String, Seq[Segment]]): Long = {
     val dir = new Path(s"$root/$ManifestDir")
@@ -211,7 +246,7 @@ private[graft] object IndexManifest {
     // the snapshot this op pinned — if it has, a concurrent writer
     // bypassed the index lock and committing would publish state
     // derived from superseded segments
-    val current = latestVersion(fs, dir)
+    val current = latestValid(fs, dir).map(_._1).getOrElse(0L)
     base.foreach { b =>
       if (current != b.version) throw new IllegalStateException(
         s"manifest commit collision at $root: layout advanced to v$current " +
@@ -219,30 +254,44 @@ private[graft] object IndexManifest {
           "the index lock; no state was changed")
     }
     val next = current + 1
+    val file = new Path(dir, versionFile(next))
+    // the next slot can be occupied only by debris: a VALID occupant
+    // would have been `current`. We hold the writer lock, so it is a
+    // crashed attempt's leftover, not an in-flight write — quarantine
+    // it (rename preserves it for forensics; vacuum reclaims) so the
+    // layout self-heals instead of staying bricked at this version
+    if (fs.exists(file)) {
+      if (tryReadComponents(fs, file).isDefined)
+        throw new IllegalStateException(
+          s"manifest commit collision at $file — a concurrent writer bypassed " +
+            "the index lock; no state was changed")
+      val q = new Path(dir, s"quarantine-${versionFile(next)}-${nonce()}")
+      if (!fs.rename(file, q)) throw new java.io.IOException(
+        s"could not quarantine torn manifest $file")
+    }
     val body = new StringBuilder(Header).append('\n')
     components.toSeq.sortBy(_._1).foreach { case (name, segs) =>
       require(!name.contains('=') && !name.contains('\n'), s"bad component name $name")
       body.append(name).append('=')
         .append(segs.map(renderSegment).mkString(";")).append('\n')
     }
-    val file = new Path(dir, versionFile(next))
-    // held-vs-broken discrimination (the IndexLock posture): a create
-    // failure is a COLLISION only when the version file actually
-    // exists — a transient or permission IO error must surface as
-    // itself, not as concurrency advice
-    val out =
-      try fs.create(file, false)
-      catch {
-        case e: java.io.IOException
-            if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              (try fs.exists(file) catch { case _: Exception => false }) =>
-          throw new IllegalStateException(
-            s"manifest commit collision at $file — a concurrent writer bypassed " +
-              "the index lock; no state was changed", e)
-      }
+    body.append(Footer).append('\n')
+    val tmp = new Path(dir, s"inflight-${versionFile(next)}-${nonce()}")
+    val out = fs.create(tmp, false)
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, file)) {
+      // rename-won't-overwrite (HDFS posture): only a concurrent writer
+      // could have filled the slot since the quarantine check above
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit collision at $file — a concurrent writer bypassed " +
+          "the index lock; no state was changed")
+    }
     next
   }
+
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   /** Generate a fresh segment directory name: `prefix-<8 hex>`. Never
     * collides with a live dir in practice; the atomic manifest commit,
@@ -289,9 +338,19 @@ private[graft] object IndexManifest {
             s"${seg.dir}/${st.getPath.getName}"
         }
       }
+    // manifest-store debris goes too: superseded versions, commit
+    // temp/quarantine leftovers, and any torn version file (all safe —
+    // vacuum holds the writer lock, so nothing here is in-flight)
     val mDir = new Path(s"$root/$ManifestDir")
     val droppedManifests = fs.listStatus(mDir).toSeq.collect {
-      case st if parseVersion(st.getPath.getName).exists(_ < snap.version) =>
+      case st if {
+        val n = st.getPath.getName
+        parseVersion(n) match {
+          case Some(v) => v < snap.version ||
+            (v != snap.version && tryReadComponents(fs, st.getPath).isEmpty)
+          case None => true
+        }
+      } =>
         fs.delete(st.getPath, false)
         st.getPath.getName
     }
@@ -333,11 +392,41 @@ private[graft] object IndexManifest {
     else s"${s.dir}!${s.exclude.toSeq.sorted.mkString(",")}"
   }
 
+  private def readManifest(fs: FileSystem, file: Path): Map[String, Seq[Segment]] = {
+    val in = fs.open(file)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    parse(text, file.toString)
+  }
+
+  /** [[readManifest]] that reports an unreadable or unparseable file as
+    * None — the reader-side face of the torn-write defense. */
+  private def tryReadComponents(fs: FileSystem,
+                                file: Path): Option[Map[String, Seq[Segment]]] =
+    try Some(readManifest(fs, file)) catch { case _: Exception => None }
+
+  /** Highest PARSEABLE committed version with its components, or None
+    * for a fresh/empty layout. Scans version files descending; in
+    * practice the first is valid (torn files exist only after a crash
+    * on a non-atomic-rename FS) so this is one manifest read. */
+  private def latestValid(fs: FileSystem,
+                          dir: Path): Option[(Long, Map[String, Seq[Segment]])] =
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName))
+      .sorted(Ordering[Long].reverse)
+      .iterator
+      .map(v => (v, tryReadComponents(fs, new Path(dir, versionFile(v)))))
+      .collectFirst { case (v, Some(comps)) => (v, comps) }
+
   private def parse(text: String, at: String): Map[String, Seq[Segment]] = {
     val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
     if (lines.headOption.forall(_ != Header))
       throw new IllegalStateException(s"unrecognized manifest header in $at")
-    lines.tail.map { line =>
+    if (lines.lastOption.forall(_ != Footer))
+      throw new IllegalStateException(
+        s"manifest $at has no end marker — torn write or in-flight commit")
+    lines.tail.dropRight(1).map { line =>
       val eq = line.indexOf('=')
       if (eq < 0) throw new IllegalStateException(s"bad manifest line '$line' in $at")
       val name = line.substring(0, eq)
@@ -357,13 +446,12 @@ private[graft] object IndexManifest {
 
   private def versionFile(v: Long): String = f"v$v%012d"
 
+  // (the pre-r14 `latestVersion` — highest file NAME — is gone on
+  // purpose: a name is not a commit; latestValid is the authority)
+
   private def parseVersion(name: String): Option[Long] =
     if (name.length == 13 && name.startsWith("v") && name.tail.forall(_.isDigit))
       Some(name.tail.toLong)
     else None
 
-  private def latestVersion(fs: FileSystem, dir: Path): Long =
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName)).sorted.lastOption.getOrElse(0L)
 }

@@ -949,6 +949,72 @@ class TextVectorSpec extends SparkSpec {
     assert(ex.getMessage.contains("collision"))
   }
 
+  test("torn manifest defense: a truncated or empty highest version file is invisible to readers, quarantined by the next commit, reclaimed by vacuum") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-bm25-torn").toString
+    graft.ops.TextIndex.writeBm25Index(
+      Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text"),
+      "doc_id", "text", p, nBuckets = 4)
+    def probe() = graft.ops.TextIndex.probeBm25Index(spark, p, Seq("aaa"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val healthy = probe()
+    val v1 = graft.ops.IndexManifest.pin(spark, p).version
+
+    // simulate a crash (or a concurrent commit observed mid-write on a
+    // filesystem without atomic rename) that left a TORN file in the
+    // next version slot: created, partially written, no end marker.
+    // The dangerous variant is a prefix that still parses line-by-line
+    // — header plus a cut-off body silently dropping the tombstones.
+    def slot(v: Long) = new java.io.File(f"$p/_manifests/v$v%012d")
+    val torn = slot(v1 + 1)
+    java.nio.file.Files.write(torn.toPath,
+      "graft-index-manifest 1\npostings=\n".getBytes("UTF-8"))
+
+    // readers skip it: pin lands on v1, probes answer, versions() and
+    // exists() treat the layout as healthy at v1
+    assert(graft.ops.IndexManifest.pin(spark, p).version === v1,
+      "a torn highest version file must not be pinned")
+    assert(probe() === healthy, "torn manifest leaked into a probe")
+    assert(graft.ops.IndexManifest.versions(spark, p) === Seq(v1))
+    assert(graft.ops.IndexManifest.exists(spark, p))
+
+    // an EMPTY slot file (create raced with pin before any byte) is
+    // equally invisible
+    val torn2 = slot(v1 + 2)
+    java.nio.file.Files.write(torn2.toPath, Array.emptyByteArray)
+    assert(graft.ops.IndexManifest.pin(spark, p).version === v1)
+
+    // the next maintenance op self-heals: commit quarantines the torn
+    // occupant of its slot and publishes v1+1 for real
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "aaa ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    assert(graft.ops.IndexManifest.pin(spark, p).version === v1 + 1)
+    assert(probe() === Set(1L, 2L, 3L))
+    val mNames = new java.io.File(s"$p/_manifests").list().toSet
+    assert(mNames.exists(_.startsWith("quarantine-")),
+      s"torn slot file must be quarantined, not lost: $mNames")
+    assert(!mNames.exists(_.startsWith("inflight-")),
+      s"commit temp file must not outlive the commit: $mNames")
+
+    // vacuum reclaims quarantine debris and the still-torn v1+2 file
+    graft.ops.TextIndex.vacuumBm25Index(spark, p)
+    val afterVac = new java.io.File(s"$p/_manifests").list().toSet
+      .filterNot(_.startsWith(".")) // local-FS checksum sidecars
+    assert(afterVac === Set(f"v${v1 + 1}%012d"),
+      s"vacuum must leave only the current manifest: $afterVac")
+    assert(probe() === Set(1L, 2L, 3L))
+
+    // explicit time-travel to a torn version stays LOUD — the caller
+    // named it, so silence would serve a lie
+    java.nio.file.Files.write(slot(v1 + 2).toPath,
+      "graft-index-manifest 1\npostings=\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      graft.ops.TextIndex.probeBm25Index(spark, p, Seq("aaa"),
+        asOfVersion = Some(v1 + 2)).collect()
+    }
+    assert(ex.getMessage.contains("end marker"))
+  }
+
   test("snapshot isolation: a probe pinned before a purge sees fully-old state; a new probe sees fully-new") {
     import spark.implicits._
     val d = schema.Tables.load(spark, sfDir, "documents")
