@@ -925,8 +925,9 @@ object Ann {
   /** [[appendToIvfIndex]] for the [[writeIvfIndexBin]] layout: the
     * batch sign-packs exactly as the build does, so appended and
     * rebuilt lists answer probes identically. */
-  def appendToIvfIndexBin(batch: DataFrame, path: String): Unit =
-    appendToIvfLayout(batch, path)(
+  def appendToIvfIndexBin(batch: DataFrame, path: String,
+                          streamTag: Option[String] = None): Unit =
+    appendToIvfLayout(batch, path, streamTag)(
       (_, a) => a.select(col("nid"), Vectors.signPack(col("nv")).as("bits"),
         col("nv"), col("cid")))
 
@@ -1079,15 +1080,17 @@ object Ann {
     * their exact file sets (q_ann_ivf_append benches the production
     * build+append+probe cycle with a recall gate). Callers own
     * id-uniqueness across appends (same contract as the build). */
-  def appendToIvfIndex(batch: DataFrame, path: String): Unit =
-    appendToIvfLayout(batch, path)(
+  def appendToIvfIndex(batch: DataFrame, path: String,
+                       streamTag: Option[String] = None): Unit =
+    appendToIvfLayout(batch, path, streamTag)(
       (_, a) => a.select(col("nid"), col("nv"), col("cid")))
 
   /** [[appendToIvfIndex]] for the int8-quantized [[writeIvfIndexSq8]]
     * layout: the batch quantizes exactly as the build does, so appended
     * and rebuilt lists are byte-identical. */
-  def appendToIvfIndexSq8(batch: DataFrame, path: String): Unit =
-    appendToIvfLayout(batch, path)(
+  def appendToIvfIndexSq8(batch: DataFrame, path: String,
+                          streamTag: Option[String] = None): Unit =
+    appendToIvfLayout(batch, path, streamTag)(
       (_, a) => a.select(col("nid"),
         Vectors.quantizeInt8(col("nv")).getField("q").as("nq"), col("cid")))
 
@@ -1095,9 +1098,10 @@ object Ann {
     * produced by the codebooks PERSISTED under the index (never
     * retrained), so an append leaves the ADC geometry untouched — the
     * property that makes incremental ingest safe for PQ. */
-  def appendToIvfIndexPq(batch: DataFrame, path: String): Unit = {
+  def appendToIvfIndexPq(batch: DataFrame, path: String,
+                         streamTag: Option[String] = None): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    appendToIvfLayout(batch, path) { (snap, assigned) =>
+    appendToIvfLayout(batch, path, streamTag) { (snap, assigned) =>
       val cbs = readCodebooks(batch.sparkSession, snap)
       unitNormalized(assigned.withColumn("__nvu", col("nv")), "__nvu")
         .select(col("nid"),
@@ -1110,11 +1114,22 @@ object Ann {
   /** Shared append half of [[writeIvfLayout]]: stored-centroid
     * assignment into a NEW list segment (existing segments untouched —
     * probes pinned mid-append are unaffected) published by one atomic
-    * manifest commit, so a failed append is safe to retry blindly. */
-  private def appendToIvfLayout(batch: DataFrame, path: String)(
+    * manifest commit, so a failed append is safe to retry blindly.
+    *
+    * `streamTag` makes the retry idempotent-CHECKABLE, not merely
+    * retry-safe: the tag rides inside the commit's atomic publication,
+    * and the check runs here UNDER the writer lock — so a redelivered
+    * stream batch whose earlier attempt did commit (but died before its
+    * exactly-once marker) is detected and skipped instead of
+    * double-appending its lists segment. A zombie attempt that is still
+    * mid-apply holds the lock (we refuse loudly); one that would commit
+    * after our check has a stale manifest base and collides loudly. */
+  private def appendToIvfLayout(batch: DataFrame, path: String,
+                                streamTag: Option[String] = None)(
       project: (IndexManifest.Snapshot, DataFrame) => DataFrame): Unit =
     IndexLock.withLock(batch.sparkSession, path, "appendToIvfIndex") {
       val spark = batch.sparkSession
+      if (streamTag.exists(IndexManifest.committedTags(spark, path))) return
       val snap = IndexManifest.pin(spark, path)
       val cents = spark.read.parquet(snap.single("centroids"))
       val listSeg = IndexManifest.newSegment("lists")
@@ -1124,7 +1139,8 @@ object Ann {
         s"$path/$listSeg", "cid")
       IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
         "lists" ->
-          (snap.segments("lists") :+ IndexManifest.Segment(listSeg))))
+          (snap.segments("lists") :+ IndexManifest.Segment(listSeg))),
+        tag = streamTag)
     }
 
   /** LSH-pruned embedding near-duplicate pairs — the scale path for the

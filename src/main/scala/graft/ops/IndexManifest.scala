@@ -238,7 +238,8 @@ private[graft] object IndexManifest {
     * in the next slot therefore means the lock was bypassed and fails
     * loudly rather than clobbering. */
   def commit(spark: SparkSession, root: String, base: Option[Snapshot],
-             components: Map[String, Seq[Segment]]): Long = {
+             components: Map[String, Seq[Segment]],
+             tag: Option[String] = None): Long = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -270,6 +271,10 @@ private[graft] object IndexManifest {
         s"could not quarantine torn manifest $file")
     }
     val body = new StringBuilder(Header).append('\n')
+    tag.foreach { t =>
+      require(!t.contains('\n') && t.nonEmpty, s"bad manifest tag '$t'")
+      body.append("#tag=").append(t).append('\n')
+    }
     components.toSeq.sortBy(_._1).foreach { case (name, segs) =>
       require(!name.contains('=') && !name.contains('\n'), s"bad component name $name")
       body.append(name).append('=')
@@ -396,7 +401,7 @@ private[graft] object IndexManifest {
     val in = fs.open(file)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
-    parse(text, file.toString)
+    parse(text, file.toString)._1
   }
 
   /** [[readManifest]] that reports an unreadable or unparseable file as
@@ -404,6 +409,30 @@ private[graft] object IndexManifest {
   private def tryReadComponents(fs: FileSystem,
                                 file: Path): Option[Map[String, Seq[Segment]]] =
     try Some(readManifest(fs, file)) catch { case _: Exception => None }
+
+  /** Tags of every committed (parseable) manifest version still on
+    * disk. A tag travels INSIDE its commit's atomic publication, so
+    * "tag present" is exactly "that commit happened" — the
+    * idempotence check streamed appends run under the writer lock
+    * ([[graft.streaming.StreamOnce]] retrySafe contract). Vacuum
+    * reclaims superseded manifests and their tags with them; the check
+    * only ever asks about the newest batch of an active stream, whose
+    * manifest a concurrent vacuum cannot supersede. */
+  def committedTags(spark: SparkSession, root: String): Set[String] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName).map(_ => st.getPath))
+      .flatMap { file =>
+        try {
+          val in = fs.open(file)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          parse(text, file.toString)._2
+        } catch { case _: Exception => None }
+      }.toSet
+  }
 
   /** Highest PARSEABLE committed version with its components, or None
     * for a fresh/empty layout. Scans version files descending; in
@@ -419,14 +448,22 @@ private[graft] object IndexManifest {
       .map(v => (v, tryReadComponents(fs, new Path(dir, versionFile(v)))))
       .collectFirst { case (v, Some(comps)) => (v, comps) }
 
-  private def parse(text: String, at: String): Map[String, Seq[Segment]] = {
+  /** (components, optional commit tag). Lines starting with `#` are
+    * commit metadata, not components; unknown metadata keys are ignored
+    * (forward compatibility within format version 1). */
+  private def parse(text: String,
+                    at: String): (Map[String, Seq[Segment]], Option[String]) = {
     val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
     if (lines.headOption.forall(_ != Header))
       throw new IllegalStateException(s"unrecognized manifest header in $at")
     if (lines.lastOption.forall(_ != Footer))
       throw new IllegalStateException(
         s"manifest $at has no end marker — torn write or in-flight commit")
-    lines.tail.dropRight(1).map { line =>
+    val body = lines.tail.dropRight(1)
+    val tag = body.collectFirst {
+      case m if m.startsWith("#tag=") => m.stripPrefix("#tag=")
+    }
+    val comps = body.filterNot(_.startsWith("#")).map { line =>
       val eq = line.indexOf('=')
       if (eq < 0) throw new IllegalStateException(s"bad manifest line '$line' in $at")
       val name = line.substring(0, eq)
@@ -442,6 +479,7 @@ private[graft] object IndexManifest {
         }
       name -> segs
     }.toMap
+    (comps, tag)
   }
 
   private def versionFile(v: Long): String = f"v$v%012d"

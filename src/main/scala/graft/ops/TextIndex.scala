@@ -137,16 +137,21 @@ object TextIndex {
     * replaces the pre-manifest "never retry" contract; streaming
     * callers ([[graft.streaming.IndexStream.bm25AppendBatch]]) still
     * stage per-batch committed markers so a REDELIVERED batch that did
-    * commit is skipped, not double-applied. */
+    * commit is skipped, not double-applied — and pass `streamTag`,
+    * which rides inside the commit's atomic publication and is checked
+    * here UNDER the writer lock, closing the marker protocol's residual
+    * window (an attempt that committed but died before its marker). */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                        path: String): Unit =
+                        path: String, streamTag: Option[String] = None): Unit =
     IndexLock.withLock(docs.sparkSession, path, "appendToBm25Index") {
-      appendToBm25Locked(docs, idCol, textCol, path)
+      appendToBm25Locked(docs, idCol, textCol, path, streamTag)
     }
 
   private def appendToBm25Locked(docs: DataFrame, idCol: String, textCol: String,
-                                 path: String): Unit = {
+                                 path: String,
+                                 streamTag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    if (streamTag.exists(IndexManifest.committedTags(spark, path))) return
     val snap = IndexManifest.pin(spark, path)
     val nBuckets = spark.read.parquet(snap.single("stats"))
       .select(col("n_buckets")).first().getInt(0)
@@ -179,7 +184,7 @@ object TextIndex {
       "postings" -> (snap.segments("postings") :+ Segment(postSeg)),
       "terms" -> (snap.segments("terms") :+ Segment(termSeg)),
       "doclen" -> (snap.segments("doclen") :+ Segment(dlSeg)),
-      "stats" -> Seq(Segment(statSeg))))
+      "stats" -> Seq(Segment(statSeg))), tag = streamTag)
   }
 
   /** Logical delete from a [[writeBm25Index]] layout — the

@@ -92,17 +92,26 @@ object StreamOnce {
 
   /** `retrySafe = true` is for sinks whose apply publishes ATOMICALLY
     * (the manifest-versioned index layouts: a crash before the manifest
-    * commit changed nothing): a stale started-without-committed marker
-    * from a crashed attempt is then cleared and the batch re-applied,
-    * instead of the loud partial-failure refusal non-atomic sinks
-    * need. The retry RE-CHECKS the committed marker after clearing the
-    * stale one, so a ZOMBIE attempt (partitioned, not crashed) that
-    * finishes while we decide is skipped, not double-applied; the
-    * residual window — zombie committed its manifest but has not yet
-    * written its committed marker at our re-check — is bounded by the
-    * index writer lock serializing the applies themselves and
-    * surfaces, if ever hit, as the zombie's own committed-marker
-    * create failing loudly (create-if-absent). */
+    * commit changed nothing) AND is itself idempotent-CHECKABLE: the
+    * apply records a per-batch tag inside its atomic commit and, under
+    * the index writer lock, skips when the tag is already committed
+    * ([[IndexStream]] passes `stream-batch-N` through the appends'
+    * `streamTag`). A stale started-without-committed marker from a
+    * crashed attempt is then cleared and the batch re-APPLIED — where
+    * "re-applied" cannot double-count, whatever the prior attempt
+    * reached:
+    *
+    *  - died before its manifest commit → no tag, the retry appends;
+    *  - committed but died before its committed marker (the window the
+    *    marker protocol alone cannot close) → the tag is committed, the
+    *    retry's apply no-ops under the lock and only the marker lands;
+    *  - a ZOMBIE (partitioned, not crashed) still mid-apply → it holds
+    *    the writer lock, the retry refuses loudly;
+    *  - a zombie that would commit after the retry's tag check → its
+    *    manifest base is stale and its commit collides loudly.
+    *
+    * The committed marker is additionally re-checked after clearing the
+    * stale started marker, as the cheap fast path. */
   def appliedOnce(spark: SparkSession, path: String,
                   batchId: Long, what: String,
                   retrySafe: Boolean = false)(apply: => Unit): Unit = {

@@ -13,15 +13,19 @@ import graft.ops.{Ann, TextIndex}
   * [[CurationStream.refreshBatch]]'s corpus refresh.
   *
   * Exactly-once posture: `foreachBatch` delivery is at-least-once and
-  * both appends are NON-IDEMPOTENT (a re-applied batch adds its
-  * postings/lists segment twice), so each writer stages the shared
-  * [[StreamOnce]] per-batch markers under `indexPath/_stream_batches` —
-  * committed replays skip; a started-without-committed marker retries
-  * SAFELY, because the manifest-versioned appends publish atomically
-  * (a crashed attempt left only orphan segments, never half-applied
-  * state). State across restarts rides the stream checkpoint (offsets)
-  * plus the markers (applied-batch set); both live outside the
-  * executors, so a new cluster resumes correctly.
+  * a BLIND re-append would add its postings/lists segment twice, so
+  * each writer stages the shared [[StreamOnce]] per-batch markers under
+  * `indexPath/_stream_batches` (committed replays skip) AND hands the
+  * append a `stream-batch-N` tag that rides inside the manifest
+  * commit's atomic publication: a started-without-committed marker
+  * retries SAFELY because the re-applied append first checks the tag
+  * under the index writer lock and no-ops when the prior attempt's
+  * commit did land (the double-count window the markers alone could
+  * not close). One stream per index layout — the marker directory and
+  * the batch-id tag space are both layout-scoped. State across
+  * restarts rides the stream checkpoint (offsets) plus the markers
+  * (applied-batch set); both live outside the executors, so a new
+  * cluster resumes correctly.
   */
 object IndexStream {
 
@@ -35,16 +39,17 @@ object IndexStream {
     * a 3-micro-batch run with a restart. */
   def ivfAppendBatch(indexPath: String,
                      variant: String = "flat"): (DataFrame, Long) => Unit = {
-    val append: DataFrame => Unit = variant match {
-      case "flat" => Ann.appendToIvfIndex(_, indexPath)
-      case "sq8"  => Ann.appendToIvfIndexSq8(_, indexPath)
-      case "pq"   => Ann.appendToIvfIndexPq(_, indexPath)
+    val append: (DataFrame, Option[String]) => Unit = variant match {
+      case "flat" => Ann.appendToIvfIndex(_, indexPath, _)
+      case "sq8"  => Ann.appendToIvfIndexSq8(_, indexPath, _)
+      case "pq"   => Ann.appendToIvfIndexPq(_, indexPath, _)
+      case "bin"  => Ann.appendToIvfIndexBin(_, indexPath, _)
       case other  => throw new IllegalArgumentException(
-        s"unknown IVF variant '$other' (flat | sq8 | pq)")
+        s"unknown IVF variant '$other' (flat | sq8 | pq | bin)")
     }
     (batchDf, batchId) =>
-      appliedOnce(batchDf.sparkSession, indexPath, batchId, "IVF") {
-        if (!batchDf.isEmpty) append(batchDf)
+      appliedOnce(batchDf.sparkSession, indexPath, batchId, "IVF") { tag =>
+        if (!batchDf.isEmpty) append(batchDf, tag)
       }
   }
 
@@ -54,18 +59,21 @@ object IndexStream {
   def bm25AppendBatch(indexPath: String, idCol: String,
                       textCol: String): (DataFrame, Long) => Unit =
     (batchDf, batchId) =>
-      appliedOnce(batchDf.sparkSession, indexPath, batchId, "BM25") {
+      appliedOnce(batchDf.sparkSession, indexPath, batchId, "BM25") { tag =>
         if (!batchDf.isEmpty)
-          TextIndex.appendToBm25Index(batchDf, idCol, textCol, indexPath)
+          TextIndex.appendToBm25Index(batchDf, idCol, textCol, indexPath, tag)
       }
 
   /** Run `append` exactly once per (indexPath, batchId): skip committed
-    * replays; a started-but-uncommitted marker retries safely, because
-    * the manifest-versioned index appends publish atomically — a
-    * crashed attempt changed nothing (shared [[StreamOnce]] marker
-    * contract, retrySafe mode). */
+    * replays via the [[StreamOnce]] markers; a started-but-uncommitted
+    * marker retries SAFELY because the appends are idempotent-checkable
+    * — the per-batch tag handed to `append` rides inside the manifest
+    * commit and is re-checked under the index writer lock, so a prior
+    * attempt that committed but died before its marker no-ops instead
+    * of double-applying (retrySafe contract, [[StreamOnce]]). */
   private def appliedOnce(spark: SparkSession, indexPath: String,
-                          batchId: Long, what: String)(append: => Unit): Unit =
+                          batchId: Long, what: String)
+                         (append: Option[String] => Unit): Unit =
     StreamOnce.appliedOnce(spark, indexPath, batchId, s"$what index",
-      retrySafe = true)(append)
+      retrySafe = true)(append(Some(s"stream-batch-$batchId")))
 }
