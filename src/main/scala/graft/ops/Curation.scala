@@ -445,9 +445,13 @@ object Curation {
     val blocks = split(stripNonContent(html), blockPattern(SegmentTags))
     val scored = transform(blocks, b =>
       struct(blockText(b).as("t"), anchorChars(b).as("a")))
+    // density rounds to 9 dp BEFORE the threshold — the same gate
+    // definition as [[boilerplateBlocks]], so the two public faces
+    // cannot disagree on a boundary block (float quotients straddling
+    // the threshold by <1e-9)
     val content = filter(scored, s =>
       length(s.getField("t")) >= minChars &&
-        s.getField("a").cast("double") / length(s.getField("t"))
+        round(s.getField("a").cast("double") / length(s.getField("t")), 9)
           <= maxLinkDensity)
     decodeEntities(
       array_join(transform(content, _.getField("t")), "\n"))

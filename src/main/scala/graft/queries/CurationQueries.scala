@@ -1117,7 +1117,7 @@ object CurationQueries {
            |    COALESCE(array_to_string(list_transform(list_filter(
            |      regexp_split_to_array(p,
            |        '(?i)<(?:${graft.ops.Curation.SegmentTags})(?:[^a-zA-Z0-9>][^>]*)?>'),
-           |      b -> len($bt) >= 15 AND $anch / len($bt) <= 0.33),
+           |      b -> len($bt) >= 15 AND round($anch / len($bt), 9) <= 0.33),
            |      b -> $bt), chr(10)), '') AS jt
            |  FROM pre),
            |cont AS (
