@@ -20,6 +20,9 @@ libraryDependencies ++= Seq(
 //                                              (round 8 attempt: "Not
 //                                               found" from the offline
 //                                               coursier cache)
+// Re-checked round 14 (2026-08-16): Maven Central still unreachable
+// (curl 000 for delta-spark and mysql paths); no new artifact in the
+// offline coursier cache — the blocker is environmental, unchanged.
 // Re-checked round 11 (2026-08-15): no delta/iceberg artifact in
 // /root/.cache/coursier or /opt, and Maven Central DNS does not
 // resolve (curl rc=6) — the blocker is environmental, unchanged.
