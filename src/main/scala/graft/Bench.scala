@@ -28,9 +28,12 @@ import org.apache.spark.sql.SparkSession
   * and late-pass queries degraded 10-100x (q_group_agg 126 s in r4 vs
   * 0.4 s clean). Every runOne now drops all persisted blocks + cached
   * plans, and the status store keeps only a handful of executions.
-  * The headline pass is best-of-2 per query so a transient external
-  * stall (the r2 "alphabetically contiguous slow block") cannot
-  * masquerade as a regression.
+  * The headline figure is the median of 3 passes per query (r14 —
+  * best-of-2 before that let a single contended pass decide, and
+  * r10/r12/r13 each spent a session adjudicating the resulting
+  * hotter-machine false flag) so a transient external stall (the r2
+  * "alphabetically contiguous slow block") cannot masquerade as a
+  * regression.
   *
   * BENCH_r06 root cause (the gate flagged 3 UNCHANGED trivial queries
   * 3-8x slow; an instrumented re-run flagged a DIFFERENT set, with
@@ -179,12 +182,18 @@ object Bench {
         r
       }
 
-    // best-of-N per query: a -1.0 error marker survives only if the
-    // query failed in every run
-    def minByQuery(runs: Seq[Seq[(String, Double)]]): Seq[(String, Double)] =
+    // median-of-N per query (lower median when the valid count is
+    // even): r10/r12/r13 each burned a session adjudicating a
+    // hotter-machine false flag that best-of-2 let through — one
+    // contended pass out of two decided the headline. The median of
+    // three needs TWO slow passes to move, so a transient stall cannot
+    // masquerade as a regression, while a real plan change still
+    // shows in all three. A -1.0 error marker survives only if the
+    // query failed in every run.
+    def medByQuery(runs: Seq[Seq[(String, Double)]]): Seq[(String, Double)] =
       runs.transpose.map { ts =>
-        val ok = ts.filter(_._2 >= 0)
-        if (ok.isEmpty) ts.head else ok.minBy(_._2)
+        val ok = ts.map(_._2).filter(_ >= 0).sorted
+        if (ok.isEmpty) ts.head else (ts.head._1, ok((ok.size - 1) / 2))
       }
 
     def toJson(rs: Seq[(String, Double)]): String =
@@ -194,7 +203,8 @@ object Bench {
     // second. Skip the small pass when it IS the headline dir.
     val pass1 = timeAll(sfDir, trackGc = true)
     val pass2 = timeAll(sfDir, trackGc = true)
-    val results = minByQuery(Seq(pass1, pass2))
+    val pass3 = timeAll(sfDir, trackGc = true)
+    val results = medByQuery(Seq(pass1, pass2, pass3))
     val small = if (hasSmallPass) timeAll(smallDir) else Seq.empty
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallTotal = small.map(_._2).filter(_ >= 0).sum
@@ -215,7 +225,7 @@ object Bench {
     def toJsonL(rs: Iterable[(String, Long)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail = s"""{"queries":${toJson(results)},"sf":"$sfDir",""" +
-      s""""pass1":${toJson(pass1)},"pass2":${toJson(pass2)},""" +
+      s""""pass1":${toJson(pass1)},"pass2":${toJson(pass2)},"pass3":${toJson(pass3)},""" +
       s""""gc_ms":${toJsonL(gcByQuery)},"heap_mb":${toJsonL(heapByQuery)},""" +
       s""""total_sf0.01":$smallTotal,"queries_sf0.01":${toJson(small)}$prevSf1}"""
     // only a FULL run owns the diagnostics artifact: a dev-loop subset
@@ -231,8 +241,9 @@ object Bench {
     // per-query regression gate (VERDICT r2 item 7): compare the
     // headline pass against the committed clean-run reference; a query
     // >1.5x its reference AND >0.5 s absolute (so sub-second noise
-    // can't trip it) is flagged in the headline. Best-of-2 already
-    // re-ran it once, so a flag is a real regression, not contention.
+    // can't trip it) is flagged in the headline. The median-of-3
+    // headline needs two slow passes to move, so a flag means the
+    // query was slow in most runs — a real regression, not contention.
     // parse defensively: a malformed line (header, typo) must not
     // crash AFTER both timed passes and cost the headline JSON line;
     // the optional "# sf=<dir>" comment keys the reference to the SF

@@ -393,6 +393,75 @@ object SimilarityQueries {
       deletedRecallGate(e, p)
     }),
 
+    // SEGMENT COMPACTION + VACUUM for the vector index (VERDICT r13
+    // item 2 — the last two lifecycle verbs the driver never ran):
+    // build over 80%, absorb two appends (lists at 3 segments — the
+    // probe fan-in), COMPACT to one, VACUUM the superseded
+    // directories, then run the standard recall gate on the compacted
+    // index. Lifecycle facts ride as oracle-checked constants:
+    // n_collapsed (2), post-compact lists segment count (1),
+    // probe_unchanged (pre == post compact, checkpointed, symmetric
+    // exceptAll — compaction preserves logical state verbatim), and
+    // the vacuumed pre-compact version refusing a pin.
+    "q_ann_ivf_compact" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val p = scratchDir("graft-ivf-cpt", dir)
+      Ann.writeIvfIndex(e.filter(col("id") % 5 =!= 0), p,
+        nLists = 16, trainIters = 2)
+      Ann.appendToIvfIndex(e.filter(col("id") % 10 === 0), p)
+      Ann.appendToIvfIndex(e.filter(col("id") % 10 === 5), p)
+      val qs = e.filter(col("id") < 8)
+      def probeDf = Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4)
+      val pre = graft.ops.Reliable.checkpoint(probeDf)
+      val vPre = graft.ops.IndexManifest.pin(s, p).version
+      val nCollapsed = Ann.compactIvfIndex(s, p)
+      val post = graft.ops.Reliable.checkpoint(probeDf)
+      val unchanged = post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      val nListSegs = graft.ops.IndexManifest.pin(s, p).segments("lists").size
+      Ann.vacuumIvfIndex(s, p)
+      val refused =
+        try {
+          Ann.probeIvfIndex(qs, p, k = 5, asOfVersion = Some(vPre))
+            .limit(1).collect()
+          false
+        } catch { case _: IllegalStateException => true }
+      annRecallCheck(probeDf, e)
+        .withColumn("n_collapsed", lit(nCollapsed))
+        .withColumn("n_list_segments", lit(nListSegs))
+        .withColumn("probe_unchanged", lit(unchanged))
+        .withColumn("pre_vacuum_pin_refused", lit(refused))
+    }),
+
+    // TIME-TRAVEL probe of the vector index (VERDICT r13 item 5 — the
+    // q_bm25_time_travel twin, previously spec-only): build over 80%
+    // (v1), capture the current probe, APPEND the 20% batch (v2), then
+    // probe AS OF v1. The pinned earlier snapshot must answer exactly
+    // the pre-append probe (a complete, consistent index even after
+    // later commits), while the current probe must have absorbed the
+    // batch — both checked by symmetric exceptAll over checkpointed
+    // (qid, rank, nid) triples and emitted as oracle constants.
+    "q_ann_ivf_time_travel" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val p = scratchDir("graft-ivf-ttq", dir)
+      Ann.writeIvfIndex(e.filter(col("id") % 5 =!= 0), p,
+        nLists = 16, trainIters = 2)
+      val qs = e.filter(col("id") < 8)
+      def probe(asOf: Option[Long]) =
+        Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4, asOfVersion = asOf)
+          .select(col("qid"), col("rank"), col("nid"))
+      val v1 = graft.ops.IndexManifest.pin(s, p).version
+      val pre = graft.ops.Reliable.checkpoint(probe(None))
+      Ann.appendToIvfIndex(e.filter(col("id") % 5 === 0), p)
+      val tt = graft.ops.Reliable.checkpoint(probe(Some(v1)))
+      val cur = graft.ops.Reliable.checkpoint(probe(None))
+      val ttEq = tt.exceptAll(pre).isEmpty && pre.exceptAll(tt).isEmpty
+      val curDiff = !(cur.exceptAll(pre).isEmpty && pre.exceptAll(cur).isEmpty)
+      tt.groupBy(col("qid")).agg(count(lit(1)).as("n_returned"))
+        .withColumn("tt_equals_pre_append", lit(ttEq))
+        .withColumn("append_changed_current", lit(curDiff))
+        .orderBy(col("qid"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (dedup flavor over vectors):
     // all pairs above a cosine threshold, id_a < id_b. Brute-force here
     // (correctness surface); the LSH/IVF candidate pruning above is the
@@ -972,6 +1041,24 @@ recallConstOracle(k = 5, depth = 20),
 
     "q_ann_ivf_append" ->
 recallConstOracle(k = 5, depth = 20),
+
+    // recall gate over the compacted index plus structural lifecycle
+    // constants: 3 lists segments collapse to 1 (n_collapsed 2), the
+    // pre/post-compact probes compare equal, the vacuumed pre-compact
+    // version refuses a pin
+    "q_ann_ivf_compact" ->
+      s"""SELECT o.*, CAST(2 AS INTEGER) AS n_collapsed,
+         |  CAST(1 AS INTEGER) AS n_list_segments,
+         |  TRUE AS probe_unchanged, TRUE AS pre_vacuum_pin_refused
+         |FROM (${recallConstOracle(k = 5, depth = 20)}) o
+         |ORDER BY qid""".stripMargin,
+
+    // k rows per query from the as-of probe; the equality facts are
+    // Spark-side exceptAll checks emitted as constants
+    "q_ann_ivf_time_travel" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  TRUE AS tt_equals_pre_append, TRUE AS append_changed_current
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_embed_neardup_lsh" ->
       "SELECT TRUE AS recall_ok, TRUE AS no_false_pairs, TRUE AS has_pairs",

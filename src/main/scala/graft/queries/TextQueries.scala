@@ -526,6 +526,55 @@ object TextQueries {
       TextIndex.describeBm25Index(s, base).orderBy(col("component"))
     }),
 
+    // SEGMENT COMPACTION + VACUUM — the last two verbs of the index
+    // lifecycle, driver-visible (VERDICT r13 item 2): build over 60%
+    // of the corpus, absorb two appends (postings/terms/doclen at 3
+    // segments each — the probe fan-in compaction exists to collapse),
+    // COMPACT to one segment per component, then VACUUM the superseded
+    // directories. The emitted probe runs AFTER both maintenance ops
+    // and must equal the oracle's ad-hoc BM25 over the full corpus;
+    // the lifecycle facts ride as oracle-checked constants:
+    // n_collapsed (6 = 9 data segments − 3), the post-compact postings
+    // segment count (1), probe_unchanged (pre-compact probe ==
+    // post-compact probe, both checkpointed, compared by symmetric
+    // exceptAll — logical state preserved verbatim), and the
+    // reader-grace contract made loud: a pin of the pre-compact
+    // version REFUSES after vacuum reclaimed its directories.
+    "q_index_compact" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft-bm25-cpt", dir)
+      val d = docs(s, dir)
+      TextIndex.writeBm25Index(d.filter(col("doc_id") % 5 < 3),
+        "doc_id", "text", base, nBuckets = 16)
+      TextIndex.appendToBm25Index(d.filter(col("doc_id") % 5 === 3),
+        "doc_id", "text", base)
+      TextIndex.appendToBm25Index(d.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", base)
+      def probeDf = bm25RankHead(
+          TextIndex.probeBm25Index(s, base, Seq("hash", "join", "stream")),
+          "doc_id")
+        .select(col("rank"), col("doc_id"), col("matched_terms"),
+          col("matched_tf"), col("score_r9"))
+      val pre = graft.ops.Reliable.checkpoint(probeDf)
+      val vPre = graft.ops.IndexManifest.pin(s, base).version
+      val nCollapsed = TextIndex.compactBm25Index(s, base)
+      val post = graft.ops.Reliable.checkpoint(probeDf)
+      val unchanged = post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      val nPostSegs = graft.ops.IndexManifest.pin(s, base)
+        .segments("postings").size
+      TextIndex.vacuumBm25Index(s, base)
+      val refused =
+        try {
+          TextIndex.probeBm25Index(s, base, Seq("hash"),
+            asOfVersion = Some(vPre)).limit(1).collect()
+          false
+        } catch { case _: IllegalStateException => true }
+      probeDf // fresh probe AFTER vacuum: serving survives reclamation
+        .withColumn("n_collapsed", lit(nCollapsed))
+        .withColumn("n_postings_segments", lit(nPostSegs))
+        .withColumn("probe_unchanged", lit(unchanged))
+        .withColumn("pre_vacuum_pin_refused", lit(refused))
+    }),
+
     // TIME-TRAVEL probe (the manifest layout's free Iceberg-class
     // read): build the index over the 80% corpus (manifest v1), APPEND
     // the 20% batch (v2), then probe AS OF v1 — the answer must be the
@@ -1252,6 +1301,18 @@ object TextQueries {
         |FROM (VALUES ('doclen', 2), ('postings', 2), ('stats', 1),
         |  ('terms', 2), ('tombstones', 0)) AS t(component, n_segments), n
         |ORDER BY component""".stripMargin,
+
+    // post-compact+vacuum probe over the full corpus (compaction and
+    // reclamation preserve logical state verbatim); the lifecycle
+    // facts are structural constants — 9 data segments collapse to 3
+    // (n_collapsed 6), postings lands at one segment, the pre/post
+    // probes compare equal, and the vacuumed pre-compact version
+    // refuses a pin
+    "q_index_compact" ->
+      s"""SELECT o.*, CAST(6 AS INTEGER) AS n_collapsed,
+         |  CAST(1 AS INTEGER) AS n_postings_segments,
+         |  TRUE AS probe_unchanged, TRUE AS pre_vacuum_pin_refused
+         |FROM (${bm25CorpusOracle("")}) o ORDER BY rank""".stripMargin,
 
     // after delete + purge, the index must answer EXACTLY like a
     // rebuild over the surviving corpus — same math, survivors only
