@@ -21,22 +21,21 @@ import org.apache.spark.sql.types.DecimalType
   * batch arrival order — double sums would drift by summation order
   * and break the absorb==one-shot contract (AggStateSpec pins it).
   *
-  * Layout under `path`:
-  *   state/kb=<bucket>/…  aggregate rows partitioned by key-hash bucket
-  *   meta/                keys, value columns, bucket count
-  * The path ROOT stays free for sibling metadata (RollupStream's
-  * _stream_batches markers).
-  *
-  * The append is read-merge-overwrite on the touched buckets; it is
-  * NOT atomic across buckets and NOT idempotent — do not blindly
-  * retry a failed append: rebuild the state (or restore a snapshot).
-  * Streamed absorption gets exactly-once via [[graft.streaming
-  * .RollupStream]]'s per-batch markers.
+  * Layout under `path` (manifest-versioned — [[StateStore]] /
+  * [[IndexManifest]]): component `state` holds kb-partitioned segment
+  * directories; component `meta` holds keys, value columns, bucket
+  * count. An append writes the merged TOUCHED buckets as one NEW
+  * segment and annotates the old segments' touched buckets out of the
+  * logical view (the BM25-purge exclude posture — no stored file
+  * moves), publishing ONE atomic manifest commit. Consequences the
+  * r12 in-place layout could not offer: a reader pinned mid-append
+  * sees fully-old state; a crash before the commit changes nothing,
+  * so a failed append is SAFE TO RETRY BLINDLY; and the streamed twin
+  * ([[graft.streaming.RollupStream]]) passes a `streamTag` through the
+  * commit for idempotent-checkable retries. Superseded segments are
+  * reclaimed by [[vacuumAggState]].
   */
 object AggState {
-
-  private def stateDir(path: String) = s"$path/state"
-  private def metaDir(path: String) = s"$path/meta"
 
   private def bucketOf(keys: Seq[String], nBuckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
@@ -82,26 +81,25 @@ object AggState {
     import spark.implicits._
     val agg = Reliable.checkpoint(
       aggregate(df, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
-    // a partitioned write of an EMPTY frame loses the schema (no
-    // partition dirs to read back) — an empty seed writes meta only
-    // (including the full state schema as JSON, so an empty-seeded
-    // state is still READABLE), and the first non-empty append lays
-    // the state down
-    if (!agg.isEmpty)
-      agg.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
-    // keys/value_cols persist as array<string> — a comma-joined string
-    // would silently mis-split a column name containing ','
-    Seq((keys, valueCols, nBuckets, agg.drop("kb").schema.json))
-      .toDF("keys", "value_cols", "n_buckets", "state_schema")
-      .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
+    StateStore.seed(spark, path, "writeAggState")(
+      // writeBucketed: an EMPTY seed writes unpartitioned, preserving
+      // the schema, so an empty-seeded state reads back as the empty
+      // rollup instead of a path failure
+      "state" -> (d => IndexManifest.writeBucketed(agg, d, "kb")),
+      // keys/value_cols persist as array<string> — a comma-joined
+      // string would silently mis-split a column name containing ','
+      "meta" -> (d => Seq((keys, valueCols, nBuckets, agg.drop("kb").schema.json))
+        .toDF("keys", "value_cols", "n_buckets", "state_schema")
+        .coalesce(1).write.mode("overwrite").parquet(d)))
   }
 
   private case class Meta(keys: Seq[String], valueCols: Seq[String],
                           nBuckets: Int,
                           stateSchema: org.apache.spark.sql.types.StructType)
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
-    val df = spark.read.parquet(metaDir(path))
+  private def readMeta(spark: SparkSession,
+                       snap: IndexManifest.Snapshot): Meta = {
+    val df = spark.read.parquet(snap.single("meta"))
     // format detection: the pre-array-meta layout stored keys/value_cols
     // as comma-joined strings and had no state_schema column — surface
     // a named, actionable error instead of an unresolved-column
@@ -109,7 +107,7 @@ object AggState {
     val legacy = !df.columns.contains("state_schema") ||
       df.schema("keys").dataType == org.apache.spark.sql.types.StringType
     if (legacy) throw new IllegalStateException(
-      s"agg state at $path was written by an older graft meta format " +
+      s"agg state at ${snap.root} was written by an older graft meta format " +
         "(comma-joined keys, no state_schema); re-seed it with " +
         "writeAggState from the source data — the meta format is not " +
         "auto-migrated because the old comma-split keys may be wrong " +
@@ -121,55 +119,56 @@ object AggState {
   }
 
   /** Absorb a batch: one pass over the BATCH, then read ONLY the state
-    * buckets whose keys the batch touches (partition-pruned scan),
-    * merge additively, and dynamic-overwrite those buckets alone.
-    * Cost is O(batch + touched buckets) at any corpus size. */
-  def appendAggState(batch: DataFrame, path: String): Unit = {
+    * buckets whose keys the batch touches (partition-pruned scan
+    * through the pinned snapshot), merge additively, and publish the
+    * merged buckets as one NEW segment with the old segments' touched
+    * buckets excluded — one atomic manifest commit; no stored file
+    * moves. Cost is O(batch + touched buckets) at any corpus size. */
+  def appendAggState(batch: DataFrame, path: String,
+                     streamTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val Meta(keys, valueCols, nBuckets, _) = readMeta(spark, path)
-    val batchAgg = Reliable.checkpoint(
-      aggregate(batch, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
-    // touched bucket ids collect to the driver (<= nBuckets ints — the
-    // bounded-scalar-read exception, same as the BM25 append)
-    val touched = batchAgg.select(col("kb")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    // an empty-seeded state has meta but no state dir yet — this first
-    // non-empty batch lays it down
-    val stateExists = new org.apache.hadoop.fs.Path(stateDir(path))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(stateDir(path)))
-    if (!stateExists) {
-      batchAgg.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
-      return
-    }
-    val existing = spark.read.parquet(stateDir(path))
-      .filter(col("kb").isin(touched.map(Integer.valueOf): _*))
-    val merged = Reliable.checkpoint(
-      merge(existing.drop("kb"), batchAgg.drop("kb"), keys, valueCols)
-        .withColumn("kb", bucketOf(keys, nBuckets)))
-    Scale.withDynamicOverwrite(spark) {
-      merged.write.partitionBy("kb").mode("overwrite").parquet(stateDir(path))
+    StateStore.mutate(spark, path, "appendAggState", streamTag) { snap =>
+      val Meta(keys, valueCols, nBuckets, _) = readMeta(spark, snap)
+      val batchAgg = Reliable.checkpoint(
+        aggregate(batch, keys, valueCols).withColumn("kb", bucketOf(keys, nBuckets)))
+      // touched bucket ids collect to the driver (<= nBuckets ints —
+      // the bounded-scalar-read exception, same as the BM25 append)
+      val touched = batchAgg.select(col("kb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) Map.empty
+      else {
+        val existing = snap.read(spark, "state", Some("kb")).get
+          .filter(col("kb").isin(touched.map(Integer.valueOf): _*))
+        val merged = merge(existing.drop("kb"), batchAgg.drop("kb"), keys, valueCols)
+          .withColumn("kb", bucketOf(keys, nBuckets))
+        val seg = IndexManifest.newSegment("state")
+        IndexManifest.writeBucketed(merged, s"$path/$seg", "kb")
+        // annotate the old segments; a fully-excluded segment (e.g. the
+        // empty seed) drops so vacuum can reclaim it (shared seam)
+        val olds = IndexManifest.excludeTouched(spark, path, snap,
+          "state", "kb", touched.map(_.toLong).toSet)
+        Map("state" -> (olds :+ IndexManifest.Segment(seg)))
+      }
     }
   }
 
   /** Read the state as a rollup: keys + n_rows + per-value cnt/sum/
-    * min/max/avg (avg derived as sum/cnt — DECIMAL(38,6)-exact). */
+    * min/max/avg (avg derived as sum/cnt — DECIMAL(38,6)-exact). One
+    * pin: meta and every state segment come from the same snapshot. */
   def readAggState(spark: SparkSession, path: String): DataFrame = {
-    val meta = readMeta(spark, path)
+    val snap = StateStore.snapshot(spark, path)
+    val meta = readMeta(spark, snap)
     val derived = meta.valueCols.map { v =>
       (col(s"${v}_sum") / col(s"${v}_cnt")).cast(DecimalType(38, 6)).as(s"${v}_avg")
     }
-    // an empty-seeded state has meta but no state dir yet (the case
-    // writeAggState documents) — read it as the EMPTY rollup with the
-    // persisted schema, not a path-not-found failure
-    val stateExists = new org.apache.hadoop.fs.Path(stateDir(path))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(stateDir(path)))
-    val st =
-      if (stateExists) spark.read.parquet(stateDir(path)).drop("kb")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        meta.stateSchema)
+    val st = snap.read(spark, "state", Some("kb")).map(_.drop("kb"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.stateSchema))
     st.select(st.columns.map(col) ++ derived: _*)
   }
+
+  /** Reclaim superseded state segments and manifest versions
+    * ([[StateStore.vacuum]]); callers own the reader-grace contract. */
+  def vacuumAggState(spark: SparkSession, path: String): Seq[String] =
+    StateStore.vacuum(spark, path, "vacuumAggState")
 }

@@ -121,37 +121,38 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
-  // the parquet lives under statePath/state so the statePath ROOT can
-  // host sibling metadata (ProfileStream's _stream_batches markers)
-  // without the overwrite-merge wiping it
-  private def stateDir(statePath: String): String = s"$statePath/state"
-
-  /** Seed the mergeable profile state at `statePath` (overwrite). */
+  /** Seed the mergeable profile state at `statePath` (overwrite
+    * semantics). Manifest-versioned ([[StateStore]]): seeds and
+    * absorbs publish atomically; concurrent readers are
+    * snapshot-isolated; `streamTag` gives the streamed twin
+    * ([[graft.streaming.ProfileStream]]) idempotent retries. */
   def writeProfileState(df: DataFrame, cols: Seq[String], statePath: String): Unit =
-    profileState(df, cols).write.mode("overwrite").parquet(stateDir(statePath))
+    StateStore.seed(df.sparkSession, statePath, "writeProfileState")(
+      "state" -> (d =>
+        profileState(df, cols).write.mode("overwrite").parquet(d)))
 
   /** Absorb a batch into the stored state: one pass over the BATCH,
     * then a state-sized merge (sum counts, HLL union, min/least /
     * max/greatest) — the profiled corpus is never rescanned. */
   def appendProfileState(batch: DataFrame, cols: Seq[String],
-                         statePath: String): Unit = {
-    val spark = batch.sparkSession
-    val merged = Reliable.checkpoint(
-      spark.read.parquet(stateDir(statePath)).select(stateCols.map(col): _*)
+                         statePath: String,
+                         streamTag: Option[String] = None): Unit =
+    StateStore.absorbSingle(batch.sparkSession, statePath,
+      "appendProfileState", streamTag = streamTag) { st =>
+      st.select(stateCols.map(col): _*)
         .unionByName(profileState(batch, cols))
         .groupBy(col("column"))
         .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
           hll_union_agg(col("nd_sketch")).as("nd_sketch"),
-          min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num")))
-    merged.select(stateCols.map(col): _*)
-      .write.mode("overwrite").parquet(stateDir(statePath))
-  }
+          min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"))
+        .select(stateCols.map(col): _*)
+    }
 
   /** Read the state as a profile: (column, n_rows, n_null,
     * n_distinct_est, min_num, max_num). */
   def readProfileState(spark: org.apache.spark.sql.SparkSession,
                        statePath: String): DataFrame =
-    spark.read.parquet(stateDir(statePath))
+    StateStore.readSingle(spark, statePath)
       .select(col("column"), col("n_rows"), col("n_null"),
         hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"),
         col("min_num"), col("max_num"))
@@ -242,11 +243,15 @@ object Profile {
     * comparability is structural, not a caller promise. */
   def driftFromState(spark: org.apache.spark.sql.SparkSession,
                      statePath: String, batch: DataFrame): DataFrame = {
-    val m = spark.read.parquet(s"$statePath/meta").first()
+    // ONE pin: bin counts and bounds come from the same snapshot — an
+    // absorb or reseed committing between the two reads cannot pair
+    // fresh counts with stale bounds
+    val snap = StateStore.snapshot(spark, statePath)
+    val m = spark.read.parquet(snap.single("meta")).first()
     val (colName, lo, hi, nBins) =
       (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
     driftFromCounts(spark,
-      spark.read.parquet(histStateDir(statePath)),
+      spark.read.parquet(snap.single("state")),
       histBins(batch, colName, lo, hi, nBins), nBins)
   }
 
@@ -425,8 +430,6 @@ object Profile {
   // not silently clamped. Approximate quantiles then come from
   // [[histQuantile]] without ever rescanning the corpus.
 
-  private def histStateDir(path: String) = s"$path/state"
-
   private def histBins(df: DataFrame, colName: String, lo: Double, hi: Double,
                        nBins: Int): DataFrame = {
     val w = (hi - lo) / nBins
@@ -439,31 +442,42 @@ object Profile {
   }
 
   /** Seed the histogram state: bounds [lo, hi), `nBins` equi-width
-    * bins, plus the −1 (below) and nBins (above) overflow bins. */
+    * bins, plus the −1 (below) and nBins (above) overflow bins.
+    * Manifest-versioned ([[StateStore]]) with TWO components — the bin
+    * counts ("state", replaced per absorb) and the bounds ("meta",
+    * immutable after seed) — so readers resolve both through one
+    * pinned snapshot and can never pair fresh counts with stale
+    * bounds across a reseed. */
   def writeHistState(df: DataFrame, colName: String, lo: Double, hi: Double,
                      nBins: Int, statePath: String): Unit = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val spark = df.sparkSession
     import spark.implicits._
-    val meta = Seq((colName, lo, hi, nBins)).toDF("column", "lo", "hi", "n_bins")
-    histBins(df, colName, lo, hi, nBins)
-      .write.mode("overwrite").parquet(histStateDir(statePath))
-    meta.coalesce(1).write.mode("overwrite").parquet(s"$statePath/meta")
+    StateStore.seed(spark, statePath, "writeHistState")(
+      "state" -> (d => histBins(df, colName, lo, hi, nBins)
+        .write.mode("overwrite").parquet(d)),
+      "meta" -> (d => Seq((colName, lo, hi, nBins))
+        .toDF("column", "lo", "hi", "n_bins")
+        .coalesce(1).write.mode("overwrite").parquet(d)))
   }
 
   /** Absorb a batch: one pass over the BATCH, then a bin-count merge
     * (≤ nBins + 2 rows on the state side). */
-  def appendHistState(batch: DataFrame, statePath: String): Unit = {
+  def appendHistState(batch: DataFrame, statePath: String,
+                      streamTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val m = spark.read.parquet(s"$statePath/meta").first()
-    val (colName, lo, hi, nBins) =
-      (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
-    val merged = Reliable.checkpoint(
-      spark.read.parquet(histStateDir(statePath))
+    StateStore.mutate(spark, statePath, "appendHistState", streamTag) { snap =>
+      val m = spark.read.parquet(snap.single("meta")).first()
+      val (colName, lo, hi, nBins) =
+        (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
+      val seg = IndexManifest.newSegment("state")
+      spark.read.parquet(snap.single("state"))
         .unionByName(histBins(batch, colName, lo, hi, nBins))
-        .groupBy(col("bin")).agg(sum(col("n_rows")).as("n_rows")))
-    merged.write.mode("overwrite").parquet(histStateDir(statePath))
+        .groupBy(col("bin")).agg(sum(col("n_rows")).as("n_rows"))
+        .write.mode("overwrite").parquet(s"$statePath/$seg")
+      Map("state" -> Seq(IndexManifest.Segment(seg)))
+    }
   }
 
   /** Read the state as a dense histogram: every in-range bin present
@@ -471,10 +485,11 @@ object Profile {
     * (n_below, n_above) columns repeated per row. */
   def readHistState(spark: org.apache.spark.sql.SparkSession,
                     statePath: String): DataFrame = {
-    val m = spark.read.parquet(s"$statePath/meta").first()
+    val snap = StateStore.snapshot(spark, statePath)
+    val m = spark.read.parquet(snap.single("meta")).first()
     val (lo, hi, nBins) = (m.getDouble(1), m.getDouble(2), m.getInt(3))
     val w = (hi - lo) / nBins
-    val counts = spark.read.parquet(histStateDir(statePath))
+    val counts = spark.read.parquet(snap.single("state"))
     val over = counts.agg(
       sum(when(col("bin") === -1, col("n_rows")).otherwise(0L)).as("n_below"),
       sum(when(col("bin") === nBins, col("n_rows")).otherwise(0L)).as("n_above"))

@@ -126,16 +126,17 @@ object Sketch {
       .agg(count(lit(1)).as("n_rows"), minK.as("sample"))
   }
 
-  private def sampleStateDir(statePath: String): String = s"$statePath/state"
-
-  /** Seed the persisted min-k sample state at `statePath` (overwrite) —
-    * the quantile member of the mergeable-state family
-    * (Profile/AggState posture): one bounded row per group. */
+  /** Seed the persisted min-k sample state at `statePath` (overwrite
+    * semantics) — the quantile member of the mergeable-state family
+    * (Profile/AggState posture): one bounded row per group. The layout
+    * is manifest-versioned ([[StateStore]]): seeds and absorbs publish
+    * atomically and concurrent readers are snapshot-isolated. */
   def writeSampleState(df: DataFrame, groupCols: Seq[String],
                        idCols: Seq[Column], value: Column, m: Int,
                        statePath: String): Unit =
-    minKSample(df, groupCols, idCols, value, m)
-      .write.mode("overwrite").parquet(sampleStateDir(statePath))
+    StateStore.seed(df.sparkSession, statePath, "writeSampleState")(
+      "state" -> (d => minKSample(df, groupCols, idCols, value, m)
+        .write.mode("overwrite").parquet(d)))
 
   /** Re-trim a frame of per-part samples — (groupCols..., n_rows,
     * sample) rows, one per (part, group) — back to ONE min-k row per
@@ -165,24 +166,25 @@ object Sketch {
 
   /** Absorb a batch into the stored sample: one min-k pass over the
     * BATCH, then a state-sized [[mergeSamples]] re-trim. The sampled
-    * corpus is never rescanned. */
+    * corpus is never rescanned. Publishes atomically as the next state
+    * version (safe to retry blindly; concurrent readers pinned to the
+    * prior version are untouched). */
   def absorbSampleState(batch: DataFrame, groupCols: Seq[String],
                         idCols: Seq[Column], value: Column, m: Int,
-                        statePath: String): Unit = {
-    val spark = batch.sparkSession
-    val unioned = spark.read.parquet(sampleStateDir(statePath))
-      .select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
-      .unionByName(minKSample(batch, groupCols, idCols, value, m))
-    // checkpointed: the plan READS the same path the write overwrites
-    Reliable.checkpoint(mergeSamples(unioned, groupCols, m))
-      .write.mode("overwrite").parquet(sampleStateDir(statePath))
-  }
+                        statePath: String): Unit =
+    StateStore.absorbSingle(batch.sparkSession, statePath,
+      "absorbSampleState") { st =>
+      mergeSamples(
+        st.select((groupCols.map(col) :+ col("n_rows") :+ col("sample")): _*)
+          .unionByName(minKSample(batch, groupCols, idCols, value, m)),
+        groupCols, m)
+    }
 
   /** Read the persisted sample state back: (groupCols..., n_rows,
     * sample) — feed [[sampleQuantile]] for estimates. */
   def readSampleState(spark: org.apache.spark.sql.SparkSession,
                       statePath: String): DataFrame =
-    spark.read.parquet(sampleStateDir(statePath))
+    StateStore.readSingle(spark, statePath)
 
   /** Quantile estimate from a [[minKSample]] sample column, running
     * EXACTLY the arithmetic of Spark's `Percentile` aggregate
@@ -354,23 +356,20 @@ object Sketch {
           .as("jaccard_est"))
   }
 
-  private def kmvStateDir(statePath: String): String = s"$statePath/state"
-
-  /** Seed the persisted KMV sketch state (overwrite): one row of
-    * (k, retained). The distinct-count member of the mergeable-state
-    * family (Profile / AggState / min-k sample posture) — a 100 TB
-    * corpus is hashed ONCE, and every later overlap / growth question
-    * is answered from ≤ k longs. */
+  /** Seed the persisted KMV sketch state (overwrite semantics): one
+    * row of (k, retained). The distinct-count member of the
+    * mergeable-state family (Profile / AggState / min-k sample
+    * posture) — a 100 TB corpus is hashed ONCE, and every later
+    * overlap / growth question is answered from ≤ k longs. The layout
+    * is manifest-versioned ([[StateStore]]): seeds and absorbs publish
+    * atomically and concurrent readers are snapshot-isolated. */
   def writeKmvState(df: DataFrame, keyCol: String, k: Int,
                     statePath: String): Unit = {
     require(k >= 3, s"k must be >= 3, got $k")
-    // the seed is the documented crash remediation — clear a stale
-    // lock, then hold it (the IndexLock posture of the index layouts)
-    IndexLock.clearStale(df.sparkSession, statePath)
-    IndexLock.withLock(df.sparkSession, statePath, "writeKmvState") {
-      kmvRetained(df, keyCol, k).select(lit(k).as("k"), col("retained"))
-        .coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
-    }
+    StateStore.seed(df.sparkSession, statePath, "writeKmvState")(
+      "state" -> (d => kmvRetained(df, keyCol, k)
+        .select(lit(k).as("k"), col("retained"))
+        .coalesce(1).write.mode("overwrite").parquet(d)))
   }
 
   /** Absorb a batch into the stored sketch: one min-k pass over the
@@ -378,32 +377,27 @@ object Sketch {
     * set is associative, so the absorbed state is BIT-IDENTICAL to the
     * one-shot sketch over everything seen (spec-pinned and
     * driver-checked by q_kmv_incr); the sketched corpus is never
-    * rescanned.
-    *
-    * Holds the state's writer lock ([[IndexLock]] — r12 ADVICE): the
-    * absorb is a read-modify-overwrite, so two concurrent absorbs (or
-    * an absorb racing a reseed) would silently lose a batch; the
-    * second op now refuses loudly instead. */
+    * rescanned. Publishes atomically as the next state version under
+    * the writer lock (r12 ADVICE made concurrent absorbs loud; the
+    * manifest seam now also isolates readers and makes a failed absorb
+    * safe to retry blindly). */
   def absorbKmvState(batch: DataFrame, keyCol: String,
                      statePath: String): Unit =
-    IndexLock.withLock(batch.sparkSession, statePath, "absorbKmvState") {
-      val spark = batch.sparkSession
-      val st = spark.read.parquet(kmvStateDir(statePath))
+    StateStore.absorbSingle(batch.sparkSession, statePath,
+      "absorbKmvState", coalesce1 = true) { st =>
       val k = st.select(col("k")).first().getInt(0)
       val unioned = st.select(explode(col("retained")).as("__h"))
         .unionByName(batch.filter(col(keyCol).isNotNull)
           .select(xxhash64(col(keyCol)).as("__h")))
-      val merged = Reliable.checkpoint(
-        kmvOverHashes(unioned, col("__h"), k)
-          .select(lit(k).as("k"), col("retained")))
-      merged.coalesce(1).write.mode("overwrite").parquet(kmvStateDir(statePath))
+      kmvOverHashes(unioned, col("__h"), k)
+        .select(lit(k).as("k"), col("retained"))
     }
 
   /** Read the state back with its distinct estimate:
     * (k, n_kept, nd_est). */
   def readKmvState(spark: org.apache.spark.sql.SparkSession,
                    statePath: String): DataFrame = {
-    val st = spark.read.parquet(kmvStateDir(statePath))
+    val st = StateStore.readSingle(spark, statePath)
     val k = st.select(col("k")).first().getInt(0)
     st.select(col("k"), size(col("retained")).as("n_kept"),
       round(kmvEstimate(col("retained"), k), 9).as("nd_est"))

@@ -91,12 +91,13 @@ object StreamOnce {
   }
 
   /** `retrySafe = true` is for sinks whose apply publishes ATOMICALLY
-    * (the manifest-versioned index layouts: a crash before the manifest
-    * commit changed nothing) AND is itself idempotent-CHECKABLE: the
-    * apply records a per-batch tag inside its atomic commit and, under
-    * the index writer lock, skips when the tag is already committed
-    * ([[IndexStream]] passes `stream-batch-N` through the appends'
-    * `streamTag`). A stale started-without-committed marker from a
+    * (the manifest-versioned index layouts and [[graft.ops.StateStore]]
+    * state layouts: a crash before the manifest commit changed
+    * nothing) AND is itself idempotent-CHECKABLE: the apply records a
+    * per-batch tag inside its atomic commit and, under the layout's
+    * writer lock, skips when the tag is already committed
+    * ([[IndexStream]], [[ProfileStream]] and [[RollupStream]] pass
+    * `stream-batch-N` through the appends' `streamTag`). A stale started-without-committed marker from a
     * crashed attempt is then cleared and the batch re-APPLIED — where
     * "re-applied" cannot double-count, whatever the prior attempt
     * reached:

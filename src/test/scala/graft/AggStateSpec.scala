@@ -161,7 +161,7 @@ class AggStateSpec extends SparkSpec {
     // the append's state read filters kb.isin(touched) — that filter
     // must reach the scan as a PARTITION filter (directory pruning),
     // not a post-scan predicate
-    val plan = spark.read.parquet(s"$p/state")
+    val plan = graft.ops.StateStore.readSingle(spark, p)
       .filter(org.apache.spark.sql.functions.col("kb").isin(3, 5))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("kb"),
@@ -178,15 +178,16 @@ class AggStateSpec extends SparkSpec {
     }
   }
 
-  test("legacy comma-joined meta format fails with a named remedy, not an AnalysisException") {
+  test("pre-manifest layout fails with a named remedy, not an AnalysisException") {
     val p = java.nio.file.Files.createTempDirectory("graft-aggstate-legacy").toString
-    // the pre-array meta layout: comma-joined strings, no state_schema
+    // the pre-manifest in-place layout (this also covers the older
+    // comma-joined meta format — both predate the manifest store)
     Seq(("g1,g2", "v", 16)).toDF("keys", "value_cols", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
     val e = intercept[IllegalStateException] {
       AggState.readAggState(spark, p)
     }
-    assert(e.getMessage.contains("older graft meta format"), e.getMessage)
+    assert(e.getMessage.contains("not manifest-versioned"), e.getMessage)
     assert(e.getMessage.contains("writeAggState"), e.getMessage)
   }
 }

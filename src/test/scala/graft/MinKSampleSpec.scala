@@ -257,8 +257,8 @@ class MinKSampleSpec extends SparkSpec {
     assert(absorbed.getDouble(2) === oneShot.getDouble(2),
       s"absorbed estimate ${absorbed.getDouble(2)} != one-shot ${oneShot.getDouble(2)}")
     // the retained ARRAYS are identical, not just the estimates
-    val ra = spark.read.parquet(s"$p1/state").head().getSeq[Long](1)
-    val rb = spark.read.parquet(s"$p2/state").head().getSeq[Long](1)
+    val ra = graft.ops.StateStore.readSingle(spark, p1).head().getSeq[Long](1)
+    val rb = graft.ops.StateStore.readSingle(spark, p2).head().getSeq[Long](1)
     assert(ra === rb, "absorbed retained set diverged from one-shot")
     // unsaturated exact path: estimate == true distinct count
     val pSmall = java.nio.file.Files.createTempDirectory("graft-kmv3").toString

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AggState, IndexManifest, Profile, Sketch, StateStore}
+
+/** The manifest-versioned small-state layouts (VERDICT r13 item 4):
+  * every family's absorb must publish atomically (crash debris is
+  * invisible; blind re-runs are safe) and isolate concurrent readers
+  * (a reader pinned before an absorb sees fully-old state). The torn-
+  * manifest and commit-collision mechanics are pinned once in
+  * TextVectorSpec — the seam is shared — so these tests cover the
+  * state-specific surfaces. */
+class StateManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV: reader pinned before an absorb sees fully-old state; vacuum reclaims superseded versions") {
+    val p = java.nio.file.Files.createTempDirectory("graft-kmv-iso").toString
+    val all = (0L until 2000L).toDF("k")
+    Sketch.writeKmvState(all.filter($"k" < 1000), "k", k = 64, p)
+    // the pinned reader: resolve the state through the CURRENT
+    // snapshot, collect only AFTER the absorb commits
+    val pinned = StateStore.readSingle(spark, p)
+    val before = Sketch.readKmvState(spark, p).head().getDouble(2)
+    Sketch.absorbKmvState(all.filter($"k" >= 1000), "k", p)
+    val after = Sketch.readKmvState(spark, p).head().getDouble(2)
+    assert(after > before, "fixture must make the absorb move the estimate")
+    // the pinned plan still reads the OLD segment directory — fully-old
+    // state, not a mix and not a failure
+    val k = pinned.select(col("k")).first().getInt(0)
+    val pinnedEst = pinned
+      .select(round(graft.ops.Sketch.kmvEstimate(col("retained"), k), 9))
+      .first().getDouble(0)
+    assert(pinnedEst === before,
+      "a reader pinned before the absorb must see the pre-absorb state")
+    // both versions remain readable (time travel) until vacuum
+    assert(IndexManifest.versions(spark, p).size === 2)
+    StateStore.vacuum(spark, p)
+    assert(IndexManifest.versions(spark, p).size === 1)
+    assert(Sketch.readKmvState(spark, p).head().getDouble(2) === after,
+      "current reads survive vacuum")
+  }
+
+  test("KMV: crash debris (uncommitted segment) is invisible and a blind re-run is safe") {
+    val p = java.nio.file.Files.createTempDirectory("graft-kmv-crash").toString
+    val all = (0L until 500L).toDF("k")
+    Sketch.writeKmvState(all.filter($"k" < 400), "k", k = 32, p)
+    val healthy = Sketch.readKmvState(spark, p).head().getDouble(2)
+    // a crashed absorb wrote its segment but never committed: the
+    // layout must behave as if nothing happened
+    Seq((32, Seq(1L, 2L, 3L))).toDF("k", "retained")
+      .write.parquet(s"$p/state-deadbeef0001")
+    assert(Sketch.readKmvState(spark, p).head().getDouble(2) === healthy,
+      "orphan state segment leaked into a read")
+    // the blind re-run applies once
+    Sketch.absorbKmvState(all.filter($"k" >= 400), "k", p)
+    val after = Sketch.readKmvState(spark, p).head().getDouble(2)
+    assert(after > healthy)
+    // vacuum reclaims the orphan
+    val dropped = StateStore.vacuum(spark, p)
+    assert(dropped.exists(_.contains("deadbeef")),
+      s"vacuum must reclaim the crashed absorb's orphan: $dropped")
+    assert(Sketch.readKmvState(spark, p).head().getDouble(2) === after)
+  }
+
+  test("profile + histogram: reader isolation across an absorb; one pin pairs counts with bounds") {
+    val cols = Seq("id", "v")
+    val rows = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val late = (100 until 150).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val pp = java.nio.file.Files.createTempDirectory("graft-prof-iso").toString
+    Profile.writeProfileState(rows, cols, pp)
+    val pinnedProfile = StateStore.readSingle(spark, pp)
+    Profile.appendProfileState(late, cols, pp)
+    assert(pinnedProfile.filter(col("column") === "id")
+      .select(col("n_rows")).first().getLong(0) === 100L,
+      "a reader pinned before the profile absorb must see the old counts")
+    assert(Profile.readProfileState(spark, pp)
+      .filter(col("column") === "id")
+      .select(col("n_rows")).first().getLong(0) === 150L)
+
+    val ph = java.nio.file.Files.createTempDirectory("graft-hist-iso").toString
+    Profile.writeHistState(rows, "v", 0.0, 200.0, nBins = 10, ph)
+    val pinnedHist = {
+      val snap = StateStore.snapshot(spark, ph)
+      spark.read.parquet(snap.single("state"))
+    }
+    Profile.appendHistState(late, ph)
+    assert(pinnedHist.agg(sum(col("n_rows"))).first().getLong(0) === 100L,
+      "a reader pinned before the histogram absorb must see the old bins")
+    assert(Profile.readHistState(spark, ph)
+      .agg(sum(col("n_rows"))).first().getLong(0) === 150L)
+  }
+
+  test("agg state: absorb excludes touched buckets from old segments; pinned reader unaffected; vacuum reclaims") {
+    val p = java.nio.file.Files.createTempDirectory("graft-agg-iso").toString
+    val seedRows = (0 until 40).map(i => (s"g${i % 8}", i.toDouble)).toDF("g", "v")
+    AggState.writeAggState(seedRows, Seq("g"), Seq("v"), p, nBuckets = 4)
+    val pinned = {
+      val snap = StateStore.snapshot(spark, p)
+      snap.read(spark, "state", Some("kb")).get
+    }
+    // a batch touching ONE group: only its bucket rewrites
+    AggState.appendAggState(Seq(("g0", 1000.0)).toDF("g", "v"), p)
+    assert(pinned.agg(sum(col("n_rows"))).first().getLong(0) === 40L,
+      "a reader pinned before the absorb must see the old rollup")
+    val cur = AggState.readAggState(spark, p)
+    assert(cur.agg(sum(col("n_rows"))).first().getLong(0) === 41L)
+    assert(cur.filter(col("g") === "g0").select(col("v_max"))
+      .first().getDouble(0) === 1000.0)
+    // the new manifest: old segment annotated with the touched bucket,
+    // new segment holds the merged bucket
+    val snap = StateStore.snapshot(spark, p)
+    val segs = snap.segments("state")
+    assert(segs.size === 2, s"expected old+new state segments, got $segs")
+    assert(segs.head.exclude.nonEmpty,
+      "the superseded bucket must be excluded from the old segment")
+    // absorb == one-shot through the segmented read
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-agg-one").toString
+    AggState.writeAggState(
+      seedRows.unionByName(Seq(("g0", 1000.0)).toDF("g", "v")),
+      Seq("g"), Seq("v"), oneShot, nBuckets = 4)
+    val a = cur.orderBy("g").collect().map(_.toString).toSeq
+    val b = AggState.readAggState(spark, oneShot)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(a === b, "segmented rollup diverged from the one-shot seed")
+    // vacuum reclaims the excluded bucket dir + superseded manifests;
+    // reads unchanged
+    AggState.vacuumAggState(spark, p)
+    val c = AggState.readAggState(spark, p)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(c === b, "reads must survive vacuum")
+  }
+
+  test("sample state: absorb == one-shot bit-for-bit through the versioned layout") {
+    val p1 = java.nio.file.Files.createTempDirectory("graft-smp-one").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-smp-inc").toString
+    val all = (0 until 1000).map(i => (s"g${i % 3}", i.toLong, (i * 7 % 100).toDouble))
+      .toDF("g", "id", "v")
+    Sketch.writeSampleState(all, Seq("g"), Seq(col("id")), col("v"), 64, p1)
+    Sketch.writeSampleState(all.filter($"id" < 600), Seq("g"),
+      Seq(col("id")), col("v"), 64, p2)
+    Sketch.absorbSampleState(all.filter($"id" >= 600), Seq("g"),
+      Seq(col("id")), col("v"), 64, p2)
+    val a = Sketch.readSampleState(spark, p1)
+      .orderBy("g").collect().map(_.toString).toSeq
+    val b = Sketch.readSampleState(spark, p2)
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(a === b, "absorbed sample state diverged from the one-shot seed")
+    assert(IndexManifest.versions(spark, p2).size === 2)
+  }
+}

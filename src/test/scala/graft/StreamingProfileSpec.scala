@@ -89,7 +89,12 @@ class StreamingProfileSpec extends SparkSpec {
     assert(snap(p) === snap(pRef), "replay of a committed batch must be a no-op")
   }
 
-  test("partial profile append fails loudly instead of double-counting") {
+  test("partial profile append (started without committed) retries safely, never double-counts") {
+    // the manifest-versioned state absorbs publish atomically, so a
+    // stale started marker retries instead of refusing (the r14
+    // StateStore upgrade — pre-manifest this test asserted the loud
+    // refusal), and the commit tag closes the committed-but-unmarked
+    // zombie window
     val cols = Seq("id", "cat", "v")
     val p = java.nio.file.Files.createTempDirectory("graft-sprof-part").toString
     Profile.writeProfileState(rows(0 until 10).toDF("id", "cat", "v"), cols, p)
@@ -98,20 +103,29 @@ class StreamingProfileSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/_stream_batches"))
     fs.create(new org.apache.hadoop.fs.Path(
       s"$p/_stream_batches/batch_id=3.started"), false).close()
-    val e = intercept[IllegalStateException] {
-      ProfileStream.profileAppendBatch(p, cols)(
-        rows(50 until 60).toDF("id", "cat", "v"), 3L)
-    }
-    assert(e.getMessage.contains("PARTIAL apply"))
-    // the refused batch did not merge
-    val n = Profile.readProfileState(spark, p)
+    def nId(): Long = Profile.readProfileState(spark, p)
       .filter(col("column") === "id").select("n_rows").first().getLong(0)
-    assert(n === 10L)
+    // crashed-before-commit attempt: the retry applies exactly once
+    ProfileStream.profileAppendBatch(p, cols)(
+      rows(50 until 60).toDF("id", "cat", "v"), 3L)
+    assert(nId() === 20L, "the retried batch must apply exactly once")
+    ProfileStream.profileAppendBatch(p, cols)(
+      rows(50 until 60).toDF("id", "cat", "v"), 3L)
+    assert(nId() === 20L, "replay after the retry double-counted")
+    // zombie that committed (tag landed) but died before its marker:
+    // the retry must detect the commit and no-op
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$p/_stream_batches/batch_id=4.started"), false).close()
+    Profile.appendProfileState(rows(60 until 70).toDF("id", "cat", "v"),
+      cols, p, streamTag = Some("stream-batch-4"))
+    assert(nId() === 30L)
+    ProfileStream.profileAppendBatch(p, cols)(
+      rows(60 until 70).toDF("id", "cat", "v"), 4L)
+    assert(nId() === 30L,
+      "retry after a committed-but-unmarked attempt double-counted")
     // other batch ids are unaffected
     ProfileStream.profileAppendBatch(p, cols)(
-      rows(50 until 60).toDF("id", "cat", "v"), 4L)
-    val n2 = Profile.readProfileState(spark, p)
-      .filter(col("column") === "id").select("n_rows").first().getLong(0)
-    assert(n2 === 20L)
+      rows(70 until 80).toDF("id", "cat", "v"), 5L)
+    assert(nId() === 40L)
   }
 }

@@ -53,7 +53,10 @@ class StreamingRollupSpec extends SparkSpec {
     assert(snap(p) === snap(pRef), "replay of a committed batch must be a no-op")
   }
 
-  test("partial rollup append fails loudly instead of double-counting") {
+  test("partial rollup append (started without committed) retries safely, never double-counts") {
+    // manifest-versioned state (r14 StateStore): a stale started
+    // marker retries instead of refusing, and the commit tag closes
+    // the committed-but-unmarked zombie window
     val p = java.nio.file.Files.createTempDirectory("graft-sroll-part").toString
     AggState.writeAggState(rows(0 until 10).toDF("g", "v"),
       Seq("g"), Seq("v"), p, nBuckets = 4)
@@ -62,17 +65,25 @@ class StreamingRollupSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p/_stream_batches"))
     fs.create(new org.apache.hadoop.fs.Path(
       s"$p/_stream_batches/batch_id=5.started"), false).close()
-    val e = intercept[IllegalStateException] {
-      RollupStream.rollupAppendBatch(p)(rows(50 until 60).toDF("g", "v"), 5L)
-    }
-    assert(e.getMessage.contains("PARTIAL apply"))
-    val n = AggState.readAggState(spark, p)
+    def n(): Long = AggState.readAggState(spark, p)
       .agg(sum(col("n_rows"))).first().getLong(0)
-    assert(n === 10L)
+    // crashed-before-commit attempt: the retry applies exactly once
+    RollupStream.rollupAppendBatch(p)(rows(50 until 60).toDF("g", "v"), 5L)
+    assert(n() === 20L, "the retried batch must apply exactly once")
+    RollupStream.rollupAppendBatch(p)(rows(50 until 60).toDF("g", "v"), 5L)
+    assert(n() === 20L, "replay after the retry double-counted")
+    // zombie that committed (tag landed) but died before its marker:
+    // the retry must detect the commit and no-op
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$p/_stream_batches/batch_id=6.started"), false).close()
+    AggState.appendAggState(rows(60 until 70).toDF("g", "v"), p,
+      streamTag = Some("stream-batch-6"))
+    assert(n() === 30L)
+    RollupStream.rollupAppendBatch(p)(rows(60 until 70).toDF("g", "v"), 6L)
+    assert(n() === 30L,
+      "retry after a committed-but-unmarked attempt double-counted")
     // other batch ids are unaffected
-    RollupStream.rollupAppendBatch(p)(rows(50 until 60).toDF("g", "v"), 6L)
-    val n2 = AggState.readAggState(spark, p)
-      .agg(sum(col("n_rows"))).first().getLong(0)
-    assert(n2 === 20L)
+    RollupStream.rollupAppendBatch(p)(rows(70 until 80).toDF("g", "v"), 7L)
+    assert(n() === 40L)
   }
 }
