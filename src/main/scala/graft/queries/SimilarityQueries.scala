@@ -395,28 +395,29 @@ object SimilarityQueries {
 
     // SEGMENT COMPACTION + VACUUM for the vector index (VERDICT r13
     // item 2 — the last two lifecycle verbs the driver never ran):
-    // build over 80%, absorb two appends (lists at 3 segments — the
-    // probe fan-in), COMPACT to one, VACUUM the superseded
-    // directories, then run the standard recall gate on the compacted
-    // index. Lifecycle facts ride as oracle-checked constants:
-    // n_collapsed (2), post-compact lists segment count (1),
-    // probe_unchanged (pre == post compact, checkpointed, symmetric
-    // exceptAll — compaction preserves logical state verbatim), and
+    // build + append (lists at 2 segments — the probe fan-in), COMPACT
+    // to one, VACUUM the superseded directories, then run the standard
+    // recall gate on the compacted index. Runs on the even-vec_id HALF
+    // of the corpus (the q_index_compact rationale: lifecycle
+    // mechanics are SF-independent; full-corpus build/append/delete
+    // cycles are already benched by the q_ann_ivf_* family).
+    // Lifecycle facts ride as oracle-checked constants: n_collapsed
+    // (1), post-compact lists segment count (1), probe_unchanged
+    // (pre-compact == post-maintenance probe, checkpointed, symmetric
+    // exceptAll — maintenance preserves logical state verbatim), and
     // the vacuumed pre-compact version refusing a pin.
     "q_ann_ivf_compact" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .filter(col("id") % 2 === 0)
       val p = scratchDir("graft-ivf-cpt", dir)
-      Ann.writeIvfIndex(e.filter(col("id") % 5 =!= 0), p,
+      Ann.writeIvfIndex(e.filter(col("id") % 4 === 0), p,
         nLists = 16, trainIters = 2)
-      Ann.appendToIvfIndex(e.filter(col("id") % 10 === 0), p)
-      Ann.appendToIvfIndex(e.filter(col("id") % 10 === 5), p)
+      Ann.appendToIvfIndex(e.filter(col("id") % 4 === 2), p)
       val qs = e.filter(col("id") < 8)
       def probeDf = Ann.probeIvfIndex(qs, p, k = 5, nProbe = 4)
       val pre = graft.ops.Reliable.checkpoint(probeDf)
       val vPre = graft.ops.IndexManifest.pin(s, p).version
       val nCollapsed = Ann.compactIvfIndex(s, p)
-      val post = graft.ops.Reliable.checkpoint(probeDf)
-      val unchanged = post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
       val nListSegs = graft.ops.IndexManifest.pin(s, p).segments("lists").size
       Ann.vacuumIvfIndex(s, p)
       val refused =
@@ -425,7 +426,12 @@ object SimilarityQueries {
             .limit(1).collect()
           false
         } catch { case _: IllegalStateException => true }
-      annRecallCheck(probeDf, e)
+      // ONE post probe, after BOTH maintenance ops — it feeds the
+      // equality check AND the recall gate, so "logical state preserved
+      // verbatim" covers the whole pass in a single materialization
+      val post = graft.ops.Reliable.checkpoint(probeDf)
+      val unchanged = post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      annRecallCheck(post, e)
         .withColumn("n_collapsed", lit(nCollapsed))
         .withColumn("n_list_segments", lit(nListSegs))
         .withColumn("probe_unchanged", lit(unchanged))
@@ -1042,16 +1048,18 @@ recallConstOracle(k = 5, depth = 20),
     "q_ann_ivf_append" ->
 recallConstOracle(k = 5, depth = 20),
 
-    // recall gate over the compacted index plus structural lifecycle
-    // constants: 3 lists segments collapse to 1 (n_collapsed 2), the
-    // pre/post-compact probes compare equal, the vacuumed pre-compact
-    // version refuses a pin
+    // recall gate over the compacted half-corpus index plus structural
+    // lifecycle constants: 2 lists segments collapse to 1 (n_collapsed
+    // 1), the pre/post probes compare equal, the vacuumed pre-compact
+    // version refuses a pin; queries are the even vec_ids < 8
     "q_ann_ivf_compact" ->
-      s"""SELECT o.*, CAST(2 AS INTEGER) AS n_collapsed,
-         |  CAST(1 AS INTEGER) AS n_list_segments,
-         |  TRUE AS probe_unchanged, TRUE AS pre_vacuum_pin_refused
-         |FROM (${recallConstOracle(k = 5, depth = 20)}) o
-         |ORDER BY qid""".stripMargin,
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |  CAST(5 AS BIGINT) AS n_in_true20,
+        |  CAST(1 AS INTEGER) AS n_collapsed,
+        |  CAST(1 AS INTEGER) AS n_list_segments,
+        |  TRUE AS probe_unchanged, TRUE AS pre_vacuum_pin_refused
+        |FROM embeddings WHERE vec_id < 8 AND vec_id % 2 = 0
+        |ORDER BY qid""".stripMargin,
 
     // k rows per query from the as-of probe; the equality facts are
     // Spark-side exceptAll checks emitted as constants
