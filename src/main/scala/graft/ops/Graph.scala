@@ -56,6 +56,14 @@ object Graph {
     // carries (src, dst, deg) against the rank frame only
     val (eDeg, eDegIds) = trackedCheckpoint(
       e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
+    // the dangling SET is structural (nodes with no out-edge) — only
+    // its MASS changes per round. Hoisted out of the loop (r14): the
+    // per-round edge-sized distinct + anti join it used to pay was
+    // both wasted work at scale and the query's variance source on the
+    // bench (a latency-bound flock of tiny jobs)
+    val (dang, dangIds) = trackedCheckpoint(
+      nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
     var (pr, prIds) = trackedCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
     var i = 0
     while (i < iters) {
@@ -63,11 +71,9 @@ object Graph {
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("in_rank"))
-      // dangling rank: nodes with no out-edge leak their mass — gather
-      // it as ONE scalar row and broadcast it back (never a collect of
-      // node state)
-      val dangling = pr.join(eDeg.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_anti")
+      // dangling rank: the fixed dangling set's CURRENT mass — ONE
+      // scalar row, broadcast back (never a collect of node state)
+      val dangling = pr.join(dang, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       val next = nodes
         .join(contrib, Seq("node"), "left")
@@ -86,7 +92,7 @@ object Graph {
     // (eDeg is the largest frame in the op) in executor storage until
     // the context cleaner happens to run (the connectedComponents
     // leak-class lesson: waiting degraded BENCH_r03/r04)
-    free(eIds ++ nodeIds ++ eDegIds)
+    free(eIds ++ nodeIds ++ eDegIds ++ dangIds)
     pr
   }
 
