@@ -382,9 +382,10 @@ object Sketch {
     * manifest seam now also isolates readers and makes a failed absorb
     * safe to retry blindly). */
   def absorbKmvState(batch: DataFrame, keyCol: String,
-                     statePath: String): Unit =
+                     statePath: String,
+                     streamTag: Option[String] = None): Unit =
     StateStore.absorbSingle(batch.sparkSession, statePath,
-      "absorbKmvState", coalesce1 = true) { st =>
+      "absorbKmvState", streamTag = streamTag, coalesce1 = true) { st =>
       val k = st.select(col("k")).first().getInt(0)
       val unioned = st.select(explode(col("retained")).as("__h"))
         .unionByName(batch.filter(col(keyCol).isNotNull)
@@ -394,10 +395,14 @@ object Sketch {
     }
 
   /** Read the state back with its distinct estimate:
-    * (k, n_kept, nd_est). */
+    * (k, n_kept, nd_est) — of the current version, or of an explicit
+    * earlier one (time travel; valid until vacuum): "how many distinct
+    * keys had we seen before this batch?" from the superseded
+    * snapshot. */
   def readKmvState(spark: org.apache.spark.sql.SparkSession,
-                   statePath: String): DataFrame = {
-    val st = StateStore.readSingle(spark, statePath)
+                   statePath: String,
+                   asOfVersion: Option[Long] = None): DataFrame = {
+    val st = StateStore.readSingle(spark, statePath, version = asOfVersion)
     val k = st.select(col("k")).first().getInt(0)
     st.select(col("k"), size(col("retained")).as("n_kept"),
       round(kmvEstimate(col("retained"), k), 9).as("nd_est"))

@@ -110,10 +110,14 @@ private[graft] object StateStore {
           "source data")
     else IndexManifest.pin(spark, path, version)
 
-  /** Read a single-segment component of the CURRENT version. */
+  /** Read a single-segment component of the current version — or, the
+    * TIME-TRAVEL read the versioned layout gives for free, an explicit
+    * earlier `version` (valid until [[vacuum]]): "what did the state
+    * say before this batch?" answered from the superseded snapshot. */
   def readSingle(spark: SparkSession, path: String,
-                 comp: String = "state"): DataFrame =
-    spark.read.parquet(snapshot(spark, path).single(comp))
+                 comp: String = "state",
+                 version: Option[Long] = None): DataFrame =
+    spark.read.parquet(snapshot(spark, path, version).single(comp))
 
   /** Reclaim superseded state versions ([[IndexManifest.vacuum]]);
     * callers own the reader-grace contract. */

@@ -449,6 +449,31 @@ object AnalyticsQueries {
       graft.ops.Sketch.readKmvState(s, statePath)
     }),
 
+    // TIME-TRAVEL read of a persisted state (the r14 StateStore seam's
+    // free Iceberg-class read, mirroring q_bm25_time_travel for the
+    // mergeable-state family): seed the KMV sketch from a third of
+    // orders (version v), absorb the rest (v+1), then read BOTH
+    // versions — the as-of read must reproduce the seed-only sketch
+    // VALUE-EXACTLY (the oracle restates its xxhash64/min-k pipeline
+    // over the same slice) even though the current version has
+    // absorbed everything. The audit question this answers in
+    // production: "what had we seen before this batch?"
+    "q_state_time_travel" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val statePath = graft.Scratch.dir("graft-kmvtt", dir)
+      graft.ops.Sketch.writeKmvState(
+        o.filter(col("o_orderkey") % 3 === 0), "o_custkey", k = 64, statePath)
+      val v1 = graft.ops.StateStore.snapshot(s, statePath).version
+      graft.ops.Sketch.absorbKmvState(
+        o.filter(col("o_orderkey") % 3 =!= 0), "o_custkey", statePath)
+      graft.ops.Sketch.readKmvState(s, statePath, asOfVersion = Some(v1))
+        .select(col("k"), col("n_kept").as("n_kept_v1"),
+          col("nd_est").as("nd_est_v1"))
+        .crossJoin(graft.ops.Sketch.readKmvState(s, statePath)
+          .select(col("n_kept").as("n_kept_cur"),
+            col("nd_est").as("nd_est_cur")))
+    }),
+
     // Cohort retention: customers grouped by first-order month; how many
     // ordered again k months later (k ≤ 12). The classic retention
     // triangle — two shuffles (first-order agg, cohort-offset agg).
@@ -815,6 +840,33 @@ object AnalyticsQueries {
          |    THEN 63.0 / ((CAST((arr)[64] AS DOUBLE) + $c1) / $c2)
          |    ELSE CAST(len(arr) AS DOUBLE) END, 9) AS nd_est
          |FROM r""".stripMargin
+    },
+
+    // both versions' sketches restated value-exactly: the as-of read
+    // over the seed slice, the current read over all orders
+    "q_state_time_travel" -> {
+      val c1 = graft.ops.Sketch.KmvShift.toString
+      val c2 = graft.ops.Sketch.KmvScale.toString
+      def hashed(where: String): String = {
+        val p = new XxhashSql.Prog(
+          s"SELECT DISTINCT o_custkey AS uid FROM orders $where")
+        val h = XxhashSql.hashLong(p, XxhashSql.unsigned("uid"), "42")
+        p.render(s"${XxhashSql.signed(h)} AS h")
+      }
+      def est(arr: String): String =
+        s"""ROUND(CASE WHEN len($arr) >= 64
+           |  THEN 63.0 / ((CAST(($arr)[64] AS DOUBLE) + $c1) / $c2)
+           |  ELSE CAST(len($arr) AS DOUBLE) END, 9)""".stripMargin
+      s"""WITH hs1 AS (${hashed("WHERE o_orderkey % 3 = 0")}),
+         |r1 AS (SELECT (SELECT list_sort(list(h)) FROM hs1)[1:64] AS arr),
+         |hs2 AS (${hashed("")}),
+         |r2 AS (SELECT (SELECT list_sort(list(h)) FROM hs2)[1:64] AS arr)
+         |SELECT CAST(64 AS INTEGER) AS k,
+         |  CAST(len(r1.arr) AS INTEGER) AS n_kept_v1,
+         |  ${est("r1.arr")} AS nd_est_v1,
+         |  CAST(len(r2.arr) AS INTEGER) AS n_kept_cur,
+         |  ${est("r2.arr")} AS nd_est_cur
+         |FROM r1, r2""".stripMargin
     },
 
     // the oracle states the exact overlap; the estimates are
