@@ -102,7 +102,17 @@ object CurationStream {
                    idCol: String, textCol: String, lq: Column,
                    shingleSize: Int = 3, k: Int = 12, bandRows: Int = 2,
                    confirmThreshold: Double = 0.8): (DataFrame, Long) => Unit =
-    (batchDf, batchId) => {
+    // the shared StreamOnce markers on top of the per-partition
+    // idempotence: a COMMITTED batch's redelivery now skips outright
+    // (no rewrite racing an external reader of corpus/index), and the
+    // one replay contract covers every stream in the library. retrySafe
+    // without a commit tag is sound HERE because the apply is
+    // idempotent by construction — a re-run writes the identical
+    // dispositions/corpus/index partitions (a pure function of the
+    // input batch and the prior partitions), so even the zombie window
+    // the tagged sinks defend against degrades to a harmless rewrite.
+    (batchDf, batchId) => StreamOnce.appliedOnce(batchDf.sparkSession,
+      dispPath, batchId, "curation refresh", retrySafe = true) {
       val spark = batchDf.sparkSession
       def writeDyn(df: DataFrame, path: String): Unit =
         Scale.withDynamicOverwrite(spark) {
