@@ -100,7 +100,13 @@ object ScaleSmoke {
     // per-block boilerplate scorer, and the binary stage inside the
     // persisted IVF layout
     "q_crawl_e2e", "q_boilerplate", "q_ann_ivf_bin_recall",
-    "q_bm25_time_travel", "q_dist_drift_incr")
+    "q_bm25_time_travel", "q_dist_drift_incr",
+    // round-14 additions: the compact+vacuum lifecycle pairs (segment
+    // consolidation must stay corpus-linear, vacuum bounded by dir
+    // listings), the IVF as-of probe, and the versioned-state as-of
+    // read
+    "q_index_compact", "q_ann_ivf_compact", "q_ann_ivf_time_travel",
+    "q_state_time_travel")
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rotated(i: Int) = alpha.drop(i % 26) + alpha.take(i % 26)

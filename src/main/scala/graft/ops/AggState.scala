@@ -139,8 +139,11 @@ object AggState {
       else {
         val existing = snap.read(spark, "state", Some("kb")).get
           .filter(col("kb").isin(touched.map(Integer.valueOf): _*))
-        val merged = merge(existing.drop("kb"), batchAgg.drop("kb"), keys, valueCols)
-          .withColumn("kb", bucketOf(keys, nBuckets))
+        // checkpointed: writeBucketed's emptiness probe would otherwise
+        // execute the whole merge plan once and the write a second time
+        val merged = Reliable.checkpoint(
+          merge(existing.drop("kb"), batchAgg.drop("kb"), keys, valueCols)
+            .withColumn("kb", bucketOf(keys, nBuckets)))
         val seg = IndexManifest.newSegment("state")
         IndexManifest.writeBucketed(merged, s"$path/$seg", "kb")
         // annotate the old segments; a fully-excluded segment (e.g. the

@@ -1129,7 +1129,10 @@ object Ann {
       project: (IndexManifest.Snapshot, DataFrame) => DataFrame): Unit =
     IndexLock.withLock(batch.sparkSession, path, "appendToIvfIndex") {
       val spark = batch.sparkSession
-      if (streamTag.exists(IndexManifest.committedTags(spark, path))) return
+      // lambda, not the Set directly: the manifest-store scan must not
+      // run at all on the (common) untagged batch-append path
+      if (streamTag.exists(t => IndexManifest.committedTags(spark, path)(t)))
+        return
       val snap = IndexManifest.pin(spark, path)
       val cents = spark.read.parquet(snap.single("centroids"))
       val listSeg = IndexManifest.newSegment("lists")

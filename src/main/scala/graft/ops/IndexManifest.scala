@@ -258,14 +258,33 @@ private[graft] object IndexManifest {
     val file = new Path(dir, versionFile(next))
     // the next slot can be occupied only by debris: a VALID occupant
     // would have been `current`. We hold the writer lock, so it is a
-    // crashed attempt's leftover, not an in-flight write — quarantine
-    // it (rename preserves it for forensics; vacuum reclaims) so the
-    // layout self-heals instead of staying bricked at this version
+    // crashed attempt's leftover, not an in-flight write. Discriminate
+    // before touching it:
+    //  - a footerless file whose body still parses line-wise is
+    //    AMBIGUOUS — a pre-footer-era manifest (legacy layout) and a
+    //    torn write cut at a line boundary look identical, and
+    //    quarantining a legacy manifest would silently disown its
+    //    segments (the next vacuum would destroy the layout's data) —
+    //    refuse LOUDLY with the remedy instead;
+    //  - truly garbled content (bad header, unparseable lines) is
+    //    debris beyond doubt — quarantine it (rename preserves it for
+    //    forensics; vacuum reclaims) so the layout self-heals.
+    // On POSIX/HDFS the write-temp-rename publication means crashes
+    // leave only inflight- temp files, so neither branch fires in
+    // normal operation.
     if (fs.exists(file)) {
       if (tryReadComponents(fs, file).isDefined)
         throw new IllegalStateException(
           s"manifest commit collision at $file — a concurrent writer bypassed " +
             "the index lock; no state was changed")
+      if (parsesWithoutFooter(fs, file))
+        throw new IllegalStateException(
+          s"manifest $file has no end marker but its body parses — either a " +
+            "pre-r14 legacy manifest (migrate: append the end-marker line " +
+            s"'$Footer' after verifying the layout serves correctly, or " +
+            "rebuild with the write* builder) or a torn write cut at a line " +
+            "boundary (verify against the previous version, then delete the " +
+            "file); refusing to quarantine it blindly — no state was changed")
       val q = new Path(dir, s"quarantine-${versionFile(next)}-${nonce()}")
       if (!fs.rename(file, q)) throw new java.io.IOException(
         s"could not quarantine torn manifest $file")
@@ -397,18 +416,36 @@ private[graft] object IndexManifest {
     else s"${s.dir}!${s.exclude.toSeq.sorted.mkString(",")}"
   }
 
-  private def readManifest(fs: FileSystem, file: Path): Map[String, Seq[Segment]] = {
+  private def readText(fs: FileSystem, file: Path): String = {
     val in = fs.open(file)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    parse(text, file.toString)._1
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
-  /** [[readManifest]] that reports an unreadable or unparseable file as
-    * None — the reader-side face of the torn-write defense. */
+  private def readManifest(fs: FileSystem, file: Path): Map[String, Seq[Segment]] =
+    parse(readText(fs, file), file.toString)._1
+
+  /** [[readManifest]] that reports a TORN or CONCURRENTLY-VACUUMED file
+    * as None — the reader-side face of the torn-write defense. Scoped
+    * deliberately: only a parse failure (IllegalStateException) or the
+    * file vanishing under us (a concurrent vacuum won the race) means
+    * "not a committed snapshot"; a transient IO error propagates as
+    * itself — swallowing it would silently serve the PREVIOUS version
+    * as current, and could let [[commit]]'s slot check mistake the
+    * valid latest manifest for debris. */
   private def tryReadComponents(fs: FileSystem,
                                 file: Path): Option[Map[String, Seq[Segment]]] =
-    try Some(readManifest(fs, file)) catch { case _: Exception => None }
+    try Some(readManifest(fs, file)) catch {
+      case _: IllegalStateException => None
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** True when the file is footerless but otherwise parses — the
+    * legacy-or-line-boundary-torn ambiguity [[commit]] refuses to
+    * resolve by quarantine. */
+  private def parsesWithoutFooter(fs: FileSystem, file: Path): Boolean =
+    try { parse(readText(fs, file) + "\n" + Footer + "\n", file.toString); true }
+    catch { case _: Exception => false }
 
   /** Tags of every committed (parseable) manifest version still on
     * disk. A tag travels INSIDE its commit's atomic publication, so

@@ -68,7 +68,10 @@ private[graft] object StateStore {
              streamTag: Option[String] = None)
             (f: Snapshot => Map[String, Seq[Segment]]): Unit =
     IndexLock.withLock(spark, path, op) {
-      if (streamTag.exists(IndexManifest.committedTags(spark, path))) return
+      // lambda, not the Set directly: the manifest-store scan must not
+      // run at all on the (common) untagged batch-absorb path
+      if (streamTag.exists(t => IndexManifest.committedTags(spark, path)(t)))
+        return
       val snap = IndexManifest.pin(spark, path)
       val replaced = f(snap)
       if (replaced.nonEmpty)
@@ -101,14 +104,19 @@ private[graft] object StateStore {
     * layouts' message. */
   def snapshot(spark: SparkSession, path: String,
                version: Option[Long] = None): Snapshot =
-    if (version.isEmpty && !IndexManifest.exists(spark, path))
-      throw new IllegalStateException(
-        s"state at $path is not manifest-versioned — never seeded, or " +
-          "written by an older graft in-place state format; re-seed it " +
-          "with its write* function (writeKmvState / writeSampleState / " +
-          "writeProfileState / writeHistState / writeAggState) from the " +
-          "source data")
-    else IndexManifest.pin(spark, path, version)
+    // translate the missing-manifest failure rather than pre-checking
+    // exists(): the pre-check would repeat pin's whole manifest-store
+    // scan on every state read just to pick an error message
+    try IndexManifest.pin(spark, path, version)
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("no index manifest") =>
+        throw new IllegalStateException(
+          s"state at $path is not manifest-versioned — never seeded, or " +
+            "written by an older graft in-place state format; re-seed it " +
+            "with its write* function (writeKmvState / writeSampleState / " +
+            "writeProfileState / writeHistState / writeAggState) from the " +
+            "source data", e)
+    }
 
   /** Read a single-segment component of the current version — or, the
     * TIME-TRAVEL read the versioned layout gives for free, an explicit

@@ -151,7 +151,10 @@ object TextIndex {
                                  path: String,
                                  streamTag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    if (streamTag.exists(IndexManifest.committedTags(spark, path))) return
+    // lambda, not the Set directly: the manifest-store scan must not
+    // run at all on the (common) untagged batch-append path
+    if (streamTag.exists(t => IndexManifest.committedTags(spark, path)(t)))
+      return
     val snap = IndexManifest.pin(spark, path)
     val nBuckets = spark.read.parquet(snap.single("stats"))
       .select(col("n_buckets")).first().getInt(0)

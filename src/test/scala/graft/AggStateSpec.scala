@@ -42,41 +42,51 @@ class AggStateSpec extends SparkSpec {
     assert(k0.getLong(1) === ids.count(_ % 11 != 0).toLong)
   }
 
-  test("append rewrites ONLY the touched key-hash buckets") {
+  test("append writes ONLY the touched bucket, into a new segment; stored files immutable") {
+    // the manifest-layout restatement (r14) of the touched-buckets
+    // invariant: an absorb must never modify a stored file — it writes
+    // ONE new segment holding ONLY the touched kb= bucket, and the old
+    // segment merely gains that bucket as an exclude annotation
     val p = java.nio.file.Files.createTempDirectory("graft-aggbk").toString
     AggState.writeAggState(rows(0 until 100).toDF("g", "v"),
       Seq("g"), Seq("v"), p, nBuckets = 16)
     def files(): Map[String, (Long, Long)] = {
-      val dir = new java.io.File(s"$p/state")
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(dir).filter(_.getName.endsWith(".parquet"))
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getPath, (f.length, f.lastModified))).toMap
     }
     val before = files()
-    // a batch touching exactly one key -> at most one bucket rewrites
+    assert(before.nonEmpty, "seed must have written state files")
+    // a batch touching exactly one key
     AggState.appendAggState(Seq(("k3", java.lang.Double.valueOf(5.0)))
       .toDF("g", "v"), p)
     val after = files()
-    val untouchedBefore = before.filterNot(_._1.contains(afterTouched(before, after)))
-    assert(untouchedBefore.forall { case (path, sig) => after.get(path).contains(sig) },
-      "untouched bucket files must remain byte-identical on disk")
+    assert(before.forall { case (path, sig) => after.get(path).contains(sig) },
+      "an absorb must never modify or delete a stored file")
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    assert(newFiles.nonEmpty, "the absorb must have written a new segment")
+    val newSegs = newFiles.map(f =>
+      f.substring(f.indexOf("state-")).takeWhile(_ != '/')).toSet
+    assert(newSegs.size === 1,
+      s"a one-key batch must write exactly one new segment, got $newSegs")
+    val newBuckets = newFiles.map(f =>
+      f.substring(f.indexOf("kb=")).takeWhile(_ != '/')).toSet
+    assert(newBuckets.size === 1,
+      s"a one-key batch must write exactly one bucket dir, got $newBuckets")
+    val kb = newBuckets.head.stripPrefix("kb=").toLong
+    // the manifest records the rewrite: old segment excludes the
+    // touched bucket, the new segment carries it
+    val segs = graft.ops.StateStore.snapshot(spark, p).segments("state")
+    assert(segs.size === 2, s"expected old+new segments, got $segs")
+    assert(segs.head.exclude === Set(kb),
+      s"old segment must exclude exactly the touched bucket: ${segs.head}")
+    assert(segs.last.exclude.isEmpty)
     // and the state is still correct: k3 rows are i ≡ 3 (mod 7), so the
     // pre-append max is 9.4; the absorbed 5.0 must not lower it
     val k3 = AggState.readAggState(spark, p).filter(col("g") === "k3")
       .select("v_max").first().getDouble(0)
     assert(k3 === 9.4)
-  }
-
-  private def afterTouched(before: Map[String, (Long, Long)],
-                           after: Map[String, (Long, Long)]): String = {
-    // the single kb=<n>/ dir whose file set changed
-    val changedDirs = (before.keySet ++ after.keySet)
-      .filter(p => before.get(p) != after.get(p))
-      .map(p => p.substring(p.indexOf("kb=")).takeWhile(_ != '/'))
-    assert(changedDirs.size === 1,
-      s"a one-key batch must rewrite exactly one bucket, got $changedDirs")
-    changedDirs.head + "/"
   }
 
   test("null keys and null values follow SQL aggregate semantics") {

@@ -984,33 +984,50 @@ class TextVectorSpec extends SparkSpec {
     java.nio.file.Files.write(torn2.toPath, Array.emptyByteArray)
     assert(graft.ops.IndexManifest.pin(spark, p).version === v1)
 
-    // the next maintenance op self-heals: commit quarantines the torn
-    // occupant of its slot and publishes v1+1 for real
+    // the torn file's body PARSES line-wise, so it is indistinguishable
+    // from a pre-footer legacy manifest — the next maintenance op must
+    // refuse LOUDLY with the remedy rather than quarantine it blindly
+    // (quarantining a real legacy manifest would disown its segments)
+    val exAmbig = intercept[IllegalStateException] {
+      graft.ops.TextIndex.appendToBm25Index(
+        Seq((3L, "aaa ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    }
+    assert(exAmbig.getMessage.contains("no end marker"), exAmbig.getMessage)
+    assert(probe() === healthy, "the refused append must not publish")
+    // the documented remedy: verify + delete, then the retry proceeds
+    assert(torn.delete())
     graft.ops.TextIndex.appendToBm25Index(
       Seq((3L, "aaa ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
     assert(graft.ops.IndexManifest.pin(spark, p).version === v1 + 1)
     assert(probe() === Set(1L, 2L, 3L))
+
+    // the EMPTY file now occupying the next slot is garbled beyond
+    // doubt (no header) — the next op self-heals by quarantining it
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((4L, "aaa fff")).toDF("doc_id", "text"), "doc_id", "text", p)
+    assert(graft.ops.IndexManifest.pin(spark, p).version === v1 + 2)
+    assert(probe() === Set(1L, 2L, 3L, 4L))
     val mNames = new java.io.File(s"$p/_manifests").list().toSet
     assert(mNames.exists(_.startsWith("quarantine-")),
-      s"torn slot file must be quarantined, not lost: $mNames")
+      s"garbled slot file must be quarantined, not lost: $mNames")
     assert(!mNames.exists(_.startsWith("inflight-")),
       s"commit temp file must not outlive the commit: $mNames")
 
-    // vacuum reclaims quarantine debris and the still-torn v1+2 file
+    // vacuum reclaims quarantine debris and superseded versions
     graft.ops.TextIndex.vacuumBm25Index(spark, p)
     val afterVac = new java.io.File(s"$p/_manifests").list().toSet
       .filterNot(_.startsWith(".")) // local-FS checksum sidecars
-    assert(afterVac === Set(f"v${v1 + 1}%012d"),
+    assert(afterVac === Set(f"v${v1 + 2}%012d"),
       s"vacuum must leave only the current manifest: $afterVac")
-    assert(probe() === Set(1L, 2L, 3L))
+    assert(probe() === Set(1L, 2L, 3L, 4L))
 
     // explicit time-travel to a torn version stays LOUD — the caller
     // named it, so silence would serve a lie
-    java.nio.file.Files.write(slot(v1 + 2).toPath,
+    java.nio.file.Files.write(slot(v1 + 3).toPath,
       "graft-index-manifest 1\npostings=\n".getBytes("UTF-8"))
     val ex = intercept[IllegalStateException] {
       graft.ops.TextIndex.probeBm25Index(spark, p, Seq("aaa"),
-        asOfVersion = Some(v1 + 2)).collect()
+        asOfVersion = Some(v1 + 3)).collect()
     }
     assert(ex.getMessage.contains("end marker"))
   }
