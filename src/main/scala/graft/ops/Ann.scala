@@ -1020,9 +1020,14 @@ object Ann {
     * filter pruning (as [[probeIvfIndex]]), ADC over the codes column
     * only, exact cosine rerank of the top k·rerankFactor against the
     * lists' float column. Output contract matches [[bruteTopK]]:
-    * (qid, rank, nid, sim) with EXACT sims. */
+    * (qid, rank, nid, sim) with EXACT sims. `autoDepth` deepens the
+    * rerank shortlist by sqrt(avg list occupancy / 128) — the dial
+    * that holds recall as the cells fill (the ×30 gate caught the
+    * fixed factor missing true-top-k members at 30× density; ADC rank
+    * displacement accumulates ~sqrt of the candidates scanned). */
   def probeIvfIndexPq(queries: DataFrame, path: String, k: Int,
-                      nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+                      nProbe: Int = 4, rerankFactor: Int = 4,
+                      autoDepth: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // ONE pin: lists, tombstones AND codebooks come from the same
     // snapshot — a rebuild committing between reads cannot mismatch
@@ -1031,6 +1036,27 @@ object Ann {
     val (probes, lists) = prunedProbe(queries, snap, nProbe)
     val cbs = readCodebooks(queries.sparkSession, snap)
     val nCodes = cbs(0).length
+    // autoDepth: deepen the exact-rerank shortlist as the cells FILL —
+    // the r14 ×30 gate caught the fixed dial missing true-top-k
+    // members once lists held 30× the density it was tuned at. ADC's
+    // rank displacement accumulates like the square root of the
+    // candidates a probe scans (independent per-code quantization
+    // errors), so the shortlist that holds recall at ~128 vectors per
+    // cell deepens by sqrt(listLen/128). The count is metadata-only
+    // (parquet footers over the pinned segments); the deepened
+    // shortlist still feeds only |shortlist|·|queries| exact-rerank
+    // rows — microscopic beside the candidate scan it guards.
+    val effFactor =
+      if (!autoDepth) rerankFactor
+      else {
+        val spark = queries.sparkSession
+        val nVecs = snap.read(spark, "lists", Some("cid"))
+          .map(_.count()).getOrElse(0L)
+        val nCells = spark.read.parquet(snap.single("centroids")).count()
+        val avgLen = nVecs.toDouble / math.max(1L, nCells)
+        math.max(rerankFactor,
+          math.ceil(rerankFactor * math.sqrt(avgLen / 128.0)).toInt)
+      }
 
     val qt = unitNormalized(
         probes.select(col("qid"), col("qv")).dropDuplicates("qid"), "qv")
@@ -1041,7 +1067,7 @@ object Ann {
       expression(col("tbl")), expression(col("codes")), nCodes))
     val approxTop = column(graft.expr.catalyst.TopKByScore(
       expression(struct(-col("adist").cast("double"), col("nid"))),
-      k * rerankFactor).toAggregateExpression())
+      k * effFactor).toAggregateExpression())
     // candidate stage: codes column ONLY out of the pruned lists
     val shortlist = broadcast(
         probes.select(col("qid"), col("cid")).join(qt, Seq("qid")))

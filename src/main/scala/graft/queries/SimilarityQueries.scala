@@ -272,9 +272,13 @@ object SimilarityQueries {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val path = scratchDir("graft-ivf-pq", dir)
       Ann.writeIvfIndexPq(e, path, nLists = 16, trainIters = 2)
+      // autoDepth: the rerank shortlist deepens with cell occupancy,
+      // so THIS dial setting holds the 5-of-top-20 bar at ×10/×30
+      // amplification too (the r14 ×30 gate caught the fixed factor
+      // missing at 30× density)
       annRecallCheck(
         Ann.probeIvfIndexPq(e.filter(col("id") < 8), path, k = 5,
-          nProbe = 8, rerankFactor = 8), e)
+          nProbe = 8, rerankFactor = 8, autoDepth = true), e)
     }),
 
     // Persisted-IVF-index round trip with a driver-visible assertion:
