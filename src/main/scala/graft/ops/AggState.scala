@@ -157,9 +157,12 @@ object AggState {
 
   /** Read the state as a rollup: keys + n_rows + per-value cnt/sum/
     * min/max/avg (avg derived as sum/cnt — DECIMAL(38,6)-exact). One
-    * pin: meta and every state segment come from the same snapshot. */
-  def readAggState(spark: SparkSession, path: String): DataFrame = {
-    val snap = StateStore.snapshot(spark, path)
+    * pin: meta and every state segment come from the same snapshot —
+    * of the current version, or of an explicit earlier one (time
+    * travel; valid until vacuum). */
+  def readAggState(spark: SparkSession, path: String,
+                   asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = StateStore.snapshot(spark, path, asOfVersion)
     val meta = readMeta(spark, snap)
     val derived = meta.valueCols.map { v =>
       (col(s"${v}_sum") / col(s"${v}_cnt")).cast(DecimalType(38, 6)).as(s"${v}_avg")

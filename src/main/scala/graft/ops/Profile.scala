@@ -149,10 +149,14 @@ object Profile {
     }
 
   /** Read the state as a profile: (column, n_rows, n_null,
-    * n_distinct_est, min_num, max_num). */
+    * n_distinct_est, min_num, max_num) — of the current version, or of
+    * an explicit earlier one (time travel; valid until vacuum): "what
+    * did the profile say before this batch?" from the superseded
+    * snapshot. */
   def readProfileState(spark: org.apache.spark.sql.SparkSession,
-                       statePath: String): DataFrame =
-    StateStore.readSingle(spark, statePath)
+                       statePath: String,
+                       asOfVersion: Option[Long] = None): DataFrame =
+    StateStore.readSingle(spark, statePath, version = asOfVersion)
       .select(col("column"), col("n_rows"), col("n_null"),
         hll_sketch_estimate(col("nd_sketch")).as("n_distinct_est"),
         col("min_num"), col("max_num"))
@@ -484,8 +488,9 @@ object Profile {
     * (empty bins at 0, the [[histogram]] convention) plus
     * (n_below, n_above) columns repeated per row. */
   def readHistState(spark: org.apache.spark.sql.SparkSession,
-                    statePath: String): DataFrame = {
-    val snap = StateStore.snapshot(spark, statePath)
+                    statePath: String,
+                    asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = StateStore.snapshot(spark, statePath, asOfVersion)
     val m = spark.read.parquet(snap.single("meta")).first()
     val (lo, hi, nBins) = (m.getDouble(1), m.getDouble(2), m.getInt(3))
     val w = (hi - lo) / nBins

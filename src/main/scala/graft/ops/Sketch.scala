@@ -183,8 +183,9 @@ object Sketch {
   /** Read the persisted sample state back: (groupCols..., n_rows,
     * sample) — feed [[sampleQuantile]] for estimates. */
   def readSampleState(spark: org.apache.spark.sql.SparkSession,
-                      statePath: String): DataFrame =
-    StateStore.readSingle(spark, statePath)
+                      statePath: String,
+                      asOfVersion: Option[Long] = None): DataFrame =
+    StateStore.readSingle(spark, statePath, version = asOfVersion)
 
   /** Quantile estimate from a [[minKSample]] sample column, running
     * EXACTLY the arithmetic of Spark's `Percentile` aggregate

@@ -131,6 +131,52 @@ class StateManifestSpec extends SparkSpec {
     assert(c === b, "reads must survive vacuum")
   }
 
+  test("every state family answers as-of reads: the version pinned before an absorb reproduces the pre-absorb state") {
+    // profile
+    val cols = Seq("id", "v")
+    val rows = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val late = (100 until 150).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val pp = java.nio.file.Files.createTempDirectory("graft-prof-tt").toString
+    Profile.writeProfileState(rows, cols, pp)
+    val vp = StateStore.snapshot(spark, pp).version
+    Profile.appendProfileState(late, cols, pp)
+    assert(Profile.readProfileState(spark, pp, asOfVersion = Some(vp))
+      .filter(col("column") === "id").select("n_rows").first().getLong(0) === 100L)
+    assert(Profile.readProfileState(spark, pp)
+      .filter(col("column") === "id").select("n_rows").first().getLong(0) === 150L)
+    // histogram (meta + counts pair through the SAME pinned version)
+    val ph = java.nio.file.Files.createTempDirectory("graft-hist-tt").toString
+    Profile.writeHistState(rows, "v", 0.0, 200.0, nBins = 10, ph)
+    val vh = StateStore.snapshot(spark, ph).version
+    Profile.appendHistState(late, ph)
+    assert(Profile.readHistState(spark, ph, asOfVersion = Some(vh))
+      .agg(sum(col("n_rows"))).first().getLong(0) === 100L)
+    // rollup
+    val pa = java.nio.file.Files.createTempDirectory("graft-agg-tt").toString
+    AggState.writeAggState(rows.toDF("g", "v"), Seq("g"), Seq("v"), pa, nBuckets = 4)
+    val va = StateStore.snapshot(spark, pa).version
+    AggState.appendAggState(late.toDF("g", "v"), pa)
+    assert(AggState.readAggState(spark, pa, asOfVersion = Some(va))
+      .agg(sum(col("n_rows"))).first().getLong(0) === 100L)
+    assert(AggState.readAggState(spark, pa)
+      .agg(sum(col("n_rows"))).first().getLong(0) === 150L)
+    // sample
+    val ps = java.nio.file.Files.createTempDirectory("graft-smp-tt").toString
+    Sketch.writeSampleState(rows.toDF("g", "v"), Seq("g"), Seq(col("g")),
+      col("v"), 32, ps)
+    val vs = StateStore.snapshot(spark, ps).version
+    Sketch.absorbSampleState(late.toDF("g", "v"), Seq("g"), Seq(col("g")),
+      col("v"), 32, ps)
+    assert(Sketch.readSampleState(spark, ps, asOfVersion = Some(vs))
+      .agg(sum(col("n_rows"))).first().getLong(0) === 100L)
+    // a vacuumed earlier version refuses loudly (shared seam contract)
+    StateStore.vacuum(spark, pa)
+    val ex = intercept[IllegalStateException] {
+      AggState.readAggState(spark, pa, asOfVersion = Some(va)).collect()
+    }
+    assert(ex.getMessage.contains("vacuum"))
+  }
+
   test("sample state: absorb == one-shot bit-for-bit through the versioned layout") {
     val p1 = java.nio.file.Files.createTempDirectory("graft-smp-one").toString
     val p2 = java.nio.file.Files.createTempDirectory("graft-smp-inc").toString
