@@ -175,6 +175,7 @@ object AggState {
 
   /** Reclaim superseded state segments and manifest versions
     * ([[StateStore.vacuum]]); callers own the reader-grace contract. */
-  def vacuumAggState(spark: SparkSession, path: String): Seq[String] =
-    StateStore.vacuum(spark, path, "vacuumAggState")
+  def vacuumAggState(spark: SparkSession, path: String,
+                     keepVersions: Int = 1): Seq[String] =
+    StateStore.vacuum(spark, path, "vacuumAggState", keepVersions)
 }

@@ -834,9 +834,9 @@ object Ann {
     * writer lock; callers own the reader-grace contract — probes pinned
     * to versions older than the current one lose their directories. */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Seq[String] =
+                     path: String, keepVersions: Int = 1): Seq[String] =
     IndexLock.withLock(spark, path, "vacuumIvfIndex") {
-      IndexManifest.vacuum(spark, path)
+      IndexManifest.vacuum(spark, path, keepVersions)
     }
 
   /** Top-k probe against a persisted [[writeIvfIndex]] layout. The

@@ -323,55 +323,82 @@ private[graft] object IndexManifest {
   def newSegment(prefix: String): String =
     s"$prefix-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
 
-  /** Delete every root entry unreferenced by the CURRENT manifest, all
+  /** Delete every root entry unreferenced by the RETAINED manifests,
     * superseded manifest files, AND the excluded bucket directories
     * still sitting inside live segments (a purge only annotates them
     * out of the logical view — physical right-to-erasure completes
-    * here). Returns the deleted entry names. Callers MUST hold the
-    * layout's writer lock (a concurrent writer's not-yet-committed
-    * segments look exactly like orphans) and own the reader-grace
-    * contract: probes pinned to older versions lose their
-    * directories. */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    * here). Returns the deleted entry names.
+    *
+    * `keepVersions` (default 1) is the retention dial — Iceberg's
+    * expire-snapshots posture made mechanism: the newest K committed
+    * versions keep their manifests AND every directory they reference,
+    * so time-travel reads and probes pinned within the last K commits
+    * survive the vacuum. With K=1 only the current snapshot survives
+    * (the original behavior). Bucket-dir reclamation honors retention
+    * too: a bucket value inside a live segment is reclaimed only when
+    * EVERY retained manifest referencing that segment excludes it — an
+    * older retained version that still reads the bucket keeps it on
+    * disk (right-to-erasure therefore completes when the excluding
+    * commit leaves the retention window, stated rather than silently
+    * violated).
+    *
+    * Callers MUST hold the layout's writer lock (a concurrent writer's
+    * not-yet-committed segments look exactly like orphans) and own the
+    * reader-grace contract for probes pinned OLDER than the retention
+    * window. */
+  def vacuum(spark: SparkSession, root: String,
+             keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val snap = pin(spark, root)
-    val keep = snap.components.values.flatten.map(_.dir).toSet
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new Path(s"$root/$ManifestDir")
+    // the retained snapshots: the newest K committed versions (the
+    // current one is always among them)
+    val retainedVs = versions(spark, root).takeRight(keepVersions)
+    val retained = retainedVs.map(v =>
+      Snapshot(root, v, readManifest(fs, new Path(mDir, versionFile(v)))))
+    val keep = retained.flatMap(_.components.values.flatten.map(_.dir)).toSet
     val droppedDirs = fs.listStatus(rootPath).toSeq.collect {
       case st if st.isDirectory &&
           !Protected(st.getPath.getName) && !keep(st.getPath.getName) =>
         fs.delete(st.getPath, true)
         st.getPath.getName
     }
-    // excluded buckets of LIVE segments: logically invisible since the
-    // excluding commit, physically reclaimed here (the only partition
-    // column is the bucket, so any `col=value` subdir with an excluded
-    // value goes)
-    val droppedBuckets = snap.components.values.flatten.toSeq
-      .filter(_.exclude.nonEmpty).flatMap { seg =>
-        val dir = new Path(s"$root/${seg.dir}")
+    // excluded buckets of LIVE segments: reclaim a bucket value only if
+    // every retained manifest that references the segment excludes it
+    // (with keepVersions=1 this is exactly the current manifest's
+    // exclude set — the original behavior)
+    val excludeBySeg: Map[String, Set[Long]] = retained
+      .flatMap(_.components.values.flatten)
+      .groupBy(_.dir)
+      .map { case (d, segs) => d -> segs.map(_.exclude).reduce(_ intersect _) }
+    val droppedBuckets = excludeBySeg.toSeq
+      .filter(_._2.nonEmpty).flatMap { case (segDir, excl) =>
+        val dir = new Path(s"$root/$segDir")
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).toSeq.collect {
           case st if st.isDirectory && {
             val n = st.getPath.getName
             val eq = n.indexOf('=')
             eq > 0 && scala.util.Try(n.substring(eq + 1).toLong).toOption
-              .exists(seg.exclude)
+              .exists(excl)
           } =>
             fs.delete(st.getPath, true)
-            s"${seg.dir}/${st.getPath.getName}"
+            s"$segDir/${st.getPath.getName}"
         }
       }
-    // manifest-store debris goes too: superseded versions, commit
-    // temp/quarantine leftovers, and any torn version file (all safe —
-    // vacuum holds the writer lock, so nothing here is in-flight)
-    val mDir = new Path(s"$root/$ManifestDir")
+    // manifest-store debris goes too: versions below the retention
+    // window, commit temp/quarantine leftovers, and any torn version
+    // file (all safe — vacuum holds the writer lock, so nothing here
+    // is in-flight)
+    val floor = retainedVs.headOption.getOrElse(snap.version)
     val droppedManifests = fs.listStatus(mDir).toSeq.collect {
       case st if {
         val n = st.getPath.getName
         parseVersion(n) match {
-          case Some(v) => v < snap.version ||
-            (v != snap.version && tryReadComponents(fs, st.getPath).isEmpty)
+          case Some(v) => v < floor ||
+            (!retainedVs.contains(v) && tryReadComponents(fs, st.getPath).isEmpty)
           case None => true
         }
       } =>

@@ -128,10 +128,13 @@ private[graft] object StateStore {
     spark.read.parquet(snapshot(spark, path, version).single(comp))
 
   /** Reclaim superseded state versions ([[IndexManifest.vacuum]]);
-    * callers own the reader-grace contract. */
+    * `keepVersions` retains the newest K snapshots (as-of reads within
+    * the window survive); callers own the reader-grace contract beyond
+    * it. */
   def vacuum(spark: SparkSession, path: String,
-             op: String = "vacuumState"): Seq[String] =
+             op: String = "vacuumState",
+             keepVersions: Int = 1): Seq[String] =
     IndexLock.withLock(spark, path, op) {
-      IndexManifest.vacuum(spark, path)
+      IndexManifest.vacuum(spark, path, keepVersions)
     }
 }

@@ -327,12 +327,15 @@ object TextIndex {
   }
 
   /** Reclaim segments superseded by rebuilds/appends/purges/compacts
-    * plus old manifest versions ([[IndexManifest.vacuum]]). Holds the
-    * writer lock; callers own the reader-grace contract — probes pinned
-    * to versions older than the current one lose their directories. */
-  def vacuumBm25Index(spark: SparkSession, path: String): Seq[String] =
+    * plus old manifest versions ([[IndexManifest.vacuum]]).
+    * `keepVersions` retains the newest K snapshots intact (time-travel
+    * and in-flight probes within the window survive). Holds the writer
+    * lock; callers own the reader-grace contract for probes pinned
+    * older than the retention window. */
+  def vacuumBm25Index(spark: SparkSession, path: String,
+                      keepVersions: Int = 1): Seq[String] =
     IndexLock.withLock(spark, path, "vacuumBm25Index") {
-      IndexManifest.vacuum(spark, path)
+      IndexManifest.vacuum(spark, path, keepVersions)
     }
 
   /** Observability for a [[writeBm25Index]] layout: the manifest's

@@ -177,6 +177,36 @@ class StateManifestSpec extends SparkSpec {
     assert(ex.getMessage.contains("vacuum"))
   }
 
+  test("retention vacuum: keepVersions retains whole snapshots — as-of reads inside the window survive, excluded buckets reclaim only when every retained version excludes them") {
+    val p = java.nio.file.Files.createTempDirectory("graft-agg-ret").toString
+    val seedRows = (0 until 40).map(i => (s"g${i % 8}", i.toDouble)).toDF("g", "v")
+    AggState.writeAggState(seedRows, Seq("g"), Seq("v"), p, nBuckets = 4)
+    val v1 = StateStore.snapshot(spark, p).version
+    AggState.appendAggState(Seq(("g0", 1000.0)).toDF("g", "v"), p)
+    val v2 = StateStore.snapshot(spark, p).version
+    def total(asOf: Option[Long]) = AggState.readAggState(spark, p, asOf)
+      .agg(sum(col("n_rows"))).first().getLong(0)
+
+    // keepVersions=2: BOTH versions stay fully readable — in
+    // particular the touched bucket of v1's segment is NOT reclaimed,
+    // because v1 (retained) still reads it (exclude-intersection rule)
+    AggState.vacuumAggState(spark, p, keepVersions = 2)
+    assert(IndexManifest.versions(spark, p) === Seq(v1, v2))
+    assert(total(Some(v1)) === 40L,
+      "the as-of read inside the retention window must survive vacuum")
+    assert(total(None) === 41L)
+
+    // keepVersions=1 (the default posture): v1's manifest and the
+    // now-unreferenced excluded bucket reclaim; v1 refuses loudly
+    val dropped = AggState.vacuumAggState(spark, p)
+    assert(IndexManifest.versions(spark, p) === Seq(v2))
+    assert(dropped.exists(_.contains("kb=")),
+      s"the excluded bucket dir must reclaim once no retained version reads it: $dropped")
+    assert(total(None) === 41L)
+    val ex = intercept[IllegalStateException] { total(Some(v1)) }
+    assert(ex.getMessage.contains("vacuum"))
+  }
+
   test("sample state: absorb == one-shot bit-for-bit through the versioned layout") {
     val p1 = java.nio.file.Files.createTempDirectory("graft-smp-one").toString
     val p2 = java.nio.file.Files.createTempDirectory("graft-smp-inc").toString
