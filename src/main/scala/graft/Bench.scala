@@ -162,8 +162,21 @@ object Bench {
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val heapByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
-    def timeAll(dir: String, trackGc: Boolean = false): Seq[(String, Double)] =
-      names.map { name =>
+    // `rotate` shifts the execution order (results come back in
+    // canonical `names` order regardless): each pass starts a third of
+    // the way further around the query ring. Without it every query
+    // occupies the SAME wall-clock position in every pass, so a machine
+    // stall lasting longer than one pass poisons the same query in two
+    // consecutive passes and defeats the median — exactly the
+    // BENCH_r14 false flag (q_merge_upsert 8.85/13.2/0.43 s across the
+    // three passes while an isolated rerun measured 0.77 s). With the
+    // rotation a time-contiguous stall lands on DIFFERENT queries each
+    // pass, so any single query keeps at least two clean samples.
+    def timeAll(dir: String, trackGc: Boolean = false,
+                rotate: Int = 0): Seq[(String, Double)] = {
+      val k = if (names.isEmpty) 0 else ((rotate % names.size) + names.size) % names.size
+      val order = names.drop(k) ++ names.take(k)
+      val timed = order.map { name =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
         val r = runOne(name, dir) match {
@@ -181,6 +194,9 @@ object Bench {
         betweenQueries()
         r
       }
+      val byName = timed.toMap
+      names.map(n => n -> byName(n))
+    }
 
     // median-of-N per query (lower median when the valid count is
     // even): r10/r12/r13 each burned a session adjudicating a
@@ -200,10 +216,13 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     // headline SF first (warm but unpolluted), small-SF regression axis
-    // second. Skip the small pass when it IS the headline dir.
+    // second. Skip the small pass when it IS the headline dir. Each
+    // pass starts a third of the way around the query ring so a
+    // sustained stall decorrelates across passes (see timeAll).
+    val third = names.size / 3
     val pass1 = timeAll(sfDir, trackGc = true)
-    val pass2 = timeAll(sfDir, trackGc = true)
-    val pass3 = timeAll(sfDir, trackGc = true)
+    val pass2 = timeAll(sfDir, trackGc = true, rotate = third)
+    val pass3 = timeAll(sfDir, trackGc = true, rotate = 2 * third)
     val results = medByQuery(Seq(pass1, pass2, pass3))
     val small = if (hasSmallPass) timeAll(smallDir) else Seq.empty
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loud pre-checks for operators whose PLAN SHAPE assumes one side is
   * small (VERDICT r5 item 5): brute-force query batches, benchmark gram
@@ -18,24 +20,91 @@ object Guard {
     * contract sides (query batches, benchmark grams) sit far below. */
   val DefaultMaxBroadcastRows: Int = 1 << 22
 
-  /** Assert `df` is small enough to broadcast: count at most
-    * `maxRows + 1` rows (a limit+count — never a full count of a
-    * runaway side) and fail with the operator's contract message when
-    * exceeded. Returns `df` unchanged, so plan shapes (and the PlanSpec
-    * gates pinning them) are untouched.
+  /** Default cap on the ESTIMATED bytes of a frame an operator must
+    * broadcast (VERDICT r14 item 5): a row count alone admits multi-GB
+    * broadcasts when rows are wide — 4M rows × a 768-dim float
+    * embedding is ~12 GB, comfortably under the row cap and fatally
+    * over any replication budget. 256 MB estimated data is the
+    * defensible ceiling: the deserialized executor copy lands well
+    * under a 1-2 GB slice of task memory even with 2-3× object
+    * overhead on the estimate. */
+  val DefaultMaxBroadcastBytes: Long = 256L << 20
+
+  /** Assert `df` is small enough to broadcast on BOTH axes — row count
+    * and estimated bytes — and fail with the operator's contract
+    * message when either is exceeded. One bounded job: at most
+    * `maxRows + 1` rows are counted/sized (a limit+aggregate — never a
+    * full scan of a runaway side). Returns `df` unchanged, so plan
+    * shapes (and the PlanSpec gates pinning them) are untouched.
+    *
+    * The byte figure is a DATA estimate from the schema (fixed widths
+    * for primitives, measured lengths for strings/binaries, measured
+    * element counts × element width for arrays) — deliberately not an
+    * attempt at JVM object sizing, whose 2-3× overhead the default cap
+    * already budgets for. Deeply nested types fall back to a flat
+    * constant; the rail is a magnitude check, not an accountant.
     *
     * The check executes the frame's lineage once; callers guarding an
     * EXPENSIVE lineage should materialize first
     * (`Reliable.checkpoint`) so the guard and the broadcast read one
     * computed copy. */
   def broadcastSmall(df: DataFrame, what: String,
-                     maxRows: Int = DefaultMaxBroadcastRows): DataFrame = {
+                     maxRows: Int = DefaultMaxBroadcastRows,
+                     maxBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     require(maxRows > 0, "maxRows must be positive")
-    val n = df.limit(maxRows + 1).count()
+    require(maxBytes > 0, "maxBytes must be positive")
+    val rowBytes = df.schema.fields.map(approxFieldBytes).reduceOption(_ + _)
+      .getOrElse(lit(0L))
+    val head = df.limit(maxRows + 1)
+      .agg(count(lit(1)).as("n"), coalesce(sum(rowBytes), lit(0L)).as("b"))
+      .head()
+    val n = head.getLong(0)
+    val bytes = head.getLong(1)
     require(n <= maxRows,
       s"$what must be broadcast-small but has > $maxRows rows — this " +
         "operator replicates it to every task; shrink the input, raise " +
         "the cap explicitly, or use a shuffle-based alternative")
+    require(bytes <= maxBytes,
+      s"$what must be broadcast-small but its $n rows are ~$bytes bytes " +
+        s"of data (cap $maxBytes) — wide rows defeat the row cap; this " +
+        "operator replicates the frame to every task; project away wide " +
+        "columns, shrink the input, raise the cap explicitly, or use a " +
+        "shuffle-based alternative")
     df
+  }
+
+  /** Estimated data bytes of one field as a Column (long). Null-safe:
+    * a null value costs only its fixed slot. */
+  private def approxFieldBytes(f: StructField): Column =
+    approxBytes(col(f.name), f.dataType)
+
+  private def approxBytes(c: Column, dt: DataType): Column = dt match {
+    case StringType | BinaryType =>
+      // octet_length: bytes for both types (length() is chars for strings)
+      coalesce(octet_length(c).cast("long"), lit(0L)) + lit(16L)
+    case ArrayType(et, _) =>
+      coalesce(size(c).cast("long"), lit(0L)) * lit(elemWidth(et)) + lit(16L)
+    case other => lit(fixedWidth(other))
+  }
+
+  /** Per-element width for array payloads: primitives by size; nested
+    * strings/arrays fall back to a flat constant (measuring them would
+    * need a per-element explode — not worth it for a magnitude rail). */
+  private def elemWidth(dt: DataType): Long = dt match {
+    case BooleanType | ByteType => 1L
+    case ShortType => 2L
+    case IntegerType | FloatType | DateType => 4L
+    case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+    case _: DecimalType => 16L
+    case _ => 32L
+  }
+
+  private def fixedWidth(dt: DataType): Long = dt match {
+    case BooleanType | ByteType => 1L
+    case ShortType => 2L
+    case IntegerType | FloatType | DateType => 4L
+    case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+    case _: DecimalType => 16L
+    case _ => 64L // struct/map/nested: flat fallback
   }
 }

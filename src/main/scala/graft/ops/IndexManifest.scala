@@ -62,6 +62,18 @@ private[graft] object IndexManifest {
     * the bucket ids a later purge logically removed from it. */
   final case class Segment(dir: String, exclude: Set[Long] = Set.empty)
 
+  /** Thrown by [[parse]] when the required end marker is absent — a
+    * torn write cut before the footer, or an in-flight commit observed
+    * mid-write. This is the ONLY parse failure readers may silently
+    * skip: a file missing its footer was, by construction, never a
+    * committed snapshot. Every other parse failure (footer present but
+    * header/body unparseable) means a COMMITTED manifest rotted or was
+    * tampered with, and silently falling back to the previous version
+    * would resurface tombstoned/purged rows with no error (r14 ADVICE
+    * item 1) — those stay `IllegalStateException` and propagate. */
+  private final class TornManifestException(msg: String)
+    extends IllegalStateException(msg)
+
   private val Header = "graft-index-manifest 1"
   /** Required LAST line of every manifest. A file missing it is, by
     * construction, not a committed manifest — it is an in-flight write
@@ -126,8 +138,31 @@ private[graft] object IndexManifest {
   def exists(spark: SparkSession, root: String): Boolean = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(dir) && latestValid(fs, dir).isDefined
+    fs.exists(dir) && (latestValid(fs, dir).isDefined || {
+      legacyCheck(fs, dir) // a footerless-but-parseable store is a
+      false                // format migration, not a missing index
+    })
   }
+
+  /** When a manifest store holds NO committed (footered) version but
+    * some version file parses without its footer, the layout predates
+    * the r14 end-marker format — reporting it as "no index manifest"
+    * would misdiagnose a format migration as a missing index (and a
+    * builder trusting that answer would commit a fresh v1 that disowns
+    * the legacy segments, which the next vacuum would then destroy).
+    * Raise the migration remedy on the READ path too, not only from
+    * [[commit]]'s slot-occupied check (r14 ADVICE item 2). */
+  private def legacyCheck(fs: FileSystem, dir: Path): Unit =
+    fs.listStatus(dir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName).map(_ => st.getPath))
+      .find(p => parsesWithoutFooter(fs, p))
+      .foreach { p =>
+        throw new IllegalStateException(
+          s"manifest $p parses but has no end marker — a pre-r14 legacy " +
+            s"manifest, not a missing index; migrate: append the end-marker " +
+            s"line '$Footer' after verifying the layout serves correctly, or " +
+            "rebuild the layout with its write* builder")
+      }
 
   /** Pin a snapshot: the highest committed manifest version, or — the
     * TIME-TRAVEL read the versioned layout gives for free — an
@@ -147,9 +182,11 @@ private[graft] object IndexManifest {
         // are skipped, so the reader lands on the last real snapshot
         latestValid(fs, dir) match {
           case Some((v, comps)) => Snapshot(root, v, comps)
-          case None => throw new IllegalStateException(
-            s"no index manifest at $root — not a manifest-versioned layout " +
-              "(build it with writeBm25Index/writeIvfIndex)")
+          case None =>
+            if (fs.exists(dir)) legacyCheck(fs, dir)
+            throw new IllegalStateException(
+              s"no index manifest at $root — not a manifest-versioned layout " +
+                "(build it with writeBm25Index/writeIvfIndex)")
         }
       case Some(v) =>
         // explicit time-travel: the caller named a version, so a
@@ -260,17 +297,20 @@ private[graft] object IndexManifest {
     // would have been `current`. We hold the writer lock, so it is a
     // crashed attempt's leftover, not an in-flight write. Discriminate
     // before touching it:
+    //  - a footered file that no longer parses is a rotted COMMITTED
+    //    manifest — tryReadComponents above already threw the loud
+    //    CORRUPT error with the restore remedy;
     //  - a footerless file whose body still parses line-wise is
     //    AMBIGUOUS — a pre-footer-era manifest (legacy layout) and a
     //    torn write cut at a line boundary look identical, and
     //    quarantining a legacy manifest would silently disown its
     //    segments (the next vacuum would destroy the layout's data) —
     //    refuse LOUDLY with the remedy instead;
-    //  - truly garbled content (bad header, unparseable lines) is
-    //    debris beyond doubt — quarantine it (rename preserves it for
-    //    forensics; vacuum reclaims) so the layout self-heals.
+    //  - footerless garbled content (bad header, unparseable lines) is
+    //    torn debris beyond doubt — quarantine it (rename preserves it
+    //    for forensics; vacuum reclaims) so the layout self-heals.
     // On POSIX/HDFS the write-temp-rename publication means crashes
-    // leave only inflight- temp files, so neither branch fires in
+    // leave only inflight- temp files, so none of these fire in
     // normal operation.
     if (fs.exists(file)) {
       if (tryReadComponents(fs, file).isDefined)
@@ -353,6 +393,29 @@ private[graft] object IndexManifest {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mDir = new Path(s"$root/$ManifestDir")
+    // a started-without-committed stream marker means a batch is
+    // in-flight or a crashed attempt awaits redelivery — and the
+    // crashed attempt may have COMMITTED its manifest (tag inside)
+    // before dying short of its committed marker. Reclaiming
+    // superseded manifests now could erase that tag before the retry's
+    // hasCommittedTag check, reopening the double-apply window the tag
+    // exists to close (r14 ADVICE item 4). Refuse until the stream
+    // settles the batch; this makes hasCommittedTag's soundness claim
+    // a checked invariant rather than a doc assumption.
+    val sb = new Path(s"$root/_stream_batches")
+    if (fs.exists(sb)) {
+      val names = fs.listStatus(sb).map(_.getPath.getName).toSet
+      val partial = names.filter(n => n.endsWith(".started") &&
+        !names.contains(n.stripSuffix(".started") + ".committed"))
+      if (partial.nonEmpty) throw new IllegalStateException(
+        s"vacuum refused at $root: stream batch marker(s) " +
+          s"${partial.toSeq.sorted.mkString(", ")} show a started attempt " +
+          "without a committed marker — an in-flight or crashed stream batch " +
+          "whose retry depends on the tag inside a possibly-superseded " +
+          "manifest; vacuuming now could let the retried batch double-apply. " +
+          "Let the stream finish or redeliver the batch (its retrySafe retry " +
+          "clears the marker), then vacuum; no state was changed")
+    }
     // the retained snapshots: the newest K committed versions (the
     // current one is always among them)
     val retainedVs = versions(spark, root).takeRight(keepVersions)
@@ -454,17 +517,28 @@ private[graft] object IndexManifest {
 
   /** [[readManifest]] that reports a TORN or CONCURRENTLY-VACUUMED file
     * as None — the reader-side face of the torn-write defense. Scoped
-    * deliberately: only a parse failure (IllegalStateException) or the
-    * file vanishing under us (a concurrent vacuum won the race) means
-    * "not a committed snapshot"; a transient IO error propagates as
-    * itself — swallowing it would silently serve the PREVIOUS version
-    * as current, and could let [[commit]]'s slot check mistake the
-    * valid latest manifest for debris. */
+    * deliberately (r14 ADVICE item 1): only a missing end marker
+    * ([[TornManifestException]]) or the file vanishing under us (a
+    * concurrent vacuum won the race) means "not a committed snapshot".
+    * A file whose footer IS present but whose header/body is
+    * unparseable is a committed manifest that rotted — silently
+    * skipping it would serve the PREVIOUS version as current and could
+    * resurface tombstoned/purged rows with no error, so it propagates
+    * loudly with the restore remedy. Transient IO errors propagate as
+    * themselves for the same reason. */
   private def tryReadComponents(fs: FileSystem,
                                 file: Path): Option[Map[String, Seq[Segment]]] =
     try Some(readManifest(fs, file)) catch {
-      case _: IllegalStateException => None
+      case _: TornManifestException => None
       case _: java.io.FileNotFoundException => None
+      case e: IllegalStateException => throw new IllegalStateException(
+        s"manifest $file is CORRUPT: its end marker is present (the write " +
+          "completed) but its content no longer parses — bit rot or external " +
+          "tampering of a committed snapshot. Refusing to silently fall back " +
+          "to an older version, which could resurface tombstoned or purged " +
+          "rows; restore the file from a replica, or — after verifying the " +
+          "previous version serves correctly — move the corrupt file aside " +
+          "manually and re-apply the lost operation", e)
     }
 
   /** True when the file is footerless but otherwise parses — the
@@ -474,28 +548,53 @@ private[graft] object IndexManifest {
     try { parse(readText(fs, file) + "\n" + Footer + "\n", file.toString); true }
     catch { case _: Exception => false }
 
-  /** Tags of every committed (parseable) manifest version still on
-    * disk. A tag travels INSIDE its commit's atomic publication, so
-    * "tag present" is exactly "that commit happened" — the
-    * idempotence check streamed appends run under the writer lock
-    * ([[graft.streaming.StreamOnce]] retrySafe contract). Vacuum
-    * reclaims superseded manifests and their tags with them; the check
-    * only ever asks about the newest batch of an active stream, whose
-    * manifest a concurrent vacuum cannot supersede. */
-  def committedTags(spark: SparkSession, root: String): Set[String] = {
+  /** Per-JVM cache of each committed manifest version's tag, keyed by
+    * (path, mtime, length) — a committed (parseable) manifest is
+    * immutable for the life of its file ([[commit]] never overwrites a
+    * valid occupant), so a parsed entry stays true; the mtime+length in
+    * the key guards the one way a name recurs with different content (a
+    * layout deleted outright and rebuilt at the same root). Unparseable
+    * files are never cached: a torn slot occupant gets quarantined and
+    * its slot re-published by the next commit. The cache bounds a
+    * long-running stream's per-batch tag check to reading only the
+    * versions committed since the previous check — linear over the
+    * stream's lifetime where an uncached rescan was quadratic (r14
+    * ADVICE item 3). */
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** True when some committed (parseable) manifest version still on
+    * disk carries `tag`. A tag travels INSIDE its commit's atomic
+    * publication, so "tag present" is exactly "that commit happened" —
+    * the idempotence check streamed appends run under the writer lock
+    * ([[graft.streaming.StreamOnce]] retrySafe contract). Versions are
+    * scanned newest-first with early exit on the hit: the sought tag,
+    * when present at all, is the crashed prior attempt of the batch
+    * being retried — one of the most recent commits. [[vacuum]]
+    * reclaims superseded manifests and their tags with them, and
+    * refuses to run while a started-without-committed stream marker
+    * exists — the checked invariant that keeps this lookup sound. */
+  def hasCommittedTag(spark: SparkSession, root: String, tag: String): Boolean = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName).map(_ => st.getPath))
-      .flatMap { file =>
-        try {
-          val in = fs.open(file)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                     finally in.close()
-          parse(text, file.toString)._2
-        } catch { case _: Exception => None }
-      }.toSet
+    if (!fs.exists(dir)) return false
+    if (tagCache.size > (1 << 20)) tagCache.clear() // unbounded-run backstop
+    fs.listStatus(dir).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName).map(v => (v, st)))
+      .sortBy(-_._1)
+      .exists { case (_, st) =>
+        val key = s"${st.getPath}@${st.getModificationTime}:${st.getLen}"
+        val cached = tagCache.get(key)
+        val t =
+          if (cached != null) cached
+          else
+            try {
+              val parsed = parse(readText(fs, st.getPath), st.getPath.toString)._2
+              tagCache.put(key, parsed)
+              parsed
+            } catch { case _: Exception => None }
+        t.contains(tag)
+      }
   }
 
   /** Highest PARSEABLE committed version with its components, or None
@@ -518,11 +617,15 @@ private[graft] object IndexManifest {
   private def parse(text: String,
                     at: String): (Map[String, Seq[Segment]], Option[String]) = {
     val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    // footer FIRST: a file cut before its end marker is torn whatever
+    // its prefix looks like — the one silently-skippable failure. With
+    // the footer present the write completed, so any failure below it
+    // is corruption of a committed snapshot and stays loud.
+    if (lines.lastOption.forall(_ != Footer))
+      throw new TornManifestException(
+        s"manifest $at has no end marker — torn write or in-flight commit")
     if (lines.headOption.forall(_ != Header))
       throw new IllegalStateException(s"unrecognized manifest header in $at")
-    if (lines.lastOption.forall(_ != Footer))
-      throw new IllegalStateException(
-        s"manifest $at has no end marker — torn write or in-flight commit")
     val body = lines.tail.dropRight(1)
     val tag = body.collectFirst {
       case m if m.startsWith("#tag=") => m.stripPrefix("#tag=")

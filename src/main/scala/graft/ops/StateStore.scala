@@ -68,9 +68,9 @@ private[graft] object StateStore {
              streamTag: Option[String] = None)
             (f: Snapshot => Map[String, Seq[Segment]]): Unit =
     IndexLock.withLock(spark, path, op) {
-      // lambda, not the Set directly: the manifest-store scan must not
-      // run at all on the (common) untagged batch-absorb path
-      if (streamTag.exists(t => IndexManifest.committedTags(spark, path)(t)))
+      // lambda: the manifest-store tag lookup must not run at all on the
+      // (common) untagged batch-absorb path
+      if (streamTag.exists(t => IndexManifest.hasCommittedTag(spark, path, t)))
         return
       val snap = IndexManifest.pin(spark, path)
       val replaced = f(snap)

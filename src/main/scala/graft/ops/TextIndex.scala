@@ -151,9 +151,9 @@ object TextIndex {
                                  path: String,
                                  streamTag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    // lambda, not the Set directly: the manifest-store scan must not
-    // run at all on the (common) untagged batch-append path
-    if (streamTag.exists(t => IndexManifest.committedTags(spark, path)(t)))
+    // lambda: the manifest-store tag lookup must not run at all on the
+    // (common) untagged batch-append path
+    if (streamTag.exists(t => IndexManifest.hasCommittedTag(spark, path, t)))
       return
     val snap = IndexManifest.pin(spark, path)
     val nBuckets = spark.read.parquet(snap.single("stats"))

@@ -74,6 +74,35 @@ class GuardSpec extends SparkSpec {
     assert(e.getMessage.contains("posPerQueryBound"))
   }
 
+  test("byte rail: wide rows that pass the row cap fail the byte cap, naming both figures") {
+    // 100 rows (far under any row cap) of ~8 KB embeddings ≈ 800 KB of
+    // data — a row-count rail waves it through, the byte rail must not
+    // (VERDICT r14 item 5: at 100 TB, wide embedding rows defeat a row
+    // cap; 4M rows × 768 floats is ~12 GB under the 4M-row default)
+    val wide = (1 to 100).map(i => (i.toLong, Array.fill(2048)(i.toFloat)))
+      .toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Guard.broadcastSmall(wide, "wide test frame",
+        maxRows = 1000, maxBytes = 100L << 10)
+    }
+    assert(e.getMessage.contains("wide test frame"), e.getMessage)
+    assert(e.getMessage.contains("wide rows defeat the row cap"), e.getMessage)
+    // the same frame passes with an honest byte budget — the estimate
+    // tracks the real data size (100 × 2048 × 4B ≈ 820 KB, plus slack)
+    assert(Guard.broadcastSmall(wide, "wide test frame",
+      maxRows = 1000, maxBytes = 4L << 20).count() === 100)
+    // string width is measured, not guessed: 50 × 10 KB strings trip a
+    // 256 KB cap even though a fixed-width estimate would not
+    val texts = (1 to 50).map(i => (i.toLong, "x" * 10240)).toDF("id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Guard.broadcastSmall(texts, "long-text frame",
+        maxRows = 1000, maxBytes = 256L << 10)
+    }
+    assert(e2.getMessage.contains("long-text frame"))
+    // narrow frames sail under both caps unchanged
+    assert(Guard.broadcastSmall(vecs(40), "narrow frame").count() === 40)
+  }
+
   test("guarded operators still work under the cap; guard returns the frame unchanged") {
     val corpus = vecs(40)
     val queries = vecs(5)

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.IndexManifest
+
+/** The r14-ADVICE integrity seams of the manifest store, exercised
+  * directly against on-disk layouts:
+  *
+  *  1. a CORRUPT committed manifest (end marker present, body
+  *     unparseable) fails LOUDLY on the read path instead of silently
+  *     serving the previous version as current (which could resurface
+  *     tombstoned/purged rows);
+  *  2. a LEGACY footerless-but-parseable store raises the migration
+  *     remedy from pin()/exists(), not just from commit's slot check;
+  *  3. vacuum REFUSES while a started-without-committed stream marker
+  *     exists (the tag inside a superseded manifest is the retry's only
+  *     double-apply defense);
+  *  4. hasCommittedTag finds a commit's tag (newest-first scan) and
+  *     its per-JVM cache never serves stale content across a layout
+  *     rebuilt at the same root.
+  */
+class ManifestIntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLayout(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.ops.TextIndex.writeBm25Index(
+      Seq((1L, "aaa bbb"), (2L, "aaa ccc")).toDF("doc_id", "text"),
+      "doc_id", "text", p, nBuckets = 4)
+    p
+  }
+
+  private def slot(p: String, v: Long) = new java.io.File(f"$p/_manifests/v$v%012d")
+
+  test("a corrupt committed manifest (footer present, body unparseable) fails loudly on pin — never a silent fallback to the previous version") {
+    val p = freshLayout("graft-mi-corrupt")
+    val v1 = IndexManifest.pin(spark, p).version
+    // a rotted COMMITTED manifest in the newest slot: footer intact,
+    // body garbled — unlike a torn write, the write completed
+    java.nio.file.Files.write(slot(p, v1 + 1).toPath,
+      "graft-index-manifest 1\na line without a component separator\ngraft-index-manifest end\n"
+        .getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] { IndexManifest.pin(spark, p) }
+    assert(ex.getMessage.contains("CORRUPT"), ex.getMessage)
+    assert(ex.getMessage.contains("end marker is present"), ex.getMessage)
+    // versions() refuses too — vacuum and time-travel listings must not
+    // quietly pretend the rotted snapshot never existed
+    val ex2 = intercept[IllegalStateException] { IndexManifest.versions(spark, p) }
+    assert(ex2.getMessage.contains("CORRUPT"), ex2.getMessage)
+    // a garbled HEADER under an intact footer is the same class
+    java.nio.file.Files.write(slot(p, v1 + 1).toPath,
+      "not-a-graft-manifest\npostings=\ngraft-index-manifest end\n"
+        .getBytes("UTF-8"))
+    val ex3 = intercept[IllegalStateException] { IndexManifest.pin(spark, p) }
+    assert(ex3.getMessage.contains("CORRUPT"), ex3.getMessage)
+    // after the documented remedy (operator moves the file aside), the
+    // layout serves v1 again
+    assert(slot(p, v1 + 1).delete())
+    assert(IndexManifest.pin(spark, p).version === v1)
+  }
+
+  test("a legacy footerless-but-parseable manifest store raises the migration remedy from pin and exists, not 'no index manifest'") {
+    val p = freshLayout("graft-mi-legacy")
+    val v1 = IndexManifest.pin(spark, p).version
+    // rewrite the ONLY committed version as a pre-r14 legacy manifest:
+    // same body, no end-marker line
+    val text = new String(
+      java.nio.file.Files.readAllBytes(slot(p, v1).toPath), "UTF-8")
+    val legacy = text.linesIterator
+      .filterNot(_ == "graft-index-manifest end").mkString("", "\n", "\n")
+    java.nio.file.Files.write(slot(p, v1).toPath, legacy.getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar the out-of-band rewrite stales
+    new java.io.File(f"$p/_manifests/.v$v1%012d.crc").delete()
+    val exPin = intercept[IllegalStateException] { IndexManifest.pin(spark, p) }
+    assert(exPin.getMessage.contains("pre-r14 legacy"), exPin.getMessage)
+    assert(exPin.getMessage.contains("migrate"), exPin.getMessage)
+    val exExists = intercept[IllegalStateException] { IndexManifest.exists(spark, p) }
+    assert(exExists.getMessage.contains("pre-r14 legacy"), exExists.getMessage)
+    // the documented migration: append the end marker after verifying —
+    // the layout serves again with its segments intact
+    java.nio.file.Files.write(slot(p, v1).toPath,
+      (legacy + "graft-index-manifest end\n").getBytes("UTF-8"))
+    assert(IndexManifest.exists(spark, p))
+    val docs = graft.ops.TextIndex.probeBm25Index(spark, p, Seq("aaa"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs === Set(1L, 2L))
+  }
+
+  test("vacuum refuses while a started-without-committed stream marker exists, and proceeds once the batch settles") {
+    val p = freshLayout("graft-mi-vacuumguard")
+    // advance the layout so there IS something to vacuum
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "aaa ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    val sb = new java.io.File(s"$p/_stream_batches")
+    assert(sb.mkdirs())
+    // a crashed attempt: started, never committed — its tagged manifest
+    // may be among the superseded versions vacuum would reclaim
+    new java.io.File(sb, "batch_id=7.started").createNewFile()
+    val ex = intercept[IllegalStateException] {
+      graft.ops.TextIndex.vacuumBm25Index(spark, p)
+    }
+    assert(ex.getMessage.contains("vacuum refused"), ex.getMessage)
+    assert(ex.getMessage.contains("batch_id=7.started"), ex.getMessage)
+    assert(IndexManifest.versions(spark, p).size === 2,
+      "the refused vacuum must not have reclaimed anything")
+    // the batch settles (retry completed → committed marker lands):
+    // vacuum proceeds and reclaims the superseded version
+    new java.io.File(sb, "batch_id=7.committed").createNewFile()
+    graft.ops.TextIndex.vacuumBm25Index(spark, p)
+    assert(IndexManifest.versions(spark, p).size === 1)
+    // the markers themselves survive vacuum (protected entries)
+    assert(new java.io.File(sb, "batch_id=7.committed").exists())
+  }
+
+  test("hasCommittedTag finds a commit's tag, stays correct as versions advance, and never serves stale cache across a rebuilt layout") {
+    val p = freshLayout("graft-mi-tags")
+    val snap = IndexManifest.pin(spark, p)
+    IndexManifest.commit(spark, p, Some(snap), snap.components,
+      tag = Some("stream-batch-42"))
+    assert(IndexManifest.hasCommittedTag(spark, p, "stream-batch-42"))
+    assert(!IndexManifest.hasCommittedTag(spark, p, "stream-batch-43"))
+    // later untagged commits do not hide an older tag
+    val snap2 = IndexManifest.pin(spark, p)
+    IndexManifest.commit(spark, p, Some(snap2), snap2.components)
+    assert(IndexManifest.hasCommittedTag(spark, p, "stream-batch-42"))
+    // rebuild the layout at the SAME root: the per-JVM tag cache keys on
+    // (path, mtime, length), so the old tag must not leak into the new
+    // layout's lookups (a stale positive would silently skip an absorb)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(p))
+    graft.ops.TextIndex.writeBm25Index(
+      Seq((9L, "zzz yyy")).toDF("doc_id", "text"),
+      "doc_id", "text", p, nBuckets = 4)
+    assert(!IndexManifest.hasCommittedTag(spark, p, "stream-batch-42"),
+      "tag cache leaked across a layout rebuilt at the same root")
+  }
+}
