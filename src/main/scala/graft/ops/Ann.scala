@@ -1436,6 +1436,106 @@ object Ann {
     * per-group full sort (the window/row_number formulation sorts every
     * candidate; identical output ordering: sim desc, nid asc). Input
     * needs (qid, qv, qn, nid, nv, nn). */
+  /** Distributed k-NN-graph construction by NN-descent (Dong, Moses &
+    * Li, WWW 2011) — the graph-family member of the ANN matrix
+    * (VERDICT r14 item 4): where IVF/PQ answer "nearest to a QUERY",
+    * the k-NN graph answers "nearest to EVERY node" — the structure
+    * SemDeDup-style clustering, graph-ANN serving layers, and
+    * manifold/isolation analyses start from, and the one whose brute
+    * construction is an O(n²) all-pairs join this build never runs.
+    *
+    * The algorithm is the paper's local-join iteration, re-expressed
+    * as bounded Spark relational ops:
+    *
+    *  - **init**: each node's k starting neighbors are the next k
+    *    nodes around a deterministic pseudo-random ring — the corpus
+    *    ordered by an engine-neutral multiplicative hash of the id
+    *    (Knuth 6.4: `(id mod 1000003) · 2654435761 mod 2^32`, id
+    *    tie-break). The global rank comes from
+    *    [[Scale.zipWithOrderedIndex]] (range-partition + per-partition
+    *    offsets — no single-partition window), so the init is both
+    *    scalable and restatable in plain SQL for the oracle.
+    *  - **per round**: candidates for node v are its neighbors'
+    *    neighbors through the UNDIRECTED graph — forward edges plus
+    *    the top-`reverseCap` reverse edges per node (the paper's
+    *    reverse sampling, made deterministic by taking the best by
+    *    (sim DESC, id)); all ordered pairs within each node's
+    *    neighborhood become candidate edges, deduped, scored by exact
+    *    guarded cosine, and merged with the current lists through the
+    *    bounded TopKByScore argmax (map-side combine, no per-node
+    *    sort).
+    *
+    * Scale shape: every stage is bounded by construction — a node
+    * contributes ≤ (k + reverseCap)² candidate pairs per round, so a
+    * round is O(n·(k+reverseCap)²) edges flowing through hash
+    * shuffles on node id, NEVER an all-pairs self-join; the vector
+    * table is checkpointed once and joined per round. Empirically 2
+    * rounds reach ~converged neighbor recall at fixture scale
+    * (measured in AnnGraphSpec); the paper reports the same few-round
+    * convergence at n in the millions.
+    *
+    * Returns the full graph (id, rank, nid, sim), rank 1..k by
+    * (sim DESC, nid) per node. Determinism: every stage is
+    * hash/rank/exact-float arithmetic — the driver oracle
+    * (q_ann_graph) restates all rounds in DuckDB SQL and matches
+    * hash-exactly. */
+  def knnGraph(corpus: DataFrame, k: Int = 5, rounds: Int = 2,
+               reverseCap: Int = 5): DataFrame = {
+    require(k > 0 && rounds >= 0 && reverseCap >= 0,
+      s"bad k=$k / rounds=$rounds / reverseCap=$reverseCap")
+    val c = Reliable.checkpoint(corpus.select(col("id"), col("vec"),
+      Vectors.l2Norm(col("vec")).as("nrm")))
+    val n = c.count()
+    require(n > k,
+      s"corpus has $n rows — the ring init needs more than k=$k nodes")
+    // deterministic pseudo-random ring over the hash-permuted id order
+    val h = col("id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)
+    val perm = Scale.zipWithOrderedIndex(
+      c.select(col("id"), h.as("__h")), Seq(col("__h"), col("id")), "pos")
+      .select(col("id"), col("pos"))
+    val init = perm
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("npos", (col("pos") + col("j")) % lit(n))
+      .join(perm.select(col("pos").as("npos"), col("id").as("nid")), Seq("npos"))
+      .select(col("id"), col("nid"))
+    var b = knnTopK(init, c, k)
+    for (_ <- 1 to rounds) {
+      val bcur = Reliable.checkpoint(b)
+      val fwd = bcur.select(col("id"), col("nid"))
+      // reverse sampling: per TARGET node, the reverseCap best sources
+      // by (sim DESC, source id) — bounded argmax, no per-node sort
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val revTop = column(graft.expr.catalyst.TopKByScore(
+        expression(struct(col("sim"), col("id"))), reverseCap)
+        .toAggregateExpression())
+      val rev = bcur.groupBy(col("nid")).agg(revTop.as("top"))
+        .select(col("nid").as("id"), explode(col("top")).as("entry"))
+        .select(col("id"), col("entry.id").as("nid"))
+      val u = fwd.unionByName(rev).distinct()
+      // the local join: every ordered pair within a node's undirected
+      // neighborhood is a candidate edge between those two neighbors
+      val pairs = u.as("a").join(u.as("b"),
+          col("a.id") === col("b.id") && col("a.nid") =!= col("b.nid"))
+        .select(col("a.nid").as("id"), col("b.nid").as("nid"))
+      val cand = fwd.unionByName(pairs).distinct()
+      b = knnTopK(cand, c, k)
+    }
+    b
+  }
+
+  /** Score candidate edges by exact guarded cosine and keep each
+    * node's top-k — the NN-descent merge step, through the same
+    * [[rank]] tail as every other ANN path. Returns
+    * (id, rank, nid, sim). */
+  private def knnTopK(edges: DataFrame, c: DataFrame, k: Int): DataFrame =
+    rank(
+      edges.select(col("id").as("qid"), col("nid"))
+        .join(c.select(col("id").as("qid"), col("vec").as("qv"),
+          col("nrm").as("qn")), Seq("qid"))
+        .join(c.select(col("id").as("nid"), col("vec").as("nv"),
+          col("nrm").as("nn")), Seq("nid")),
+      k).withColumnRenamed("qid", "id")
+
   private def rank(cand: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val topK = column(graft.expr.catalyst.TopKByScore(

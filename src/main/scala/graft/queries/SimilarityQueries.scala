@@ -142,6 +142,38 @@ object SimilarityQueries {
         targetRecall = 0.95)
     }),
 
+    // NN-descent k-NN GRAPH (Dong, Moses & Li 2011) — the graph-family
+    // ANN member (VERDICT r14 item 4): the nearest neighbors of EVERY
+    // node, built by iterated bounded local joins, never an all-pairs
+    // self-join. Deterministic end to end (multiplicative-hash ring
+    // init, exact guarded cosine, (sim DESC, nid) ranks), so the
+    // oracle restates BOTH local-join rounds in DuckDB SQL and the
+    // edge list matches hash-exactly. Convergence-to-brute-truth is
+    // structure-dependent (AnnGraphSpec pins recall 1.0 on a clustered
+    // corpus; the fixture's i.i.d. vectors are the documented worst
+    // case), so the driver gate pins the ALGORITHM, not a recall
+    // constant.
+    "q_ann_graph" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ann.knnGraph(e, k = 5, rounds = 2, reverseCap = 5)
+        .filter(col("id") < 8)
+        .select(col("id").as("qid"), col("rank"), col("nid"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // the neighbor-recall gate on the same build: per query node, how
+    // many of its 5 graph neighbors sit in the brute top-20 — the
+    // containment arithmetic of the other _recall gates, restated
+    // VALUE-exactly rather than as a constant (the 2-round graph on
+    // the unstructured fixture is mid-convergence by design; the
+    // recall NUMBER is the contract both engines must derive).
+    "q_ann_graph_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      annRecallCheck(
+        Ann.knnGraph(e, k = 5, rounds = 2, reverseCap = 5)
+          .filter(col("id") < 8).withColumnRenamed("id", "qid"), e)
+    }),
+
     // int8-quantized two-stage scan (approximate candidate stage over
     // 4×-smaller vectors, exact float rerank) — same driver-visible
     // recall gate as the LSH/IVF twins.
@@ -842,6 +874,58 @@ object SimilarityQueries {
 
   /** The constant recall-gate oracle every value-stable twin shares:
     * full containment (k of k) at the declared truth depth. */
+  /** Value-exact DuckDB restatement of [[Ann.knnGraph]]: the
+    * deterministic hash-ring init (ROW_NUMBER over the multiplicative-
+    * hash permutation == Scale.zipWithOrderedIndex's rank), then each
+    * NN-descent round as five mechanical CTEs — reverse-cap, undirected
+    * union, local-join pairs, guarded cosine, (sim DESC, nid) top-k.
+    * All arithmetic is the engine-neutral sequential-double form the
+    * other ANN oracles already pin; UNION / DISTINCT mirror the Spark
+    * side's distinct() dedups exactly. Emits CTEs up to `b<rounds>`
+    * (id, nid, sim, rn — the final ranked graph). */
+  private def knnGraphCtes(k: Int, rounds: Int, rcap: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id AS id, embedding AS v,
+         |       sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM e),
+         |perm AS (SELECT id,
+         |    ROW_NUMBER() OVER (ORDER BY id % 1000003 * 2654435761 % 4294967296, id) - 1 AS pos
+         |  FROM e),
+         |c0 AS (
+         |  SELECT a.id AS id, b.id AS nid
+         |  FROM perm a CROSS JOIN range(1, ${k + 1}) j(j) CROSS JOIN nn
+         |  JOIN perm b ON b.pos = (a.pos + j.j) % nn.n),
+         |""".stripMargin)
+    for (r <- 0 to rounds) {
+      sb.append(
+        s"""s$r AS (
+           |  SELECT c$r.id, c$r.nid,
+           |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+           |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+           |  FROM c$r JOIN e qe ON qe.id = c$r.id JOIN e ce ON ce.id = c$r.nid),
+           |b$r AS (
+           |  SELECT id, nid, sim, rn FROM (
+           |    SELECT id, nid, sim,
+           |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, nid) AS rn
+           |    FROM s$r WHERE sim IS NOT NULL) WHERE rn <= $k)""".stripMargin)
+      if (r < rounds) sb.append(
+        s""",
+           |rev${r + 1} AS (
+           |  SELECT nid AS id, id AS nid FROM (
+           |    SELECT id, nid,
+           |      ROW_NUMBER() OVER (PARTITION BY nid ORDER BY sim DESC, id) AS rr
+           |    FROM b$r) WHERE rr <= $rcap),
+           |u${r + 1} AS (SELECT id, nid FROM b$r UNION SELECT id, nid FROM rev${r + 1}),
+           |p${r + 1} AS (
+           |  SELECT DISTINCT a.nid AS id, b.nid AS nid
+           |  FROM u${r + 1} a JOIN u${r + 1} b ON a.id = b.id AND a.nid <> b.nid),
+           |c${r + 1} AS (SELECT id, nid FROM b$r UNION SELECT id, nid FROM p${r + 1}),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def recallConstOracle(k: Int, depth: Int): String =
     s"""SELECT vec_id AS qid, CAST($k AS BIGINT) AS n_returned,
        |  CAST($k AS BIGINT) AS n_in_true$depth
@@ -935,6 +1019,36 @@ recallConstOracle(k = 5, depth = 20),
 
     "q_ann_int8_recall" ->
 recallConstOracle(k = 5, depth = 20),
+
+    // q_ann_graph: VALUE-EXACT — the whole 2-round NN-descent build
+    // restated (hash-ring init, reverse-capped undirected local join,
+    // guarded-cosine top-k per round); the final ranked edges of the
+    // query nodes must match hash-exactly.
+    "q_ann_graph" ->
+      s"""WITH ${knnGraphCtes(k = 5, rounds = 2, rcap = 5)}
+         |SELECT id AS qid, rn AS rank, nid FROM b2
+         |WHERE id < 8 ORDER BY qid, rank""".stripMargin,
+
+    // q_ann_graph_recall: the same value-exact graph joined to the
+    // brute top-20 threshold (MIN of the ranked top-20 sims — the
+    // annRecallCheck arithmetic), counts derived identically.
+    "q_ann_graph_recall" ->
+      s"""WITH ${knnGraphCtes(k = 5, rounds = 2, rcap = 5)},
+         |tsims AS (
+         |  SELECT qe.id AS qid, ce.id AS nid,
+         |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+         |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+         |  FROM e qe JOIN e ce ON qe.id < 8 AND ce.id <> qe.id),
+         |truth AS (
+         |  SELECT qid, MIN(sim) AS kth_sim FROM (
+         |    SELECT qid, sim,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |    FROM tsims WHERE sim IS NOT NULL) WHERE rn <= 20 GROUP BY qid)
+         |SELECT b2.id AS qid, COUNT(*) AS n_returned,
+         |  CAST(SUM(CASE WHEN b2.sim >= t.kth_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_in_true20
+         |FROM b2 JOIN truth t ON t.qid = b2.id
+         |WHERE b2.id < 8
+         |GROUP BY b2.id ORDER BY qid""".stripMargin,
 
     "q_rp_recall" ->
 recallConstOracle(k = 5, depth = 100),
