@@ -1188,6 +1188,149 @@ object Curation {
         mergeFoldOn(syms, s1, s2)
       }))
 
+  /** Every substring of `w` with length 1..maxPieceLen, as one array
+    * column (the unigram seed generator — shared by [[unigramTrain]]
+    * and the q_unigram anchor restatement so the two cannot drift). */
+  def substringPiecesCol(w: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)), s =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(w) - s + 1)),
+        l => w.substr(s, l))))
+
+  /** Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    * trainer), the second tokenizer family member beside [[bpeMerges]]
+    * (VERDICT r14 item 7): where BPE GROWS a vocabulary bottom-up by
+    * merge frequency, the unigram model SHRINKS a rich seed vocabulary
+    * by likelihood — the pair a training pipeline actually chooses
+    * between.
+    *
+    * Hard-EM over the word-frequency table — corpus-pass + vocab-sized
+    * state iterations, the bpeMerges shape:
+    *
+    *  1. **Seed**: every substring (length ≤ `maxPieceLen`) of every
+    *     distinct word, weighted by word count; ALL single characters
+    *     plus the top `vocabSize·seedMultiplier` multi-character
+    *     substrings by (freq DESC, piece) form the seed vocabulary,
+    *     with probabilities proportional to substring frequency.
+    *  2. **E-step**: Viterbi-segment every distinct word under the
+    *     current piece log-probs ([[graft.expr.catalyst
+    *     .UnigramEncodeText]] — the exact kernel the encoder ships, so
+    *     train and apply cannot diverge); piece counts are
+    *     word-count-weighted.
+    *  3. **M-step**: exact MLE, logp = ln(cnt) − ln(Σcnt).
+    *     Multi-character pieces unused by any segmentation drop out;
+    *     single-character pieces are NEVER dropped (the coverage floor
+    *     that keeps every corpus word segmentable) — unused ones carry
+    *     an effective −∞ log-prob, so they cannot perturb any Viterbi
+    *     choice and the M-step stays the exact maximizer, keeping the
+    *     EM objective monotone (UnigramSpec pins the non-decreasing
+    *     corpus log-likelihood; q_unigram carries the boolean).
+    *  4. **Prune**: keep all single characters + the top
+    *     (vocabSize − #chars) multi-character pieces by
+    *     (cnt DESC, piece) — SentencePiece's never-prune-characters
+    *     rule, so the returned vocabulary still covers the corpus and
+    *     the corpus re-encodes with zero `<unk>`.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation); every EM pass runs over the DISTINCT-word table
+    * with the vocabulary broadcast inside the kernel expression.
+    * Driver state is vocab-sized (seed ≤ chars + vocabSize·multiplier
+    * rows — the bounded-scalar-read exception, same as bpeMerges'
+    * per-round candidate collect); nothing corpus-sized shuffles after
+    * the first aggregation.
+    *
+    * Returns (pieces, llByIter): pieces = (rank, piece, cnt, logp)
+    * ranked by (cnt DESC, piece); llByIter = each E-step's
+    * word-count-weighted corpus log-likelihood under the probabilities
+    * it segmented with. */
+  def unigramTrain(df: DataFrame, textCol: Column, vocabSize: Int,
+                   emIters: Int = 2, maxPieceLen: Int = 8,
+                   seedMultiplier: Int = 4): (DataFrame, Seq[Double]) = {
+    require(vocabSize > 0 && emIters >= 1 && maxPieceLen >= 1 &&
+      seedMultiplier >= 1,
+      s"bad vocabSize=$vocabSize / emIters=$emIters / " +
+        s"maxPieceLen=$maxPieceLen / seedMultiplier=$seedMultiplier")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Reliable.checkpoint(
+      df.select(explode(tokensOf(textCol)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc")))
+    val subs = words
+      .select(col("wc"),
+        explode(substringPiecesCol(col("w"), maxPieceLen)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
+    val seedSingles = subs.filter(length(col("piece")) === 1)
+    val seedMultis = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(vocabSize * seedMultiplier)
+    // the alphabet — bounded by the charset, never the corpus
+    val charSet = seedSingles.select(col("piece")).collect()
+      .map(_.getString(0)).toSet
+    require(charSet.nonEmpty, "unigramTrain: corpus has no tokens")
+    def toVocab(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+      val lnTotal = math.log(counts.iterator.map(_._2).sum.toDouble)
+      counts.map { case (p, c) => (p, math.log(c.toDouble) - lnTotal) } ++
+        // coverage floor: unused single chars survive at effective -inf
+        (charSet -- counts.iterator.map(_._1).toSet).toSeq.sorted.map((_, -1e9))
+    }
+    var counts: Seq[(String, Long)] = seedSingles.unionByName(seedMultis)
+      .orderBy(col("piece")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val lls = scala.collection.mutable.ListBuffer.empty[Double]
+    for (_ <- 1 to emIters) {
+      val vocab = toVocab(counts)
+      val pieceCounts = words.select(col("wc"),
+          explode(unigramEncodeCol(col("w"), vocab)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(!pieceCounts.exists(_._1 == graft.expr.catalyst.UnigramKernel.Unk),
+        "unigramTrain: a corpus word lost coverage mid-EM — the " +
+          "never-drop-characters invariant is broken")
+      val lpMap = vocab.toMap
+      lls += pieceCounts.iterator.map { case (p, c) => c * lpMap(p) }.sum
+      counts = pieceCounts
+    }
+    val multis = counts.filterNot(p => charSet(p._1))
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - charSet.size))
+    val cmap = counts.toMap
+    val kept = charSet.toSeq.sorted.map(p => (p, cmap.getOrElse(p, 0L))) ++ multis
+    val lpFinal = toVocab(kept.filter(_._2 > 0)).toMap
+    val pieces = kept.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => (i + 1L, p, c, lpFinal(p)) }
+      .toDF("rank", "piece", "cnt", "logp")
+    (pieces, lls.toList)
+  }
+
+  /** [[unigramEncodeCol]] over a trained piece frame: collects the
+    * bounded vocabulary once, encodes `textCol` into `outCol`
+    * (array<string>) and `outCol`_n (token count). */
+  def unigramEncode(df: DataFrame, textCol: Column, pieces: DataFrame,
+                    outCol: String = "unigram_tokens"): DataFrame = {
+    val vocab = collectUnigramVocab(pieces)
+    df.withColumn(outCol, unigramEncodeCol(textCol, vocab))
+      .withColumn(s"${outCol}_n", size(col(outCol)).cast("long"))
+  }
+
+  /** The bounded (piece, logp) collect behind [[unigramEncode]] —
+    * loud past `maxPieces` (a runaway "vocabulary" would broadcast to
+    * every task inside the kernel expression). */
+  def collectUnigramVocab(pieces: DataFrame,
+                          maxPieces: Int = 1 << 20): Seq[(String, Double)] = {
+    val rows = pieces.select(col("piece"), col("logp"))
+      .limit(maxPieces + 1).collect()
+    require(rows.length <= maxPieces,
+      s"unigram vocabulary exceeds $maxPieces pieces — not a trained " +
+        "tokenizer artifact")
+    rows.map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
+  /** Viterbi unigram-LM encode as a fused per-row kernel (the APPLY
+    * half; [[unigramTrain]] trains). */
+  def unigramEncodeCol(text: Column, pieces: Seq[(String, Double)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.expr.catalyst.UnigramEncodeText(expression(text), pieces))
+  }
+
   /** Bigram language-model quality score — the CCNet/Gopher-family
     * "LM perplexity" filter (Wenzek et al. 2020 score with a trained
     * LM; here the LM is an add-α-smoothed bigram model trained ON the

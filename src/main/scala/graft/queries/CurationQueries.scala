@@ -495,6 +495,77 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
+    // trainer — q_bpe's family twin: BPE grows by merges, unigram
+    // shrinks by likelihood). The summary row carries anchors the
+    // oracle states exactly — the top multi-char SEED substring by
+    // weighted frequency (pure SQL over the substring table, via the
+    // SAME substringPiecesCol the trainer seeds from) and the distinct
+    // character count — plus the trainer's theorems as booleans:
+    // MLE probs sum to 1, the hard-EM corpus likelihood never
+    // decreases, every corpus character survives pruning (the
+    // SentencePiece coverage rule), and the vocab respects its cap.
+    // Exact counts/probs on hand-sized corpora live in UnigramSpec.
+    "q_unigram" -> ((s, dir) => {
+      val d = docsRaw(s, dir)
+      val (pieces, lls) = Curation.unigramTrain(d, col("text"),
+        vocabSize = 200, emIters = 2, maxPieceLen = 6)
+      val words = d.select(explode(Text.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val subs = words.select(col("wc"),
+          explode(Curation.substringPiecesCol(col("w"), 6)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
+      val first = subs.filter(length(col("piece")) > 1)
+        .orderBy(col("freq").desc, col("piece")).limit(1)
+        .select(col("piece").as("first_seed_piece"),
+          col("freq").as("first_seed_freq"))
+      val missingChars = subs.filter(length(col("piece")) === 1)
+        .join(pieces, Seq("piece"), "left_anti").count()
+      val llOk = lls.sliding(2).forall {
+        case Seq(a, b) => b >= a - 1e-9
+        case _ => true
+      }
+      val shape = pieces.agg(
+          count(lit(1)).as("n_pieces"),
+          sum(when(col("cnt") > 0, exp(col("logp"))).otherwise(lit(0.0)))
+            .as("psum"),
+          count(when(length(col("piece")) === 1, 1)).as("n_chars"))
+        .select(
+          (col("n_pieces") <= greatest(lit(200L), col("n_chars")))
+            .as("n_pieces_le_vocab"),
+          (abs(col("psum") - 1.0) < 1e-9).as("probs_sum_to_1"),
+          col("n_chars"),
+          lit(llOk).as("ll_nondecreasing"),
+          lit(missingChars == 0L).as("has_all_chars"))
+      shape.crossJoin(broadcast(first))
+    }),
+
+    // UNIGRAM ENCODE — the apply half (q_unigram trains): the Viterbi
+    // kernel re-encodes every doc with the corpus-trained vocabulary.
+    // Driver-visible gates per doc: the lossless round-trip (subword
+    // concatenation rebuilds the whitespace-stripped text — zero <unk>
+    // on the training corpus, the never-prune-characters theorem made
+    // observable) and the token-count sandwich n_words ≤ n_tokens ≤
+    // n_chars; n_words / n_chars are value-exact in the oracle. Exact
+    // segmentations are pinned in UnigramSpec.
+    "q_unigram_encode" -> ((s, dir) => {
+      val d = docsRaw(s, dir)
+      val (pieces, _) = Curation.unigramTrain(d, col("text"),
+        vocabSize = 200, emIters = 2, maxPieceLen = 6)
+      val enc = Curation.unigramEncode(d, col("text"), pieces)
+      val words = Text.tokens(lower(col("text")))
+      val nChars = aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x)
+      enc.select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          nChars.as("n_chars"),
+          (concat_ws("", col("unigram_tokens")) === concat_ws("", words))
+            .as("round_trip_ok"),
+          (col("unigram_tokens_n") >= size(words) &&
+            col("unigram_tokens_n") <= nChars).as("tokens_bounded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Reproducible epoch-3 shuffle into 8 shards: every row's
     // (shuffle_key, shard, pos_in_shard) is a pure function of
     // (doc_id, epoch) via xxhash64 — rerunnable, resumable, auditable
@@ -1415,6 +1486,48 @@ object CurationQueries {
            |  TRUE AS freqs_positive, s1 AS first_s1, s2 AS first_s2,
            |  freq AS first_freq
            |FROM best""".stripMargin,
+
+    // q_unigram: the seed-stage anchors are pure SQL (top weighted
+    // multi-char substring, distinct character count — the exact
+    // arithmetic of Curation.substringPiecesCol restated); the EM
+    // invariants ride as theorem booleans the Spark side computes
+    // honestly from the trained artifact (q_bpe precedent).
+    "q_unigram" ->
+      raw"""WITH words AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+           |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |      x -> len(x) > 0)) AS w
+           |    FROM documents) GROUP BY w),
+           |subs AS (
+           |  SELECT substr(w, u.s, v.l) AS piece, SUM(wc) AS freq
+           |  FROM words,
+           |    unnest(generate_series(1, len(w))) AS u(s),
+           |    unnest(generate_series(1, least(6, len(w) - u.s + 1))) AS v(l)
+           |  GROUP BY 1),
+           |first AS (
+           |  SELECT piece AS first_seed_piece, CAST(freq AS BIGINT) AS first_seed_freq
+           |  FROM subs WHERE len(piece) > 1 ORDER BY freq DESC, piece LIMIT 1),
+           |chars AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_chars FROM subs WHERE len(piece) = 1)
+           |SELECT TRUE AS n_pieces_le_vocab, TRUE AS probs_sum_to_1,
+           |  chars.n_chars, TRUE AS ll_nondecreasing, TRUE AS has_all_chars,
+           |  first_seed_piece, first_seed_freq
+           |FROM chars CROSS JOIN first""".stripMargin,
+
+    // q_unigram_encode: n_words / n_chars are value-exact over the
+    // shared tokenization; the round-trip and token-sandwich theorems
+    // ride as booleans (they hold by the never-prune-characters rule —
+    // a coverage regression flips them).
+    "q_unigram_encode" ->
+      raw"""SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_words,
+           |  CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS n_chars,
+           |  TRUE AS round_trip_ok, TRUE AS tokens_bounded
+           |FROM (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           |      x -> len(x) > 0) AS toks
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin,
 
     "q_decontam" ->
       raw"""WITH bp AS (
