@@ -263,11 +263,15 @@ object Bench {
     // one-entry stubs and destroy the round's recorded detail.
     // SPARK_GRAFT_BENCH_DETAIL_OUT redirects the artifact — the ×10
     // gate writes BENCH_DETAIL_x10.json so the headline-SF detail the
-    // driver reads is never clobbered by a different-scale run.
-    if (args.isEmpty)
+    // driver reads is never clobbered by a different-scale run. An
+    // EXCLUDE without an explicit detail path writes nothing: a
+    // leftover exclusion env on a normal full run must not replace the
+    // committed full maps with a reduced set (the same clobber class
+    // the args guard exists for).
+    val detailOut = sys.env.get("SPARK_GRAFT_BENCH_DETAIL_OUT")
+    if (args.isEmpty && (excluded.isEmpty || detailOut.isDefined))
       try {
-        val w = new java.io.PrintWriter(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_OUT", "BENCH_DETAIL.json"))
+        val w = new java.io.PrintWriter(detailOut.getOrElse("BENCH_DETAIL.json"))
         try w.println(detail) finally w.close()
       } catch { case _: Throwable => () }
     println(detail)
@@ -295,14 +299,20 @@ object Bench {
         try src.getLines().toList finally src.close()
       }
     }
-    val refLines: Seq[String] = Seq("BENCH_REF.txt", "BENCH_REF_x10.txt")
+    val refCandidates = Seq("BENCH_REF.txt", "BENCH_REF_x10.txt")
       .map(readRef).filter(_.nonEmpty)
-      .find { ls =>
-        // a headerless (legacy) reference applies to any dir
-        ls.collectFirst {
+      .map { ls =>
+        (ls.collectFirst {
           case l if l.trim.startsWith("# sf=") => l.trim.stripPrefix("# sf=")
-        }.forall(_ == sfDir)
-      }.getOrElse(Nil)
+        }, ls)
+      }
+    // an EXACT header match wins over a headerless legacy file — a
+    // headerless headline ref must not shadow the x10 ref (comparing
+    // ×10 timings against sf0.1 references flags everything)
+    val refLines: Seq[String] = refCandidates
+      .collectFirst { case (Some(sf), ls) if sf == sfDir => ls }
+      .orElse(refCandidates.collectFirst { case (None, ls) => ls })
+      .getOrElse(Nil)
     val ref: Map[String, Double] =
       refLines.iterator.map(_.trim.split("\\s+"))
         .collect { case Array(n, v) => v.toDoubleOption.map(n -> _) }

@@ -1503,15 +1503,21 @@ object Ann {
       val bcur = Reliable.checkpoint(b)
       val fwd = bcur.select(col("id"), col("nid"))
       // reverse sampling: per TARGET node, the reverseCap best sources
-      // by (sim DESC, source id) — bounded argmax, no per-node sort
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      val revTop = column(graft.expr.catalyst.TopKByScore(
-        expression(struct(col("sim"), col("id"))), reverseCap)
-        .toAggregateExpression())
-      val rev = bcur.groupBy(col("nid")).agg(revTop.as("top"))
-        .select(col("nid").as("id"), explode(col("top")).as("entry"))
-        .select(col("id"), col("entry.id").as("nid"))
-      val u = fwd.unionByName(rev).distinct()
+      // by (sim DESC, source id) — bounded argmax, no per-node sort.
+      // reverseCap = 0 disables the stage (TopKByScore requires k > 0)
+      // rather than crashing on a value the API permits.
+      val u =
+        if (reverseCap == 0) fwd.distinct()
+        else {
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+          val revTop = column(graft.expr.catalyst.TopKByScore(
+            expression(struct(col("sim"), col("id"))), reverseCap)
+            .toAggregateExpression())
+          val rev = bcur.groupBy(col("nid")).agg(revTop.as("top"))
+            .select(col("nid").as("id"), explode(col("top")).as("entry"))
+            .select(col("id"), col("entry.id").as("nid"))
+          fwd.unionByName(rev).distinct()
+        }
       // the local join: every ordered pair within a node's undirected
       // neighborhood is a candidate edge between those two neighbors
       val pairs = u.as("a").join(u.as("b"),

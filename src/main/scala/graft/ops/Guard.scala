@@ -74,16 +74,23 @@ object Guard {
   }
 
   /** Estimated data bytes of one field as a Column (long). Null-safe:
-    * a null value costs only its fixed slot. */
+    * a null value costs only its fixed slot. The reference is
+    * backtick-quoted so a field literally named `a.b` is read as that
+    * field, not parsed as nested-struct access (embedded backticks
+    * escape by doubling, the SQL-identifier rule). */
   private def approxFieldBytes(f: StructField): Column =
-    approxBytes(col(f.name), f.dataType)
+    approxBytes(col(s"`${f.name.replace("`", "``")}`"), f.dataType)
 
   private def approxBytes(c: Column, dt: DataType): Column = dt match {
     case StringType | BinaryType =>
       // octet_length: bytes for both types (length() is chars for strings)
       coalesce(octet_length(c).cast("long"), lit(0L)) + lit(16L)
     case ArrayType(et, _) =>
-      coalesce(size(c).cast("long"), lit(0L)) * lit(elemWidth(et)) + lit(16L)
+      // greatest(…, 0): with spark.sql.legacy.sizeOfNull (the non-ANSI
+      // default) size(null) is -1, which would SUBTRACT elemWidth per
+      // null row instead of costing the fixed slot
+      greatest(coalesce(size(c).cast("long"), lit(0L)), lit(0L)) *
+        lit(elemWidth(et)) + lit(16L)
     case other => lit(fixedWidth(other))
   }
 

@@ -579,21 +579,42 @@ private[graft] object IndexManifest {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return false
     if (tagCache.size > (1 << 20)) tagCache.clear() // unbounded-run backstop
+    // exception scoping mirrors tryReadComponents: only a torn file or
+    // one vanishing under us reads as "no tag here" — a transient IO
+    // error or a corrupt committed manifest must propagate, because
+    // mapping it to "tag absent" would let a retried stream batch
+    // double-apply (the silent failure class this module makes loud)
+    // outer None = torn/vanished (never cached: the slot may be
+    // quarantined and re-published); inner Option = the parseable
+    // file's tag or its absence (both cacheable — committed manifests
+    // are immutable)
+    def readTag(p: Path): Option[Option[String]] =
+      try Some(parse(readText(fs, p), p.toString)._2) catch {
+        case _: TornManifestException => None
+        case _: java.io.FileNotFoundException => None
+      }
     fs.listStatus(dir).toSeq
       .flatMap(st => parseVersion(st.getPath.getName).map(v => (v, st)))
       .sortBy(-_._1)
       .exists { case (_, st) =>
         val key = s"${st.getPath}@${st.getModificationTime}:${st.getLen}"
         val cached = tagCache.get(key)
-        val t =
+        val t: Option[String] =
           if (cached != null) cached
           else
-            try {
-              val parsed = parse(readText(fs, st.getPath), st.getPath.toString)._2
-              tagCache.put(key, parsed)
-              parsed
-            } catch { case _: Exception => None }
-        t.contains(tag)
+            readTag(st.getPath) match {
+              case Some(parsed) => tagCache.put(key, parsed); parsed
+              case None => None
+            }
+        // a cache HIT on the sought tag is the one answer that makes a
+        // retry SKIP its batch — too dangerous to trust (mtime+length
+        // cannot fully discriminate a layout rebuilt at the same root
+        // on coarse-mtime filesystems; manifests are fixed-format, so
+        // lengths collide). Confirm it with one fresh read of that one
+        // small file; misses and non-matching hits stay cached, so the
+        // common absent-tag scan keeps its linear cost.
+        t.contains(tag) &&
+          (cached == null || readTag(st.getPath).exists(_.contains(tag)))
       }
   }
 

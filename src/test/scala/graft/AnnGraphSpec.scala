@@ -68,6 +68,11 @@ class AnnGraphSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("reverseCap = 0 disables reverse sampling instead of crashing; the graph still holds shape") {
+    val g = Ann.knnGraph(emb, k = 3, rounds = 1, reverseCap = 0)
+    assert(g.groupBy("id").count().filter(col("count") =!= 3).count() === 0)
+  }
+
   test("recall rises with rounds on the fixture too — the unstructured worst case improves monotonically") {
     val r0 = recallAt5(emb, Ann.knnGraph(emb, k = 5, rounds = 0))
     val r2 = recallAt5(emb, Ann.knnGraph(emb, k = 5, rounds = 2))
