@@ -584,7 +584,8 @@ object Ann {
              m: Int = 8, nCodes: Int = 16, trainIters: Int = 2,
              rerankFactor: Int = 4,
              codebooksOverride: Option[Array[Array[Array[Float]]]] = None,
-             maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
+             maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows,
+             autoDepth: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // materialize the normalization once: training references the
     // corpus per Lloyd iteration and the codes projection scans it
@@ -608,9 +609,26 @@ object Ann {
     val adist = column(graft.expr.catalyst.PqAdcDistance(
       expression(col("tbl")), expression(col("codes")), effCodes))
 
+    // autoDepth — probeIvfIndexPq's occupancy dial applied to the
+    // FULL-corpus ADC scan: ADC rank displacement accumulates like the
+    // square root of the candidates scanned (independent per-code
+    // quantization errors), and here a query scans the WHOLE corpus,
+    // so the shortlist that holds recall at ~128 scanned vectors
+    // deepens by sqrt(n/128). The r15 full-suite ×30 gate caught the
+    // fixed factor missing true-top-k members at 30× density — the
+    // same defect the r14 ×30 heavy gate caught in the IVF-PQ probe.
+    // One count over the already-checkpointed corpus; the deepened
+    // shortlist is still |queries|·k·effFactor broadcast rows.
+    val effFactor =
+      if (!autoDepth) rerankFactor
+      else {
+        val n = normCorpus.count()
+        math.max(rerankFactor,
+          math.ceil(rerankFactor * math.sqrt(n / 128.0)).toInt)
+      }
     val approxTop = column(graft.expr.catalyst.TopKByScore(
       expression(struct(-col("adist").cast("double"), col("nid"))),
-      k * rerankFactor).toAggregateExpression())
+      k * effFactor).toAggregateExpression())
     val cand = broadcast(qt).join(codes, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), adist.as("adist"))
       .groupBy(col("qid")).agg(approxTop.as("top"))

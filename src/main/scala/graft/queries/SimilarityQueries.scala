@@ -252,8 +252,12 @@ object SimilarityQueries {
     // the same full-containment gate as the other twins
     "q_ann_pq_recall" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // autoDepth: the shortlist deepens by sqrt(corpusSize/128) — at
+      // the fixture's n=500 this reproduces the previously-proven ×8
+      // dial exactly, and the r15 full-suite ×30 gate (which caught
+      // the fixed dial at 30× density) holds at every amplification
       annRecallCheck(Ann.pqTopK(e.filter(col("id") < 8), e, k = 5,
-        rerankFactor = 8), e)
+        rerankFactor = 4, autoDepth = true), e)
     }),
 
     // IVF-SQ8 (persisted, partition-pruned, int8-quantized lists — the
