@@ -48,9 +48,19 @@ object Verify {
       case c => c.toString
     } + "\""
     // subset runs dump a subset oracle file too — otherwise the checker
-    // FAILs every unselected query on its missing parquet dir
+    // FAILs every unselected query on its missing parquet dir. BUT a
+    // subset re-dump into a FULL dump directory (the refresh-one-query
+    // flow after a fix) must not clobber the full oracle map down to
+    // the subset — the next full check_oracle would then silently
+    // check 1 query and write a 1-entry artifact. Emit the oracle for
+    // every query whose dump parquet exists in outDir, plus the
+    // selected ones.
+    val dumped = SparkEntry.oracleSql.keySet.filter { name =>
+      selected.contains(name) ||
+        Paths.get(s"$outDir/$name.parquet").toFile.isDirectory
+    }
     val json = SparkEntry.oracleSql
-      .filter(kv => selected.contains(kv._1))
+      .filter(kv => dumped.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
