@@ -20,6 +20,9 @@ libraryDependencies ++= Seq(
 //                                              (round 8 attempt: "Not
 //                                               found" from the offline
 //                                               coursier cache)
+// Re-checked round 16 (2026-08-16): Maven Central still unreachable
+// (curl 000 on repo1.maven.org AND repo.maven.apache.org); no new
+// artifact in the offline coursier cache — environmental, unchanged.
 // Re-checked round 15 (2026-08-16): Maven Central still unreachable
 // (curl 000 on repo1.maven.org); no new artifact in the offline
 // coursier cache — the blocker is environmental, unchanged.

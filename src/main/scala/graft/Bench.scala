@@ -121,6 +121,38 @@ object Bench {
       }
     }
 
+    // ---- calibration probe (VERDICT r15 item 1) -------------------
+    // The per-round BENCH_REF refresh is a ratchet: each round's drift
+    // flags get adjudicated as "machine band" and the ref re-recorded,
+    // so cumulative slowdown never trips anything (r15 REF was a median
+    // 1.34× the r12 REF on 190 untouched queries, cause indeterminate
+    // from inside the sandbox). The fix is an INSTRUMENT: a fixed
+    // CPU-bound probe — pinned synthetic data, deterministic plan, no
+    // fixture/disk dependency — measured at bench start AND end, plus a
+    // pinned BENCH_ANCHOR.txt recorded once and NEVER refreshed. Drift
+    // vs the anchor is then calibration-normalized,
+    //   (t_q / anchor_q) / (calib_now / calib_anchor),
+    // so "the VM got slower" (calib moves with the queries) separates
+    // from "the code got slower" (queries move, calib does not).
+    def calibrationRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 32)
+        .selectExpr("xxhash64(cast(id as string), id) as h")
+        // mask before summing: 8M full-range longs overflow an ANSI sum
+        .selectExpr("h & 1023 as k", "h & 1048575 as hm")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("hm")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): Seq[Double] = {
+      betweenQueries()
+      (1 to 5).map { _ => val t = calibrationRun(); betweenQueries(); t }
+    }
+
     val names = selected.keys.toSeq.sorted
 
     // dedicated warmup: every query once at the tiniest SF, discarded.
@@ -231,13 +263,75 @@ object Bench {
     // pass starts a third of the way around the query ring so a
     // sustained stall decorrelates across passes (see timeAll).
     val third = names.size / 3
+    calibrationRun() // discarded: codegen/JIT warm for the probe's plan
+    val calibStart = calibrate()
     val pass1 = timeAll(sfDir, trackGc = true)
     val pass2 = timeAll(sfDir, trackGc = true, rotate = third)
     val pass3 = timeAll(sfDir, trackGc = true, rotate = 2 * third)
     val results = medByQuery(Seq(pass1, pass2, pass3))
     val small = if (hasSmallPass) timeAll(smallDir) else Seq.empty
+    val calibEnd = calibrate()
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallTotal = small.map(_._2).filter(_ >= 0).sum
+
+    // calibration figure for THIS run: median of the six samples (three
+    // at start, three at end — the spread itself is recorded so a
+    // machine that changed speed MID-run is visible in the artifact)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size - 1) / 2)
+    }
+    val calibAll = calibStart ++ calibEnd
+    val calibSec = if (calibAll.nonEmpty) median(calibAll) else -1.0
+
+    def readRef(name: String): Seq[String] = {
+      val f = new java.io.File(name)
+      if (!f.isFile) Nil
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
+      }
+    }
+
+    // pinned anchor: recorded ONCE (tools/regen_bench_ref.py --anchor),
+    // never refreshed. Same header-keyed selection as the refs so the
+    // ×10 gate can pin its own anchor beside the headline one.
+    val anchorCandidates = Seq("BENCH_ANCHOR.txt", "BENCH_ANCHOR_x10.txt")
+      .map(readRef).filter(_.nonEmpty)
+      .map { ls =>
+        (ls.collectFirst {
+          case l if l.trim.startsWith("# sf=") => l.trim.stripPrefix("# sf=")
+        }, ls)
+      }
+    val anchorLines: Seq[String] = anchorCandidates
+      .collectFirst { case (Some(sf), ls) if sf == sfDir => ls }
+      .getOrElse(Nil)
+    val anchorCalib: Option[Double] = anchorLines.collectFirst {
+      case l if l.trim.startsWith("# calibration=") =>
+        l.trim.stripPrefix("# calibration=").toDouble
+    }
+    val anchor: Map[String, Double] =
+      anchorLines.iterator.map(_.trim.split("\\s+"))
+        .collect { case Array(n, v) => v.toDoubleOption.map(n -> _) }
+        .flatten.toMap
+    // calibration-normalized cumulative drift per anchored query
+    val calibRatio = anchorCalib.filter(_ > 0).filter(_ => calibSec > 0)
+      .map(ca => calibSec / ca)
+    val driftByQuery: Seq[(String, Double)] = calibRatio match {
+      case Some(cr) => results.collect {
+        case (n, t) if t >= 0 && anchor.get(n).exists(_ > 0) =>
+          n -> (t / anchor(n)) / cr
+      }
+      case None => Nil
+    }
+    val cumDriftJson =
+      if (driftByQuery.isEmpty) "null"
+      else {
+        val ds = driftByQuery.map(_._2).sorted
+        val med = ds((ds.size - 1) / 2)
+        val p90 = ds(((ds.size - 1) * 9) / 10)
+        f"""{"median":$med%.3f,"p90":$p90%.3f,"n":${ds.size},""" +
+          f""""calib":$calibSec%.3f,"calib_anchor":${anchorCalib.get}%.3f}"""
+      }
 
     // preserve the ScaleSmoke sections (always the LAST keys in the
     // file — sf1_smoke, sf3_smoke, …) across bench rewrites — they are
@@ -254,9 +348,13 @@ object Bench {
     } catch { case _: Throwable => "" }
     def toJsonL(rs: Iterable[(String, Long)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def toJsonArr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val detail = s"""{"queries":${toJson(results)},"sf":"$sfDir",""" +
       s""""pass1":${toJson(pass1)},"pass2":${toJson(pass2)},"pass3":${toJson(pass3)},""" +
       s""""gc_ms":${toJsonL(gcByQuery)},"heap_mb":${toJsonL(heapByQuery)},""" +
+      s""""calibration":{"start":${toJsonArr(calibStart)},"end":${toJsonArr(calibEnd)},"sec":$calibSec},""" +
+      s""""cum_drift":$cumDriftJson,"drift_vs_anchor":${toJson(driftByQuery)},""" +
       s""""total_sf0.01":$smallTotal,"queries_sf0.01":${toJson(small)}$prevSf1}"""
     // only a FULL run owns the diagnostics artifact: a dev-loop subset
     // run (query-name args) would otherwise replace the full maps with
@@ -291,14 +389,6 @@ object Bench {
     // (sf0.1) clean run and BENCH_REF_x10.txt the materialized ×10 run
     // (tools/bench_x10.sh); the file whose header matches the benched
     // dir is consulted, so the same binary gates both.
-    def readRef(name: String): Seq[String] = {
-      val f = new java.io.File(name)
-      if (!f.isFile) Nil
-      else {
-        val src = scala.io.Source.fromFile(f)
-        try src.getLines().toList finally src.close()
-      }
-    }
     val refCandidates = Seq("BENCH_REF.txt", "BENCH_REF_x10.txt")
       .map(readRef).filter(_.nonEmpty)
       .map { ls =>
@@ -329,7 +419,7 @@ object Bench {
       small.collect { case (n, t) if t < 0 =>
         s"sf0.01/$n:${failures.getOrElse((smallDir, n), "unknown")}" }
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errJson,"regressions":$regJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errJson,"regressions":$regJson,"calibration":$calibSec,"cum_drift":$cumDriftJson}""")
     System.out.flush()
     spark.stop()
   }

@@ -638,8 +638,16 @@ object Ann {
       Vectors.l2Norm(col("vec")).as("qn"))
     val cv = corpus.select(col("id").as("nid"), col("vec").as("nv"),
       Vectors.l2Norm(col("vec")).as("nn"))
-    // candidate set is |queries|·k·rerankFactor rows — broadcast it so
-    // the exact rerank never shuffles the corpus by nid
+    // candidate set is |queries|·k·effFactor rows — broadcast it so
+    // the exact rerank never shuffles the corpus by nid. With autoDepth
+    // the shortlist grows ~sqrt(n), so the query-batch guard above no
+    // longer bounds this frame (r15 ADVICE): rail the EXACT arithmetic
+    // bound (argmax-k emits at most nq·k·effFactor rows of known width;
+    // nq is one count of the already-guarded small batch) — no extra
+    // scan of the ADC lineage, no plan change.
+    val dim = cbs.length.toLong * cbs(0)(0).length
+    Guard.broadcastBudget(qg.count() * k * effFactor, 48L + dim * 4,
+      "pqTopK rerank candidate set")
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
@@ -1101,6 +1109,15 @@ object Ann {
       .withColumn("qn", Vectors.l2Norm(col("qv")))
     val cv = lists.select(col("nid"), col("nv"))
       .withColumn("nn", Vectors.l2Norm(col("nv")))
+    // same rail as pqTopK (r15 ADVICE): autoDepth grows the shortlist
+    // ~sqrt(list occupancy), so bound the rerank broadcast explicitly —
+    // the exact arithmetic bound (argmax-k emits at most nq·k·effFactor
+    // rows of qv-width), railed WITHOUT touching the pruned-candidate
+    // lineage or its plan-gated codes-only scan.
+    val dim = cbs.length.toLong * cbs(0)(0).length
+    Guard.broadcastBudget(
+      probes.select(col("qid")).dropDuplicates("qid").count() * k * effFactor,
+      48L + dim * 4, "probeIvfIndexPq rerank candidate set")
     rank(broadcast(shortlist.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 

@@ -53,9 +53,15 @@ object Guard {
                      maxBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     require(maxRows > 0, "maxRows must be positive")
     require(maxBytes > 0, "maxBytes must be positive")
-    val rowBytes = df.schema.fields.map(approxFieldBytes).reduceOption(_ + _)
+    // resolve fields POSITIONALLY (r15 ADVICE): a post-join frame may
+    // legally carry duplicate column names, and col(name) over one
+    // fails with an ambiguous-reference AnalysisException where the
+    // old count-only rail worked. toDF renames by position, so the
+    // size expression binds each physical column exactly once.
+    val flat = df.toDF(df.columns.indices.map(i => s"__guard_c$i"): _*)
+    val rowBytes = flat.schema.fields.map(approxFieldBytes).reduceOption(_ + _)
       .getOrElse(lit(0L))
-    val head = df.limit(maxRows + 1)
+    val head = flat.limit(maxRows + 1)
       .agg(count(lit(1)).as("n"), coalesce(sum(rowBytes), lit(0L)).as("b"))
       .head()
     val n = head.getLong(0)
@@ -73,6 +79,30 @@ object Guard {
     df
   }
 
+  /** Rail a broadcast from PRECOMPUTED figures (r15 ADVICE: the
+    * autoDepth rerank shortlists). Operators whose candidate frames
+    * carry an exact arithmetic bound — a bounded argmax-k emits at most
+    * |queries|·k·factor rows of known width — rail the BOUND instead of
+    * executing the lineage: zero extra scans, no plan change (the
+    * codes-only candidate scans stay plan-gated in PqSpec), same loud
+    * contract as [[broadcastSmall]]. */
+  def broadcastBudget(rows: Long, bytesPerRow: Long, what: String,
+                      maxRows: Int = DefaultMaxBroadcastRows,
+                      maxBytes: Long = DefaultMaxBroadcastBytes): Unit = {
+    require(rows <= maxRows,
+      s"$what must be broadcast-small but would hold up to $rows rows " +
+        s"(cap $maxRows) — this operator replicates it to every task; " +
+        "shrink the query batch, lower k or the rerank factor, or use a " +
+        "shuffle-based alternative")
+    val bytes = rows * bytesPerRow
+    require(bytes <= maxBytes,
+      s"$what must be broadcast-small but its $rows rows are ~$bytes bytes " +
+        s"of data (cap $maxBytes) — wide rows defeat the row cap; this " +
+        "operator replicates the frame to every task; shrink the query " +
+        "batch, lower k or the rerank factor, raise the cap explicitly, " +
+        "or use a shuffle-based alternative")
+  }
+
   /** Estimated data bytes of one field as a Column (long). Null-safe:
     * a null value costs only its fixed slot. The reference is
     * backtick-quoted so a field literally named `a.b` is read as that
@@ -81,7 +111,7 @@ object Guard {
   private def approxFieldBytes(f: StructField): Column =
     approxBytes(col(s"`${f.name.replace("`", "``")}`"), f.dataType)
 
-  private def approxBytes(c: Column, dt: DataType): Column = dt match {
+  private def approxBytes(c: Column, dt: DataType, depth: Int = 0): Column = dt match {
     case StringType | BinaryType =>
       // octet_length: bytes for both types (length() is chars for strings)
       coalesce(octet_length(c).cast("long"), lit(0L)) + lit(16L)
@@ -91,6 +121,15 @@ object Guard {
       // null row instead of costing the fixed slot
       greatest(coalesce(size(c).cast("long"), lit(0L)), lit(0L)) *
         lit(elemWidth(et)) + lit(16L)
+    case st: StructType
+        if depth == 0 && st.fieldNames.distinct.length == st.size =>
+      // recurse ONE level (r15 ADVICE): a wide array/string wrapped in
+      // a struct is exactly the wide-row class the rail exists for and
+      // a flat 64 bytes let it through. Deeper nesting (and the rare
+      // duplicate-field-name struct getField cannot address) keeps the
+      // flat fallback — the rail is a magnitude check.
+      st.fields.map(f => approxBytes(c.getField(f.name), f.dataType, depth + 1))
+        .reduceOption(_ + _).getOrElse(lit(0L)) + lit(8L)
     case other => lit(fixedWidth(other))
   }
 

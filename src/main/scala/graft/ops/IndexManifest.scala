@@ -593,19 +593,25 @@ private[graft] object IndexManifest {
         case _: TornManifestException => None
         case _: java.io.FileNotFoundException => None
       }
-    fs.listStatus(dir).toSeq
+    // fresh read + cache refresh for one version file; outer None
+    // (torn/vanished) is "no tag here" and never cached
+    def freshTag(key: String, p: Path): Option[String] =
+      readTag(p) match {
+        case Some(parsed) => tagCache.put(key, parsed); parsed
+        case None => None
+      }
+    // cache-served entries in scan (descending-version) order — the
+    // candidates a stale cache could be lying about
+    val cacheServed = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+    val hit = fs.listStatus(dir).toSeq
       .flatMap(st => parseVersion(st.getPath.getName).map(v => (v, st)))
       .sortBy(-_._1)
       .exists { case (_, st) =>
         val key = s"${st.getPath}@${st.getModificationTime}:${st.getLen}"
         val cached = tagCache.get(key)
         val t: Option[String] =
-          if (cached != null) cached
-          else
-            readTag(st.getPath) match {
-              case Some(parsed) => tagCache.put(key, parsed); parsed
-              case None => None
-            }
+          if (cached != null) { cacheServed += ((key, st.getPath)); cached }
+          else freshTag(key, st.getPath)
         // a cache HIT on the sought tag is the one answer that makes a
         // retry SKIP its batch — too dangerous to trust (mtime+length
         // cannot fully discriminate a layout rebuilt at the same root
@@ -613,9 +619,23 @@ private[graft] object IndexManifest {
         // lengths collide). Confirm it with one fresh read of that one
         // small file; misses and non-matching hits stay cached, so the
         // common absent-tag scan keeps its linear cost.
-        t.contains(tag) &&
-          (cached == null || readTag(st.getPath).exists(_.contains(tag)))
+        t.contains(tag) && (cached == null || freshTag(key, st.getPath).contains(tag))
       }
+    // the NEGATIVE answer gets the mirror-image confirmation (r15
+    // ADVICE): a stale negative under the same key collision would
+    // report "tag absent" and let a retried batch double-apply — the
+    // worse failure. By this module's contract the sought tag, when
+    // present at all, rides one of the most recent commits (vacuum
+    // refuses while a started-without-committed marker exists), so
+    // confirming the newest TWO cache-served files (two covers one
+    // foreign commit interleaved after the crashed attempt) closes the
+    // window at constant extra cost — re-reading every cached version
+    // would reintroduce the quadratic stream-lifetime scan the cache
+    // exists to prevent. Deeper staleness additionally requires the
+    // full (path,mtime,length) collision of a same-root rebuild.
+    hit || cacheServed.take(2).exists { case (key, p) =>
+      freshTag(key, p).contains(tag)
+    }
   }
 
   /** Highest PARSEABLE committed version with its components, or None
@@ -642,9 +662,20 @@ private[graft] object IndexManifest {
     // its prefix looks like — the one silently-skippable failure. With
     // the footer present the write completed, so any failure below it
     // is corruption of a committed snapshot and stays loud.
-    if (lines.lastOption.forall(_ != Footer))
+    if (lines.lastOption.forall(_ != Footer)) {
+      // footer present but NOT last (r15 ADVICE): the write completed
+      // and something appended junk after it — corruption of a
+      // committed snapshot, not a torn write. Classifying it torn
+      // would silently skip the version and resurrect rows its
+      // tombstones had erased — exactly the hazard the footer check
+      // makes loud for header/body corruption.
+      if (lines.contains(Footer))
+        throw new IllegalStateException(
+          s"manifest $at CORRUPT: content after its end marker — a " +
+            "committed snapshot was modified in place")
       throw new TornManifestException(
         s"manifest $at has no end marker — torn write or in-flight commit")
+    }
     if (lines.headOption.forall(_ != Header))
       throw new IllegalStateException(s"unrecognized manifest header in $at")
     val body = lines.tail.dropRight(1)

@@ -103,6 +103,45 @@ class GuardSpec extends SparkSpec {
     assert(Guard.broadcastSmall(vecs(40), "narrow frame").count() === 40)
   }
 
+  test("byte rail: duplicate column names (legal post-join) and struct-wrapped wide arrays") {
+    // duplicate names: col(name) would throw AnalysisException where
+    // the rail must simply measure — fields are resolved positionally
+    // (r15 ADVICE)
+    val a = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "x")
+    val dup = a.join(a.withColumnRenamed("id", "id2"), $"id" === $"id2")
+      .drop("id2") // two columns both named "x"
+    assert(dup.columns.count(_ == "x") === 2)
+    assert(Guard.broadcastSmall(dup, "dup-name frame").count() === 20)
+    // a wide array WRAPPED IN A STRUCT must not evade the cap behind
+    // the flat struct fallback — the estimator recurses one level
+    val wrapped = (1 to 100).map(i => (i.toLong, Array.fill(2048)(i.toFloat)))
+      .toDF("id", "vec").select($"id", struct($"vec".as("v")).as("s"))
+    val e = intercept[IllegalArgumentException] {
+      Guard.broadcastSmall(wrapped, "struct-wrapped wide frame",
+        maxRows = 1000, maxBytes = 100L << 10)
+    }
+    assert(e.getMessage.contains("struct-wrapped wide frame"), e.getMessage)
+    // and with an honest budget the same frame passes — the recursion
+    // measures, it does not just reject structs
+    assert(Guard.broadcastSmall(wrapped, "struct-wrapped wide frame",
+      maxRows = 1000, maxBytes = 4L << 20).count() === 100)
+  }
+
+  test("arithmetic rail: precomputed row/byte bounds fail loudly (autoDepth rerank shortlists)") {
+    Guard.broadcastBudget(100, 64, "ok frame") // under both caps: no-op
+    val e = intercept[IllegalArgumentException] {
+      Guard.broadcastBudget(5000000L, 64, "big shortlist")
+    }
+    assert(e.getMessage.contains("big shortlist"), e.getMessage)
+    // wide rows: 1M rows × 4 KB qv ≈ 4 GB — under the row cap, far over
+    // the byte cap (the r15 ADVICE scenario: sqrt(n)-deep shortlists
+    // joined with wide query vectors)
+    val e2 = intercept[IllegalArgumentException] {
+      Guard.broadcastBudget(1000000L, 4096, "wide shortlist")
+    }
+    assert(e2.getMessage.contains("wide rows defeat the row cap"), e2.getMessage)
+  }
+
   test("guarded operators still work under the cap; guard returns the frame unchanged") {
     val corpus = vecs(40)
     val queries = vecs(5)

@@ -60,6 +60,53 @@ class ManifestIntegritySpec extends SparkSpec {
     assert(IndexManifest.pin(spark, p).version === v1)
   }
 
+  test("junk appended AFTER the end marker is CORRUPT, not torn — never a silent fallback to the previous version") {
+    val p = freshLayout("graft-mi-trailing")
+    val v1 = IndexManifest.pin(spark, p).version
+    // the write completed (footer present) and something appended after
+    // it — classifying this torn would silently skip the version and
+    // resurrect rows its tombstones erased (r15 ADVICE)
+    val text = new String(
+      java.nio.file.Files.readAllBytes(slot(p, v1).toPath), "UTF-8")
+    java.nio.file.Files.write(slot(p, v1).toPath,
+      (text + "trailing junk line\n").getBytes("UTF-8"))
+    new java.io.File(f"$p/_manifests/.v$v1%012d.crc").delete()
+    val ex = intercept[IllegalStateException] { IndexManifest.pin(spark, p) }
+    assert(ex.getMessage.contains("CORRUPT"), ex.getMessage)
+    // the cause names the specific defect (content after the marker) —
+    // before r16 this parsed as TORN and fell back silently
+    assert(ex.getCause != null &&
+      ex.getCause.getMessage.contains("after its end marker"),
+      String.valueOf(ex.getCause))
+  }
+
+  test("hasCommittedTag: a stale NEGATIVE cache entry under a (mtime,length) collision is confirm-read, not trusted") {
+    val p = freshLayout("graft-mi-stale-neg")
+    val v1 = IndexManifest.pin(spark, p).version
+    val body = new String(
+      java.nio.file.Files.readAllBytes(slot(p, v1).toPath), "UTF-8")
+      .linesIterator.toSeq
+    val (header, rest) = (body.head, body.tail)
+    def writeV2(metaLine: String, mtime: Long): Unit = {
+      val f = slot(p, v1 + 1)
+      java.nio.file.Files.write(f.toPath,
+        ((header +: metaLine +: rest).mkString("", "\n", "\n")).getBytes("UTF-8"))
+      new java.io.File(f"$p/_manifests/.v${v1 + 1}%012d.crc").delete()
+      assert(f.setLastModified(mtime))
+    }
+    // v2 committed WITHOUT the tag: the scan caches the negative
+    val m = 1700000000000L
+    writeV2("#pad=abc", m) // same byte length as "#tag=t-x"
+    assert(!IndexManifest.hasCommittedTag(spark, p, "t-x"))
+    // the layout is "rebuilt" at the same root with IDENTICAL
+    // (path, mtime, length) — a coarse-mtime FS collision — but now
+    // carries the tag; trusting the stale negative would let a retried
+    // stream batch double-apply
+    writeV2("#tag=t-x", m)
+    assert(IndexManifest.hasCommittedTag(spark, p, "t-x"),
+      "stale negative tag-cache entry was trusted across a key collision")
+  }
+
   test("a legacy footerless-but-parseable manifest store raises the migration remedy from pin and exists, not 'no index manifest'") {
     val p = freshLayout("graft-mi-legacy")
     val v1 = IndexManifest.pin(spark, p).version

@@ -145,7 +145,7 @@ def s2_reader_isolation():
                 torn.append(c)
     problems = [f"probe error: {e}" for e in perrs]
     problems += [f"torn probe count {c} (not a committed prefix)" for c in torn]
-    if any(b > a for a, b in zip(counts[1:], counts)):
+    if any(prev > cur for prev, cur in zip(counts, counts[1:])):
         problems.append(f"probe counts not monotone: {counts}")
     if locked or errs:
         problems.append(f"single writer hit locks/errors: {locked} {errs}")
