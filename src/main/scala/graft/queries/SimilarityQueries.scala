@@ -174,6 +174,26 @@ object SimilarityQueries {
           .filter(col("id") < 8).withColumnRenamed("id", "qid"), e)
     }),
 
+    // graph-ANN SERVING (VERDICT r15 item 3 — the graph family's probe
+    // path): persist the NN-descent graph as a bucket-partitioned
+    // manifest layout, then answer top-k by distributed beam search —
+    // deterministic seeds from the build's own hash-ring permutation,
+    // two frontier expansions through bucket-PRUNED adjacency
+    // partitions, exact guarded cosine on new candidates only. Every
+    // stage is engine-neutral arithmetic, so the oracle restates the
+    // whole build+search (graph CTEs + seed/beam/expansion CTEs) and
+    // the ranked output matches hash-exactly.
+    "q_ann_graph_search" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val path = scratchDir("graft-gidx", dir)
+      Ann.writeGraphIndex(e, path, k = 5, rounds = 2, reverseCap = 5,
+        nBuckets = 16, nSeeds = 4)
+      Ann.probeGraphIndex(e.filter(col("id") < 8), path, k = 5,
+        beamWidth = 8, hops = 2)
+        .select(col("qid"), col("rank"), col("nid"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // int8-quantized two-stage scan (approximate candidate stage over
     // 4×-smaller vectors, exact float rerank) — same driver-visible
     // recall gate as the LSH/IVF twins.
@@ -930,6 +950,51 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** [[knnGraphCtes]] extended with the beam-search probe restatement
+    * (q_ann_graph_search): entry points from the same hash-ring
+    * permutation (`perm`), then per hop the best-`beamWidth` frontier
+    * (sim DESC, nid — the TopKByScore order), expansion through the
+    * final graph's edges, EXCEPT-dedup against everything already
+    * scored (the probe's anti-join), exact guarded cosine on the new
+    * candidates, UNION ALL into the accumulator. `a$hops` is the final
+    * scored set. */
+  private def graphSearchCtes(k: Int, rounds: Int, rcap: Int,
+                              nSeeds: Int, beamWidth: Int,
+                              hops: Int): String = {
+    val sb = new StringBuilder
+    sb.append(knnGraphCtes(k, rounds, rcap))
+    sb.append(
+      s""",
+         |g AS (SELECT id, nid FROM b$rounds),
+         |q AS (SELECT id AS qid, v, nrm FROM e WHERE id < 8),
+         |sd AS (SELECT id AS nid FROM perm WHERE pos < $nSeeds),
+         |a0 AS (
+         |  SELECT q.qid, sd.nid,
+         |    CASE WHEN q.nrm > 0 AND ce.nrm > 0
+         |      THEN ${dot("q.v", "ce.v")} / (q.nrm * ce.nrm) END AS sim
+         |  FROM q JOIN sd ON sd.nid <> q.qid JOIN e ce ON ce.id = sd.nid)""".stripMargin)
+    for (h <- 1 to hops) {
+      sb.append(
+        s""",
+           |bm$h AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |    FROM a${h - 1} WHERE sim IS NOT NULL) WHERE rn <= $beamWidth),
+           |nc$h AS (
+           |  SELECT bm.qid, g.nid FROM bm$h bm JOIN g ON g.id = bm.nid
+           |  WHERE g.nid <> bm.qid
+           |  EXCEPT SELECT qid, nid FROM a${h - 1}),
+           |ns$h AS (
+           |  SELECT c.qid, c.nid,
+           |    CASE WHEN qe.nrm > 0 AND ce.nrm > 0
+           |      THEN ${dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) END AS sim
+           |  FROM nc$h c JOIN e qe ON qe.id = c.qid JOIN e ce ON ce.id = c.nid),
+           |a$h AS (SELECT * FROM a${h - 1} UNION ALL SELECT * FROM ns$h)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def recallConstOracle(k: Int, depth: Int): String =
     s"""SELECT vec_id AS qid, CAST($k AS BIGINT) AS n_returned,
        |  CAST($k AS BIGINT) AS n_in_true$depth
@@ -1053,6 +1118,19 @@ recallConstOracle(k = 5, depth = 20),
          |FROM b2 JOIN truth t ON t.qid = b2.id
          |WHERE b2.id < 8
          |GROUP BY b2.id ORDER BY qid""".stripMargin,
+
+    // q_ann_graph_search: VALUE-EXACT — the whole build (2-round
+    // NN-descent) PLUS the beam-search probe restated: hash-ring seed
+    // entry points, two best-8 frontier expansions through the final
+    // graph, exact cosine on new candidates only, accumulated top-5.
+    "q_ann_graph_search" ->
+      s"""WITH ${graphSearchCtes(k = 5, rounds = 2, rcap = 5,
+             nSeeds = 4, beamWidth = 8, hops = 2)}
+         |SELECT qid, rn AS rank, nid FROM (
+         |  SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM a2 WHERE sim IS NOT NULL) WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin,
 
     "q_rp_recall" ->
 recallConstOracle(k = 5, depth = 100),

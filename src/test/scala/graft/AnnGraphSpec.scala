@@ -78,4 +78,55 @@ class AnnGraphSpec extends SparkSpec {
     val r2 = recallAt5(emb, Ann.knnGraph(emb, k = 5, rounds = 2))
     assert(r2 >= r0, s"rounds must not hurt recall: $r0 -> $r2")
   }
+
+  test("graph index: persisted layout serves deterministic beam-search top-k; rebuild advances the manifest version") {
+    val p = java.nio.file.Files.createTempDirectory("graft-gidx-spec").toString
+    Ann.writeGraphIndex(emb, p, k = 5, rounds = 2, reverseCap = 5,
+      nBuckets = 8, nSeeds = 4)
+    val q = emb.filter(col("id") < 8)
+    val a = Ann.probeGraphIndex(q, p, k = 5, beamWidth = 8, hops = 2).cache()
+    // shape: exactly k ranked rows per query, no self-matches
+    assert(a.count() === 8 * 5)
+    assert(a.filter(col("qid") === col("nid")).count() === 0)
+    val badRank = a.groupBy("qid")
+      .agg(count(lit(1)).as("c"), min("rank").as("lo"), max("rank").as("hi"))
+      .filter(col("c") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+    assert(badRank.count() === 0)
+    // determinism: a second probe of the same layout is row-identical
+    val b = Ann.probeGraphIndex(q, p, k = 5, beamWidth = 8, hops = 2)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // lifecycle: a rebuild commits a NEW manifest version (probes pin)
+    val v1 = graft.ops.IndexManifest.pin(spark, p).version
+    Ann.writeGraphIndex(emb, p, k = 5, rounds = 2, reverseCap = 5,
+      nBuckets = 8, nSeeds = 4)
+    assert(graft.ops.IndexManifest.pin(spark, p).version > v1)
+    a.unpersist()
+  }
+
+  test("graph-index beam search: entry coverage is the dial — starved seeds miss clusters, covering seeds reach brute truth") {
+    // the design's honest limit, pinned as a SPEC: a converged k-NN
+    // graph on clustered data is disconnected ACROSS clusters, so beam
+    // search reaches only clusters a seed lands in. 8 hash-random
+    // seeds over 25 clusters must miss most of them; 128 seeds cover
+    // every cluster (coupon-collector: P(miss) ≈ 25·e^(-128·20/500)
+    // ≈ 0.15) and the probe then finds the exact top-5 of every query.
+    val corpus = clustered.cache()
+    def recallWithSeeds(nSeeds: Int): Double = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-gidx-q$nSeeds").toString
+      Ann.writeGraphIndex(corpus, p, k = 10, rounds = 6, reverseCap = 10,
+        nBuckets = 8, nSeeds = nSeeds)
+      val q = corpus.filter(col("id") < 32)
+      val served = Ann.probeGraphIndex(q, p, k = 5, beamWidth = 16, hops = 3)
+        .select(col("qid").as("id"), col("nid"))
+      val truth = Ann.bruteTopK(q, corpus, k = 5)
+        .select(col("qid").as("id"), col("nid"))
+      served.join(truth, Seq("id", "nid")).count().toDouble / truth.count()
+    }
+    val starved = recallWithSeeds(8)
+    val covered = recallWithSeeds(128)
+    assert(starved < 0.7, s"8 seeds over 25 clusters should starve: $starved")
+    assert(covered >= 0.95, s"beam-search recall too low at 128 seeds: $covered")
+    corpus.unpersist()
+  }
 }

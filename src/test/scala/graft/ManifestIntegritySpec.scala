@@ -134,6 +134,47 @@ class ManifestIntegritySpec extends SparkSpec {
     assert(docs === Set(1L, 2L))
   }
 
+  test("migrateLegacy footers a synthesized legacy store end-to-end, idempotently, and refuses garbled bodies") {
+    val p = freshLayout("graft-mi-migrate")
+    // advance so the store holds TWO versions, then rewrite BOTH as
+    // pre-r14 legacy manifests (strip the end markers)
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "aaa ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    for (v <- 1L to 2L) {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(slot(p, v).toPath), "UTF-8")
+      java.nio.file.Files.write(slot(p, v).toPath,
+        text.linesIterator.filterNot(_ == "graft-index-manifest end")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      new java.io.File(f"$p/_manifests/.v$v%012d.crc").delete()
+    }
+    // diagnosis names the operator
+    val ex = intercept[IllegalStateException] { IndexManifest.pin(spark, p) }
+    assert(ex.getMessage.contains("migrateLegacy"), ex.getMessage)
+    // the remedy as code: verifies each body, appends footers atomically
+    assert(IndexManifest.migrateLegacy(spark, p) === Seq(1L, 2L))
+    assert(IndexManifest.pin(spark, p).version === 2L)
+    val docs = graft.ops.TextIndex.probeBm25Index(spark, p, Seq("aaa"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs === Set(1L, 2L, 3L))
+    // idempotent: a re-run touches nothing
+    assert(IndexManifest.migrateLegacy(spark, p) === Seq.empty)
+    // a footerless file whose body does NOT parse refuses loudly with
+    // no state changed — torn-vs-legacy needs the operator's judgment
+    java.nio.file.Files.write(slot(p, 3L).toPath,
+      "graft-index-manifest 1\nhalf a line with no separa"
+        .getBytes("UTF-8"))
+    val ex2 = intercept[IllegalStateException] {
+      IndexManifest.migrateLegacy(spark, p)
+    }
+    assert(ex2.getMessage.contains("migrateLegacy refuses"), ex2.getMessage)
+    assert(ex2.getMessage.contains("v000000000003"), ex2.getMessage)
+    // the garbled file was not footered behind the refusal
+    val leftover = new String(
+      java.nio.file.Files.readAllBytes(slot(p, 3L).toPath), "UTF-8")
+    assert(!leftover.contains("graft-index-manifest end"))
+  }
+
   test("vacuum refuses while a started-without-committed stream marker exists, and proceeds once the batch settles") {
     val p = freshLayout("graft-mi-vacuumguard")
     // advance the layout so there IS something to vacuum
