@@ -274,8 +274,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallTotal = small.map(_._2).filter(_ >= 0).sum
 
-    // calibration figure for THIS run: median of the six samples (three
-    // at start, three at end — the spread itself is recorded so a
+    // calibration figure for THIS run: median of the ten samples (five
+    // at start, five at end — the spread itself is recorded so a
     // machine that changed speed MID-run is visible in the artifact)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s((s.size - 1) / 2)

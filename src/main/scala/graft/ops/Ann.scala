@@ -646,8 +646,10 @@ object Ann {
     // nq is one count of the already-guarded small batch) — no extra
     // scan of the ADC lineage, no plan change.
     val dim = cbs.length.toLong * cbs(0)(0).length
+    // the caller's explicit cap decision governs the rerank rail too —
+    // a raised maxBroadcastRows must not be vetoed by the default
     Guard.broadcastBudget(qg.count() * k * effFactor, 48L + dim * 4,
-      "pqTopK rerank candidate set")
+      "pqTopK rerank candidate set", maxRows = maxBroadcastRows)
     rank(broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
@@ -1053,7 +1055,9 @@ object Ann {
     * displacement accumulates ~sqrt of the candidates scanned). */
   def probeIvfIndexPq(queries: DataFrame, path: String, k: Int,
                       nProbe: Int = 4, rerankFactor: Int = 4,
-                      autoDepth: Boolean = false): DataFrame = {
+                      autoDepth: Boolean = false,
+                      maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows)
+      : DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // ONE pin: lists, tombstones AND codebooks come from the same
     // snapshot — a rebuild committing between reads cannot mismatch
@@ -1117,7 +1121,8 @@ object Ann {
     val dim = cbs.length.toLong * cbs(0)(0).length
     Guard.broadcastBudget(
       probes.select(col("qid")).dropDuplicates("qid").count() * k * effFactor,
-      48L + dim * 4, "probeIvfIndexPq rerank candidate set")
+      48L + dim * 4, "probeIvfIndexPq rerank candidate set",
+      maxRows = maxBroadcastRows)
     rank(broadcast(shortlist.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid")), k)
   }
 
@@ -1687,8 +1692,10 @@ object Ann {
       ids.select(bucketOf(col(idCol)).as("b")).distinct()
         .collect().map(_.getLong(0)).toSeq
     // exact guarded cosine for a (qid, nid) candidate frame against the
-    // candidates' pruned vector partitions; the candidate side is
-    // bounded (|queries|·beamWidth·degree) and broadcasts
+    // candidates' pruned vector partitions. The caller checkpoints cand
+    // first (its buckets are collected AND its rows broadcast — one
+    // computed copy for both), and the broadcast is railed by the
+    // caller's exact arithmetic bound.
     def score(cand: DataFrame): DataFrame = {
       val bs = buckets(cand, "nid")
       val cv = vecs.filter(col("bucket").isin(bs: _*))
@@ -1699,6 +1706,19 @@ object Ann {
             Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
             .as("sim"))
     }
+    // exact arithmetic rails (the pqTopK autoDepth lesson): the seed
+    // stage broadcasts |queries|·nSeeds rows and each hop at most
+    // |queries|·beamWidth·k rows, every row carrying the query vector —
+    // with auto-sized seeds (ceil(sqrt(n))) a large corpus plus a large
+    // batch silently exceeds any replication budget without this.
+    val nq = qv.count()
+    val qdim = qv.select(size(col("qv")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+    val rowBytes = 48L + qdim * 4
+    Guard.broadcastBudget(nq * meta.getAs[Int]("n_seeds"), rowBytes,
+      "probeGraphIndex seed candidate set", maxRows = maxBroadcastRows)
+    Guard.broadcastBudget(nq * beamWidth * meta.getAs[Int]("k"), rowBytes,
+      "probeGraphIndex hop candidate set", maxRows = maxBroadcastRows)
     val seeds = spark.read.parquet(snap.single("seeds")) // (nid), tiny
     val seedCand = qv.select(col("qid")).crossJoin(broadcast(seeds))
       .filter(col("nid") =!= col("qid"))
@@ -1707,17 +1727,22 @@ object Ann {
       val beamTop = column(graft.expr.catalyst.TopKByScore(
         expression(struct(col("sim"), col("nid"))), beamWidth)
         .toAggregateExpression())
-      val beam = acc.groupBy(col("qid")).agg(beamTop.as("top"))
-        .select(col("qid"), explode(col("top")).as("e"))
-        .select(col("qid"), col("e.id").as("nid"))
+      // checkpoint the beam and the candidate set: each is both
+      // bucket-collected and joined below, and recomputing the
+      // TopKByScore aggregation per consumer would triple probe latency
+      val beam = Reliable.checkpoint(
+        acc.groupBy(col("qid")).agg(beamTop.as("top"))
+          .select(col("qid"), explode(col("top")).as("e"))
+          .select(col("qid"), col("e.id").as("nid")))
       val bs = buckets(beam, "nid")
       val edges = adj.filter(col("bucket").isin(bs: _*))
         .select(col("id").as("nid"), col("nid").as("cand"))
-      val cand = broadcast(beam).join(edges, Seq("nid"))
-        .select(col("qid"), col("cand").as("nid"))
-        .filter(col("nid") =!= col("qid"))
-        .distinct()
-        .join(acc.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+      val cand = Reliable.checkpoint(
+        broadcast(beam).join(edges, Seq("nid"))
+          .select(col("qid"), col("cand").as("nid"))
+          .filter(col("nid") =!= col("qid"))
+          .distinct()
+          .join(acc.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti"))
       acc = Reliable.checkpoint(acc.unionByName(score(cand)))
     }
     val topK = column(graft.expr.catalyst.TopKByScore(

@@ -56,7 +56,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * tombstones=
   * }}}
   */
-private[graft] object IndexManifest {
+object IndexManifest {
 
   /** One immutable segment directory (relative to the layout root) with
     * the bucket ids a later purge logically removed from it. */
@@ -321,11 +321,12 @@ private[graft] object IndexManifest {
       if (parsesWithoutFooter(fs, file))
         throw new IllegalStateException(
           s"manifest $file has no end marker but its body parses — either a " +
-            "pre-r14 legacy manifest (migrate: append the end-marker line " +
-            s"'$Footer' after verifying the layout serves correctly, or " +
-            "rebuild with the write* builder) or a torn write cut at a line " +
-            "boundary (verify against the previous version, then delete the " +
-            "file); refusing to quarantine it blindly — no state was changed")
+            "pre-r14 legacy manifest (run IndexManifest.migrateLegacy on " +
+            "the quiesced store, or rebuild with the write* builder) or a " +
+            "torn write cut at a line boundary (verify against the previous " +
+            "version, then delete the file; migrateLegacy refuses stores " +
+            "that already hold committed versions for exactly this reason); " +
+            "refusing to quarantine it blindly — no state was changed")
       val q = new Path(dir, s"quarantine-${versionFile(next)}-${nonce()}")
       if (!fs.rename(file, q)) throw new java.io.IOException(
         s"could not quarantine torn manifest $file")
@@ -366,22 +367,44 @@ private[graft] object IndexManifest {
     * alone cannot tell a torn legacy write from corruption, so that
     * file needs the operator's adjudication.
     *
-    * Run on a QUIESCED layout while holding its writer lock (the
-    * [[vacuum]] contract): a migration racing a live commit could
-    * footer a file the committer is about to quarantine. Returns the
-    * migrated version numbers. */
+    * A store holding ANY committed (end-marked, parseable) version is
+    * NOT pre-r14: its footerless occupants are torn debris of crashed
+    * post-r14 commits — footering one would convert a partial write
+    * into a committed snapshot (the exact resurrection [[commit]]
+    * refuses to quarantine blindly), so the migration REFUSES the whole
+    * store and leaves adjudication to the operator. Takes the layout's
+    * writer lock itself (a migration racing a live commit could footer
+    * a file the committer is about to quarantine); run it on a
+    * quiesced layout regardless. Returns the migrated version
+    * numbers — empty on an already-migrated store, so re-runs are
+    * idempotent. */
   def migrateLegacy(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$ManifestDir")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName).map(v => (v, st.getPath)))
-      .sortBy(_._1)
-      .flatMap { case (v, p) =>
-        val text = readText(fs, p)
-        val lines = text.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-        if (lines.lastOption.contains(Footer)) None // already committed format
-        else {
+    IndexLock.withLock(spark, root, "migrateLegacy") {
+      val versioned = fs.listStatus(dir).toSeq
+        .flatMap(st => parseVersion(st.getPath.getName).map(v => (v, st.getPath)))
+        .sortBy(_._1)
+      def isFootered(p: Path): Boolean =
+        readText(fs, p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+          .lastOption.contains(Footer)
+      val (footered, footerless) = versioned.partition { case (_, p) => isFootered(p) }
+      if (footerless.isEmpty) Seq.empty // already migrated — idempotent
+      else {
+        if (footered.exists { case (_, p) => tryReadComponents(fs, p).isDefined })
+          throw new IllegalStateException(
+            s"migrateLegacy refuses: the store at $root holds committed " +
+              "(end-marked) manifest versions, so it is not a pre-r14 " +
+              "legacy layout — its footerless version files are torn " +
+              "debris of crashed commits, and footering one would publish " +
+              "a partial write as a committed snapshot. Adjudicate each " +
+              "file manually (verify against the previous version, then " +
+              "delete or restore it). No state was changed")
+        // verify EVERY body parses before footering ANY file: a refusal
+        // must leave the store exactly as found
+        footerless.foreach { case (_, p) =>
+          val text = readText(fs, p)
           try parse(text.stripSuffix("\n") + "\n" + Footer + "\n", p.toString)
           catch {
             case e: Exception => throw new IllegalStateException(
@@ -391,6 +414,9 @@ private[graft] object IndexManifest {
                 "previous version, move the file aside, then re-run. No " +
                 "state was changed", e)
           }
+        }
+        footerless.map { case (v, p) =>
+          val text = readText(fs, p)
           val tmp = new Path(dir, s"inflight-${versionFile(v)}-${nonce()}")
           val out = fs.create(tmp, false)
           try out.write(
@@ -403,9 +429,10 @@ private[graft] object IndexManifest {
           // now-stale local sidecars (no-op on HDFS)
           fs.delete(new Path(dir, s".${versionFile(v)}.crc"), false)
           fs.delete(new Path(dir, s".${tmp.getName}.crc"), false)
-          Some(v)
+          v
         }
       }
+    }
   }
 
   private def nonce(): String =

@@ -159,20 +159,48 @@ class ManifestIntegritySpec extends SparkSpec {
     assert(docs === Set(1L, 2L, 3L))
     // idempotent: a re-run touches nothing
     assert(IndexManifest.migrateLegacy(spark, p) === Seq.empty)
-    // a footerless file whose body does NOT parse refuses loudly with
-    // no state changed — torn-vs-legacy needs the operator's judgment
+    // a footerless file in a store that HOLDS COMMITTED versions is
+    // torn debris of a crashed post-r14 commit, not legacy — footering
+    // it would publish a partial write as a committed snapshot, so the
+    // whole store refuses (the commit() quarantine-ambiguity, honored)
     java.nio.file.Files.write(slot(p, 3L).toPath,
-      "graft-index-manifest 1\nhalf a line with no separa"
-        .getBytes("UTF-8"))
+      "graft-index-manifest 1\npostings=seg-abc\n".getBytes("UTF-8"))
     val ex2 = intercept[IllegalStateException] {
       IndexManifest.migrateLegacy(spark, p)
     }
     assert(ex2.getMessage.contains("migrateLegacy refuses"), ex2.getMessage)
-    assert(ex2.getMessage.contains("v000000000003"), ex2.getMessage)
-    // the garbled file was not footered behind the refusal
+    assert(ex2.getMessage.contains("holds committed"), ex2.getMessage)
+    // the torn file was not footered behind the refusal
     val leftover = new String(
       java.nio.file.Files.readAllBytes(slot(p, 3L).toPath), "UTF-8")
     assert(!leftover.contains("graft-index-manifest end"))
+  }
+
+  test("migrateLegacy refuses a pure-legacy store containing an unparseable body, footering NOTHING") {
+    val p = freshLayout("graft-mi-migrate-bad")
+    graft.ops.TextIndex.appendToBm25Index(
+      Seq((3L, "aaa ddd")).toDF("doc_id", "text"), "doc_id", "text", p)
+    // v1 becomes a clean legacy manifest; v2 a garbled footerless body —
+    // torn-vs-legacy needs the operator's judgment, and the verify-all-
+    // before-footering-any rule must leave v1 untouched too
+    val v1Text = new String(
+      java.nio.file.Files.readAllBytes(slot(p, 1L).toPath), "UTF-8")
+    java.nio.file.Files.write(slot(p, 1L).toPath,
+      v1Text.linesIterator.filterNot(_ == "graft-index-manifest end")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(slot(p, 2L).toPath,
+      "graft-index-manifest 1\nhalf a line with no separa"
+        .getBytes("UTF-8"))
+    for (v <- 1L to 2L) new java.io.File(f"$p/_manifests/.v$v%012d.crc").delete()
+    val ex = intercept[IllegalStateException] {
+      IndexManifest.migrateLegacy(spark, p)
+    }
+    assert(ex.getMessage.contains("migrateLegacy refuses"), ex.getMessage)
+    assert(ex.getMessage.contains("v000000000002"), ex.getMessage)
+    // no state was changed: v1 is still footerless
+    val v1After = new String(
+      java.nio.file.Files.readAllBytes(slot(p, 1L).toPath), "UTF-8")
+    assert(!v1After.contains("graft-index-manifest end"))
   }
 
   test("vacuum refuses while a started-without-committed stream marker exists, and proceeds once the batch settles") {

@@ -77,17 +77,16 @@ def query_defs():
 
 
 def oracle_names():
-    names = set()
+    """Names with an oracleSql entry: every query name appears once as
+    its queries-map lambda and once more as its oracle binding, so a
+    TOTAL occurrence count >= 2 across the query files means an oracle
+    exists. (The driver enforces the real contract; this column mirrors
+    it — a query added without an oracle must show as rows-only here.)"""
+    counts = {}
     for path in QUERY_FILES:
-        # every `"q_x" ->` that binds a triple-quoted or quoted SQL string
-        # inside an oracleSql map; cheapest robust test: the name appears
-        # >= 2 times in the file (query + oracle) OR the file declares it
-        # only inside oracleSql. The driver enforces the real contract;
-        # this column just mirrors "has an oracle entry".
-        text = read(path)
-        for m in re.finditer(r'"(q_[a-z0-9_]+)"\s*->', text):
-            names.add(m.group(1))
-    return names
+        for m in re.finditer(r'"(q_[a-z0-9_]+)"\s*->', read(path)):
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return {n for n, c in counts.items() if c >= 2}
 
 
 # -------------------------------------------------------------- operators
@@ -156,7 +155,6 @@ def main():
     ops = op_defs()
 
     # op usage: object.method tokens inside each query body
-    use = defaultdict(sorted_set := set)  # noqa: F841  (py3.8-safe below)
     usage = defaultdict(set)
     opset = {(o, m) for o, m, _, _, _ in ops}
     call = re.compile(r"\b([A-Z][A-Za-z0-9]*)\.([a-z][A-Za-z0-9]*)\b")
