@@ -287,7 +287,15 @@ object Bench {
       val f = new java.io.File(name)
       if (!f.isFile) Nil
       else {
-        val src = scala.io.Source.fromFile(f)
+        // explicit tolerant UTF-8: under a POSIX locale this JVM's
+        // default charset is US-ASCII and Scala's default codec
+        // REPORTS malformed input, so one non-ASCII byte in a ref
+        // comment line would kill the whole bench run after both
+        // timed passes (observed: an em dash in an anchor header)
+        val codec = scala.io.Codec.UTF8
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        val src = scala.io.Source.fromFile(f)(codec)
         try src.getLines().toList finally src.close()
       }
     }

@@ -47,7 +47,7 @@ def main():
                      " — the anchor is useless without its probe figure")
         comments = [f"# sf={detail.get('sf', '/root/testdata/sf0.1')}",
                     f"# calibration={calib}",
-                    "# PINNED ANCHOR — never refresh. Bench reports"
+                    "# PINNED ANCHOR - never refresh. Bench reports"
                     " calibration-normalized cumulative drift against it."]
     else:
         comments = []
