@@ -113,8 +113,14 @@ object Bench {
     var lastGcAt = System.nanoTime()
     def betweenQueries(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      // blocking: an async unpersist returns before block removal runs,
+      // so the removal storm (hundreds of localCheckpoint blocks after
+      // an iterative query) lands INSIDE the next query's timed window
+      // — the r16 full run measured an untouched query at 8× its
+      // baseline in the two passes where it followed a checkpoint-heavy
+      // neighbor. This is hygiene; it belongs outside the clock.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       if ((System.nanoTime() - lastGcAt) / 1e9 > 20.0) {
         System.gc()
         lastGcAt = System.nanoTime()

@@ -182,10 +182,22 @@ object Ann {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("mv"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+      // materialize EVERY iteration (nLists rows), not just the last:
+      // iteration i's lazy plan referenced iteration i−1's chain TWICE
+      // (the packed-centroids broadcast agg AND the empty-list fallback
+      // join), so each added iteration re-ran every prior one's full
+      // corpus assignment + mean shuffle — the same once-per-use
+      // recompute the final checkpoint exists for (guide §1.2). The
+      // centroid VALUES are unchanged (assignment ties break on
+      // (score, cid) — packed-array order independent), only the
+      // recompute goes away.
+      cents = Reliable.checkpoint(
+        cents.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv")))
     }
-    Reliable.checkpoint(cents)
+    // the loop's last round already materialized; only the iters=0
+    // degenerate call still needs the eager-return contract enforced
+    if (iters <= 0) Reliable.checkpoint(cents) else cents
   }
 
   /** k-means cluster assignment: train (or take) centroids, assign

@@ -636,13 +636,20 @@ object Dedup {
                        broadcastReps: Boolean = true,
                        maxBroadcastRows: Int = Guard.DefaultMaxBroadcastRows): DataFrame = {
     val st = Reliable.checkpoint(state.select(col("id"), col("rep")))
-    val endpoints = newPairs.select(col("id_a").as("id"))
-      .union(newPairs.select(col("id_b").as("id"))).distinct()
+    // materialize the batch pairs ONCE: endpoints and the contracted
+    // join below each read them, and the caller's pair-generation
+    // lineage (MinHash signing + banding in the incremental-dedup
+    // chain) is the expensive part — unmaterialized it ran once per
+    // consumer (guide §1.2), measured as duplicate signing jobs in
+    // q_incr_components
+    val np = Reliable.checkpoint(newPairs.select(col("id_a"), col("id_b")))
+    val endpoints = np.select(col("id_a").as("id"))
+      .union(np.select(col("id_b").as("id"))).distinct()
     // each endpoint's current label: its stored rep, itself when unseen
     val labels = Reliable.checkpoint(
       endpoints.join(st, Seq("id"), "left")
         .select(col("id"), coalesce(col("rep"), col("id")).as("lab")))
-    val contracted = newPairs
+    val contracted = np
       .join(labels.select(col("id").as("id_a"), col("lab").as("__la")), Seq("id_a"))
       .join(labels.select(col("id").as("id_b"), col("lab").as("__lb")), Seq("id_b"))
       .select(col("__la").as("id_a"), col("__lb").as("id_b"))
@@ -744,7 +751,9 @@ object Dedup {
         .union(withMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
       val (next, nextIds) = trackedCheckpoint(sc, afterSmall)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // one-job multiset equality per round (see ops.FrameEq) — the
+      // symmetric exceptAll pair ran two actions per round
+      converged = FrameEq.equalAsMultisets(next, edges)
       freePersisted(sc, edgeIds)
       edges = next; edgeIds = nextIds
       iter += 1

@@ -570,15 +570,30 @@ object IndexManifest {
   }
 
   /** Write `df` as a segment partitioned by `bucketCol`; an EMPTY frame
-    * writes unpartitioned (a zero-row partitionBy write leaves a
+    * is re-written unpartitioned (a zero-row partitionBy write leaves a
     * directory with no data files — unreadable by schema inference),
     * preserving the schema so probes and appends keep working on an
-    * all-deleted index. Call with materialized (checkpointed) or cheap
-    * frames only — the emptiness probe runs a job. */
-  def writeBucketed(df: DataFrame, absDir: String, bucketCol: String): Unit =
-    if (df.isEmpty) df.write.mode("overwrite").parquet(absDir)
-    else df.repartition(col(bucketCol))
+    * all-deleted index.
+    *
+    * Emptiness is detected AFTER the partitioned write from the
+    * written file set (one driver-side listing), not by a `df.isEmpty`
+    * pre-probe: the probe ran the frame's lineage a second time — for
+    * the lazy aggregation frames the lifecycle ops pass here (terms df
+    * over written postings, compact's segment fan-in) that was a whole
+    * extra pass per call, measured as a duplicate near-full job in
+    * every build/append/purge/compact (guide §1.2: don't compute
+    * things you throw away). The empty case pays a second (trivial)
+    * write; the common non-empty case pays exactly one pass. */
+  def writeBucketed(df: DataFrame, absDir: String, bucketCol: String): Unit = {
+    df.repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(absDir)
+    val dir = new Path(absDir)
+    val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$bucketCol=")
+    }
+    if (!hasData) df.limit(0).write.mode("overwrite").parquet(absDir)
+  }
 
   private def renderSegment(s: Segment): String = {
     require(!s.dir.exists(c => c == ';' || c == '!' || c == ',' ||

@@ -13,6 +13,35 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Input-split rail for per-row-kernel-heavy scans (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"), made SCALE-ADAPTIVE (r16 optimization round):
+    * hash-repartition `df` by `key` ONLY when the source yields fewer
+    * input files than the context's parallelism — the oversized-split
+    * case where downstream fused kernels (MinHash signing, tokenize +
+    * aggregate, vector distance) would otherwise run in a handful of
+    * tasks regardless of cores. On a production corpus that already
+    * supplies ≥ cores splits this is a NO-OP — no exchange enters the
+    * plan — so the rail can never become a full-corpus shuffle tax at
+    * 100 TB (the flaw of an unconditional repartition). The key must be
+    * a deterministic column (task-retry safe, unlike round-robin
+    * `repartition(n)` — SPARK-38388 class). `inputFiles` is driver
+    * metadata from the already-cached file index; no job runs.
+    *
+    * The partition count is pinned to `defaultParallelism` (the
+    * context's total cores — scale-adaptive, not a tuned constant):
+    * an unpinned `repartition(key)` is subject to AQE partition
+    * coalescing, which sizes by BYTES — a kernel-bound 600 KB input
+    * coalesces straight back to one partition and the rail does
+    * nothing (measured: the signing stage stayed single-task until the
+    * count was pinned). Per-row kernel cost is exactly the case where
+    * bytes misprice a partition. */
+  def spreadSplits(df: DataFrame, key: Column): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= parallelism) df
+    else df.repartition(parallelism, key)
+  }
+
   /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a
     * deterministic salt derived from `saltSource` (any stable column —
     * an id, a hash of the row key); the small-but-not-broadcastable

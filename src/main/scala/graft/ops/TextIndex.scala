@@ -92,9 +92,14 @@ object TextIndex {
         written.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))),
         s"$path/$termSeg", "tb")
-      val dl = written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      dl.write.mode("overwrite").parquet(s"$path/$dlSeg")
-      dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+      written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(s"$path/$dlSeg")
+      // stats from the WRITTEN doclen segment (n_docs rows of (id, long))
+      // — recomputing dl from postings here was a third near-full
+      // aggregation pass over the postings segment per build (guide
+      // §1.2); reading the tiny dl parquet back costs one narrow scan
+      spark.read.parquet(s"$path/$dlSeg")
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
           lit(nBuckets).as("n_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
 

@@ -577,8 +577,12 @@ object AnalyticsQueries {
         bits = zBits, nFiles = nF)
       zdf.repartitionByRange(nF, col("a")).sortWithinPartitions(col("a"))
         .write.mode("overwrite").parquet(s"$base/plain")
-      val zs = Layout.fileStats(s, s"$base/z", Seq("a", "b", "c"))
-      val ps = Layout.fileStats(s, s"$base/plain", Seq("a", "b", "c"))
+      // checkpoint the stats frames (see q_hilbert_audit — each
+      // readFraction/count call re-ran the footer-stats aggregation)
+      val zs = graft.ops.Reliable.checkpoint(
+        Layout.fileStats(s, s"$base/z", Seq("a", "b", "c")))
+      val ps = graft.ops.Reliable.checkpoint(
+        Layout.fileStats(s, s"$base/plain", Seq("a", "b", "c")))
       def f(st: org.apache.spark.sql.DataFrame, d: String) =
         Layout.readFraction(st, d, auditProbes)
       import s.implicits._
@@ -621,14 +625,20 @@ object AnalyticsQueries {
         bits = zBits, nFiles = nF)
       hdf.repartitionByRange(nF, col("a")).sortWithinPartitions(col("a"))
         .write.mode("overwrite").parquet(s"$base/plain")
-      val hs = Layout.fileStats(s, s"$base/h", Seq("a", "b"))
-      val ps = Layout.fileStats(s, s"$base/plain", Seq("a", "b"))
+      // checkpoint the (file-count-sized) stats frames and read each
+      // fraction ONCE: every readFraction/count call re-ran the full
+      // footer-stats aggregation over the written layout (7 scans of h
+      // where 1 suffices — guide §1.2)
+      val hs = graft.ops.Reliable.checkpoint(
+        Layout.fileStats(s, s"$base/h", Seq("a", "b")))
+      val ps = graft.ops.Reliable.checkpoint(
+        Layout.fileStats(s, s"$base/plain", Seq("a", "b")))
       def f(st: org.apache.spark.sql.DataFrame, d: String) =
         Layout.readFraction(st, d, auditProbes)
+      val (ha, hb, pb) = (f(hs, "a"), f(hs, "b"), f(ps, "b"))
       import s.implicits._
       Seq((hs.count(), ps.count(),
-        f(hs, "a") < 0.9, f(hs, "b") < 0.9,
-        f(hs, "b") < f(ps, "b")))
+        ha < 0.9, hb < 0.9, hb < pb))
         .toDF("n_files_h", "n_files_plain", "h_skips_a", "h_skips_b",
           "h_beats_plain_b")
     }),
@@ -697,15 +707,21 @@ object AnalyticsQueries {
         bits = zBits, nFiles = nF)
       Scale.writeZOrderedN(hdf, s"$base/z", Seq("a", "b", "c"),
         bits = zBits, nFiles = nF)
-      val hs = Layout.fileStats(s, s"$base/h", Seq("a", "b", "c"))
-      val zs = Layout.fileStats(s, s"$base/z", Seq("a", "b", "c"))
+      // checkpoint + read each fraction once — the booleans and the
+      // means previously re-ran the footer-stats aggregation per call
+      // (11 layout scans where 3 suffice — guide §1.2)
+      val hs = graft.ops.Reliable.checkpoint(
+        Layout.fileStats(s, s"$base/h", Seq("a", "b", "c")))
+      val zs = graft.ops.Reliable.checkpoint(
+        Layout.fileStats(s, s"$base/z", Seq("a", "b", "c")))
       def f(st: org.apache.spark.sql.DataFrame, d: String) =
         Layout.readFraction(st, d, auditProbes)
+      val (ha, hb, hc) = (f(hs, "a"), f(hs, "b"), f(hs, "c"))
       import s.implicits._
-      val hMean = (f(hs, "a") + f(hs, "b") + f(hs, "c")) / 3.0
+      val hMean = (ha + hb + hc) / 3.0
       val zMean = (f(zs, "a") + f(zs, "b") + f(zs, "c")) / 3.0
       Seq((hs.count(), zs.count(),
-        f(hs, "a") < 0.9, f(hs, "b") < 0.9, f(hs, "c") < 0.9,
+        ha < 0.9, hb < 0.9, hc < 0.9,
         hMean <= zMean + 0.1))
         .toDF("n_files_h", "n_files_z", "h_skips_a", "h_skips_b", "h_skips_c",
           "h_mean_le_z")

@@ -24,7 +24,12 @@ object CurationQueries {
     * doc_id: deterministic under task retries (unlike round-robin
     * repartition(n)) and a ~600 KB shuffle. At production scale the
     * source supplies splits and this spreads an oversized input split
-    * instead of being a no-op tax. */
+    * instead of being a no-op tax. (r16 note: the PINNED-count rail
+    * `Scale.spreadSplits` was tried here and measured 1.2–3.7×
+    * REGRESSIONS across this file — these queries read `docs` from
+    * several subtrees, and each paid the full-parallelism exchange;
+    * the unpinned form below lets AQE coalesce it per stage, which is
+    * the right trade for multi-subtree consumers.) */
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").repartition(col("doc_id"))
 
@@ -764,12 +769,21 @@ object CurationQueries {
         first12,
         lit(".</p><footer><a href=\"/terms\">Terms</a> " +
           "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
-      val extracted = docsRaw(s, dir).select(col("doc_id"), col("source"),
+      // docs (spread rail), not docsRaw: the HTML extraction kernel is
+      // per-row work that dominates the single-split fixture scan (r16;
+      // the docsRaw exemption is for cheap fused kernels)
+      val extracted = docs(s, dir).select(col("doc_id"), col("source"),
         Curation.extractContentText(html).as("text"))
-      val exact = graft.ops.Dedup.firstSeen(
-          extracted.withColumn("__h", md5(col("text"))),
-          Seq("__h"), Seq(col("doc_id")))
-        .drop("__h")
+      // materialize the extract→first-seen chain ONCE: three subtrees
+      // consume it (pair generation, the split join, the token-count
+      // projection) and unmaterialized each re-ran the extraction
+      // kernel over the corpus (guide §1.2; measured 3× single-task
+      // extraction stages in the r16 profile)
+      val exact = graft.ops.Reliable.checkpoint(
+        graft.ops.Dedup.firstSeen(
+            extracted.withColumn("__h", md5(col("text"))),
+            Seq("__h"), Seq(col("doc_id")))
+          .drop("__h"))
       val pairs = graft.ops.Dedup.minhashLshPairs(exact, "doc_id", "text",
         shingleSize = 3, k = 12, bandRows = 2)
       val safe = Curation.leakageSafeSplit(exact, "doc_id", pairs,

@@ -34,6 +34,22 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Input-split rail for THIS file's heavy-kernel families (r16
+    * optimization round, guide §2.5 "input skew: one huge unsplittable
+    * file … repartition immediately after the read"): MinHash signing
+    * (12 hashes × shingles per doc) and the BM25 build tokenization
+    * (explode + aggregate) are per-row work that dominates the scan,
+    * and the single-row-group fixture ran them in ONE task regardless
+    * of cores (profiled: 1.3–1.5 s single-task signing stages inside
+    * q_incr_components/q_dedup_*; 0.38–0.45 s single-task tokenize
+    * stages inside every writeBm25Index call). Hash repartition by
+    * doc_id: deterministic under task retries, ~600 KB shuffle — the
+    * exact CurationQueries.docs rationale. The simhash/cheap-kernel
+    * queries stay on the unrailed [[docs]] (measured regression class,
+    * see above). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.spreadSplits(Tables.load(s, dir, "documents"), col("doc_id"))
+
   /** Deterministic BM25 rank head shared by every retrieval query
     * (q_bm25 / q_bm25_index / q_bm25_append here, q_passage_bm25 in
     * CurationQueries): 9-dp-rounded score (fixed-order summation
@@ -130,7 +146,7 @@ object TextQueries {
     // n_spans via the MergeSpans kernel vs the oracle's
     // gaps-and-islands restatement) AND the cleaned text's md5.
     "q_substr_dedup" -> ((s, dir) => {
-      val planted = docs(s, dir).select(col("doc_id"),
+      val planted = docsSpread(s, dir).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" all rights reserved contact support" +
             " for help terms of service apply")))
@@ -171,7 +187,7 @@ object TextQueries {
     // each re-evaluate the whole shingle+hash chain (CollapseProject
     // keeps a multi-referenced non-cheap alias in its own projection).
     "q_minhash_sig" -> ((s, dir) => {
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(col("doc_id"),
           Dedup.minhashSignature(col("text"), 3, 4).as("__sig"))
         .select(
@@ -199,7 +215,7 @@ object TextQueries {
     // MinHash-LSH near-dup candidate pairs (k=12, 6 bands × 2 rows): the
     // banding self-join shuffles (band_key, id) only.
     "q_lsh_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+      Dedup.minhashLshPairs(docsSpread(s, dir), "doc_id", "text",
           shingleSize = 3, k = 12, bandRows = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -214,7 +230,7 @@ object TextQueries {
     // even before the pair set drifts.
     "q_lsh_plan_applied" -> ((s, dir) => {
       val (r, b) = Dedup.plannedBanding(s, k = 12, targetSim = 0.8, noiseSim = 0.3)
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+      Dedup.minhashLshPairs(docsSpread(s, dir), "doc_id", "text",
           shingleSize = 3, k = 12, bandRows = r)
         .select(lit(r).as("band_rows"), lit(b).as("n_bands"),
           col("id_a"), col("id_b"))
@@ -234,7 +250,7 @@ object TextQueries {
     // timed repeat passes measure the ABSORB: batch signing, the
     // contracted iteration, and the broadcast relabel.
     "q_incr_components" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.minhashLshPairs(docsSpread(s, dir), "doc_id", "text",
         shingleSize = 3, k = 12, bandRows = 2)
       val split = pmod(col("id_a") + col("id_b"), lit(3)) === 0
       val statePath = graft.Scratch.dir("ccstate", dir)
@@ -251,7 +267,7 @@ object TextQueries {
     // doc per cluster. Min-label propagation, O(diameter) rounds, one
     // (id, label) shuffle per round; text never moves.
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.minhashLshPairs(docsSpread(s, dir), "doc_id", "text",
         shingleSize = 3, k = 12, bandRows = 2)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
@@ -283,7 +299,7 @@ object TextQueries {
     // Chains three operators; each stage's shuffle payload stays
     // (id, small-fixed-width) — text is only read for scoring.
     "q_dedup_keep" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
       val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
         shingleSize = 3, k = 12, bandRows = 2)
       val clusters = Dedup.connectedComponents(pairs)
@@ -586,7 +602,9 @@ object TextQueries {
       // is the emitted frame, so "logical state preserved verbatim"
       // covers the whole maintenance pass in a single materialization
       val post = graft.ops.Reliable.checkpoint(probeDf)
-      val unchanged = post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty
+      // one-job multiset equality (same predicate as the former
+      // symmetric exceptAll pair — see ops.FrameEq)
+      val unchanged = graft.ops.FrameEq.equalAsMultisets(post, pre)
       post
         .withColumn("n_collapsed", lit(nCollapsed))
         .withColumn("n_postings_segments", lit(nPostSegs))
