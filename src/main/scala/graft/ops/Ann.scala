@@ -713,11 +713,15 @@ object Ann {
       val cents = centroidsOverride.getOrElse(
         if (trainIters > 0) trainCentroids(corpus, nLists, trainIters)
         else seedCentroids(corpus, nLists))
-      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/$centSeg")
-      project(nearestLists(cents,
-          corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$listSeg")
+      // the centroid-table write and the assigned-lists write both read
+      // `cents` (nLists rows; trained centroids arrive checkpointed)
+      // and are otherwise independent — overlap them (guide §2.6)
+      Par.run(
+        () => cents.coalesce(1).write.mode("overwrite").parquet(s"$path/$centSeg"),
+        () => project(nearestLists(cents,
+            corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1))
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$listSeg"))
       IndexManifest.commit(spark, path, base, Map(
         "centroids" -> Seq(IndexManifest.Segment(centSeg)),
         "lists" -> Seq(IndexManifest.Segment(listSeg)),
@@ -1631,29 +1635,36 @@ object Ann {
       val seedSeg = IndexManifest.newSegment("seeds")
       val metaSeg = IndexManifest.newSegment("meta")
       val bucket = pmod(xxhash64(col("id")), lit(nBuckets.toLong)).as("bucket")
-      knnGraph(corpus, k, rounds, reverseCap)
-        .select(col("id"), col("rank"), col("nid"), col("sim"), bucket)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$adjSeg")
-      corpus.select(col("id"), col("vec"),
-          Vectors.l2Norm(col("vec")).as("nrm"), bucket)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$vecSeg")
-      // entry points: the build's own hash-ring permutation, so a probe
-      // (and the oracle) starts from nodes any engine can re-derive;
-      // nSeeds = 0 auto-sizes to ceil(sqrt(n)) — see the scaladoc
+      // the adjacency (NN-descent build), vectors, and seeds components
+      // are mutually independent — overlap their writes (guide §2.6:
+      // the vectors/seeds jobs back-fill the long adjacency build's
+      // tails); the meta write needs effSeeds and rides the seeds thunk
       val effSeeds =
         if (nSeeds > 0) nSeeds
         else math.max(4, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
-      val h = col("id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)
-      Scale.zipWithOrderedIndex(
-          corpus.select(col("id"), h.as("__h")), Seq(col("__h"), col("id")), "pos")
-        .filter(col("pos") < effSeeds).select(col("id").as("nid"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/$seedSeg")
       import spark.implicits._
-      Seq((nBuckets, k, rounds, reverseCap, effSeeds))
-        .toDF("n_buckets", "k", "rounds", "reverse_cap", "n_seeds")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/$metaSeg")
+      Par.run(
+        () => knnGraph(corpus, k, rounds, reverseCap)
+          .select(col("id"), col("rank"), col("nid"), col("sim"), bucket)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$adjSeg"),
+        () => corpus.select(col("id"), col("vec"),
+            Vectors.l2Norm(col("vec")).as("nrm"), bucket)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/$vecSeg"),
+        () => {
+          // entry points: the build's own hash-ring permutation, so a
+          // probe (and the oracle) starts from nodes any engine can
+          // re-derive; nSeeds = 0 auto-sized to ceil(sqrt(n)) above
+          val h = col("id") % lit(1000003L) * lit(2654435761L) % lit(4294967296L)
+          Scale.zipWithOrderedIndex(
+              corpus.select(col("id"), h.as("__h")), Seq(col("__h"), col("id")), "pos")
+            .filter(col("pos") < effSeeds).select(col("id").as("nid"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/$seedSeg")
+          Seq((nBuckets, k, rounds, reverseCap, effSeeds))
+            .toDF("n_buckets", "k", "rounds", "reverse_cap", "n_seeds")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/$metaSeg")
+        })
       IndexManifest.commit(spark, path, base, Map(
         "adjacency" -> Seq(IndexManifest.Segment(adjSeg)),
         "vectors" -> Seq(IndexManifest.Segment(vecSeg)),

@@ -88,12 +88,16 @@ object TextIndex {
         .write.mode("overwrite").partitionBy("tb").parquet(s"$path/$postSeg")
 
       val written = spark.read.parquet(s"$path/$postSeg")
-      writeBucketed(
-        written.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))),
-        s"$path/$termSeg", "tb")
-      written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode("overwrite").parquet(s"$path/$dlSeg")
+      // the df and doclen segments both derive from the WRITTEN
+      // postings and not from each other — overlap the two writes
+      // (guide §2.6: independent actions back-fill each other's tails)
+      Par.run(
+        () => writeBucketed(
+          written.groupBy(col("term")).agg(count(lit(1)).as("df"))
+            .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))),
+          s"$path/$termSeg", "tb"),
+        () => written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .write.mode("overwrite").parquet(s"$path/$dlSeg"))
       // stats from the WRITTEN doclen segment (n_docs rows of (id, long))
       // — recomputing dl from postings here was a third near-full
       // aggregation pass over the postings segment per build (guide
@@ -174,12 +178,16 @@ object TextIndex {
     val termSeg = IndexManifest.newSegment("terms")
     val dlSeg = IndexManifest.newSegment("doclen")
     val statSeg = IndexManifest.newSegment("stats")
-    writeBucketed(batch, s"$path/$postSeg", "tb")
-    writeBucketed(
-      batch.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
-      s"$path/$termSeg", "tb")
-    batch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .write.mode("overwrite").parquet(s"$path/$dlSeg")
+    // three independent writes over the one checkpointed batch —
+    // overlap them (guide §2.6); the stats write below waits for the
+    // doclen segment it reads
+    Par.run(
+      () => writeBucketed(batch, s"$path/$postSeg", "tb"),
+      () => writeBucketed(
+        batch.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
+        s"$path/$termSeg", "tb"),
+      () => batch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(s"$path/$dlSeg"))
     // stats over ALL doclen segments (stored ones + the one just
     // written — read from disk, never from the lazy plan)
     snap.segments("doclen").map(s => spark.read.parquet(s"$path/${s.dir}"))
@@ -253,18 +261,21 @@ object TextIndex {
       postings.filter(col("tb").isin(touched: _*))
         .join(tomb, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("term"), col("tf"), col("tb")))
-    writeBucketed(kept, s"$path/$postSeg", "tb")
-    // df from the KEPT rows of the touched buckets; untouched buckets'
-    // df segments stay valid (their terms occur in no deleted doc)
-    writeBucketed(
-      kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
-      s"$path/$termSeg", "tb")
     // doclen consolidates into one tombstone-free segment (narrow
     // (id, long) rows — reliable-checkpointed to disk, not memory, so a
     // billion-doc index still purges)
     val dlKept = Reliable.checkpoint(
       snap.read(spark, "doclen").get.join(tomb, Seq("doc_id"), "left_anti"))
-    dlKept.write.mode("overwrite").parquet(s"$path/$dlSeg")
+    // postings / df / doclen writes are independent given the two
+    // checkpointed inputs — overlap them (guide §2.6); df comes from
+    // the KEPT rows of the touched buckets; untouched buckets' df
+    // segments stay valid (their terms occur in no deleted doc)
+    Par.run(
+      () => writeBucketed(kept, s"$path/$postSeg", "tb"),
+      () => writeBucketed(
+        kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
+        s"$path/$termSeg", "tb"),
+      () => dlKept.write.mode("overwrite").parquet(s"$path/$dlSeg"))
     val nBuckets = spark.read.parquet(snap.single("stats"))
       .select(col("n_buckets")).first().getInt(0)
     spark.read.parquet(s"$path/$dlSeg")
@@ -314,16 +325,19 @@ object TextIndex {
     val postSeg = IndexManifest.newSegment("postings")
     val termSeg = IndexManifest.newSegment("terms")
     val dlSeg = IndexManifest.newSegment("doclen")
-    writeBucketed(snap.read(spark, "postings", Some("tb")).get
-        .select(col("doc_id"), col("term"), col("tf"), col("tb")),
-      s"$path/$postSeg", "tb")
-    // df segments are additive by contract — the consolidated segment
-    // carries the summed counts
-    writeBucketed(snap.read(spark, "terms", Some("tb")).get
-        .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df")),
-      s"$path/$termSeg", "tb")
-    snap.read(spark, "doclen").get
-      .write.mode("overwrite").parquet(s"$path/$dlSeg")
+    // the three component consolidations read disjoint stored segments
+    // and write disjoint directories — overlap them (guide §2.6). df
+    // segments are additive by contract — the consolidated segment
+    // carries the summed counts.
+    Par.run(
+      () => writeBucketed(snap.read(spark, "postings", Some("tb")).get
+          .select(col("doc_id"), col("term"), col("tf"), col("tb")),
+        s"$path/$postSeg", "tb"),
+      () => writeBucketed(snap.read(spark, "terms", Some("tb")).get
+          .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df")),
+        s"$path/$termSeg", "tb"),
+      () => snap.read(spark, "doclen").get
+        .write.mode("overwrite").parquet(s"$path/$dlSeg"))
     IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
       "postings" -> Seq(Segment(postSeg)),
       "terms" -> Seq(Segment(termSeg)),
