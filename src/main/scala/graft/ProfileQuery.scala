@@ -27,11 +27,19 @@ object ProfileQuery {
     case class JobRec(id: Int, desc: String, start: Long, var end: Long = -1L,
                       var stages: List[(Int, String, Long, Int)] = Nil)
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, JobRec]
+    // stageId → owning jobId, from the job's declared stage set (r16
+    // ADVICE): attributing a completed stage to the most recently
+    // STARTED job misassigns stages whenever jobs overlap — exactly the
+    // Par.run lifecycle ops this tool profiles
+    val stageOwner = new scala.collection.mutable.HashMap[Int, Int]
     val active = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (active.get) {
         val d = Option(e.properties.getProperty("spark.job.description")).getOrElse("")
-        jobs.synchronized { jobs(e.jobId) = JobRec(e.jobId, d, e.time) }
+        jobs.synchronized {
+          jobs(e.jobId) = JobRec(e.jobId, d, e.time)
+          e.stageIds.foreach(sid => stageOwner(sid) = e.jobId)
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (active.get) {
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
@@ -40,10 +48,11 @@ object ProfileQuery {
         val si = e.stageInfo
         val dur = (for (a <- si.submissionTime; b <- si.completionTime) yield b - a).getOrElse(-1L)
         jobs.synchronized {
-          jobs.values.lastOption.foreach { j =>
-            j.stages = (si.stageId, si.name.takeWhile(_ != '\n').take(60), dur,
-              si.numTasks) :: j.stages
-          }
+          stageOwner.get(si.stageId).flatMap(jobs.get)
+            .orElse(jobs.values.lastOption).foreach { j =>
+              j.stages = (si.stageId, si.name.takeWhile(_ != '\n').take(60), dur,
+                si.numTasks) :: j.stages
+            }
         }
       }
     })
@@ -61,7 +70,7 @@ object ProfileQuery {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageOwner.clear() }
       active.set(true)
       val wall = runOne(name)
       active.set(false)

@@ -99,7 +99,7 @@ object AggState {
 
   private def readMeta(spark: SparkSession,
                        snap: IndexManifest.Snapshot): Meta = {
-    val df = spark.read.parquet(snap.single("meta"))
+    val df = snap.readSingle(spark, "meta")
     // format detection: the pre-array-meta layout stored keys/value_cols
     // as comma-joined strings and had no state_schema column — surface
     // a named, actionable error instead of an unresolved-column

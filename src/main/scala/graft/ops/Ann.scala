@@ -744,7 +744,7 @@ object Ann {
     * geometry (q_ann_ivf_index's index==memory identity gate). */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame =
-    spark.read.parquet(IndexManifest.pin(spark, path).single("centroids"))
+    IndexManifest.pin(spark, path).readSingle(spark, "centroids")
 
   /** Shared probe front half over a PINNED snapshot: assign queries to
     * their nProbe nearest stored centroids (materialized once — the cid
@@ -756,7 +756,7 @@ object Ann {
                           maxTombstoneRows: Int = Guard.DefaultMaxBroadcastRows)
       : (DataFrame, DataFrame) = {
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(snap.single("centroids"))
+    val cents = snap.readSingle(spark, "centroids")
     val probes = Reliable.checkpoint(nearestLists(cents,
       queries.select(col("id").as("qid"), col("vec").as("qv")), "qid", "qv", nProbe))
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
@@ -1056,7 +1056,7 @@ object Ann {
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                             snap: IndexManifest.Snapshot): Array[Array[Array[Float]]] =
     reshapeCodebooks(
-      spark.read.parquet(snap.single("codebooks"))
+      snap.readSingle(spark, "codebooks")
         .orderBy(col("s"), col("c")).collect(),
       _.getInt(1).toLong)
 
@@ -1098,7 +1098,7 @@ object Ann {
         val spark = queries.sparkSession
         val nVecs = snap.read(spark, "lists", Some("cid"))
           .map(_.count()).getOrElse(0L)
-        val nCells = spark.read.parquet(snap.single("centroids")).count()
+        val nCells = snap.readSingle(spark, "centroids").count()
         val avgLen = nVecs.toDouble / math.max(1L, nCells)
         math.max(rerankFactor,
           math.ceil(rerankFactor * math.sqrt(avgLen / 128.0)).toInt)
@@ -1216,7 +1216,7 @@ object Ann {
       if (streamTag.exists(t => IndexManifest.hasCommittedTag(spark, path, t)))
         return
       val snap = IndexManifest.pin(spark, path)
-      val cents = spark.read.parquet(snap.single("centroids"))
+      val cents = snap.readSingle(spark, "centroids")
       val listSeg = IndexManifest.newSegment("lists")
       IndexManifest.writeBucketed(
         project(snap, nearestLists(cents,
@@ -1700,7 +1700,7 @@ object Ann {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val spark = queries.sparkSession
     val snap = IndexManifest.pin(spark, path)
-    val meta = spark.read.parquet(snap.single("meta")).head()
+    val meta = snap.readSingle(spark, "meta").head()
     val nBuckets = meta.getAs[Int]("n_buckets").toLong
     val qg = Guard.broadcastSmall(queries, "probeGraphIndex query batch",
       maxBroadcastRows)
@@ -1742,7 +1742,7 @@ object Ann {
       "probeGraphIndex seed candidate set", maxRows = maxBroadcastRows)
     Guard.broadcastBudget(nq * beamWidth * meta.getAs[Int]("k"), rowBytes,
       "probeGraphIndex hop candidate set", maxRows = maxBroadcastRows)
-    val seeds = spark.read.parquet(snap.single("seeds")) // (nid), tiny
+    val seeds = snap.readSingle(spark, "seeds") // (nid), tiny
     val seedCand = qv.select(col("qid")).crossJoin(broadcast(seeds))
       .filter(col("nid") =!= col("qid"))
     var acc = Reliable.checkpoint(score(seedCand))

@@ -913,18 +913,26 @@ object Curation {
     // survivor).
     val lqNorm = coalesce(col(lqCol), lit(false))
     val surv = batch.filter(!lqNorm).select(col(idCol), col(textCol))
-    val cand = Dedup.incrementalCandidates(
+    // checkpointed (candidate-pair-sized): cand feeds the Jaccard pass
+    // AND the src re-join below — lazy, the corpus-index probe union
+    // would re-run once per consumer (guide §1.2)
+    val cand = Reliable.checkpoint(Dedup.incrementalCandidates(
       Dedup.bandIndex(surv, idCol, textCol, shingleSize, k, bandRows),
-      corpusBands)
+      corpusBands))
     // confirm-stage text: batch survivors + corpus (the only ids that
     // can appear in candidates)
     val texts = surv.unionByName(corpusDocs.select(col(idCol), col(textCol)))
-    val conf = Dedup.ngramJaccard(texts, idCol, textCol,
+    // checkpointed (confirmed-pair-sized): conf feeds dupCorpus AND
+    // dupBatch, and dupCorpus is itself consumed twice — lazy, the
+    // ngramJaccard lineage (a full shingle pass over batch ∪ corpus
+    // text) re-ran 3–4× per refresh (guide §1.2: the dominant cost of
+    // q_incr_curation before this checkpoint)
+    val conf = Reliable.checkpoint(Dedup.ngramJaccard(texts, idCol, textCol,
         cand.select(col("id_new").as("id_a"), col("id_match").as("id_b")),
         shingleSize)
       .join(cand.select(col("id_new").as("id_a"),
         col("id_match").as("id_b"), col("src")), Seq("id_a", "id_b"))
-      .filter(col("jaccard") >= confirmThreshold)
+      .filter(col("jaccard") >= confirmThreshold))
     val dupCorpus = conf.filter(col("src") === "corpus")
       .select(col("id_a").as(idCol)).distinct()
     val dupBatch = conf.filter(col("src") === "batch")

@@ -23,10 +23,23 @@ private[graft] object FrameEq {
     require(a.columns.sameElements(b.columns),
       s"frame schemas differ: ${a.columns.toSeq} vs ${b.columns.toSeq}")
     val keys = a.columns.toSeq
-    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__ca"))
-    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cb"))
-    ca.join(cb, keys, "full_outer")
-      .filter(not(col("__ca") <=> col("__cb")))
+    // the join must be NULL-SAFE on every key (r16 ADVICE): a plain
+    // USING join never matches null keys, so two equal frames carrying
+    // a null would produce two unmatched rows and compare UNEQUAL —
+    // contradicting the exceptAll semantics this check replaces.
+    // Sides are renamed apart first: callers routinely pass frames
+    // sharing lineage, where same-name attribute references would make
+    // the <=> condition ambiguous.
+    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__feq_ca"))
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__feq_a$i") }
+        :+ col("__feq_ca"): _*)
+    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__feq_cb"))
+      .select(keys.zipWithIndex.map { case (k, i) => col(k).as(s"__feq_b$i") }
+        :+ col("__feq_cb"): _*)
+    val cond = keys.indices
+      .map(i => col(s"__feq_a$i") <=> col(s"__feq_b$i")).reduce(_ && _)
+    ca.join(cb, cond, "full_outer")
+      .filter(not(col("__feq_ca") <=> col("__feq_cb")))
       .isEmpty
   }
 }

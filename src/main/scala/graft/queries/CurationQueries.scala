@@ -401,18 +401,23 @@ object CurationQueries {
       val d = docsRaw(s, dir)
       val batch = d.filter(col("doc_id") % 3 === 0)
       val corpus = d.filter(col("doc_id") % 3 =!= 0)
-      val gated = Curation.gopherFlags(batch, col("text"), minWords = 30)
-        .withColumn("low_quality",
-          !(col("flag_word_count") && Text.qualityScore(col("text")) >= 0.65))
-        .select(col("doc_id"), col("text"), col("low_quality"))
+      // checkpointed: gated feeds refreshDispositions (gate + signing)
+      // AND the token-count join — lazy, each consumer re-ran the
+      // gopher/quality kernel pass over the batch (guide §1.2);
+      // n_tokens rides the same pass instead of a third evaluation
+      val gated = graft.ops.Reliable.checkpoint(
+        Curation.gopherFlags(batch, col("text"), minWords = 30)
+          .withColumn("low_quality",
+            !(col("flag_word_count") && Text.qualityScore(col("text")) >= 0.65))
+          .select(col("doc_id"), col("text"), col("low_quality"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")))
       val idxPath = graft.Scratch.dir("graft-curidx", dir)
       graft.ops.Dedup.bandIndex(corpus, "doc_id", "text",
           shingleSize = 3, k = 12, bandRows = 2)
         .write.mode("overwrite").parquet(idxPath)
       Curation.refreshDispositions(gated, "doc_id", "text", "low_quality",
           corpus, s.read.parquet(idxPath))
-        .join(gated.select(col("doc_id"),
-          Text.tokenCount(col("text")).cast("long").as("n_tokens")), Seq("doc_id"))
+        .join(gated.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
         .select(col("doc_id"), col("status"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),

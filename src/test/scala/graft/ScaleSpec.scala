@@ -371,4 +371,36 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(r.getLong(2) - 500L) <= 10L, s"union ${r.getLong(2)}")
     assert(math.abs(r.getLong(3) - 100L) <= 10L, s"intersect ${r.getLong(3)}")
   }
+
+  test("spreadSplits: size-aware pinned count, no-op gates intact (r17)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    // one file, a few KB: with a 1 KiB target the pinned count derives
+    // from bytes (capped at defaultParallelism = 4 in the test session)
+    (1 to 2000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    val fileBytes = new java.io.File(s"$dir/one").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val key = "spark.graft.spreadSplits.targetBytes"
+    try {
+      spark.conf.set(key, "1024")
+      val expected = math.min(4L, (fileBytes + 1023) / 1024).toInt
+      val railed = Scale.spreadSplits(one, col("id"))
+      assert(railed.rdd.getNumPartitions === expected,
+        s"pinned count should be min(parallelism, ceil($fileBytes/1024))")
+      // rows survive the rail verbatim
+      assert(railed.count() === 2000L)
+      // a target far above the input: n = 1 <= nFiles — rail is a no-op
+      spark.conf.set(key, (64L * 1024 * 1024).toString)
+      assert(Scale.spreadSplits(one, col("id")) eq one)
+    } finally spark.conf.unset(key)
+    // >= parallelism input files: no-op regardless of size (the 100 TB
+    // gate — a well-split source never pays the exchange)
+    (1 to 2000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/many")
+    val many = spark.read.parquet(s"$dir/many")
+    assert(many.inputFiles.length >= 4)
+    assert(Scale.spreadSplits(many, col("id")) eq many)
+  }
 }
