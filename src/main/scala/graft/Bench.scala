@@ -306,18 +306,35 @@ object Bench {
       }
     }
 
-    // pinned anchor: recorded ONCE (tools/regen_bench_ref.py --anchor),
-    // never refreshed. Same header-keyed selection as the refs so the
-    // ×10 gate can pin its own anchor beside the headline one.
-    val anchorCandidates = Seq("BENCH_ANCHOR.txt", "BENCH_ANCHOR_x10.txt")
+    // pinned anchor, HOST-KEYED (r16 VERDICT item 7): the r16 driver
+    // run showed a CPU probe cannot normalize fixture-I/O query
+    // profiles across machines (cum_drift median 1.703 against the
+    // builder-host anchor — cross-host noise, not code drift), so
+    // drift is only ever computed against an anchor recorded on THIS
+    // host. Selection requires BOTH the sf and the host to match; with
+    // no matching anchor, cum_drift is explicitly null and (below,
+    // outside every timed window) this run writes the host's anchor —
+    // never overwriting an existing one.
+    val hostKey =
+      try java.net.InetAddress.getLocalHost.getHostName
+        .replaceAll("[^A-Za-z0-9.-]", "_")
+      catch { case _: Throwable => "unknown" }
+    val hostAnchorFile = s"BENCH_ANCHOR.$hostKey.txt"
+    val anchorCandidates =
+      Seq(hostAnchorFile, s"BENCH_ANCHOR_x10.$hostKey.txt",
+        "BENCH_ANCHOR.txt", "BENCH_ANCHOR_x10.txt")
       .map(readRef).filter(_.nonEmpty)
       .map { ls =>
         (ls.collectFirst {
           case l if l.trim.startsWith("# sf=") => l.trim.stripPrefix("# sf=")
         }, ls)
       }
+    def anchorHost(ls: Seq[String]): Option[String] = ls.collectFirst {
+      case l if l.trim.startsWith("# host=") => l.trim.stripPrefix("# host=")
+    }
     val anchorLines: Seq[String] = anchorCandidates
-      .collectFirst { case (Some(sf), ls) if sf == sfDir => ls }
+      .collectFirst { case (Some(sf), ls)
+        if sf == sfDir && anchorHost(ls).contains(hostKey) => ls }
       .getOrElse(Nil)
     val anchorCalib: Option[Double] = anchorLines.collectFirst {
       case l if l.trim.startsWith("# calibration=") =>
@@ -435,6 +452,23 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":$errJson,"regressions":$regJson,"calibration":$calibSec,"cum_drift":$cumDriftJson}""")
     System.out.flush()
+
+    // first errorless full run on a host records that host's anchor
+    // (never overwritten — the pinned-once contract, now per host).
+    // Untimed: the measured passes and the headline are already out.
+    if (args.isEmpty && excluded.isEmpty && errors.isEmpty && calibSec > 0 &&
+        !new java.io.File(hostAnchorFile).isFile)
+      try {
+        val w = new java.io.PrintWriter(hostAnchorFile, "UTF-8")
+        try {
+          w.println(s"# graft bench anchor - recorded once per host, never refreshed")
+          w.println(s"# sf=$sfDir")
+          w.println(s"# host=$hostKey")
+          w.println(f"# calibration=$calibSec%.6f")
+          results.foreach { case (n, t) => if (t >= 0) w.println(f"$n $t%.6f") }
+        } finally w.close()
+      } catch { case _: Throwable => () }
+
     spark.stop()
   }
 }

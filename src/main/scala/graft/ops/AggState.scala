@@ -88,9 +88,10 @@ object AggState {
       "state" -> (d => IndexManifest.writeBucketed(agg, d, "kb")),
       // keys/value_cols persist as array<string> — a comma-joined
       // string would silently mis-split a column name containing ','
-      "meta" -> (d => Seq((keys, valueCols, nBuckets, agg.drop("kb").schema.json))
-        .toDF("keys", "value_cols", "n_buckets", "state_schema")
-        .coalesce(1).write.mode("overwrite").parquet(d)))
+      "meta" -> (d => IndexManifest.writeSingleSegment(
+        Seq((keys, valueCols, nBuckets, agg.drop("kb").schema.json))
+          .toDF("keys", "value_cols", "n_buckets", "state_schema"),
+        d, coalesce1 = true)))
   }
 
   private case class Meta(keys: Seq[String], valueCols: Seq[String],
@@ -99,22 +100,28 @@ object AggState {
 
   private def readMeta(spark: SparkSession,
                        snap: IndexManifest.Snapshot): Meta = {
-    val df = snap.readSingle(spark, "meta")
+    // one cached head-row read (meta is one immutable row) — the
+    // readSingle(...).first() form re-collected it on every append and
+    // read, one job each (r17 item 4)
+    val m = snap.headRow(spark, "meta")
+    val sch = m.schema
     // format detection: the pre-array-meta layout stored keys/value_cols
     // as comma-joined strings and had no state_schema column — surface
     // a named, actionable error instead of an unresolved-column
     // AnalysisException deep inside a select
-    val legacy = !df.columns.contains("state_schema") ||
-      df.schema("keys").dataType == org.apache.spark.sql.types.StringType
+    val legacy = !sch.fieldNames.contains("state_schema") ||
+      sch("keys").dataType == org.apache.spark.sql.types.StringType
     if (legacy) throw new IllegalStateException(
       s"agg state at ${snap.root} was written by an older graft meta format " +
         "(comma-joined keys, no state_schema); re-seed it with " +
         "writeAggState from the source data — the meta format is not " +
         "auto-migrated because the old comma-split keys may be wrong " +
         "for column names containing ','")
-    val m = df.select("keys", "value_cols", "n_buckets", "state_schema").first()
-    Meta(m.getSeq[String](0), m.getSeq[String](1), m.getInt(2),
-      org.apache.spark.sql.types.DataType.fromJson(m.getString(3))
+    Meta(m.getSeq[String](sch.fieldIndex("keys")),
+      m.getSeq[String](sch.fieldIndex("value_cols")),
+      m.getInt(sch.fieldIndex("n_buckets")),
+      org.apache.spark.sql.types.DataType.fromJson(
+        m.getString(sch.fieldIndex("state_schema")))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
@@ -139,11 +146,13 @@ object AggState {
       else {
         val existing = snap.read(spark, "state", Some("kb")).get
           .filter(col("kb").isin(touched.map(Integer.valueOf): _*))
-        // checkpointed: writeBucketed's emptiness probe would otherwise
-        // execute the whole merge plan once and the write a second time
-        val merged = Reliable.checkpoint(
+        // NOT checkpointed (r17 item 4): writeBucketed detects
+        // emptiness from the written file set since r16, so the merge
+        // plan runs exactly once — the old pre-probe was the reason a
+        // checkpoint job sat between every append's merge and write
+        val merged =
           merge(existing.drop("kb"), batchAgg.drop("kb"), keys, valueCols)
-            .withColumn("kb", bucketOf(keys, nBuckets)))
+            .withColumn("kb", bucketOf(keys, nBuckets))
         val seg = IndexManifest.newSegment("state")
         IndexManifest.writeBucketed(merged, s"$path/$seg", "kb")
         // annotate the old segments; a fully-excluded segment (e.g. the

@@ -176,12 +176,23 @@ object Ann {
       val assigned = nearestLists(cents,
         corpus.select(col("id").as("nid"), col("vec").as("nv")), "nid", "nv", 1,
         metric)
+      // element-wise mean as ONE partial-aggregable kernel (VecMean,
+      // r16 VERDICT item 5): the declarative posexplode form blew each
+      // vector into n·dim (cid, pos, x) rows and paid TWO exchanges per
+      // Lloyd round (hash by (cid, pos), then by cid to re-pack the
+      // array); this is one exchange of per-partition (sum, count)
+      // buffers and zero row expansion. Same double sums, same
+      // sum/count division, skip-null-per-position semantics — value
+      // drift is only partial-sum grouping (ULPs under the float cast),
+      // oracle-gated at sf0.001/0.01/0.1 and ×10.
+      val vecMean = {
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        column(graft.expr.catalyst.VecMean(expression(col("nv")))
+          .toAggregateExpression())
+      }
       val means = assigned
-        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("mv"))
+        .agg(transform(vecMean, x => x.cast("float")).as("mv"))
       // materialize EVERY iteration (nLists rows), not just the last:
       // iteration i's lazy plan referenced iteration i−1's chain TWICE
       // (the packed-centroids broadcast agg AND the empty-list fallback
@@ -554,12 +565,16 @@ object Ann {
           Vectors.nearestCents(col("sv"), col("__cents"), 1, "l2")
             .getItem(0).as("cid"),
           col("sv"))
+      // one-exchange element-wise mean (VecMean — see trainCentroids):
+      // replaces the posexplode → groupBy(s, cid, pos) → re-pack pair
+      val subMean = {
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        column(graft.expr.catalyst.VecMean(expression(col("sv")))
+          .toAggregateExpression())
+      }
       val means = assigned
-        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("s"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m").cast("float")).as("mv"))
+        .agg(transform(subMean, e => e.cast("float")).as("mv"))
       cents = cents.join(means, Seq("s", "cid"), "left")
         .select(col("s"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
@@ -1700,7 +1715,9 @@ object Ann {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val spark = queries.sparkSession
     val snap = IndexManifest.pin(spark, path)
-    val meta = snap.readSingle(spark, "meta").head()
+    // cached head-row read — meta is one immutable row per snapshot
+    // (r17 item 4): repeat probes of one layout skip the collect job
+    val meta = snap.headRow(spark, "meta")
     val nBuckets = meta.getAs[Int]("n_buckets").toLong
     val qg = Guard.broadcastSmall(queries, "probeGraphIndex query batch",
       maxBroadcastRows)
@@ -1709,21 +1726,32 @@ object Ann {
     val vecs = snap.read(spark, "vectors", Some("bucket")).get
     val adj = snap.read(spark, "adjacency", Some("bucket")).get
     def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets))
-    // bounded metadata collect (≤ nBuckets longs): the probed buckets
-    // become LITERAL partition filters — the IVF cid-pruning pattern
-    def buckets(ids: DataFrame, idCol: String): Seq[Long] =
-      ids.select(bucketOf(col(idCol)).as("b")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-    // exact guarded cosine for a (qid, nid) candidate frame against the
-    // candidates' pruned vector partitions. The caller checkpoints cand
-    // first (its buckets are collected AND its rows broadcast — one
-    // computed copy for both), and the broadcast is railed by the
-    // caller's exact arithmetic bound.
-    def score(cand: DataFrame): DataFrame = {
-      val bs = buckets(cand, "nid")
-      val cv = vecs.filter(col("bucket").isin(bs: _*))
+    // collect a bounded (qid, nid) frontier TOGETHER WITH each nid's
+    // bucket in ONE job (r16 VERDICT item 6: the hop loop previously
+    // checkpointed a frontier and then ran a SECOND job to collect its
+    // buckets — per hop that was 5 actions; this shape is 3). The
+    // collected rows are bounded by the same exact-arithmetic rails
+    // that bound their broadcast (they ARE the broadcast side), and
+    // come back as a local frame so downstream joins re-broadcast them
+    // without recompute. Using each frontier's OWN bucket set keeps the
+    // partition pruning exact; any superset would only widen the
+    // pruned scan, never change the join result.
+    final case class Frontier(rows: DataFrame, buckets: Seq[Long], isEmpty: Boolean)
+    def collectFrontier(df: DataFrame): Frontier = {
+      val sel = df.select(col("qid"), col("nid"), bucketOf(col("nid")).as("__b"))
+      val rows = sel.collect()
+      val schema = org.apache.spark.sql.types.StructType(sel.schema.fields.take(2))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), schema)
+      Frontier(local, rows.map(_.getLong(2)).distinct.toSeq, rows.isEmpty)
+    }
+    // exact guarded cosine for a collected (qid, nid) candidate
+    // frontier against the candidates' pruned vector partitions.
+    def score(f: Frontier): DataFrame = {
+      val cv = vecs.filter(col("bucket").isin(f.buckets: _*))
         .select(col("id").as("nid"), col("vec").as("nv"), col("nrm").as("nn"))
-      broadcast(cand.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid"))
+      broadcast(f.rows.join(broadcast(qv), Seq("qid"))).join(cv, Seq("nid"))
         .select(col("qid"), col("nid"),
           when(col("qn") > 0 && col("nn") > 0,
             Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
@@ -1733,40 +1761,44 @@ object Ann {
     // stage broadcasts |queries|·nSeeds rows and each hop at most
     // |queries|·beamWidth·k rows, every row carrying the query vector —
     // with auto-sized seeds (ceil(sqrt(n))) a large corpus plus a large
-    // batch silently exceeds any replication budget without this.
-    val nq = qv.count()
-    val qdim = qv.select(size(col("qv")).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+    // batch silently exceeds any replication budget without this. The
+    // same bounds cap what collectFrontier pulls to the driver. ONE
+    // job for both scalars (count + max dim) instead of two.
+    val qstats = qv.agg(count(lit(1)).as("n"),
+      max(size(col("qv"))).as("d")).head()
+    val nq = qstats.getLong(0)
+    val qdim = if (qstats.isNullAt(1)) 0L else qstats.getInt(1).toLong
     val rowBytes = 48L + qdim * 4
     Guard.broadcastBudget(nq * meta.getAs[Int]("n_seeds"), rowBytes,
       "probeGraphIndex seed candidate set", maxRows = maxBroadcastRows)
     Guard.broadcastBudget(nq * beamWidth * meta.getAs[Int]("k"), rowBytes,
       "probeGraphIndex hop candidate set", maxRows = maxBroadcastRows)
     val seeds = snap.readSingle(spark, "seeds") // (nid), tiny
-    val seedCand = qv.select(col("qid")).crossJoin(broadcast(seeds))
-      .filter(col("nid") =!= col("qid"))
+    val seedCand = collectFrontier(
+      qv.select(col("qid")).crossJoin(broadcast(seeds))
+        .filter(col("nid") =!= col("qid")))
     var acc = Reliable.checkpoint(score(seedCand))
     for (_ <- 1 to hops) {
       val beamTop = column(graft.expr.catalyst.TopKByScore(
         expression(struct(col("sim"), col("nid"))), beamWidth)
         .toAggregateExpression())
-      // checkpoint the beam and the candidate set: each is both
-      // bucket-collected and joined below, and recomputing the
-      // TopKByScore aggregation per consumer would triple probe latency
-      val beam = Reliable.checkpoint(
+      // one collect: the per-query beam and its buckets together
+      val beam = collectFrontier(
         acc.groupBy(col("qid")).agg(beamTop.as("top"))
           .select(col("qid"), explode(col("top")).as("e"))
           .select(col("qid"), col("e.id").as("nid")))
-      val bs = buckets(beam, "nid")
-      val edges = adj.filter(col("bucket").isin(bs: _*))
+      val edges = adj.filter(col("bucket").isin(beam.buckets: _*))
         .select(col("id").as("nid"), col("nid").as("cand"))
-      val cand = Reliable.checkpoint(
-        broadcast(beam).join(edges, Seq("nid"))
+      // one collect: the deduped, not-yet-scored candidates + buckets
+      val cand = collectFrontier(
+        broadcast(beam.rows).join(edges, Seq("nid"))
           .select(col("qid"), col("cand").as("nid"))
           .filter(col("nid") =!= col("qid"))
           .distinct()
           .join(acc.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti"))
-      acc = Reliable.checkpoint(acc.unionByName(score(cand)))
+      // one checkpoint per hop; a candidate-less hop leaves acc as-is
+      if (!cand.isEmpty)
+        acc = Reliable.checkpoint(acc.unionByName(score(cand)))
     }
     val topK = column(graft.expr.catalyst.TopKByScore(
       expression(struct(col("sim"), col("nid"))), k).toAggregateExpression())

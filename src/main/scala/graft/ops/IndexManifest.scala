@@ -137,6 +137,17 @@ object IndexManifest {
     def readSingle(spark: SparkSession, name: String): DataFrame =
       readSegmentDir(spark, single(name))
 
+    /** First row of a SINGLE-ROW layout-parameter component ("meta":
+      * histogram bounds, rollup keys/bucket count, graph probe dials)
+      * through the per-JVM head cache: the incremental-state ops read
+      * the SAME immutable meta segment once per append/read — one
+      * collect job each (measured: 2 jobs per q_incr_rollup commit just
+      * to re-learn nBuckets). Keyed on the segment's absolute path, so
+      * a re-seed (new uuid directory) can never serve a stale row; only
+      * for components that are one immutable row by construction. */
+    def headRow(spark: SparkSession, name: String): org.apache.spark.sql.Row =
+      readSegmentHead(spark, single(name))
+
     /** The logical tombstone set (deduped — erasure requests are
       * routinely re-issued), or None when no deletes are pending. */
     def tombstones(spark: SparkSession, idCol: String): Option[DataFrame] =
@@ -590,6 +601,30 @@ object IndexManifest {
     * across runs. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
+
+  /** Per-JVM cache of single-ROW layout-parameter segments (the "meta"
+    * components), keyed by absolute segment path — the same write-once
+    * invariant as [[schemaCache]]: a segment directory is never
+    * rewritten, so its one parameter row observed once stays true for
+    * the directory's lifetime. These rows are layout METADATA (bounds,
+    * key lists, bucket counts), bounded to one row by construction;
+    * the cache never outlives the JVM, so every run still derives them
+    * from the parquet inputs. */
+  private val headCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.Row]()
+
+  /** First row of an immutable single-row segment, from the per-JVM
+    * cache when present (no collect job). */
+  def readSegmentHead(spark: SparkSession, absDir: String): org.apache.spark.sql.Row = {
+    if (headCache.size > (1 << 16)) headCache.clear() // unbounded-run backstop
+    val cached = headCache.get(absDir)
+    if (cached != null) cached
+    else {
+      val row = readSegmentDir(spark, absDir).first()
+      headCache.put(absDir, row)
+      row
+    }
+  }
 
   /** Read one immutable segment directory, serving the schema from the
     * per-JVM cache when present (no inference job) and caching the

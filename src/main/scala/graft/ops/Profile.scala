@@ -128,8 +128,10 @@ object Profile {
     * ([[graft.streaming.ProfileStream]]) idempotent retries. */
   def writeProfileState(df: DataFrame, cols: Seq[String], statePath: String): Unit =
     StateStore.seed(df.sparkSession, statePath, "writeProfileState")(
+      // writeSingleSegment primes the segment schema cache, so the
+      // first append's state read skips its inference job
       "state" -> (d =>
-        profileState(df, cols).write.mode("overwrite").parquet(d)))
+        IndexManifest.writeSingleSegment(profileState(df, cols), d)))
 
   /** Absorb a batch into the stored state: one pass over the BATCH,
     * then a state-sized merge (sum counts, HLL union, min/least /
@@ -251,7 +253,7 @@ object Profile {
     // absorb or reseed committing between the two reads cannot pair
     // fresh counts with stale bounds
     val snap = StateStore.snapshot(spark, statePath)
-    val m = snap.readSingle(spark, "meta").first()
+    val m = snap.headRow(spark, "meta") // cached — meta is one immutable row
     val (colName, lo, hi, nBins) =
       (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
     driftFromCounts(spark,
@@ -459,11 +461,13 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     StateStore.seed(spark, statePath, "writeHistState")(
-      "state" -> (d => histBins(df, colName, lo, hi, nBins)
-        .write.mode("overwrite").parquet(d)),
-      "meta" -> (d => Seq((colName, lo, hi, nBins))
-        .toDF("column", "lo", "hi", "n_bins")
-        .coalesce(1).write.mode("overwrite").parquet(d)))
+      // writeSingleSegment primes the segment schema cache — the
+      // appends and reads that follow skip their inference jobs
+      "state" -> (d => IndexManifest.writeSingleSegment(
+        histBins(df, colName, lo, hi, nBins), d)),
+      "meta" -> (d => IndexManifest.writeSingleSegment(
+        Seq((colName, lo, hi, nBins)).toDF("column", "lo", "hi", "n_bins"),
+        d, coalesce1 = true)))
   }
 
   /** Absorb a batch: one pass over the BATCH, then a bin-count merge
@@ -472,14 +476,18 @@ object Profile {
                       streamTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     StateStore.mutate(spark, statePath, "appendHistState", streamTag) { snap =>
-      val m = snap.readSingle(spark, "meta").first()
+      // cached head row (meta is one immutable row — r17 item 4) and a
+      // cache-priming write, so the next absorb/read runs no
+      // meta-collect or schema-inference job
+      val m = snap.headRow(spark, "meta")
       val (colName, lo, hi, nBins) =
         (m.getString(0), m.getDouble(1), m.getDouble(2), m.getInt(3))
       val seg = IndexManifest.newSegment("state")
-      snap.readSingle(spark, "state")
-        .unionByName(histBins(batch, colName, lo, hi, nBins))
-        .groupBy(col("bin")).agg(sum(col("n_rows")).as("n_rows"))
-        .write.mode("overwrite").parquet(s"$statePath/$seg")
+      IndexManifest.writeSingleSegment(
+        snap.readSingle(spark, "state")
+          .unionByName(histBins(batch, colName, lo, hi, nBins))
+          .groupBy(col("bin")).agg(sum(col("n_rows")).as("n_rows")),
+        s"$statePath/$seg")
       Map("state" -> Seq(IndexManifest.Segment(seg)))
     }
   }
@@ -491,7 +499,7 @@ object Profile {
                     statePath: String,
                     asOfVersion: Option[Long] = None): DataFrame = {
     val snap = StateStore.snapshot(spark, statePath, asOfVersion)
-    val m = snap.readSingle(spark, "meta").first()
+    val m = snap.headRow(spark, "meta") // cached — meta is one immutable row
     val (lo, hi, nBins) = (m.getDouble(1), m.getDouble(2), m.getInt(3))
     val w = (hi - lo) / nBins
     val counts = snap.readSingle(spark, "state")

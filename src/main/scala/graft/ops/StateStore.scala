@@ -44,9 +44,19 @@ private[graft] object StateStore {
           (comps: (String, String => Unit)*): Unit = {
     IndexLock.clearStale(spark, path)
     IndexLock.withLock(spark, path, op) {
-      val next = comps.toSeq.map { case (name, write) =>
-        val seg = IndexManifest.newSegment(name)
-        write(s"$path/$seg")
+      // component writes are mutually independent and land in disjoint
+      // fresh directories — overlap them (guide §2.6, the
+      // writeGraphIndex posture); the commit stays strictly after the
+      // join. For the two-component states (hist bins + bounds,
+      // rollup buckets + meta) the tiny meta write rides the state
+      // write's tail instead of adding its own job latency.
+      val named = comps.toSeq.map { case (name, write) =>
+        (name, write, IndexManifest.newSegment(name))
+      }
+      Par.run(named.map { case (_, write, seg) =>
+        () => write(s"$path/$seg")
+      }: _*)
+      val next = named.map { case (name, _, seg) =>
         name -> Seq(Segment(seg))
       }.toMap
       val base =

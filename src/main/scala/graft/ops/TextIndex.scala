@@ -171,8 +171,9 @@ object TextIndex {
     if (streamTag.exists(t => IndexManifest.hasCommittedTag(spark, path, t)))
       return
     val snap = IndexManifest.pin(spark, path)
-    val nBuckets = snap.readSingle(spark, "stats")
-      .select(col("n_buckets")).first().getInt(0)
+    // cached head-row read — stats is one immutable row per snapshot
+    // (r17 item 4): no collect job to re-learn the bucket count
+    val nBuckets = snap.headRow(spark, "stats").getAs[Int]("n_buckets")
     // one tokenization pass over the BATCH; materialized once — the
     // postings write, the df segment, and the doclen segment all read it
     val batch = Reliable.checkpoint(
@@ -285,8 +286,9 @@ object TextIndex {
         kept.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df")),
         s"$path/$termSeg", "tb"),
       () => IndexManifest.writeSingleSegment(dlKept, s"$path/$dlSeg"))
-    val nBuckets = snap.readSingle(spark, "stats")
-      .select(col("n_buckets")).first().getInt(0)
+    // cached head-row read — stats is one immutable row per snapshot
+    // (r17 item 4): no collect job to re-learn the bucket count
+    val nBuckets = snap.headRow(spark, "stats").getAs[Int]("n_buckets")
     IndexManifest.writeSingleSegment(
       IndexManifest.readSegmentDir(spark, s"$path/$dlSeg")
         .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
@@ -407,8 +409,12 @@ object TextIndex {
     // the manifest layout gives for free (re-run yesterday's eval
     // against yesterday's index, byte-identical)
     val snap = IndexManifest.pin(spark, path, asOfVersion)
-    val stats = snap.readSingle(spark, "stats")
-    val nBuckets = stats.select(col("n_buckets")).first().getInt(0)
+    // one cached head-row read (stats is one immutable row per
+    // snapshot, r17 item 4): the collect job per probe goes away, and
+    // n_docs/avgdl enter the plan as literals instead of a broadcast
+    // crossJoin of a 1-row frame — same values, one less tiny exchange
+    val stats = snap.headRow(spark, "stats")
+    val nBuckets = stats.getAs[Int]("n_buckets")
     // same hash function the build used — Spark's own Murmur3Hash
     // expression (what hash() plans to, seed 42), EVALUATED EAGERLY on
     // the driver over the ≤ |qTerms| literals instead of through a
@@ -448,7 +454,8 @@ object TextIndex {
     val scored = postings
       .join(broadcast(termDf), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
+      .withColumn("n_docs", lit(stats.getAs[Long]("n_docs")))
+      .withColumn("avgdl", lit(stats.getAs[Double]("avgdl")))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("part",

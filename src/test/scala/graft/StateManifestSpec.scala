@@ -91,6 +91,25 @@ class StateManifestSpec extends SparkSpec {
       .agg(sum(col("n_rows"))).first().getLong(0) === 150L)
   }
 
+  test("meta head-row cache: a reseed with new bounds is observed, never served stale (r17)") {
+    // the per-JVM head-row cache is keyed on the meta SEGMENT path; a
+    // reseed writes a new uuid directory, so the same-path staleness a
+    // value-level cache would risk must be impossible by construction
+    val rows = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val ph = java.nio.file.Files.createTempDirectory("graft-hist-reseed").toString
+    Profile.writeHistState(rows, "v", 0.0, 200.0, nBins = 10, ph)
+    // prime the cache through every meta-reading path
+    assert(Profile.readHistState(spark, ph).count() === 10)
+    assert(!Profile.histQuantile(spark, ph, 0.5).isNaN)
+    Profile.writeHistState(rows, "v", 0.0, 50.0, nBins = 5, ph)
+    val after = Profile.readHistState(spark, ph)
+    assert(after.count() === 5, "reseed must replace the cached bin count")
+    assert(after.agg(max(col("hi"))).first().getDouble(0) === 50.0,
+      "reseed must replace the cached bounds")
+    assert(after.select(col("n_above")).first().getLong(0) === 50L,
+      "values above the new hi land in the overflow bin")
+  }
+
   test("agg state: absorb excludes touched buckets from old segments; pinned reader unaffected; vacuum reclaims") {
     val p = java.nio.file.Files.createTempDirectory("graft-agg-iso").toString
     val seedRows = (0 until 40).map(i => (s"g${i % 8}", i.toDouble)).toDF("g", "v")
