@@ -70,6 +70,24 @@ object Scale {
     else df.repartition(n, key)
   }
 
+  /** [[spreadSplits]] for MULTI-SUBTREE consumers (r17): a lazily
+    * railed scan re-pays the pinned exchange once per subtree (the
+    * r16 finding that got the rail REVERTED from the curation
+    * queries), while the unrailed alternative leaves every downstream
+    * kernel pass on the source's single split (AQE coalesces an
+    * unpinned repartition of a sub-MB input straight back to one
+    * partition — it sizes by bytes and cannot see kernel cost). This
+    * pays the exchange ONCE into a materialized multi-partition copy;
+    * every subtree then reads it in parallel with no further
+    * exchange. Gated exactly like the rail: when spreadSplits no-ops
+    * (production corpora supply ≥ cores splits), NOTHING is
+    * materialized — the checkpoint can never become a corpus-sized
+    * write tax at scale. */
+  def spreadSplitsOnce(df: DataFrame, key: Column): DataFrame = {
+    val spread = spreadSplits(df, key)
+    if (spread eq df) df else Reliable.checkpoint(spread)
+  }
+
   /** Skew-salted equi-join: the skewed (large, hot-keyed) side gets a
     * deterministic salt derived from `saltSource` (any stable column —
     * an id, a hash of the row key); the small-but-not-broadcastable

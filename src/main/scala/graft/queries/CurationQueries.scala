@@ -393,12 +393,14 @@ object CurationQueries {
     // candidate pairs only; text never shuffles — every shuffle payload
     // is (id, 16-byte band key) or (id, id).
     "q_incr_curation" -> ((s, dir) => {
-      // docsRaw: the scan feeds FOUR subtrees (batch gate, corpus
-      // index build, disposition probe, token-count join) and each
-      // repeated the rail exchange — measured 6.4s railed vs 3.9s raw
-      // in the same conditions; the per-row work here is the fused
-      // minhash/gopher kernel family the rail reasoning excludes
-      val d = docsRaw(s, dir)
+      // spread-ONCE (r17): the scan feeds FOUR subtrees (batch gate,
+      // corpus index build, disposition probe, token-count join). The
+      // r16 LAZY rail re-paid its exchange per subtree (measured 6.4 s
+      // railed vs 3.9 s raw) and was reverted; materializing the
+      // railed scan pays the exchange once and un-serializes the
+      // minhash/gopher kernel passes. Production no-op by the rail's
+      // file-count gate.
+      val d = graft.ops.Scale.spreadSplitsOnce(docsRaw(s, dir), col("doc_id"))
       val batch = d.filter(col("doc_id") % 3 === 0)
       val corpus = d.filter(col("doc_id") % 3 =!= 0)
       // checkpointed: gated feeds refreshDispositions (gate + signing)
@@ -423,7 +425,16 @@ object CurationQueries {
     }),
 
     "q_curation_e2e" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // spread-ONCE (r17): this query reads the scan from five
+      // subtrees (LSH pairing, quality join, dedup anti-join, bench
+      // filter, split projection); the unpinned `docs` repartition
+      // left every kernel pass on ONE task (AQE coalesces the sub-MB
+      // input back — the 1.47 s single-task signing stage in
+      // plans/r17/profile logs), and the pinned rail was reverted in
+      // r16 because each subtree re-paid the exchange. Materializing
+      // the railed scan pays it once; production no-op by the rail's
+      // file-count gate.
+      val d = graft.ops.Scale.spreadSplitsOnce(docsRaw(s, dir), col("doc_id"))
       val pairs = graft.ops.Dedup.minhashLshPairs(d, "doc_id", "text",
         shingleSize = 3, k = 12, bandRows = 2)
       val clusters = graft.ops.Dedup.connectedComponents(pairs)
@@ -776,7 +787,10 @@ object CurationQueries {
           "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
       // docs (spread rail), not docsRaw: the HTML extraction kernel is
       // per-row work that dominates the single-split fixture scan (r16;
-      // the docsRaw exemption is for cheap fused kernels)
+      // the docsRaw exemption is for cheap fused kernels). r17 A/B'd
+      // spreadSplitsOnce here too — measured NEUTRAL (3.29 → 3.13/3.29
+      // same-composition; the wave-1 chain materialization already
+      // bounds the extraction to one pass) and was not kept.
       val extracted = docs(s, dir).select(col("doc_id"), col("source"),
         Curation.extractContentText(html).as("text"))
       // materialize the extract→first-seen chain ONCE: three subtrees

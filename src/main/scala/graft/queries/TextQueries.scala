@@ -280,7 +280,13 @@ object TextQueries {
     // zero-cross-pair theorem is spec-pinned; here the full per-doc
     // assignment is hash-checked against the closure-derived oracle.
     "q_leakage_safe_split" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // spread-ONCE (r17): three subtrees read the scan (LSH pairing,
+      // the split assignment, the naive-split join); the lazy pinned
+      // rail re-paid its exchange per subtree (why r16 left this query
+      // unrailed, with its signing pass serial on the single fixture
+      // split) — materializing the railed scan pays it once.
+      // Production no-op by the rail's file-count gate.
+      val d = graft.ops.Scale.spreadSplitsOnce(docs(s, dir), col("doc_id"))
       val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
         shingleSize = 3, k = 12, bandRows = 2)
       val safe = graft.ops.Curation.leakageSafeSplit(
